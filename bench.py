@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully executed (count over the final result) and timed
+wall-clock; we report the best of 3 runs per query after a session warm-up —
+best-of filters host-level noise while still timing real end-to-end execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the operator spine + one of each heavy shape (scan-agg, multi
+# join, window, dedup, similarity). Kept deliberately small so bench time
+# reflects engine speed, not suite size.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_volume_customer",
+]
+
+
+def main() -> None:
+    from drill_calcite_spark.queries import all_queries
+    from drill_calcite_spark.session import get_spark
+
+    spark = get_spark(app_name="drill_calcite_spark_bench")
+    qs = all_queries()
+    names = [n for n in HEADLINE if n in qs]
+    # extend with any registered bench-tagged queries
+    extra = [n for n in qs if n.startswith("bench_")]
+    names += [n for n in extra if n not in names]
+
+    # warm-up: JVM + parquet footer caches, one light action
+    qs[names[0]](spark, SF_DIR).limit(1).collect()
+
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    timings: dict[str, float] = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(runs):
+            start = time.perf_counter()
+            df = qs[name](spark, SF_DIR)
+            n = df.count()
+            best = min(best, time.perf_counter() - start)
+            assert n >= 0
+        timings[name] = round(best, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""Catalog: register parquet tables from a scale-factor directory.
+
+Reference parity: Calcite's Schema/SchemaPlus (core/.../schema/Schema.java) is
+a named collection of tables resolved at validate time; Spark's catalog plays
+the same role. ``register_tables`` materializes the driver's TPC-H-ish star
+schema (TESTDATA.md) as temp views so both the DataFrame builder and
+``spark.sql`` resolve the same names the DuckDB oracle sees.
+
+Scale notes: views over ``spark.read.parquet`` keep scans lazy — predicate
+pushdown and column pruning reach the parquet reader (PushedFilters/ReadSchema
+in .explain). No caching by default: at 100 TB you cache nothing blindly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Dimension tables small enough to broadcast at ANY scale factor (region and
+# nation are fixed-size in TPC-H; supplier/part grow slowly). Used by queries
+# to hint broadcast joins explicitly where it matters.
+BROADCAST_SAFE = {"region", "nation"}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load every table in the scale directory as a lazy DataFrame."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = table_path(sf_dir, name)
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
+
+
+def register_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Register all tables as temp views (idempotent) and return them."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

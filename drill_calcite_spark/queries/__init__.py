@@ -1,0 +1,36 @@
+"""Query registry: every implemented operator from SURVEY.md §2 appears here
+as a (spark_query, oracle_sql) pair consumed by __spark_entry__.py.
+
+Submodules group the inventory:
+- tpch      — headline relational queries (scan/filter/project/agg/join/sort spine)
+- relops    — per-operator coverage (§2.1: joins, set ops, windows, grouping sets, …)
+- funcs     — scalar function batteries (§2.4)
+- custom    — operators Spark lacks natively (§2.1 Match, RepeatUnion; as-of join)
+- llm       — training-data-pipeline operators (dedup, similarity, text analysis)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def all_queries() -> dict[str, QueryFn]:
+    from drill_calcite_spark.queries import custom, funcs, llm, relops, tpch
+
+    out: dict[str, QueryFn] = {}
+    for mod in (tpch, relops, funcs, custom, llm):
+        out.update(mod.QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    from drill_calcite_spark.queries import custom, funcs, llm, relops, tpch
+
+    out: dict[str, str] = {}
+    for mod in (tpch, relops, funcs, custom, llm):
+        out.update(mod.ORACLES)
+    return out
