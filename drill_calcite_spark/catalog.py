@@ -42,13 +42,33 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table, normalizing physical-type quirks.
+
+    ``events.ts`` is parquet INT64 TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects; we read it via the nanos-as-long legacy path and convert
+    to a microsecond TimestampType (Spark's native precision). Sub-microsecond
+    digits are truncated — queries must not emit raw ``ts`` into results that
+    an oracle with ns precision will hash.
+    """
+    path = table_path(sf_dir, name)
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return df
+    return spark.read.parquet(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load every table in the scale directory as a lazy DataFrame."""
     out: dict[str, DataFrame] = {}
     for name in TABLES:
-        path = table_path(sf_dir, name)
-        if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+        if os.path.exists(table_path(sf_dir, name)):
+            out[name] = read_table(spark, sf_dir, name)
     return out
 
 

@@ -12,15 +12,15 @@ Conventions that keep the DuckDB oracle hash-compatible (driver contract):
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from drill_calcite_spark.catalog import read_table
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table from the scale-factor dir (lazy parquet scan)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return read_table(spark, sf_dir, name)
 
 
 def ts(literal: str) -> F.Column:

@@ -1,4 +1,316 @@
-"""Placeholder — filled in as operators land."""
+"""Scalar-function batteries — SURVEY.md §2.4 (SqlStdOperatorTable /
+SqlLibraryOperators surface), each checked against the DuckDB oracle.
+
+Every battery is a projection over a driver table with the primary key kept,
+so the value-hash pins each function's output per-row. Calcite-semantic notes
+are inline (e.g. EXTRACT(DOW) is 1=Sunday per Calcite/Spark; DuckDB is
+0=Sunday so the oracle compensates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from drill_calcite_spark.queries.common import r6, t
 
 QUERIES = {}
 ORACLES = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return deco
+
+
+# ------------------------------------------------------------------ strings
+@q("func_strings_basic", """
+SELECT c_custkey,
+       upper(c_name)                       AS up,
+       lower(c_mktsegment)                 AS lo,
+       CAST(length(c_name) AS BIGINT)      AS len,
+       substr(c_name, 1, 8)                AS pre,
+       c_name || '-' || c_mktsegment       AS joined,
+       replace(c_name, 'Customer', 'Cust') AS repl,
+       trim('  ' || c_name || ' ')         AS trimmed,
+       ltrim('xxy' || c_name, 'xy')        AS ltrimmed,
+       rtrim(c_name || 'yxx', 'xy')        AS rtrimmed,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+       reverse(c_mktsegment)               AS rev,
+       repeat(c_mktsegment, 2)             AS rep,
+       left(c_name, 4)                     AS l4,
+       right(c_name, 4)                    AS r4
+FROM customer
+""")
+def func_strings_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPPER/LOWER/CHAR_LENGTH/SUBSTRING/||/REPLACE/TRIM family
+    (SqlStdOperatorTable:235,1443-1528; SqlLibraryOperators LTRIM/RTRIM/
+    LEFT/RIGHT/REPEAT/REVERSE)."""
+    c = t(spark, sf_dir, "customer")
+    name, seg = F.col("c_name"), F.col("c_mktsegment")
+    return c.select(
+        "c_custkey",
+        F.upper(name).alias("up"),
+        F.lower(seg).alias("lo"),
+        F.length(name).cast("bigint").alias("len"),
+        F.substring(name, 1, 8).alias("pre"),
+        F.concat(name, F.lit("-"), seg).alias("joined"),
+        F.replace(name, F.lit("Customer"), F.lit("Cust")).alias("repl"),
+        F.trim(F.concat(F.lit("  "), name, F.lit(" "))).alias("trimmed"),
+        F.ltrim(F.concat(F.lit("xxy"), name), F.lit("xy")).alias("ltrimmed"),
+        F.rtrim(F.concat(name, F.lit("yxx")), F.lit("xy")).alias("rtrimmed"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.reverse(seg).alias("rev"),
+        F.repeat(seg, 2).alias("rep"),
+        F.left(name, F.lit(4)).alias("l4"),
+        F.right(name, F.lit(4)).alias("r4"),
+    )
+
+
+@q("func_strings_search", """
+SELECT p_partkey,
+       CAST(instr(p_name, 'a') AS BIGINT)       AS pos_a,
+       CAST(ascii(p_brand) AS BIGINT)           AS first_code,
+       chr(CAST(65 + (p_partkey % 26) AS INT))  AS cyc_chr,
+       md5(p_name)                              AS name_md5,
+       translate(p_type, 'AEO', 'aeo')          AS translated,
+       split_part(p_brand, '#', 2)              AS brand_num,
+       (p_name LIKE '%ab%')                     AS has_ab,
+       regexp_matches(p_brand, '[0-9]+$')       AS ends_digit,
+       regexp_extract(p_brand, '[0-9]+')        AS digits,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       starts_with(p_type, 'PRO')               AS is_promo
+FROM part
+""")
+def func_strings_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITION/ASCII/CHR/MD5/TRANSLATE3/LIKE/regex family
+    (SqlStdOperatorTable:1361-1386; SqlLibraryOperators MD5/CHR/
+    REGEXP_REPLACE/TRANSLATE3)."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.instr(F.col("p_name"), "a").cast("bigint").alias("pos_a"),
+        F.ascii(F.col("p_brand")).cast("bigint").alias("first_code"),
+        F.chr(F.lit(65) + (F.col("p_partkey") % 26)).alias("cyc_chr"),
+        F.md5(F.col("p_name")).alias("name_md5"),
+        F.translate(F.col("p_type"), "AEO", "aeo").alias("translated"),
+        F.split_part(F.col("p_brand"), F.lit("#"), F.lit(2)).alias("brand_num"),
+        F.col("p_name").like("%ab%").alias("has_ab"),
+        F.col("p_brand").rlike("[0-9]+$").alias("ends_digit"),
+        F.regexp_extract(F.col("p_brand"), "([0-9]+)", 1).alias("digits"),
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "_").alias("devoweled"),
+        F.startswith(F.col("p_type"), F.lit("PRO")).alias("is_promo"),
+    )
+
+
+# --------------------------------------------------------------------- math
+@q("func_math", """
+SELECT p_partkey,
+       abs(p_retailprice - 1000.0)            AS dist,
+       CAST(ceil(p_retailprice) AS BIGINT)    AS ceiled,
+       CAST(floor(p_retailprice) AS BIGINT)   AS floored,
+       round(p_retailprice, 1)                AS rounded,
+       round(sqrt(p_retailprice), 6)          AS sq,
+       round(power(p_size, 2), 2)             AS sq2,
+       p_size % 7                             AS m7,
+       round(ln(p_retailprice), 6)            AS lnp,
+       round(log10(p_retailprice), 6)         AS lg,
+       round(exp(p_size / 10.0), 6)           AS ex,
+       CAST(sign(p_retailprice - 1000.0) AS DOUBLE) AS sgn,
+       round(sin(p_size), 6)                  AS sn,
+       round(cos(p_size), 6)                  AS cs,
+       round(atan2(p_size, 10), 6)            AS at2,
+       round(degrees(1.0), 6)                 AS deg,
+       round(radians(180.0), 6)               AS rad,
+       round(pi(), 6)                         AS pie
+FROM part
+""")
+def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math surface (SqlStdOperatorTable:248-290,1532-1720)."""
+    p = t(spark, sf_dir, "part")
+    price, size = F.col("p_retailprice"), F.col("p_size")
+    return p.select(
+        "p_partkey",
+        F.abs(price - 1000.0).alias("dist"),
+        F.ceil(price).cast("bigint").alias("ceiled"),
+        F.floor(price).cast("bigint").alias("floored"),
+        F.round(price, 1).alias("rounded"),
+        r6(F.sqrt(price)).alias("sq"),
+        F.round(F.pow(size, 2), 2).alias("sq2"),
+        (size % 7).alias("m7"),
+        r6(F.log(price)).alias("lnp"),
+        r6(F.log10(price)).alias("lg"),
+        r6(F.exp(size / 10.0)).alias("ex"),
+        F.signum(price - 1000.0).cast("double").alias("sgn"),
+        r6(F.sin(size)).alias("sn"),
+        r6(F.cos(size)).alias("cs"),
+        r6(F.atan2(size.cast("double"), F.lit(10.0))).alias("at2"),
+        r6(F.degrees(F.lit(1.0))).alias("deg"),
+        r6(F.radians(F.lit(180.0))).alias("rad"),
+        r6(F.lit(3.14159265358979)).alias("pie"),
+    )
+
+
+# ----------------------------------------------------------------- datetime
+@q("func_datetime_extract", """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT)      AS y,
+       CAST(quarter(o_orderdate) AS BIGINT)   AS qtr,
+       CAST(month(o_orderdate) AS BIGINT)     AS mo,
+       CAST(day(o_orderdate) AS BIGINT)       AS d,
+       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+       CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+       CAST(weekofyear(o_orderdate) AS BIGINT) AS woy,
+       CAST(hour(o_orderdate) AS BIGINT)      AS hh
+FROM orders
+""")
+def func_datetime_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTRACT family (SqlStdOperatorTable:1916-1997). Calcite DOW is
+    1=Sunday..7=Saturday — Spark's dayofweek matches; DuckDB's is 0-based so
+    the oracle adds 1."""
+    o = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("bigint").alias("y"),
+        F.quarter(d).cast("bigint").alias("qtr"),
+        F.month(d).cast("bigint").alias("mo"),
+        F.dayofmonth(d).cast("bigint").alias("d"),
+        F.dayofweek(d).cast("bigint").alias("dow"),
+        F.dayofyear(d).cast("bigint").alias("doy"),
+        F.weekofyear(d).cast("bigint").alias("woy"),
+        F.hour(d).cast("bigint").alias("hh"),
+    )
+
+
+@q("func_datetime_arith", """
+SELECT o_orderkey,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(date_trunc('day',   o_orderdate) AS TIMESTAMP) AS day_start,
+       CAST(last_day(o_orderdate) AS TIMESTAMP)            AS month_end,
+       o_orderdate + INTERVAL 3 DAY                        AS plus3d,
+       o_orderdate + INTERVAL 2 MONTH                      AS plus2mo,
+       CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+            AS BIGINT)                                     AS days_since,
+       CAST(extract(epoch FROM o_orderdate) AS BIGINT)     AS epoch_s
+FROM orders
+""")
+def func_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLOOR-to-unit (date_trunc), LAST_DAY, interval +, TIMESTAMP_DIFF
+    (SqlStdOperatorTable:1773-1778,1859-1862,2000)."""
+    o = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", d).alias("month_start"),
+        F.date_trunc("day", d).alias("day_start"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        (d + F.expr("INTERVAL 3 DAYS")).alias("plus3d"),
+        (d + F.expr("INTERVAL 2 MONTHS")).alias("plus2mo"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint").alias("days_since"),
+        F.unix_timestamp(d).cast("bigint").alias("epoch_s"),
+    )
+
+
+@q("func_datetime_overlaps", """
+SELECT o_orderkey,
+       (o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND o_orderdate + INTERVAL 90 DAY > TIMESTAMP '1997-10-01 00:00:00')
+       AS overlaps_q4_97
+FROM orders
+""")
+def func_datetime_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period OVERLAPS (SqlStdOperatorTable:1269-1287) expanded to the
+    boolean interval expression — Calcite rewrites it the same way."""
+    o = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        (
+            (d < F.lit("1998-01-01").cast("timestamp"))
+            & (d + F.expr("INTERVAL 90 DAYS") > F.lit("1997-10-01").cast("timestamp"))
+        ).alias("overlaps_q4_97"),
+    )
+
+
+# --------------------------------------------------------------------- JSON
+@q("func_json", """
+SELECT event_id,
+       json_extract_string(props, '$.k')                    AS k_str,
+       CAST(json_extract_string(props, '$.k') AS BIGINT)    AS k_num,
+       (json_extract_string(props, '$.k') IS NOT NULL)      AS has_k,
+       (json_extract_string(props, '$.missing') IS NULL)    AS missing_null
+FROM events
+""")
+def func_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON_VALUE / JSON_EXISTS over the events.props JSON column
+    (SqlStdOperatorTable:1298-1338; runtime/JsonFunctions.java)."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    return e.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("bigint").alias("k_num"),
+        k.isNotNull().alias("has_k"),
+        F.get_json_object(F.col("props"), "$.missing").isNull().alias("missing_null"),
+    )
+
+
+# ------------------------------------------------------------- array / struct
+@q("func_array_ops", """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT)          AS n_tokens,
+       string_split(text, ' ')[1]                            AS first_tok,
+       array_to_string(list_sort(list_distinct(
+           string_split(substr(text, 1, 50), ' '))), ',')    AS sorted_head_toks,
+       list_contains(string_split(text, ' '), 'data')        AS has_data
+FROM documents WHERE doc_id < 50
+""")
+def func_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY constructor/CARDINALITY/ITEM/MEMBER OF
+    (SqlStdOperatorTable:2013-2153)."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        toks.getItem(0).alias("first_tok"),
+        F.array_join(
+            F.sort_array(F.array_distinct(F.split(F.substring(F.col("text"), 1, 50), " "))),
+            ",",
+        ).alias("sorted_head_toks"),
+        F.array_contains(toks, "data").alias("has_data"),
+    )
+
+
+@q("func_multiset_ops", """
+WITH a AS (SELECT list_sort(list_distinct(string_split(text, ' '))) AS toks
+           FROM documents WHERE doc_id = 0),
+     b AS (SELECT list_sort(list_distinct(string_split(text, ' '))) AS toks
+           FROM documents WHERE doc_id = 1)
+SELECT array_to_string(list_sort(list_intersect(a.toks, b.toks)), ',') AS common,
+       CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT)   AS n_common,
+       CAST(len(list_filter(a.toks, x -> NOT list_contains(b.toks, x))) AS BIGINT)
+                                                             AS n_only_a
+FROM a, b
+""")
+def func_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET INTERSECT/EXCEPT (SqlStdOperatorTable:113-143) via array ops;
+    sort-before-compare per MULTISET unordered semantics (SURVEY §1.2)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.sort_array(F.array_distinct(F.split(F.col("text"), " ")))
+    a = docs.filter(F.col("doc_id") == 0).select(toks.alias("a_toks"))
+    b = docs.filter(F.col("doc_id") == 1).select(toks.alias("b_toks"))
+    both = a.crossJoin(b)
+    inter = F.array_intersect(F.col("a_toks"), F.col("b_toks"))
+    return both.select(
+        F.array_join(F.sort_array(inter), ",").alias("common"),
+        F.size(inter).cast("bigint").alias("n_common"),
+        F.size(F.array_except(F.col("a_toks"), F.col("b_toks"))).cast("bigint")
+        .alias("n_only_a"),
+    )

@@ -1,4 +1,676 @@
-"""Placeholder — filled in as operators land."""
+"""Per-operator coverage for SURVEY.md §2.1/§2.2 — one query per relational
+operator, each with a DuckDB oracle.
+
+Covers: all six join types (rel/core/Join.java:55, JoinRelType.java:24-71),
+theta/band join (EnumerableNestedLoopJoin parity), Correlate/lateral,
+Aggregate with ROLLUP/CUBE/GROUPING SETS (rel/core/Aggregate.java:109-135),
+DISTINCT + FILTER agg calls (rel/core/AggregateCall.java:45-55), Window with
+frames (rel/core/Window.java:211-236), Sort+offset+fetch (rel/core/Sort.java:45),
+Union/Intersect/Minus ALL|DISTINCT (rel/core/Union.java:35 …), Values
+(rel/core/Values.java:46), Uncollect [WITH ORDINALITY] (rel/core/Uncollect.java:46),
+Collect→LISTAGG (SqlStdOperatorTable:2165-2179), Sample (rel/core/Sample.java:36),
+IS [NOT] DISTINCT FROM, quantified ALL (SqlStdOperatorTable:404-440),
+IN/EXISTS/scalar sub-queries (rex/RexSubQuery.java:49-100).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from drill_calcite_spark.queries.common import r2, r4, t, ts
 
 QUERIES = {}
 ORACLES = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return deco
+
+
+# ------------------------------------------------------------------- joins
+@q("join_left_outer", """
+SELECT o_orderkey, c_custkey, c_acctbal
+FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+  ON o_custkey = c_custkey
+""")
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ords = t(spark, sf_dir, "orders")
+    rich = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    return ords.join(rich, ords.o_custkey == rich.c_custkey, "left").select(
+        "o_orderkey", "c_custkey", "c_acctbal"
+    )
+
+
+@q("join_right_outer", """
+SELECT o_orderkey, c_custkey, c_acctbal
+FROM (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+RIGHT JOIN customer ON o_custkey = c_custkey
+""")
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ords = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    cust = t(spark, sf_dir, "customer")
+    return ords.join(cust, ords.o_custkey == cust.c_custkey, "right").select(
+        "o_orderkey", "c_custkey", "c_acctbal"
+    )
+
+
+@q("join_full_outer", """
+SELECT cn.nk AS cust_nation, sn.nk AS supp_nation
+FROM (SELECT DISTINCT c_nationkey AS nk FROM customer) cn
+FULL JOIN (SELECT DISTINCT s_nationkey AS nk FROM supplier) sn
+  ON cn.nk = sn.nk
+""")
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    sn = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    return cn.join(sn, cn["nk"] == sn["nk"], "full").select(
+        cn["nk"].alias("cust_nation"), sn["nk"].alias("supp_nation")
+    )
+
+
+@q("join_semi", """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+""")
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@q("join_anti", """
+SELECT p_partkey, p_name FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+                  AND l_quantity > 45)
+""")
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    hi = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return part.join(hi, part.p_partkey == hi.l_partkey, "left_anti").select(
+        "p_partkey", "p_name"
+    )
+
+
+@q("join_cross", """
+SELECT a.r_name AS from_region, b.r_name AS to_region
+FROM region a CROSS JOIN region b
+""")
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = t(spark, sf_dir, "region").select(F.col("r_name").alias("from_region"))
+    b = t(spark, sf_dir, "region").select(F.col("r_name").alias("to_region"))
+    return a.crossJoin(b)
+
+
+@q("join_band_theta", """
+SELECT tier, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders
+JOIN (VALUES ('small', 0.0, 100000.0),
+             ('medium', 100000.0, 250000.0),
+             ('large', 250000.0, 1e12)) AS tiers(tier, lo, hi)
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY tier ORDER BY tier
+""")
+def join_band_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure theta (band) join — Spark plans BroadcastNestedLoopJoin, the
+    EnumerableNestedLoopJoin analogue; the tier table is broadcast."""
+    ords = t(spark, sf_dir, "orders")
+    tiers = F.broadcast(
+        spark.createDataFrame(
+            [("small", 0.0, 100000.0), ("medium", 100000.0, 250000.0),
+             ("large", 250000.0, 1e12)],
+            "tier string, lo double, hi double",
+        )
+    )
+    return (
+        ords.join(tiers, (ords.o_totalprice >= tiers.lo) & (ords.o_totalprice < tiers.hi))
+        .groupBy("tier")
+        .agg(F.count("*").alias("n_orders"), r2(F.sum("o_totalprice")).alias("total"))
+        .orderBy("tier")
+    )
+
+
+# -------------------------------------------------------------- aggregates
+@q("agg_rollup", """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+        F.count("*").alias("n"),
+        r2(F.sum("l_quantity")).alias("sum_qty"),
+    )
+
+
+@q("agg_cube", """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+       count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ords = t(spark, sf_dir, "orders")
+    return ords.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+        F.grouping("o_orderpriority").cast("bigint").alias("g_prio"),
+        F.count("*").alias("n"),
+        r4(F.avg("o_totalprice")).alias("avg_price"),
+    )
+
+
+@q("agg_grouping_sets", """
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""")
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets([["l_returnflag"], ["l_linestatus"], []],
+                        "l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q("agg_distinct_filter", """
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey) AS n_supp,
+       count(DISTINCT l_partkey) AS n_part,
+       round(sum(l_quantity) FILTER (WHERE l_discount > 0.05), 2) AS qty_hi_disc,
+       count(*) FILTER (WHERE l_tax = 0.0) AS n_no_tax
+FROM lineitem GROUP BY l_returnflag
+""")
+def agg_distinct_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT + FILTER per aggregate call (AggregateCall.java:45-55)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        r2(F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_quantity")))).alias("qty_hi_disc"),
+        F.count(F.when(F.col("l_tax") == 0.0, F.lit(1))).alias("n_no_tax"),
+    )
+
+
+@q("agg_having", """
+SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spent
+FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+""")
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ords = t(spark, sf_dir, "orders")
+    return (
+        ords.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), r2(F.sum("o_totalprice")).alias("spent"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@q("agg_stats", """
+SELECT l_returnflag,
+       round(stddev_samp(l_extendedprice), 4) AS sd_price,
+       round(var_pop(l_quantity), 4)          AS var_qty,
+       round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_qp,
+       round(corr(l_quantity, l_extendedprice), 6)      AS corr_qp,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag
+""")
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (SqlStdOperatorTable:917-1141)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r4(F.stddev_samp("l_extendedprice")).alias("sd_price"),
+        r4(F.var_pop("l_quantity")).alias("var_qty"),
+        r2(F.covar_pop("l_quantity", "l_extendedprice")).alias("covar_qp"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@q("agg_bitops", """
+SELECT o_orderstatus,
+       bit_and(o_custkey) AS band, bit_or(o_custkey) AS bor
+FROM orders GROUP BY o_orderstatus
+""")
+def agg_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ords = t(spark, sf_dir, "orders")
+    return ords.groupBy("o_orderstatus").agg(
+        F.bit_and("o_custkey").alias("band"), F.bit_or("o_custkey").alias("bor")
+    )
+
+
+@q("agg_collect_listagg", """
+SELECT l_returnflag,
+       array_to_string(list_sort(array_agg(DISTINCT l_linestatus)), ',') AS statuses,
+       string_agg(DISTINCT l_linestatus, '|' ORDER BY l_linestatus)      AS listagg_statuses
+FROM lineitem GROUP BY l_returnflag
+""")
+def agg_collect_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLECT (SqlStdOperatorTable:2165) + LISTAGG WITHIN GROUP (:2179),
+    rendered as sorted strings so the value-hash is deterministic."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses"),
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), "|").alias("listagg_statuses"),
+    )
+
+
+# ----------------------------------------------------------------- windows
+@q("window_rank_topk", """
+SELECT * FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+         row_number()  OVER w AS rn,
+         rank()        OVER w AS rnk,
+         dense_rank()  OVER w AS drnk
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+) WHERE rn <= 5
+""")
+def window_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select(
+            "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@q("window_running_frames", """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+       round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+FROM orders
+""")
+def window_running_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS frames with explicit bounds (rel/core/Window.java:211-236)."""
+    ords = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return ords.select(
+        "o_custkey", "o_orderkey",
+        r2(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .alias("running_total"),
+        r4(F.avg("o_totalprice").over(w.rowsBetween(-2, W.currentRow))).alias("moving_avg3"),
+    )
+
+
+@q("window_value_funcs", """
+SELECT o_custkey, o_orderkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+       nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""")
+def window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ords = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return ords.select(
+        "o_custkey", "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(wfull).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(wfull).alias("second_price"),
+    )
+
+
+@q("window_lead_lag", """
+SELECT user_id, event_id,
+       lag(value)  OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       round(value - lag(value) OVER w, 6) AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+    )
+
+
+@q("window_distribution", """
+SELECT o_orderkey,
+       ntile(4)       OVER (ORDER BY o_orderkey) AS quartile,
+       round(cume_dist()    OVER (ORDER BY o_totalprice, o_orderkey), 6) AS cd,
+       round(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS pr
+FROM orders
+""")
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE/CUME_DIST/PERCENT_RANK (SqlStdOperatorTable:945-981). Global
+    (unpartitioned) window — fine at test SF, documented as single-partition."""
+    ords = t(spark, sf_dir, "orders")
+    w_key = W.orderBy("o_orderkey")
+    w_price = W.orderBy("o_totalprice", "o_orderkey")
+    return ords.select(
+        "o_orderkey",
+        F.ntile(4).over(w_key).alias("quartile"),
+        F.round(F.cume_dist().over(w_price), 6).alias("cd"),
+        F.round(F.percent_rank().over(w_price), 6).alias("pr"),
+    )
+
+
+# ------------------------------------------------------------------ set ops
+@q("setop_union_distinct", """
+SELECT c_nationkey AS nk FROM customer
+UNION
+SELECT s_nationkey AS nk FROM supplier
+""")
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.unionByName(s).distinct()
+
+
+@q("setop_union_all", """
+SELECT o_orderkey AS k, 'high' AS src FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT o_orderkey AS k, 'big' AS src FROM orders WHERE o_totalprice > 300000
+""")
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ords = t(spark, sf_dir, "orders")
+    a = ords.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("k"), F.lit("high").alias("src")
+    )
+    b = ords.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_orderkey").alias("k"), F.lit("big").alias("src")
+    )
+    return a.unionByName(b)
+
+
+@q("setop_intersect", """
+SELECT c_nationkey AS nk FROM customer
+INTERSECT
+SELECT s_nationkey AS nk FROM supplier
+""")
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+@q("setop_intersect_all", """
+SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
+INTERSECT ALL
+SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'
+""")
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("k"))
+    b = li.filter(F.col("l_returnflag") == "A").select(F.col("l_suppkey").alias("k"))
+    return a.intersectAll(b)
+
+
+@q("setop_except", """
+SELECT c_nationkey AS nk FROM customer
+EXCEPT
+SELECT s_nationkey AS nk FROM supplier
+""")
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.subtract(s)
+
+
+@q("setop_except_all", """
+SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+""")
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ords = t(spark, sf_dir, "orders")
+    a = ords.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
+    b = ords.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    return a.exceptAll(b)
+
+
+# ------------------------------------------------------ values / unnest / misc
+@q("values_inline", """
+SELECT t.r_name, t.hemisphere, r.r_regionkey
+FROM (VALUES ('ASIA', 'east'), ('EUROPE', 'east'), ('AMERICA', 'west'),
+             ('AFRICA', 'east'), ('MIDDLE EAST', 'east')) AS t(r_name, hemisphere)
+JOIN region r ON r.r_name = t.r_name
+""")
+def values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vals = spark.createDataFrame(
+        [("ASIA", "east"), ("EUROPE", "east"), ("AMERICA", "west"),
+         ("AFRICA", "east"), ("MIDDLE EAST", "east")],
+        "r_name string, hemisphere string",
+    )
+    reg = t(spark, sf_dir, "region")
+    return vals.join(reg, "r_name").select("r_name", "hemisphere", "r_regionkey")
+
+
+@q("unnest_words", """
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word ORDER BY n DESC, word LIMIT 20
+""")
+def unnest_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncollect (rel/core/Uncollect.java:46): explode a computed array."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )
+
+
+@q("unnest_with_ordinality", """
+SELECT doc_id, CAST(ord AS BIGINT) AS ord, word FROM (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord
+  FROM documents WHERE doc_id < 3
+)
+""")
+def unnest_with_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNNEST WITH ORDINALITY (SqlStdOperatorTable:1243-1249) — posexplode,
+    1-based like SQL ordinality."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 3)
+    return (
+        docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("ord0", "word"))
+        .select("doc_id", (F.col("ord0") + 1).cast("bigint").alias("ord"), "word")
+    )
+
+
+@q("sort_limit_offset", """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 15 OFFSET 5
+""")
+def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort + offset + fetch in one node (rel/core/Sort.java:45)."""
+    ords = t(spark, sf_dir, "orders")
+    return (
+        ords.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .offset(5)
+        .limit(15)
+    )
+
+
+@q("sample_deterministic", """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem WHERE l_orderkey % 37 = 0
+""")
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli-style sample via key modulo (oracle-checkable;
+    the seeded df.sample TABLESAMPLE path is `sample_bernoulli`, rows-only)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") % 37 == 0).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLESAMPLE BERNOULLI (rel/core/Sample.java:36) — seeded but engine-
+    specific RNG, so rows-only check (no oracle can match Spark's sampler)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42)
+
+
+QUERIES["sample_bernoulli"] = sample_bernoulli
+
+
+# ----------------------------------------------------------------- subqueries
+@q("subquery_in", """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+""")
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ords = t(spark, sf_dir, "orders")
+    rich = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    return ords.join(rich, ords.o_custkey == rich.c_custkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@q("subquery_scalar_correlated", """
+SELECT p_brand, p_partkey, p_retailprice
+FROM part p1
+WHERE p_retailprice = (SELECT min(p_retailprice) FROM part p2
+                       WHERE p2.p_brand = p1.p_brand)
+""")
+def subquery_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar sub-query, decorrelated to a join on the group key —
+    the RelDecorrelator transform (sql2rel/RelDecorrelator.java) done the
+    Spark way."""
+    part = t(spark, sf_dir, "part")
+    mins = part.groupBy(F.col("p_brand").alias("b")).agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    return (
+        part.join(
+            F.broadcast(mins),
+            (part.p_brand == mins.b) & (part.p_retailprice == mins.min_price),
+        )
+        .select("p_brand", "p_partkey", "p_retailprice")
+    )
+
+
+@q("subquery_quantified_all", """
+SELECT s_suppkey, s_name, s_acctbal FROM supplier
+WHERE s_acctbal >= ALL (SELECT s_acctbal FROM supplier)
+""")
+def subquery_quantified_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified ALL (SqlStdOperatorTable:404-440) — rewritten to the max
+    aggregate, Calcite's own strategy for SOME/ALL."""
+    supp = t(spark, sf_dir, "supplier")
+    mx = F.broadcast(supp.agg(F.max("s_acctbal").alias("mx")))
+    return (
+        supp.crossJoin(mx)
+        .filter(F.col("s_acctbal") >= F.col("mx"))
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+# ------------------------------------------------------------ scalar semantics
+@q("is_distinct_from", """
+SELECT sum(CASE WHEN nullif(l_discount, 0.0) IS DISTINCT FROM nullif(l_tax, 0.0)
+                THEN 1 ELSE 0 END) AS n_distinct,
+       sum(CASE WHEN nullif(l_discount, 0.0) IS NOT DISTINCT FROM nullif(l_tax, 0.0)
+                THEN 1 ELSE 0 END) AS n_same
+FROM lineitem
+""")
+def is_distinct_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS [NOT] DISTINCT FROM → eqNullSafe (null-safe equality)."""
+    li = t(spark, sf_dir, "lineitem")
+    a = F.nullif(F.col("l_discount"), F.lit(0.0))
+    b = F.nullif(F.col("l_tax"), F.lit(0.0))
+    same = a.eqNullSafe(b)
+    return li.agg(
+        F.sum(F.when(~same, 1).otherwise(0)).alias("n_distinct"),
+        F.sum(F.when(same, 1).otherwise(0)).alias("n_same"),
+    )
+
+
+@q("case_conditional", """
+SELECT o_orderkey,
+       CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'filled'
+            ELSE 'other' END AS status_name,
+       CASE WHEN o_totalprice > 300000 THEN 'big'
+            WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS size_tier,
+       coalesce(nullif(o_orderpriority, '4-NOT SPECIFIED'), 'unspecified') AS prio,
+       least(o_totalprice, 250000.0)    AS capped,
+       greatest(o_totalprice, 50000.0)  AS floored
+FROM orders
+""")
+def case_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE (simple+searched), NULLIF, COALESCE, LEAST/GREATEST
+    (SqlStdOperatorTable:1394,1763,1768; SqlLibraryOperators)."""
+    ords = t(spark, sf_dir, "orders")
+    return ords.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "O", "open")
+        .when(F.col("o_orderstatus") == "F", "filled")
+        .otherwise("other").alias("status_name"),
+        F.when(F.col("o_totalprice") > 300000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small").alias("size_tier"),
+        F.coalesce(F.nullif("o_orderpriority", F.lit("4-NOT SPECIFIED")),
+                   F.lit("unspecified")).alias("prio"),
+        F.least(F.col("o_totalprice"), F.lit(250000.0)).alias("capped"),
+        F.greatest(F.col("o_totalprice"), F.lit(50000.0)).alias("floored"),
+    )
+
+
+@q("distinct_projection", """
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+""")
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@q("pivot_conditional", """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_open,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_filled
+FROM lineitem GROUP BY l_returnflag
+""")
+def pivot_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT via conditional aggregation (Calcite 1.21 has no PIVOT node;
+    this is the canonical expansion both engines agree on)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r2(F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0.0)))
+        .alias("qty_open"),
+        r2(F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0.0)))
+        .alias("qty_filled"),
+    )
