@@ -1,4 +1,209 @@
-"""Placeholder — filled in as operators land."""
+"""Queries exercising the custom operators (SURVEY.md §2.1 Match,
+RepeatUnion, Snapshot; plus the as-of join from §7 phase 4.3).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from drill_calcite_spark.operators import asof_join, match_recognize, repeat_union, snapshot
+from drill_calcite_spark.queries.common import t, ts
 
 QUERIES = {}
 ORACLES = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return deco
+
+
+# -------------------------------------------------------------- recursive CTE
+@q("recursive_numbers", """
+WITH RECURSIVE r(n) AS (
+  SELECT 1
+  UNION ALL
+  SELECT n + 1 FROM r WHERE n < 100
+)
+SELECT CAST(n AS BIGINT) AS n FROM r
+""")
+def recursive_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE via repeat_union (rel/core/RepeatUnion.java:53)."""
+    seed = spark.range(1, 2).select(F.col("id").alias("n"))
+    return repeat_union(
+        seed,
+        lambda frontier: frontier.filter(F.col("n") < 100).select(
+            (F.col("n") + 1).alias("n")
+        ),
+        distinct=True,
+        iteration_limit=150,
+    )
+
+
+@q("recursive_nation_tree", """
+WITH RECURSIVE d(key, depth) AS (
+  SELECT 0, 0
+  UNION ALL
+  SELECT n.n_nationkey, d.depth + 1
+  FROM nation n JOIN d ON CAST(floor(n.n_nationkey / 2) AS INT) = d.key
+  WHERE n.n_nationkey > 0
+)
+SELECT CAST(key AS BIGINT) AS key, CAST(depth AS BIGINT) AS depth FROM d
+""")
+def recursive_nation_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure over a synthetic hierarchy (parent = key/2) —
+    semi-naive BFS, one distributed join per depth level."""
+    nation = t(spark, sf_dir, "nation")
+    edges = (
+        nation.filter(F.col("n_nationkey") > 0)
+        .select(
+            F.col("n_nationkey").cast("bigint").alias("child"),
+            F.floor(F.col("n_nationkey") / 2).cast("bigint").alias("parent"),
+        )
+    )
+    seed = spark.createDataFrame([(0, 0)], "key bigint, depth bigint")
+
+    def step(frontier: DataFrame) -> DataFrame:
+        return (
+            frontier.join(edges, frontier.key == edges.parent)
+            .select(F.col("child").alias("key"), (F.col("depth") + 1).alias("depth"))
+        )
+
+    return repeat_union(seed, step, distinct=True, iteration_limit=20)
+
+
+# ------------------------------------------------------------------ as-of join
+@q("asof_last_purchase", """
+SELECT e.event_id, p.event_id AS purchase_event_id
+FROM events e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+""")
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every event, the user's most recent purchase at or before it.
+    Union-marker implementation: one shuffle, no range join."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_event_id")
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["purchase_event_id"],
+    )
+    return joined.select(
+        "event_id", F.col("purchase_event_id_asof").alias("purchase_event_id")
+    )
+
+
+# ------------------------------------------------------------ match_recognize
+def match_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE (rel/core/Match.java:57): V-shape in per-user event
+    values — STRT DOWN+ UP+, AFTER MATCH SKIP PAST LAST ROW. Rows-only check
+    (greedy NFA + skip semantics are not single-query SQL-expressible)."""
+    ev = t(spark, sf_dir, "events")
+    return match_recognize(
+        ev.select("user_id", "event_id", "ts", "value"),
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern="STRT DOWN+ UP+",
+        define={
+            "STRT": lambda p: pd.Series(True, index=p.index),
+            "DOWN": lambda p: p["value"] < p["value"].shift(1),
+            "UP": lambda p: p["value"] > p["value"].shift(1),
+        },
+        measures={
+            "user_id": lambda p, m: int(p["user_id"].iloc[0]),
+            "start_event": lambda p, m: int(p["event_id"].iloc[m["*"][0]]),
+            "bottom_value": lambda p, m: float(p["value"].iloc[m["DOWN"][-1]]),
+            "end_event": lambda p, m: int(p["event_id"].iloc[m["*"][-1]]),
+            "match_len": lambda p, m: len(m["*"]),
+        },
+        output_schema=(
+            "user_id long, start_event long, bottom_value double, "
+            "end_event long, match_len long"
+        ),
+    )
+
+
+QUERIES["match_vshape"] = match_vshape
+
+
+@q("islands_increasing_runs", """
+WITH marked AS (
+  SELECT user_id, event_id, value,
+         CASE WHEN value > lag(value) OVER w THEN 0 ELSE 1 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), grp AS (
+  SELECT user_id, event_id,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked
+)
+SELECT user_id, count(DISTINCT island) AS n_runs,
+       max(run_len) AS max_run_len
+FROM (SELECT user_id, island, count(*) AS run_len
+      FROM grp GROUP BY user_id, island)
+GROUP BY user_id
+""")
+def islands_increasing_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (maximal increasing runs) — the SQL-expressible
+    relative of match_vshape, fully oracle-checked. NOTE: islands are keyed by
+    event_id-ordered running sums, identical in both engines."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_id = (
+        W.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    marked = ev.select(
+        "user_id", "event_id", "value",
+        F.when(F.col("value") > F.lag("value").over(w), 0).otherwise(1).alias("brk"),
+    )
+    grp = marked.select(
+        "user_id", "event_id", F.sum("brk").over(w_id).alias("island")
+    )
+    runs = grp.groupBy("user_id", "island").agg(F.count("*").alias("run_len"))
+    return runs.groupBy("user_id").agg(
+        F.countDistinct("island").alias("n_runs"),
+        F.max("run_len").alias("max_run_len"),
+    )
+
+
+# -------------------------------------------------------------------- snapshot
+@q("snapshot_orders_scd", """
+WITH v AS (
+  SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS valid_to
+  FROM orders
+)
+SELECT o_custkey, o_orderkey
+FROM v
+WHERE valid_from <= TIMESTAMP '1998-06-01 00:00:00'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '1998-06-01 00:00:00')
+""")
+def snapshot_orders_scd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOR SYSTEM_TIME AS OF (rel/core/Snapshot.java:47) over an SCD-2 view
+    derived from each customer's order sequence: which order was 'current'
+    per customer on 1998-06-01."""
+    ords = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    scd = ords.select(
+        "o_custkey", "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    return snapshot(scd, "1998-06-01", valid_from="valid_from", valid_to="valid_to") \
+        .select("o_custkey", "o_orderkey")

@@ -1,0 +1,148 @@
+"""Unit tests for the custom operators with hand-computed goldens —
+the reference's operator-semantics test layer (SURVEY.md §5 layer 2)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from drill_calcite_spark.operators import asof_join, match_recognize, repeat_union, snapshot
+from drill_calcite_spark.operators.match_recognize import _find_matches, _parse_pattern
+
+
+# ------------------------------------------------------------ pattern matcher
+def _runs(seq, pattern, skip_past=True):
+    """seq: string per row of applicable symbols, e.g. ['S','SD','SU']."""
+    symrows = [set(s) for s in seq]
+    return _find_matches(symrows, _parse_pattern(pattern), skip_past)
+
+
+def test_nfa_greedy_plus():
+    # rows: S=always, D=down, U=up
+    seq = ["S", "SD", "SD", "SU", "SU", "S"]
+    m = _runs(seq, "S D+ U+")
+    assert len(m) == 1
+    assert m[0]["*"] == [0, 1, 2, 3, 4]
+    assert m[0]["D"] == [1, 2] and m[0]["U"] == [3, 4]
+
+
+def test_nfa_skip_past_last_row_vs_next_row():
+    seq = ["S", "SD", "SU", "SD", "SU"]
+    past = _runs(seq, "S D+ U+", skip_past=True)
+    assert [m["*"] for m in past] == [[0, 1, 2]]  # rows 3.. can't restart (row3 is S too)
+    nxt = _runs(seq, "S D+ U+", skip_past=False)
+    # skip-to-next-row finds overlapping matches starting at rows 0 and 2
+    assert [m["*"] for m in nxt] == [[0, 1, 2], [2, 3, 4]]
+
+
+def test_nfa_quantifier_bounds_and_alternation():
+    seq = ["A", "A", "A", "B"]
+    m = _runs(seq, "A{2,3} B")
+    assert m[0]["A"] == [0, 1, 2]
+    m2 = _runs(["X", "B"], "A B | X B")
+    assert m2[0]["*"] == [0, 1]
+
+
+def test_nfa_optional_and_star():
+    m = _runs(["A", "C"], "A B? C")
+    assert m[0]["*"] == [0, 1]
+    m = _runs(["A", "B", "B", "C"], "A B* C")
+    assert m[0]["*"] == [0, 1, 2, 3]
+
+
+def test_nfa_backtracking_greedy_gives_up_rows():
+    # B+ must backtrack: all rows match B, but trailing C needs the last row
+    seq = ["BC", "BC", "BC"]
+    m = _runs(seq, "B+ C")
+    assert m[0]["B"] == [0, 1] and m[0]["C"] == [2]
+
+
+def test_match_recognize_e2e(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 8.0), (1, 3, 6.0), (1, 4, 9.0), (1, 5, 11.0),
+         (2, 1, 5.0), (2, 2, 7.0)],
+        "uid long, seq long, value double",
+    )
+    out = match_recognize(
+        df, ["uid"], ["seq"],
+        pattern="STRT DOWN+ UP+",
+        define={
+            "STRT": lambda p: pd.Series(True, index=p.index),
+            "DOWN": lambda p: p["value"] < p["value"].shift(1),
+            "UP": lambda p: p["value"] > p["value"].shift(1),
+        },
+        measures={
+            "uid": lambda p, m: int(p["uid"].iloc[0]),
+            "start_seq": lambda p, m: int(p["seq"].iloc[m["*"][0]]),
+            "bottom": lambda p, m: float(p["value"].iloc[m["DOWN"][-1]]),
+            "end_seq": lambda p, m: int(p["seq"].iloc[m["*"][-1]]),
+        },
+        output_schema="uid long, start_seq long, bottom double, end_seq long",
+    ).collect()
+    assert [tuple(r) for r in out] == [(1, 1, 6.0, 5)]
+
+
+# ----------------------------------------------------------------- repeat_union
+def test_repeat_union_fixpoint(spark):
+    seed = spark.createDataFrame([(1,)], "n long")
+    out = repeat_union(
+        seed, lambda f: f.filter(F.col("n") < 10).select((F.col("n") + 1).alias("n"))
+    )
+    assert sorted(r.n for r in out.collect()) == list(range(1, 11))
+
+
+def test_repeat_union_iteration_limit(spark):
+    seed = spark.createDataFrame([(1,)], "n long")
+    with pytest.raises(RuntimeError, match="converge"):
+        repeat_union(
+            seed, lambda f: f.select((F.col("n") + 1).alias("n")), iteration_limit=3
+        )
+
+
+def test_repeat_union_union_all_mode(spark):
+    seed = spark.createDataFrame([(1,)], "n long")
+    out = repeat_union(
+        seed,
+        lambda f: f.filter(F.col("n") < 3).select((F.col("n") + 1).alias("n")),
+        distinct=False,
+        iteration_limit=10,
+    )
+    # ALL mode stops only via the filter emptying the frontier
+    assert sorted(r.n for r in out.collect()) == [1, 2, 3]
+
+
+# --------------------------------------------------------------------- as-of
+def test_asof_join_basic(spark):
+    quotes = spark.createDataFrame(
+        [("A", 1, 100.0), ("A", 5, 101.0), ("B", 3, 50.0)],
+        "sym string, qts long, px double",
+    )
+    trades = spark.createDataFrame(
+        [("A", 2), ("A", 5), ("A", 0), ("B", 9)], "sym string, tts long"
+    )
+    out = asof_join(trades, quotes, on=["sym"], left_ts="tts", right_ts="qts").collect()
+    got = {(r.sym, r.tts): (r.px_asof, r.qts_asof) for r in out}
+    assert got[("A", 2)] == (100.0, 1)
+    assert got[("A", 5)] == (101.0, 5)   # inclusive at equal ts
+    assert got[("A", 0)] == (None, None)  # no prior quote
+    assert got[("B", 9)] == (50.0, 3)
+
+
+# ------------------------------------------------------------------- snapshot
+def test_snapshot_validity(spark):
+    scd = spark.createDataFrame(
+        [(1, "v1", "2020-01-01", "2020-06-01"),
+         (1, "v2", "2020-06-01", None),
+         (2, "w1", "2021-01-01", None)],
+        "id long, val string, valid_from string, valid_to string",
+    ).select(
+        "id", "val",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    out = snapshot(scd, "2020-07-01").select("id", "val").collect()
+    assert sorted((r.id, r.val) for r in out) == [(1, "v2")]
+    out2 = snapshot(scd, "2020-03-01").select("id", "val").collect()
+    assert sorted((r.id, r.val) for r in out2) == [(1, "v1")]
