@@ -2,5 +2,26 @@ from drill_calcite_spark.operators.match_recognize import match_recognize
 from drill_calcite_spark.operators.repeat_union import repeat_union
 from drill_calcite_spark.operators.asof import asof_join
 from drill_calcite_spark.operators.snapshot import snapshot
+from drill_calcite_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_signature,
+)
+from drill_calcite_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_ann_topk,
+)
+from drill_calcite_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_features,
+)
 
-__all__ = ["match_recognize", "repeat_union", "asof_join", "snapshot"]
+__all__ = [
+    "match_recognize", "repeat_union", "asof_join", "snapshot",
+    "exact_dedup", "minhash_lsh_dedup", "ngram_jaccard_pairs",
+    "simhash_signature",
+    "cosine_topk", "embedding_near_dup_pairs", "lsh_ann_topk",
+    "attach_binary_payload", "extract_features",
+]

@@ -1,0 +1,184 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the standard ANN playbook:
+- ``cosine_topk``      — brute-force exact top-k: the correctness baseline.
+  O(N·M) pairs; at scale you bound the query side (batch of queries vs the
+  corpus) and let Spark broadcast the smaller side.
+- ``lsh_ann_topk``     — random-hyperplane LSH: sign-bucket the corpus, then
+  search only within buckets (optionally multi-probe). Linear scans per
+  bucket; the scale path for corpus×corpus self-similarity.
+
+All vector math is JVM-side (functions/vector.py) — no Python UDF in the
+hot path; hyperplanes are derived deterministically from md5 so runs are
+reproducible across engines and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from drill_calcite_spark.functions.vector import cosine, dot, l2_norm
+
+
+def _with_norm(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    return df.withColumn(out, l2_norm(F.col(vec_col)))
+
+
+def cosine_topk(
+    queries: DataFrame, corpus: DataFrame, id_col: str, vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors by cosine for every query vector (self-matches
+    excluded). Norms are computed once per side BEFORE the pair join so the
+    N×M stage does one fold per pair, not three. Ties break on neighbor id.
+
+    Output: (query_id, neighbor_id, rank, cos).
+    """
+    q = _with_norm(queries, vec_col, "__nq").select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__vq"), "__nq"
+    )
+    c = _with_norm(corpus, vec_col, "__nc").select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vc"), "__nc"
+    )
+    pairs = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id", "neighbor_id",
+        cosine(F.col("__vq"), F.col("__vc"), F.col("__nq"), F.col("__nc"))
+        .alias("__cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("__cos", 6).alias("cos"))
+    )
+
+
+def hyperplanes(num_planes: int, dim: int, table: int = 0) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5(table ‖ plane ‖
+    counter): each digest yields 16 signed byte weights. Reproducible
+    everywhere, no RNG state to ship to executors."""
+    planes = []
+    for p in range(num_planes):
+        w: list[float] = []
+        counter = 0
+        while len(w) < dim:
+            h = hashlib.md5(f"{table}:{p}|{counter}".encode()).digest()
+            w.extend(b - 127.5 for b in h)
+            counter += 1
+        planes.append(w[:dim])
+    return planes
+
+
+def lsh_bucket(df: DataFrame, vec_col: str, num_planes: int, dim: int,
+               table: int = 0) -> DataFrame:
+    """Add a ``__bucket`` column: the sign-bit string of the vector against
+    ``num_planes`` fixed hyperplanes. Pure column expressions — the plane
+    weights are literals folded into codegen, so bucketing is a map-only
+    stage (no shuffle, no UDF)."""
+    planes = hyperplanes(num_planes, dim, table)
+    bits = []
+    for w in planes:
+        proj = dot(F.col(vec_col), F.array(*[F.lit(x) for x in w]))
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.withColumn("__bucket", F.concat(*bits))
+
+
+def lsh_ann_topk(
+    df: DataFrame, id_col: str, vec_col: str, *,
+    k: int = 5, num_planes: int = 4, dim: int = 64, num_tables: int = 8,
+) -> DataFrame:
+    """Approximate self-similarity top-k via MULTI-TABLE random-hyperplane
+    LSH (OR-amplification, the same band trick as MinHash): each of
+    ``num_tables`` independent tables buckets vectors by ``num_planes``
+    sign bits; candidate pairs collide in ≥1 table; exact cosine ranks the
+    candidates. P(candidate) = 1-(1-(1-θ/π)^planes)^tables — steep in
+    similarity, so true neighbors survive while the per-bucket pair count
+    stays ~N²/2^planes per table.
+
+    One explode (num_tables rows/vector) + one shuffle on (table, bucket);
+    recall vs the exact baseline is asserted in tests/test_llm.py.
+    Output: (query_id, neighbor_id, rank, cos).
+    """
+    buckets = F.array(*[
+        F.struct(
+            F.lit(t).alias("tbl"),
+            F.concat(*[
+                F.when(
+                    dot(F.col(vec_col),
+                        F.array(*[F.lit(x) for x in w])) >= 0,
+                    F.lit("1"),
+                ).otherwise(F.lit("0"))
+                for w in hyperplanes(num_planes, dim, t)
+            ]).alias("bkt"),
+        )
+        for t in range(num_tables)
+    ])
+    b = _with_norm(df, vec_col, "__n").select(
+        F.col(id_col), F.col(vec_col).alias("__v"), "__n",
+        F.explode(buckets).alias("tb"),
+    ).select(
+        id_col, "__v", "__n",
+        F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"),
+    )
+    a = b.alias("a")
+    c = b.alias("c")
+    cands = (
+        a.join(c, ["tbl", "bkt"])
+        .filter(F.col(f"a.{id_col}") != F.col(f"c.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("query_id"),
+            F.col(f"c.{id_col}").alias("neighbor_id"),
+        )
+        .distinct()
+    )
+    n = _with_norm(df, vec_col, "__n")
+    qside = n.select(F.col(id_col).alias("query_id"),
+                     F.col(vec_col).alias("__vq"), F.col("__n").alias("__nq"))
+    cside = n.select(F.col(id_col).alias("neighbor_id"),
+                     F.col(vec_col).alias("__vc"), F.col("__n").alias("__nc"))
+    scored = (
+        cands.join(qside, "query_id").join(cside, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            cosine(F.col("__vq"), F.col("__vc"),
+                   F.col("__nq"), F.col("__nc")).alias("__cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("__cos", 6).alias("cos"))
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (doc_i < doc_j, cos ≥
+    threshold). Exact pairwise here; at scale, run lsh_bucket first and
+    compare only within buckets (identical output for thresholds high
+    enough that near-dups share all sign bits w.h.p.)."""
+    n = _with_norm(df, vec_col, "__n").select(
+        F.col(id_col), F.col(vec_col).alias("__v"), "__n"
+    )
+    a = n.alias("a")
+    b = n.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_i"),
+            F.col(f"b.{id_col}").alias("doc_j"),
+            cosine(F.col("a.__v"), F.col("b.__v"),
+                   F.col("a.__n"), F.col("b.__n")).alias("__cos"),
+        )
+        .filter(F.col("__cos") >= threshold)
+        .select("doc_i", "doc_j", F.round("__cos", 6).alias("cos"))
+    )

@@ -1,4 +1,479 @@
-"""Placeholder — filled in as operators land."""
+"""Training-data-pipeline queries (SURVEY.md §7 phase 6): deduplication,
+similarity search, text analysis, multimodal plumbing — over the
+``documents`` (doc_id, text, lang, source, n_chars) and ``embeddings``
+(vec_id, embedding float[64], label) tables.
+
+Oracle strategy: each pipeline is built ONLY from engine-portable
+primitives — md5 hex hashing, lexicographic string minima, ordered
+left-folds for float math — so the DuckDB oracle replicates the exact
+pipeline (not just the intent) and hash-matches bit-for-bit. See
+functions/text.py and functions/vector.py for the shared builders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from drill_calcite_spark.functions.text import rolling_fingerprint, shingles, tokens
+from drill_calcite_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_signature,
+)
+from drill_calcite_spark.operators.multimodal import (
+    N_FEATURES,
+    attach_binary_payload,
+    extract_features,
+)
+from drill_calcite_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_ann_topk,
+)
+from drill_calcite_spark.queries.common import t
 
 QUERIES = {}
 ORACLES = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return deco
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = t(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id", shingles(tokens(F.col("text"))).alias("sh")
+    )
+
+
+# SQL fragments shared by the oracles (kept textually tiny and identical in
+# structure to the Spark builders they mirror).
+_SQL_TOKS = (
+    "SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') t "
+    "FROM documents"
+)
+_SQL_SH = (
+    "SELECT doc_id, list_distinct(list_transform("
+    "list_zip(t[1:len(t)-1], t[2:len(t)]), s -> s[1] || ' ' || s[2])) ts "
+    "FROM toks"
+)
+_SQL_JAC = (
+    "len(list_intersect(sa.ts, sb.ts))::DOUBLE"
+    " / len(list_distinct(list_concat(sa.ts, sb.ts)))"
+)
+_SQL_DOT = (
+    "list_reduce(list_concat([0.0]::DOUBLE[], "
+    "list_transform(list_zip({a}, {b}), s -> s[1] * s[2])), (x, y) -> x + y)"
+)
+
+NUM_HASHES = 12
+BANDS = 4
+
+
+# ------------------------------------------------------------------- dedup
+@q("dedup_exact", """
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content (operators/dedup.py)."""
+    return exact_dedup(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _minhash_oracle() -> str:
+    rpb = NUM_HASHES // BANDS
+    mins = ", ".join(
+        f"min(md5('{i}|' || s)) h{i}" for i in range(NUM_HASHES)
+    )
+    bands = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({sig}) AS sig FROM mh".format(
+            b=b, sig=" || ".join(f"h{b * rpb + r}" for r in range(rpb))
+        )
+        for b in range(BANDS)
+    )
+    return f"""
+WITH toks AS ({_SQL_TOKS}),
+sh AS ({_SQL_SH}),
+ex AS (SELECT doc_id, unnest(ts) AS s FROM sh),
+mh AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+SELECT doc_i, doc_j, round({_SQL_JAC}, 6) AS jaccard
+FROM cand
+JOIN sh sa ON sa.doc_id = cand.doc_i
+JOIN sh sb ON sb.doc_id = cand.doc_j
+WHERE {_SQL_JAC} >= 0.5
+"""
+
+
+@q("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12) → 4 bands × 3 → bucket-join → exact-Jaccard verify ≥ 0.5
+    over word 2-gram shingles (operators/dedup.py). The oracle replays the
+    identical md5/banding pipeline, so LSH's candidate set matches too."""
+    return minhash_lsh_dedup(
+        _shingled(spark, sf_dir), "doc_id", "sh",
+        num_hashes=NUM_HASHES, bands=BANDS, threshold=0.5,
+    )
+
+
+@q("dedup_ngram_jaccard", f"""
+WITH toks AS ({_SQL_TOKS}),
+sh AS ({_SQL_SH}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+  FROM (SELECT doc_id, unnest(ts) AS s FROM sh) a
+  JOIN (SELECT doc_id, unnest(ts) AS s FROM sh) b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+)
+SELECT doc_i, doc_j, round({_SQL_JAC}, 6) AS jaccard
+FROM cand
+JOIN sh sa ON sa.doc_id = cand.doc_i
+JOIN sh sb ON sb.doc_id = cand.doc_j
+WHERE {_SQL_JAC} >= 0.35
+""")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 2-gram Jaccard near-dup pairs ≥ 0.35 via inverted-index
+    candidate generation (pairs sharing ≥1 shingle) — no cross join."""
+    return ngram_jaccard_pairs(_shingled(spark, sf_dir), "doc_id", "sh", 0.35)
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN substr(h, {i + 1}, 1) >= '8' THEN 1 ELSE -1 END) b{i}"
+        for i in range(bits)
+    )
+    sig = " || ".join(
+        f"CASE WHEN b{i} > 0 THEN '1' ELSE '0' END" for i in range(bits)
+    )
+    return f"""
+WITH toks AS ({_SQL_TOKS}),
+sh AS ({_SQL_SH}),
+hx AS (SELECT doc_id, md5(unnest(ts)) AS h FROM sh),
+sums AS (SELECT doc_id, {sums} FROM hx GROUP BY doc_id)
+SELECT {sig} AS simhash, count(*) AS n_docs, min(doc_id) AS min_doc
+FROM sums GROUP BY 1
+"""
+
+
+@q("dedup_simhash_buckets", _simhash_oracle())
+def dedup_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(16-bit) bucket summary: docs sharing a signature are
+    near-dup candidates (operators/dedup.py simhash_signature). At scale,
+    extend with Hamming-1 probes by re-keying on bit-flipped signatures."""
+    sig = simhash_signature(_shingled(spark, sf_dir), "doc_id", "sh", bits=16)
+    return sig.groupBy("simhash").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc")
+    )
+
+
+_DOT_AB = _SQL_DOT.format(a="a.v", b="b.v")
+_DOT_VV = _SQL_DOT.format(a="v", b="v")
+
+
+@q("dedup_embedding_cosine", f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
+           FROM embeddings),
+n AS (SELECT vec_id, v, sqrt({_DOT_VV}) nrm FROM e),
+p AS (
+  SELECT a.vec_id AS doc_i, b.vec_id AS doc_j,
+         {_DOT_AB} / (a.nrm * b.nrm) AS c
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT doc_i, doc_j, round(c, 6) AS cos FROM p WHERE c >= 0.45
+""")
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (operators/similarity.py).
+    Ordered-fold double math ⇒ bit-identical to the oracle. Threshold 0.45
+    sits just under the testdata's max pairwise cosine (~0.51) so the
+    result is non-vacuous; real corpora use ~0.95."""
+    emb = t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.45)
+
+
+# -------------------------------------------------------------- similarity
+@q("ann_cosine_topk", f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
+           FROM embeddings),
+n AS (SELECT vec_id, v, sqrt({_DOT_VV}) nrm FROM e),
+p AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {_DOT_AB} / (a.nrm * b.nrm) AS c
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT query_id, neighbor_id, c,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, neighbor_id) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, rank, round(c, 6) AS cos FROM r WHERE rank <= 5
+""")
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 per vector — the ANN correctness
+    baseline (operators/similarity.py cosine_topk)."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, emb, "vec_id", "embedding", k=5)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed approximate top-5 (operators/similarity.py).
+    Rows-only: the bucketing is deterministic but not SQL-replicated;
+    recall vs the exact baseline is asserted in tests/test_llm.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = lsh_ann_topk(emb, "vec_id", "embedding", k=5,
+                       num_planes=4, dim=64, num_tables=8)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+QUERIES["ann_lsh_topk"] = ann_lsh_topk_q
+
+
+# ----------------------------------------------------------- text analysis
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "und", "nicht", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "una", "por", "con"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def _hits(toks_col, words: list[str]):
+    return F.size(F.filter(toks_col, lambda x: x.isin(*words)))
+
+
+def _sql_hits(words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(t, x -> list_contains([{lst}], x)))"
+
+
+def _langid_oracle() -> str:
+    scores = ", ".join(
+        f"{_sql_hits(ws)} s_{lg}" for lg, ws in _STOPWORDS.items()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') t
+  FROM documents
+),
+sc AS (SELECT doc_id, lang, {scores} FROM toks)
+SELECT doc_id, lang,
+  CASE
+    WHEN s_en > 0 AND s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
+    WHEN s_de > 0 AND s_de >= greatest(s_fr, s_es, s_zh) THEN 'de'
+    WHEN s_fr > 0 AND s_fr >= greatest(s_es, s_zh) THEN 'fr'
+    WHEN s_es > 0 AND s_es >= s_zh THEN 'es'
+    WHEN s_zh > 0 THEN 'zh'
+    ELSE 'und'
+  END AS pred_lang,
+  s_en AS en_hits
+FROM sc
+"""
+
+
+@q("text_lang_id", _langid_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (n-gram heuristic family): argmax of
+    per-language stopword hit counts with a fixed priority tie-break."""
+    doc = t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    sc = doc.select(
+        "doc_id", "lang",
+        *[_hits(toks, ws).alias(f"s_{lg}") for lg, ws in _STOPWORDS.items()],
+    )
+    pred = (
+        F.when((F.col("s_en") > 0)
+               & (F.col("s_en") >= F.greatest("s_de", "s_fr", "s_es", "s_zh")),
+               "en")
+        .when((F.col("s_de") > 0)
+              & (F.col("s_de") >= F.greatest("s_fr", "s_es", "s_zh")), "de")
+        .when((F.col("s_fr") > 0)
+              & (F.col("s_fr") >= F.greatest("s_es", "s_zh")), "fr")
+        .when((F.col("s_es") > 0) & (F.col("s_es") >= F.col("s_zh")), "es")
+        .when(F.col("s_zh") > 0, "zh")
+        .otherwise("und")
+    )
+    return sc.select(
+        "doc_id", "lang", pred.alias("pred_lang"),
+        F.col("s_en").cast("bigint").alias("en_hits"),
+    )
+
+
+_EN = _STOPWORDS["en"]
+
+
+@q("text_quality_score", f"""
+WITH toks AS ({_SQL_TOKS}),
+m AS (
+  SELECT doc_id,
+    len(t) AS n_tok,
+    len(list_distinct(t)) AS n_uniq,
+    list_reduce(list_concat([0]::BIGINT[],
+      list_transform(t, x -> length(x)::BIGINT)), (a, b) -> a + b) AS sum_len,
+    {_sql_hits(_EN)} AS n_stop
+  FROM toks
+),
+r AS (
+  SELECT doc_id, n_tok,
+    n_uniq::DOUBLE / n_tok AS uniq_ratio,
+    n_stop::DOUBLE / n_tok AS stop_ratio,
+    sum_len::DOUBLE / n_tok AS avg_len,
+    0.4 * (n_uniq::DOUBLE / n_tok) + 0.4 * (n_stop::DOUBLE / n_tok)
+      + 0.2 * (least(n_tok, 100)::DOUBLE / 100.0) AS score
+  FROM m
+)
+SELECT doc_id, n_tok AS n_tokens, round(avg_len, 6) AS avg_token_len,
+  round(uniq_ratio, 6) AS uniq_ratio, round(stop_ratio, 6) AS stop_ratio,
+  round(score, 6) AS quality_score,
+  CASE WHEN score >= 0.6 THEN 'high'
+       WHEN score >= 0.4 THEN 'medium' ELSE 'low' END AS bucket
+FROM r
+""")
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: token count, mean token length, unique and
+    stopword ratios, composite score + bucket. Pure column math."""
+    doc = t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    m = doc.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("bigint")),
+            F.lit(0).cast("bigint"), lambda a, b: a + b,
+        ).alias("sum_len"),
+        _hits(toks, _EN).alias("n_stop"),
+    )
+    uniq = F.col("n_uniq").cast("double") / F.col("n_tok")
+    stop = F.col("n_stop").cast("double") / F.col("n_tok")
+    avg = F.col("sum_len").cast("double") / F.col("n_tok")
+    score = (
+        0.4 * uniq + 0.4 * stop
+        + 0.2 * (F.least(F.col("n_tok"), F.lit(100)).cast("double") / 100.0)
+    )
+    return m.select(
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tokens"),
+        F.round(avg, 6).alias("avg_token_len"),
+        F.round(uniq, 6).alias("uniq_ratio"),
+        F.round(stop, 6).alias("stop_ratio"),
+        F.round(score, 6).alias("quality_score"),
+        F.when(score >= 0.6, "high").when(score >= 0.4, "medium")
+        .otherwise("low").alias("bucket"),
+    )
+
+
+@q("text_token_stats", f"""
+WITH toks AS ({_SQL_TOKS})
+SELECT doc_id,
+  len(t) AS n_ws_tokens,
+  len(regexp_extract_all(text, '[a-z]+')) AS n_word_tokens,
+  length(text) AS n_chars,
+  round(length(text)::DOUBLE / len(t), 6) AS chars_per_token
+FROM toks
+""")
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + regex word tokens (the BPE-ish
+    pre-tokenizer split) + char/token ratio."""
+    doc = t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return doc.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), 0))
+        .cast("bigint").alias("n_word_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.round(F.length("text").cast("double") / F.size(toks), 6)
+        .alias("chars_per_token"),
+    )
+
+
+@q("doc_fingerprint", f"""
+WITH toks AS ({_SQL_TOKS})
+SELECT doc_id,
+  list_reduce(list_concat([7]::BIGINT[],
+    list_transform(t, x -> (length(x)*31 + ascii(x))::BIGINT)),
+    (a, b) -> (a*131 + b) % 2147483647) AS fingerprint,
+  len(t) AS n_tokens
+FROM toks
+""")
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling-hash fingerprint per document
+    (functions/text.py rolling_fingerprint)."""
+    doc = t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return doc.select(
+        "doc_id",
+        rolling_fingerprint(toks).alias("fingerprint"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+
+
+# -------------------------------------------------------------- multimodal
+@q("multimodal_meta", """
+SELECT doc_id, 'fake/raw' AS media_format,
+  strlen(text) AS n_bytes,
+  (('0x' || substr(md5(text), 1, 2))::INTEGER + 16) AS width,
+  (('0x' || substr(md5(text), 3, 2))::INTEGER + 16) AS height,
+  md5(text) AS content_md5
+FROM documents
+""")
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over the binary payload column
+    (operators/multimodal.py attach_binary_payload): byte length, fake
+    dimensions, content hash. md5(utf8-bytes) ≡ DuckDB md5(text)."""
+    doc = t(spark, sf_dir, "documents")
+    withbin = attach_binary_payload(doc)
+    return withbin.select(
+        "doc_id", "media_format",
+        F.octet_length(F.col("payload").cast("string")).alias("n_bytes"),
+        "width", "height",
+        F.md5("payload").alias("content_md5"),
+    ).withColumn("n_bytes", F.col("n_bytes").cast("bigint"))
+
+
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads — rows-only
+    (the decode step is a container stub; plumbing is tested in
+    tests/test_llm.py)."""
+    doc = t(spark, sf_dir, "documents")
+    feats = extract_features(attach_binary_payload(doc))
+    return feats.select(
+        "doc_id", "n_bytes", "width", "height",
+        F.round(F.element_at("feat", 1), 6).alias("feat0"),
+        F.round(F.element_at("feat", N_FEATURES), 6).alias("feat_last"),
+    )
+
+
+QUERIES["multimodal_features"] = multimodal_features_q
+
+
+# ------------------------------------------------------------------- bench
+def bench_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_minhash_lsh(spark, sf_dir)
+
+
+def bench_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded ANN bench: 10% of vectors as queries vs the full corpus —
+    the realistic batch-query shape at scale."""
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 10 == 0)
+    return cosine_topk(qs, emb, "vec_id", "embedding", k=5)
+
+
+QUERIES["bench_minhash_dedup"] = bench_minhash_dedup
+QUERIES["bench_ann_topk"] = bench_ann_topk

@@ -1,0 +1,145 @@
+"""Unit tests for the training-data-pipeline operators (dedup, similarity,
+multimodal) — hand-computed goldens plus an LSH-recall property check."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from drill_calcite_spark.functions.text import rolling_fingerprint, shingles, tokens
+from drill_calcite_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_signature,
+)
+from drill_calcite_spark.operators.multimodal import (
+    N_FEATURES,
+    attach_binary_payload,
+    extract_features,
+)
+from drill_calcite_spark.operators.similarity import (
+    cosine_topk,
+    hyperplanes,
+    lsh_ann_topk,
+)
+
+
+# ------------------------------------------------------------------- dedup
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y")], "doc_id long, text string"
+    )
+    out = {r.keep_id: r.n_copies for r in exact_dedup(df, "text", "doc_id").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_catches_identical_and_skips_disjoint(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "zebra yak xylophone walrus vulture tiger snake rabbit quail pig"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, other)], "doc_id long, text string"
+    ).select("doc_id", shingles(tokens(F.col("text"))).alias("sh"))
+    out = minhash_lsh_dedup(df, "doc_id", "sh", threshold=0.5).collect()
+    assert [(r.doc_i, r.doc_j, r.jaccard) for r in out] == [(1, 2, 1.0)]
+
+
+def test_ngram_jaccard_exact_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "p q r s")],
+        "doc_id long, text string",
+    ).select("doc_id", shingles(tokens(F.col("text"))).alias("sh"))
+    out = ngram_jaccard_pairs(df, "doc_id", "sh", 0.3).collect()
+    # docs 1,2 share shingles {a b, b c}; union = {a b, b c, c d, c e} → 0.5
+    assert [(r.doc_i, r.doc_j, r.jaccard) for r in out] == [(1, 2, 0.5)]
+
+
+def test_simhash_identical_docs_same_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "u v w x y z")],
+        "doc_id long, text string",
+    ).select("doc_id", shingles(tokens(F.col("text"))).alias("sh"))
+    sigs = {r.doc_id: r.simhash for r in
+            simhash_signature(df, "doc_id", "sh").collect()}
+    assert sigs[1] == sigs[2]
+    assert len(sigs[1]) == 16 and set(sigs[1]) <= {"0", "1"}
+    assert sigs[1] != sigs[3]
+
+
+# -------------------------------------------------------------- similarity
+def _random_vectors(n, dim, seed=7):
+    rng = np.random.default_rng(seed)
+    return [(i, [float(x) for x in rng.standard_normal(dim)]) for i in range(n)]
+
+
+def test_cosine_topk_golden(spark):
+    vecs = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = cosine_topk(df, df, "vec_id", "embedding", k=1).collect()
+    best = {r.query_id: r.neighbor_id for r in out}
+    assert best[0] == 1 and best[1] == 0 and best[2] == 1
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    df = spark.createDataFrame(
+        _random_vectors(120, 16), "vec_id long, embedding array<double>"
+    )
+    exact = cosine_topk(df, df, "vec_id", "embedding", k=3)
+    top1 = {r.query_id: r.neighbor_id for r in exact.collect() if r.rank == 1}
+    approx = lsh_ann_topk(df, "vec_id", "embedding", k=3,
+                          num_planes=4, dim=16, num_tables=8)
+    got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    hits = sum((q, n) in got for q, n in top1.items())
+    # 8 tables × 4 planes: P(top-1 neighbor collides somewhere) ≈
+    # 1-(1-(1-θ/π)^4)^8 ≳ 0.8 for the cosines random data produces
+    assert hits / len(top1) >= 0.6, f"LSH recall {hits}/{len(top1)}"
+
+
+def test_hyperplanes_deterministic():
+    a = hyperplanes(3, 8)
+    b = hyperplanes(3, 8)
+    assert a == b
+    assert len(a) == 3 and all(len(w) == 8 for w in a)
+    first = hashlib.md5(b"0:0|0").digest()[0] - 127.5
+    assert a[0][0] == first
+    assert hyperplanes(3, 8, table=1) != a
+
+
+# ------------------------------------------------------------- fingerprint
+def test_rolling_fingerprint_golden(spark):
+    df = spark.createDataFrame([("ab c",)], "text string")
+    out = df.select(
+        rolling_fingerprint(tokens(F.col("text"))).alias("fp")
+    ).collect()[0].fp
+    # ((7*131 + (2*31+97))*131 + (1*31+99)) % (2^31-1)
+    expect = ((7 * 131 + (2 * 31 + ord("a"))) * 131 + (1 * 31 + ord("c"))) % (
+        2**31 - 1
+    )
+    assert out == expect
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "b a")], "i long, text string")
+    fps = [r.fp for r in df.select(
+        rolling_fingerprint(tokens(F.col("text"))).alias("fp")).collect()]
+    assert fps[0] != fps[1]
+
+
+# -------------------------------------------------------------- multimodal
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "xyz")], "doc_id long, text string"
+    )
+    feats = extract_features(attach_binary_payload(df)).collect()
+    by_id = {r.doc_id: r for r in feats}
+    assert by_id[1].n_bytes == len(b"hello world")
+    assert len(by_id[1].feat) == N_FEATURES
+    assert by_id[1].width >= 16 and by_id[1].height >= 16
+    assert abs(sum(by_id[1].feat) - 1.0) < 1e-9  # L1-normalized histogram
+    # deterministic across runs
+    again = extract_features(attach_binary_payload(df)).collect()
+    assert sorted(map(str, again)) == sorted(map(str, feats))
