@@ -19,18 +19,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def all_queries() -> dict[str, QueryFn]:
-    from drill_calcite_spark.queries import custom, funcs, llm, relops, tpch
+    from drill_calcite_spark.queries import custom, funcs, llm, relops, streaming, tpch
 
     out: dict[str, QueryFn] = {}
-    for mod in (tpch, relops, funcs, custom, llm):
+    for mod in (tpch, relops, funcs, custom, llm, streaming):
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
-    from drill_calcite_spark.queries import custom, funcs, llm, relops, tpch
+    from drill_calcite_spark.queries import custom, funcs, llm, relops, streaming, tpch
 
     out: dict[str, str] = {}
-    for mod in (tpch, relops, funcs, custom, llm):
+    for mod in (tpch, relops, funcs, custom, llm, streaming):
         out.update(mod.ORACLES)
     return out

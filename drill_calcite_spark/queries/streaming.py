@@ -1,0 +1,164 @@
+"""Streaming queries (SURVEY.md §2.5): grouped-window functions
+TUMBLE/HOP/SESSION (SqlStdOperatorTable.java:2268-2330) plus live
+Structured-Streaming drains of the same pipelines.
+
+Oracle strategy: the window functions are checked in BATCH mode (identical
+semantics, same code path as ``F.window``/``F.session_window`` on a
+stream); the ``_live`` variants run the real readStream → watermark →
+window-agg → sink pipeline with Trigger.AvailableNow, whose complete-mode
+result equals the batch answer — so even live streaming is oracle-checked.
+All window boundaries are emitted as epoch-seconds BIGINT so both engines
+hash identical integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from drill_calcite_spark.queries.common import t
+from drill_calcite_spark.streaming import (
+    hop,
+    run_available_now,
+    session,
+    stream_table,
+    tumble,
+)
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return deco
+
+
+# Window starts are computed with integer µs division (epoch_us //) — NOT
+# epoch(ts)::BIGINT, whose double→int cast ROUNDS half-even in DuckDB and
+# flips events near second boundaries. Value sums go through DECIMAL(18,6)
+# so they are exact and summation-order-independent in both engines; the
+# final decimal→double conversion is correctly rounded on both, so no
+# in-query round() (whose half-way behavior differs between engines) is
+# needed or wanted.
+_TUMBLE_SQL = """
+SELECT (epoch_us(ts) // 3600000000) * 3600 AS win_start,
+       event_type, count(*) AS n,
+       sum(value::DECIMAL(18,6))::DOUBLE AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@q("stream_tumble_hourly", _TUMBLE_SQL)
+def stream_tumble_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TUMBLE($ts, 1h) aggregation — batch-mode check of the streaming
+    window operator (F.window ≡ $TUMBLE, window.start ≡ TUMBLE_START)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(tumble("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("win_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
+@q("stream_hop_30m", """
+WITH b AS (
+  SELECT (epoch_us(ts) // 1800000000) * 1800 AS bucket, value FROM events
+),
+w AS (
+  SELECT unnest([bucket - 1800, bucket]) AS win_start, value FROM b
+)
+SELECT win_start, count(*) AS n,
+       sum(value::DECIMAL(18,6))::DOUBLE / count(*) AS avg_value
+FROM w GROUP BY 1
+""")
+def stream_hop_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOP($ts, slide 30m, size 1h): every event lands in exactly
+    size/slide = 2 windows; the oracle enumerates the same two starts."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(hop("ts", "30 minutes", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+             / F.count("*")).alias("avg_value"),
+        )
+        .select(F.col("w.start").cast("long").alias("win_start"), "n", "avg_value")
+    )
+
+
+@q("stream_session_6h", """
+WITH d AS (
+  SELECT user_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              > INTERVAL 6 HOUR
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sess
+  FROM d
+)
+SELECT user_id, epoch_us(min(ts)) // 1000000 AS session_start,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sess
+""")
+def stream_session_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION($ts, 6h) per user. Spark merges an event into the previous
+    session when gap ≤ 6h INCLUSIVE (verified empirically: two events
+    exactly 6h apart share a session), so the oracle breaks on gap > 6h."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", session("ts", "6 hours").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@q("stream_live_tumble", _TUMBLE_SQL)
+def stream_live_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming: readStream(events) → 1-day watermark →
+    TUMBLE(1h) agg → AvailableNow drain to a memory sink. The drained
+    complete-mode table equals the batch answer, so the same oracle
+    verifies the live pipeline end-to-end."""
+    sdf = stream_table(spark, sf_dir, "events").withWatermark("ts", "1 day")
+    agg = (
+        sdf.groupBy(tumble("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").cast("long").alias("win_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+    return run_available_now(agg, spark, output_mode="complete")
+
+
+@q("stream_live_dedup", """
+SELECT event_type, count(DISTINCT event_id) AS n_unique
+FROM events GROUP BY event_type
+""")
+def stream_live_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: readStream → watermark →
+    dropDuplicates(event_id) → count by type, drained via AvailableNow.
+    Watermark bounds the dedup state window at scale."""
+    sdf = stream_table(spark, sf_dir, "events").withWatermark("ts", "1 day")
+    deduped = sdf.dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+    return run_available_now(agg, spark, output_mode="complete")

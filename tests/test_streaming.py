@@ -1,0 +1,71 @@
+"""Streaming surface tests: window-function semantics goldens, the
+monotonic-group-key guard, and a real readStream→sink drain at sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from drill_calcite_spark.streaming import (
+    NonMonotonicStreamError,
+    hop,
+    require_monotonic_groups,
+    run_available_now,
+    session,
+    stream_table,
+    tumble,
+)
+
+
+def test_monotonic_guard_accepts_windows(spark):
+    require_monotonic_groups([tumble("ts", "1 hour")])
+    require_monotonic_groups(["user_id", session("ts", "5 minutes")])
+
+
+def test_monotonic_guard_rejects_plain_keys(spark):
+    with pytest.raises(NonMonotonicStreamError, match="monotonic"):
+        require_monotonic_groups(["user_id", F.col("event_type")])
+
+
+def test_hop_assigns_two_windows(spark):
+    df = spark.createDataFrame([("2024-01-01 00:10:00",)], "s string").select(
+        F.col("s").cast("timestamp").alias("ts")
+    )
+    out = df.groupBy(hop("ts", "30 minutes", "1 hour").alias("w")).count()
+    starts = sorted(r[0] for r in
+                    out.select(F.col("w.start").cast("long")).collect())
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    assert starts == [base - 1800, base]
+
+
+def test_session_inclusive_gap_boundary(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:05:00")],
+        "u long, s string",
+    ).select("u", F.col("s").cast("timestamp").alias("ts"))
+    # gap 5m: an event at exactly +5m merges (inclusive boundary)
+    out = df.groupBy("u", session("ts", "5 minutes").alias("w")).count()
+    assert out.count() == 1
+    df2 = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:05:00.000001")],
+        "u long, s string",
+    ).select("u", F.col("s").cast("timestamp").alias("ts"))
+    out2 = df2.groupBy("u", session("ts", "5 minutes").alias("w")).count()
+    assert out2.count() == 2  # 1µs past the gap → new session
+
+
+def test_live_drain_equals_batch(spark):
+    sf = "/root/testdata/sf0.001"
+    sdf = stream_table(spark, sf, "events").withWatermark("ts", "1 day")
+    agg = sdf.groupBy(tumble("ts", "1 day").alias("w")).count().select(
+        F.col("w.start").cast("long").alias("d"), "count"
+    )
+    live = {(r.d, r["count"]) for r in
+            run_available_now(agg, spark, output_mode="complete").collect()}
+    from drill_calcite_spark.catalog import read_table
+    batch = read_table(spark, sf, "events").groupBy(
+        tumble("ts", "1 day").alias("w")
+    ).count().select(F.col("w.start").cast("long").alias("d"), "count")
+    assert live == {(r.d, r["count"]) for r in batch.collect()}
+    assert live  # non-vacuous
