@@ -7,6 +7,8 @@ Submodules group the inventory:
 - funcs     — scalar function batteries (§2.4)
 - custom    — operators Spark lacks natively (§2.1 Match, RepeatUnion; as-of join)
 - llm       — training-data-pipeline operators (dedup, similarity, text analysis)
+- streaming — TUMBLE/HOP/SESSION + live Structured Streaming drains (§2.5)
+- sources   — CSV/JSON schema-on-read scans + TableModify DML (§2.3)
 """
 
 from __future__ import annotations
@@ -19,18 +21,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def all_queries() -> dict[str, QueryFn]:
-    from drill_calcite_spark.queries import custom, funcs, llm, relops, streaming, tpch
+    from drill_calcite_spark.queries import custom, funcs, llm, relops, sources, streaming, tpch
 
     out: dict[str, QueryFn] = {}
-    for mod in (tpch, relops, funcs, custom, llm, streaming):
+    for mod in (tpch, relops, funcs, custom, llm, streaming, sources):
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
-    from drill_calcite_spark.queries import custom, funcs, llm, relops, streaming, tpch
+    from drill_calcite_spark.queries import custom, funcs, llm, relops, sources, streaming, tpch
 
     out: dict[str, str] = {}
-    for mod in (tpch, relops, funcs, custom, llm, streaming):
+    for mod in (tpch, relops, funcs, custom, llm, streaming, sources):
         out.update(mod.ORACLES)
     return out

@@ -1,0 +1,177 @@
+"""Source / sink queries (SURVEY.md §2.3): CSV and JSON schema-on-read
+scans (the reference's file adapter + DYNAMIC_STAR model) and TableModify
+DML (INSERT / DELETE / UPDATE / MERGE, rel/core/TableModify.java:54) over
+copy-on-write versioned parquet.
+
+Fixtures are materialized once per scale dir under /tmp (deterministic
+copies of the driver tables); every query recreates its DML target from
+scratch so runs are idempotent — the oracle can therefore state the
+expected end state in plain SQL over the original tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from drill_calcite_spark.queries.common import t
+from drill_calcite_spark.sources.files import (
+    conform_to,
+    ensure_csv_copy,
+    ensure_json_copy,
+    read_csv_inferred,
+    read_json_inferred,
+)
+from drill_calcite_spark.sources.modify import (
+    create_table,
+    delete_where,
+    insert_into,
+    merge_into,
+    read_versioned,
+    update_where,
+)
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return deco
+
+
+def _fixture_dir(sf_dir: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = f"/tmp/spark_graft_fixtures/{tag}"
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+@q("source_csv_scan", "SELECT * FROM nation")
+def source_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source with schema inference, conformed to the catalog row type
+    (CsvScannableTable + DynamicRecordType semantics): a full roundtrip of
+    ``nation`` through CSV must equal the parquet scan."""
+    nation = t(spark, sf_dir, "nation")
+    path = os.path.join(_fixture_dir(sf_dir), "nation_csv")
+    ensure_csv_copy(spark, nation, path)
+    return conform_to(read_csv_inferred(spark, path), nation.schema)
+
+
+@q("source_json_scan", """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderpriority
+FROM orders
+""")
+def source_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source with sampled schema inference
+    (JsonScannableTable): doubles round-trip exactly (written with full
+    precision), timestamps come back as strings and are conformed."""
+    orders = t(spark, sf_dir, "orders")
+    keep = orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+        "o_orderpriority",
+    )
+    path = os.path.join(_fixture_dir(sf_dir), "orders_json")
+    ensure_json_copy(spark, keep, path)
+    return conform_to(read_json_inferred(spark, path), keep.schema)
+
+
+@q("modify_insert_delete", """
+WITH base AS (
+  SELECT r_regionkey, r_name FROM region
+  UNION ALL SELECT 100, 'ATLANTIS'
+  UNION ALL SELECT 101, 'LEMURIA'
+)
+SELECT r_regionkey, r_name FROM base WHERE r_name <> 'ATLANTIS'
+""")
+def modify_insert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TableModify INSERT + DELETE on a copy-on-write versioned table:
+    insert two rows, delete one back, read the final version."""
+    region = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    path = os.path.join(_fixture_dir(sf_dir), "region_cow")
+    create_table(spark, path, region)
+    newrows = spark.createDataFrame(
+        [(100, "ATLANTIS"), (101, "LEMURIA")], "r_regionkey int, r_name string"
+    )
+    insert_into(spark, path, newrows)
+    delete_where(spark, path, F.col("r_name") == "ATLANTIS")
+    return read_versioned(spark, path)
+
+
+@q("modify_update_where", """
+SELECT r_regionkey,
+       CASE WHEN r_regionkey < 2 THEN upper(r_name) ELSE r_name END AS r_name
+FROM region
+""")
+def modify_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TableModify UPDATE ... SET r_name = upper(r_name) WHERE key < 2."""
+    region = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    path = os.path.join(_fixture_dir(sf_dir), "region_upd")
+    create_table(spark, path, region)
+    update_where(
+        spark, path, F.col("r_regionkey") < 2,
+        {"r_name": F.upper(F.col("r_name"))},
+    )
+    return read_versioned(spark, path)
+
+
+@q("modify_merge_orders", """
+WITH cnt AS (
+  SELECT o_custkey AS c_custkey, count(*) AS n_orders FROM orders GROUP BY 1
+),
+merged AS (
+  SELECT c.c_custkey, c.c_nationkey,
+         c.c_acctbal + coalesce(cnt.n_orders, 0) AS bal
+  FROM customer c LEFT JOIN cnt USING (c_custkey)
+)
+SELECT c_nationkey, count(*) AS n_customers,
+       sum(bal::DECIMAL(18,6))::DOUBLE AS total_bal
+FROM merged GROUP BY c_nationkey
+""")
+def modify_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TableModify MERGE: target=customer copy, source=per-customer order
+    counts, WHEN MATCHED THEN UPDATE acctbal += n_orders. The post-merge
+    per-nation totals must equal the oracle's LEFT-JOIN formulation."""
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    path = os.path.join(_fixture_dir(sf_dir), "customer_merge")
+    create_table(spark, path, customer)
+    src = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count("*").alias("n_orders")
+    )
+    merge_into(
+        spark, path, src, on=["c_custkey"],
+        when_matched_update={
+            "c_acctbal": F.col("__tgt.c_acctbal") + F.col("__src.n_orders")
+        },
+    )
+    out = read_versioned(spark, path)
+    return out.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+        .alias("total_bal"),
+    )
+
+
+def modify_snapshot_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-axis Snapshot (rel/core/Snapshot.java:47): after a DELETE,
+    version N-1 still serves the pre-delete rows. Rows-only (asserts both
+    versions' counts in one result)."""
+    region = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    path = os.path.join(_fixture_dir(sf_dir), "region_snap")
+    create_table(spark, path, region)
+    delete_where(spark, path, F.col("r_regionkey") == 0)
+    cur = read_versioned(spark, path).count()
+    prev = read_versioned(spark, path, version=0).count()
+    return spark.createDataFrame(
+        [(int(prev), int(cur))], "rows_before bigint, rows_after bigint"
+    )
+
+
+QUERIES["modify_snapshot_versions"] = modify_snapshot_versions

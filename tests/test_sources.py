@@ -1,0 +1,79 @@
+"""Unit tests for file sources (schema-on-read conformance) and the
+copy-on-write TableModify implementation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from drill_calcite_spark.sources.files import (
+    conform_to,
+    read_csv_inferred,
+)
+from drill_calcite_spark.sources.modify import (
+    create_table,
+    delete_where,
+    insert_into,
+    merge_into,
+    read_versioned,
+    update_where,
+)
+
+
+def test_csv_schema_on_read_and_conform(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "k long, s string, v double"
+    )
+    p = str(tmp_path / "csv")
+    df.coalesce(1).write.option("header", "true").csv(p)
+    back = read_csv_inferred(spark, p)
+    # inference may pick int over long; conform_to must fix types + order
+    fixed = conform_to(back.select("v", "s", "k"), df.schema)
+    assert fixed.schema == df.schema
+    assert sorted(map(tuple, fixed.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_conform_fills_missing_columns(spark):
+    df = spark.createDataFrame([(1,)], "k long")
+    target = spark.createDataFrame([(1, "x")], "k long, extra string").schema
+    out = conform_to(df, target)
+    row = out.collect()[0]
+    assert row.k == 1 and row.extra is None
+
+
+def test_cow_insert_delete_update(spark, tmp_path):
+    p = str(tmp_path / "tbl")
+    create_table(spark, p, spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"))
+    insert_into(spark, p, spark.createDataFrame([(3, "c")], "k long, s string"))
+    assert read_versioned(spark, p).count() == 3
+    delete_where(spark, p, F.col("k") == 1)
+    update_where(spark, p, F.col("k") == 2, {"s": F.lit("B")})
+    rows = sorted(map(tuple, read_versioned(spark, p).collect()))
+    assert rows == [(2, "B"), (3, "c")]
+
+
+def test_cow_merge_matched_and_insert(spark, tmp_path):
+    p = str(tmp_path / "tbl")
+    create_table(
+        spark, p,
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, bal double"),
+    )
+    src = spark.createDataFrame([(2, 5.0), (9, 99.0)], "k long, delta double")
+    merge_into(
+        spark, p, src, on=["k"],
+        when_matched_update={"bal": F.col("__tgt.bal") + F.col("__src.delta")},
+        when_not_matched_insert=False,
+    )
+    assert dict(map(tuple, read_versioned(spark, p).collect())) == {1: 10.0, 2: 25.0}
+    # now with insert: unmatched source key 9 arrives with NULL-filled cols
+    src2 = spark.createDataFrame([(9, 1.0)], "k long, bal double")
+    merge_into(spark, p, src2, on=["k"], when_not_matched_insert=True)
+    got = dict(map(tuple, read_versioned(spark, p).collect()))
+    assert got == {1: 10.0, 2: 25.0, 9: 1.0}
+
+
+def test_cow_snapshot_previous_version(spark, tmp_path):
+    p = str(tmp_path / "tbl")
+    create_table(spark, p, spark.createDataFrame([(i,) for i in range(5)], "k long"))
+    delete_where(spark, p, F.col("k") < 2)
+    assert read_versioned(spark, p).count() == 3
+    assert read_versioned(spark, p, version=0).count() == 5
