@@ -182,3 +182,63 @@ def embedding_near_dup_pairs(
         .filter(F.col("__cos") >= threshold)
         .select("doc_i", "doc_j", F.round("__cos", 6).alias("cos"))
     )
+
+
+def cosine_topk_blocked(
+    queries: DataFrame, corpus: DataFrame, id_col: str, vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Blocked-matmul exact top-k: the THROUGHPUT path for batch ANN.
+
+    The query block (bounded by contract: a batch of queries, not the
+    corpus) is collected once and shipped to every executor inside the
+    mapInPandas closure; each Arrow batch of the corpus becomes one numpy
+    matmul (nq × nc × dim FLOPs at BLAS speed, ~100× the per-row fold).
+    Per-batch top-k candidates are tiny (n_batches × nq × k rows), and a
+    final window pass picks the global top-k. The corpus never leaves the
+    executors — this is the replicate-small-side × scan-big-side pattern
+    that scales to 10^10 corpus rows.
+
+    Float summation order differs from the ordered-fold path, so use
+    cosine_topk when bit-exact oracle parity matters.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qpd = queries.select(id_col, vec_col).toPandas()
+    Q = np.asarray(qpd[vec_col].tolist(), dtype="float64")
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = np.asarray(qpd[id_col].values)
+
+    def block(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.asarray(pdf[vec_col].tolist(), dtype="float64")
+            C /= np.linalg.norm(C, axis=1, keepdims=True)
+            cids = np.asarray(pdf[id_col].values)
+            S = Q @ C.T  # (nq, nc)
+            kk = min(k + 1, S.shape[1])  # +1 absorbs a potential self-match
+            idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            rows_q, rows_n, rows_c = [], [], []
+            for qi in range(S.shape[0]):
+                for ci in idx[qi]:
+                    rows_q.append(qids[qi])
+                    rows_n.append(cids[ci])
+                    rows_c.append(S[qi, ci])
+            yield pd.DataFrame({
+                "query_id": np.asarray(rows_q, dtype="int64"),
+                "neighbor_id": np.asarray(rows_n, dtype="int64"),
+                "__cos": np.asarray(rows_c, dtype="float64"),
+            })
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        block, "query_id long, neighbor_id long, __cos double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = W.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("__cos", 6).alias("cos"))
+    )

@@ -314,3 +314,34 @@ def func_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_except(F.col("a_toks"), F.col("b_toks"))).cast("bigint")
         .alias("n_only_a"),
     )
+
+
+@q("func_strings_advanced", """
+SELECT n_nationkey,
+  base64(encode(n_name)) AS b64,
+  from_base64(base64(encode(n_name)))::VARCHAR AS b64_roundtrip,
+  sha256(n_name) AS sha,
+  levenshtein(n_name, reverse(n_name)) AS lev_rev,
+  concat(substr(n_name, 1, 1), 'XX', substr(n_name, 4)) AS overlaid,
+  to_hex(n_nationkey) AS key_hex,
+  bit_count(n_nationkey) AS key_bits
+FROM nation
+""")
+def func_strings_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library string/encode surface (SqlLibraryOperators: TO_BASE64,
+    FROM_BASE64, SHA, OVERLAY SqlStdOperatorTable:1443-1528; BIT_COUNT):
+    base64 roundtrip, sha-256, levenshtein, OVERLAY(placing 'XX' FROM 2
+    FOR 2), hex, popcount."""
+    nation = t(spark, sf_dir, "nation")
+    return nation.select(
+        "n_nationkey",
+        F.base64(F.encode(F.col("n_name"), "UTF-8")).alias("b64"),
+        F.decode(F.unbase64(F.base64(F.encode(F.col("n_name"), "UTF-8"))), "UTF-8")
+        .alias("b64_roundtrip"),
+        F.sha2(F.col("n_name"), 256).alias("sha"),
+        F.levenshtein(F.col("n_name"), F.reverse(F.col("n_name")))
+        .cast("bigint").alias("lev_rev"),
+        F.overlay(F.col("n_name"), F.lit("XX"), 2, 2).alias("overlaid"),
+        F.hex(F.col("n_nationkey")).alias("key_hex"),
+        F.bit_count(F.col("n_nationkey")).cast("bigint").alias("key_bits"),
+    )

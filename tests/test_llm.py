@@ -24,6 +24,7 @@ from drill_calcite_spark.operators.multimodal import (
 )
 from drill_calcite_spark.operators.similarity import (
     cosine_topk,
+    cosine_topk_blocked,
     hyperplanes,
     lsh_ann_topk,
 )
@@ -82,6 +83,17 @@ def test_cosine_topk_golden(spark):
     out = cosine_topk(df, df, "vec_id", "embedding", k=1).collect()
     best = {r.query_id: r.neighbor_id for r in out}
     assert best[0] == 1 and best[1] == 0 and best[2] == 1
+
+
+def test_blocked_matmul_topk_equals_fold_path(spark):
+    df = spark.createDataFrame(
+        _random_vectors(80, 16), "vec_id long, embedding array<double>"
+    )
+    fold = {(r.query_id, r.rank): r.neighbor_id
+            for r in cosine_topk(df, df, "vec_id", "embedding", k=3).collect()}
+    blocked = {(r.query_id, r.rank): r.neighbor_id
+               for r in cosine_topk_blocked(df, df, "vec_id", "embedding", k=3).collect()}
+    assert fold == blocked
 
 
 def test_lsh_ann_recall_vs_bruteforce(spark):
