@@ -21,18 +21,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def all_queries() -> dict[str, QueryFn]:
-    from drill_calcite_spark.queries import custom, funcs, llm, relops, sources, streaming, tpch
+    from drill_calcite_spark.queries import custom, funcs, llm, relops, sources, streaming, tpch, tpch2
 
     out: dict[str, QueryFn] = {}
-    for mod in (tpch, relops, funcs, custom, llm, streaming, sources):
+    for mod in (tpch, tpch2, relops, funcs, custom, llm, streaming, sources):
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
-    from drill_calcite_spark.queries import custom, funcs, llm, relops, sources, streaming, tpch
+    from drill_calcite_spark.queries import custom, funcs, llm, relops, sources, streaming, tpch, tpch2
 
     out: dict[str, str] = {}
-    for mod in (tpch, relops, funcs, custom, llm, streaming, sources):
+    for mod in (tpch, tpch2, relops, funcs, custom, llm, streaming, sources):
         out.update(mod.ORACLES)
     return out
