@@ -239,6 +239,38 @@ class Rel:
         """rel/core/SortExchange.java:44 — repartition then sortWithinPartitions."""
         return Rel(self.exchange(distribution, *keys).df.sortWithinPartitions(*sort_keys))
 
+    # ------------------------------------------------------- custom operators
+    def repeat_union(self, step, *, distinct: bool = True,
+                     iteration_limit: int = 100) -> "Rel":
+        """RelBuilder.repeatUnion (tools/RelBuilder.java:1822-1896) —
+        recursive fixpoint with this Rel as the seed."""
+        from drill_calcite_spark.operators import repeat_union as _ru
+
+        return Rel(_ru(self.df, lambda f: step(Rel(f)).df,
+                       distinct=distinct, iteration_limit=iteration_limit))
+
+    def snapshot(self, as_of: str, *, valid_from: str = "valid_from",
+                 valid_to: str = "valid_to") -> "Rel":
+        """RelBuilder.snapshot (tools/RelBuilder.java:1104) /
+        rel/core/Snapshot.java:47 — FOR SYSTEM_TIME AS OF."""
+        from drill_calcite_spark.operators import snapshot as _snap
+
+        return Rel(_snap(self.df, as_of, valid_from=valid_from, valid_to=valid_to))
+
+    def match(self, **kwargs) -> "Rel":
+        """RelBuilder.match (tools/RelBuilder.java:2474) / rel/core/Match.java:57
+        — MATCH_RECOGNIZE; kwargs as operators.match_recognize."""
+        from drill_calcite_spark.operators import match_recognize as _mr
+
+        return Rel(_mr(self.df, **kwargs))
+
+    def asof_join(self, other: "Rel", on: Sequence[str], left_ts: str,
+                  right_ts: str, **kwargs) -> "Rel":
+        """As-of join (see operators/asof.py) — the temporal-enrichment verb."""
+        from drill_calcite_spark.operators import asof_join as _asof
+
+        return Rel(_asof(self.df, other.df, on, left_ts, right_ts, **kwargs))
+
     # ------------------------------------------------------------------- output
     def to_df(self) -> DataFrame:
         return self.df
