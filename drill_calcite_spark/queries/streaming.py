@@ -141,7 +141,11 @@ def stream_live_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = stream_table(spark, sf_dir, "events").withWatermark("ts", "1 day")
     agg = (
         sdf.groupBy(tumble("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            .alias("total_value"),
+        )
         .select(
             F.col("w.start").cast("long").alias("win_start"),
             "event_type", "n", "total_value",
@@ -162,3 +166,19 @@ def stream_live_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = sdf.dropDuplicates(["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
     return run_available_now(agg, spark, output_mode="complete")
+
+
+@q("stream_stateful_counter", """
+SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+""")
+def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL operator (streaming/stateful.py): per-user running
+    counter via applyInPandasWithState, drained with AvailableNow. The
+    single-file source yields one trigger, so the emitted updates equal the
+    batch GROUP BY — oracle-checked. (A plain streaming agg could express
+    this; the operator's point is state a relational agg cannot carry.)"""
+    from drill_calcite_spark.streaming.stateful import stateful_event_counter
+
+    sdf = stream_table(spark, sf_dir, "events")
+    counted = stateful_event_counter(sdf, "user_id")
+    return run_available_now(counted, spark, output_mode="update")
