@@ -345,3 +345,48 @@ def func_strings_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex(F.col("n_nationkey")).alias("key_hex"),
         F.bit_count(F.col("n_nationkey")).cast("bigint").alias("key_bits"),
     )
+
+
+@q("func_decimal_fidelity", """
+SELECT o_orderstatus,
+  sum(o_totalprice::DECIMAL(12,2))::DECIMAL(22,2)::VARCHAR AS total_exact,
+  (sum(o_totalprice::DECIMAL(12,2)) * DECIMAL '0.05')
+    ::DECIMAL(24,4)::VARCHAR AS tax_exact,
+  min(o_totalprice::DECIMAL(12,2))::VARCHAR AS min_exact
+FROM orders GROUP BY o_orderstatus
+""")
+def func_decimal_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL precision fidelity (§7 phase 4.5; RelDataTypeSystem
+    derivation rules, spark.sql.decimalOperations.allowPrecisionLoss=false
+    in session.py): exact decimal sums and scaled multiplication, emitted
+    as canonical strings so any precision drift hash-mismatches."""
+    ords = t(spark, sf_dir, "orders")
+    d = F.col("o_totalprice").cast("decimal(12,2)")
+    return ords.groupBy("o_orderstatus").agg(
+        F.sum(d).cast("decimal(22,2)").cast("string").alias("total_exact"),
+        (F.sum(d) * F.lit("0.05").cast("decimal(3,2)"))
+        .cast("decimal(24,4)").cast("string").alias("tax_exact"),
+        F.min(d).cast("string").alias("min_exact"),
+    )
+
+
+@q("func_time_emulation", """
+SELECT event_id,
+  (epoch_us(ts) % 86400000000) // 1000 AS millis_of_day,
+  strftime(ts, '%H:%M:%S') AS time_str,
+  extract(hour FROM ts) AS h, extract(minute FROM ts) AS m
+FROM events WHERE event_id < 500
+""")
+def func_time_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME type emulation (§1.2: Spark has no TimeType → millis-of-day
+    BIGINT + formatted string on output, SqlTypeName.TIME:64)."""
+    ev = t(spark, sf_dir, "events")
+    micros = (F.unix_timestamp("ts") * 1_000_000
+              + F.date_format("ts", "SSSSSS").cast("bigint"))
+    return ev.filter(F.col("event_id") < 500).select(
+        "event_id",
+        ((micros % 86400000000) / 1000).cast("bigint").alias("millis_of_day"),
+        F.date_format("ts", "HH:mm:ss").alias("time_str"),
+        F.hour("ts").cast("bigint").alias("h"),
+        F.minute("ts").cast("bigint").alias("m"),
+    )

@@ -759,3 +759,26 @@ def table_function_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(1), (F.col("n_nationkey") % 3) + 1)
         ).alias("x"),
     )
+
+
+_PROFILE_COL = """
+SELECT '{c}' AS "column", count(*) AS n_rows,
+       count(*) - count({c}) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       min({c})::VARCHAR AS min_val, max({c})::VARCHAR AS max_val
+FROM orders
+"""
+
+
+@q("profile_orders", "\nUNION ALL ".join(
+    _PROFILE_COL.format(c=c) for c in
+    ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+     "o_orderdate", "o_orderpriority"]
+))
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiler (profile/Profiler.java:105-241): per-column n_rows/nulls/
+    NDV/min/max over orders in ONE pass (the oracle needs one scan per
+    column — the operator's whole point)."""
+    from drill_calcite_spark.operators.profile import profile
+
+    return profile(t(spark, sf_dir, "orders"))
