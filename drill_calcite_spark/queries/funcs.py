@@ -390,3 +390,56 @@ def func_time_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").cast("bigint").alias("h"),
         F.minute("ts").cast("bigint").alias("m"),
     )
+
+
+@q("func_udf_surface", """
+SELECT o_orderkey,
+       upper(reverse(o_orderstatus)) AS rev_upper,
+       o_totalprice * 1.07 AS with_tax
+FROM orders WHERE o_orderkey < 1000
+""")
+def func_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF registration surface (schema/ScalarFunctionImpl.java,
+    UdfTest.java): a row-at-a-time Python UDF (the slow path, kept off hot
+    loops) and an Arrow-vectorized pandas UDF — both registered through
+    spark.udf.register and invoked via SQL, like the reference's
+    reflective function registry. The oracle states the pure-SQL
+    equivalent; results must agree exactly."""
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: the type-hint pandas_udf form breaks under
+    # `from __future__ import annotations` (hints become strings); the
+    # explicit returnType form is equivalent
+    with_tax = pandas_udf(lambda p: p * 1.07, "double")
+
+    spark.udf.register("py_rev_upper", lambda s: s[::-1].upper(), "string")
+    spark.udf.register("v_with_tax", with_tax)
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderkey, py_rev_upper(o_orderstatus) AS rev_upper,
+               v_with_tax(o_totalprice) AS with_tax
+        FROM orders WHERE o_orderkey < 1000
+    """)
+
+
+@q("agg_approx_distinct", """
+SELECT o_orderstatus, count(DISTINCT o_custkey) AS exact_nd,
+       true AS approx_within_5pct
+FROM orders GROUP BY o_orderstatus
+""")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROX_COUNT_DISTINCT (SqlStdOperatorTable:927, the AggregateCall
+    'approximate' flag): HLL sketches differ across engines, so the oracle
+    checks the exact NDV plus a 5% relative-error bound on the sketch —
+    the contract the reference's approximate aggregates promise."""
+    ords = t(spark, sf_dir, "orders")
+    g = ords.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_nd"),
+        # rsd=1% so the 5% assertion bound holds with huge margin
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("__approx"),
+    )
+    return g.select(
+        "o_orderstatus", "exact_nd",
+        (F.abs(F.col("__approx") - F.col("exact_nd"))
+         <= 0.05 * F.col("exact_nd")).alias("approx_within_5pct"),
+    )
