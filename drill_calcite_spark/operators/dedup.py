@@ -33,22 +33,36 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+MINHASH_P = 2_147_483_647  # 2^31-1; keeps a*h+b inside int64
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Fixed affine coefficients (a_i odd, b_i spread) for the universal
+    hash family h_i(x) = (a_i*x + b_i) mod p."""
+    return [(2 * i + 1, (7919 * (i + 1)) % MINHASH_P) for i in range(num_hashes)]
+
+
 def minhash_signatures(
     shingled: DataFrame, id_col: str, shingle_col: str, num_hashes: int
 ) -> DataFrame:
-    """MinHash signature per document: h_i = min over shingles of
-    md5(i || '|' || shingle), taken as the lexicographic min of the hex
-    string (equivalent to a random permutation min; identical in any
-    engine). One explode + one groupBy → a single shuffle keyed by doc id.
+    """MinHash signature per document: ONE md5 per shingle reduced to an
+    int64, then ``num_hashes`` affine permutations h_i = (a_i*h + b_i) mod
+    2^31-1, min per doc. (One md5 + k integer ops per row beats k md5 calls
+    ~10×; both steps are integer-exact, so the DuckDB oracle replays them.)
+    One explode + one groupBy → a single shuffle keyed by doc id.
 
     ``shingled`` must have (id_col, shingle_col: array<string>).
     """
+    base = (
+        F.conv(F.substring(F.md5(F.col("__s")), 1, 15), 16, 10)
+        .cast("bigint") % MINHASH_P
+    )
     exploded = shingled.select(
         id_col, F.explode(F.array_distinct(shingle_col)).alias("__s")
-    )
+    ).withColumn("__h", base)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("__s")))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
     return exploded.groupBy(id_col).agg(*aggs)
 
@@ -68,8 +82,9 @@ def lsh_candidate_pairs(
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
-            F.md5(F.concat(*[
-                F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)
+            F.md5(F.concat_ws("|", *[
+                F.col(f"h{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
             ])).alias("sig"),
         )
         for b in range(bands)

@@ -90,20 +90,28 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
+    from drill_calcite_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
     rpb = NUM_HASHES // BANDS
     mins = ", ".join(
-        f"min(md5('{i}|' || s)) h{i}" for i in range(NUM_HASHES)
+        f"min(({a} * h + {b}) % {MINHASH_P}) h{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(NUM_HASHES))
     )
     bands = "\n  UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, md5({sig}) AS sig FROM mh".format(
-            b=b, sig=" || ".join(f"h{b * rpb + r}" for r in range(rpb))
+        "SELECT doc_id, {b} AS band, "
+        "md5(concat_ws('|', {sig})) AS sig FROM mh".format(
+            b=b, sig=", ".join(f"h{b * rpb + r}" for r in range(rpb))
         )
         for b in range(BANDS)
     )
     return f"""
 WITH toks AS ({_SQL_TOKS}),
 sh AS ({_SQL_SH}),
-ex AS (SELECT doc_id, unnest(ts) AS s FROM sh),
+ex AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(unnest(ts)), 1, 15))::BIGINT % {MINHASH_P} AS h
+  FROM sh
+),
 mh AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
 bands AS ({bands}),
 cand AS (
