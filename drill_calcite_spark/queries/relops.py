@@ -782,3 +782,49 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from drill_calcite_spark.operators.profile import profile
 
     return profile(t(spark, sf_dir, "orders"))
+
+
+@q("mv_tile_rollup", """
+SELECT o_orderstatus,
+       sum(o_totalprice::DECIMAL(18,6))::DOUBLE AS total,
+       count(*) AS n,
+       max(o_totalprice) AS mx
+FROM orders GROUP BY o_orderstatus
+""")
+def mv_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view rewrite (AbstractMaterializedViewRule /
+    AggregateStarTableRule — SURVEY.md §4.1 custom row): a
+    (status, priority) aggregate tile is materialized, then the
+    status-level query is served by ROLLING UP THE TILE, never scanning
+    orders. The oracle aggregates the base table — identical results prove
+    the rewrite is lossless. Decimal sums keep the two-step summation
+    order-independent."""
+    import os as _os
+
+    from drill_calcite_spark.plans.materialized import MaterializedViews
+
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/spark_graft_fixtures/{tag}/mv_orders_tile"
+    ords = t(spark, sf_dir, "orders").withColumn(
+        "o_totalprice_dec", F.col("o_totalprice").cast("decimal(18,6)")
+    )
+    mvs = MaterializedViews(spark)
+    mvs.create(
+        "orders_by_status_prio", "orders", ords,
+        dims=["o_orderstatus", "o_orderpriority"],
+        measures=[("sum", "o_totalprice_dec"), ("max", "o_totalprice")],
+        path=path,
+    )
+    out = mvs.summarize(
+        "orders", ords, ["o_orderstatus"],
+        [("total", "sum", "o_totalprice_dec"),
+         ("n", "count", "*"),
+         ("mx", "max", "o_totalprice")],
+    )
+    # the rewrite must have targeted the tile, not the base table
+    assert all("mv_orders_tile" in f for f in out.inputFiles()), \
+        "MV rewrite fell back to base scan"
+    return out.select(
+        "o_orderstatus", F.col("total").cast("double").alias("total"),
+        "n", "mx",
+    )

@@ -1,0 +1,62 @@
+"""Materialized-view tile rewrite tests: subsumption, rollup algebra,
+fallback, and avg derivation."""
+
+from __future__ import annotations
+
+from drill_calcite_spark.plans.materialized import MaterializedViews
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0), ("b", "x", 5.0)],
+        "k string, sub string, v double",
+    )
+
+
+def _mvs(spark, tmp_path):
+    mvs = MaterializedViews(spark)
+    mvs.create("tile", "t", _base(spark), ["k", "sub"],
+               [("sum", "v"), ("min", "v"), ("max", "v")],
+               str(tmp_path / "tile"))
+    return mvs
+
+
+def test_rollup_equals_base(spark, tmp_path):
+    mvs = _mvs(spark, tmp_path)
+    measures = [("s", "sum", "v"), ("n", "count", "*"),
+                ("lo", "min", "v"), ("hi", "max", "v"), ("m", "avg", "v")]
+    tile = mvs.summarize("t", _base(spark), ["k"], measures)
+    assert all("tile" in f for f in tile.inputFiles())
+    base = MaterializedViews(spark).summarize("t", _base(spark), ["k"], measures)
+    assert sorted(map(tuple, tile.collect())) == sorted(map(tuple, base.collect()))
+    got = {r.k: (r.s, r.n, r.lo, r.hi, r.m) for r in tile.collect()}
+    assert got == {"a": (3.0, 2, 1.0, 2.0, 1.5), "b": (8.0, 2, 3.0, 5.0, 4.0)}
+
+
+def test_no_tile_falls_back(spark, tmp_path):
+    mvs = _mvs(spark, tmp_path)
+    # dims not a subset of any tile → base scan
+    out = mvs.summarize("t", _base(spark), ["v"], [("n", "count", "*")])
+    assert not any("tile" in f for f in out.inputFiles())
+    # unknown table → base scan
+    out2 = mvs.summarize("other", _base(spark), ["k"], [("n", "count", "*")])
+    assert not any("tile" in f for f in out2.inputFiles())
+
+
+def test_measure_not_stored_falls_back(spark, tmp_path):
+    mvs = MaterializedViews(spark)
+    mvs.create("tile", "t", _base(spark), ["k", "sub"],
+               [("sum", "v")], str(tmp_path / "tile"))
+    # min(v) is not in the tile → must fall back to base
+    out = mvs.summarize("t", _base(spark), ["k"], [("lo", "min", "v")])
+    assert not any("tile" in f for f in out.inputFiles())
+
+
+def test_prefers_smallest_tile(spark, tmp_path):
+    mvs = MaterializedViews(spark)
+    mvs.create("big", "t", _base(spark), ["k", "sub"], [("sum", "v")],
+               str(tmp_path / "big"))
+    mvs.create("small", "t", _base(spark), ["k"], [("sum", "v")],
+               str(tmp_path / "small"))
+    tile = mvs.find_tile("t", ["k"], [("s", "sum", "v")])
+    assert tile is not None and tile.name == "small"
