@@ -35,8 +35,11 @@ def shingles(toks: Column, n: int = 2) -> Column:
     """
     if n != 2:
         raise NotImplementedError("only 2-gram shingles are wired up")
-    left = F.slice(toks, 1, F.size(toks) - 1)
-    right = F.slice(toks, 2, F.size(toks) - 1)
+    # Clamp the slice length at 0: an empty/whitespace-only document has
+    # size(toks)=0 and slice(…, -1) throws at runtime.
+    ln = F.greatest(F.lit(0), F.size(toks) - 1)
+    left = F.slice(toks, 1, ln)
+    right = F.slice(toks, 2, ln)
     return F.zip_with(left, right, lambda a, b: F.concat(a, F.lit(" "), b))
 
 

@@ -36,7 +36,15 @@ def repeat_union(
 
     ``step`` receives the *previous frontier* (delta), not the accumulated
     set — semi-naive evaluation.
+
+    Hitting ``iteration_limit`` returns the rows accumulated so far, matching
+    the reference's repeatUnionAll (linq4j EnumerableDefaults.java:3823),
+    which stops at the limit rather than erroring. In DISTINCT mode the seed
+    itself is deduplicated too, so duplicate seed rows can't survive into a
+    supposedly distinct result.
     """
+    if distinct:
+        seed = seed.distinct()
     acc = seed.localCheckpoint(eager=True)
     frontier = acc
     for _ in range(iteration_limit):
@@ -48,8 +56,4 @@ def repeat_union(
             break
         acc = acc.unionByName(new).localCheckpoint(eager=True)
         frontier = new
-    else:
-        raise RuntimeError(
-            f"repeat_union did not converge in {iteration_limit} iterations"
-        )
     return acc

@@ -11,9 +11,15 @@ tile over (dims, measures); a query asking for a dim subset with
 re-aggregable measures is served by rolling the tile up instead of
 scanning the base table. Re-aggregation algebra:
 
-    sum   → sum(sum_tile)        count → sum(count_tile)
-    min   → min(min_tile)        max   → max(max_tile)
-    avg   → sum(sum_tile) / sum(count_tile)   (derived, never stored)
+    sum      → sum(sum_tile)        count(*)   → sum(count_*_tile)
+    min      → min(min_tile)        count(col) → sum(count_col_tile)
+    max      → max(max_tile)
+    avg(col) → sum(sum_col_tile) / sum(count_col_tile)   (derived, never stored)
+
+NULL fidelity: avg and count(col) re-aggregate from a *per-column*
+non-null count tile (count(col)), never from count(*) — so tile-served
+and base-served results are identical even when the measure column
+contains NULLs.
 
 Scale notes: tiles are parquet, typically 10^3-10^6× smaller than the
 fact table; the rollup is a shuffle over the tile only. Tile freshness is
@@ -57,9 +63,15 @@ class MaterializedViews:
         dims: list[str], measures: list[tuple[str, str]], path: str,
     ) -> None:
         """CREATE MATERIALIZED VIEW name AS SELECT dims, aggs FROM table
-        GROUP BY dims (server/.../SqlCreateMaterializedView.java). ``count``
-        tiles are always added — avg and count queries both need them."""
-        ops = {(op, col) for op, col in measures if op in SUPPORTED_OPS}
+        GROUP BY dims (server/.../SqlCreateMaterializedView.java). A
+        ``count(*)`` tile is always added; an ``avg`` measure stores its
+        (sum, count(col)) pair so NULL-aware re-aggregation is exact."""
+        ops: set[tuple[str, str]] = set()
+        for op, col in measures:
+            if op == "avg":
+                ops |= {("sum", col), ("count", col)}
+            elif op in SUPPORTED_OPS:
+                ops.add((op, col))
         ops |= {("count", "*")}
         aggs = []
         for op, col in sorted(ops):
@@ -75,9 +87,7 @@ class MaterializedViews:
         need = set()
         for _out, op, col in measures:
             if op == "avg":
-                need |= {("sum", col), ("count", "*")}
-            elif op == "count":
-                need.add(("count", "*"))
+                need |= {("sum", col), ("count", col)}
             else:
                 need.add((op, col))
         return need
@@ -115,7 +125,7 @@ class MaterializedViews:
     @staticmethod
     def _base_agg(op: str, col: str):
         if op == "count":
-            return F.count(F.lit(1))
+            return F.count(F.lit(1)) if col == "*" else F.count(col)
         if op == "avg":
             return F.avg(col)
         return getattr(F, op)(col)
@@ -125,12 +135,14 @@ class MaterializedViews:
         if op == "sum":
             return F.sum(_tile_col("sum", col))
         if op == "count":
-            return F.sum(_tile_col("count", "*"))
+            return F.sum(_tile_col("count", col))
         if op == "min":
             return F.min(_tile_col("min", col))
         if op == "max":
             return F.max(_tile_col("max", col))
         if op == "avg":
+            # sum(col)/count(col): NULL-aware, identical to F.avg on the base
+            # (all-NULL group → NULL/0 → NULL in Spark, matching avg()).
             return (F.sum(_tile_col("sum", col))
-                    / F.sum(_tile_col("count", "*")))
+                    / F.sum(_tile_col("count", col)))
         raise ValueError(f"unsupported measure op {op!r}")

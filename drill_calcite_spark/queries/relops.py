@@ -603,10 +603,10 @@ def subquery_quantified_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------ scalar semantics
 @q("is_distinct_from", """
-SELECT sum(CASE WHEN nullif(l_discount, 0.0) IS DISTINCT FROM nullif(l_tax, 0.0)
-                THEN 1 ELSE 0 END) AS n_distinct,
-       sum(CASE WHEN nullif(l_discount, 0.0) IS NOT DISTINCT FROM nullif(l_tax, 0.0)
-                THEN 1 ELSE 0 END) AS n_same
+SELECT CAST(sum(CASE WHEN nullif(l_discount, 0.0) IS DISTINCT FROM nullif(l_tax, 0.0)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN nullif(l_discount, 0.0) IS NOT DISTINCT FROM nullif(l_tax, 0.0)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_same
 FROM lineitem
 """)
 def is_distinct_from(spark: SparkSession, sf_dir: str) -> DataFrame:

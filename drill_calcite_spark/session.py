@@ -54,6 +54,10 @@ def get_spark(
         # (DuckDB) and Calcite both return NULL rather than erroring for e.g.
         # bad casts in filters that get speculatively evaluated.
         .config("spark.sql.ansi.enabled", "false")
+        # events.ts is parquet INT64 TIMESTAMP(NANOS); read it as long and
+        # convert in catalog.read_table (which re-asserts this conf for
+        # externally-created sessions, e.g. the driver's).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- python boundary: Arrow batches for the pandas-UDF operators ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

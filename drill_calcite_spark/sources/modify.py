@@ -109,8 +109,21 @@ def merge_into(
 
     Implemented as one full-outer-shaped pass: target LEFT JOIN source for
     the update branch, plus source ANTI JOIN target for inserts. Both are
-    key-shuffle joins — broadcast the source when it is small."""
+    key-shuffle joins — broadcast the source when it is small.
+
+    SQL MERGE (and Delta) error when a target row matches multiple source
+    rows; a silent fan-out would duplicate target rows, so we enforce the
+    same contract up front."""
     cur = read_versioned(spark, path)
+    dup = (source.groupBy(*on).count().filter(F.col("count") > 1).limit(1)
+           .collect())
+    if dup:
+        key = {k: dup[0][k] for k in on}
+        raise ValueError(
+            f"merge_into: source has multiple rows for merge key {key}; "
+            "deduplicate the source on the ON columns first "
+            "(SQL MERGE raises on multiple matches)"
+        )
     tgt = cur.alias("__tgt")
     # explicit presence marker: after a left join the coalesced key can't
     # distinguish a miss, and source payload NULLs are legitimate values

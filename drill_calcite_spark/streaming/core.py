@@ -74,7 +74,8 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The file source requires a DIRECTORY; each table is one parquet file
     # inside sf_dir, so stream the dir with a glob filter on the table file.
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         static = spark.read.parquet(path)
         sdf = (
             spark.readStream.schema(static.schema)
@@ -82,9 +83,8 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             .parquet(sf_dir)
         )
         if dict(static.dtypes).get("ts") == "bigint":
-            sdf = sdf.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # DIV: integer nanos→micros; float division loses ~128ns at 1.7e18
+            sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         return sdf
     static = spark.read.parquet(path)
     return (

@@ -59,6 +59,17 @@ def test_ngram_jaccard_exact_pairs(spark):
     assert [(r.doc_i, r.doc_j, r.jaccard) for r in out] == [(1, 2, 0.5)]
 
 
+def test_shingles_empty_and_single_token_docs(spark):
+    # empty / whitespace-only / 1-token docs must yield [] (slice length is
+    # clamped at 0 — previously slice(…, -1) threw at runtime)
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "solo"), (4, "a b")],
+        "doc_id long, text string",
+    ).select("doc_id", shingles(tokens(F.col("text"))).alias("sh"))
+    got = {r.doc_id: r.sh for r in df.collect()}
+    assert got == {1: [], 2: [], 3: [], 4: ["a b"]}
+
+
 def test_simhash_identical_docs_same_signature(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e f"), (2, "a b c d e f"), (3, "u v w x y z")],

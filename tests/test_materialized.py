@@ -16,7 +16,7 @@ def _base(spark):
 def _mvs(spark, tmp_path):
     mvs = MaterializedViews(spark)
     mvs.create("tile", "t", _base(spark), ["k", "sub"],
-               [("sum", "v"), ("min", "v"), ("max", "v")],
+               [("sum", "v"), ("min", "v"), ("max", "v"), ("avg", "v")],
                str(tmp_path / "tile"))
     return mvs
 
@@ -50,6 +50,25 @@ def test_measure_not_stored_falls_back(spark, tmp_path):
     # min(v) is not in the tile → must fall back to base
     out = mvs.summarize("t", _base(spark), ["k"], [("lo", "min", "v")])
     assert not any("tile" in f for f in out.inputFiles())
+
+
+def test_null_measures_tile_matches_base(spark, tmp_path):
+    # avg/count(col) must re-aggregate from the per-column non-null count
+    # tile — count(*) would divide by too many rows when v has NULLs.
+    base = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", None), ("b", "x", 3.0), ("b", "y", None)],
+        "k string, sub string, v double",
+    )
+    mvs = MaterializedViews(spark)
+    mvs.create("tile", "t", base, ["k", "sub"],
+               [("avg", "v"), ("count", "v")], str(tmp_path / "tile"))
+    measures = [("m", "avg", "v"), ("nv", "count", "v"), ("n", "count", "*")]
+    tile = mvs.summarize("t", base, ["k"], measures)
+    assert all("tile" in f for f in tile.inputFiles())
+    got = {r.k: (r.m, r.nv, r.n) for r in tile.collect()}
+    assert got == {"a": (1.0, 1, 2), "b": (3.0, 1, 2)}
+    ref = MaterializedViews(spark).summarize("t", base, ["k"], measures)
+    assert sorted(map(tuple, tile.collect())) == sorted(map(tuple, ref.collect()))
 
 
 def test_prefers_smallest_tile(spark, tmp_path):

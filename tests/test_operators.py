@@ -94,11 +94,21 @@ def test_repeat_union_fixpoint(spark):
 
 
 def test_repeat_union_iteration_limit(spark):
+    # Calcite's repeatUnionAll stops at the limit and returns what it has
+    # (linq4j EnumerableDefaults.java:3823) — no error.
     seed = spark.createDataFrame([(1,)], "n long")
-    with pytest.raises(RuntimeError, match="converge"):
-        repeat_union(
-            seed, lambda f: f.select((F.col("n") + 1).alias("n")), iteration_limit=3
-        )
+    out = repeat_union(
+        seed, lambda f: f.select((F.col("n") + 1).alias("n")), iteration_limit=3
+    )
+    assert sorted(r.n for r in out.collect()) == [1, 2, 3, 4]
+
+
+def test_repeat_union_distinct_dedups_seed(spark):
+    seed = spark.createDataFrame([(1,), (1,), (2,)], "n long")
+    out = repeat_union(
+        seed, lambda f: f.filter(F.col("n") < 3).select((F.col("n") + 1).alias("n"))
+    )
+    assert sorted(r.n for r in out.collect()) == [1, 2, 3]
 
 
 def test_repeat_union_union_all_mode(spark):

@@ -71,6 +71,19 @@ def test_cow_merge_matched_and_insert(spark, tmp_path):
     assert got == {1: 10.0, 2: 25.0, 9: 1.0}
 
 
+def test_cow_merge_duplicate_source_keys_raise(spark, tmp_path):
+    # SQL MERGE errors when a target row matches multiple source rows;
+    # silent fan-out would duplicate target rows.
+    import pytest
+
+    p = str(tmp_path / "tbl")
+    create_table(spark, p, spark.createDataFrame([(1, 10.0)], "k long, bal double"))
+    dup_src = spark.createDataFrame([(1, 1.0), (1, 2.0)], "k long, delta double")
+    with pytest.raises(ValueError, match="multiple rows"):
+        merge_into(spark, p, dup_src, on=["k"],
+                   when_matched_update={"bal": F.col("__src.delta")})
+
+
 def test_cow_snapshot_previous_version(spark, tmp_path):
     p = str(tmp_path / "tbl")
     create_table(spark, p, spark.createDataFrame([(i,) for i in range(5)], "k long"))
