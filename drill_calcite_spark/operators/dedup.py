@@ -147,15 +147,33 @@ def minhash_lsh_dedup(
 
 def ngram_jaccard_pairs(
     shingled: DataFrame, id_col: str, shingle_col: str, threshold: float,
+    *, df_max: int | None = None,
 ) -> DataFrame:
-    """EXACT near-dup pairs via inverted index: pairs sharing ≥1 shingle are
+    """Near-dup pairs via inverted index: pairs sharing ≥1 shingle are
     the only ones with Jaccard > 0, so shingle-join + verify is exact for
-    any threshold > 0. At 100 TB the shingle join needs a document-frequency
-    cap on hot shingles (or switch to minhash_lsh_dedup, which is the
-    approximate version of the same pipeline)."""
+    any threshold > 0 when ``df_max`` is None.
+
+    ``df_max`` is the 100 TB scale knob: shingles appearing in more than
+    ``df_max`` documents ("stop-shingles") are dropped from the inverted
+    index BEFORE the self-join, bounding every join key's fan-out at
+    df_max² candidate pairs. One ubiquitous shingle otherwise makes the
+    join quadratic in its document frequency. The hot-shingle set is tiny
+    by definition, so it broadcasts and the cap is a map-side anti-join —
+    no extra shuffle of the index. Trade-off (documented contract): a pair
+    whose ONLY shared shingles are hot is missed; such pairs are dominated
+    by stop-shingles and near-never exceed a meaningful threshold.
+    """
     inv = shingled.select(
         F.col(id_col), F.explode(F.array_distinct(shingle_col)).alias("__s")
     )
+    if df_max is not None:
+        hot = (
+            inv.groupBy("__s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > df_max)
+            .select("__s")
+        )
+        inv = inv.join(F.broadcast(hot), "__s", "left_anti")
     a = inv.alias("a")
     b = inv.alias("b")
     cands = (

@@ -191,8 +191,9 @@ def cosine_topk_blocked(
     """Blocked-matmul exact top-k: the THROUGHPUT path for batch ANN.
 
     The query block (bounded by contract: a batch of queries, not the
-    corpus) is collected once and shipped to every executor inside the
-    mapInPandas closure; each Arrow batch of the corpus becomes one numpy
+    corpus) is collected once and shipped via ``sparkContext.broadcast``
+    — one torrent transfer per executor, not a per-task closure
+    re-serialization; each Arrow batch of the corpus becomes one numpy
     matmul (nq × nc × dim FLOPs at BLAS speed, ~100× the per-row fold).
     Per-batch top-k candidates are tiny (n_batches × nq × k rows), and a
     final window pass picks the global top-k. The corpus never leaves the
@@ -209,8 +210,10 @@ def cosine_topk_blocked(
     Q = np.asarray(qpd[vec_col].tolist(), dtype="float64")
     Q /= np.linalg.norm(Q, axis=1, keepdims=True)
     qids = np.asarray(qpd[id_col].values)
+    bq = corpus.sparkSession.sparkContext.broadcast((Q, qids))
 
     def block(batches):
+        Q, qids = bq.value
         for pdf in batches:
             if not len(pdf):
                 continue

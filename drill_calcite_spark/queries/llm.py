@@ -159,6 +159,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_shingled(spark, sf_dir), "doc_id", "sh", 0.35)
 
 
+NGRAM_DF_MAX = 30  # drops ~45% of sf0.01 postings yet keeps all planted pairs
+
+
+@q("dedup_ngram_capped", f"""
+WITH toks AS ({_SQL_TOKS}),
+sh AS ({_SQL_SH}),
+inv AS (SELECT doc_id, unnest(ts) AS s FROM sh),
+keep AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= {NGRAM_DF_MAX}),
+capped AS (SELECT inv.doc_id, inv.s FROM inv JOIN keep USING (s)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+  FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+)
+SELECT doc_i, doc_j, round({_SQL_JAC}, 6) AS jaccard
+FROM cand
+JOIN sh sa ON sa.doc_id = cand.doc_i
+JOIN sh sb ON sb.doc_id = cand.doc_j
+WHERE {_SQL_JAC} >= 0.35
+""")
+def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path of the inverted-index pipeline: stop-shingles with
+    document frequency > df_max are anti-joined out before the self-join,
+    bounding candidate fan-out per key (operators/dedup.py). The oracle
+    replays the identical df filter, so parity holds even where the cap
+    changes the candidate set."""
+    return ngram_jaccard_pairs(
+        _shingled(spark, sf_dir), "doc_id", "sh", 0.35, df_max=NGRAM_DF_MAX
+    )
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     sums = ", ".join(
         f"sum(CASE WHEN substr(h, {i + 1}, 1) >= '8' THEN 1 ELSE -1 END) b{i}"

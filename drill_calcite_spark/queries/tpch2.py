@@ -204,10 +204,10 @@ WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 """)
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) with max quarterly revenue — a scalar
-    sub-query against a derived view; here a window max over the revenue
-    aggregate (one pass, no second scan)."""
-    from pyspark.sql import Window as W
-
+    sub-query against a derived view. The scalar max is computed as a
+    1-row aggregate broadcast-crossJoined back (not a global window,
+    which would funnel every supplier aggregate through one partition
+    at scale)."""
     li = t(spark, sf_dir, "lineitem")
     supp = t(spark, sf_dir, "supplier")
     rev = (
@@ -219,11 +219,14 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
              .alias("total_revenue"))
     )
-    mx = rev.withColumn(
-        "__mx", F.max("total_revenue").over(W.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("__mx"))
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    best = (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .drop("__mx")
+    )
     return (
-        mx.join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        best.join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 

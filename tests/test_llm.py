@@ -59,6 +59,29 @@ def test_ngram_jaccard_exact_pairs(spark):
     assert [(r.doc_i, r.doc_j, r.jaccard) for r in out] == [(1, 2, 0.5)]
 
 
+def test_ngram_df_cap_bounds_hot_shingle_fanout(spark):
+    # Planted skew: shingle "hot hot" appears in ALL 12 docs; each doc pair
+    # additionally shares nothing else except (1,2) which are near-identical.
+    # Uncapped: the hot shingle alone generates C(12,2)=66 candidate pairs.
+    # With df_max=3 the hot shingle is anti-joined out, so candidates come
+    # only from rare shingles — the (1,2) near-dup pair must still survive
+    # on its own rare shingles.
+    rows = [(1, "hot hot a b c d"), (2, "hot hot a b c e")]
+    rows += [(i, f"hot hot u{i} v{i} w{i} x{i}") for i in range(3, 13)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", shingles(tokens(F.col("text"))).alias("sh")
+    )
+    capped = ngram_jaccard_pairs(df, "doc_id", "sh", 0.3, df_max=3).collect()
+    assert [(r.doc_i, r.doc_j) for r in capped] == [(1, 2)]
+    # and the candidate set itself is bounded: rerun at threshold 0 to see
+    # every surviving candidate pair — the 66 hot-only pairs must be gone
+    cands = ngram_jaccard_pairs(df, "doc_id", "sh", 1e-9, df_max=3).collect()
+    assert {(r.doc_i, r.doc_j) for r in cands} == {(1, 2)}
+    # uncapped control: the hot shingle makes every pair a candidate
+    uncapped = ngram_jaccard_pairs(df, "doc_id", "sh", 1e-9).collect()
+    assert len(uncapped) == 66
+
+
 def test_shingles_empty_and_single_token_docs(spark):
     # empty / whitespace-only / 1-token docs must yield [] (slice length is
     # clamped at 0 — previously slice(…, -1) threw at runtime)
