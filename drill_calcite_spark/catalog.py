@@ -64,7 +64,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(df.dtypes).get("ts") == "bigint":
             # Integer division: int64 nanos (~1.7e18) exceed double's 2^53
             # mantissa, so `/ 1000` + cast can be off by 1µs near boundaries.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            # pmod-subtract gives FLOOR division (DIV truncates toward zero,
+            # which would round pre-1970 negative nanos up by 1µs).
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) DIV 1000"))
+            )
         return df
     return spark.read.parquet(path)
 

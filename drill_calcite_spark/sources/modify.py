@@ -111,17 +111,25 @@ def merge_into(
     the update branch, plus source ANTI JOIN target for inserts. Both are
     key-shuffle joins — broadcast the source when it is small.
 
-    SQL MERGE (and Delta) error when a target row matches multiple source
-    rows; a silent fan-out would duplicate target rows, so we enforce the
-    same contract up front."""
+    SQL MERGE (and Delta) error when a MATCHED target row has multiple
+    source rows; a silent fan-out would duplicate target rows, so we
+    enforce the same contract up front. Duplicate source keys that match
+    NO target row are legal (each fires WHEN NOT MATCHED independently),
+    so the guard semi-joins the duplicated keys against the target first."""
     cur = read_versioned(spark, path)
-    dup = (source.groupBy(*on).count().filter(F.col("count") > 1).limit(1)
-           .collect())
+    dup = (
+        source.groupBy(*on)
+        .agg(F.count(F.lit(1)).alias("__n"))  # reserved alias: an ON column
+        .filter(F.col("__n") > 1)             # may legitimately be 'count'
+        .join(cur.select(*on).distinct(), on, "left_semi")
+        .limit(1)
+        .collect()
+    )
     if dup:
         key = {k: dup[0][k] for k in on}
         raise ValueError(
-            f"merge_into: source has multiple rows for merge key {key}; "
-            "deduplicate the source on the ON columns first "
+            f"merge_into: source has multiple rows for matched merge key "
+            f"{key}; deduplicate the source on the ON columns first "
             "(SQL MERGE raises on multiple matches)"
         )
     tgt = cur.alias("__tgt")

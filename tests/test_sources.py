@@ -84,6 +84,32 @@ def test_cow_merge_duplicate_source_keys_raise(spark, tmp_path):
                    when_matched_update={"bal": F.col("__src.delta")})
 
 
+def test_cow_merge_duplicate_unmatched_keys_insert(spark, tmp_path):
+    # Duplicate source keys that match NO target row are legal SQL MERGE:
+    # each fires WHEN NOT MATCHED independently (one insert per source row).
+    p = str(tmp_path / "tbl")
+    create_table(spark, p, spark.createDataFrame([(1, 10.0)], "k long, bal double"))
+    dup_src = spark.createDataFrame(
+        [(9, 1.0), (9, 2.0)], "k long, bal double"
+    )
+    merge_into(spark, p, dup_src, on=["k"], when_not_matched_insert=True)
+    rows = sorted(map(tuple, read_versioned(spark, p).collect()))
+    assert rows == [(1, 10.0), (9, 1.0), (9, 2.0)]
+
+
+def test_cow_merge_on_column_named_count(spark, tmp_path):
+    # An ON column literally named 'count' must not collide with the
+    # duplicate-key guard's aggregate alias.
+    p = str(tmp_path / "tbl")
+    create_table(
+        spark, p, spark.createDataFrame([(1, 10.0)], "count long, bal double")
+    )
+    src = spark.createDataFrame([(1, 5.0)], "count long, delta double")
+    merge_into(spark, p, src, on=["count"],
+               when_matched_update={"bal": F.col("__src.delta")})
+    assert dict(map(tuple, read_versioned(spark, p).collect())) == {1: 5.0}
+
+
 def test_cow_snapshot_previous_version(spark, tmp_path):
     p = str(tmp_path / "tbl")
     create_table(spark, p, spark.createDataFrame([(i,) for i in range(5)], "k long"))
