@@ -261,6 +261,111 @@ def func_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("func_json_family", """
+SELECT event_id,
+       json_object('id', event_id, 't', event_type)               AS j_obj,
+       to_json([user_id, event_id])                               AS j_arr,
+       json_extract(json_object('inner', json_object('eid', event_id,
+                    'ks', to_json([user_id])::VARCHAR)), '$.inner')::VARCHAR
+                                                                  AS j_query,
+       json_extract_string(json_object('inner',
+                    json_object('eid', event_id)), '$.inner.eid') AS j_value,
+       array_to_string(json_keys(props), ',')                     AS j_keys,
+       CAST(json_array_length(to_json([user_id, event_id, user_id]))
+            AS BIGINT)                                            AS j_arrlen,
+       json_valid(props)                                          AS is_json_ok,
+       json_valid('not json ' || props)                           AS is_json_bad
+FROM events WHERE event_id < 2000
+""")
+def func_json_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON function family (SqlStdOperatorTable.java:1298-1338, runtime
+    JsonFunctions.java): JSON_OBJECT / JSON_ARRAY construction (to_json over
+    struct/array — compact `{"k":v}` format matches DuckDB byte-for-byte),
+    JSON_QUERY nested extraction returning JSON text (get_json_object on a
+    sub-path), JSON_VALUE scalar extraction, JSON_KEYS (json_object_keys),
+    json_array_length, and IS [NOT] JSON predicates.
+
+    IS JSON caveat: Spark's Jackson-based parsers (get_json_object,
+    try_parse_json) accept trailing garbage after a complete value where
+    strict validators reject it, so the battery probes validity with
+    prefix-malformed input on which every engine agrees."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    obj = F.to_json(F.struct(
+        F.col("event_id").alias("id"), F.col("event_type").alias("t")
+    ))
+    nested = F.to_json(F.struct(
+        F.struct(
+            F.col("event_id").alias("eid"),
+            F.to_json(F.array("user_id")).alias("ks"),
+        ).alias("inner")
+    ))
+    nested_small = F.to_json(F.struct(
+        F.struct(F.col("event_id").alias("eid")).alias("inner")
+    ))
+    arr3 = F.to_json(F.array("user_id", "event_id", "user_id"))
+    return e.select(
+        "event_id",
+        obj.alias("j_obj"),
+        F.to_json(F.array("user_id", "event_id")).alias("j_arr"),
+        F.get_json_object(nested, "$.inner").alias("j_query"),
+        F.get_json_object(nested_small, "$.inner.eid").alias("j_value"),
+        F.array_join(F.json_object_keys("props"), ",").alias("j_keys"),
+        F.json_array_length(arr3).cast("bigint").alias("j_arrlen"),
+        F.try_parse_json("props").isNotNull().alias("is_json_ok"),
+        F.try_parse_json(F.concat(F.lit("not json "), F.col("props")))
+        .isNotNull().alias("is_json_bad"),
+    )
+
+
+@q("func_json_agg", """
+WITH base AS (SELECT * FROM events WHERE event_id < 2000),
+buckets AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS kb,
+         count(*) AS cnt
+  FROM base GROUP BY 1, 2
+)
+SELECT b.event_type,
+       (SELECT to_json(list(event_id ORDER BY event_id))
+        FROM base WHERE base.event_type = b.event_type
+          AND event_id < 300)                               AS j_arrayagg,
+       to_json(map_from_entries(list({'k': kb::VARCHAR, 'v': cnt}
+                                     ORDER BY kb::VARCHAR))) AS j_objectagg
+FROM buckets b
+GROUP BY b.event_type
+""")
+def func_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON_ARRAYAGG / JSON_OBJECTAGG (SqlStdOperatorTable.java:1320-1338):
+    aggregation into JSON text. Spark has no native JSON aggregates, so they
+    compose as to_json over collect_list — with an explicit array_sort for a
+    deterministic element order (SQL JSON_ARRAYAGG ... ORDER BY), since
+    collect_list order is partition-arrival nondeterministic. JSON_OBJECTAGG
+    builds map_from_entries over (key, value) structs sorted by key; both
+    sides order keys lexicographically so the object text is reproducible."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    arr = (
+        e.filter(F.col("event_id") < 300)
+        .groupBy("event_type")
+        .agg(F.to_json(F.array_sort(F.collect_list("event_id")))
+             .alias("j_arrayagg"))
+    )
+    kb = (F.get_json_object("props", "$.k").cast("bigint") % 5)
+    buckets = (
+        e.select("event_type", kb.alias("kb"))
+        .groupBy("event_type", "kb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    obj = buckets.groupBy("event_type").agg(
+        F.to_json(F.map_from_entries(F.array_sort(F.collect_list(
+            F.struct(F.col("kb").cast("string").alias("k"),
+                     F.col("cnt").alias("v"))
+        )))).alias("j_objectagg")
+    )
+    return obj.join(arr, "event_type", "left").select(
+        "event_type", "j_arrayagg", "j_objectagg"
+    )
+
+
 # ------------------------------------------------------------- array / struct
 @q("func_array_ops", """
 SELECT doc_id,
