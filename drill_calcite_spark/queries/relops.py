@@ -382,6 +382,104 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("window_ignore_nulls", """
+WITH e AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 3 = 0 THEN NULL ELSE user_id END AS v
+  FROM events WHERE event_id < 5000
+)
+SELECT event_id, v,
+       lead(v IGNORE NULLS) OVER w AS lead_in,
+       lag(v IGNORE NULLS)  OVER w AS lag_in,
+       nth_value(v, 2 IGNORE NULLS) OVER (PARTITION BY event_type
+           ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nth2_in,
+       first_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+           ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_in,
+       last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+           ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_in
+FROM e
+WINDOW w AS (PARTITION BY event_type ORDER BY event_id)
+""")
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS on LEAD/LAG/NTH_VALUE/FIRST_VALUE/LAST_VALUE
+    (SqlStdOperatorTable.java:1179-1183). PySpark's lead/lag builders don't
+    expose the flag, so those two go through the SQL expression parser
+    (`F.expr("lead(v, 1) IGNORE NULLS")` — the resolved plan is identical);
+    nth_value/first/last take it natively."""
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 5000)
+        .select(
+            "event_id", "event_type",
+            F.when(F.col("event_id") % 3 == 0, F.lit(None).cast("long"))
+            .otherwise(F.col("user_id")).alias("v"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("event_id")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return e.select(
+        "event_id", "v",
+        F.expr("lead(v, 1) IGNORE NULLS").over(w).alias("lead_in"),
+        F.expr("lag(v, 1) IGNORE NULLS").over(w).alias("lag_in"),
+        F.nth_value("v", 2, ignoreNulls=True).over(wfull).alias("nth2_in"),
+        F.first("v", ignorenulls=True).over(wfull).alias("first_in"),
+        F.last("v", ignorenulls=True).over(wfull).alias("last_in"),
+    )
+
+
+@q("agg_grouping_id", """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING_ID bitmask over a CUBE (SqlStdOperatorTable.java:209-226):
+    bit i set ⇔ grouping column i is aggregated away, first column most
+    significant — Spark's grouping_id() and DuckDB's multi-arg GROUPING
+    share the convention."""
+    ords = t(spark, sf_dir, "orders")
+    return ords.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count("*").alias("n"),
+    )
+
+
+@q("agg_listagg_within", """
+SELECT l_returnflag,
+       string_agg(l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR, '|'
+                  ORDER BY l_quantity, l_orderkey, l_linenumber) AS items_by_qty
+FROM lineitem WHERE l_orderkey < 200
+GROUP BY l_returnflag
+""")
+def agg_listagg_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG(expr, sep) WITHIN GROUP (ORDER BY sort_key) where the sort
+    key is NOT the aggregated expression (SqlStdOperatorTable.java:2179).
+    Spark's listagg/collect_list have no order clause, so the ordered fold
+    composes as collect_list(struct(sort_keys..., value)) → array_sort
+    (struct comparison = lexicographic over fields, so the trailing value
+    never decides order when the keys are unique) → transform out the value
+    → concat_ws."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    val = F.concat_ws(":", F.col("l_orderkey").cast("string"),
+                      F.col("l_linenumber").cast("string"))
+    entry = F.struct(
+        F.col("l_quantity").alias("q"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        val.alias("val"),
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.concat_ws(
+            "|",
+            F.transform(F.array_sort(F.collect_list(entry)), lambda x: x["val"]),
+        ).alias("items_by_qty")
+    )
+
+
 # ------------------------------------------------------------------ set ops
 @q("setop_union_distinct", """
 SELECT c_nationkey AS nk FROM customer
@@ -598,6 +696,75 @@ def subquery_quantified_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         supp.crossJoin(mx)
         .filter(F.col("s_acctbal") >= F.col("mx"))
         .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+@q("subquery_quantified_some", """
+SELECT s_suppkey, s_name, s_acctbal FROM supplier
+WHERE s_acctbal > SOME (SELECT s_acctbal FROM supplier WHERE s_suppkey % 7 = 0)
+  AND s_acctbal < ANY (SELECT s_acctbal FROM supplier WHERE s_suppkey % 3 = 0)
+""")
+def subquery_quantified_some(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified SOME/ANY (SqlStdOperatorTable.java:404-440) — mirrored
+    off the ALL path: `> SOME(S)` ⇔ `> min(S)`, `< ANY(S)` ⇔ `< max(S)`
+    (Calcite's own SubQueryRemoveRule strategy). The two 1-row extremum
+    aggregates broadcast-crossJoin onto the probe side — no shuffle, no
+    global window, same idiom as subquery_quantified_all."""
+    supp = t(spark, sf_dir, "supplier")
+    lo = F.broadcast(
+        supp.filter(F.col("s_suppkey") % 7 == 0)
+        .agg(F.min("s_acctbal").alias("__some_min"))
+    )
+    hi = F.broadcast(
+        supp.filter(F.col("s_suppkey") % 3 == 0)
+        .agg(F.max("s_acctbal").alias("__any_max"))
+    )
+    return (
+        supp.crossJoin(lo).crossJoin(hi)
+        .filter((F.col("s_acctbal") > F.col("__some_min"))
+                & (F.col("s_acctbal") < F.col("__any_max")))
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+def _similar_battery():
+    """SIMILAR TO patterns exercised by func_similar_to, translated once so
+    the Spark query and the DuckDB oracle share identical regex literals.
+    (DuckDB's own SIMILAR TO operator is plain anchored-regex matching, NOT
+    SQL:2003 SIMILAR TO — '%' is a literal there — so the oracle applies
+    regexp_full_match to the translated pattern; the translation itself is
+    pinned by hand-computed unit tests in tests/test_operators.py.)"""
+    from drill_calcite_spark.functions.pattern import similar_to_regex
+
+    pats = {
+        "ends_ring_bolt": "%(ring|bolt)",
+        "starts_color": "(red|blue) %",
+        "first_a_to_h": "[a-h]%",
+        "sm_ll": "sm_ll %",
+        "double_vowel": "%[aeiou]{2}%",
+        "literal_dot": "%.%",
+    }
+    return {k: similar_to_regex(p) for k, p in pats.items()}
+
+
+@q("func_similar_to", """
+SELECT p_partkey, """ + ", ".join(
+    f"regexp_full_match(p_name, '{rx}') AS {k}"
+    for k, rx in _similar_battery().items()
+) + """
+FROM part
+""")
+def func_similar_to(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMILAR TO (SqlStdOperatorTable.java:1367-1370; runtime
+    SqlFunctions.similar): the SQL:2003 pattern language — %/_ wildcards
+    plus regex-style alternation, quantifiers, classes, with ., ^, $ as
+    literals — translated to anchored regexes (functions/pattern.py) and
+    evaluated with rlike, which Catalyst pushes into codegen."""
+    part = t(spark, sf_dir, "part")
+    rxs = _similar_battery()
+    return part.select(
+        "p_partkey",
+        *[F.col("p_name").rlike(rx).alias(k) for k, rx in rxs.items()],
     )
 
 

@@ -8,8 +8,36 @@ import pytest
 
 from pyspark.sql import functions as F
 
+from drill_calcite_spark.functions.pattern import similar_to_regex
 from drill_calcite_spark.operators import asof_join, match_recognize, repeat_union, snapshot
 from drill_calcite_spark.operators.match_recognize import _find_matches, _parse_pattern
+
+
+# --------------------------------------------------------------- SIMILAR TO
+def test_similar_to_regex_translation():
+    import re as _re
+
+    def m(pat, s, escape=None):
+        return bool(_re.match(similar_to_regex(pat, escape), s))
+
+    # % and _ wildcards, anchored whole-string match
+    assert m("a%", "abc") and m("a%", "a") and not m("a%", "xa")
+    assert m("a_c", "abc") and not m("a_c", "ac") and not m("a_c", "abbc")
+    # regex operators ARE SIMILAR TO operators
+    assert m("(ab|cd)+", "abcdab") and not m("(ab|cd)+", "abx")
+    assert m("[a-c]%", "beta") and not m("[a-c]%", "delta")
+    assert m("[^x]*", "abc") and not m("[^x]*", "axc")
+    assert m("a{2,3}b", "aab") and m("a{2,3}b", "aaab") and not m("a{2,3}b", "ab")
+    # regex metacharacters that are LITERALS in SIMILAR TO
+    assert m("a.c", "a.c") and not m("a.c", "axc")
+    assert m("x^y$z", "x^y$z")
+    # ESCAPE clause makes operators literal
+    assert m(r"100\%", "100%", escape="\\") and not m(r"100\%", "1000", escape="\\")
+    assert m("a!_b", "a_b", escape="!") and not m("a!_b", "axb", escape="!")
+    with pytest.raises(ValueError):
+        similar_to_regex("abc!", escape="!")
+    with pytest.raises(ValueError):
+        similar_to_regex("[abc")
 
 
 # ------------------------------------------------------------ pattern matcher
