@@ -20,6 +20,15 @@ Supported subset (documented, tested):
   ordered partition (use ``.shift()`` for PREV/NEXT-style references).
 - AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW.
 - ONE ROW PER MATCH via ``measures`` (callables over the matched slice).
+- ALL ROWS PER MATCH (``rows_per_match="all"``): one output row per matched
+  input row, with the implicit MATCH_NUMBER() (``match_no``, 1-based per
+  partition) and CLASSIFIER() (``classifier``, the symbol that matched the
+  row) columns plus input-column passthrough; measures are evaluated with
+  FINAL semantics (per-match scalars repeated on every row) — RUNNING
+  measures are not supported.
+- SUBSET name = (members…) (rel/core/Match.java:60: ``subsets``): union
+  symbols usable in measures — ``match_rows[name]`` is the sorted union of
+  the member symbols' row lists.
 """
 
 from __future__ import annotations
@@ -129,10 +138,21 @@ def match_recognize(
     measures: dict[str, Measure],
     output_schema: str,
     after_match: str = "skip_past_last_row",
+    rows_per_match: str = "one",
+    subset: dict[str, Sequence[str]] | None = None,
 ) -> DataFrame:
-    """Distributed MATCH_RECOGNIZE. One output row per match (ONE ROW PER
-    MATCH); measures receive ``(ordered_partition_pdf, match_rows)`` where
-    ``match_rows`` maps symbol → row indices ('*' = all matched rows).
+    """Distributed MATCH_RECOGNIZE. Measures receive
+    ``(ordered_partition_pdf, match_rows)`` where ``match_rows`` maps
+    symbol → row indices ('*' = all matched rows; SUBSET names included).
+
+    ``rows_per_match="one"`` (default): one output row per match; the
+    output columns are exactly the measures.
+
+    ``rows_per_match="all"``: one output row per MATCHED INPUT ROW. Output
+    columns (declared in ``output_schema``) resolve in priority order:
+    ``match_no`` → MATCH_NUMBER(), ``classifier`` → CLASSIFIER(), a measure
+    name → that measure's FINAL value repeated per row, anything else → the
+    input column of the same name at the matched row.
 
     Example (V-shape detection)::
 
@@ -155,16 +175,24 @@ def match_recognize(
     """
     if after_match not in ("skip_past_last_row", "skip_to_next_row"):
         raise ValueError(f"unsupported AFTER MATCH mode: {after_match}")
+    if rows_per_match not in ("one", "all"):
+        raise ValueError(f"unsupported ROWS PER MATCH mode: {rows_per_match}")
     alternatives = _parse_pattern(pattern)
     skip_past = after_match == "skip_past_last_row"
     part_cols, order_cols = list(partition_by), list(order_by)
     meas_items = list(measures.items())
+    subsets = {k: list(v) for k, v in (subset or {}).items()}
+    # output column order comes from the declared schema in ALL ROWS mode
+    out_cols = (
+        [c.strip().split()[0] for c in output_schema.split(",")]
+        if rows_per_match == "all" else [k for k, _ in meas_items]
+    )
 
     def process(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
         n = len(pdf)
         if n == 0:
-            return pd.DataFrame({k: [] for k, _ in meas_items})
+            return pd.DataFrame({k: [] for k in out_cols})
         # classify every row for every symbol (vectorized; NaN → False)
         sym_masks = {}
         for sym, pred in define.items():
@@ -174,8 +202,28 @@ def match_recognize(
             {sym for sym, mask in sym_masks.items() if mask[i]} for i in range(n)
         ]
         out_rows = []
-        for m in _find_matches(symrows, alternatives, skip_past):
-            out_rows.append({k: fn(pdf, m) for k, fn in meas_items})
-        return pd.DataFrame(out_rows, columns=[k for k, _ in meas_items])
+        for match_no, m in enumerate(_find_matches(symrows, alternatives,
+                                                   skip_past), start=1):
+            for name, members in subsets.items():
+                m[name] = sorted({j for s in members for j in m.get(s, [])})
+            if rows_per_match == "one":
+                out_rows.append({k: fn(pdf, m) for k, fn in meas_items})
+                continue
+            classifier = {j: sym for sym, rows_ in m.items()
+                          if sym in define for j in rows_}
+            final = {k: fn(pdf, m) for k, fn in meas_items}
+            for j in m["*"]:
+                row = {}
+                for col in out_cols:
+                    if col == "match_no":
+                        row[col] = match_no
+                    elif col == "classifier":
+                        row[col] = classifier.get(j)
+                    elif col in final:
+                        row[col] = final[col]
+                    else:
+                        row[col] = pdf[col].iloc[j]
+                out_rows.append(row)
+        return pd.DataFrame(out_rows, columns=out_cols)
 
     return df.groupBy(*part_cols).applyInPandas(process, schema=output_schema)

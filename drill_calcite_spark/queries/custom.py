@@ -139,6 +139,83 @@ def match_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["match_vshape"] = match_vshape
 
 
+@q("match_vshape_all_rows", """
+WITH ordered AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER w AS rn,
+         lag(value)   OVER w AS pv
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+cls AS (
+  SELECT *, CASE WHEN pv IS NULL THEN 'F'
+                 WHEN value < pv THEN 'D'
+                 WHEN value > pv THEN 'U' ELSE 'F' END AS dir
+  FROM ordered
+),
+isl AS (
+  SELECT *, rn - row_number() OVER (PARTITION BY user_id, dir ORDER BY rn) AS grp
+  FROM cls
+),
+islands AS (
+  SELECT user_id, dir, grp, min(rn) AS srn, max(rn) AS ern
+  FROM isl GROUP BY user_id, dir, grp
+),
+matches AS (
+  SELECT d.user_id, d.srn AS d_srn, d.ern AS d_ern, u.ern AS u_ern
+  FROM islands d JOIN islands u
+    ON d.user_id = u.user_id AND u.srn = d.ern + 1
+  WHERE d.dir = 'D' AND u.dir = 'U'
+),
+numbered AS (
+  SELECT m.*, row_number() OVER (PARTITION BY user_id ORDER BY d_srn) AS match_no
+  FROM matches m
+)
+SELECT c.user_id, c.event_id, c.value,
+       CASE WHEN c.dir = 'D' THEN 'DOWN' ELSE 'UP' END AS classifier,
+       m.match_no,
+       bt.value AS bottom,
+       (m.u_ern - m.d_srn + 1) AS vv_n
+FROM numbered m
+JOIN cls c  ON c.user_id = m.user_id AND c.rn BETWEEN m.d_srn AND m.u_ern
+JOIN cls bt ON bt.user_id = m.user_id AND bt.rn = m.d_ern
+""")
+def match_vshape_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE ... ALL ROWS PER MATCH with SUBSET
+    (rel/core/Match.java:57-72: ``rowsPerMatch``/``subsets``): per-user
+    V-shapes with pattern DOWN+ UP+, emitting every matched row with
+    MATCH_NUMBER() and CLASSIFIER(), a FINAL bottom measure, and a SUBSET
+    VV = (DOWN, UP) row count.
+
+    Oracle-checkable by construction: without a catch-all start symbol,
+    greedy + leftmost + SKIP PAST LAST ROW semantics reduce EXACTLY to
+    "maximal strictly-down island immediately followed by the maximal
+    strictly-up island" — a gaps-and-islands join the SQL oracle replays.
+    This is the Match component's first hash-checked (not rows-only)
+    correctness evidence."""
+    ev = t(spark, sf_dir, "events")
+    return match_recognize(
+        ev.select("user_id", "event_id", "ts", "value"),
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern="DOWN+ UP+",
+        define={
+            "DOWN": lambda p: p["value"] < p["value"].shift(1),
+            "UP": lambda p: p["value"] > p["value"].shift(1),
+        },
+        measures={
+            "bottom": lambda p, m: float(p["value"].iloc[m["DOWN"][-1]]),
+            "vv_n": lambda p, m: len(m["VV"]),
+        },
+        output_schema=(
+            "user_id long, event_id long, value double, classifier string, "
+            "match_no long, bottom double, vv_n long"
+        ),
+        rows_per_match="all",
+        subset={"VV": ["DOWN", "UP"]},
+    )
+
+
 @q("islands_increasing_runs", """
 WITH marked AS (
   SELECT user_id, event_id, value,

@@ -112,6 +112,64 @@ def test_match_recognize_e2e(spark):
     assert [tuple(r) for r in out] == [(1, 1, 6.0, 5)]
 
 
+def test_match_recognize_all_rows_subset(spark):
+    # uid 1: 10 8 6 9 11 7 → V at rows 1-4 (DOWN 8,6; UP 9,11), then 7 is
+    # DOWN with no UP after → no second match. uid 2: strictly up → none.
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 8.0), (1, 3, 6.0), (1, 4, 9.0), (1, 5, 11.0),
+         (1, 6, 7.0), (2, 1, 5.0), (2, 2, 7.0)],
+        "uid long, seq long, value double",
+    )
+    out = match_recognize(
+        df, ["uid"], ["seq"],
+        pattern="DOWN+ UP+",
+        define={
+            "DOWN": lambda p: p["value"] < p["value"].shift(1),
+            "UP": lambda p: p["value"] > p["value"].shift(1),
+        },
+        measures={
+            "bottom": lambda p, m: float(p["value"].iloc[m["DOWN"][-1]]),
+            "n_vv": lambda p, m: len(m["VV"]),
+        },
+        output_schema=(
+            "uid long, seq long, classifier string, match_no long, "
+            "bottom double, n_vv long"
+        ),
+        rows_per_match="all",
+        subset={"VV": ["DOWN", "UP"]},
+    ).collect()
+    rows = sorted((r.uid, r.seq, r.classifier, r.match_no, r.bottom, r.n_vv)
+                  for r in out)
+    assert rows == [
+        (1, 2, "DOWN", 1, 6.0, 4),
+        (1, 3, "DOWN", 1, 6.0, 4),
+        (1, 4, "UP", 1, 6.0, 4),
+        (1, 5, "UP", 1, 6.0, 4),
+    ]
+
+
+def test_match_recognize_all_rows_two_matches_numbered(spark):
+    # two disjoint Vs in one partition → match_no 1 and 2
+    df = spark.createDataFrame(
+        [(1, i + 1, v) for i, v in enumerate([5.0, 3.0, 6.0, 9.0, 4.0, 8.0])],
+        "uid long, seq long, value double",
+    )
+    out = match_recognize(
+        df, ["uid"], ["seq"],
+        pattern="DOWN+ UP+",
+        define={
+            "DOWN": lambda p: p["value"] < p["value"].shift(1),
+            "UP": lambda p: p["value"] > p["value"].shift(1),
+        },
+        measures={},
+        output_schema="seq long, match_no long, classifier string",
+        rows_per_match="all",
+    ).collect()
+    rows = sorted((r.seq, r.match_no, r.classifier) for r in out)
+    assert rows == [(2, 1, "DOWN"), (3, 1, "UP"), (4, 1, "UP"),
+                    (5, 2, "DOWN"), (6, 2, "UP")]
+
+
 # ----------------------------------------------------------------- repeat_union
 def test_repeat_union_fixpoint(spark):
     seed = spark.createDataFrame([(1,)], "n long")
