@@ -21,6 +21,15 @@ non-null count tile (count(col)), never from count(*) — so tile-served
 and base-served results are identical even when the measure column
 contains NULLs.
 
+Filter subsumption (MaterializedViewFilterScanRule,
+plan/RelOptRules.java:189-197 / SubstitutionVisitor.java:120): a tile may
+carry a WHERE predicate P; a query WHERE Q is served by the tile iff
+Q ⟹ P (every base row the query wants is in the tile) and the residual
+atoms of Q are decidable on the tile (they reference tile dims, or are
+textually enforced by P already). Predicates are conjunctions of atoms
+``(col, op, value)`` with op ∈ {=, <, <=, >, >=} — the declarative subset
+over which implication is decidable without a full RexImplication engine.
+
 Scale notes: tiles are parquet, typically 10^3-10^6× smaller than the
 fact table; the rollup is a shuffle over the tile only. Tile freshness is
 the caller's contract (rebuild on data change), exactly as with Calcite's
@@ -31,15 +40,57 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # measure spec: out_name -> (op, source_col); op ∈ SUPPORTED_OPS ∪ {"avg"}
 SUPPORTED_OPS = {"sum", "count", "min", "max"}
 
+# predicate atom: (col, op, value)
+Atom = tuple[str, str, object]
+
 
 def _tile_col(op: str, col: str) -> str:
     return f"__{op}_{col}"
+
+
+def _atom_cond(atom: Atom) -> Column:
+    c, op, v = atom
+    col = F.col(c)
+    return {"=": col == v, "<": col < v, "<=": col <= v,
+            ">": col > v, ">=": col >= v}[op]
+
+
+def _conj(atoms: list[Atom] | tuple[Atom, ...]) -> Column:
+    cond = F.lit(True)
+    for a in atoms:
+        cond = cond & _atom_cond(a)
+    return cond
+
+
+def _implies(q: Atom, p: Atom) -> bool:
+    """Does atom q imply atom p? (x satisfies q ⇒ x satisfies p).
+    Sound, not complete — False means 'cannot prove', never 'wrong'."""
+    qc, qo, qv = q
+    pc, po, pv = p
+    if qc != pc:
+        return False
+    if (qo, qv) == (po, pv):
+        return True
+    try:
+        if po == ">=":
+            return qo in (">=", ">", "=") and qv >= pv
+        if po == ">":
+            return (qo == ">" and qv >= pv) or (qo in (">=", "=") and qv > pv)
+        if po == "<=":
+            return qo in ("<=", "<", "=") and qv <= pv
+        if po == "<":
+            return (qo == "<" and qv <= pv) or (qo in ("<=", "=") and qv < pv)
+        if po == "=":
+            return False  # only the identical atom (handled above) implies =
+    except TypeError:
+        return False
+    return False
 
 
 @dataclass
@@ -49,6 +100,7 @@ class _Tile:
     dims: tuple[str, ...]
     ops: frozenset  # of (op, col) pairs stored in the tile
     path: str
+    where: tuple[Atom, ...] = ()
 
 
 @dataclass
@@ -61,10 +113,11 @@ class MaterializedViews:
     def create(
         self, name: str, table: str, base: DataFrame,
         dims: list[str], measures: list[tuple[str, str]], path: str,
+        where: list[Atom] | None = None,
     ) -> None:
         """CREATE MATERIALIZED VIEW name AS SELECT dims, aggs FROM table
-        GROUP BY dims (server/.../SqlCreateMaterializedView.java). A
-        ``count(*)`` tile is always added; an ``avg`` measure stores its
+        [WHERE atoms] GROUP BY dims (server/.../SqlCreateMaterializedView.java).
+        A ``count(*)`` tile is always added; an ``avg`` measure stores its
         (sum, count(col)) pair so NULL-aware re-aggregation is exact."""
         ops: set[tuple[str, str]] = set()
         for op, col in measures:
@@ -80,8 +133,12 @@ class MaterializedViews:
                             .alias(_tile_col(op, col)))
             else:
                 aggs.append(getattr(F, op)(col).alias(_tile_col(op, col)))
-        base.groupBy(*dims).agg(*aggs).write.mode("overwrite").parquet(path)
-        self.tiles.append(_Tile(name, table, tuple(dims), frozenset(ops), path))
+        watoms = tuple(where or ())
+        src = base.filter(_conj(watoms)) if watoms else base
+        src.groupBy(*dims).agg(*aggs).write.mode("overwrite").parquet(path)
+        self.tiles.append(
+            _Tile(name, table, tuple(dims), frozenset(ops), path, watoms)
+        )
 
     def _needed_ops(self, measures: list[tuple[str, str, str]]) -> set:
         need = set()
@@ -92,32 +149,57 @@ class MaterializedViews:
                 need.add((op, col))
         return need
 
-    def find_tile(self, table: str, dims: list[str],
-                  measures: list[tuple[str, str, str]]) -> _Tile | None:
+    def find_tile(
+        self, table: str, dims: list[str],
+        measures: list[tuple[str, str, str]],
+        where: list[Atom] | None = None,
+    ) -> tuple[_Tile, list[Atom]] | None:
         """A tile serves the query iff its dims ⊇ query dims (rollup is
-        possible) and it stores every needed measure. Prefer the smallest
-        (fewest-dims) qualifying tile."""
+        possible), it stores every needed measure, AND its stored predicate
+        is implied by the query predicate (filter subsumption):
+
+        - every tile atom p must be implied by some query atom (Q ⟹ P —
+          otherwise the tile is missing rows the query wants);
+        - every query atom not textually identical to a tile atom is a
+          RESIDUAL that must be re-applied on the tile, so it must
+          reference a tile dim (measure columns no longer exist pre-agg).
+
+        Returns (tile, residual_atoms); prefers the fewest-dims match."""
         need = self._needed_ops(measures)
-        cands = [
-            t for t in self.tiles
-            if t.table == table and set(dims) <= set(t.dims) and need <= t.ops
-        ]
-        return min(cands, key=lambda t: len(t.dims)) if cands else None
+        q_atoms = list(where or ())
+        out: list[tuple[_Tile, list[Atom]]] = []
+        for t in self.tiles:
+            if t.table != table or not set(dims) <= set(t.dims) or not need <= t.ops:
+                continue
+            if not all(any(_implies(qa, pa) for qa in q_atoms) for pa in t.where):
+                continue
+            enforced = set(t.where)
+            residual = [qa for qa in q_atoms if qa not in enforced]
+            if any(qa[0] not in t.dims for qa in residual):
+                continue
+            out.append((t, residual))
+        return min(out, key=lambda tr: len(tr[0].dims)) if out else None
 
     def summarize(
         self, table: str, base: DataFrame, dims: list[str],
         measures: list[tuple[str, str, str]],
+        where: list[Atom] | None = None,
     ) -> DataFrame:
         """The rewrite entry point: GROUP BY ``dims`` computing ``measures``
-        (list of (out_name, op, col)) — served from a tile when one
-        subsumes the query, else from the base table. Both paths produce
-        identical schemas and values."""
-        tile = self.find_tile(table, dims, measures)
-        if tile is None:
+        (list of (out_name, op, col)) over rows WHERE the atoms hold —
+        served from a tile when one subsumes the query (residual atoms
+        re-applied on the tile), else from the base table. Both paths
+        produce identical schemas and values."""
+        hit = self.find_tile(table, dims, measures, where)
+        if hit is None:
             aggs = [self._base_agg(op, col).alias(out)
                     for out, op, col in measures]
-            return base.groupBy(*dims).agg(*aggs)
+            src = base.filter(_conj(list(where))) if where else base
+            return src.groupBy(*dims).agg(*aggs)
+        tile, residual = hit
         tdf = self.spark.read.parquet(tile.path)
+        if residual:
+            tdf = tdf.filter(_conj(residual))
         aggs = [self._rollup_agg(op, col).alias(out)
                 for out, op, col in measures]
         return tdf.groupBy(*dims).agg(*aggs)

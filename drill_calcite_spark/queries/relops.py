@@ -995,3 +995,51 @@ def mv_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus", F.col("total").cast("double").alias("total"),
         "n", "mx",
     )
+
+
+@q("mv_filter_rewrite", """
+SELECT o_orderstatus,
+       sum(o_totalprice::DECIMAL(18,6))::DOUBLE AS total,
+       count(*) AS n
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus
+""")
+def mv_filter_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MV FILTER-SUBSUMPTION rewrite (MaterializedViewFilterScanRule,
+    plan/RelOptRules.java:189-197): the tile stores WHERE
+    o_orderdate >= 1995-01-01; the query adds o_orderpriority = '1-URGENT'
+    on a tile DIM, so the tile serves it — the date atom is enforced by
+    the tile's own predicate (Q ⟹ P), the priority atom is re-applied as a
+    residual filter on the tile. The inputFiles assertion proves the base
+    table is never scanned; the oracle aggregates the base — identical
+    results prove the rewrite is lossless."""
+    import os as _os
+
+    from drill_calcite_spark.plans.materialized import MaterializedViews
+
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/spark_graft_fixtures/{tag}/mv_orders_filtered_tile"
+    ords = t(spark, sf_dir, "orders").withColumn(
+        "o_totalprice_dec", F.col("o_totalprice").cast("decimal(18,6)")
+    )
+    mvs = MaterializedViews(spark)
+    mvs.create(
+        "orders_recent_by_status_prio", "orders", ords,
+        dims=["o_orderstatus", "o_orderpriority"],
+        measures=[("sum", "o_totalprice_dec")],
+        path=path,
+        where=[("o_orderdate", ">=", "1995-01-01")],
+    )
+    out = mvs.summarize(
+        "orders", ords, ["o_orderstatus"],
+        [("total", "sum", "o_totalprice_dec"), ("n", "count", "*")],
+        where=[("o_orderdate", ">=", "1995-01-01"),
+               ("o_orderpriority", "=", "1-URGENT")],
+    )
+    assert all("mv_orders_filtered_tile" in f for f in out.inputFiles()), \
+        "MV filter rewrite fell back to base scan"
+    return out.select(
+        "o_orderstatus", F.col("total").cast("double").alias("total"), "n"
+    )

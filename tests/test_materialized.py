@@ -77,5 +77,59 @@ def test_prefers_smallest_tile(spark, tmp_path):
                str(tmp_path / "big"))
     mvs.create("small", "t", _base(spark), ["k"], [("sum", "v")],
                str(tmp_path / "small"))
-    tile = mvs.find_tile("t", ["k"], [("s", "sum", "v")])
-    assert tile is not None and tile.name == "small"
+    hit = mvs.find_tile("t", ["k"], [("s", "sum", "v")])
+    assert hit is not None and hit[0].name == "small"
+
+
+# ------------------------------------------------------- filter subsumption
+def test_filter_subsumption_residual_on_dim(spark, tmp_path):
+    # tile WHERE v > 1; query WHERE v > 2 (tighter, v is a dim) → tile
+    # serves with the residual re-applied, results equal the base path
+    mvs = MaterializedViews(spark)
+    mvs.create("tile", "t", _base(spark), ["k", "v"], [("sum", "v")],
+               str(tmp_path / "tile"), where=[("v", ">", 1.0)])
+    measures = [("s", "sum", "v"), ("n", "count", "*")]
+    q = [("v", ">", 2.0)]
+    out = mvs.summarize("t", _base(spark), ["k"], measures, where=q)
+    assert all("tile" in f for f in out.inputFiles())
+    ref = MaterializedViews(spark).summarize("t", _base(spark), ["k"],
+                                             measures, where=q)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref.collect()))
+    assert {r.k: (r.s, r.n) for r in out.collect()} == {"b": (8.0, 2)}
+
+
+def test_filter_subsumption_exact_predicate_no_residual(spark, tmp_path):
+    # query predicate textually equals the tile predicate on a NON-dim
+    # column → already enforced by the tile, no residual needed
+    mvs = MaterializedViews(spark)
+    mvs.create("tile", "t", _base(spark), ["k"], [("sum", "v")],
+               str(tmp_path / "tile"), where=[("sub", "=", "x")])
+    out = mvs.summarize("t", _base(spark), ["k"], [("s", "sum", "v")],
+                        where=[("sub", "=", "x")])
+    assert all("tile" in f for f in out.inputFiles())
+    assert {r.k: r.s for r in out.collect()} == {"a": 1.0, "b": 8.0}
+
+
+def test_filter_not_subsumed_falls_back(spark, tmp_path):
+    mvs = MaterializedViews(spark)
+    mvs.create("tile", "t", _base(spark), ["k", "v"], [("sum", "v")],
+               str(tmp_path / "tile"), where=[("v", ">", 2.0)])
+    # query is WIDER than the tile (v > 1 includes rows the tile dropped)
+    out = mvs.summarize("t", _base(spark), ["k"], [("s", "sum", "v")],
+                        where=[("v", ">", 1.0)])
+    assert not any("tile" in f for f in out.inputFiles())
+    assert {r.k: r.s for r in out.collect()} == {"a": 2.0, "b": 8.0}
+    # residual on a non-dim, non-enforced column → fall back too
+    out2 = mvs.summarize("t", _base(spark), ["k"], [("s", "sum", "v")],
+                         where=[("v", ">", 2.0), ("sub", "=", "x")])
+    assert not any("tile" in f for f in out2.inputFiles())
+
+
+def test_unfiltered_query_rejects_filtered_tile(spark, tmp_path):
+    # tile stores WHERE v > 2; a query with NO predicate must not use it
+    mvs = MaterializedViews(spark)
+    mvs.create("tile", "t", _base(spark), ["k"], [("sum", "v")],
+               str(tmp_path / "tile"), where=[("v", ">", 2.0)])
+    out = mvs.summarize("t", _base(spark), ["k"], [("s", "sum", "v")])
+    assert not any("tile" in f for f in out.inputFiles())
+    assert {r.k: r.s for r in out.collect()} == {"a": 3.0, "b": 8.0}
