@@ -43,6 +43,30 @@ def shingles(toks: Column, n: int = 2) -> Column:
     return F.zip_with(left, right, lambda a, b: F.concat(a, F.lit(" "), b))
 
 
+def char_cast(col: Column, n: int) -> Column:
+    """CAST(x AS CHAR(n)) with SQL fixed-width semantics
+    (reference: sql/type/SqlTypeName.java:98 — CHAR is fixed-width,
+    blank-padded; Spark's StringType has no pad semantics, so the cast is
+    emulated): truncate to n characters, right-pad with spaces to exactly n.
+
+    Oracle: rpad(substr(x, 1, n), n, ' ')
+    """
+    return F.rpad(F.substring(col, 1, n), n, " ")
+
+
+def char_eq(a: Column, b: Column) -> Column:
+    """SQL PAD SPACE comparison for CHAR values: the shorter operand is
+    notionally blank-padded to the longer's length, so values differing
+    only in trailing spaces compare equal. Emulated as rtrim-equality —
+    identical to pad-compare for all printable data (only control
+    characters below 0x20 could order differently, and CHAR data
+    containing them is out of scope).
+
+    Oracle: rtrim(a, ' ') = rtrim(b, ' ')
+    """
+    return F.rtrim(a) == F.rtrim(b)
+
+
 def token_values(toks: Column) -> Column:
     """Deterministic int64 value per token: length*31 + codepoint(first char).
 

@@ -366,6 +366,40 @@ def func_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("func_char_pad", """
+SELECT p_partkey,
+       rpad(substr(p_name, 1, 12), 12, ' ')  AS ch12,
+       CAST(length(rpad(substr(p_name, 1, 12), 12, ' ')) AS BIGINT) AS ch_len,
+       rpad(substr(p_name, 1, 12), 12, ' ') || '|' AS ch_concat,
+       (rtrim(rpad(p_brand, 10, ' '), ' ') = rtrim(rpad(p_brand, 15, ' '), ' '))
+                                             AS pad_eq,
+       (rpad(p_brand, 10, ' ') = rpad(p_brand, 15, ' ')) AS raw_eq
+FROM part
+""")
+def func_char_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAR fixed-width semantics (sql/type/SqlTypeName.java:98): CAST to
+    CHAR(n) truncates + blank-pads to exactly n (char_cast), LENGTH counts
+    the padding, concatenation keeps it, and comparison uses SQL PAD SPACE
+    (char_eq — trailing spaces ignored). ``raw_eq`` shows the raw-string
+    comparison disagreeing with the CHAR comparison on differently-padded
+    values, which is the whole point of the emulation; both engines replay
+    the identical rpad/rtrim pipeline."""
+    from drill_calcite_spark.functions.text import char_cast, char_eq
+
+    part = t(spark, sf_dir, "part")
+    ch12 = char_cast(F.col("p_name"), 12)
+    return part.select(
+        "p_partkey",
+        ch12.alias("ch12"),
+        F.length(ch12).cast("bigint").alias("ch_len"),
+        F.concat(ch12, F.lit("|")).alias("ch_concat"),
+        char_eq(char_cast(F.col("p_brand"), 10), char_cast(F.col("p_brand"), 15))
+        .alias("pad_eq"),
+        (char_cast(F.col("p_brand"), 10) == char_cast(F.col("p_brand"), 15))
+        .alias("raw_eq"),
+    )
+
+
 # ------------------------------------------------------------- array / struct
 @q("func_array_ops", """
 SELECT doc_id,
