@@ -20,19 +20,63 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
-def all_queries() -> dict[str, QueryFn]:
+# The driver's per-round CORRECTNESS gate oracles the FIRST 50 registry
+# entries (registration order). Rounds 1-2 proved the first 50 slots green,
+# so those queries rotate to the back (tests/test_oracle_parity.py keeps
+# running the identical comparison over ALL of them every pytest run) and
+# the 50 slots below hand the driver the queries that have never had a
+# hard-signal row — round-3 features first, then one representative per
+# §2 component family (LLM pipeline, streaming, sources/DML, custom
+# operators, function batteries, MV/profile/correlate relops).
+_DRIVER_PRIORITY = [
+    # round-3 features
+    "window_ignore_nulls", "agg_grouping_id", "agg_listagg_within",
+    "subquery_quantified_some", "func_similar_to", "func_json_family",
+    "func_json_agg", "func_char_pad", "match_vshape_all_rows",
+    "mv_filter_rewrite", "dedup_ngram_capped",
+    # LLM training-data pipeline
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash_buckets", "dedup_embedding_cosine", "ann_cosine_topk",
+    "text_lang_id", "text_quality_score", "text_token_stats",
+    "doc_fingerprint", "multimodal_meta",
+    # streaming
+    "stream_tumble_hourly", "stream_hop_30m", "stream_session_6h",
+    "stream_live_tumble", "stream_live_dedup", "stream_stateful_counter",
+    # sources + DML
+    "source_csv_scan", "source_json_scan", "modify_insert_delete",
+    "modify_update_where", "modify_merge_orders",
+    # custom operators
+    "recursive_numbers", "recursive_nation_tree", "asof_last_purchase",
+    "islands_increasing_runs", "snapshot_orders_scd",
+    # relops tail + function batteries
+    "mv_tile_rollup", "profile_orders", "correlate_lateral_topn",
+    "collect_nested", "table_function_series", "func_udf_surface",
+    "agg_approx_distinct", "func_datetime_extract", "func_math",
+    "func_strings_basic", "func_decimal_fidelity", "func_multiset_ops",
+]
+
+
+def _merged(attr: str) -> dict:
     from drill_calcite_spark.queries import custom, funcs, llm, relops, sources, streaming, tpch, tpch2
 
-    out: dict[str, QueryFn] = {}
+    out: dict = {}
     for mod in (tpch, tpch2, relops, funcs, custom, llm, streaming, sources):
-        out.update(mod.QUERIES)
+        out.update(getattr(mod, attr))
     return out
+
+
+def _prioritized(merged: dict) -> dict:
+    missing = [n for n in _DRIVER_PRIORITY if n not in merged]
+    assert not missing, f"_DRIVER_PRIORITY names not registered: {missing}"
+    head = {n: merged[n] for n in _DRIVER_PRIORITY}
+    head.update((n, f) for n, f in merged.items() if n not in head)
+    return head
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return _prioritized(_merged("QUERIES"))
 
 
 def all_oracles() -> dict[str, str]:
-    from drill_calcite_spark.queries import custom, funcs, llm, relops, sources, streaming, tpch, tpch2
-
-    out: dict[str, str] = {}
-    for mod in (tpch, tpch2, relops, funcs, custom, llm, streaming, sources):
-        out.update(mod.ORACLES)
-    return out
+    merged = _merged("ORACLES")
+    return {n: merged[n] for n in all_queries() if n in merged}
