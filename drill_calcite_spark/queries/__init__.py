@@ -43,8 +43,8 @@ _DRIVER_PRIORITY = [
     "stream_tumble_hourly", "stream_hop_30m", "stream_session_6h",
     "stream_live_tumble", "stream_live_dedup", "stream_stateful_counter",
     # sources + DML
-    "source_csv_scan", "source_json_scan", "modify_insert_delete",
-    "modify_update_where", "modify_merge_orders",
+    "source_jdbc_scan", "source_csv_scan", "source_json_scan",
+    "modify_insert_delete", "modify_update_where", "modify_merge_orders",
     # custom operators
     "recursive_numbers", "recursive_nation_tree", "asof_last_purchase",
     "islands_increasing_runs", "snapshot_orders_scd",
@@ -52,7 +52,7 @@ _DRIVER_PRIORITY = [
     "mv_tile_rollup", "profile_orders", "correlate_lateral_topn",
     "collect_nested", "table_function_series", "func_udf_surface",
     "agg_approx_distinct", "func_datetime_extract", "func_math",
-    "func_strings_basic", "func_decimal_fidelity", "func_multiset_ops",
+    "func_strings_basic", "func_decimal_fidelity",
 ]
 
 

@@ -53,6 +53,38 @@ def _fixture_dir(sf_dir: str) -> str:
     return d
 
 
+@q("source_jdbc_scan", """
+SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey < 3
+""")
+def source_jdbc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC adapter roundtrip (adapter/jdbc/JdbcSchema.java, JdbcTable.java):
+    ``nation`` is written into an embedded-Derby database over JDBC, then
+    scanned back PARTITIONED (4 range-bounded remote queries on
+    n_nationkey — the parallel-read scale path) with the filter pushed
+    into the remote SQL. Equality with the parquet oracle proves the
+    write/read/pushdown pipeline is lossless."""
+    from drill_calcite_spark.sources.jdbc import derby_url, jdbc_read, jdbc_write
+
+    # Derby writes system streams; silence + isolate per scale dir
+    nation = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    db = os.path.join(_fixture_dir(sf_dir), "jdbc_derby_db")
+    jdbc_write(
+        nation, derby_url(db, create=True), "nation_jdbc",
+        column_types="n_name VARCHAR(64)",
+    )
+    back = jdbc_read(
+        spark, derby_url(db), "nation_jdbc",
+        partition_on="n_nationkey", lower=0, upper=25, num_partitions=4,
+    )
+    return back.filter(F.col("n_regionkey") < 3).select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    )
+
+
 @q("source_csv_scan", "SELECT * FROM nation")
 def source_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV source with schema inference, conformed to the catalog row type
