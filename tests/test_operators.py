@@ -170,6 +170,50 @@ def test_match_recognize_all_rows_two_matches_numbered(spark):
                     (5, 2, "DOWN"), (6, 2, "UP")]
 
 
+def test_nfa_permute_expands_all_orderings():
+    # PERMUTE(A, B) ≡ (A B | B A), preference in permutation order
+    seq = ["B", "A"]  # row0 only B, row1 only A
+    m = _runs(seq, "PERMUTE(A, B)")
+    assert len(m) == 1 and m[0]["B"] == [0] and m[0]["A"] == [1]
+    seq2 = ["A", "B"]
+    m2 = _runs(seq2, "PERMUTE(A, B)")
+    assert len(m2) == 1 and m2[0]["A"] == [0] and m2[0]["B"] == [1]
+    # quantifiers survive inside PERMUTE
+    m3 = _runs(["A", "A", "B"], "PERMUTE(A+, B)")
+    assert len(m3) == 1 and m3[0]["A"] == [0, 1] and m3[0]["B"] == [2]
+
+
+def test_nfa_exclusion_rows_marked():
+    seq = ["S", "SD", "SU"]
+    m = _runs(seq, "S {- D -} U")
+    assert len(m) == 1
+    assert m[0]["*"] == [0, 1, 2]  # D row still matched...
+    assert m[0]["-"] == [1]        # ...but marked excluded
+
+
+def test_match_recognize_all_rows_exclusion(spark):
+    # ALL ROWS PER MATCH with {- DOWN -}: the down-leg rows are matched
+    # (present in measures) but withheld from the output
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 8.0), (1, 3, 6.0), (1, 4, 9.0), (1, 5, 11.0)],
+        "uid long, seq long, value double",
+    )
+    out = match_recognize(
+        df, ["uid"], ["seq"],
+        pattern="{- DOWN+ -} UP+",
+        define={
+            "DOWN": lambda p: p["value"] < p["value"].shift(1),
+            "UP": lambda p: p["value"] > p["value"].shift(1),
+        },
+        measures={"n_matched": lambda p, m: len(m["*"])},
+        output_schema="seq long, classifier string, n_matched long",
+        rows_per_match="all",
+    ).collect()
+    rows = sorted((r.seq, r.classifier, r.n_matched) for r in out)
+    # DOWN rows 2,3 matched (n_matched=4) but only UP rows 4,5 output
+    assert rows == [(4, "UP", 4), (5, "UP", 4)]
+
+
 # ----------------------------------------------------------------- repeat_union
 def test_repeat_union_fixpoint(spark):
     seed = spark.createDataFrame([(1,)], "n long")
