@@ -1,0 +1,78 @@
+"""Distributed global ranking / distribution functions — the scale-safe
+replacement for unpartitioned windows.
+
+Reference parity: NTILE / CUME_DIST / PERCENT_RANK / RANK over a global
+ordering (SqlStdOperatorTable.java:945-981). Spark executes an
+unpartitioned ``Window.orderBy`` by funneling EVERY row through one task —
+fine at test scale, fatal at 10^9 rows. This operator computes the same
+values with the classic distributed-ranking recipe:
+
+1. ``repartitionByRange`` on the order key — Spark's RangePartitioner
+   gives totally-ordered, equal-key-co-located partitions;
+2. per-partition local ranks via a window PARTITIONED by the range id
+   (parallel, no funnel);
+3. per-partition row counts collected to the driver (bounded: one row per
+   partition, i.e. hundreds of longs at any scale) → prefix-sum offsets
+   broadcast back;
+4. global_rank = local_rank + offset[partition]; NTILE/CUME_DIST/
+   PERCENT_RANK are closed-form in (global_rank, n).
+
+Requires the order key to be a TOTAL order (append a unique tiebreaker
+column, as SQL window ORDER BY should anyway for determinism). With ties,
+extend with a per-key tie count before the closed forms.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def distributed_distribution(
+    df: DataFrame, order_cols: Sequence[str], *, ntile: int,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Append ``global_rank``, ``ntile_bucket``, ``cume_dist`` and
+    ``percent_rank`` (over the total order ``order_cols``) without a
+    single-partition exchange."""
+    oc = list(order_cols)
+    d = (
+        df.repartitionByRange(num_partitions, *[F.col(c) for c in oc])
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # Cache so the partition-count pass and the rank pass see the same
+    # range split (repartitionByRange samples; two executions could bin
+    # boundary keys differently).
+    d = d.localCheckpoint(eager=False)
+    counts = {r["__pid"]: r["cnt"] for r in
+              d.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    n = sum(counts.values())
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for pid in sorted(counts) for x in (pid, offsets[pid])]
+    )
+    wl = W.partitionBy("__pid").orderBy(*oc)
+    rn = (F.row_number().over(wl) + off_map[F.col("__pid")]).cast("bigint")
+    d = d.withColumn("global_rank", rn).drop("__pid")
+    # SQL NTILE: first (n mod k) buckets hold ceil(n/k) rows, the rest
+    # floor(n/k) — closed form over the global row number.
+    k = ntile
+    q, r = divmod(n, k)
+    big = q + 1
+    g = F.col("global_rank")
+    bucket = F.when(
+        F.lit(r > 0) & (g <= big * r), F.floor((g - 1) / big) + 1
+    ).otherwise(F.lit(r) + F.floor((g - big * r - 1) / F.lit(max(q, 1))) + 1)
+    return (
+        d.withColumn("ntile_bucket", bucket.cast("int"))
+        .withColumn("cume_dist", (g / F.lit(n)).cast("double"))
+        .withColumn(
+            "percent_rank",
+            (F.lit(0.0) if n == 1 else ((g - 1) / F.lit(n - 1))).cast("double"),
+        )
+    )

@@ -382,6 +382,36 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("window_distribution_scalable", """
+SELECT o_orderkey,
+       CAST(ntile(4) OVER w AS BIGINT)       AS ntile_bucket,
+       round(cume_dist() OVER w, 6)          AS cd,
+       round(percent_rank() OVER w, 6)       AS pr
+FROM orders
+WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+""")
+def window_distribution_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE/CUME_DIST/PERCENT_RANK over a global order WITHOUT the
+    single-partition window window_distribution documents: range
+    repartition → per-range local ranks → bounded offset collection →
+    closed-form distribution values (operators/ranks.py). The oracle runs
+    the real window functions — identical hashes prove the distributed
+    recipe computes exactly SQL semantics."""
+    from drill_calcite_spark.operators.ranks import distributed_distribution
+
+    ords = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    out = distributed_distribution(
+        ords, ["o_totalprice", "o_orderkey"], ntile=4,
+        num_partitions=int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    return out.select(
+        "o_orderkey",
+        F.col("ntile_bucket").cast("bigint").alias("ntile_bucket"),
+        F.round("cume_dist", 6).alias("cd"),
+        F.round("percent_rank", 6).alias("pr"),
+    )
+
+
 @q("window_ignore_nulls", """
 WITH e AS (
   SELECT event_id, event_type,

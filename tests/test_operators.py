@@ -214,6 +214,35 @@ def test_match_recognize_all_rows_exclusion(spark):
     assert rows == [(4, "UP", 4), (5, "UP", 4)]
 
 
+# ------------------------------------------------------------ distributed ranks
+def test_distributed_distribution_matches_global_window(spark):
+    from pyspark.sql import Window as W
+
+    from drill_calcite_spark.operators.ranks import distributed_distribution
+
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 100)) for i in range(1, 104)], "k long, v double"
+    )
+    got = distributed_distribution(df, ["v", "k"], ntile=4, num_partitions=8)
+    w = W.orderBy("v", "k")
+    ref = df.select(
+        "k",
+        F.row_number().over(w).cast("bigint").alias("global_rank"),
+        F.ntile(4).over(w).alias("ntile_bucket"),
+        F.cume_dist().over(w).alias("cume_dist"),
+        F.percent_rank().over(w).alias("percent_rank"),
+    )
+    g = {r.k: (r.global_rank, r.ntile_bucket, round(r.cume_dist, 9),
+               round(r.percent_rank, 9)) for r in got.collect()}
+    e = {r.k: (r.global_rank, r.ntile_bucket, round(r.cume_dist, 9),
+               round(r.percent_rank, 9)) for r in ref.collect()}
+    assert g == e
+    # the whole point: no unpartitioned window funneling all rows into one
+    # task (the reference plan above has exactly that)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Window [" not in plan or "SinglePartition" not in plan
+
+
 # ----------------------------------------------------------------- repeat_union
 def test_repeat_union_fixpoint(spark):
     seed = spark.createDataFrame([(1,)], "n long")
