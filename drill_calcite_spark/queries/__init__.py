@@ -52,7 +52,7 @@ _DRIVER_PRIORITY = [
     "mv_tile_rollup", "profile_orders", "correlate_lateral_topn",
     "collect_nested", "table_function_series", "func_udf_surface",
     "agg_approx_distinct", "func_datetime_extract", "func_math",
-    "func_strings_basic", "window_distribution_scalable",
+    "func_geo_st", "window_distribution_scalable",
 ]
 
 

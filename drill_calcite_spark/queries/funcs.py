@@ -400,6 +400,62 @@ def func_char_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("func_geo_st", r"""
+WITH pts AS (
+  SELECT event_id, value AS px, (user_id % 97)::DOUBLE AS py FROM events
+  WHERE event_id < 3000
+)
+SELECT event_id,
+       printf('POINT (%.6f %.6f)', px, py)                   AS wkt,
+       regexp_extract(printf('POINT (%.6f %.6f)', px, py),
+                      'POINT \((-?[0-9.]+) ', 1)::DOUBLE     AS x_back,
+       regexp_extract(printf('POINT (%.6f %.6f)', px, py),
+                      'POINT \(-?[0-9.]+ (-?[0-9.]+)\)', 1)::DOUBLE AS y_back,
+       round(sqrt((px - 50.0)*(px - 50.0) + (py - 50.0)*(py - 50.0)), 6)
+                                                             AS dist_center,
+       ((px - 50.0)*(px - 50.0) + (py - 50.0)*(py - 50.0) <= 400.0)
+                                                             AS within_20,
+       (px >= 25.0 AND px <= 75.0 AND py >= 25.0 AND py <= 75.0)
+                                                             AS in_envelope
+FROM pts
+""")
+def func_geo_st(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial ST_* core (runtime/GeoFunctions.java:68): ST_Point/ST_AsText
+    (printf-formatted WKT — engine-portable bytes), ST_X/ST_Y roundtrip,
+    planar ST_Distance (IEEE sqrt, bit-identical), sqrt-free ST_DWithin,
+    and envelope ST_Contains — all JVM-side column expressions
+    (functions/geo.py)."""
+    from drill_calcite_spark.functions.geo import (
+        st_contains_envelope,
+        st_distance,
+        st_dwithin,
+        st_point,
+        st_x,
+        st_y,
+    )
+
+    pts = (
+        t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+        .select(
+            "event_id", F.col("value").alias("px"),
+            (F.col("user_id") % 97).cast("double").alias("py"),
+        )
+    )
+    wkt = st_point(F.col("px"), F.col("py"))
+    return pts.select(
+        "event_id",
+        wkt.alias("wkt"),
+        st_x(wkt).alias("x_back"),
+        st_y(wkt).alias("y_back"),
+        F.round(st_distance(F.col("px"), F.col("py"), F.lit(50.0), F.lit(50.0)), 6)
+        .alias("dist_center"),
+        st_dwithin(F.col("px"), F.col("py"), F.lit(50.0), F.lit(50.0), 20.0)
+        .alias("within_20"),
+        st_contains_envelope(25.0, 25.0, 75.0, 75.0, F.col("px"), F.col("py"))
+        .alias("in_envelope"),
+    )
+
+
 # ------------------------------------------------------------- array / struct
 @q("func_array_ops", """
 SELECT doc_id,
@@ -528,6 +584,37 @@ def func_time_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "HH:mm:ss").alias("time_str"),
         F.hour("ts").cast("bigint").alias("h"),
         F.minute("ts").cast("bigint").alias("m"),
+    )
+
+
+@q("func_time_arith", """
+WITH tm AS (
+  SELECT event_id, (epoch_us(ts) % 86400000000) // 1000 AS mod_ms
+  FROM events WHERE event_id < 500
+)
+SELECT event_id,
+       (mod_ms + 5400000) % 86400000          AS plus_90m,
+       mod_ms % 3600000                       AS since_hour_ms,
+       (43200000 - mod_ms)                    AS to_noon_ms,
+       (mod_ms < 43200000)                    AS is_am
+FROM tm
+""")
+def func_time_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME arithmetic over the millis-of-day emulation (SqlTypeName.TIME
+    :64 — Spark has no TimeType, §1.2): TIME + INTERVAL with midnight
+    wraparound, TIME % truncation, TIME − TIME giving a signed interval,
+    and TIME comparison — all integer column math, exact in both
+    engines."""
+    ev = t(spark, sf_dir, "events")
+    micros = (F.unix_timestamp("ts") * 1_000_000
+              + F.date_format("ts", "SSSSSS").cast("bigint"))
+    mod_ms = ((micros % 86400000000) / 1000).cast("bigint")
+    return ev.filter(F.col("event_id") < 500).select(
+        "event_id",
+        ((mod_ms + 5400000) % 86400000).alias("plus_90m"),
+        (mod_ms % 3600000).alias("since_hour_ms"),
+        (F.lit(43200000) - mod_ms).alias("to_noon_ms"),
+        (mod_ms < 43200000).alias("is_am"),
     )
 
 

@@ -677,6 +677,29 @@ def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["sample_bernoulli"] = sample_bernoulli
 
 
+def sample_system(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLESAMPLE SYSTEM (rel/core/Sample.java:36 ``isBernoulli()=false``):
+    block sampling — whole pages are kept or dropped, the cheap
+    low-uniformity sampling mode. The block unit here is 8192 consecutive
+    rows within a physical partition (monotonically_increasing_id encodes
+    partition<<33 | row, so id//8192 is a stable page id); SYSTEM(25%)
+    keeps every 4th page. Unlike BERNOULLI, which evaluates an RNG per
+    row, the per-page predicate vectorizes to near-zero cost — and on a
+    sorted/clustered layout it models the I/O-skipping behavior real
+    SYSTEM sampling has. Rows-only check: the kept set depends on the
+    physical row order, exactly as SYSTEM sampling is specified to."""
+    li = t(spark, sf_dir, "lineitem")
+    page = (F.monotonically_increasing_id() / F.lit(8192)).cast("bigint")
+    return (
+        li.withColumn("__page", page)
+        .filter(F.col("__page") % 4 == 0)
+        .drop("__page")
+    )
+
+
+QUERIES["sample_system"] = sample_system
+
+
 # ----------------------------------------------------------------- subqueries
 @q("subquery_in", """
 SELECT o_orderkey, o_totalprice FROM orders
