@@ -158,13 +158,70 @@ def lsh_ann_topk(
     )
 
 
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float, *,
+    num_planes: int = 4, dim: int = 64, num_tables: int = 8,
+) -> DataFrame:
+    """THE SCALE PATH for embedding near-dup: multi-table hyperplane-LSH
+    candidate generation (one explode + one shuffle keyed on
+    (table, bucket) — never an all-pairs crossJoin) followed by exact
+    cosine verification of the candidates. Same OR-amplification math as
+    lsh_ann_topk: P(candidate) = 1-(1-(1-θ/π)^planes)^tables. The md5
+    hyperplanes are deterministic, so a SQL oracle can replay the exact
+    candidate set (queries/llm.py dedup_embedding_lsh does).
+
+    Output: (doc_i, doc_j, cos) with doc_i < doc_j, cos ≥ threshold."""
+    buckets = F.array(*[
+        F.struct(
+            F.lit(tb).alias("tbl"),
+            F.concat(*[
+                F.when(
+                    dot(F.col(vec_col),
+                        F.array(*[F.lit(x) for x in w])) >= 0,
+                    F.lit("1"),
+                ).otherwise(F.lit("0"))
+                for w in hyperplanes(num_planes, dim, tb)
+            ]).alias("bkt"),
+        )
+        for tb in range(num_tables)
+    ])
+    b = df.select(F.col(id_col), F.explode(buckets).alias("tb")).select(
+        id_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt")
+    )
+    a = b.alias("a")
+    c = b.alias("c")
+    cands = (
+        a.join(c, ["tbl", "bkt"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"c.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_i"),
+            F.col(f"c.{id_col}").alias("doc_j"),
+        )
+        .distinct()
+    )
+    n = _with_norm(df, vec_col, "__n")
+    iside = n.select(F.col(id_col).alias("doc_i"),
+                     F.col(vec_col).alias("__vi"), F.col("__n").alias("__ni"))
+    jside = n.select(F.col(id_col).alias("doc_j"),
+                     F.col(vec_col).alias("__vj"), F.col("__n").alias("__nj"))
+    return (
+        cands.join(iside, "doc_i").join(jside, "doc_j")
+        .select(
+            "doc_i", "doc_j",
+            cosine(F.col("__vi"), F.col("__vj"),
+                   F.col("__ni"), F.col("__nj")).alias("__cos"),
+        )
+        .filter(F.col("__cos") >= threshold)
+        .select("doc_i", "doc_j", F.round("__cos", 6).alias("cos"))
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (doc_i < doc_j, cos ≥
-    threshold). Exact pairwise here; at scale, run lsh_bucket first and
-    compare only within buckets (identical output for thresholds high
-    enough that near-dups share all sign bits w.h.p.)."""
+    threshold). EXACT all-pairs — the correctness baseline, pinned to
+    small SF; the production path is embedding_near_dup_pairs_lsh."""
     n = _with_norm(df, vec_col, "__n").select(
         F.col(id_col), F.col(vec_col).alias("__v"), "__n"
     )

@@ -36,7 +36,7 @@ _DRIVER_PRIORITY = [
     "mv_filter_rewrite", "dedup_ngram_capped",
     # LLM training-data pipeline
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash_buckets", "dedup_embedding_cosine", "ann_cosine_topk",
+    "dedup_simhash_buckets", "dedup_embedding_lsh", "ann_cosine_topk",
     "text_lang_id", "text_quality_score", "text_token_stats",
     "doc_fingerprint", "multimodal_meta",
     # streaming

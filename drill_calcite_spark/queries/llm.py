@@ -31,6 +31,7 @@ from drill_calcite_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_blocked,
     embedding_near_dup_pairs,
+    embedding_near_dup_pairs_lsh,
     lsh_ann_topk,
 )
 from drill_calcite_spark.queries.common import t
@@ -240,6 +241,62 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is non-vacuous; real corpora use ~0.95."""
     emb = t(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.45)
+
+
+def _embedding_lsh_oracle(threshold: float = 0.45, num_planes: int = 4,
+                          dim: int = 64, num_tables: int = 8) -> str:
+    """Replays the md5-hyperplane bucketing in SQL: per table, each plane
+    projection is the same ordered left-fold dot product the Spark side
+    folds (weights are x.5 values — exact in binary — so the sign bits
+    match bit-for-bit)."""
+    from drill_calcite_spark.operators.similarity import hyperplanes
+
+    def proj(w):
+        lits = ", ".join(repr(x) for x in w)
+        return _SQL_DOT.format(a="v", b=f"[{lits}]::DOUBLE[]")
+
+    tables = "\n  UNION ALL ".join(
+        "SELECT vec_id, {t} AS tbl, {bits} AS bkt FROM n".format(
+            t=tb,
+            bits=" || ".join(
+                f"CASE WHEN {proj(w)} >= 0 THEN '1' ELSE '0' END"
+                for w in hyperplanes(num_planes, dim, tb)
+            ),
+        )
+        for tb in range(num_tables)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
+           FROM embeddings),
+n AS (SELECT vec_id, v FROM e),
+bk AS ({tables}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS doc_i, b.vec_id AS doc_j
+  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bkt = b.bkt
+  WHERE a.vec_id < b.vec_id
+),
+nn AS (SELECT vec_id, v, sqrt({_DOT_VV}) nrm FROM e),
+p AS (
+  SELECT cand.doc_i, cand.doc_j, {_DOT_AB} / (a.nrm * b.nrm) AS c
+  FROM cand JOIN nn a ON a.vec_id = cand.doc_i
+            JOIN nn b ON b.vec_id = cand.doc_j
+)
+SELECT doc_i, doc_j, round(c, 6) AS cos FROM p WHERE c >= {threshold}
+"""
+
+
+@q("dedup_embedding_lsh", _embedding_lsh_oracle())
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via the SCALE path: multi-table hyperplane-LSH
+    candidates + exact cosine verify (operators/similarity.py
+    embedding_near_dup_pairs_lsh) — no all-pairs crossJoin anywhere. The
+    oracle replays the identical md5-hyperplane bucketing, so LSH's
+    candidate selection itself is hash-checked."""
+    emb = t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs_lsh(
+        emb, "vec_id", "embedding", 0.45,
+        num_planes=4, dim=64, num_tables=8,
+    )
 
 
 # -------------------------------------------------------------- similarity
