@@ -53,6 +53,52 @@ def _fixture_dir(sf_dir: str) -> str:
     return d
 
 
+@q("bucketed_join_colocated", """
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       sum(o_totalprice::DECIMAL(18,6))::DOUBLE AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""")
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located bucketed join (RelDistribution.java:33 / Exchange
+    planning): orders and customer are bucketed on the join key at write
+    time, so the join itself runs WITHOUT shuffling either side — verified
+    by an in-query plan assertion (no Exchange hashpartitioning feeding
+    the join). At 100 TB this converts the per-query fact-table shuffle
+    into a one-time write cost; the oracle proves the result is identical
+    to the plain join."""
+    from drill_calcite_spark.sources.bucketed import (
+        assert_no_shuffle_join,
+        create_bucketed_table,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    to, tc = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
+    create_bucketed_table(
+        t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        to, "o_custkey", 8,
+    )
+    create_bucketed_table(
+        t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        tc, "c_custkey", 8,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        lt, rt = spark.table(to), spark.table(tc)
+        joined = lt.join(rt, lt.o_custkey == rt.c_custkey)
+        assert_no_shuffle_join(joined)
+        out = joined.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double").alias("revenue"),
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return out
+
+
 @q("source_jdbc_scan", """
 SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey < 3
 """)

@@ -214,6 +214,32 @@ def test_match_recognize_all_rows_exclusion(spark):
     assert rows == [(4, "UP", 4), (5, "UP", 4)]
 
 
+def test_match_recognize_within_interval(spark):
+    # same V-shape twice; the second is stretched over a long time span and
+    # must be rejected by WITHIN 10 (rel/core/Match.java interval)
+    df = spark.createDataFrame(
+        [(1, 0.0, 10.0), (1, 2.0, 8.0), (1, 4.0, 9.0),      # span 4 → kept
+         (2, 0.0, 10.0), (2, 50.0, 8.0), (2, 99.0, 9.0)],   # span 99 → dropped
+        "uid long, t double, value double",
+    )
+    kwargs = dict(
+        partition_by=["uid"], order_by=["t"],
+        pattern="DOWN+ UP+",
+        define={
+            "DOWN": lambda p: p["value"] < p["value"].shift(1),
+            "UP": lambda p: p["value"] > p["value"].shift(1),
+        },
+        measures={"uid": lambda p, m: int(p["uid"].iloc[0]),
+                  "n": lambda p, m: len(m["*"])},
+        output_schema="uid long, n long",
+    )
+    out = match_recognize(df, within=("t", 10.0), **kwargs).collect()
+    assert [(r.uid, r.n) for r in out] == [(1, 2)]
+    # without the clause both matches survive
+    out2 = match_recognize(df, **kwargs).collect()
+    assert sorted((r.uid, r.n) for r in out2) == [(1, 2), (2, 2)]
+
+
 # ------------------------------------------------------------ distributed ranks
 def test_distributed_distribution_matches_global_window(spark):
     from pyspark.sql import Window as W
