@@ -38,6 +38,7 @@ materializations.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -203,6 +204,68 @@ class MaterializedViews:
         aggs = [self._rollup_agg(op, col).alias(out)
                 for out, op, col in measures]
         return tdf.groupBy(*dims).agg(*aggs)
+
+    # ---------------------------------------------------- join-MV unification
+    @staticmethod
+    def join_signature(tables: Sequence[str],
+                       on: Sequence[tuple[str, str]]) -> str:
+        """Canonical identity of an equi-join: sorted table names ⋈ sorted
+        key pairs. Two queries joining the same tables on the same keys
+        unify with the same join-MV — the decidable core of
+        AbstractMaterializedViewRule's join unification
+        (SubstitutionVisitor.java:120), without a RexNode equivalence
+        engine."""
+        ts = "⋈".join(sorted(tables))
+        ks = ",".join(sorted(f"{a}={b}" for a, b in on))
+        return f"{ts}[{ks}]"
+
+    def create_join(
+        self, name: str, tables: dict[str, DataFrame],
+        on: Sequence[tuple[str, str]], dims: list[str],
+        measures: list[tuple[str, str]], path: str,
+        where: list[Atom] | None = None,
+    ) -> None:
+        """CREATE MATERIALIZED VIEW name AS SELECT dims, aggs FROM
+        t1 JOIN t2 ON … GROUP BY dims — a JOIN-MV: the join is paid once
+        at materialization; queries over the same join signature roll up
+        the tile and never re-execute the join (at 100 TB the fact⋈dim
+        shuffle is usually the dominant query cost)."""
+        names = list(tables)
+        base = tables[names[0]]
+        for nm in names[1:]:
+            base = base.join(
+                tables[nm], [F.col(a) == F.col(b) for a, b in on]
+            )
+        self.create(name, self.join_signature(names, on), base, dims,
+                    measures, path, where)
+
+    def summarize_join(
+        self, tables: dict[str, DataFrame], on: Sequence[tuple[str, str]],
+        dims: list[str], measures: list[tuple[str, str, str]],
+        where: list[Atom] | None = None,
+    ) -> DataFrame:
+        """GROUP BY over an equi-join — served from a join-MV whose
+        signature matches (tables + keys), else by executing the join."""
+        sig = self.join_signature(list(tables), on)
+        hit = self.find_tile(sig, dims, measures, where)
+        if hit is not None:
+            tile, residual = hit
+            tdf = self.spark.read.parquet(tile.path)
+            if residual:
+                tdf = tdf.filter(_conj(residual))
+            aggs = [self._rollup_agg(op, col).alias(out)
+                    for out, op, col in measures]
+            return tdf.groupBy(*dims).agg(*aggs)
+        names = list(tables)
+        base = tables[names[0]]
+        for nm in names[1:]:
+            base = base.join(
+                tables[nm], [F.col(a) == F.col(b) for a, b in on]
+            )
+        if where:
+            base = base.filter(_conj(list(where)))
+        aggs = [self._base_agg(op, col).alias(out) for out, op, col in measures]
+        return base.groupBy(*dims).agg(*aggs)
 
     @staticmethod
     def _base_agg(op: str, col: str):

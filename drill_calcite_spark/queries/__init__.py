@@ -51,7 +51,7 @@ _DRIVER_PRIORITY = [
     # relops tail + function batteries
     "mv_tile_rollup", "profile_orders", "correlate_lateral_topn",
     "collect_nested", "table_function_series", "func_udf_surface",
-    "agg_approx_distinct", "bucketed_join_colocated", "func_math",
+    "agg_approx_distinct", "bucketed_join_colocated", "mv_join_rewrite",
     "func_geo_st", "window_distribution_scalable",
 ]
 

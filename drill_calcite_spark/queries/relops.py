@@ -1050,6 +1050,50 @@ def mv_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("mv_join_rewrite", """
+SELECT c_mktsegment,
+       count(*) AS n,
+       sum(o_totalprice::DECIMAL(18,6))::DOUBLE AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""")
+def mv_join_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-MV unification (AbstractMaterializedViewRule /
+    SubstitutionVisitor.java:120): a pre-joined, pre-aggregated
+    orders⋈customer tile at (c_mktsegment, o_orderstatus) granularity
+    serves the c_mktsegment rollup — the query never re-executes the
+    join OR scans the base tables (inputFiles assertion). Unification
+    key = canonical join signature (sorted tables + join key pairs)."""
+    import os as _os
+
+    from drill_calcite_spark.plans.materialized import MaterializedViews
+
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/spark_graft_fixtures/{tag}/mv_join_tile"
+    ords = t(spark, sf_dir, "orders").withColumn(
+        "o_totalprice_dec", F.col("o_totalprice").cast("decimal(18,6)")
+    )
+    cust = t(spark, sf_dir, "customer")
+    tables = {"orders": ords, "customer": cust}
+    on = [("o_custkey", "c_custkey")]
+    mvs = MaterializedViews(spark)
+    mvs.create_join(
+        "orders_customer_seg", tables, on,
+        dims=["c_mktsegment", "o_orderstatus"],
+        measures=[("sum", "o_totalprice_dec")],
+        path=path,
+    )
+    out = mvs.summarize_join(
+        tables, on, ["c_mktsegment"],
+        [("n", "count", "*"), ("revenue", "sum", "o_totalprice_dec")],
+    )
+    assert all("mv_join_tile" in f for f in out.inputFiles()), \
+        "join-MV rewrite fell back to executing the join"
+    return out.select(
+        "c_mktsegment", "n", F.col("revenue").cast("double").alias("revenue")
+    )
+
+
 @q("mv_filter_rewrite", """
 SELECT o_orderstatus,
        sum(o_totalprice::DECIMAL(18,6))::DOUBLE AS total,

@@ -125,6 +125,27 @@ def test_filter_not_subsumed_falls_back(spark, tmp_path):
     assert not any("tile" in f for f in out2.inputFiles())
 
 
+# ------------------------------------------------------------- join-MV
+def test_join_mv_serves_matching_signature(spark, tmp_path):
+    left = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)], "fk long, seg string, v double"
+    )
+    dim = spark.createDataFrame([(1, "x"), (2, "y"), (3, "x")], "pk long, grp string")
+    mvs = MaterializedViews(spark)
+    tables = {"fact": left, "dim": dim}
+    on = [("fk", "pk")]
+    mvs.create_join("jmv", tables, on, ["grp", "seg"], [("sum", "v")],
+                    str(tmp_path / "jmv"))
+    out = mvs.summarize_join(tables, on, ["grp"],
+                             [("s", "sum", "v"), ("n", "count", "*")])
+    assert all("jmv" in f for f in out.inputFiles())
+    assert {r.grp: (r.s, r.n) for r in out.collect()} == {"x": (40.0, 2), "y": (20.0, 1)}
+    # different join keys → different signature → executes the join
+    out2 = mvs.summarize_join(tables, [("fk", "fk")], ["grp"],
+                              [("s", "sum", "v")])
+    assert not any("jmv" in f for f in out2.inputFiles())
+
+
 def test_unfiltered_query_rejects_filtered_tile(spark, tmp_path):
     # tile stores WHERE v > 2; a query with NO predicate must not use it
     mvs = MaterializedViews(spark)
