@@ -42,6 +42,7 @@ _DRIVER_PRIORITY = [
     # streaming
     "stream_tumble_hourly", "stream_hop_30m", "stream_session_6h",
     "stream_live_tumble", "stream_live_dedup", "stream_stateful_counter",
+    "stream_stream_join",
     # sources + DML
     "source_jdbc_scan", "source_csv_scan", "source_json_scan",
     "modify_insert_delete", "modify_update_where", "modify_merge_orders",
@@ -51,7 +52,7 @@ _DRIVER_PRIORITY = [
     # relops tail + function batteries
     "mv_tile_rollup", "profile_orders", "correlate_lateral_topn",
     "collect_nested", "table_function_series", "func_udf_surface",
-    "agg_approx_distinct", "bucketed_join_colocated", "mv_join_rewrite",
+    "bucketed_join_colocated", "mv_join_rewrite",
     "func_geo_st", "window_distribution_scalable",
 ]
 

@@ -168,6 +168,44 @@ def stream_live_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(agg, spark, output_mode="complete")
 
 
+@q("stream_stream_join", """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+""")
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join (rel/stream/Delta.java through a binary
+    join — the streaming case the reference only plans): clicks joined to
+    the purchases that follow within 1 hour, per user. Both sides carry
+    watermarks and the join condition is time-bounded, so Spark can expire
+    state — the two requirements for unbounded-stream joins at scale.
+    AvailableNow drain in append mode equals the batch join, which is what
+    the oracle runs."""
+    clicks = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id",
+                F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr("user_id = p_user AND p_ts >= c_ts "
+               "AND p_ts < c_ts + INTERVAL 1 HOUR"),
+    ).select("click_id", "purchase_id", "user_id")
+    return run_available_now(joined, spark, output_mode="append")
+
+
 @q("stream_stateful_counter", """
 SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
 """)
