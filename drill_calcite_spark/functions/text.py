@@ -28,19 +28,31 @@ def tokens(text: Column) -> Column:
 def shingles(toks: Column, n: int = 2) -> Column:
     """Word n-gram shingles (space-joined), order preserved, may repeat.
 
-    Only n=2 is needed today; the 2-gram form zips the token list against
-    itself shifted by one, which both engines express as slice+zip.
+    n=2 keeps the proven zip form (the one every dedup oracle replays):
     Oracle: list_transform(list_zip(t[1:len(t)-1], t[2:len(t)]),
                            s -> s[1] || ' ' || s[2])
+
+    n≥3 uses an index-window transform; documents shorter than n yield [].
+    Oracle: CASE WHEN len(t) >= n THEN list_transform(
+                generate_series(1, len(t)-(n-1)),
+                i -> t[i] || ' ' || … || t[i+n-1]) ELSE [] END
     """
-    if n != 2:
-        raise NotImplementedError("only 2-gram shingles are wired up")
-    # Clamp the slice length at 0: an empty/whitespace-only document has
-    # size(toks)=0 and slice(…, -1) throws at runtime.
-    ln = F.greatest(F.lit(0), F.size(toks) - 1)
-    left = F.slice(toks, 1, ln)
-    right = F.slice(toks, 2, ln)
-    return F.zip_with(left, right, lambda a, b: F.concat(a, F.lit(" "), b))
+    if n < 2:
+        raise ValueError("shingle size must be >= 2")
+    if n == 2:
+        # Clamp the slice length at 0: an empty/whitespace-only document has
+        # size(toks)=0 and slice(…, -1) throws at runtime.
+        ln = F.greatest(F.lit(0), F.size(toks) - 1)
+        left = F.slice(toks, 1, ln)
+        right = F.slice(toks, 2, ln)
+        return F.zip_with(left, right, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def char_cast(col: Column, n: int) -> Column:

@@ -190,6 +190,38 @@ def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("text_trigram_stats", f"""
+WITH toks AS ({_SQL_TOKS}),
+tg AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(generate_series(1, len(t)-2),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+              ELSE [] END AS g3
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(g3) AS BIGINT)                 AS n_trigrams,
+       CAST(len(list_distinct(g3)) AS BIGINT)  AS n_distinct,
+       list_aggregate(g3, 'min')               AS first_alpha
+FROM tg WHERE doc_id < 200
+""")
+def text_trigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word TRIGRAM shingles (functions/text.py shingles n=3 — the
+    index-window general-n path): per-document trigram count, distinct
+    count, and lexicographic minimum. Same one-pass column-expression
+    shape as the 2-gram pipeline; the oracle replays the window
+    construction."""
+    doc = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    g3 = shingles(tokens(F.col("text")), n=3)
+    return doc.select(
+        "doc_id",
+        F.size(g3).cast("bigint").alias("n_trigrams"),
+        F.size(F.array_distinct(g3)).cast("bigint").alias("n_distinct"),
+        F.array_min(g3).alias("first_alpha"),
+    )
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     sums = ", ".join(
         f"sum(CASE WHEN substr(h, {i + 1}, 1) >= '8' THEN 1 ELSE -1 END) b{i}"

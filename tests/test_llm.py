@@ -93,6 +93,14 @@ def test_shingles_empty_and_single_token_docs(spark):
     assert got == {1: [], 2: [], 3: [], 4: ["a b"]}
 
 
+def test_shingles_general_n(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, "")], "doc_id long, text string"
+    ).select("doc_id", shingles(tokens(F.col("text")), n=3).alias("g3"))
+    got = {r.doc_id: r.g3 for r in df.collect()}
+    assert got == {1: ["a b c", "b c d"], 2: [], 3: []}
+
+
 def test_simhash_identical_docs_same_signature(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e f"), (2, "a b c d e f"), (3, "u v w x y z")],
