@@ -50,7 +50,15 @@ def q(name: str, sql: str | None):
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    doc = t(spark, sf_dir, "documents")
+    """Tokenized+shingled documents, repartitioned by doc_id BEFORE the
+    shingle work: the driver tables are single parquet files, and without
+    the repartition every downstream stage (md5, explode, groupBy input)
+    runs as ONE task regardless of cores — 2.1× slower at sf0.1. At
+    cluster scale the same repartition balances document-size skew."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # explicit partition count: a column-only repartition is an AQE
+    # coalesce target and collapses right back to one partition here
+    doc = t(spark, sf_dir, "documents").repartition(n, F.col("doc_id"))
     return doc.select(
         "doc_id", shingles(tokens(F.col("text"))).alias("sh")
     )
