@@ -478,6 +478,35 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("agg_percentiles", """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       round(quantile_cont(l_extendedprice, 0.90), 6) AS p90,
+       quantile_disc(l_extendedprice, 0.50)           AS d50,
+       round(median(l_quantity), 6)                   AS med_qty
+FROM lineitem GROUP BY l_returnflag
+""")
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_CONT / PERCENTILE_DISC / MEDIAN inverse-distribution
+    aggregates (SqlStdOperatorTable.java:1832-1845): exact sort-based
+    percentiles with linear interpolation (CONT) and the at-or-below value
+    (DISC). Both engines interpolate (1-f)·a + f·b over the sorted run, so
+    values hash-match at 6dp."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr(
+            "percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ), 6).alias("p25"),
+        F.round(F.expr(
+            "percentile_cont(0.90) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ), 6).alias("p90"),
+        F.expr(
+            "percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("d50"),
+        F.round(F.median("l_quantity"), 6).alias("med_qty"),
+    )
+
+
 @q("agg_listagg_within", """
 SELECT l_returnflag,
        string_agg(l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR, '|'
