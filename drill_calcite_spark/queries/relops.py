@@ -850,6 +850,37 @@ def func_similar_to(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("join_salted_skew", """
+WITH f AS (SELECT event_id, user_id % 25 AS nk, value FROM events)
+SELECT n_name,
+       count(*) AS n_events,
+       sum(value::DECIMAL(18,6))::DOUBLE AS total_value
+FROM f JOIN nation ON nk = n_nationkey
+GROUP BY n_name
+""")
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED skew join (operators/skew.py): the fact side's hot keys are
+    split across 8 salt buckets, the 25-row build side is replicated per
+    salt — each hot key occupies 8 reducers instead of one. The oracle
+    runs the plain unsalted join: identical hashes prove salting only
+    routes rows. Complements AQE's runtime skew-split (session.py), which
+    covers sort-merge joins but not skewed aggregations."""
+    from drill_calcite_spark.operators.skew import salted_join
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", (F.col("user_id") % 25).alias("nk"), "value"
+    )
+    nat = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), "n_name"
+    )
+    joined = salted_join(ev, nat, ["nk"], salts=8)
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+        .alias("total_value"),
+    )
+
+
 # ------------------------------------------------------------ scalar semantics
 @q("is_distinct_from", """
 SELECT CAST(sum(CASE WHEN nullif(l_discount, 0.0) IS DISTINCT FROM nullif(l_tax, 0.0)

@@ -240,6 +240,24 @@ def test_match_recognize_within_interval(spark):
     assert sorted((r.uid, r.n) for r in out2) == [(1, 2), (2, 2)]
 
 
+def test_salted_join_equals_plain_join(spark):
+    from drill_calcite_spark.operators.skew import salted_join
+
+    # planted skew: 90% of fact rows share one key
+    fact = spark.createDataFrame(
+        [(1 if i % 10 else i % 5, float(i)) for i in range(2000)], "k long, v double"
+    )
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(5)], "k long, name string")
+    salted = salted_join(fact, dim, ["k"], salts=7)
+    plain = fact.join(dim, "k")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # left joins preserve unmatched fact rows too
+    fact2 = fact.union(spark.createDataFrame([(99, 0.0)], "k long, v double"))
+    sl = salted_join(fact2, dim, ["k"], salts=3, how="left")
+    pl = fact2.join(dim, "k", "left")
+    assert sorted(map(tuple, sl.collect()), key=str) == sorted(map(tuple, pl.collect()), key=str)
+
+
 # ------------------------------------------------------------ distributed ranks
 def test_distributed_distribution_matches_global_window(spark):
     from pyspark.sql import Window as W
