@@ -53,6 +53,42 @@ def _fixture_dir(sf_dir: str) -> str:
     return d
 
 
+@q("source_partition_pruning", """
+SELECT extract(year FROM o_orderdate)::BIGINT AS o_year,
+       count(*) AS n,
+       sum(o_totalprice::DECIMAL(18,6))::DOUBLE AS revenue
+FROM orders
+WHERE extract(year FROM o_orderdate) IN (1995, 1996)
+GROUP BY 1
+""")
+def source_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATIC PARTITION PRUNING — the reference prunes scans with
+    filter-pushdown rules (FilterTableScanRule, rules/RelOptRules listing);
+    Spark's equivalent at the storage layer is hive-style partitioned
+    parquet: orders is materialized partitioned by year, and a year filter
+    prunes whole directories from the listing BEFORE any I/O. The plan
+    assertion proves the predicate landed in PartitionFilters (pruning the
+    file index) and NOT in DataFilters (a post-scan row filter) — at
+    100 TB this is the difference between scanning 7 years and 2. The
+    oracle runs the same filter over the unpartitioned base."""
+    fd = _fixture_dir(sf_dir)
+    path = os.path.join(fd, "orders_by_year")
+    done = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(done):
+        (t(spark, sf_dir, "orders")
+         .withColumn("o_year", F.year("o_orderdate").cast("long"))
+         .write.mode("overwrite").partitionBy("o_year").parquet(path))
+    part = spark.read.parquet(path).filter(F.col("o_year").isin(1995, 1996))
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [o_year" in plan and "DataFilters: []" in plan, \
+        "year predicate did not become a partition filter:\n" + plan[:1500]
+    return part.groupBy("o_year").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
+        .alias("revenue"),
+    )
+
+
 @q("bucketed_join_colocated", """
 SELECT c_mktsegment,
        count(*) AS n_orders,
