@@ -89,6 +89,48 @@ def source_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("source_dynamic_pruning", """
+WITH eras AS (
+  SELECT * FROM (VALUES (1995, 'early'), (1996, 'early'), (1997, 'late'),
+                        (1998, 'late'), (1999, 'late'), (2000, 'late'),
+                        (2001, 'late')) AS t(yr, era)
+)
+SELECT era, count(*) AS n,
+       sum(o_totalprice::DECIMAL(18,6))::DOUBLE AS revenue
+FROM orders JOIN eras ON extract(year FROM o_orderdate) = yr
+WHERE era = 'early'
+GROUP BY era
+""")
+def source_dynamic_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING: the partition filter isn't a literal —
+    it's the set of years surviving a filter on a joined dimension, known
+    only at runtime. Catalyst injects a dynamicpruning subquery into the
+    fact scan's PartitionFilters (the runtime analogue of the reference's
+    FilterTableScanRule + join transitive closure), so only the dimension-
+    selected year directories are read. Asserted via the plan; results
+    hash-match the plain-join oracle."""
+    fd = _fixture_dir(sf_dir)
+    path = os.path.join(fd, "orders_by_year")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (t(spark, sf_dir, "orders")
+         .withColumn("o_year", F.year("o_orderdate").cast("long"))
+         .write.mode("overwrite").partitionBy("o_year").parquet(path))
+    fact = spark.read.parquet(path)
+    eras = spark.createDataFrame(
+        [(1995, "early"), (1996, "early"), (1997, "late"), (1998, "late"),
+         (1999, "late"), (2000, "late"), (2001, "late")], "yr long, era string"
+    ).filter(F.col("era") == "early")
+    joined = fact.join(F.broadcast(eras), fact.o_year == eras.yr)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, \
+        "no dynamic partition pruning subquery in the fact scan:\n" + plan[:1500]
+    return joined.groupBy("era").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
+        .alias("revenue"),
+    )
+
+
 @q("bucketed_join_colocated", """
 SELECT c_mktsegment,
        count(*) AS n_orders,
