@@ -40,11 +40,12 @@ _DRIVER_PRIORITY = [
     "text_lang_id", "text_quality_score", "agg_percentiles",
     "doc_fingerprint", "multimodal_meta",
     # streaming
-    "stream_tumble_hourly", "stream_hop_30m", "stream_session_6h",
+    "stream_tumble_hourly", "stream_session_6h",
     "stream_live_tumble", "stream_live_dedup", "stream_stateful_counter",
     "stream_stream_join",
-    # sources + DML
-    "source_jdbc_scan", "source_csv_scan", "source_json_scan",
+    # sources + DML + physical layout
+    "source_jdbc_scan", "source_csv_scan", "source_partition_pruning",
+    "source_dynamic_pruning",
     "modify_insert_delete", "modify_update_where", "modify_merge_orders",
     # custom operators
     "recursive_numbers", "recursive_nation_tree", "asof_last_purchase",
