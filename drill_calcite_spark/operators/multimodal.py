@@ -60,6 +60,80 @@ def _decode_bytes(payload: bytes) -> np.ndarray:
     return hist / total if total else hist
 
 
+FRAME_BYTES = 64
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_md5 string, frame_len long"
+
+
+def frame_sample(df: DataFrame, *, stride: int = 3) -> DataFrame:
+    """Frame sampling over a "video" payload: the binary column is treated
+    as a sequence of FRAME_BYTES-sized frames; every ``stride``-th frame is
+    emitted as its own row (uniform temporal subsampling — the standard
+    video-pretraining reduction). Row EXPANSION inside mapInPandas: each
+    Arrow batch of documents yields a larger batch of frames, but memory
+    stays bounded because only sampled frames materialize.
+
+    The frame content is emitted as md5 so the result is compact and
+    engine-portable — the DuckDB oracle replays the identical slicing with
+    substr+md5 (payloads here are UTF-8 of ASCII text, so byte and
+    character offsets coincide)."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, md5s, lens = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = (len(b) + FRAME_BYTES - 1) // FRAME_BYTES
+                for fi in range(0, n_frames, stride):
+                    frame = b[fi * FRAME_BYTES:(fi + 1) * FRAME_BYTES]
+                    ids.append(int(doc_id))
+                    idxs.append(fi)
+                    md5s.append(hashlib.md5(frame).hexdigest())
+                    lens.append(len(frame))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "frame_md5": pd.Series(md5s, dtype="object"),
+                "frame_len": pd.Series(lens, dtype="int64"),
+            })
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, out_w int, out_h int, resized_md5 string"
+
+
+def resize_stub(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """STUB resize — nearest-neighbor stride sampling of the payload bytes
+    onto an out_w×out_h grid (a real deployment decodes and resizes with
+    PIL; the dataflow — binary in, fixed-size binary out, Arrow-batched —
+    is identical). Deterministic, so tests pin the output."""
+
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = out_w * out_h
+                if len(b) == 0:
+                    grid = np.zeros(n, dtype=np.uint8)
+                else:
+                    idx = (np.arange(n) * len(b)) // n
+                    grid = b[idx]
+                out.append(hashlib.md5(grid.tobytes()).hexdigest())
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "out_w": np.full(len(pdf), out_w, dtype="int32"),
+                "out_h": np.full(len(pdf), out_h, dtype="int32"),
+                "resized_md5": out,
+            })
+
+    return df.mapInPandas(run, RESIZE_SCHEMA)
+
+
 def extract_features(df: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over the binary payload column.
     Input: (doc_id, payload, width, height, ...). Output: FEATURE_SCHEMA.

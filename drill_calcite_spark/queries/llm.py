@@ -26,6 +26,8 @@ from drill_calcite_spark.operators.multimodal import (
     N_FEATURES,
     attach_binary_payload,
     extract_features,
+    frame_sample,
+    resize_stub,
 )
 from drill_calcite_spark.operators.similarity import (
     cosine_topk,
@@ -596,6 +598,41 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["multimodal_features"] = multimodal_features_q
+
+
+@q("multimodal_frame_sample", """
+WITH f AS (SELECT doc_id, text, strlen(text) AS n FROM documents
+           WHERE doc_id < 300),
+idx AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, ((n + 63) // 64) - 1)) AS fi
+  FROM f WHERE n > 0
+)
+SELECT doc_id, fi AS frame_idx,
+       md5(substr(text, fi * 64 + 1, 64))               AS frame_md5,
+       CAST(strlen(substr(text, fi * 64 + 1, 64)) AS BIGINT) AS frame_len
+FROM idx WHERE fi % 3 = 0
+""")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style FRAME SAMPLING over binary payloads
+    (operators/multimodal.py frame_sample): payload split into 64-byte
+    frames, every 3rd frame emitted with its md5 — row expansion inside
+    mapInPandas with bounded Arrow batches. Payloads are UTF-8 of ASCII
+    text, so the oracle replays the byte slicing with substr+md5
+    character arithmetic."""
+    doc = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return frame_sample(attach_binary_payload(doc), stride=3)
+
+
+def multimodal_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STUB nearest-neighbor resize over binary payloads — rows-only (the
+    stride-sampled grid is a stand-in for a real decoder+PIL resize; the
+    Arrow dataflow is the real thing, tests pin determinism)."""
+    doc = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return resize_stub(attach_binary_payload(doc), out_w=8, out_h=8)
+
+
+QUERIES["multimodal_resize"] = multimodal_resize_q
 
 
 # ------------------------------------------------------------------- bench

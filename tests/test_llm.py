@@ -21,6 +21,8 @@ from drill_calcite_spark.operators.multimodal import (
     N_FEATURES,
     attach_binary_payload,
     extract_features,
+    frame_sample,
+    resize_stub,
 )
 from drill_calcite_spark.operators.similarity import (
     cosine_topk,
@@ -57,6 +59,25 @@ def test_ngram_jaccard_exact_pairs(spark):
     out = ngram_jaccard_pairs(df, "doc_id", "sh", 0.3).collect()
     # docs 1,2 share shingles {a b, b c}; union = {a b, b c, c d, c e} → 0.5
     assert [(r.doc_i, r.doc_j, r.jaccard) for r in out] == [(1, 2, 0.5)]
+
+
+def test_frame_sample_and_resize_deterministic(spark):
+    import hashlib
+
+    text = "x" * 200  # 200 bytes → frames 0..3 (64,64,64,8); stride 3 → 0, 3
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    frames = frame_sample(attach_binary_payload(df), stride=3).collect()
+    got = sorted((r.frame_idx, r.frame_len, r.frame_md5) for r in frames)
+    exp = [
+        (0, 64, hashlib.md5(b"x" * 64).hexdigest()),
+        (3, 8, hashlib.md5(b"x" * 8).hexdigest()),
+    ]
+    assert got == exp
+    r1 = resize_stub(attach_binary_payload(df)).collect()[0]
+    r2 = resize_stub(attach_binary_payload(df)).collect()[0]
+    assert (r1.out_w, r1.out_h) == (8, 8) and r1.resized_md5 == r2.resized_md5
+    # uniform bytes → grid is 64 x's
+    assert r1.resized_md5 == hashlib.md5(b"x" * 64).hexdigest()
 
 
 def test_ngram_df_cap_bounds_hot_shingle_fanout(spark):
