@@ -49,7 +49,7 @@ _DRIVER_PRIORITY = [
     "modify_insert_delete", "modify_update_where", "modify_merge_orders",
     # custom operators
     "recursive_numbers", "recursive_nation_tree", "asof_last_purchase",
-    "islands_increasing_runs", "snapshot_orders_scd",
+    "multimodal_frame_sample", "snapshot_orders_scd",
     # relops tail + function batteries
     "mv_tile_rollup", "profile_orders", "correlate_lateral_topn",
     "collect_nested", "table_function_series", "func_udf_surface",
