@@ -271,6 +271,35 @@ class Rel:
 
         return Rel(_asof(self.df, other.df, on, left_ts, right_ts, **kwargs))
 
+    def salted_join(self, other: "Rel", on: list[str], *, salts: int = 16,
+                    how: str = "inner") -> "Rel":
+        """Skew-mitigated equi-join (operators/skew.py): hot keys split
+        across ``salts`` reducers, the (small) build side replicated."""
+        from drill_calcite_spark.operators.skew import salted_join as _sj
+
+        return Rel(_sj(self.df, other.df, on, salts=salts, how=how))
+
+    def distribution(self, order_cols: Sequence[str], *, ntile: int,
+                     num_partitions: int = 32) -> "Rel":
+        """Global NTILE/CUME_DIST/PERCENT_RANK without a single-partition
+        window (operators/ranks.py distributed_distribution)."""
+        from drill_calcite_spark.operators.ranks import distributed_distribution
+
+        return Rel(distributed_distribution(
+            self.df, order_cols, ntile=ntile, num_partitions=num_partitions))
+
+    def sample_system(self, every_k_pages: int, *,
+                      page_rows: int = 8192) -> "Rel":
+        """TABLESAMPLE SYSTEM (rel/core/Sample.java:36, isBernoulli()=false):
+        page-level block sampling — keep every k-th page of ``page_rows``
+        consecutive rows."""
+        page = (F.monotonically_increasing_id() / F.lit(page_rows)).cast("bigint")
+        return Rel(
+            self.df.withColumn("__page", page)
+            .filter(F.col("__page") % every_k_pages == 0)
+            .drop("__page")
+        )
+
     # ------------------------------------------------------------------- output
     def to_df(self) -> DataFrame:
         return self.df

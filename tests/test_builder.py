@@ -111,3 +111,26 @@ def test_sample_deterministic(spark):
     s1 = r.sample(0.1, seed=42).to_df().count()
     s2 = r.sample(0.1, seed=42).to_df().count()
     assert s1 == s2 and 0 < s1 < 1000
+
+
+def test_salted_join_verb(spark):
+    fact = _r(spark, [(1, 1.0), (1, 2.0), (2, 3.0)], "k long, v double")
+    dim = _r(spark, [(1, "a"), (2, "b")], "k long, s string")
+    out = fact.salted_join(dim, ["k"], salts=4).to_df()
+    assert sorted(map(tuple, out.collect())) == [(1, 1.0, "a"), (1, 2.0, "a"), (2, 3.0, "b")]
+
+
+def test_distribution_verb(spark):
+    r = _r(spark, [(i, float(i % 7)) for i in range(40)], "k long, v double")
+    out = r.distribution(["v", "k"], ntile=4, num_partitions=4).to_df()
+    rows = out.select("global_rank", "ntile_bucket").collect()
+    assert sorted(x.global_rank for x in rows) == list(range(1, 41))
+    from collections import Counter
+    sizes = Counter(x.ntile_bucket for x in rows)
+    assert sorted(sizes.values()) == [10, 10, 10, 10]
+
+
+def test_sample_system_verb(spark):
+    r = _r(spark, [(i,) for i in range(100)], "k long")
+    n = r.sample_system(2, page_rows=10).to_df().count()
+    assert 0 < n < 100
