@@ -170,6 +170,46 @@ def test_match_recognize_all_rows_two_matches_numbered(spark):
                     (5, 2, "DOWN"), (6, 2, "UP")]
 
 
+# Plain pattern characters: no SIMILAR TO operators, no newlines (regex '.'
+# excludes line terminators in Java, RE2 and Python alike — engine-faithful).
+_PLAIN = __import__("hypothesis").strategies.text(
+    alphabet=__import__("hypothesis").strategies.characters(
+        blacklist_categories=("Cs",),
+        blacklist_characters="%_[]()|*+?{}\\\n\r",
+    ),
+    max_size=20,
+)
+
+
+@__import__("hypothesis").given(_PLAIN)
+def test_similar_to_plain_pattern_is_exact_literal(s):
+    # every non-operator character — including regex metachars . ^ $ —
+    # must match itself and nothing else
+    import re as _re
+
+    rx = _re.compile(similar_to_regex(s))
+    assert rx.match(s)
+    if s:
+        assert not rx.match(s + "x") and not rx.match("x" + s)
+
+
+@__import__("hypothesis").given(_PLAIN, _PLAIN)
+def test_similar_to_percent_absorbs_any_suffix(a, b):
+    import re as _re
+
+    assert _re.compile(similar_to_regex(a + "%")).match(a + b)
+
+
+@__import__("hypothesis").given(_PLAIN)
+def test_similar_to_underscore_is_exactly_one_char(s):
+    import re as _re
+
+    rx = _re.compile(similar_to_regex(s + "_"))
+    assert rx.match(s + "x")
+    assert not rx.match(s)
+    assert not rx.match(s + "xy")
+
+
 def test_nfa_permute_expands_all_orderings():
     # PERMUTE(A, B) ≡ (A B | B A), preference in permutation order
     seq = ["B", "A"]  # row0 only B, row1 only A
