@@ -667,6 +667,25 @@ def unnest_with_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("unnest_map_entries", """
+SELECT o_orderkey, e.key AS k, e.value AS v
+FROM (SELECT o_orderkey,
+             unnest(map_entries(MAP {'status': o_orderstatus,
+                                     'prio': o_orderpriority})) AS e
+      FROM orders WHERE o_orderkey < 2000)
+""")
+def unnest_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncollect over a MAP (rel/core/Uncollect.java:46; SqlTypeName.MAP
+    §1.2): UNNEST(map) yields one (key, value) row per entry —
+    explode(create_map(...)) in Spark, map_entries+unnest in the oracle."""
+    ords = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("prio"), F.col("o_orderpriority"),
+    )
+    return ords.select("o_orderkey", F.explode(m).alias("k", "v"))
+
+
 @q("sort_limit_offset", """
 SELECT o_orderkey, o_totalprice FROM orders
 ORDER BY o_totalprice DESC, o_orderkey
