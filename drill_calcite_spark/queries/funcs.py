@@ -400,6 +400,35 @@ def func_char_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("func_bitwise", """
+SELECT o_orderkey,
+       (o_orderkey & o_custkey)          AS b_and,
+       (o_orderkey | o_custkey)          AS b_or,
+       xor(o_orderkey, o_custkey)        AS b_xor,
+       (~o_orderkey)                     AS b_not,
+       (o_custkey << 2)                  AS b_shl,
+       (o_orderkey >> 1)                 AS b_shr,
+       CAST(bit_count(o_custkey) AS INT) AS b_cnt
+FROM orders WHERE o_orderkey < 3000
+""")
+def func_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar functions (SqlLibraryOperators BITAND/BITOR/BITXOR;
+    SqlStdOperatorTable bit aggregates' scalar kin): &, |, xor, ~, shifts,
+    bit_count — all int64 column ops, exact in both engines."""
+    ords = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    return ords.select(
+        "o_orderkey",
+        k.bitwiseAND(c).alias("b_and"),
+        k.bitwiseOR(c).alias("b_or"),
+        k.bitwiseXOR(c).alias("b_xor"),
+        F.bitwise_not(k).alias("b_not"),
+        F.shiftleft(c, 2).alias("b_shl"),
+        F.shiftright(k, 1).alias("b_shr"),
+        F.bit_count(c).alias("b_cnt"),
+    )
+
+
 @q("func_geo_st", r"""
 WITH pts AS (
   SELECT event_id, value AS px, (user_id % 97)::DOUBLE AS py FROM events

@@ -667,6 +667,28 @@ def unnest_with_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("unnest_multi_zip", """
+SELECT doc_id,
+       unnest(string_split(text, ' '))                        AS tok,
+       unnest(range(1, len(string_split(text, ' ')) + 1))     AS pos
+FROM documents WHERE doc_id < 100
+""")
+def unnest_multi_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-argument UNNEST(a, b) — Calcite zips the collections
+    positionally (SqlUnnestOperator, rel/core/Uncollect.java), padding the
+    shorter with NULLs; Spark expresses it as arrays_zip + explode. Both
+    arrays here have equal length so the zip is total (DuckDB's parallel
+    unnest pads identically when they differ)."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.split(F.col("text"), " ")
+    pos = F.sequence(F.lit(1), F.size(toks))
+    z = F.explode(F.arrays_zip(toks.alias("tok"), pos.alias("pos")))
+    return docs.select("doc_id", z.alias("z")).select(
+        "doc_id", F.col("z.tok").alias("tok"),
+        F.col("z.pos").cast("bigint").alias("pos"),
+    )
+
+
 @q("unnest_map_entries", """
 SELECT o_orderkey, e.key AS k, e.value AS v
 FROM (SELECT o_orderkey,
