@@ -400,6 +400,66 @@ def func_char_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("func_array_hof", """
+WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') t
+           FROM documents WHERE doc_id < 150)
+SELECT doc_id,
+       array_to_string(list_transform(t, x -> upper(x)), ',')   AS upper_toks,
+       CAST(len(list_filter(t, x -> length(x) > 4)) AS BIGINT)  AS n_long,
+       list_reduce(list_concat([''], t), (a, x) -> a || '+' || x) AS folded,
+       (len(list_filter(t, x -> x = 'data')) > 0)               AS has_data,
+       (len(list_filter(t, x -> length(x) > 0)) = len(t))       AS all_nonempty
+FROM d
+""")
+def func_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (the lambda calculus over Calcite's
+    MULTISET/ARRAY algebra, SqlStdOperatorTable:2013-2165): TRANSFORM,
+    FILTER, ordered REDUCE/AGGREGATE fold, EXISTS, FORALL — all JVM-side
+    lambda expressions inside whole-stage codegen, never Python."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    return docs.select(
+        "doc_id",
+        F.array_join(F.transform(toks, F.upper), ",").alias("upper_toks"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).cast("bigint")
+        .alias("n_long"),
+        F.aggregate(toks, F.lit(""),
+                    lambda a, x: F.concat(a, F.lit("+"), x)).alias("folded"),
+        F.exists(toks, lambda x: x == "data").alias("has_data"),
+        F.forall(toks, lambda x: F.length(x) > 0).alias("all_nonempty"),
+    )
+
+
+@q("func_struct_row", """
+SELECT o_orderkey,
+       {'st': o_orderstatus, 'pr': o_orderpriority}.st          AS f_status,
+       {'o': {'i': o_custkey}}.o.i                              AS nested_key,
+       ({'st': o_orderstatus} = {'st': 'O'})                    AS is_open_row,
+       ({'a': o_custkey, 'b': o_orderkey}
+          < {'a': o_custkey, 'b': o_orderkey + 1})              AS row_lt
+FROM orders WHERE o_orderkey < 2500
+""")
+def func_struct_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW/STRUCTURED type surface (SqlTypeName.ROW:115, §1.2): ROW
+    construction, field access (dot-chain through nesting), and ROW
+    comparison — equality and the SQL lexicographic row ordering, which
+    both engines implement field-by-field left to right."""
+    ords = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2500)
+    st = F.struct(F.col("o_orderstatus").alias("st"),
+                  F.col("o_orderpriority").alias("pr"))
+    nested = F.struct(F.struct(F.col("o_custkey").alias("i")).alias("o"))
+    return ords.select(
+        "o_orderkey",
+        st["st"].alias("f_status"),
+        nested["o"]["i"].alias("nested_key"),
+        (F.struct(F.col("o_orderstatus").alias("st"))
+         == F.struct(F.lit("O").alias("st"))).alias("is_open_row"),
+        (F.struct(F.col("o_custkey").alias("a"), F.col("o_orderkey").alias("b"))
+         < F.struct(F.col("o_custkey").alias("a"),
+                    (F.col("o_orderkey") + 1).alias("b"))).alias("row_lt"),
+    )
+
+
 @q("func_bitwise", """
 SELECT o_orderkey,
        (o_orderkey & o_custkey)          AS b_and,
