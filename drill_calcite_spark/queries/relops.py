@@ -382,6 +382,70 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@q("pivot_dynamic", """
+SELECT o_orderstatus, """ + ", ".join(
+    f"""count(*) FILTER (o_orderpriority = '{p}') AS "{p}\"""" for p in _PRIORITIES
+) + """
+FROM orders GROUP BY o_orderstatus
+""")
+def pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT as a first-class relational op (Calcite models it as
+    Aggregate-over-Project; SqlLibraryOperators PIVOT syntax lands in
+    1.26+ but the algebra exists in 1.21): Spark's groupBy().pivot() with
+    an EXPLICIT value list — never the two-pass value-discovery scan,
+    which at 100 TB would read the fact table twice. Empty cells coalesce
+    to 0 to match the FILTER-aggregate oracle."""
+    ords = t(spark, sf_dir, "orders")
+    out = (
+        ords.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(p) for p in _PRIORITIES],
+    )
+
+
+@q("window_range_frame", """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec, value
+           FROM events WHERE event_id < 5000)
+SELECT user_id, event_id,
+       (sum(value::DECIMAL(18,6)) OVER (
+         PARTITION BY user_id ORDER BY sec
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW))::DOUBLE AS hour_sum,
+       count(*) OVER (
+         PARTITION BY user_id ORDER BY sec
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS hour_n
+FROM e
+""")
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frames (rel/core/Window.java:211-236 ``isRows=false``): the
+    frame is VALUE-bounded, not row-bounded — all events within 3600
+    seconds before the current row's event time, regardless of how many
+    rows that is (ties in the order key all join the frame, the defining
+    RANGE-vs-ROWS difference). Event time is bucketed to epoch seconds
+    with integer µs division so both engines bound identical frames."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    micros = (F.unix_timestamp("ts") * 1_000_000
+              + F.date_format("ts", "SSSSSS").cast("bigint"))
+    e = ev.select(
+        "user_id", "event_id", (micros / 1_000_000).cast("bigint").alias("sec"),
+        "value",
+    )
+    w = (W.partitionBy("user_id").orderBy("sec")
+         .rangeBetween(-3600, W.currentRow))
+    return e.select(
+        "user_id", "event_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+        .cast("double").alias("hour_sum"),
+        F.count(F.lit(1)).over(w).alias("hour_n"),
+    )
+
+
 @q("window_distribution_scalable", """
 SELECT o_orderkey,
        CAST(ntile(4) OVER w AS BIGINT)       AS ntile_bucket,
