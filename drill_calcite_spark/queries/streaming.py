@@ -206,6 +206,55 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(joined, spark, output_mode="append")
 
 
+@q("stream_sink_cow", """
+SELECT event_id, user_id, event_type FROM events WHERE event_type = 'signup'
+""")
+def stream_sink_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SINK into a versioned table (the write half of SELECT
+    STREAM — Delta through TableModify): readStream → foreachBatch →
+    copy-on-write INSERT, drained with AvailableNow. foreachBatch is the
+    idempotent-sink contract at scale (batch_id-keyed exactly-once); the
+    final table must equal the batch filter, which the oracle checks."""
+    import os as _os
+    import shutil
+    import uuid as _uuid
+
+    from drill_calcite_spark.queries.sources import _fixture_dir
+    from drill_calcite_spark.sources.modify import (
+        create_table,
+        insert_into,
+        read_versioned,
+    )
+
+    path = _os.path.join(_fixture_dir(sf_dir), "stream_sink_tbl")
+    shutil.rmtree(path, ignore_errors=True)
+    sdf = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select("event_id", "user_id", "event_type")
+    )
+    create_table(spark, path, spark.createDataFrame([], sdf.schema))
+
+    def sink(batch_df, batch_id):
+        insert_into(spark, path, batch_df)
+
+    ckpt = f"/tmp/spark_graft_ckpt_{_uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("stream sink drain exceeded 300s")
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return read_versioned(spark, path)
+
+
 @q("stream_stateful_counter", """
 SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
 """)
