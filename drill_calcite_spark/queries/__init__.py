@@ -37,7 +37,7 @@ _DRIVER_PRIORITY = [
     # LLM training-data pipeline
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash_buckets", "dedup_embedding_lsh", "ann_cosine_topk",
-    "text_lang_id", "text_quality_score", "agg_percentiles",
+    "text_lang_id", "stream_sink_cow", "agg_percentiles",
     "doc_fingerprint", "multimodal_meta",
     # streaming
     "stream_tumble_hourly", "stream_session_6h",
