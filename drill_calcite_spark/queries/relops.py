@@ -955,6 +955,35 @@ def func_similar_to(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("sql_text_entry", """
+SELECT l_returnflag,
+       count(*) AS n,
+       sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::DOUBLE
+         AS revenue
+FROM lineitem
+WHERE l_quantity BETWEEN 10 AND 40
+GROUP BY l_returnflag
+""")
+def sql_text_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-STRING entry point: the full parser→analyzer→optimizer path
+    (SURVEY §0 role map: SqlParser→Spark SQL parser, SqlValidator→Catalyst
+    Analyzer) over catalog-registered views — the same surface a reference
+    user types SQL into. Everything else in this registry builds plans via
+    the DataFrame API; this proves the textual front door is wired too."""
+    from drill_calcite_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_quantity BETWEEN 10 AND 40
+        GROUP BY l_returnflag
+    """)
+
+
 @q("join_strategy_hints", """
 SELECT s_nationkey, count(*) AS n_supp, round(sum(s_acctbal), 2) AS bal
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
