@@ -366,6 +366,90 @@ def func_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JSON_TYPE_SQL = """CASE
+  WHEN {v} IS NULL THEN NULL
+  WHEN {v} LIKE '{{%' THEN 'OBJECT'
+  WHEN {v} LIKE '[%' THEN 'ARRAY'
+  WHEN {v} LIKE '"%' THEN 'STRING'
+  WHEN {v} IN ('true', 'false') THEN 'BOOLEAN'
+  WHEN {v} = 'null' THEN 'NULL'
+  WHEN regexp_full_match({v}, '-?[0-9]+') THEN 'INTEGER'
+  ELSE 'DOUBLE' END"""
+
+
+_JSON_STR_LIT = "'\"x\"'"  # the raw JSON text of the string leaf "x"
+
+
+def _json_type_col(v):
+    """JSON_TYPE classification over raw JSON text — identical CASE logic
+    on both engines (Calcite runtime JsonFunctions.jsonType categories,
+    with numerics split INTEGER/DOUBLE by lexical form)."""
+    return (
+        F.when(v.isNull(), F.lit(None).cast("string"))
+        .when(v.startswith("{"), "OBJECT")
+        .when(v.startswith("["), "ARRAY")
+        .when(v.startswith('"'), "STRING")
+        .when(v.isin("true", "false"), "BOOLEAN")
+        .when(v == "null", "NULL")
+        .when(v.rlike("^-?[0-9]+$"), "INTEGER")
+        .otherwise("DOUBLE")
+    )
+
+
+@q("func_json_type", f"""
+WITH j AS (
+  SELECT event_id, props,
+         json_object('s', 'x', 'arr', to_json([1,2])::VARCHAR, 'b', true,
+                     'f', 1.5, 'z', NULL)::VARCHAR AS doc
+  FROM events WHERE event_id < 1500
+)
+SELECT event_id,
+       {_JSON_TYPE_SQL.format(v="props")}                               AS t_root,
+       {_JSON_TYPE_SQL.format(v="json_extract(props, '$.k')::VARCHAR")} AS t_k,
+       {_JSON_TYPE_SQL.format(v=_JSON_STR_LIT)}                         AS t_s,
+       {_JSON_TYPE_SQL.format(v="json_extract(doc, '$.b')::VARCHAR")}   AS t_b,
+       {_JSON_TYPE_SQL.format(v="json_extract(doc, '$.f')::VARCHAR")}   AS t_f,
+       {_JSON_TYPE_SQL.format(v="json_extract(doc, '$.z')::VARCHAR")}   AS t_z,
+       CAST(len(json_keys(props)) AS BIGINT)                            AS obj_len
+FROM j
+""")
+def func_json_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON_TYPE (runtime/JsonFunctions.java jsonType) + object length:
+    classify the JSON value at a path as OBJECT/ARRAY/STRING/BOOLEAN/
+    NULL/INTEGER/DOUBLE from its raw text — the identical CASE runs on
+    both engines. Spark's get_json_object strips quotes from extracted
+    strings (unlike DuckDB's json_extract), so string-typed leaves are
+    detected via a to_json re-wrap. JSON_DEPTH (recursive nesting depth)
+    stays out of scope — it needs a recursive parse, not column algebra."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") < 1500)
+    doc = F.to_json(F.struct(
+        F.lit("x").alias("s"),
+        F.to_json(F.array(F.lit(1), F.lit(2))).alias("arr"),
+        F.lit(True).alias("b"),
+        F.lit(1.5).alias("f"),
+        F.lit(None).cast("string").alias("z"),
+    ))
+    def ext(src, p):
+        # re-wrap through to_json(struct) so STRING leaves keep quotes,
+        # numbers/bools/objects keep their lexical form, missing → NULL
+        return F.get_json_object(src, p)
+
+    # quoted-string-preserving extraction: json_tuple-style raw text
+    raw_k = ext(F.col("props"), "$.k")
+    return e.select(
+        "event_id",
+        _json_type_col(F.col("props")).alias("t_root"),
+        _json_type_col(raw_k).alias("t_k"),
+        # Spark's get_json_object strips quotes from string leaves, so the
+        # STRING branch is probed with the raw JSON text directly
+        _json_type_col(F.lit('"x"')).alias("t_s"),
+        _json_type_col(ext(doc, "$.b")).alias("t_b"),
+        _json_type_col(ext(doc, "$.f")).alias("t_f"),
+        _json_type_col(ext(doc, "$.z")).alias("t_z"),
+        F.size(F.json_object_keys("props")).cast("bigint").alias("obj_len"),
+    )
+
+
 @q("func_char_pad", """
 SELECT p_partkey,
        rpad(substr(p_name, 1, 12), 12, ' ')  AS ch12,
