@@ -34,6 +34,7 @@ from drill_calcite_spark.operators.similarity import (
     cosine_topk_blocked,
     embedding_near_dup_pairs,
     embedding_near_dup_pairs_lsh,
+    ivf_ann_topk,
     lsh_ann_topk,
 )
 from drill_calcite_spark.queries.common import t
@@ -365,6 +366,19 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     out = cosine_topk(emb, emb, "vec_id", "embedding", k=5)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-quantizer approximate top-5 (operators/similarity.py
+    ivf_ann_topk): k-means cells + nprobe probing + exact rerank.
+    Rows-only (iterative training, seeded deterministic); recall vs the
+    exact baseline asserted in tests/test_llm.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = ivf_ann_topk(emb, "vec_id", "embedding", k=5, nlist=16, nprobe=4)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+QUERIES["ann_ivf_topk"] = ann_ivf_topk_q
 
 
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:

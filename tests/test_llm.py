@@ -174,6 +174,22 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     assert hits / len(top1) >= 0.6, f"LSH recall {hits}/{len(top1)}"
 
 
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    from drill_calcite_spark.operators.similarity import ivf_ann_topk
+
+    df = spark.createDataFrame(
+        _random_vectors(120, 16), "vec_id long, embedding array<double>"
+    )
+    exact = cosine_topk(df, df, "vec_id", "embedding", k=3)
+    top1 = {r.query_id: r.neighbor_id for r in exact.collect() if r.rank == 1}
+    approx = ivf_ann_topk(df, "vec_id", "embedding", k=3, nlist=8, nprobe=4)
+    got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    hits = sum((q, n) in got for q, n in top1.items())
+    # probing half the cells (nprobe=4 of nlist=8) must catch most
+    # true top-1 neighbors — kmeans cells respect cosine locality
+    assert hits / len(top1) >= 0.6, f"IVF recall {hits}/{len(top1)}"
+
+
 def test_hyperplanes_deterministic():
     a = hyperplanes(3, 8)
     b = hyperplanes(3, 8)
