@@ -381,17 +381,63 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ann_ivf_topk"] = ann_ivf_topk_q
 
 
+def _ann_lsh_oracle(k: int = 5, num_planes: int = 4, dim: int = 64,
+                    num_tables: int = 8) -> str:
+    """Replays the multi-table hyperplane bucketing (same construction as
+    _embedding_lsh_oracle), then ranks candidates per query — making the
+    LSH top-k itself hash-checkable, not just the near-dup variant."""
+    from drill_calcite_spark.operators.similarity import hyperplanes
+
+    def proj(w):
+        lits = ", ".join(repr(x) for x in w)
+        return _SQL_DOT.format(a="v", b=f"[{lits}]::DOUBLE[]")
+
+    tables = "\n  UNION ALL ".join(
+        "SELECT vec_id, {t} AS tbl, {bits} AS bkt FROM n".format(
+            t=tb,
+            bits=" || ".join(
+                f"CASE WHEN {proj(w)} >= 0 THEN '1' ELSE '0' END"
+                for w in hyperplanes(num_planes, dim, tb)
+            ),
+        )
+        for tb in range(num_tables)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
+           FROM embeddings),
+n AS (SELECT vec_id, v FROM e),
+bk AS ({tables}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bkt = b.bkt
+  WHERE a.vec_id <> b.vec_id
+),
+nn AS (SELECT vec_id, v, sqrt({_DOT_VV}) nrm FROM e),
+p AS (
+  SELECT cand.query_id, cand.neighbor_id, {_DOT_AB} / (a.nrm * b.nrm) AS c
+  FROM cand JOIN nn a ON a.vec_id = cand.query_id
+            JOIN nn b ON b.vec_id = cand.neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id, c,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, neighbor_id) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, rank, round(c, 6) AS cos FROM r WHERE rank <= {k}
+"""
+
+
+@q("ann_lsh_topk", _ann_lsh_oracle())
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed approximate top-5 (operators/similarity.py).
-    Rows-only: the bucketing is deterministic but not SQL-replicated;
-    recall vs the exact baseline is asserted in tests/test_llm.py."""
+    The oracle replays the md5-hyperplane bucketing AND the candidate
+    ranking, so the approximate result is hash-checked end-to-end; recall
+    vs the exact baseline is additionally asserted in tests/test_llm.py."""
     emb = t(spark, sf_dir, "embeddings")
     out = lsh_ann_topk(emb, "vec_id", "embedding", k=5,
                        num_planes=4, dim=64, num_tables=8)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
-
-
-QUERIES["ann_lsh_topk"] = ann_lsh_topk_q
 
 
 # ----------------------------------------------------------- text analysis
