@@ -711,4 +711,6 @@ def bench_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["bench_minhash_dedup"] = bench_minhash_dedup
+# same pipeline as dedup_minhash_lsh → same replay oracle
+ORACLES["bench_minhash_dedup"] = _minhash_oracle()
 QUERIES["bench_ann_topk"] = bench_ann_topk

@@ -315,10 +315,16 @@ def modify_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("modify_snapshot_versions", """
+SELECT count(*)::BIGINT                              AS rows_before,
+       count(*) FILTER (r_regionkey <> 0)::BIGINT    AS rows_after
+FROM region
+""")
 def modify_snapshot_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Version-axis Snapshot (rel/core/Snapshot.java:47): after a DELETE,
-    version N-1 still serves the pre-delete rows. Rows-only (asserts both
-    versions' counts in one result)."""
+    version N-1 still serves the pre-delete rows. The table is recreated
+    from ``region`` each run, so both versions' counts are deterministic
+    and the oracle states them from the base table."""
     region = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
     path = os.path.join(_fixture_dir(sf_dir), "region_snap")
     create_table(spark, path, region)
@@ -328,6 +334,3 @@ def modify_snapshot_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(prev), int(cur))], "rows_before bigint, rows_after bigint"
     )
-
-
-QUERIES["modify_snapshot_versions"] = modify_snapshot_versions
