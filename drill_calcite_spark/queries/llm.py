@@ -695,6 +695,60 @@ def multimodal_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["multimodal_resize"] = multimodal_resize_q
 
 
+@q("pipeline_clean_corpus", f"""
+WITH keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+d AS (
+  SELECT doc_id, text, lang,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents JOIN keep USING (doc_id)
+),
+scored AS (
+  SELECT doc_id, lang, t,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         len(list_filter(t, x -> length(x) >= 3))::DOUBLE
+           / greatest(len(t), 1) AS frac_long
+  FROM d
+)
+SELECT lang,
+       count(*)                             AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT)        AS total_tokens,
+       CAST(max(n_tokens) AS BIGINT)        AS max_tokens
+FROM scored
+WHERE n_tokens >= 5 AND frac_long >= 0.5
+GROUP BY lang
+""")
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data prep pipeline — the composition the whole
+    LLM-operator family exists for: exact-dedup winners → quality gate
+    (length + long-token fraction) → per-language token budget. Each stage
+    is one of this repo's operators chained as DataFrames (one dedup
+    shuffle + one final agg; the quality gate is a map-only filter fused
+    by Catalyst); the oracle replays the identical pipeline in SQL."""
+    doc = t(spark, sf_dir, "documents")
+    winners = exact_dedup(doc, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    d = doc.join(winners, "doc_id")
+    toks = tokens(F.col("text"))
+    scored = d.select(
+        "doc_id", "lang",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.size(F.filter(toks, lambda x: F.length(x) >= 3)).cast("double")
+         / F.greatest(F.size(toks), F.lit(1))).alias("frac_long"),
+    )
+    return (
+        scored.filter((F.col("n_tokens") >= 5) & (F.col("frac_long") >= 0.5))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        )
+    )
+
+
 # ------------------------------------------------------------------- bench
 def bench_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_minhash_lsh(spark, sf_dir)
