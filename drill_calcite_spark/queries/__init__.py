@@ -35,7 +35,7 @@ _DRIVER_PRIORITY = [
     "func_json_agg", "func_char_pad", "match_vshape_all_rows",
     "mv_filter_rewrite", "dedup_ngram_capped",
     # LLM training-data pipeline
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "pipeline_clean_corpus", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash_buckets", "dedup_embedding_lsh", "ann_cosine_topk",
     "text_lang_id", "stream_sink_cow", "agg_percentiles",
     "doc_fingerprint", "multimodal_meta",
