@@ -38,7 +38,7 @@ _DRIVER_PRIORITY = [
     "pipeline_clean_corpus", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash_buckets", "dedup_embedding_lsh", "ann_cosine_topk",
     "text_lang_id", "stream_sink_cow", "agg_percentiles",
-    "doc_fingerprint", "multimodal_meta",
+    "pagerank_nations", "multimodal_meta",
     # streaming
     "stream_tumble_hourly", "stream_session_6h",
     "stream_live_tumble", "stream_live_dedup", "stream_stateful_counter",

@@ -695,6 +695,67 @@ def multimodal_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["multimodal_resize"] = multimodal_resize_q
 
 
+def _pagerank_oracle(iterations: int = 5, damping: float = 0.85,
+                     n_nodes: int = 25) -> str:
+    """Unrolls the fixed-iteration PageRank as chained CTEs (aggregating
+    over a recursive CTE's own reference is not legal SQL, so the bounded
+    loop is spelled out). Teleport/start constants are computed in Python
+    and embedded with full precision so both engines use the SAME doubles
+    (e.g. (1-0.85)/25 != 0.15/25 parsed from shorter literals)."""
+    teleport = repr((1.0 - damping) / n_nodes)
+    start = repr(1.0 / n_nodes)
+    steps = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+s{i} AS (
+  SELECT e.dst AS node, sum((r.rank * e.inv)::DECIMAL(28,12))::DOUBLE AS inp
+  FROM e JOIN {prev} r ON r.node = e.src GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.node, {teleport} + {damping} * coalesce(s{i}.inp, 0.0) AS rank
+  FROM nodes n LEFT JOIN s{i} USING (node)
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH
+edges AS (
+  SELECT n_nationkey AS src, (n_nationkey * 7 + 3) % 25 AS dst FROM nation
+  UNION ALL
+  SELECT n_nationkey, (n_nationkey * 11 + 5) % 25 FROM nation
+),
+deg AS (SELECT src, count(*) AS c FROM edges GROUP BY src),
+e AS (SELECT edges.src, edges.dst, 1.0::DOUBLE / c AS inv
+      FROM edges JOIN deg USING (src)),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+r0 AS (SELECT node, {start}::DOUBLE AS rank FROM nodes),{",".join(steps)}
+SELECT node, rank FROM {prev}
+"""
+
+
+@q("pagerank_nations", _pagerank_oracle())
+def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE algorithm as a first-class query (the RepeatUnion/Spool
+    plan family, rel/core/RepeatUnion.java — operators/graph.py): 5
+    synchronous PageRank iterations over a deterministic 50-edge nation
+    graph. Per-edge double products are summed through DECIMAL(28,12)
+    (exact, order-independent) and the loop constants are embedded with
+    full precision on both sides, so even this iterative float pipeline
+    hash-matches the unrolled-CTE oracle bit-for-bit."""
+    from drill_calcite_spark.operators.graph import pagerank
+
+    nat = t(spark, sf_dir, "nation")
+    edges = (
+        nat.select(F.col("n_nationkey").alias("src"),
+                   ((F.col("n_nationkey") * 7 + 3) % 25).alias("dst"))
+        .union(
+            nat.select(F.col("n_nationkey"),
+                       ((F.col("n_nationkey") * 11 + 5) % 25)))
+    )
+    return pagerank(edges, iterations=5, damping=0.85)
+
+
 @q("pipeline_clean_corpus", f"""
 WITH keep AS (
   SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)

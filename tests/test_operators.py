@@ -298,6 +298,22 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(map(tuple, sl.collect()), key=str) == sorted(map(tuple, pl.collect()), key=str)
 
 
+def test_pagerank_mass_conservation_and_determinism(spark):
+    from drill_calcite_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 10) for i in range(10)]
+        + [(i, (i * 7 + 2) % 10) for i in range(10)],
+        "src long, dst long",
+    )
+    r1 = {r.node: r.rank for r in pagerank(edges, iterations=5).collect()}
+    r2 = {r.node: r.rank for r in pagerank(edges, iterations=5).collect()}
+    assert r1 == r2  # bit-identical across runs
+    # no dangling nodes in this graph → total rank mass stays 1
+    assert abs(sum(r1.values()) - 1.0) < 1e-9
+    assert all(v > 0 for v in r1.values())
+
+
 # ------------------------------------------------------------ distributed ranks
 def test_distributed_distribution_matches_global_window(spark):
     from pyspark.sql import Window as W
