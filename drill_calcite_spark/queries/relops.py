@@ -886,6 +886,71 @@ def subquery_quantified_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("subquery_exists_correlated", """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+  AND NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_discount > 0.09)
+""")
+def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS (RexSubQuery.java:38 — Calcite
+    decorrelates to semi/anti joins, exactly the plan written here): the
+    correlation carries an extra non-key predicate, which rides the join
+    condition's filtered build side."""
+    ords = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    hi_qty = li.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    hi_disc = li.filter(F.col("l_discount") > 0.09).select("l_orderkey")
+    return (
+        ords.join(hi_qty, ords.o_orderkey == hi_qty.l_orderkey, "left_semi")
+        .join(hi_disc, ords.o_orderkey == hi_disc.l_orderkey, "left_anti")
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@q("subquery_not_in_null", """
+WITH sn AS (SELECT nullif(c_nationkey, 13) AS nk FROM customer
+            WHERE c_custkey < 30),
+sc AS (SELECT c_nationkey AS nk FROM customer WHERE c_custkey < 30)
+SELECT 'with_null' AS branch, n_nationkey, n_name FROM nation
+WHERE n_nationkey NOT IN (SELECT nk FROM sn)
+UNION ALL
+SELECT 'clean', n_nationkey, n_name FROM nation
+WHERE n_nationkey NOT IN (SELECT nk FROM sc)
+""")
+def subquery_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with a NULL-producing subquery — the classic three-valued
+    trap (SqlStdOperatorTable NOT_IN): if the subquery yields ANY NULL,
+    `x NOT IN (S)` is never TRUE (x <> NULL is UNKNOWN), so that branch
+    is EMPTY — which a naive anti-join (NOT EXISTS semantics) gets wrong.
+    Implemented as anti-join gated by a broadcast has-null scalar. The
+    NULL-free 'clean' branch returns real rows, so the comparison is
+    non-vacuous while the hash also proves the with_null branch vanished."""
+    nat = t(spark, sf_dir, "nation")
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 30)
+
+    def not_in(label: str, sub):
+        has_null = F.broadcast(
+            sub.agg(F.coalesce(F.max(F.col("nk").isNull()), F.lit(False))
+                    .alias("__has_null"))
+        )
+        anti = nat.join(sub.dropna(), nat.n_nationkey == F.col("nk"),
+                        "left_anti")
+        return (
+            anti.crossJoin(has_null)
+            .filter(~F.col("__has_null"))
+            .select(F.lit(label).alias("branch"), "n_nationkey", "n_name")
+        )
+
+    with_null = not_in(
+        "with_null",
+        cust.select(F.nullif(F.col("c_nationkey"), F.lit(13)).alias("nk")),
+    )
+    clean = not_in("clean", cust.select(F.col("c_nationkey").alias("nk")))
+    return with_null.unionByName(clean)
+
+
 @q("subquery_quantified_some", """
 SELECT s_suppkey, s_name, s_acctbal FROM supplier
 WHERE s_acctbal > SOME (SELECT s_acctbal FROM supplier WHERE s_suppkey % 7 = 0)
