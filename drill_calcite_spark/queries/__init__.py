@@ -46,7 +46,7 @@ _DRIVER_PRIORITY = [
     # sources + DML + physical layout
     "source_jdbc_scan", "source_csv_scan", "source_partition_pruning",
     "source_dynamic_pruning",
-    "modify_insert_delete", "modify_update_where", "modify_merge_orders",
+    "modify_insert_delete", "subquery_not_in_null", "modify_merge_orders",
     # custom operators
     "recursive_numbers", "recursive_nation_tree", "asof_last_purchase",
     "multimodal_frame_sample", "snapshot_orders_scd",
