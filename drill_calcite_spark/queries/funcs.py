@@ -366,6 +366,30 @@ def func_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("func_like_family", """
+SELECT p_partkey,
+       (p_name LIKE '%bolt%')                    AS has_bolt,
+       (p_name NOT LIKE 'red%')                  AS not_red,
+       (p_name ILIKE '%BOLT%')                   AS has_bolt_ci,
+       (upper(p_name) LIKE 'SMALL%')             AS upper_small,
+       ('50%_off' LIKE '50!%!_%' ESCAPE '!')     AS escape_demo
+FROM part
+""")
+def func_like_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE family (SqlStdOperatorTable LIKE:1356; SqlLibraryOperators
+    ILIKE): LIKE / NOT LIKE / case-insensitive ILIKE / LIKE with an ESCAPE
+    character making % and _ literal."""
+    part = t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_name").like("%bolt%").alias("has_bolt"),
+        (~F.col("p_name").like("red%")).alias("not_red"),
+        F.col("p_name").ilike("%BOLT%").alias("has_bolt_ci"),
+        F.upper(F.col("p_name")).like("SMALL%").alias("upper_small"),
+        F.expr(r"'50%_off' LIKE '50!%!_%' ESCAPE '!'").alias("escape_demo"),
+    )
+
+
 _JSON_TYPE_SQL = """CASE
   WHEN {v} IS NULL THEN NULL
   WHEN {v} LIKE '{{%' THEN 'OBJECT'

@@ -788,6 +788,43 @@ def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("sort_nulls_direction", """
+WITH v AS (
+  SELECT o_orderkey, nullif(o_orderpriority, '3-MEDIUM') AS pri
+  FROM orders WHERE o_orderkey < 400
+)
+SELECT * FROM (
+  SELECT 'nf' AS mode, o_orderkey, pri FROM v
+  ORDER BY pri NULLS FIRST, o_orderkey LIMIT 30
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 'nl', o_orderkey, pri FROM v
+  ORDER BY pri DESC NULLS LAST, o_orderkey LIMIT 30
+)
+""")
+def sort_nulls_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL collation in Sort (RelFieldCollation.NullDirection —
+    rel/RelFieldCollation.java): NULLS FIRST ascending and NULLS LAST
+    descending, each with a LIMIT so the null placement decides WHICH rows
+    survive (placement that didn't affect the result would be untested)."""
+    v = (
+        t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+        .select("o_orderkey",
+                F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM"))
+                .alias("pri"))
+    )
+    nf = (
+        v.orderBy(F.col("pri").asc_nulls_first(), "o_orderkey").limit(30)
+        .select(F.lit("nf").alias("mode"), "o_orderkey", "pri")
+    )
+    nl = (
+        v.orderBy(F.col("pri").desc_nulls_last(), "o_orderkey").limit(30)
+        .select(F.lit("nl").alias("mode"), "o_orderkey", "pri")
+    )
+    return nf.unionByName(nl)
+
+
 @q("sample_deterministic", """
 SELECT l_orderkey, l_linenumber, l_quantity
 FROM lineitem WHERE l_orderkey % 37 = 0
