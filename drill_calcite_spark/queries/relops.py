@@ -571,6 +571,36 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("agg_approx_quantile", """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_median,
+       true AS approx_within_1pct
+FROM lineitem GROUP BY l_returnflag
+""")
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROX quantile sketch (the percentile cousin of
+    APPROX_COUNT_DISTINCT — SqlStdOperatorTable approximate-agg surface):
+    sketches are engine-specific, so the check is an ERROR-BOUND contract
+    — the in-query boolean asserts |approx − exact| ≤ 1% of exact, and
+    only exact-derived values reach the hash. At 100 TB the sketch is the
+    one you run (mergeable, single-pass, bounded memory); the exact
+    percentile is the test-time referee."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"),
+            6,
+        ).alias("exact_median"),
+        (
+            F.abs(
+                F.percentile_approx("l_extendedprice", 0.5, 10000)
+                - F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+            )
+            <= F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)") * 0.01
+        ).alias("approx_within_1pct"),
+    )
+
+
 @q("agg_listagg_within", """
 SELECT l_returnflag,
        string_agg(l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR, '|'
