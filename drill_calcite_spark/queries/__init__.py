@@ -28,6 +28,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # hard-signal row — round-3 features first, then one representative per
 # §2 component family (LLM pipeline, streaming, sources/DML, custom
 # operators, function batteries, MV/profile/correlate relops).
+#
+# ROUND-4 ROTATION: after CORRECTNESS_r03 lands green, rotate this list to
+# the remaining never-driver-checked oracle-backed names (late round-3
+# additions that missed the 50-slot cut): func_bitwise, func_struct_row,
+# func_array_hof, func_like_family, func_json_type, func_time_arith,
+# sort_nulls_direction, agg_approx_quantile, unnest_map_entries,
+# unnest_multi_zip, window_range_frame, pivot_dynamic, join_strategy_hints,
+# join_salted_skew, sql_text_entry, subquery_exists_correlated,
+# text_trigram_stats, ann_lsh_topk, bench_minhash_dedup,
+# modify_snapshot_versions, dedup_ngram/embedding variants and the
+# rotated-out r01/r02 batteries.
 _DRIVER_PRIORITY = [
     # round-3 features
     "window_ignore_nulls", "agg_grouping_id", "agg_listagg_within",
