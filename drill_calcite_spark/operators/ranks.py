@@ -49,6 +49,16 @@ def distributed_distribution(
     counts = {r["__pid"]: r["cnt"] for r in
               d.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     n = sum(counts.values())
+    if n == 0:
+        # empty input: stable schema, zero rows (an empty create_map()
+        # would fail type resolution below)
+        return (
+            d.drop("__pid")
+            .withColumn("global_rank", F.lit(None).cast("bigint"))
+            .withColumn("ntile_bucket", F.lit(None).cast("int"))
+            .withColumn("cume_dist", F.lit(None).cast("double"))
+            .withColumn("percent_rank", F.lit(None).cast("double"))
+        )
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc

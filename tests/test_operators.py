@@ -298,6 +298,28 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(map(tuple, sl.collect()), key=str) == sorted(map(tuple, pl.collect()), key=str)
 
 
+def test_new_operators_empty_input(spark):
+    # zero-row inputs must yield zero-row outputs, not crashes
+    from drill_calcite_spark.operators.ranks import distributed_distribution
+    from drill_calcite_spark.operators.skew import salted_join
+
+    empty = spark.createDataFrame([], "k long, v double")
+    dim = spark.createDataFrame([(1, "a")], "k long, s string")
+    assert salted_join(empty, dim, ["k"], salts=3).count() == 0
+    assert distributed_distribution(empty, ["v", "k"], ntile=4,
+                                    num_partitions=4).count() == 0
+    from drill_calcite_spark.operators.match_recognize import match_recognize
+
+    out = match_recognize(
+        spark.createDataFrame([], "uid long, seq long, value double"),
+        ["uid"], ["seq"], pattern="D+",
+        define={"D": lambda p: p["value"] < 0},
+        measures={"n": lambda p, m: len(m["*"])},
+        output_schema="n long", rows_per_match="all",
+    )
+    assert out.count() == 0
+
+
 def test_pagerank_mass_conservation_and_determinism(spark):
     from drill_calcite_spark.operators.graph import pagerank
 
