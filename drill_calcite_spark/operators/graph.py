@@ -40,6 +40,8 @@ def pagerank(
         .distinct()
     )
     n_nodes = nodes.count()  # scalar; required by the teleport term
+    if n_nodes == 0:
+        return nodes.select("node", F.lit(None).cast("double").alias("rank"))
     out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
     e = edges.join(out_deg, src).select(
         F.col(src).alias("__src"), F.col(dst).alias("__dst"),

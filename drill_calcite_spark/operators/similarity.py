@@ -339,6 +339,11 @@ def cosine_topk_blocked(
     import pandas as pd
 
     qpd = queries.select(id_col, vec_col).toPandas()
+    if qpd.empty:
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cos double"
+        )
     Q = np.asarray(qpd[vec_col].tolist(), dtype="float64")
     Q /= np.linalg.norm(Q, axis=1, keepdims=True)
     qids = np.asarray(qpd[id_col].values)

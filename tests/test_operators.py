@@ -318,6 +318,13 @@ def test_new_operators_empty_input(spark):
         output_schema="n long", rows_per_match="all",
     )
     assert out.count() == 0
+    from drill_calcite_spark.operators.graph import pagerank
+    from drill_calcite_spark.operators.similarity import cosine_topk_blocked
+
+    evec = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert cosine_topk_blocked(evec, evec, "vec_id", "embedding").count() == 0
+    eedge = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(eedge).count() == 0
 
 
 def test_pagerank_mass_conservation_and_determinism(spark):
