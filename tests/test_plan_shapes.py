@@ -1,0 +1,67 @@
+"""Physical-plan shape assertions for the flagship queries — the
+`.explain()` claims made in docstrings, pinned as tests:
+
+- filters reach the parquet scan (PushedFilters) and projection prunes
+  the read schema (ReadSchema),
+- small dimensions broadcast (BroadcastHashJoin),
+- top-N queries use TakeOrderedAndProject, not a global sort,
+- aggregations are two-phase (map-side partial + final),
+- the LSH/banding pipelines never materialize a cartesian product.
+
+Plan strings come from the executed plan pre-AQE-finalization; every
+marker asserted here is stable across Spark 4.x plan rendering.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filter_pushdown_and_column_pruning(spark):
+    plan = _plan(entrymod.queries()["q6_forecast_revenue"](spark, SF_DIR))
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split(
+        "PushedFilters:"
+    )[1][:400], "shipdate filter did not reach the scan"
+    # the scan must not read the full 7-column lineitem row
+    read = plan.split("ReadSchema:")[1][:400]
+    assert "l_extendedprice" in read and "l_returnflag" not in read, \
+        "projection did not prune the read schema"
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = _plan(entrymod.queries()["q5_local_supplier_volume"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, \
+        "dimension joins are not broadcast"
+
+
+def test_q3_top_n_uses_take_ordered(spark):
+    plan = _plan(entrymod.queries()["q3_shipping_priority"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, \
+        "top-10 executed as a global sort instead of TakeOrderedAndProject"
+
+
+def test_q1_two_phase_aggregation(spark):
+    plan = _plan(entrymod.queries()["q1_pricing_summary"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2, \
+        "aggregation is not map-side partial + final"
+
+
+def test_dedup_and_ann_have_no_cartesian_product(spark):
+    qs = entrymod.queries()
+    for name in ["dedup_minhash_lsh", "dedup_ngram_capped",
+                 "dedup_embedding_lsh", "ann_lsh_topk"]:
+        plan = _plan(qs[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, \
+            f"{name} materializes a cartesian product"
+
+
+def test_scalable_distribution_no_single_partition_window(spark):
+    df = entrymod.queries()["window_distribution_scalable"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Window [" not in plan or "SinglePartition" not in plan
