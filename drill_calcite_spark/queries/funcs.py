@@ -366,6 +366,51 @@ def func_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("func_greatest_null", """
+WITH v AS (
+  SELECT o_orderkey,
+         o_totalprice AS a,
+         nullif(o_totalprice, o_totalprice) + o_custkey AS b_null,
+         o_custkey::DOUBLE AS c
+  FROM orders WHERE o_orderkey < 1000
+)
+SELECT o_orderkey,
+       greatest(a, c)                                        AS g_skipnull,
+       least(a, c)                                           AS l_skipnull,
+       greatest(a, b_null, c)                                AS g_ignores_null,
+       CASE WHEN b_null IS NULL THEN NULL
+            ELSE greatest(a, b_null, c) END                  AS g_calcite
+FROM v
+""")
+def func_greatest_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREATEST/LEAST NULL semantics (SqlLibraryOperators GREATEST —
+    Oracle-library semantics return NULL when ANY operand is NULL; Spark
+    and DuckDB both SKIP NULLs instead). The battery pins both behaviors:
+    the engines' skip-NULL form compares directly, and the
+    Calcite-faithful any-NULL→NULL form is the explicit CASE both engines
+    evaluate identically — the emulation a reference user migrating
+    Oracle-dialect SQL needs."""
+    v = (
+        t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("a"),
+            (F.nullif(F.col("o_totalprice"), F.col("o_totalprice"))
+             + F.col("o_custkey")).alias("b_null"),
+            F.col("o_custkey").cast("double").alias("c"),
+        )
+    )
+    g_all = F.greatest("a", "b_null", "c")
+    return v.select(
+        "o_orderkey",
+        F.greatest("a", "c").alias("g_skipnull"),
+        F.least("a", "c").alias("l_skipnull"),
+        g_all.alias("g_ignores_null"),
+        F.when(F.col("b_null").isNull(), F.lit(None).cast("double"))
+        .otherwise(g_all).alias("g_calcite"),
+    )
+
+
 @q("func_like_family", """
 SELECT p_partkey,
        (p_name LIKE '%bolt%')                    AS has_bolt,
