@@ -61,7 +61,8 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_dtype = dict(df.dtypes).get("ts")
+        if ts_dtype == "bigint":
             # Integer division: int64 nanos (~1.7e18) exceed double's 2^53
             # mantissa, so `/ 1000` + cast can be off by 1µs near boundaries.
             # pmod-subtract gives FLOOR division (DIV truncates toward zero,
@@ -69,6 +70,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) DIV 1000"))
             )
+        elif ts_dtype == "timestamp_ntz":
+            # parquet timestamp[us] isAdjustedToUTC=false reads as
+            # TIMESTAMP_NTZ, which withWatermark rejects and which cannot be
+            # cast to BIGINT. Session TZ is pinned UTC (session.py), so an
+            # NTZ→TIMESTAMP cast is value-preserving.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

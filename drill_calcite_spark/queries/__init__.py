@@ -29,43 +29,39 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # §2 component family (LLM pipeline, streaming, sources/DML, custom
 # operators, function batteries, MV/profile/correlate relops).
 #
-# ROUND-4 ROTATION: after CORRECTNESS_r03 lands green, rotate this list to
-# the remaining never-driver-checked oracle-backed names (late round-3
-# additions that missed the 50-slot cut): func_bitwise, func_struct_row,
-# func_array_hof, func_like_family, func_json_type, func_time_arith,
-# sort_nulls_direction, agg_approx_quantile, unnest_map_entries,
-# unnest_multi_zip, window_range_frame, pivot_dynamic, join_strategy_hints,
-# join_salted_skew, sql_text_entry, subquery_exists_correlated,
-# text_trigram_stats, ann_lsh_topk, bench_minhash_dedup,
-# modify_snapshot_versions, dedup_ngram/embedding variants and the
-# rotated-out r01/r02 batteries.
+# ROUND-5 ROTATION (executed): rounds 1-4 hard-checked 100 distinct names;
+# these 50 slots now hold (a) the 6 streaming queries broken by the round-4
+# TIMESTAMP_NTZ testdata regeneration, repaired this round — kept in the 50
+# so the fix lands as driver evidence — and (b) never-driver-checked
+# oracle-backed names, new round-5 queries first. Deferred to round 6 for
+# lack of slots (still covered by pytest-oracle every run):
+# distinct_projection, case_conditional, func_strings_basic, and the
+# rotated-out r01-r04 green names.
 _DRIVER_PRIORITY = [
-    # round-3 features
-    "window_ignore_nulls", "agg_grouping_id", "agg_listagg_within",
-    "subquery_quantified_some", "func_similar_to", "func_json_family",
-    "func_json_agg", "func_char_pad", "match_vshape_all_rows",
-    "mv_filter_rewrite", "dedup_ngram_capped",
-    # LLM training-data pipeline
-    "pipeline_clean_corpus", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash_buckets", "dedup_embedding_lsh", "ann_cosine_topk",
-    "text_lang_id", "stream_sink_cow", "agg_percentiles",
-    "pagerank_nations", "multimodal_meta",
-    # streaming
-    "stream_tumble_hourly", "stream_session_6h",
-    "stream_live_tumble", "stream_live_dedup", "stream_stateful_counter",
-    "stream_stream_join",
-    # sources + DML + physical layout
-    "source_jdbc_scan", "source_csv_scan", "source_partition_pruning",
-    "source_dynamic_pruning",
-    "modify_insert_delete", "subquery_not_in_null", "modify_merge_orders",
-    # custom operators
-    "recursive_numbers", "recursive_nation_tree", "asof_last_purchase",
-    "multimodal_frame_sample", "snapshot_orders_scd",
-    # relops tail + function batteries
-    "mv_tile_rollup", "profile_orders", "correlate_lateral_topn",
-    "collect_nested", "table_function_series", "func_udf_surface",
-    "bucketed_join_colocated", "mv_join_rewrite",
-    "func_geo_st", "window_distribution_scalable",
+    # streaming: the 6 NTZ-regression repairs (stream_hop_30m is also a
+    # first-time name — it sat outside the round-4 slate)
+    "stream_tumble_hourly", "stream_session_6h", "stream_hop_30m",
+    "stream_live_tumble", "stream_live_dedup", "stream_stream_join",
+    # never-checked: relops / joins / subqueries
+    "pivot_dynamic", "window_range_frame", "agg_approx_quantile",
+    "unnest_multi_zip", "unnest_map_entries", "sort_nulls_direction",
+    "subquery_quantified_all", "subquery_exists_correlated",
+    "sql_text_entry", "join_strategy_hints", "join_salted_skew",
+    "is_distinct_from", "pivot_conditional", "islands_increasing_runs",
+    "agg_approx_distinct",
+    # never-checked: scalar function batteries
+    "func_strings_search", "func_math", "func_datetime_extract",
+    "func_datetime_arith", "func_datetime_overlaps", "func_json",
+    "func_greatest_null", "func_like_family", "func_json_type",
+    "func_array_hof", "func_struct_row", "func_bitwise", "func_array_ops",
+    "func_multiset_ops", "func_strings_advanced", "func_decimal_fidelity",
+    "func_time_emulation", "func_time_arith",
+    # never-checked: LLM pipeline
+    "dedup_exact", "text_trigram_stats", "dedup_embedding_cosine",
+    "ann_lsh_topk", "text_quality_score", "text_token_stats",
+    "doc_fingerprint", "bench_minhash_dedup",
+    # never-checked: sources + DML
+    "source_json_scan", "modify_update_where", "modify_snapshot_versions",
 ]
 
 

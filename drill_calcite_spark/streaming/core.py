@@ -82,9 +82,14 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             .option("pathGlobFilter", f"{name}.parquet")
             .parquet(sf_dir)
         )
-        if dict(static.dtypes).get("ts") == "bigint":
+        ts_dtype = dict(static.dtypes).get("ts")
+        if ts_dtype == "bigint":
             # DIV: integer nanos→micros; float division loses ~128ns at 1.7e18
             sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_dtype == "timestamp_ntz":
+            # TIMESTAMP_NTZ is not a valid withWatermark event-time type;
+            # session TZ pinned UTC makes this cast value-preserving.
+            sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
         return sdf
     static = spark.read.parquet(path)
     return (

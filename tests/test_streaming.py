@@ -55,6 +55,25 @@ def test_session_inclusive_gap_boundary(spark):
     assert out2.count() == 2  # 1µs past the gap → new session
 
 
+def test_event_ts_normalized_to_timestamp(spark):
+    """`events.ts` must read as plain TIMESTAMP no matter which physical
+    encoding the driver regenerates (INT64 nanos, timestamp[us] NTZ, or
+    UTC-adjusted micros) — withWatermark and BIGINT casts both require it.
+
+    Round-4 regression: testdata moved to timestamp[us] isAdjustedToUTC=false
+    (TIMESTAMP_NTZ) and the old bigint-only guard missed it, breaking all
+    watermarked streaming queries."""
+    from drill_calcite_spark.catalog import read_table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        batch = read_table(spark, sf, "events")
+        assert dict(batch.dtypes)["ts"] == "timestamp", sf
+        sdf = stream_table(spark, sf, "events")
+        assert dict(sdf.dtypes)["ts"] == "timestamp", sf
+        # watermark assignment is the operation NTZ breaks — assert it works
+        sdf.withWatermark("ts", "1 day")
+
+
 def test_live_drain_equals_batch(spark):
     sf = "/root/testdata/sf0.001"
     sdf = stream_table(spark, sf, "events").withWatermark("ts", "1 day")
