@@ -21,9 +21,14 @@ from __future__ import annotations
 
 import re
 
-# characters that pass through unchanged as SIMILAR TO operators
-# ({m,n} brace contents — digits, comma — survive re.escape untouched)
-_PASSTHROUGH = set("|*+?(){}")
+# characters that pass through unchanged as SIMILAR TO operators; braces
+# are handled separately so only well-formed {m} / {m,} / {m,n} quantifiers
+# reach the regex engine (a stray brace is invalid in SQL:2003 §8.6 and
+# would also be rejected by Java regex/RE2 at run time — fail at translate
+# time instead, like Calcite's runtime "invalid regular expression").
+_PASSTHROUGH = set("|*+?()")
+
+_BRACE_QUANT = re.compile(r"\{\d+(,\d*)?\}")
 
 
 def similar_to_regex(pattern: str, escape: str | None = None) -> str:
@@ -36,6 +41,10 @@ def similar_to_regex(pattern: str, escape: str | None = None) -> str:
         raise ValueError("SIMILAR TO escape must be a single character")
     out: list[str] = []
     in_class = False
+    # does the last emitted element end in a quantifiable atom? (a brace
+    # quantifier with nothing to repeat is invalid SQL:2003 and a Java
+    # regex PatternSyntaxException — reject at translate time)
+    prev_atom = False
     i = 0
     n = len(pattern)
     while i < n:
@@ -46,6 +55,7 @@ def similar_to_regex(pattern: str, escape: str | None = None) -> str:
                     f"SIMILAR TO pattern ends with escape character: {pattern!r}"
                 )
             out.append(re.escape(pattern[i + 1]))
+            prev_atom = True
             i += 2
             continue
         if in_class:
@@ -57,17 +67,45 @@ def similar_to_regex(pattern: str, escape: str | None = None) -> str:
                 out.append(c)
             if c == "]":
                 in_class = False
+                prev_atom = True
         elif c == "[":
             in_class = True
             out.append(c)
+            prev_atom = False
         elif c == "%":
             out.append(".*")
+            prev_atom = False  # already quantified: a{2} after % is dangling
         elif c == "_":
             out.append(".")
+            prev_atom = True
+        elif c == "{":
+            m = _BRACE_QUANT.match(pattern, i)
+            if not m:
+                raise ValueError(
+                    f"invalid brace quantifier in SIMILAR TO pattern at "
+                    f"position {i}: {pattern!r} (expected {{m}}, {{m,}} or "
+                    f"{{m,n}})"
+                )
+            if not prev_atom:
+                raise ValueError(
+                    f"brace quantifier with nothing to repeat at position "
+                    f"{i}: {pattern!r}"
+                )
+            out.append(m.group(0))
+            prev_atom = False
+            i = m.end()
+            continue
+        elif c == "}":
+            raise ValueError(
+                f"unmatched '}}' in SIMILAR TO pattern at position {i}: "
+                f"{pattern!r}"
+            )
         elif c in _PASSTHROUGH:
             out.append(c)
+            prev_atom = c == ")"
         else:
             out.append(re.escape(c))
+            prev_atom = True
         i += 1
     if in_class:
         raise ValueError(f"unterminated character class in pattern: {pattern!r}")

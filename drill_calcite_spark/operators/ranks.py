@@ -17,9 +17,11 @@ values with the classic distributed-ranking recipe:
 4. global_rank = local_rank + offset[partition]; NTILE/CUME_DIST/
    PERCENT_RANK are closed-form in (global_rank, n).
 
-Requires the order key to be a TOTAL order (append a unique tiebreaker
-column, as SQL window ORDER BY should anyway for determinism). With ties,
-extend with a per-key tie count before the closed forms.
+Ties on the order key are detected (one distinct-count pass over the
+already-checkpointed input) and corrected to SQL semantics with per-key
+min/max windows: RANK = min row_number within the tie group, CUME_DIST =
+max row_number / n. The correction shuffles by the order key — skipped
+entirely when the key is unique, so the tie-free fast path pays nothing.
 """
 
 from __future__ import annotations
@@ -68,21 +70,39 @@ def distributed_distribution(
     )
     wl = W.partitionBy("__pid").orderBy(*oc)
     rn = (F.row_number().over(wl) + off_map[F.col("__pid")]).cast("bigint")
-    d = d.withColumn("global_rank", rn).drop("__pid")
+    d = d.withColumn("__rn", rn).drop("__pid")
+    # Tie detection: distribution functions are rank-based, so duplicated
+    # order keys make the row_number closed forms silently wrong. One
+    # bounded agg pass (input is checkpointed above — no recompute).
+    has_ties = d.select(*oc).distinct().count() < n
+    if has_ties:
+        # SQL semantics under ties: RANK = min row_number in the tie
+        # group; CUME_DIST numerator = max row_number (rows <= current).
+        # partitionBy the order key: shuffles once, each tie group is
+        # small, no single-task funnel.
+        wk = W.partitionBy(*oc)
+        g = F.min("__rn").over(wk).cast("bigint")
+        cume_num = F.max("__rn").over(wk).cast("bigint")
+    else:
+        g = F.col("__rn")
+        cume_num = F.col("__rn")
     # SQL NTILE: first (n mod k) buckets hold ceil(n/k) rows, the rest
-    # floor(n/k) — closed form over the global row number.
+    # floor(n/k) — closed form over the global ROW NUMBER (NTILE is
+    # row-based, not rank-based, so ties don't affect it).
     k = ntile
     q, r = divmod(n, k)
     big = q + 1
-    g = F.col("global_rank")
+    rnc = F.col("__rn")
     bucket = F.when(
-        F.lit(r > 0) & (g <= big * r), F.floor((g - 1) / big) + 1
-    ).otherwise(F.lit(r) + F.floor((g - big * r - 1) / F.lit(max(q, 1))) + 1)
+        F.lit(r > 0) & (rnc <= big * r), F.floor((rnc - 1) / big) + 1
+    ).otherwise(F.lit(r) + F.floor((rnc - big * r - 1) / F.lit(max(q, 1))) + 1)
     return (
-        d.withColumn("ntile_bucket", bucket.cast("int"))
-        .withColumn("cume_dist", (g / F.lit(n)).cast("double"))
+        d.withColumn("global_rank", g)
+        .withColumn("ntile_bucket", bucket.cast("int"))
+        .withColumn("cume_dist", (cume_num / F.lit(n)).cast("double"))
         .withColumn(
             "percent_rank",
             (F.lit(0.0) if n == 1 else ((g - 1) / F.lit(n - 1))).cast("double"),
         )
+        .drop("__rn")
     )

@@ -22,6 +22,16 @@ from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
 
+# Join types whose result is invariant under build-side replication: every
+# build row appears once PER SALT, so any join that can emit an unmatched
+# build row (right/full outer) would emit it ``salts`` times. Fact-side
+# semantics are safe: each fact row carries exactly one salt and meets each
+# build row at most once.
+_SALT_SAFE_HOW = {
+    "inner", "cross", "left", "leftouter", "left_outer",
+    "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti",
+}
+
 
 def salted_join(
     fact: DataFrame, build: DataFrame, on: list[str], *,
@@ -33,7 +43,18 @@ def salted_join(
     The fact-side salt is arbitrary per row (monotonically_increasing_id
     modulo salts — any assignment yields the same join result; this one is
     cheap and spreads consecutive rows evenly). The build side is
-    replicated via a literal-array explode — a map-only stage."""
+    replicated via a literal-array explode — a map-only stage.
+
+    ``how`` must be a fact-side-preserving join (inner/left/semi/anti):
+    right and full outer joins would duplicate unmatched build rows once
+    per salt replica — for those, salt the other way around or rely on
+    AQE skew handling."""
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in _SALT_SAFE_HOW}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: build-side "
+            "replication would emit unmatched build rows once per salt. "
+            "Supported: inner/cross/left/semi/anti (fact-preserving joins)."
+        )
     fact_s = fact.withColumn(
         SALT_COL, F.pmod(F.monotonically_increasing_id(), F.lit(salts))
     )

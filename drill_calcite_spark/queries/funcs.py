@@ -817,12 +817,13 @@ FROM events WHERE event_id < 500
 def func_time_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIME type emulation (§1.2: Spark has no TimeType → millis-of-day
     BIGINT + formatted string on output, SqlTypeName.TIME:64)."""
+    from drill_calcite_spark.functions.time import epoch_micros, floor_div
+
     ev = t(spark, sf_dir, "events")
-    micros = (F.unix_timestamp("ts") * 1_000_000
-              + F.date_format("ts", "SSSSSS").cast("bigint"))
+    micros = epoch_micros("ts")
     return ev.filter(F.col("event_id") < 500).select(
         "event_id",
-        ((micros % 86400000000) / 1000).cast("bigint").alias("millis_of_day"),
+        floor_div(micros % 86400000000, 1000).alias("millis_of_day"),
         F.date_format("ts", "HH:mm:ss").alias("time_str"),
         F.hour("ts").cast("bigint").alias("h"),
         F.minute("ts").cast("bigint").alias("m"),
@@ -847,10 +848,10 @@ def func_time_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     wraparound, TIME % truncation, TIME − TIME giving a signed interval,
     and TIME comparison — all integer column math, exact in both
     engines."""
+    from drill_calcite_spark.functions.time import epoch_micros, floor_div
+
     ev = t(spark, sf_dir, "events")
-    micros = (F.unix_timestamp("ts") * 1_000_000
-              + F.date_format("ts", "SSSSSS").cast("bigint"))
-    mod_ms = ((micros % 86400000000) / 1000).cast("bigint")
+    mod_ms = floor_div(epoch_micros("ts") % 86400000000, 1000)
     return ev.filter(F.col("event_id") < 500).select(
         "event_id",
         ((mod_ms + 5400000) % 86400000).alias("plus_90m"),

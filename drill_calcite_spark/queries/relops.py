@@ -429,11 +429,12 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows that is (ties in the order key all join the frame, the defining
     RANGE-vs-ROWS difference). Event time is bucketed to epoch seconds
     with integer µs division so both engines bound identical frames."""
+    from drill_calcite_spark.functions.time import epoch_micros, floor_div
+
     ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
-    micros = (F.unix_timestamp("ts") * 1_000_000
-              + F.date_format("ts", "SSSSSS").cast("bigint"))
     e = ev.select(
-        "user_id", "event_id", (micros / 1_000_000).cast("bigint").alias("sec"),
+        "user_id", "event_id",
+        floor_div(epoch_micros("ts"), 1_000_000).alias("sec"),
         "value",
     )
     w = (W.partitionBy("user_id").orderBy("sec")

@@ -40,6 +40,22 @@ def test_similar_to_regex_translation():
         similar_to_regex("[abc")
 
 
+def test_similar_to_brace_validation():
+    import re as _re
+
+    # well-formed quantifiers translate and compile
+    assert _re.match(similar_to_regex("a{2}"), "aa")
+    assert _re.match(similar_to_regex("a{2,}"), "aaaa")
+    assert not _re.match(similar_to_regex("a{2,3}"), "a")
+    # escaped braces are literals
+    assert _re.match(similar_to_regex("a!{b", escape="!"), "a{b")
+    # stray/malformed braces fail at TRANSLATE time (SQL:2003 invalid
+    # pattern), not later inside the regex engine
+    for bad in ("a{b", "a}", "{2}", "a{,2}", "a{2,3", "a{"):
+        with pytest.raises(ValueError):
+            similar_to_regex(bad)
+
+
 # ------------------------------------------------------------ pattern matcher
 def _runs(seq, pattern, skip_past=True):
     """seq: string per row of applicable symbols, e.g. ['S','SD','SU']."""
@@ -278,6 +294,87 @@ def test_match_recognize_within_interval(spark):
     # without the clause both matches survive
     out2 = match_recognize(df, **kwargs).collect()
     assert sorted((r.uid, r.n) for r in out2) == [(1, 2), (2, 2)]
+
+
+def test_match_recognize_within_backtracks_to_shorter_match(spark):
+    # greedy UP+ would span 50s and bust WITHIN 10 — the matcher must fall
+    # back to the shorter UP prefix that qualifies, not drop the match
+    df = spark.createDataFrame(
+        [(1, 0.0, 10.0), (1, 2.0, 8.0), (1, 4.0, 9.0), (1, 50.0, 11.0)],
+        "uid long, t double, value double",
+    )
+    out = match_recognize(
+        df, ["uid"], ["t"], pattern="DOWN+ UP+",
+        define={
+            "DOWN": lambda p: p["value"] < p["value"].shift(1),
+            "UP": lambda p: p["value"] > p["value"].shift(1),
+        },
+        measures={"uid": lambda p, m: int(p["uid"].iloc[0]),
+                  "n": lambda p, m: len(m["*"]),
+                  "last_t": lambda p, m: float(p["t"].iloc[m["*"][-1]])},
+        output_schema="uid long, n long, last_t double",
+        within=("t", 10.0),
+    ).collect()
+    assert [(r.uid, r.n, r.last_t) for r in out] == [(1, 2, 4.0)]
+
+
+def test_salted_join_rejects_build_preserving_how(spark):
+    from drill_calcite_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    for how in ("right", "full", "outer", "right_outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(fact, dim, ["k"], salts=4, how=how)
+    # anti/semi are fact-preserving and must work
+    assert salted_join(fact, dim, ["k"], salts=4, how="left_semi").count() == 1
+    assert salted_join(fact, dim, ["k"], salts=4, how="left_anti").count() == 0
+
+
+def test_distributed_distribution_handles_ties(spark):
+    from pyspark.sql import Window as W
+
+    from drill_calcite_spark.operators.ranks import distributed_distribution
+
+    # heavy ties: only 7 distinct order keys over 40 rows
+    df = spark.createDataFrame([(i, i % 7) for i in range(40)], "id long, v long")
+    got = distributed_distribution(df, ["v"], ntile=4, num_partitions=4)
+    w = W.orderBy("v")
+    exp = df.select(
+        "id", "v",
+        F.rank().over(w).alias("global_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+        F.percent_rank().over(w).alias("percent_rank"),
+    )
+    g = {r.id: (r.global_rank, r.cume_dist, r.percent_rank)
+         for r in got.collect()}
+    for r in exp.collect():
+        gr, cd, pr = g[r.id]
+        assert gr == r.global_rank, (r.id, gr, r.global_rank)
+        assert abs(cd - r.cume_dist) < 1e-12
+        assert abs(pr - r.percent_rank) < 1e-12
+    # NTILE is row-based: bucket sizes must be exactly n/k regardless of ties
+    sizes = sorted(
+        r["cnt"] for r in got.groupBy("ntile_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    assert sizes == [10, 10, 10, 10]
+
+
+def test_epoch_floor_division_pre1970(spark):
+    from drill_calcite_spark.functions.time import epoch_micros, floor_div
+
+    df = spark.createDataFrame(
+        [("1969-12-31 23:59:59.5",), ("1970-01-01 00:00:00.5",)], "s string"
+    ).select(F.col("s").cast("timestamp").alias("ts"))
+    rows = df.select(
+        epoch_micros("ts").alias("us"),
+        floor_div(epoch_micros("ts"), 1_000_000).alias("sec"),
+    ).orderBy("us").collect()
+    # pre-1970: -0.5s floors to -1 (a truncate-toward-zero would give 0)
+    assert [(r.us, r.sec) for r in rows] == [(-500000, -1), (500000, 0)]
+    neg = spark.range(1).select(floor_div(F.lit(-1500001), 1000).alias("x"))
+    assert neg.collect()[0].x == -1501
 
 
 def test_salted_join_equals_plain_join(spark):
