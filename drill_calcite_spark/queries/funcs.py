@@ -698,6 +698,64 @@ def func_geo_st(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from drill_calcite_spark.functions.geo import (  # noqa: E402  (shared polygon literals)
+    sql_contains_poly,
+    sql_distance_poly,
+)
+
+# Concave C-shaped ring + an interior hole — exercises the even-odd rule
+# where a convex polygon would not. Shared literals: the Spark query and
+# the DuckDB oracle both derive their (identical) planar math from these.
+_POLY_C = [(10.0, 10.0), (90.0, 10.0), (90.0, 40.0), (50.0, 40.0),
+           (50.0, 70.0), (90.0, 70.0), (90.0, 90.0), (10.0, 90.0)]
+_POLY_HOLE = [(20.0, 20.0), (40.0, 20.0), (40.0, 35.0), (20.0, 35.0)]
+
+_GEO_POLY_SQL = f"""
+WITH pts AS (
+  SELECT event_id, (value % 100.0) AS px, (user_id % 97)::DOUBLE AS py
+  FROM events WHERE event_id < 3000
+)
+SELECT event_id,
+       {sql_contains_poly(_POLY_C, "px", "py")}                AS in_c,
+       ({sql_contains_poly(_POLY_C, "px", "py")} AND NOT
+        {sql_contains_poly(_POLY_HOLE, "px", "py")})           AS in_c_holed,
+       round({sql_distance_poly(_POLY_C, "px", "py")}, 6)      AS dist_c,
+       round({sql_distance_poly(_POLY_HOLE, "px", "py")}, 6)   AS dist_hole
+FROM pts
+"""
+
+
+@q("func_geo_poly", _GEO_POLY_SQL)
+def func_geo_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon ST_* relations (runtime/GeoFunctions.java ST_Contains/
+    ST_Within/ST_Distance polygon overloads; spatial.iq): even-odd
+    ray-cast containment on a CONCAVE ring, polygon-with-hole containment
+    (outer AND NOT inner — ST_Within with an interior ring), and
+    point-to-polygon distance (0 inside, else min clamped-projection edge
+    distance). All O(V) plan-time-unrolled column math
+    (functions/geo.py:st_contains_poly) — whole-stage codegen at 100 TB,
+    no UDF, no geometry objects."""
+    from drill_calcite_spark.functions.geo import st_contains_poly, st_distance_poly
+
+    pts = (
+        t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+        .select(
+            "event_id",
+            (F.col("value") % 100.0).alias("px"),
+            (F.col("user_id") % 97).cast("double").alias("py"),
+        )
+    )
+    px, py = F.col("px"), F.col("py")
+    return pts.select(
+        "event_id",
+        st_contains_poly(_POLY_C, px, py).alias("in_c"),
+        (st_contains_poly(_POLY_C, px, py)
+         & ~st_contains_poly(_POLY_HOLE, px, py)).alias("in_c_holed"),
+        F.round(st_distance_poly(_POLY_C, px, py), 6).alias("dist_c"),
+        F.round(st_distance_poly(_POLY_HOLE, px, py), 6).alias("dist_hole"),
+    )
+
+
 # ------------------------------------------------------------- array / struct
 @q("func_array_ops", """
 SELECT doc_id,
