@@ -949,6 +949,113 @@ def func_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+# ------------------------------------------------------- phonetics / tz
+# DuckDB has no soundex(), so the oracle carries a pure-SQL twin of Spark's
+# US-census soundex (UTF8String.soundex): keep the first letter; H/W are
+# deleted (they never break a code run); every other non-letter acts as a
+# vowel (emits code '0', which breaks runs and is then dropped); adjacent
+# duplicate codes collapse (including against the first letter's own code);
+# pad with '0' to 4 chars. The run-collapse uses a list_filter index lambda
+# because DuckDB's RE2 regexes have no backreferences. Validated char-exact
+# vs F.soundex over every distinct part-name word plus classic stress words
+# (Ashcraft, Tymczak, Pfister, Honeyman, Lloyd, O'Brien, ...) in
+# tests/test_operators.py.
+_SOUNDEX_SQL = """(
+  SELECT CASE WHEN NOT substr(upper({col}),1,1) BETWEEN 'A' AND 'Z' THEN {col}
+         ELSE substr(upper({col}),1,1) ||
+              rpad(replace(substr(array_to_string(
+                list_filter(cs, (x,i) -> i = 1 OR x <> cs[i-1]), ''), 2), '0', ''), 3, '0')
+         END
+  FROM (SELECT string_split(
+          translate(substr(upper({col}),1,1),
+                    'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230127022455012623017202')
+          || translate(
+               regexp_replace(regexp_replace(substr(upper({col}),2), '[^A-Z]', 'A', 'g'),
+                              '[HW]', '', 'g'),
+               'ABCDEFGIJKLMNOPQRSTUVXYZ', '012301202245501262301202'),
+          '') AS cs)
+)"""
+
+
+def _sx_diff(sa: F.Column, sb: F.Column) -> F.Column:
+    """DIFFERENCE = count of positions (1..4) where the soundex codes agree
+    (commons-codec SoundexUtils.difference semantics, which Calcite's
+    DIFFERENCE delegates to)."""
+    terms = [
+        (F.substring(sa, i, 1) == F.substring(sb, i, 1)).cast("bigint")
+        for i in range(1, 5)
+    ]
+    out = terms[0]
+    for term in terms[1:]:
+        out = out + term
+    return out
+
+
+@q("func_strings_phonetic", f"""
+SELECT p_partkey,
+       {_SOUNDEX_SQL.format(col="split_part(p_name,' ',1)")} AS sx1,
+       {_SOUNDEX_SQL.format(col="split_part(p_name,' ',2)")} AS sx2,
+       (SELECT CAST(
+          (substr(a,1,1)=substr(b,1,1))::INT + (substr(a,2,1)=substr(b,2,1))::INT
+        + (substr(a,3,1)=substr(b,3,1))::INT + (substr(a,4,1)=substr(b,4,1))::INT
+        AS BIGINT)
+        FROM (SELECT {_SOUNDEX_SQL.format(col="split_part(p_name,' ',1)")} AS a,
+                     {_SOUNDEX_SQL.format(col="split_part(p_name,' ',2)")} AS b)) AS sx_diff
+FROM part
+""")
+def func_strings_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOUNDEX + DIFFERENCE (SqlLibraryOperators.SOUNDEX/DIFFERENCE;
+    runtime/SqlFunctions.java soundex/difference delegate to commons-codec).
+    Spark's soundex is a JVM built-in; DIFFERENCE is the 4-position code
+    agreement count computed from two soundex values."""
+    p = t(spark, sf_dir, "part")
+    w1 = F.split_part(F.col("p_name"), F.lit(" "), F.lit(1))
+    w2 = F.split_part(F.col("p_name"), F.lit(" "), F.lit(2))
+    sx1, sx2 = F.soundex(w1), F.soundex(w2)
+    return p.select(
+        "p_partkey",
+        sx1.alias("sx1"),
+        sx2.alias("sx2"),
+        _sx_diff(sx1, sx2).alias("sx_diff"),
+    )
+
+
+@q("func_tz_convert", """
+SELECT event_id,
+       (ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York' AS ny,
+       (ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Tokyo'       AS tokyo,
+       (ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Kolkata'     AS kolkata,
+       (((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York')
+          AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC'  AS roundtrip,
+       monthname(ts)                                           AS mon_name,
+       dayname(ts)                                             AS day_name
+FROM events
+""")
+def func_tz_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT_TIMEZONE (SqlLibraryOperators; runtime/SqlFunctions.java
+    convertTimezone) + MONTHNAME/DAYNAME (SqlLibraryOperators MONTHNAME/
+    DAYNAME). Zones cover DST transitions (New_York over a full year of
+    events) and a half-hour offset (Kolkata); the roundtrip column pins
+    to/from inversion. Session TZ is UTC so TIMESTAMP ≡ TIMESTAMP_NTZ."""
+    ev = t(spark, sf_dir, "events")
+    ntz = F.col("ts").cast("timestamp_ntz")
+
+    def conv(to: str) -> F.Column:
+        return F.convert_timezone(F.lit("UTC"), F.lit(to), ntz).cast("timestamp")
+
+    ny = F.convert_timezone(F.lit("UTC"), F.lit("America/New_York"), ntz)
+    return ev.select(
+        "event_id",
+        conv("America/New_York").alias("ny"),
+        conv("Asia/Tokyo").alias("tokyo"),
+        conv("Asia/Kolkata").alias("kolkata"),
+        F.convert_timezone(F.lit("America/New_York"), F.lit("UTC"), ny)
+        .cast("timestamp").alias("roundtrip"),
+        F.date_format("ts", "MMMM").alias("mon_name"),
+        F.date_format("ts", "EEEE").alias("day_name"),
+    )
+
+
 @q("agg_approx_distinct", """
 SELECT o_orderstatus, count(DISTINCT o_custkey) AS exact_nd,
        true AS approx_within_5pct

@@ -541,3 +541,31 @@ def test_snapshot_validity(spark):
     assert sorted((r.id, r.val) for r in out) == [(1, "v2")]
     out2 = snapshot(scd, "2020-03-01").select("id", "val").collect()
     assert sorted((r.id, r.val) for r in out2) == [(1, "v1")]
+
+
+# ------------------------------------------------------------------ phonetics
+def test_soundex_sql_twin_matches_spark(spark, duck):
+    """The DuckDB soundex emulation (_SOUNDEX_SQL) must be char-exact with
+    Spark's F.soundex on classic stress words — H/W run-bridging (Ashcraft),
+    vowel run-breaking (Tymczak, Honeyman), first-letter collapse (Pfister,
+    Lloyd), non-letters (O'Brien), and degenerate inputs."""
+    from drill_calcite_spark.queries.funcs import _SOUNDEX_SQL
+
+    words = [
+        "Robert", "Rupert", "Ashcraft", "Ashcroft", "Tymczak", "Pfister",
+        "Honeyman", "Jackson", "VanDeusen", "Lloyd", "Wheel", "Czarkowska",
+        "O'Brien", "d123x", "gizmo", "H", "W", "Aeiou", "a", "Zz", "RRRRR",
+    ]
+    spark_res = {
+        r.w: r.sx
+        for r in spark.createDataFrame([(w,) for w in words], "w string")
+        .select("w", F.soundex("w").alias("sx")).collect()
+    }
+    duck.execute("CREATE OR REPLACE TABLE _sx_words(w VARCHAR)")
+    duck.executemany("INSERT INTO _sx_words VALUES (?)", [(w,) for w in words])
+    duck_res = dict(
+        duck.execute(
+            f"SELECT w, {_SOUNDEX_SQL.format(col='w')} FROM _sx_words"
+        ).fetchall()
+    )
+    assert spark_res == duck_res
