@@ -1,0 +1,108 @@
+"""MySQL-style JSON utility functions the reference exposes through
+SqlLibraryOperators (JSON_DEPTH / JSON_PRETTY / JSON_REMOVE /
+JSON_STORAGE_SIZE — core/src/main/java/org/apache/calcite/runtime/
+JsonFunctions.java jsonDepth/jsonPretty/jsonRemove/jsonStorageSize).
+
+Spark has none of these built in, and their generic form needs a JSON parse.
+We stay in pure column algebra (whole-stage codegen, no UDFs) with a
+single-pass character scan via ``F.aggregate`` over ``F.split(j, '')``,
+under a documented precondition that holds for every engine-generated JSON
+document (``to_json`` output and the driver's ``props`` column):
+
+    COMPACT JSON — no '{', '}', '[', ']' characters inside string values,
+    no whitespace inside empty containers, no escaped quotes.
+
+Within that contract the scan is exact:
+
+- depth: running bracket nesting; an opener at new nesting n witnesses
+  depth n (covers empty containers), any other non-closer character at
+  nesting n witnesses depth n+1 (a non-empty container always holds a
+  scalar, key, or deeper opener). Matches MySQL JSON_DEPTH on all its
+  documented cases ('{}'→1, '[1]'→2, scalar→1, ...).
+- pretty: MySQL/Jackson 2-space style — newline+indent after openers and
+  commas, newline+indent before closers, ': ' after key colons. Byte-equal
+  to python ``json.dumps(indent=2)`` on compact input (unit-tested).
+
+The DuckDB oracle twins in queries/funcs.py run the identical algorithm as
+a per-position prefix-count scan (DuckDB's RE2 regexes have no
+backreferences, and its lambda aggregate lacks an initial accumulator, so
+the oracle uses ``range(...)`` + ``string_agg ORDER BY i`` instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+_OPENS = ("{", "[")
+_CLOSES = ("}", "]")
+
+# plenty for any engine-generated doc; substr clamps, never throws
+_INDENT_POOL = " " * 80
+
+
+def _chars(j: F.Column) -> F.Column:
+    return F.split(j, "")
+
+
+def json_depth(j: F.Column) -> F.Column:
+    """JSON_DEPTH(j) — maximum nesting depth (MySQL semantics); NULL in,
+    NULL out. Single pass: acc.n = bracket nesting, acc.d = best depth."""
+
+    def step(acc: F.Column, c: F.Column) -> F.Column:
+        n2 = acc.n + F.when(c.isin(*_OPENS), 1).when(c.isin(*_CLOSES), -1).otherwise(0)
+        # openers witness n2 == acc.n + 1; other non-closers witness acc.n + 1
+        cand = F.when(c.isin(*_CLOSES) | (c == ""), acc.d).otherwise(acc.n + 1)
+        return F.struct(n2.alias("n"), F.greatest(acc.d, cand).alias("d"))
+
+    return F.aggregate(
+        _chars(j),
+        F.struct(F.lit(0).alias("n"), F.lit(0).alias("d")),
+        step,
+        lambda acc: acc.d.cast("bigint"),
+    )
+
+
+def json_pretty(j: F.Column) -> F.Column:
+    """JSON_PRETTY(j) — 2-space-indent pretty printing of a compact JSON
+    document (Jackson DefaultPrettyPrinter style, as Calcite's jsonPretty)."""
+
+    def indent(n: F.Column) -> F.Column:
+        return F.substr(F.lit(_INDENT_POOL), F.lit(1), n * 2)
+
+    def step(acc: F.Column, c: F.Column) -> F.Column:
+        n2 = acc.n + F.when(c.isin(*_OPENS), 1).when(c.isin(*_CLOSES), -1).otherwise(0)
+        frag = (
+            F.when(c.isin(*_OPENS), F.concat(c, F.lit("\n"), indent(n2)))
+            .when(c.isin(*_CLOSES), F.concat(F.lit("\n"), indent(n2), c))
+            .when(c == ",", F.concat(F.lit(",\n"), indent(acc.n)))
+            .when(c == ":", F.lit(": "))
+            .when(c == "", F.lit(""))
+            .otherwise(c)
+        )
+        return F.struct(n2.alias("n"), F.concat(acc.out, frag).alias("out"))
+
+    return F.aggregate(
+        _chars(j),
+        F.struct(F.lit(0).alias("n"), F.lit("").alias("out")),
+        step,
+        lambda acc: acc.out,
+    )
+
+
+def json_remove_key(j: F.Column, key: str) -> F.Column:
+    """JSON_REMOVE(j, '$.key') for a top-level key with a scalar or string
+    value (the engine-generated-document subset; nested values would need
+    balanced matching that regexes can't express). Removes the pair with its
+    separating comma; a leading '{,' from removing the first key is fixed
+    up. The oracle runs the byte-identical regex in DuckDB."""
+    pat = ',?"' + key + '":("[^"]*"|[^,}\\]]*)'
+    return F.replace(
+        F.regexp_replace(j, pat, ""), F.lit("{,"), F.lit("{")
+    )
+
+
+def json_storage_size(j: F.Column) -> F.Column:
+    """JSON_STORAGE_SIZE(j) — bytes of the serialized document. Calcite
+    returns Jackson's serialized byte length (JsonFunctions.jsonStorageSize);
+    for an already-compact document that is its octet length."""
+    return F.octet_length(j).cast("bigint")

@@ -488,8 +488,8 @@ def func_json_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL/INTEGER/DOUBLE from its raw text — the identical CASE runs on
     both engines. Spark's get_json_object strips quotes from extracted
     strings (unlike DuckDB's json_extract), so string-typed leaves are
-    detected via a to_json re-wrap. JSON_DEPTH (recursive nesting depth)
-    stays out of scope — it needs a recursive parse, not column algebra."""
+    detected via a to_json re-wrap. JSON_DEPTH lives in functions/json.py
+    (single-pass bracket-nesting scan; see func_json_depth)."""
     e = t(spark, sf_dir, "events").filter(F.col("event_id") < 1500)
     doc = F.to_json(F.struct(
         F.lit("x").alias("s"),
@@ -516,6 +516,93 @@ def func_json_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         _json_type_col(ext(doc, "$.f")).alias("t_f"),
         _json_type_col(ext(doc, "$.z")).alias("t_z"),
         F.size(F.json_object_keys("props")).cast("bigint").alias("obj_len"),
+    )
+
+
+# ----------------------------------------------- JSON depth/pretty/remove
+# DuckDB twins of functions/json.py: a per-position prefix-count scan
+# (opens − closes up to position i) replaces the Spark aggregate-lambda
+# running state, because DuckDB's list_reduce has no initial accumulator.
+# Built by .replace() so the SQL's own braces don't fight str.format.
+_JSON_NEST_SCAN = """
+  (SELECT %(agg)s
+   FROM (SELECT i, substr(__COL__, CAST(i AS INT), 1) AS c,
+           (CAST(i AS INT) - length(replace(replace(substr(__COL__,1,CAST(i AS INT)),'{',''),'[','')))
+         - (CAST(i AS INT) - length(replace(replace(substr(__COL__,1,CAST(i AS INT)),'}',''),']',''))) AS nest
+         FROM range(1,513) AS t(i) WHERE i <= length(__COL__)))
+"""
+
+_JSON_DEPTH_AGG = """max(CASE WHEN c IN ('}',']') THEN NULL
+                          WHEN c IN ('{','[') THEN nest ELSE nest + 1 END)"""
+
+_JSON_PRETTY_AGG = """string_agg(CASE
+      WHEN c IN ('{','[') THEN c || chr(10) || repeat('  ', nest)
+      WHEN c IN ('}',']') THEN chr(10) || repeat('  ', nest) || c
+      WHEN c = ',' THEN ',' || chr(10) || repeat('  ', nest)
+      WHEN c = ':' THEN ': '
+      ELSE c END, '' ORDER BY i)"""
+
+
+def _depth_sql(col: str) -> str:
+    return (_JSON_NEST_SCAN % {"agg": _JSON_DEPTH_AGG}).replace("__COL__", col)
+
+
+def _pretty_sql(col: str) -> str:
+    return (_JSON_NEST_SCAN % {"agg": _JSON_PRETTY_AGG}).replace("__COL__", col)
+
+
+@q("func_json_depth", """
+WITH j AS (
+  SELECT event_id,
+         json_object('id', event_id, 't', event_type)::VARCHAR AS j1,
+         json_object('inner', json_object('id', event_id, 'u', user_id),
+                     't', event_type)::VARCHAR                 AS j2,
+         to_json([[user_id, event_id]])::VARCHAR               AS j3,
+         CAST(event_id AS VARCHAR)                             AS j0
+  FROM events WHERE event_id < 2000
+)
+SELECT event_id,
+       CAST(""" + _depth_sql("j0") + """ AS BIGINT) AS depth_scalar,
+       CAST(""" + _depth_sql("j1") + """ AS BIGINT) AS depth_flat,
+       CAST(""" + _depth_sql("j2") + """ AS BIGINT) AS depth_nested,
+       CAST(""" + _depth_sql("j3") + """ AS BIGINT) AS depth_arr,
+       """ + _pretty_sql("j2") + """ AS pretty,
+       replace(regexp_replace(j1, ',?"t":("[^"]*"|[^,}\\]]*)', ''), '{,', '{')
+                                                    AS removed,
+       CAST(strlen(j1) AS BIGINT)                   AS st_size
+FROM j
+""")
+def func_json_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON_DEPTH / JSON_PRETTY / JSON_REMOVE / JSON_STORAGE_SIZE
+    (SqlLibraryOperators; runtime/JsonFunctions.java jsonDepth/jsonPretty/
+    jsonRemove/jsonStorageSize) over engine-generated documents spanning
+    depths 1-3: a bare scalar, a flat object, an object nesting an object,
+    and nested arrays. Pure column algebra — see functions/json.py for the
+    scan algorithm and its compact-JSON precondition."""
+    from drill_calcite_spark.functions.json import (
+        json_depth, json_pretty, json_remove_key, json_storage_size,
+    )
+
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    j1 = F.to_json(F.struct(
+        F.col("event_id").alias("id"), F.col("event_type").alias("t")
+    ))
+    j2 = F.to_json(F.struct(
+        F.struct(F.col("event_id").alias("id"),
+                 F.col("user_id").alias("u")).alias("inner"),
+        F.col("event_type").alias("t"),
+    ))
+    j3 = F.to_json(F.array(F.array("user_id", "event_id")))
+    j0 = F.col("event_id").cast("string")
+    return e.select(
+        "event_id",
+        json_depth(j0).alias("depth_scalar"),
+        json_depth(j1).alias("depth_flat"),
+        json_depth(j2).alias("depth_nested"),
+        json_depth(j3).alias("depth_arr"),
+        json_pretty(j2).alias("pretty"),
+        json_remove_key(j1, "t").alias("removed"),
+        json_storage_size(j1).alias("st_size"),
     )
 
 

@@ -569,3 +569,47 @@ def test_soundex_sql_twin_matches_spark(spark, duck):
         ).fetchall()
     )
     assert spark_res == duck_res
+
+
+# ----------------------------------------------------------------- JSON utils
+def test_json_depth_pretty_mysql_cases(spark):
+    """functions/json.py vs MySQL's documented JSON_DEPTH cases and python
+    json.dumps(indent=2) pretty text, on compact literals."""
+    import json as pyjson
+
+    from drill_calcite_spark.functions.json import (
+        json_depth, json_pretty, json_remove_key, json_storage_size,
+    )
+
+    docs = ['{}', '[]', '1', '"ab"', 'true', '[1]', '{"a":1}',
+            '{"a":{"b":1},"c":[[2]]}', '[[],[1]]', '{"a":[]}']
+    mysql_depth = [1, 1, 1, 1, 1, 2, 2, 4, 3, 2]
+    df = spark.createDataFrame([(d,) for d in docs], "j string").select(
+        "j",
+        json_depth(F.col("j")).alias("d"),
+        json_pretty(F.col("j")).alias("p"),
+        json_storage_size(F.col("j")).alias("s"),
+    )
+    got = {r.j: r for r in df.collect()}
+    for doc, want in zip(docs, mysql_depth):
+        assert got[doc].d == want, (doc, got[doc].d, want)
+        assert got[doc].s == len(doc.encode())
+        if '{}' not in doc and '[]' not in doc:  # empty containers: MySQL
+            # keeps them inline; our scan splits them (documented precondition)
+            assert got[doc].p == pyjson.dumps(pyjson.loads(doc), indent=2), doc
+    # NULL in, NULL out
+    nrow = spark.createDataFrame([(None,)], "j string").select(
+        json_depth(F.col("j")).alias("d")).collect()[0]
+    assert nrow.d is None
+
+    rm = spark.createDataFrame(
+        [('{"a":1,"t":"x","b":2}',), ('{"t":"x","b":2}',), ('{"a":1,"t":"x"}',),
+         ('{"t":"x"}',), ('{"a":1}',)], "j string"
+    ).select("j", json_remove_key(F.col("j"), "t").alias("r")).collect()
+    assert {r.j: r.r for r in rm} == {
+        '{"a":1,"t":"x","b":2}': '{"a":1,"b":2}',
+        '{"t":"x","b":2}': '{"b":2}',
+        '{"a":1,"t":"x"}': '{"a":1}',
+        '{"t":"x"}': '{}',
+        '{"a":1}': '{"a":1}',
+    }
