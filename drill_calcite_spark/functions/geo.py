@@ -91,9 +91,30 @@ def st_contains_envelope(xmin: float, ymin: float, xmax: float, ymax: float,
 Ring = "list[tuple[float, float]]"
 
 
+def _g(v: float) -> str:
+    """Emit a plan literal with full double precision (repr is
+    shortest-roundtrip) so the SQL twin and the Column twin share
+    bit-identical constants — '%.1f'-style formatting would silently round
+    e.g. 10.25 and diverge the oracle."""
+    return repr(float(v))
+
+
 def _edges(vertices):
     n = len(vertices)
     return [(vertices[i], vertices[(i + 1) % n]) for i in range(n)]
+
+
+def _ring_guard(vertices, op: str) -> None:
+    """Translate-time validation (same fail-early contract as
+    functions/pattern.py): reject rings that would make the unrolled math
+    degenerate instead of silently emitting NULL/NaN columns."""
+    if len(vertices) < 3:
+        raise ValueError(f"{op}: ring needs >= 3 vertices, got {len(vertices)}")
+    if sum(1 for (p1, p2) in _edges(vertices) if p1[1] != p2[1]) == 0:
+        raise ValueError(f"{op}: ring has no non-horizontal edge (zero area)")
+    if sum(1 for (p1, p2) in _edges(vertices) if p1 != p2) < 3:
+        raise ValueError(f"{op}: ring collapses to < 3 distinct edges "
+                         "(duplicate consecutive vertices)")
 
 
 def st_contains_poly(vertices, x: Column, y: Column) -> Column:
@@ -103,6 +124,7 @@ def st_contains_poly(vertices, x: Column, y: Column) -> Column:
     < 0`` avoids div-by-zero on horizontal edges (sign(dy) folds to a
     literal per edge). Works for concave rings; boundary points follow the
     half-open convention deterministically in both engines."""
+    _ring_guard(vertices, "st_contains_poly")
     hits: Column | None = None
     for (x1, y1), (x2, y2) in _edges(vertices):
         dy = y2 - y1
@@ -120,6 +142,7 @@ def st_contains_poly(vertices, x: Column, y: Column) -> Column:
 def sql_contains_poly(vertices, x: str, y: str) -> str:
     """The same even-odd ray cast as ``st_contains_poly``, as a SQL scalar
     expression string over column expressions ``x``/``y``."""
+    _ring_guard(vertices, "sql_contains_poly")
     terms = []
     for (x1, y1), (x2, y2) in _edges(vertices):
         dy = y2 - y1
@@ -127,9 +150,9 @@ def sql_contains_poly(vertices, x: str, y: str) -> str:
             continue
         s = 1.0 if dy > 0 else -1.0
         terms.append(
-            f"(CASE WHEN (({y1:.1f} > {y}) != ({y2:.1f} > {y})) AND "
-            f"((({x}) - {x1:.1f}) * {dy:.1f} - {x2 - x1:.1f} * (({y}) - {y1:.1f}))"
-            f" * {s:.1f} < 0 THEN 1 ELSE 0 END)"
+            f"(CASE WHEN (({_g(y1)} > {y}) != ({_g(y2)} > {y})) AND "
+            f"((({x}) - {_g(x1)}) * {_g(dy)} - {_g(x2 - x1)} * (({y}) - {_g(y1)}))"
+            f" * {_g(s)} < 0 THEN 1 ELSE 0 END)"
         )
     return "((" + " + ".join(terms) + ") % 2 = 1)"
 
@@ -137,11 +160,15 @@ def sql_contains_poly(vertices, x: str, y: str) -> str:
 def st_distance_poly(vertices, x: Column, y: Column) -> Column:
     """ST_Distance(polygon, point): 0 when the point is inside, else the
     minimum Euclidean distance to any boundary segment (clamped projection
-    per edge, all plan-time constants folded)."""
+    per edge, all plan-time constants folded). Zero-length edges (duplicate
+    consecutive vertices) contribute no segment — skipped, not divided by."""
+    _ring_guard(vertices, "st_distance_poly")
     d2s = []
     for (x1, y1), (x2, y2) in _edges(vertices):
         ex, ey = x2 - x1, y2 - y1
         L2 = ex * ex + ey * ey
+        if L2 == 0:
+            continue
         t = ((x - F.lit(x1)) * F.lit(ex) + (y - F.lit(y1)) * F.lit(ey)) / F.lit(L2)
         tc = F.greatest(F.least(t, F.lit(1.0)), F.lit(0.0))
         dx = x - (F.lit(x1) + tc * F.lit(ex))
@@ -153,16 +180,191 @@ def st_distance_poly(vertices, x: Column, y: Column) -> Column:
 
 def sql_distance_poly(vertices, x: str, y: str) -> str:
     """SQL twin of ``st_distance_poly``."""
+    _ring_guard(vertices, "sql_distance_poly")
     d2s = []
     for (x1, y1), (x2, y2) in _edges(vertices):
         ex, ey = x2 - x1, y2 - y1
         L2 = ex * ex + ey * ey
-        t = (f"((({x}) - {x1:.1f}) * {ex:.1f} + (({y}) - {y1:.1f}) * {ey:.1f})"
-             f" / {L2:.1f}")
+        if L2 == 0:
+            continue
+        t = (f"((({x}) - {_g(x1)}) * {_g(ex)} + (({y}) - {_g(y1)}) * {_g(ey)})"
+             f" / {_g(L2)}")
         tc = f"greatest(least({t}, 1.0), 0.0)"
-        dx = f"(({x}) - ({x1:.1f} + {tc} * {ex:.1f}))"
-        dyc = f"(({y}) - ({y1:.1f} + {tc} * {ey:.1f}))"
+        dx = f"(({x}) - ({_g(x1)} + {tc} * {_g(ex)}))"
+        dyc = f"(({y}) - ({_g(y1)} + {tc} * {_g(ey)}))"
         d2s.append(f"({dx} * {dx} + {dyc} * {dyc})")
     edge = f"sqrt(least({', '.join(d2s)}))"
     return (f"(CASE WHEN {sql_contains_poly(vertices, x, y)} THEN 0.0 "
             f"ELSE {edge} END)")
+
+
+# ------------------------------------------- polygon ↔ polygon relations
+# The second ring is DATA-DRIVEN: a list of (x_expr, y_expr) column pairs
+# (e.g. a per-row square from event coordinates). Relations decompose into
+# the two classical primitives, still pure unrolled column math:
+#   - segment straddle test per (edge_A × edge_B) pair — O(V_A·V_B) terms;
+#   - point-in-polygon for each vertex against the other ring.
+# Boundary convention: crossings are PROPER (collinear touching edges
+# count as non-crossing, d == 0 → straddle false) and vertex containment
+# follows the same half-open ray cast as st_contains_poly — deterministic
+# and identical in both engines, which is what the oracle hash checks.
+# (GeoFunctions.java ST_Intersects/ST_Contains/ST_Within polygon
+# overloads; spatial.iq polygon cases.)
+
+ColRing = "list[tuple[Column, Column]]"
+
+
+def _cross(ox, oy, ax, ay, bx, by):
+    """Signed cross product (a−o) × (b−o); works for Columns and floats."""
+    return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+
+def st_contains_colring(ring: "ColRing", x, y) -> Column:
+    """Point-in-polygon where the RING is per-row column expressions.
+    Horizontal edges self-exclude via the y-span test (y1 == y2 makes
+    ``(y1 > y) != (y2 > y)`` false), so no per-edge literal folding is
+    needed; the left-of test multiplies by signum(dy) at runtime."""
+    if len(ring) < 3:
+        raise ValueError("st_contains_colring: ring needs >= 3 vertices")
+    hits: Column | None = None
+    n = len(ring)
+    for i in range(n):
+        (x1, y1), (x2, y2) = ring[i], ring[(i + 1) % n]
+        dy = y2 - y1
+        spans = (y1 > y) != (y2 > y)
+        left = ((x - x1) * dy - (x2 - x1) * (y - y1)) * F.signum(dy) < 0
+        term = F.when(spans & left, F.lit(1)).otherwise(F.lit(0))
+        hits = term if hits is None else hits + term
+    return F.pmod(hits, F.lit(2)) == 1
+
+
+def sql_contains_colring(ring: "list[tuple[str, str]]", x: str, y: str) -> str:
+    """SQL twin of ``st_contains_colring`` (DuckDB sign == Spark signum)."""
+    if len(ring) < 3:
+        raise ValueError("sql_contains_colring: ring needs >= 3 vertices")
+    terms = []
+    n = len(ring)
+    for i in range(n):
+        (x1, y1), (x2, y2) = ring[i], ring[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN ((({y1}) > ({y})) != (({y2}) > ({y}))) AND "
+            f"((({x}) - ({x1})) * (({y2}) - ({y1}))"
+            f" - ((({x2}) - ({x1}))) * (({y}) - ({y1})))"
+            f" * sign(({y2}) - ({y1})) < 0 THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+def _lit_ring_cols(vertices) -> "ColRing":
+    return [(F.lit(float(vx)), F.lit(float(vy))) for vx, vy in vertices]
+
+
+def _lit_ring_sql(vertices) -> "list[tuple[str, str]]":
+    return [(_g(vx), _g(vy)) for vx, vy in vertices]
+
+
+def _any_straddle(ring_a: "ColRing", ring_b: "ColRing") -> Column:
+    out: Column | None = None
+    na, nb = len(ring_a), len(ring_b)
+    for i in range(na):
+        a1, a2 = ring_a[i], ring_a[(i + 1) % na]
+        for j in range(nb):
+            b1, b2 = ring_b[j], ring_b[(j + 1) % nb]
+            d1 = _cross(b1[0], b1[1], b2[0], b2[1], a1[0], a1[1])
+            d2 = _cross(b1[0], b1[1], b2[0], b2[1], a2[0], a2[1])
+            d3 = _cross(a1[0], a1[1], a2[0], a2[1], b1[0], b1[1])
+            d4 = _cross(a1[0], a1[1], a2[0], a2[1], b2[0], b2[1])
+            hit = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+            out = hit if out is None else (out | hit)
+    return out
+
+
+def _sql_any_straddle(ring_a, ring_b) -> str:
+    def cross(o, a, b):
+        return (f"((({a[0]}) - ({o[0]})) * (({b[1]}) - ({o[1]}))"
+                f" - (({a[1]}) - ({o[1]})) * (({b[0]}) - ({o[0]})))")
+
+    parts = []
+    na, nb = len(ring_a), len(ring_b)
+    for i in range(na):
+        a1, a2 = ring_a[i], ring_a[(i + 1) % na]
+        for j in range(nb):
+            b1, b2 = ring_b[j], ring_b[(j + 1) % nb]
+            d1, d2 = cross(b1, b2, a1), cross(b1, b2, a2)
+            d3, d4 = cross(a1, a2, b1), cross(a1, a2, b2)
+            parts.append(f"((({d1} > 0) != ({d2} > 0)) AND"
+                         f" (({d3} > 0) != ({d4} > 0)))")
+    return "(" + " OR ".join(parts) + ")"
+
+
+def st_intersects_poly_poly(lit_ring, col_ring: "ColRing") -> Column:
+    """ST_Intersects(literal polygon, per-row polygon): any proper edge
+    crossing, or either polygon containing a vertex of the other (covers
+    full containment with no boundary crossing)."""
+    _ring_guard(lit_ring, "st_intersects_poly_poly")
+    lit_cols = _lit_ring_cols(lit_ring)
+    crossing = _any_straddle(lit_cols, col_ring)
+    b_vertex_in_a: Column | None = None
+    for bx, by in col_ring:
+        term = st_contains_poly(lit_ring, bx, by)
+        b_vertex_in_a = term if b_vertex_in_a is None else (b_vertex_in_a | term)
+    a_vertex_in_b: Column | None = None
+    for ax, ay in lit_cols:
+        term = st_contains_colring(col_ring, ax, ay)
+        a_vertex_in_b = term if a_vertex_in_b is None else (a_vertex_in_b | term)
+    return crossing | b_vertex_in_a | a_vertex_in_b
+
+
+def sql_intersects_poly_poly(lit_ring, col_ring_sql) -> str:
+    """SQL twin of ``st_intersects_poly_poly``."""
+    _ring_guard(lit_ring, "sql_intersects_poly_poly")
+    lit_sql = _lit_ring_sql(lit_ring)
+    crossing = _sql_any_straddle(lit_sql, col_ring_sql)
+    b_in_a = " OR ".join(sql_contains_poly(lit_ring, bx, by)
+                         for bx, by in col_ring_sql)
+    a_in_b = " OR ".join(sql_contains_colring(col_ring_sql, ax, ay)
+                         for ax, ay in lit_sql)
+    return f"({crossing} OR ({b_in_a}) OR ({a_in_b}))"
+
+
+def st_contains_poly_poly(lit_ring, col_ring: "ColRing") -> Column:
+    """ST_Contains(literal polygon, per-row polygon): every vertex of the
+    inner ring inside the outer AND no proper edge crossing (simple-ring
+    sufficient condition; Calcite ST_Contains overloads)."""
+    _ring_guard(lit_ring, "st_contains_poly_poly")
+    all_in: Column | None = None
+    for bx, by in col_ring:
+        term = st_contains_poly(lit_ring, bx, by)
+        all_in = term if all_in is None else (all_in & term)
+    return all_in & ~_any_straddle(_lit_ring_cols(lit_ring), col_ring)
+
+
+def sql_contains_poly_poly(lit_ring, col_ring_sql) -> str:
+    """SQL twin of ``st_contains_poly_poly``."""
+    _ring_guard(lit_ring, "sql_contains_poly_poly")
+    all_in = " AND ".join(sql_contains_poly(lit_ring, bx, by)
+                          for bx, by in col_ring_sql)
+    straddle = _sql_any_straddle(_lit_ring_sql(lit_ring), col_ring_sql)
+    return f"(({all_in}) AND NOT {straddle})"
+
+
+def st_within_poly_poly(col_ring: "ColRing", lit_ring) -> Column:
+    """ST_Within(per-row polygon, literal polygon): every vertex of the
+    literal ring inside the per-row ring AND no proper crossing — the
+    column-ring-contains-literal direction (ST_Within(a,b) ≡
+    ST_Contains(b,a), GeoFunctions.java)."""
+    _ring_guard(lit_ring, "st_within_poly_poly")
+    all_in: Column | None = None
+    for ax, ay in _lit_ring_cols(lit_ring):
+        term = st_contains_colring(col_ring, ax, ay)
+        all_in = term if all_in is None else (all_in & term)
+    return all_in & ~_any_straddle(_lit_ring_cols(lit_ring), col_ring)
+
+
+def sql_within_poly_poly(col_ring_sql, lit_ring) -> str:
+    """SQL twin of ``st_within_poly_poly``."""
+    _ring_guard(lit_ring, "sql_within_poly_poly")
+    all_in = " AND ".join(sql_contains_colring(col_ring_sql, ax, ay)
+                          for ax, ay in _lit_ring_sql(lit_ring))
+    straddle = _sql_any_straddle(_lit_ring_sql(lit_ring), col_ring_sql)
+    return f"(({all_in}) AND NOT {straddle})"

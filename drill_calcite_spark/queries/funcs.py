@@ -843,6 +843,84 @@ def func_geo_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from drill_calcite_spark.functions.geo import (  # noqa: E402
+    sql_contains_poly_poly,
+    sql_intersects_poly_poly,
+    sql_within_poly_poly,
+)
+
+# Per-row square ring (axis-aligned, half-width h) — the data-driven side
+# of the polygon-polygon relations. The CTE names its 4 vertices so the
+# unrolled O(V_A × V_B) SQL stays readable; the Spark twin builds the same
+# vertex expressions as Columns.
+_SQ_RING_SQL = [("bx_lo", "by_lo"), ("bx_hi", "by_lo"),
+                ("bx_hi", "by_hi"), ("bx_lo", "by_hi")]
+
+_GEO_POLY_POLY_SQL = f"""
+WITH pts AS (
+  SELECT event_id,
+         (value % 100.0) AS px, (user_id % 97)::DOUBLE AS py,
+         1.0 + (event_id % 13) AS h
+  FROM events WHERE event_id < 3000
+), sq AS (
+  SELECT event_id, px - h AS bx_lo, px + h AS bx_hi,
+         py - h AS by_lo, py + h AS by_hi
+  FROM pts
+)
+SELECT event_id,
+       {sql_intersects_poly_poly(_POLY_C, _SQ_RING_SQL)}  AS sq_meets_c,
+       {sql_contains_poly_poly(_POLY_C, _SQ_RING_SQL)}    AS sq_in_c,
+       {sql_within_poly_poly(_SQ_RING_SQL, _POLY_HOLE)}   AS hole_in_sq,
+       (NOT {sql_intersects_poly_poly(_POLY_HOLE, _SQ_RING_SQL)})
+                                                          AS sq_avoids_hole
+FROM sq
+"""
+
+
+@q("func_geo_poly_poly", _GEO_POLY_POLY_SQL)
+def func_geo_poly_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon-polygon ST_* relations (runtime/GeoFunctions.java
+    ST_Intersects/ST_Contains/ST_Within polygon overloads; spatial.iq
+    polygon cases): a per-row square (center = event coords, data-driven
+    half-width) against the concave C ring and its hole — edge-straddle ×
+    vertex-containment decomposition, all unrolled column math
+    (functions/geo.py:st_intersects_poly_poly). sq_meets_c exercises
+    intersects both ways, sq_in_c containment of a column ring in a
+    literal ring, hole_in_sq the reverse direction (ST_Within ≡ flipped
+    ST_Contains), sq_avoids_hole disjointness."""
+    from drill_calcite_spark.functions.geo import (
+        st_contains_poly_poly,
+        st_intersects_poly_poly,
+        st_within_poly_poly,
+    )
+
+    pts = (
+        t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+        .select(
+            "event_id",
+            (F.col("value") % 100.0).alias("px"),
+            (F.col("user_id") % 97).cast("double").alias("py"),
+            (F.lit(1.0) + (F.col("event_id") % 13)).alias("h"),
+        )
+        .select(
+            "event_id",
+            (F.col("px") - F.col("h")).alias("bx_lo"),
+            (F.col("px") + F.col("h")).alias("bx_hi"),
+            (F.col("py") - F.col("h")).alias("by_lo"),
+            (F.col("py") + F.col("h")).alias("by_hi"),
+        )
+    )
+    sq = [(F.col("bx_lo"), F.col("by_lo")), (F.col("bx_hi"), F.col("by_lo")),
+          (F.col("bx_hi"), F.col("by_hi")), (F.col("bx_lo"), F.col("by_hi"))]
+    return pts.select(
+        "event_id",
+        st_intersects_poly_poly(_POLY_C, sq).alias("sq_meets_c"),
+        st_contains_poly_poly(_POLY_C, sq).alias("sq_in_c"),
+        st_within_poly_poly(sq, _POLY_HOLE).alias("hole_in_sq"),
+        (~st_intersects_poly_poly(_POLY_HOLE, sq)).alias("sq_avoids_hole"),
+    )
+
+
 # ------------------------------------------------------------- array / struct
 @q("func_array_ops", """
 SELECT doc_id,

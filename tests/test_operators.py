@@ -613,3 +613,68 @@ def test_json_depth_pretty_mysql_cases(spark):
         '{"t":"x"}': '{}',
         '{"a":1}': '{"a":1}',
     }
+
+
+# ------------------------------------------------------------------ geometry
+def test_ring_guards_raise_at_translate_time(spark):
+    import pytest as _pytest
+
+    from drill_calcite_spark.functions.geo import (
+        st_contains_poly, st_distance_poly, sql_contains_poly,
+    )
+
+    with _pytest.raises(ValueError, match=">= 3 vertices"):
+        st_contains_poly([(0.0, 0.0), (1.0, 1.0)], F.lit(0.0), F.lit(0.0))
+    # all-horizontal ring: zero area, ray cast would hit no edge
+    with _pytest.raises(ValueError, match="non-horizontal"):
+        st_contains_poly([(0.0, 0.0), (1.0, 0.0), (2.0, 0.0)],
+                         F.lit(0.0), F.lit(0.0))
+    with _pytest.raises(ValueError, match="non-horizontal"):
+        sql_contains_poly([(0.0, 0.0), (1.0, 0.0), (2.0, 0.0)], "x", "y")
+    # duplicate consecutive vertices collapse the ring below 3 real edges
+    with _pytest.raises(ValueError, match="duplicate consecutive"):
+        st_distance_poly([(0.0, 0.0), (0.0, 0.0), (1.0, 1.0), (1.0, 1.0)],
+                         F.lit(0.0), F.lit(0.0))
+    # a ring with ONE duplicate vertex but >= 3 distinct edges is fine:
+    # the zero-length edge is skipped, not divided by
+    st_distance_poly([(0.0, 0.0), (0.0, 0.0), (1.0, 0.0), (1.0, 1.0),
+                      (0.0, 1.0)], F.lit(5.0), F.lit(5.0))
+
+
+def test_poly_poly_ground_truth(spark):
+    """Known geometric facts for the polygon-polygon relations: unit
+    squares fully inside / outside / straddling a 10..90 C-ring, and a
+    square swallowing the hole ring."""
+    from drill_calcite_spark.functions.geo import (
+        st_contains_poly_poly, st_intersects_poly_poly, st_within_poly_poly,
+    )
+    from drill_calcite_spark.queries.funcs import _POLY_C, _POLY_HOLE
+
+    # cx, cy, h: square center + half-width
+    cases = [
+        (30.0, 80.0, 5.0, "inside_c"),       # inside the C's top arm
+        (200.0, 200.0, 5.0, "outside"),      # far away
+        (10.0, 50.0, 5.0, "straddles_c"),    # straddles the left wall
+        (30.0, 27.5, 14.0, "swallows_hole"), # hole is (20..40, 20..35)
+    ]
+    df = spark.createDataFrame(
+        [(n, cx, cy, h) for cx, cy, h, n in cases],
+        "name string, cx double, cy double, h double",
+    )
+    lo_x, hi_x = F.col("cx") - F.col("h"), F.col("cx") + F.col("h")
+    lo_y, hi_y = F.col("cy") - F.col("h"), F.col("cy") + F.col("h")
+    sq = [(lo_x, lo_y), (hi_x, lo_y), (hi_x, hi_y), (lo_x, hi_y)]
+    got = {
+        r.name: r
+        for r in df.select(
+            "name",
+            st_intersects_poly_poly(_POLY_C, sq).alias("meets"),
+            st_contains_poly_poly(_POLY_C, sq).alias("in_c"),
+            st_within_poly_poly(sq, _POLY_HOLE).alias("hole_in_sq"),
+        ).collect()
+    }
+    assert (got["inside_c"].meets, got["inside_c"].in_c) == (True, True)
+    assert (got["outside"].meets, got["outside"].in_c) == (False, False)
+    assert (got["straddles_c"].meets, got["straddles_c"].in_c) == (True, False)
+    assert got["swallows_hole"].hole_in_sq is True
+    assert got["inside_c"].hole_in_sq is False
