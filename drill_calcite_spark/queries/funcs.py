@@ -976,6 +976,116 @@ def func_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("func_multiset_predicates", """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id < 300
+), ab AS (
+  SELECT doc_id, toks[1:12] AS a, toks[5:16] AS b FROM d
+)
+SELECT doc_id,
+       (len(list_distinct(a)) = len(a))                        AS a_is_set,
+       NOT (len(list_distinct(b)) = len(b))                    AS b_is_not_set,
+       array_to_string(list_sort(list_concat(a, b)), ',')      AS union_all,
+       array_to_string(list_sort(flatten(list_transform(list_distinct(a), e ->
+         list_transform(range(greatest(len(list_filter(a, x -> x = e))
+           - len(list_filter(b, x -> x = e)), 0)), i -> e)))), ',')
+                                                               AS except_all,
+       array_to_string(list_sort(flatten(list_transform(list_distinct(a), e ->
+         list_transform(range(least(len(list_filter(a, x -> x = e)),
+           len(list_filter(b, x -> x = e)))), i -> e)))), ',')
+                                                               AS intersect_all,
+       CAST(len(a) + len(b) AS BIGINT)                         AS card_sum
+FROM ab
+""")
+def func_multiset_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET bag semantics + predicates (SqlStdOperatorTable:113-143:
+    IS [NOT] A SET, MULTISET UNION ALL, MULTISET EXCEPT ALL, MULTISET
+    INTERSECT ALL, CARDINALITY): two overlapping token slices per document
+    give naturally duplicated elements. Bag EXCEPT/INTERSECT use
+    per-distinct-element count arithmetic (max(0, cnt_a − cnt_b) / min) and
+    rebuild via array_repeat inside a transform — pure higher-order column
+    ops, identical algorithm in the DuckDB twin (range + list_transform).
+    MULTISETs are unordered, so results canonicalize via sort-before-
+    compare (SURVEY §1.2)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = F.split(F.col("text"), " ")
+    ab = d.select(
+        "doc_id",
+        F.slice(toks, 1, 12).alias("a"),
+        F.slice(toks, 5, 12).alias("b"),
+    )
+    a, b = F.col("a"), F.col("b")
+
+    def cnt(arr, e):
+        return F.size(F.filter(arr, lambda x: x == e))
+
+    def bag_op(combine):
+        return F.sort_array(F.flatten(F.transform(
+            F.array_distinct(a),
+            lambda e: F.array_repeat(e, combine(cnt(a, e), cnt(b, e))),
+        )))
+
+    return ab.select(
+        "doc_id",
+        (F.size(F.array_distinct(a)) == F.size(a)).alias("a_is_set"),
+        (~(F.size(F.array_distinct(b)) == F.size(b))).alias("b_is_not_set"),
+        F.array_join(F.sort_array(F.concat(a, b)), ",").alias("union_all"),
+        F.array_join(
+            bag_op(lambda ca, cb: F.greatest(ca - cb, F.lit(0))), ","
+        ).alias("except_all"),
+        F.array_join(bag_op(F.least), ",").alias("intersect_all"),
+        (F.size(a) + F.size(b)).cast("bigint").alias("card_sum"),
+    )
+
+
+@q("agg_fusion", """
+WITH d AS (
+  SELECT doc_id % 7 AS grp, string_split(text, ' ')[1:8] AS toks
+  FROM documents WHERE doc_id < 300
+)
+SELECT grp,
+       array_to_string(list_sort(flatten(list(toks))), ',')     AS fused,
+       coalesce(array_to_string(list_sort(list_distinct(
+         list_reduce(list(toks), (x, y) -> list_intersect(x, y)))), ','), '')
+                                                                AS common,
+       CAST(count(*) AS BIGINT)                                 AS n_docs
+FROM d GROUP BY grp
+""")
+def agg_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUSION / INTERSECTION aggregates (SqlStdOperatorTable:2165-2193):
+    FUSION = multiset union of every input multiset in the group
+    (flatten ∘ collect_list), INTERSECTION = the elements common to all of
+    them (left-fold array_intersect over the collected arrays, seeded with
+    the first — idempotent under set semantics). collect_list arrival
+    order is nondeterministic, so both outputs canonicalize sorted; the
+    fold itself is order-insensitive (intersection is commutative and
+    associative over sets)."""
+    d = (
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+        .select(
+            (F.col("doc_id") % 7).alias("grp"),
+            F.slice(F.split(F.col("text"), " "), 1, 8).alias("toks"),
+        )
+    )
+    g = d.groupBy("grp").agg(
+        F.collect_list("toks").alias("all_toks"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    lists = F.col("all_toks")
+    inter = F.aggregate(
+        lists,
+        F.element_at(lists, 1),
+        lambda acc, x: F.array_intersect(acc, x),
+    )
+    return g.select(
+        "grp",
+        F.array_join(F.sort_array(F.flatten(lists)), ",").alias("fused"),
+        F.array_join(F.sort_array(F.array_distinct(inter)), ",").alias("common"),
+        "n_docs",
+    )
+
+
 @q("func_strings_advanced", """
 SELECT n_nationkey,
   base64(encode(n_name)) AS b64,
