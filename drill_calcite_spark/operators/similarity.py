@@ -74,18 +74,70 @@ def hyperplanes(num_planes: int, dim: int, table: int = 0) -> list[list[float]]:
     return planes
 
 
+def _planes_flat_lit(tables: "list[int]", num_planes: int, dim: int) -> F.Column:
+    """ALL requested tables' hyperplanes as ONE flat array literal VALUE
+    (table-major, then plane-major).
+
+    The round-5 form unrolled every weight into its own ``F.lit`` node —
+    ``tables × planes × dim`` expression nodes, a Catalyst plan explosion
+    at production dims (768-4096 × 16 planes ≈ 10⁵-10⁶ nodes). A flat
+    numpy literal is a single Literal node carrying the doubles as data
+    (nested list literals unroll in PySpark and 2-D arrays are
+    unsupported, so flat + per-plane ``slice`` it is); plan size is O(1)
+    in tables × planes × dim. The per-plane slice feeds the same
+    ordered-fold ``dot`` as before — identical products in identical
+    order — so the md5-replaying SQL oracles are unaffected."""
+    import numpy as np
+
+    flat = [x for t in tables for w in hyperplanes(num_planes, dim, t)
+            for x in w]
+    return F.lit(np.asarray(flat, dtype="float64"))
+
+
+def _sign_bits(vec: F.Column, flat_planes: F.Column, base: F.Column,
+               num_planes: int, dim: int) -> F.Column:
+    """Sign-bit bucket string of ``vec`` against planes sliced from the
+    flat literal starting at element ``base`` (0-based)."""
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_planes - 1)),
+            lambda p: F.when(
+                dot(vec, F.slice(flat_planes, base + p * dim + 1, F.lit(dim)))
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0")),
+        ),
+        "",
+    )
+
+
 def lsh_bucket(df: DataFrame, vec_col: str, num_planes: int, dim: int,
                table: int = 0) -> DataFrame:
     """Add a ``__bucket`` column: the sign-bit string of the vector against
-    ``num_planes`` fixed hyperplanes. Pure column expressions — the plane
-    weights are literals folded into codegen, so bucketing is a map-only
-    stage (no shuffle, no UDF)."""
-    planes = hyperplanes(num_planes, dim, table)
-    bits = []
-    for w in planes:
-        proj = dot(F.col(vec_col), F.array(*[F.lit(x) for x in w]))
-        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return df.withColumn("__bucket", F.concat(*bits))
+    ``num_planes`` fixed hyperplanes. Pure column expressions, planes ride
+    as one flat value literal — bucketing is a map-only stage (no shuffle,
+    no UDF) with O(1) plan size in dim."""
+    flat = _planes_flat_lit([table], num_planes, dim)
+    return df.withColumn(
+        "__bucket",
+        _sign_bits(F.col(vec_col), flat, F.lit(0), num_planes, dim),
+    )
+
+
+def _table_buckets(vec_col: str, num_planes: int, dim: int,
+                   num_tables: int) -> F.Column:
+    """array<struct<tbl,bkt>> for the multi-table (OR-amplified) LSH
+    paths; one flat planes literal shared by every table, indexed
+    table-major."""
+    flat = _planes_flat_lit(list(range(num_tables)), num_planes, dim)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_tables - 1)),
+        lambda tb: F.struct(
+            tb.alias("tbl"),
+            _sign_bits(F.col(vec_col), flat, tb * (num_planes * dim),
+                       num_planes, dim).alias("bkt"),
+        ),
+    )
 
 
 def lsh_ann_topk(
@@ -104,20 +156,7 @@ def lsh_ann_topk(
     recall vs the exact baseline is asserted in tests/test_llm.py.
     Output: (query_id, neighbor_id, rank, cos).
     """
-    buckets = F.array(*[
-        F.struct(
-            F.lit(t).alias("tbl"),
-            F.concat(*[
-                F.when(
-                    dot(F.col(vec_col),
-                        F.array(*[F.lit(x) for x in w])) >= 0,
-                    F.lit("1"),
-                ).otherwise(F.lit("0"))
-                for w in hyperplanes(num_planes, dim, t)
-            ]).alias("bkt"),
-        )
-        for t in range(num_tables)
-    ])
+    buckets = _table_buckets(vec_col, num_planes, dim, num_tables)
     b = _with_norm(df, vec_col, "__n").select(
         F.col(id_col), F.col(vec_col).alias("__v"), "__n",
         F.explode(buckets).alias("tb"),
@@ -196,17 +235,26 @@ def ivf_ann_topk(
         F.col(id_col).alias("neighbor_id"), F.col("__v").alias("__vc"),
         F.col("__cell").alias("cell"),
     )
+    import numpy as np
+
     centers = [list(map(float, c)) for c in model.clusterCenters()]
+    cdim = len(centers[0])
     # rank cells per query: ||v-c||² = ||v||² − 2·v·c + ||c||²; ||v||² is
-    # constant per query so −2·v·c + ||c||² orders cells identically
-    cell_scores = F.array(*[
-        F.struct(
-            (dot(F.col("__v"), F.array(*[F.lit(x) for x in c])) * -2.0
-             + sum(x * x for x in c)).alias("d"),
-            F.lit(i).alias("cell"),
-        )
-        for i, c in enumerate(centers)
-    ])
+    # constant per query so −2·v·c + ||c||² orders cells identically.
+    # Centroid matrix + its squared norms ride as two flat value literals
+    # (not per-weight literal nodes) — plan size O(1) in nlist×dim.
+    centers_flat = F.lit(np.asarray(
+        [x for c in centers for x in c], dtype="float64"))
+    norms_lit = F.lit(np.asarray(
+        [sum(x * x for x in c) for c in centers], dtype="float64"))
+    cell_scores = F.transform(
+        F.sequence(F.lit(0), F.lit(len(centers) - 1)),
+        lambda i: F.struct(
+            (dot(F.col("__v"), F.slice(centers_flat, i * cdim + 1, F.lit(cdim)))
+             * -2.0 + F.element_at(norms_lit, i + 1)).alias("d"),
+            i.alias("cell"),
+        ),
+    )
     probes = (
         fv.select(F.col(id_col).alias("query_id"), F.col("__v"),
                   F.explode(F.slice(F.array_sort(cell_scores), 1, nprobe))
@@ -246,20 +294,7 @@ def embedding_near_dup_pairs_lsh(
     candidate set (queries/llm.py dedup_embedding_lsh does).
 
     Output: (doc_i, doc_j, cos) with doc_i < doc_j, cos ≥ threshold."""
-    buckets = F.array(*[
-        F.struct(
-            F.lit(tb).alias("tbl"),
-            F.concat(*[
-                F.when(
-                    dot(F.col(vec_col),
-                        F.array(*[F.lit(x) for x in w])) >= 0,
-                    F.lit("1"),
-                ).otherwise(F.lit("0"))
-                for w in hyperplanes(num_planes, dim, tb)
-            ]).alias("bkt"),
-        )
-        for tb in range(num_tables)
-    ])
+    buckets = _table_buckets(vec_col, num_planes, dim, num_tables)
     b = df.select(F.col(id_col), F.explode(buckets).alias("tb")).select(
         id_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt")
     )

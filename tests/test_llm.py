@@ -234,3 +234,33 @@ def test_multimodal_plumbing(spark):
     # deterministic across runs
     again = extract_features(attach_binary_payload(df)).collect()
     assert sorted(map(str, again)) == sorted(map(str, feats))
+
+
+def test_lsh_plan_size_bounded_at_high_dim(spark):
+    """Advice round-5: plane weights must ride as array VALUES, not
+    per-weight literal expression nodes — at dim=1024 × 16 planes × 8
+    tables the old unrolled form built ~10⁵ Literal nodes. The optimized
+    plan string is a proxy for expression-tree size: with value-literals
+    it stays small and analysis stays fast."""
+    import time
+
+    from drill_calcite_spark.operators.similarity import lsh_bucket, _table_buckets
+
+    dim, planes, tables = 1024, 16, 8
+    df = spark.createDataFrame(
+        [(1, [0.5] * dim), (2, [-0.5] * dim)], "id long, emb array<double>"
+    )
+    t0 = time.monotonic()
+    b = lsh_bucket(df, "emb", planes, dim)
+    multi = df.select("id", F.explode(
+        _table_buckets("emb", planes, dim, tables)).alias("tb"))
+    plan = b._jdf.queryExecution().optimizedPlan().toString()
+    plan_multi = multi._jdf.queryExecution().optimizedPlan().toString()
+    elapsed = time.monotonic() - t0
+    # the unrolled form produced plans in the tens of MB at this shape
+    assert len(plan) < 500_000, len(plan)
+    assert len(plan_multi) < 2_000_000, len(plan_multi)
+    assert elapsed < 30, elapsed
+    # and it still computes: both rows bucketed, 16 sign bits
+    rows = b.select("id", "__bucket").collect()
+    assert all(len(r["__bucket"]) == planes for r in rows)
