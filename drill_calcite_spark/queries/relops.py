@@ -1125,36 +1125,20 @@ GROUP BY s_nationkey
 def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Physical join-strategy control (§2.2 — Calcite picks
     EnumerableHashJoin/MergeJoin/NestedLoop by cost; Spark exposes the
-    choice as hints): the same logical join is planned as SHUFFLE_HASH,
-    MERGE, and BROADCAST, each verified in the physical plan, and the
-    hinted results must agree with each other and the oracle. At scale the
-    hint is how you stop Catalyst broadcasting a 'small' side that is
+    choice as hints): the registered query returns the SHUFFLE_HASH-hinted
+    plan; tests/test_operators.py::test_join_strategy_hints_agree verifies
+    all three hints land in the physical plan and produce identical rows
+    (no eager driver-side collects belong in a queries() entry). At scale
+    the hint is how you stop Catalyst broadcasting a 'small' side that is
     small only in stale stats."""
     supp = t(spark, sf_dir, "supplier")
     nat = t(spark, sf_dir, "nation")
-
-    def agg(j):
-        return j.groupBy("s_nationkey").agg(
-            F.count(F.lit(1)).alias("n_supp"),
-            F.round(F.sum("s_acctbal"), 2).alias("bal"),
-        )
-
-    cases = {
-        "SHUFFLE_HASH": ("ShuffledHashJoin", "shuffle_hash"),
-        "MERGE": ("SortMergeJoin", "merge"),
-        "BROADCAST": ("BroadcastHashJoin", "broadcast"),
-    }
-    results = {}
-    for label, (node, hint) in cases.items():
-        j = supp.join(nat.hint(hint), supp.s_nationkey == nat.n_nationkey)
-        plan = j._jdf.queryExecution().executedPlan().toString()
-        assert node in plan, f"{label} hint ignored; plan:\n{plan[:800]}"
-        results[label] = agg(j)
-    rows = {k: sorted(map(tuple, df.collect())) for k, df in results.items()}
-    assert rows["SHUFFLE_HASH"] == rows["MERGE"] == rows["BROADCAST"], \
-        "join strategies disagree"
-    return agg(supp.join(nat.hint("shuffle_hash"),
-                         supp.s_nationkey == nat.n_nationkey))
+    j = supp.join(nat.hint("shuffle_hash"),
+                  supp.s_nationkey == nat.n_nationkey)
+    return j.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal"),
+    )
 
 
 @q("join_salted_skew", """

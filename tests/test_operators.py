@@ -678,3 +678,37 @@ def test_poly_poly_ground_truth(spark):
     assert (got["straddles_c"].meets, got["straddles_c"].in_c) == (True, False)
     assert got["swallows_hole"].hole_in_sq is True
     assert got["inside_c"].hole_in_sq is False
+
+
+# ----------------------------------------------------------- join strategies
+def test_join_strategy_hints_agree(spark):
+    """The cross-validation formerly embedded in the join_strategy_hints
+    registered query (round-5 verdict: no eager collects in queries()):
+    the same logical join planned as SHUFFLE_HASH / MERGE / BROADCAST must
+    show the hinted node in the physical plan and produce identical rows."""
+    from tests.conftest import SF_DIR
+
+    from drill_calcite_spark.queries.common import t as load
+
+    supp = load(spark, SF_DIR, "supplier")
+    nat = load(spark, SF_DIR, "nation")
+
+    def agg(j):
+        return j.groupBy("s_nationkey").agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.round(F.sum("s_acctbal"), 2).alias("bal"),
+        )
+
+    cases = {
+        "SHUFFLE_HASH": ("ShuffledHashJoin", "shuffle_hash"),
+        "MERGE": ("SortMergeJoin", "merge"),
+        "BROADCAST": ("BroadcastHashJoin", "broadcast"),
+    }
+    rows = {}
+    for label, (node, hint) in cases.items():
+        j = supp.join(nat.hint(hint), supp.s_nationkey == nat.n_nationkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert node in plan, f"{label} hint ignored; plan:\n{plan[:800]}"
+        rows[label] = sorted(map(tuple, agg(j).collect()))
+    assert rows["SHUFFLE_HASH"] == rows["MERGE"] == rows["BROADCAST"]
+    assert len(rows["MERGE"]) > 0
