@@ -28,7 +28,7 @@ import re
 # time instead, like Calcite's runtime "invalid regular expression").
 _PASSTHROUGH = set("|*+?()")
 
-_BRACE_QUANT = re.compile(r"\{\d+(,\d*)?\}")
+_BRACE_QUANT = re.compile(r"\{(\d+)(,(\d*))?\}")
 
 
 def similar_to_regex(pattern: str, escape: str | None = None) -> str:
@@ -91,6 +91,15 @@ def similar_to_regex(pattern: str, escape: str | None = None) -> str:
                     f"brace quantifier with nothing to repeat at position "
                     f"{i}: {pattern!r}"
                 )
+            # {m,n} with n < m passes the shape check but is a run-time
+            # PatternSyntaxException — reject at translate time too
+            if m.group(3):
+                lo, hi = int(m.group(1)), int(m.group(3))
+                if hi < lo:
+                    raise ValueError(
+                        f"brace quantifier {{{lo},{hi}}} has max < min at "
+                        f"position {i}: {pattern!r}"
+                    )
             out.append(m.group(0))
             prev_atom = False
             i = m.end()

@@ -20,8 +20,12 @@ values with the classic distributed-ranking recipe:
 Ties on the order key are detected (one distinct-count pass over the
 already-checkpointed input) and corrected to SQL semantics with per-key
 min/max windows: RANK = min row_number within the tie group, CUME_DIST =
-max row_number / n. The correction shuffles by the order key — skipped
-entirely when the key is unique, so the tie-free fast path pays nothing.
+max row_number / n. The detection pass is itself a shuffle+aggregate over
+the input — real cost at 10^9 rows — so callers that can GUARANTEE key
+uniqueness (e.g. ranking by a primary key) should pass
+``assume_unique=True`` to skip both the detection and the correction;
+with ties present the correction adds one more shuffle keyed by the
+order columns.
 """
 
 from __future__ import annotations
@@ -34,11 +38,17 @@ from pyspark.sql import functions as F
 
 def distributed_distribution(
     df: DataFrame, order_cols: Sequence[str], *, ntile: int,
-    num_partitions: int = 32,
+    num_partitions: int = 32, assume_unique: bool = False,
 ) -> DataFrame:
     """Append ``global_rank``, ``ntile_bucket``, ``cume_dist`` and
     ``percent_rank`` (over the total order ``order_cols``) without a
-    single-partition exchange."""
+    single-partition exchange.
+
+    ``assume_unique=True`` asserts the order key has no duplicates and
+    skips the tie-detection distinct-count pass (a full shuffle+aggregate
+    otherwise paid on every call). Results are silently wrong under that
+    assertion if ties do exist — it is the caller's contract, like
+    SQL UNIQUE."""
     oc = list(order_cols)
     d = (
         df.repartitionByRange(num_partitions, *[F.col(c) for c in oc])
@@ -73,8 +83,10 @@ def distributed_distribution(
     d = d.withColumn("__rn", rn).drop("__pid")
     # Tie detection: distribution functions are rank-based, so duplicated
     # order keys make the row_number closed forms silently wrong. One
-    # bounded agg pass (input is checkpointed above — no recompute).
-    has_ties = d.select(*oc).distinct().count() < n
+    # bounded agg pass (input is checkpointed above — no recompute),
+    # skippable when the caller guarantees uniqueness.
+    has_ties = (not assume_unique
+                and d.select(*oc).distinct().count() < n)
     if has_ties:
         # SQL semantics under ties: RANK = min row_number in the tie
         # group; CUME_DIST numerator = max row_number (rows <= current).

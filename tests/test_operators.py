@@ -712,3 +712,26 @@ def test_join_strategy_hints_agree(spark):
         rows[label] = sorted(map(tuple, agg(j).collect()))
     assert rows["SHUFFLE_HASH"] == rows["MERGE"] == rows["BROADCAST"]
     assert len(rows["MERGE"]) > 0
+
+
+def test_brace_quantifier_max_less_than_min_rejected():
+    # {m,n} with n < m passes the shape regex but would be a run-time
+    # PatternSyntaxException — must fail at translate time (advice r5)
+    with pytest.raises(ValueError, match="max < min"):
+        similar_to_regex("a{3,2}")
+    # boundary: n == m is valid
+    import re as _re
+    assert _re.match(similar_to_regex("a{2,2}"), "aa")
+
+
+def test_distributed_distribution_assume_unique(spark):
+    """assume_unique skips tie detection; results identical to the
+    detected path on genuinely unique keys."""
+    from drill_calcite_spark.operators.ranks import distributed_distribution
+
+    df = spark.range(100).select(F.col("id").alias("v"))
+    a = sorted(map(tuple, distributed_distribution(
+        df, ["v"], ntile=4, num_partitions=4).collect()))
+    b = sorted(map(tuple, distributed_distribution(
+        df, ["v"], ntile=4, num_partitions=4, assume_unique=True).collect()))
+    assert a == b and len(a) == 100
