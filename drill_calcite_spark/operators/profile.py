@@ -51,3 +51,71 @@ def profile(df: DataFrame, columns: list[str] | None = None, *,
         .select("p.column", "p.n_rows", "p.n_nulls", "p.n_distinct",
                 "p.min_val", "p.max_val")
     )
+
+
+def discover_fds(df: DataFrame, columns: list[str], *,
+                 approximate: bool = False) -> DataFrame:
+    """Functional-dependency + unique-key discovery — the lattice walk of
+    the reference's profiler (profile/Profiler.java:105-241,
+    ProfilerImpl's FunctionalDependency / Unique statistics) restricted to
+    single-column LHS, which is one distributed pass:
+
+    - FD ``a → b`` holds iff ndv(a) == ndv((a,b)) — every LHS value maps
+      to exactly one RHS value;
+    - ``k`` is a unique key iff ndv(k) == n_rows, i.e. ``k → *`` (emitted
+      as a row with rhs='*').
+
+    All NDVs come from ONE wide aggregate (n singles + C(n,2) pairs, each
+    pair shared by both FD directions) exploded into the long form.
+
+    Scale notes: exact multi-distinct aggregates expand the input by the
+    number of distinct aggregates — run on a (deterministic) sample like
+    the reference's profiler does, or pass ``approximate=True`` for HLL
+    sketches (single partial-aggregable pass, no expand) when discovering
+    over full 100 TB tables; HLL error then makes 'holds' a heuristic,
+    which is exactly Calcite's ``approximate`` AggregateCall mode.
+
+    Output: (lhs, rhs, ndv_lhs, ndv_pair, fd_holds) — for rhs='*' rows,
+    ndv_pair is n_rows.
+    """
+    ndv = F.approx_count_distinct if approximate else F.countDistinct
+
+    def ndv2(a: str, b: str) -> F.Column:
+        # approx_count_distinct is single-argument: HLL the (a,b) struct
+        return (F.approx_count_distinct(F.struct(a, b)) if approximate
+                else F.countDistinct(a, b))
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        aggs.append(ndv(c).alias(f"__nd_{c}"))
+    pairs = [(a, b) for i, a in enumerate(columns)
+             for b in columns[i + 1:]]
+    for a, b in pairs:
+        aggs.append(ndv2(a, b).alias(f"__ndp_{a}_{b}"))
+    wide = df.agg(*aggs)
+
+    def pair_ndv(a: str, b: str) -> F.Column:
+        name = f"__ndp_{a}_{b}" if (a, b) in pairs else f"__ndp_{b}_{a}"
+        return F.col(name)
+
+    rows = []
+    for a in columns:
+        for b in columns:
+            if a == b:
+                continue
+            rows.append(F.struct(
+                F.lit(a).alias("lhs"), F.lit(b).alias("rhs"),
+                F.col(f"__nd_{a}").cast("long").alias("ndv_lhs"),
+                pair_ndv(a, b).cast("long").alias("ndv_pair"),
+                (F.col(f"__nd_{a}") == pair_ndv(a, b)).alias("fd_holds"),
+            ))
+        rows.append(F.struct(
+            F.lit(a).alias("lhs"), F.lit("*").alias("rhs"),
+            F.col(f"__nd_{a}").cast("long").alias("ndv_lhs"),
+            F.col("__n").cast("long").alias("ndv_pair"),
+            (F.col(f"__nd_{a}") == F.col("__n")).alias("fd_holds"),
+        ))
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("p"))
+        .select("p.lhs", "p.rhs", "p.ndv_lhs", "p.ndv_pair", "p.fd_holds")
+    )

@@ -1355,6 +1355,58 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile(t(spark, sf_dir, "orders"))
 
 
+_FD_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+            "o_orderdate"]
+
+
+def _fd_oracle_sql() -> str:
+    """FD/unique-key oracle: one wide agg CTE over the deterministic
+    modulo sample, unioned into the long (lhs, rhs, ...) form — the same
+    ndv(a) == ndv(a,b) criterion the operator applies."""
+    singles = ", ".join(
+        f"count(DISTINCT {c}) AS nd_{c}" for c in _FD_COLS)
+    pair_list = [(a, b) for i, a in enumerate(_FD_COLS)
+                 for b in _FD_COLS[i + 1:]]
+    pair_aggs = ", ".join(
+        f"count(DISTINCT ({a}, {b})) AS ndp_{a}_{b}" for a, b in pair_list)
+
+    def pname(a, b):
+        return f"ndp_{a}_{b}" if (a, b) in pair_list else f"ndp_{b}_{a}"
+
+    parts = []
+    for a in _FD_COLS:
+        for b in _FD_COLS:
+            if a == b:
+                continue
+            parts.append(
+                f"SELECT '{a}' AS lhs, '{b}' AS rhs, nd_{a} AS ndv_lhs, "
+                f"{pname(a, b)} AS ndv_pair, nd_{a} = {pname(a, b)} AS fd_holds "
+                f"FROM agg")
+        parts.append(
+            f"SELECT '{a}' AS lhs, '*' AS rhs, nd_{a} AS ndv_lhs, "
+            f"n AS ndv_pair, nd_{a} = n AS fd_holds FROM agg")
+    return (
+        "WITH s AS (SELECT * FROM orders WHERE o_orderkey % 10 = 0),\n"
+        f"agg AS (SELECT count(*) AS n, {singles}, {pair_aggs} FROM s)\n"
+        + "\nUNION ALL ".join(parts)
+    )
+
+
+@q("profile_fd_discovery", _fd_oracle_sql())
+def profile_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency + unique-key discovery
+    (profile/Profiler.java:105-241 FunctionalDependency/Unique lattice,
+    single-column LHS): over a deterministic 10% systematic sample of
+    orders, every ordered column pair is tested with the ndv(a) ==
+    ndv(a,b) criterion and every column for key-ness against n_rows
+    (rhs='*'). Finds o_orderkey → everything (the unique key) among
+    genuine negatives like o_custkey → o_orderstatus."""
+    from drill_calcite_spark.operators.profile import discover_fds
+
+    sample = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    return discover_fds(sample, _FD_COLS)
+
+
 @q("mv_tile_rollup", """
 SELECT o_orderstatus,
        sum(o_totalprice::DECIMAL(18,6))::DOUBLE AS total,

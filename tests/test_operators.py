@@ -735,3 +735,27 @@ def test_distributed_distribution_assume_unique(spark):
     b = sorted(map(tuple, distributed_distribution(
         df, ["v"], ntile=4, num_partitions=4, assume_unique=True).collect()))
     assert a == b and len(a) == 100
+
+
+# -------------------------------------------------------------- profiler FDs
+def test_discover_fds_constructed(spark):
+    """discover_fds on data with known dependencies: id is unique, id→dep
+    and dep→band hold (dep = id%5, band = dep%2), band→dep fails."""
+    from drill_calcite_spark.operators.profile import discover_fds
+
+    df = spark.range(200).select(
+        F.col("id"),
+        (F.col("id") % 5).alias("dep"),
+        ((F.col("id") % 5) % 2).alias("band"),
+    )
+    got = {(r.lhs, r.rhs): r.fd_holds
+           for r in discover_fds(df, ["id", "dep", "band"]).collect()}
+    assert got[("id", "*")] is True
+    assert got[("id", "dep")] is True
+    assert got[("dep", "band")] is True
+    assert got[("band", "dep")] is False
+    assert got[("dep", "*")] is False
+    # approximate mode runs single-pass and returns the same shape
+    approx = discover_fds(df, ["id", "dep"], approximate=True).collect()
+    assert {(r.lhs, r.rhs) for r in approx} == {
+        ("id", "dep"), ("dep", "id"), ("id", "*"), ("dep", "*")}
