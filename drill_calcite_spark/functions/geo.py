@@ -348,6 +348,130 @@ def sql_contains_poly_poly(lit_ring, col_ring_sql) -> str:
     return f"(({all_in}) AND NOT {straddle})"
 
 
+# --------------------------------------------------- measures / constructors
+# ST_Area / ST_Centroid (shoelace formula), ST_Perimeter, ST_MakeLine /
+# ST_Length / ST_NumPoints over column rings — GeoFunctions.java ST_Area/
+# ST_Centroid/ST_Perimeter/ST_MakeLine/ST_Length/ST_NumPoints overloads.
+# Pure per-row arithmetic; the SQL twins are built from the same vertex
+# expression strings so both engines evaluate identical formulas.
+
+
+def st_area_colring(ring: "ColRing") -> Column:
+    """ST_Area of a simple ring via the shoelace formula:
+    |Σ (x_i·y_{i+1} − x_{i+1}·y_i)| / 2. Vertex order (CW/CCW) only flips
+    the sign, which abs() removes."""
+    n = len(ring)
+    acc: Column | None = None
+    for i in range(n):
+        (x1, y1), (x2, y2) = ring[i], ring[(i + 1) % n]
+        term = x1 * y2 - x2 * y1
+        acc = term if acc is None else acc + term
+    return F.abs(acc) / 2.0
+
+
+def sql_area_colring(ring: "list[tuple[str, str]]") -> str:
+    n = len(ring)
+    terms = []
+    for i in range(n):
+        (x1, y1), (x2, y2) = ring[i], ring[(i + 1) % n]
+        terms.append(f"(({x1}) * ({y2}) - ({x2}) * ({y1}))")
+    return f"(abs({' + '.join(terms)}) / 2.0)"
+
+
+def st_centroid_colring(ring: "ColRing") -> "tuple[Column, Column]":
+    """ST_Centroid of a simple ring (area-weighted polygon centroid):
+    C = Σ (p_i + p_{i+1})·cross_i / (6·A_signed). Returns (cx, cy)."""
+    n = len(ring)
+    a6: Column | None = None
+    cx: Column | None = None
+    cy: Column | None = None
+    for i in range(n):
+        (x1, y1), (x2, y2) = ring[i], ring[(i + 1) % n]
+        cross = x1 * y2 - x2 * y1
+        tx, ty = (x1 + x2) * cross, (y1 + y2) * cross
+        a6 = cross if a6 is None else a6 + cross
+        cx = tx if cx is None else cx + tx
+        cy = ty if cy is None else cy + ty
+    return cx / (a6 * 3.0), cy / (a6 * 3.0)
+
+
+def sql_centroid_colring(ring: "list[tuple[str, str]]") -> "tuple[str, str]":
+    n = len(ring)
+    crosses, txs, tys = [], [], []
+    for i in range(n):
+        (x1, y1), (x2, y2) = ring[i], ring[(i + 1) % n]
+        cr = f"(({x1}) * ({y2}) - ({x2}) * ({y1}))"
+        crosses.append(cr)
+        txs.append(f"((({x1}) + ({x2})) * {cr})")
+        tys.append(f"((({y1}) + ({y2})) * {cr})")
+    a6 = "(" + " + ".join(crosses) + ")"
+    return (f"(({' + '.join(txs)}) / ({a6} * 3.0))",
+            f"(({' + '.join(tys)}) / ({a6} * 3.0))")
+
+
+def st_perimeter_colring(ring: "ColRing") -> Column:
+    """ST_Perimeter: Σ edge lengths around the closed ring."""
+    n = len(ring)
+    acc: Column | None = None
+    for i in range(n):
+        (x1, y1), (x2, y2) = ring[i], ring[(i + 1) % n]
+        seg = F.sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))
+        acc = seg if acc is None else acc + seg
+    return acc
+
+
+def sql_perimeter_colring(ring: "list[tuple[str, str]]") -> str:
+    n = len(ring)
+    terms = []
+    for i in range(n):
+        (x1, y1), (x2, y2) = ring[i], ring[(i + 1) % n]
+        terms.append(
+            f"sqrt((({x2}) - ({x1})) * (({x2}) - ({x1}))"
+            f" + (({y2}) - ({y1})) * (({y2}) - ({y1})))")
+    return "(" + " + ".join(terms) + ")"
+
+
+def st_make_line(points: "ColRing") -> Column:
+    """ST_MakeLine → LINESTRING WKT from point expressions (%.6f printf
+    formatting — engine-portable bytes, same contract as st_point)."""
+    parts: list[Column] = []
+    for i, (x, y) in enumerate(points):
+        if i:
+            parts.append(F.lit(", "))
+        parts.append(F.format_string("%.6f %.6f", x, y))
+    return F.concat(F.lit("LINESTRING ("), *parts, F.lit(")"))
+
+
+def sql_make_line(points: "list[tuple[str, str]]") -> str:
+    segs = ", ".join(f"printf('%.6f %.6f', {x}, {y})" for x, y in points)
+    return "('LINESTRING (' || concat_ws(', ', " + segs + ") || ')')"
+
+
+def st_line_length(points: "ColRing") -> Column:
+    """ST_Length of the OPEN polyline through ``points`` (no closing
+    edge, unlike st_perimeter_colring)."""
+    acc: Column | None = None
+    for (x1, y1), (x2, y2) in zip(points, points[1:]):
+        seg = F.sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))
+        acc = seg if acc is None else acc + seg
+    return acc
+
+
+def sql_line_length(points: "list[tuple[str, str]]") -> str:
+    terms = [
+        f"sqrt((({x2}) - ({x1})) * (({x2}) - ({x1}))"
+        f" + (({y2}) - ({y1})) * (({y2}) - ({y1})))"
+        for (x1, y1), (x2, y2) in zip(points, points[1:])
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def st_num_points(wkt: Column) -> Column:
+    """ST_NumPoints of a LINESTRING/ring WKT: separators + 1."""
+    return (F.length(wkt) - F.length(F.replace(wkt, F.lit(","), F.lit("")))
+            + 1).cast("bigint")
+
+
 def st_within_poly_poly(col_ring: "ColRing", lit_ring) -> Column:
     """ST_Within(per-row polygon, literal polygon): every vertex of the
     literal ring inside the per-row ring AND no proper crossing — the

@@ -921,6 +921,81 @@ def func_geo_poly_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from drill_calcite_spark.functions.geo import (  # noqa: E402
+    sql_area_colring,
+    sql_centroid_colring,
+    sql_line_length,
+    sql_make_line,
+    sql_perimeter_colring,
+)
+
+# Per-row trapezoid (simple for every h > 0, irregular enough that area /
+# centroid / perimeter are all non-trivial): p1..p4 counter-clockwise.
+_TRAP_SQL = [("px", "py"), ("px + h", "py"),
+             ("px + 0.8*h", "py + h"), ("px + 0.2*h", "py + h")]
+_TRAP_CX, _TRAP_CY = sql_centroid_colring(_TRAP_SQL)
+
+_GEO_MEASURES_SQL = f"""
+WITH pts AS (
+  SELECT event_id, (value % 100.0) AS px, (user_id % 97)::DOUBLE AS py,
+         1.0 + (event_id % 13) AS h
+  FROM events WHERE event_id < 3000
+)
+SELECT event_id,
+       round({sql_area_colring(_TRAP_SQL)}, 6)      AS area,
+       round({_TRAP_CX}, 6)                         AS cx,
+       round({_TRAP_CY}, 6)                         AS cy,
+       round({sql_perimeter_colring(_TRAP_SQL)}, 6) AS perim,
+       {sql_make_line(_TRAP_SQL)}                   AS line_wkt,
+       round({sql_line_length(_TRAP_SQL)}, 6)       AS line_len,
+       CAST(4 AS BIGINT)                            AS npts
+FROM pts
+"""
+
+
+@q("func_geo_measures", _GEO_MEASURES_SQL)
+def func_geo_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry measures + constructors (runtime/GeoFunctions.java ST_Area/
+    ST_Centroid/ST_Perimeter/ST_MakeLine/ST_Length/ST_NumPoints): shoelace
+    area and area-weighted centroid, ring perimeter, LINESTRING WKT
+    construction, open polyline length, and point count — over a per-row
+    trapezoid from event coords. All unrolled column arithmetic
+    (functions/geo.py); npts exercises st_num_points on the built WKT."""
+    from drill_calcite_spark.functions.geo import (
+        st_area_colring,
+        st_centroid_colring,
+        st_line_length,
+        st_make_line,
+        st_num_points,
+        st_perimeter_colring,
+    )
+
+    pts = (
+        t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+        .select(
+            "event_id",
+            (F.col("value") % 100.0).alias("px"),
+            (F.col("user_id") % 97).cast("double").alias("py"),
+            (F.lit(1.0) + (F.col("event_id") % 13)).alias("h"),
+        )
+    )
+    px, py, h = F.col("px"), F.col("py"), F.col("h")
+    trap = [(px, py), (px + h, py),
+            (px + 0.8 * h, py + h), (px + 0.2 * h, py + h)]
+    cx, cy = st_centroid_colring(trap)
+    line = st_make_line(trap)
+    return pts.select(
+        "event_id",
+        F.round(st_area_colring(trap), 6).alias("area"),
+        F.round(cx, 6).alias("cx"),
+        F.round(cy, 6).alias("cy"),
+        F.round(st_perimeter_colring(trap), 6).alias("perim"),
+        line.alias("line_wkt"),
+        F.round(st_line_length(trap), 6).alias("line_len"),
+        st_num_points(line).alias("npts"),
+    )
+
+
 # ------------------------------------------------------------- array / struct
 @q("func_array_ops", """
 SELECT doc_id,

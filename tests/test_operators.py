@@ -759,3 +759,27 @@ def test_discover_fds_constructed(spark):
     approx = discover_fds(df, ["id", "dep"], approximate=True).collect()
     assert {(r.lhs, r.rhs) for r in approx} == {
         ("id", "dep"), ("dep", "id"), ("id", "*"), ("dep", "*")}
+
+
+def test_geo_measures_unit_square(spark):
+    from drill_calcite_spark.functions.geo import (
+        st_area_colring, st_centroid_colring, st_line_length, st_make_line,
+        st_num_points, st_perimeter_colring,
+    )
+
+    df = spark.createDataFrame([(1,)], "id long")
+    z, o = F.lit(0.0), F.lit(1.0)
+    sq = [(z, z), (o, z), (o, o), (z, o)]
+    cx, cy = st_centroid_colring(sq)
+    line = st_make_line(sq)
+    r = df.select(
+        st_area_colring(sq).alias("a"),
+        cx.alias("cx"), cy.alias("cy"),
+        st_perimeter_colring(sq).alias("p"),
+        st_line_length(sq).alias("ll"),
+        line.alias("wkt"),
+        st_num_points(line).alias("np"),
+    ).collect()[0]
+    assert (r.a, r.cx, r.cy, r.p, r.ll, r.np) == (1.0, 0.5, 0.5, 4.0, 3.0, 4)
+    assert r.wkt == ("LINESTRING (0.000000 0.000000, 1.000000 0.000000, "
+                     "1.000000 1.000000, 0.000000 1.000000)")
