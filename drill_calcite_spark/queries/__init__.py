@@ -21,47 +21,51 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 # The driver's per-round CORRECTNESS gate oracles the FIRST 50 registry
-# entries (registration order). Rounds 1-2 proved the first 50 slots green,
-# so those queries rotate to the back (tests/test_oracle_parity.py keeps
-# running the identical comparison over ALL of them every pytest run) and
-# the 50 slots below hand the driver the queries that have never had a
-# hard-signal row — round-3 features first, then one representative per
-# §2 component family (LLM pipeline, streaming, sources/DML, custom
-# operators, function batteries, MV/profile/correlate relops).
+# entries (registration order). Rotated-out queries keep full coverage via
+# tests/test_oracle_parity.py (the identical comparison over ALL
+# oracle-backed entries, every pytest run); the slots below hand the
+# driver whatever most needs a fresh hard-signal row.
 #
-# ROUND-5 ROTATION (executed): rounds 1-4 hard-checked 100 distinct names;
-# these 50 slots now hold (a) the 6 streaming queries broken by the round-4
-# TIMESTAMP_NTZ testdata regeneration, repaired this round — kept in the 50
-# so the fix lands as driver evidence — and (b) never-driver-checked
-# oracle-backed names, new round-5 queries first. Deferred to round 6 for
-# lack of slots (still covered by pytest-oracle every run):
-# distinct_projection, case_conditional, func_strings_basic, and the
-# rotated-out r01-r04 green names.
+# ROUND-6 ROTATION (executed): rounds 1-5 hard-checked 145 distinct names.
+# These 50 slots hold, in order:
+# (a) the 16 oracle-backed names with NO driver row ever — the 4 deferred
+#     from the round-5 rotation (case_conditional, distinct_projection,
+#     func_strings_basic, func_geo_poly) plus the 12 new round-6 queries;
+#     after this round every oracle-backed name has had the driver's own
+#     hard signal at least once;
+# (b) 8 names whose code was touched this round (LSH de-literaling,
+#     join_strategy_hints body slim-down, ranks assume_unique param,
+#     pattern brace validation, geo advice fixes, profile module);
+# (c) 26 names whose newest green row is round 2 — the oldest evidence in
+#     the registry: headline TPC-H, core joins, aggregates, windows, set
+#     ops — re-validated four rounds of refactors later.
 _DRIVER_PRIORITY = [
-    # streaming: the 6 NTZ-regression repairs (stream_hop_30m is also a
-    # first-time name — it sat outside the round-4 slate)
-    "stream_tumble_hourly", "stream_session_6h", "stream_hop_30m",
-    "stream_live_tumble", "stream_live_dedup", "stream_stream_join",
-    # never-checked: relops / joins / subqueries
-    "pivot_dynamic", "window_range_frame", "agg_approx_quantile",
-    "unnest_multi_zip", "unnest_map_entries", "sort_nulls_direction",
-    "subquery_quantified_all", "subquery_exists_correlated",
-    "sql_text_entry", "join_strategy_hints", "join_salted_skew",
-    "is_distinct_from", "pivot_conditional", "islands_increasing_runs",
-    "agg_approx_distinct",
-    # never-checked: scalar function batteries
-    "func_strings_search", "func_math", "func_datetime_extract",
-    "func_datetime_arith", "func_datetime_overlaps", "func_json",
-    "func_greatest_null", "func_like_family", "func_json_type",
-    "func_array_hof", "func_struct_row", "func_bitwise", "func_array_ops",
-    "func_multiset_ops", "func_strings_advanced", "func_decimal_fidelity",
-    "func_time_emulation", "func_time_arith",
-    # never-checked: LLM pipeline
-    "dedup_exact", "text_trigram_stats", "dedup_embedding_cosine",
-    "ann_lsh_topk", "text_quality_score", "text_token_stats",
-    "doc_fingerprint", "bench_minhash_dedup",
-    # never-checked: sources + DML
-    "source_json_scan", "modify_update_where", "modify_snapshot_versions",
+    # (a) never driver-checked
+    "case_conditional", "distinct_projection", "func_strings_basic",
+    "func_geo_poly",
+    "func_strings_phonetic", "func_tz_convert", "func_json_depth",
+    "func_geo_poly_poly", "func_geo_measures", "func_multiset_predicates",
+    "agg_fusion", "profile_fd_discovery",
+    "func_math_extended", "func_strings_misc", "agg_regression",
+    "subquery_single_value",
+    # (b) code touched in round 6
+    "ann_lsh_topk", "dedup_embedding_lsh", "join_strategy_hints",
+    "window_distribution_scalable", "func_similar_to", "func_like_family",
+    "func_geo_st", "profile_orders",
+    # (c) oldest evidence (round 2): TPC-H spine
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q18_large_volume_customer",
+    # (c) joins
+    "join_left_outer", "join_right_outer", "join_full_outer", "join_semi",
+    "join_anti", "join_cross", "join_band_theta",
+    # (c) aggregates
+    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_distinct_filter",
+    "agg_stats", "agg_collect_listagg",
+    # (c) windows
+    "window_rank_topk", "window_lead_lag", "window_value_funcs",
+    "window_running_frames", "window_distribution",
+    # (c) set ops
+    "setop_union_all", "setop_union_distinct", "setop_intersect",
 ]
 
 

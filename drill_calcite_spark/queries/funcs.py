@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from drill_calcite_spark.queries.common import r6, t
+from drill_calcite_spark.queries.common import r2, r4, r6, t
 
 QUERIES = {}
 ORACLES = {}
@@ -152,6 +152,108 @@ def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.degrees(F.lit(1.0))).alias("deg"),
         r6(F.radians(F.lit(180.0))).alias("rad"),
         r6(F.lit(3.14159265358979)).alias("pie"),
+    )
+
+
+@q("func_math_extended", """
+SELECT p_partkey,
+       round(tan(p_size / 10.0), 6)           AS tn,
+       round(cot(1.0 + p_size / 10.0), 6)     AS ct,
+       round(asin((p_size % 10) / 10.0), 6)   AS asn,
+       round(acos((p_size % 10) / 10.0), 6)   AS acs,
+       round(atan(p_size / 10.0), 6)          AS atn,
+       sign(p_size - 25) * floor(abs(p_retailprice) * 10.0) / 10.0
+                                              AS trunc1,
+       sign(p_size - 25) * floor(abs(p_retailprice) / 10.0) * 10.0
+                                              AS trunc_neg1
+FROM part
+""")
+def func_math_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math tail (SqlStdOperatorTable:1532-1720): TAN/COT/ASIN/ACOS/ATAN
+    and TRUNCATE(x, d) with positive and negative digit counts. Neither
+    engine has two-argument truncate (Spark's trunc is date-only, DuckDB's
+    trunc is 1-arg), so both run the identical sign·floor(|x|·10^d)/10^d
+    expansion — Calcite's own runtime rewrite (SqlFunctions.struncate)."""
+    p = t(spark, sf_dir, "part")
+    size, price = F.col("p_size"), F.col("p_retailprice")
+
+    def truncate(x, sgn_src, d):
+        scale = 10.0 ** d
+        return F.signum(sgn_src) * F.floor(F.abs(x) * scale) / scale
+
+    return p.select(
+        "p_partkey",
+        r6(F.tan(size / 10.0)).alias("tn"),
+        r6(F.cot(F.lit(1.0) + size / 10.0)).alias("ct"),
+        r6(F.asin((size % 10) / 10.0)).alias("asn"),
+        r6(F.acos((size % 10) / 10.0)).alias("acs"),
+        r6(F.atan(size / 10.0)).alias("atn"),
+        truncate(price, size - 25, 1).alias("trunc1"),
+        truncate(price, size - 25, -1).alias("trunc_neg1"),
+    )
+
+
+@q("func_strings_misc", """
+SELECT p_partkey,
+       array_to_string(list_transform(string_split(p_name, ' '),
+         w -> upper(w[1]) || lower(w[2:])), ' ')       AS cap,
+       repeat(' ', p_size % 5) || '|'                  AS spaced,
+       coalesce(NULLIF(p_brand, 'Brand#1'), 'DEFAULT') AS nvl_brand,
+       CASE p_type WHEN 'PROMO' THEN 'promoted'
+                   WHEN 'ECONOMY' THEN 'cheap'
+                   ELSE 'other' END                    AS decoded
+FROM part
+""")
+def func_strings_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library string tail (SqlStdOperatorTable INITCAP:1443-1528;
+    SqlLibraryOperators SPACE/NVL/DECODE): INITCAP (DuckDB has none, so
+    the oracle replays the per-word upper/lower split — exact for
+    space-delimited text, which is Spark initcap's own delimiter), SPACE
+    via repeat, NVL → coalesce∘nullif, Oracle DECODE → CASE chain."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.initcap(F.col("p_name")).alias("cap"),
+        F.concat(F.repeat(F.lit(" "), F.col("p_size") % 5), F.lit("|"))
+        .alias("spaced"),
+        F.nvl(F.nullif(F.col("p_brand"), F.lit("Brand#1")), F.lit("DEFAULT"))
+        .alias("nvl_brand"),
+        F.when(F.col("p_type") == "PROMO", F.lit("promoted"))
+        .when(F.col("p_type") == "ECONOMY", F.lit("cheap"))
+        .otherwise(F.lit("other")).alias("decoded"),
+    )
+
+
+@q("agg_regression", """
+SELECT l_returnflag,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+       round(regr_sxx(l_extendedprice, l_quantity), 2)    AS sxx,
+       round(regr_syy(l_extendedprice, l_quantity), 2)    AS syy,
+       round(regr_slope(l_extendedprice, l_quantity), 6)  AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+       round(regr_r2(l_extendedprice, l_quantity), 6)     AS r2,
+       round(regr_avgx(l_extendedprice, l_quantity), 6)   AS avgx,
+       round(regr_avgy(l_extendedprice, l_quantity), 4)   AS avgy,
+       round(covar_samp(l_quantity, l_extendedprice), 2)  AS covar_s
+FROM lineitem GROUP BY l_returnflag
+""")
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family (SqlStdOperatorTable:917-1141
+    REGR_COUNT/REGR_SXX/REGR_SYY + COVAR_SAMP; the slope/intercept/r2/avg
+    companions are the same SqlKind group): 1:1 Spark built-ins, matching
+    DuckDB natives, (y, x) argument order per the SQL standard."""
+    li = t(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).cast("bigint").alias("n_pairs"),
+        r2(F.regr_sxx(y, x)).alias("sxx"),
+        r2(F.regr_syy(y, x)).alias("syy"),
+        r6(F.regr_slope(y, x)).alias("slope"),
+        r4(F.regr_intercept(y, x)).alias("icept"),
+        r6(F.regr_r2(y, x)).alias("r2"),
+        r6(F.regr_avgx(y, x)).alias("avgx"),
+        r4(F.regr_avgy(y, x)).alias("avgy"),
+        r2(F.covar_samp(x, y)).alias("covar_s"),
     )
 
 

@@ -1172,6 +1172,32 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("subquery_single_value", """
+SELECT c_custkey,
+       (SELECT n_name FROM nation WHERE n_nationkey = c_nationkey) AS nat_name
+FROM customer
+""")
+def subquery_single_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SINGLE_VALUE (SqlStdOperatorTable:987 — the guard aggregate Calcite
+    wraps around scalar sub-queries it can't prove single-row): the
+    correlated scalar lookup runs as groupBy + single_value (functions/
+    agg.py), which errors at runtime on a multi-row group; the >1-row
+    error path is pinned in tests/test_operators.py."""
+    from drill_calcite_spark.functions.agg import single_value
+
+    cust = t(spark, sf_dir, "customer")
+    nat = (
+        t(spark, sf_dir, "nation")
+        .groupBy("n_nationkey")
+        .agg(single_value(F.col("n_name")).alias("nat_name"))
+    )
+    return (
+        cust.join(F.broadcast(nat),
+                  cust.c_nationkey == nat.n_nationkey, "left")
+        .select("c_custkey", "nat_name")
+    )
+
+
 # ------------------------------------------------------------ scalar semantics
 @q("is_distinct_from", """
 SELECT CAST(sum(CASE WHEN nullif(l_discount, 0.0) IS DISTINCT FROM nullif(l_tax, 0.0)

@@ -783,3 +783,17 @@ def test_geo_measures_unit_square(spark):
     assert (r.a, r.cx, r.cy, r.p, r.ll, r.np) == (1.0, 0.5, 0.5, 4.0, 3.0, 4)
     assert r.wkt == ("LINESTRING (0.000000 0.000000, 1.000000 0.000000, "
                      "1.000000 1.000000, 0.000000 1.000000)")
+
+
+# --------------------------------------------------------------- SINGLE_VALUE
+def test_single_value_guard(spark):
+    from drill_calcite_spark.functions.agg import single_value
+
+    ok = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    got = {r.k: r.sv for r in
+           ok.groupBy("k").agg(single_value(F.col("v")).alias("sv")).collect()}
+    assert got == {1: "a", 2: "b"}
+
+    bad = spark.createDataFrame([(1, "a"), (1, "b")], "k long, v string")
+    with pytest.raises(Exception, match="SINGLE_VALUE"):
+        bad.groupBy("k").agg(single_value(F.col("v")).alias("sv")).collect()
