@@ -1433,6 +1433,60 @@ def profile_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return discover_fds(sample, _FD_COLS)
 
 
+def _lattice_workload():
+    from drill_calcite_spark.plans.lattice import WorkloadQuery
+
+    return [
+        WorkloadQuery("qA", ("o_orderstatus",), ("sum:o_totalprice",)),
+        WorkloadQuery("qB", ("o_orderstatus", "o_orderpriority"),
+                      ("sum:o_totalprice", "count:*")),
+        WorkloadQuery("qC", ("o_orderpriority",), ("count:*",)),
+        WorkloadQuery("qD", ("o_custkey",), ("sum:o_totalprice",)),
+    ]
+
+
+def _lattice_oracle_sql() -> str:
+    """The lattice set algebra runs in Python at oracle-build time (it is
+    planner-side metadata, constant for a fixed workload); the DATA part —
+    n_rows and per-dim NDVs feeding est_rows = min(n, Π ndv) — is replayed
+    in SQL, so the hash check pins the distributed profile."""
+    from drill_calcite_spark.plans.lattice import lattice_algebra
+
+    workload = _lattice_workload()
+    candidates, serves = lattice_algebra(workload)
+    all_dims = sorted({c for q in workload for c in q.group_by})
+    singles = ", ".join(f"count(DISTINCT {d}) AS nd_{d}" for d in all_dims)
+    parts = []
+    for dims in sorted(candidates):
+        prod = " * ".join(f"nd_{d}" for d in dims)
+        sv = sorted(q.name for q in serves[dims])
+        parts.append(
+            f"SELECT '{','.join(dims)}' AS tile_dims, "
+            f"'{','.join(sorted(candidates[dims]))}' AS tile_measures, "
+            f"least({prod}, n) AS est_rows, "
+            f"{len(sv)} AS n_served, '{','.join(sv)}' AS serves FROM agg")
+    return (
+        f"WITH agg AS (SELECT count(*) AS n, {singles} FROM orders)\n"
+        + "\nUNION ALL ".join(parts)
+    )
+
+
+@q("lattice_candidate_tiles", _lattice_oracle_sql())
+def lattice_candidate_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lattice suggester (materialize/LatticeSuggester.java:75 addQuery,
+    Lattice.getRowCountEstimate): the candidate tiles a 4-query workload
+    over orders induces, each with its measure union, the queries it
+    serves (grouping-subsumption — the same test plans/materialized.py
+    routes with), and an NDV-product row estimate computed distributed
+    via the profiler. Greedy TileSuggester selection on top is
+    deterministic and unit-tested (tests/test_materialized.py)."""
+    from drill_calcite_spark.plans.lattice import candidate_tiles
+
+    return candidate_tiles(
+        spark, t(spark, sf_dir, "orders"), _lattice_workload()
+    )
+
+
 @q("mv_tile_rollup", """
 SELECT o_orderstatus,
        sum(o_totalprice::DECIMAL(18,6))::DOUBLE AS total,

@@ -154,3 +154,40 @@ def test_unfiltered_query_rejects_filtered_tile(spark, tmp_path):
     out = mvs.summarize("t", _base(spark), ["k"], [("s", "sum", "v")])
     assert not any("tile" in f for f in out.inputFiles())
     assert {r.k: r.s for r in out.collect()} == {"a": 3.0, "b": 8.0}
+
+
+# ------------------------------------------------------------------- lattice
+def test_suggest_tiles_greedy(spark):
+    """Greedy TileSuggester selection: the wide (status, priority) tile
+    serves 3 of the 4 queries and wins first; custkey's query is only
+    coverable by its own huge tile, chosen second; nothing else adds
+    coverage so selection stops at 2 tiles."""
+    from drill_calcite_spark.plans.lattice import (
+        WorkloadQuery, lattice_algebra, suggest_tiles,
+    )
+    from tests.conftest import SF_DIR
+    from drill_calcite_spark.queries.common import t as load
+
+    workload = [
+        WorkloadQuery("qA", ("o_orderstatus",), ("sum:o_totalprice",)),
+        WorkloadQuery("qB", ("o_orderstatus", "o_orderpriority"),
+                      ("sum:o_totalprice", "count:*")),
+        WorkloadQuery("qC", ("o_orderpriority",), ("count:*",)),
+        WorkloadQuery("qD", ("o_custkey",), ("sum:o_totalprice",)),
+    ]
+    fact = load(spark, SF_DIR, "orders")
+    rows = suggest_tiles(spark, fact, workload).collect()
+    assert [r.tile_dims for r in rows] == [
+        "o_orderpriority,o_orderstatus", "o_custkey"]
+    assert rows[0].serves == "qA,qB,qC"
+    assert rows[1].serves == "qD"
+    # max_tiles honors the cap
+    capped = suggest_tiles(spark, fact, workload, max_tiles=1).collect()
+    assert len(capped) == 1
+
+    # algebra invariants: every tile serves at least the query that
+    # contributed its grouping
+    cands, serves = lattice_algebra(workload)
+    for q in workload:
+        assert q.name in {s.name
+                          for s in serves[tuple(sorted(q.group_by))]}
