@@ -472,6 +472,74 @@ def st_num_points(wkt: Column) -> Column:
             + 1).cast("bigint")
 
 
+def _unit_circle(segments: int) -> "list[tuple[float, float]]":
+    """(cos, sin) pairs at the N-gon angles — plan-time Python constants,
+    so Spark and the SQL twin share bit-identical trigonometry."""
+    import math
+
+    return [(math.cos(2.0 * math.pi * k / segments),
+             math.sin(2.0 * math.pi * k / segments))
+            for k in range(segments)]
+
+
+def st_buffer_point_ring(x: Column, y: Column, r: Column,
+                         segments: int = 8) -> "ColRing":
+    """ST_Buffer(point, r) as the inscribed N-gon ring (the densified
+    approximation ESRI's buffer also produces, at fixed N): vertex k =
+    (x + r·cos θk, y + r·sin θk), θk = 2πk/N. Returns a column ring
+    usable with every *_colring relation/measure; st_buffer_point_wkt
+    renders it as POLYGON text."""
+    return [(x + r * F.lit(ck), y + r * F.lit(sk))
+            for ck, sk in _unit_circle(segments)]
+
+
+def sql_buffer_point_ring(x: str, y: str, r: str,
+                          segments: int = 8) -> "list[tuple[str, str]]":
+    return [(f"(({x}) + ({r}) * {_g(ck)})", f"(({y}) + ({r}) * {_g(sk)})")
+            for ck, sk in _unit_circle(segments)]
+
+
+def _ring_wkt_body(ring: "ColRing") -> Column:
+    parts: list[Column] = []
+    for i, (vx, vy) in enumerate(ring + ring[:1]):  # WKT rings close
+        if i:
+            parts.append(F.lit(", "))
+        parts.append(F.format_string("%.6f %.6f", vx, vy))
+    return F.concat(*parts)
+
+
+def st_polygon_wkt(ring: "ColRing") -> Column:
+    """POLYGON WKT text from a column ring (closed per WKT convention)."""
+    return F.concat(F.lit("POLYGON (("), _ring_wkt_body(ring), F.lit("))"))
+
+
+def sql_polygon_wkt(ring: "list[tuple[str, str]]") -> str:
+    pts = ring + ring[:1]
+    segs = ", ".join(f"printf('%.6f %.6f', {x}, {y})" for x, y in pts)
+    return "('POLYGON ((' || concat_ws(', ', " + segs + ") || '))')"
+
+
+def st_union_disjoint_wkt(a: Column, b: Column) -> Column:
+    """ST_Union of two DISJOINT polygons as MULTIPOLYGON text — the
+    subset where union is pure composition (no boundary clipping; the
+    reference delegates the general overlapping case to ESRI's clipper,
+    out of scope here; disjointness is checkable first via
+    st_intersects_poly_poly). Strips each 'POLYGON ' prefix, keeping the
+    double-paren ring wrap WKT MULTIPOLYGON members carry."""
+    def body(p: Column) -> Column:
+        return F.regexp_replace(p, r"^POLYGON ", "")
+
+    return F.concat(F.lit("MULTIPOLYGON ("), body(a), F.lit(", "),
+                    body(b), F.lit(")"))
+
+
+def st_num_geometries(wkt: Column) -> Column:
+    """ST_NumGeometries of a [MULTI]POLYGON WKT: count of '((' ring
+    openings (1 for a simple POLYGON)."""
+    return ((F.length(wkt) - F.length(F.replace(wkt, F.lit("(("), F.lit(""))))
+            / 2).cast("bigint")
+
+
 def st_within_poly_poly(col_ring: "ColRing", lit_ring) -> Column:
     """ST_Within(per-row polygon, literal polygon): every vertex of the
     literal ring inside the per-row ring AND no proper crossing — the

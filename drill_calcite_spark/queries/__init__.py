@@ -28,15 +28,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #
 # ROUND-6 ROTATION (executed): rounds 1-5 hard-checked 145 distinct names.
 # These 50 slots hold, in order:
-# (a) the 17 oracle-backed names with NO driver row ever — the 4 deferred
+# (a) the 18 oracle-backed names with NO driver row ever — the 4 deferred
 #     from the round-5 rotation (case_conditional, distinct_projection,
-#     func_strings_basic, func_geo_poly) plus the 13 new round-6 queries;
+#     func_strings_basic, func_geo_poly) plus the 14 new round-6 queries;
 #     after this round every oracle-backed name has had the driver's own
 #     hard signal at least once;
 # (b) 8 names whose code was touched this round (LSH de-literaling,
 #     join_strategy_hints body slim-down, ranks assume_unique param,
 #     pattern brace validation, geo advice fixes, profile module);
-# (c) 25 names whose newest green row is round 2 — the oldest evidence in
+# (c) 24 names whose newest green row is round 2 — the oldest evidence in
 #     the registry: headline TPC-H, core joins, aggregates, windows, set
 #     ops — re-validated four rounds of refactors later.
 _DRIVER_PRIORITY = [
@@ -47,7 +47,7 @@ _DRIVER_PRIORITY = [
     "func_geo_poly_poly", "func_geo_measures", "func_multiset_predicates",
     "agg_fusion", "profile_fd_discovery",
     "func_math_extended", "func_strings_misc", "agg_regression",
-    "subquery_single_value", "lattice_candidate_tiles",
+    "subquery_single_value", "lattice_candidate_tiles", "func_geo_buffer",
     # (b) code touched in round 6
     "ann_lsh_topk", "dedup_embedding_lsh", "join_strategy_hints",
     "window_distribution_scalable", "func_similar_to", "func_like_family",
@@ -65,7 +65,7 @@ _DRIVER_PRIORITY = [
     "window_rank_topk", "window_lead_lag", "window_value_funcs",
     "window_running_frames", "window_distribution",
     # (c) set ops
-    "setop_union_all", "setop_union_distinct",
+    "setop_union_all",
 ]
 
 

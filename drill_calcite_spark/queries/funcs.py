@@ -1098,6 +1098,80 @@ def func_geo_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from drill_calcite_spark.functions.geo import (  # noqa: E402
+    sql_area_colring as _sql_area,
+    sql_buffer_point_ring,
+    sql_contains_colring,
+    sql_polygon_wkt,
+)
+
+_BUF_RING = sql_buffer_point_ring("px", "py", "r", 8)
+_BUF_RING2 = sql_buffer_point_ring("px + 20.0 * r", "py", "r", 8)
+
+_GEO_BUFFER_SQL = f"""
+WITH pts AS (
+  SELECT event_id, (value % 100.0) AS px, (user_id % 97)::DOUBLE AS py,
+         1.0 + (event_id % 7) AS r
+  FROM events WHERE event_id < 3000
+)
+SELECT event_id,
+       {sql_polygon_wkt(_BUF_RING)}                       AS buf_wkt,
+       round({_sql_area(_BUF_RING)}, 6)                   AS buf_area,
+       {sql_contains_colring(_BUF_RING, "px", "py")}      AS has_center,
+       {sql_contains_colring(_BUF_RING, "px + 1.5 * r", "py")} AS has_far,
+       ('MULTIPOLYGON ('
+        || regexp_replace({sql_polygon_wkt(_BUF_RING)}, '^POLYGON ', '')
+        || ', '
+        || regexp_replace({sql_polygon_wkt(_BUF_RING2)}, '^POLYGON ', '')
+        || ')')                                           AS union_wkt,
+       CAST(2 AS BIGINT)                                  AS n_geoms
+FROM pts
+"""
+
+
+@q("func_geo_buffer", _GEO_BUFFER_SQL)
+def func_geo_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Buffer / ST_Union / ST_NumGeometries (runtime/GeoFunctions.java
+    buffer/union overloads; spatial.iq): point buffers as inscribed 8-gon
+    rings (the densified approximation, plan-time trig constants shared
+    with the SQL twin), shoelace area of the buffer, containment of the
+    center (true) vs a point at 1.5r (false — outside the inscribed
+    ring), and the disjoint-union MULTIPOLYGON composition with its
+    geometry count (second buffer translated 20r away, disjoint by
+    construction)."""
+    from drill_calcite_spark.functions.geo import (
+        st_area_colring,
+        st_buffer_point_ring,
+        st_contains_colring,
+        st_num_geometries,
+        st_polygon_wkt,
+        st_union_disjoint_wkt,
+    )
+
+    pts = (
+        t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+        .select(
+            "event_id",
+            (F.col("value") % 100.0).alias("px"),
+            (F.col("user_id") % 97).cast("double").alias("py"),
+            (F.lit(1.0) + (F.col("event_id") % 7)).alias("r"),
+        )
+    )
+    px, py, r = F.col("px"), F.col("py"), F.col("r")
+    ring = st_buffer_point_ring(px, py, r, 8)
+    ring2 = st_buffer_point_ring(px + 20.0 * r, py, r, 8)
+    union = st_union_disjoint_wkt(st_polygon_wkt(ring), st_polygon_wkt(ring2))
+    return pts.select(
+        "event_id",
+        st_polygon_wkt(ring).alias("buf_wkt"),
+        F.round(st_area_colring(ring), 6).alias("buf_area"),
+        st_contains_colring(ring, px, py).alias("has_center"),
+        st_contains_colring(ring, px + 1.5 * r, py).alias("has_far"),
+        union.alias("union_wkt"),
+        st_num_geometries(union).alias("n_geoms"),
+    )
+
+
 # ------------------------------------------------------------- array / struct
 @q("func_array_ops", """
 SELECT doc_id,

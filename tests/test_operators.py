@@ -797,3 +797,32 @@ def test_single_value_guard(spark):
     bad = spark.createDataFrame([(1, "a"), (1, "b")], "k long, v string")
     with pytest.raises(Exception, match="SINGLE_VALUE"):
         bad.groupBy("k").agg(single_value(F.col("v")).alias("sv")).collect()
+
+
+def test_geo_buffer_ground_truth(spark):
+    """Unit-radius 8-gon buffer at the origin: area = ½·8·sin(π/4)
+    = 2·√2, center inside, (1.5, 0) outside, disjoint union counts 2."""
+    import math
+
+    from drill_calcite_spark.functions.geo import (
+        st_area_colring, st_buffer_point_ring, st_contains_colring,
+        st_num_geometries, st_polygon_wkt, st_union_disjoint_wkt,
+    )
+
+    df = spark.createDataFrame([(1,)], "id long")
+    z, o = F.lit(0.0), F.lit(1.0)
+    ring = st_buffer_point_ring(z, z, o, 8)
+    ring2 = st_buffer_point_ring(F.lit(40.0), z, o, 8)
+    union = st_union_disjoint_wkt(st_polygon_wkt(ring), st_polygon_wkt(ring2))
+    r = df.select(
+        st_area_colring(ring).alias("a"),
+        st_contains_colring(ring, z, z).alias("c0"),
+        st_contains_colring(ring, F.lit(1.5), z).alias("c15"),
+        st_num_geometries(st_polygon_wkt(ring)).alias("n1"),
+        st_num_geometries(union).alias("n2"),
+        union.alias("u"),
+    ).collect()[0]
+    assert abs(r.a - 2.0 * math.sqrt(2.0)) < 1e-9
+    assert r.c0 is True and r.c15 is False
+    assert (r.n1, r.n2) == (1, 2)
+    assert r.u.startswith("MULTIPOLYGON (((") and r.u.endswith(")))")
