@@ -65,3 +65,24 @@ def test_scalable_distribution_no_single_partition_window(spark):
     df = entrymod.queries()["window_distribution_scalable"](spark, SF_DIR)
     plan = _plan(df)
     assert "Window [" not in plan or "SinglePartition" not in plan
+
+
+def test_round6_batteries_are_map_only(spark):
+    """The new scalar batteries (geo relations/measures/buffers, JSON
+    scans, phonetics) are pure per-row column math: their physical plans
+    must contain no Exchange (no shuffle) and stay in whole-stage
+    codegen — a projection over the parquet scan."""
+    qs = entrymod.queries()
+    for name in ["func_geo_poly_poly", "func_geo_measures",
+                 "func_geo_buffer", "func_json_depth",
+                 "func_strings_phonetic", "func_tz_convert"]:
+        plan = _plan(qs[name](spark, SF_DIR))
+        assert "Exchange" not in plan, f"{name} shuffles: {plan[:400]}"
+        # codegen renders as the '*(n)' star marker in the tree string
+        assert "*(" in plan, f"{name} fell out of codegen: {plan[:400]}"
+
+
+def test_single_value_lookup_broadcasts(spark):
+    plan = _plan(entrymod.queries()["subquery_single_value"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, \
+        "single-value nation lookup is not a broadcast join"
