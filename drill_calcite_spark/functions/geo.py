@@ -540,11 +540,13 @@ def st_num_geometries(wkt: Column) -> Column:
             / 2).cast("bigint")
 
 
-def st_within_poly_poly(col_ring: "ColRing", lit_ring) -> Column:
-    """ST_Within(per-row polygon, literal polygon): every vertex of the
-    literal ring inside the per-row ring AND no proper crossing — the
-    column-ring-contains-literal direction (ST_Within(a,b) ≡
-    ST_Contains(b,a), GeoFunctions.java)."""
+def st_within_poly_poly(lit_ring, col_ring: "ColRing") -> Column:
+    """ST_Within(literal polygon, per-row polygon) — the LITERAL ring
+    lies within the per-row COLUMN ring: every literal vertex inside the
+    column ring AND no proper crossing. Argument order matches
+    ST_Within(a, b) ≡ "a within b" ≡ ST_Contains(b, a)
+    (GeoFunctions.java); the b-contains-a direction with a literal inner
+    ring is the complement of st_contains_poly_poly."""
     _ring_guard(lit_ring, "st_within_poly_poly")
     all_in: Column | None = None
     for ax, ay in _lit_ring_cols(lit_ring):
@@ -553,8 +555,8 @@ def st_within_poly_poly(col_ring: "ColRing", lit_ring) -> Column:
     return all_in & ~_any_straddle(_lit_ring_cols(lit_ring), col_ring)
 
 
-def sql_within_poly_poly(col_ring_sql, lit_ring) -> str:
-    """SQL twin of ``st_within_poly_poly``."""
+def sql_within_poly_poly(lit_ring, col_ring_sql) -> str:
+    """SQL twin of ``st_within_poly_poly`` (same argument order)."""
     _ring_guard(lit_ring, "sql_within_poly_poly")
     all_in = " AND ".join(sql_contains_colring(col_ring_sql, ax, ay)
                           for ax, ay in _lit_ring_sql(lit_ring))

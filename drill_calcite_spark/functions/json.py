@@ -6,13 +6,23 @@ JsonFunctions.java jsonDepth/jsonPretty/jsonRemove/jsonStorageSize).
 Spark has none of these built in, and their generic form needs a JSON parse.
 We stay in pure column algebra (whole-stage codegen, no UDFs) with a
 single-pass character scan via ``F.aggregate`` over ``F.split(j, '')``,
-under a documented precondition that holds for every engine-generated JSON
-document (``to_json`` output and the driver's ``props`` column):
+under documented per-function preconditions:
 
-    COMPACT JSON — no '{', '}', '[', ']' characters inside string values,
-    no whitespace inside empty containers, no escaped quotes.
+- ``json_depth``: no '{', '}', '[', ']' inside string values, and no
+  whitespace inside EMPTY containers. Whitespace elsewhere (e.g. the
+  driver's ``props`` column, '{"k": 87}') is harmless: any character in a
+  non-empty container witnesses a depth its container already implies.
+- ``json_pretty`` / ``json_storage_size`` (as a compact-bytes measure):
+  strictly COMPACT documents — additionally no whitespace anywhere
+  outside strings, and no ',' / ':' / whitespace inside string values
+  (the scan cannot tell a structural comma from one in a string). This
+  holds for ``to_json`` output over identifier-ish fields — the
+  engine-generated documents the batteries feed it — but NOT for
+  arbitrary user text; route free-text payloads through a parse-based
+  path instead.
+- no escaped quotes anywhere (both scans).
 
-Within that contract the scan is exact:
+Within those contracts the scans are exact:
 
 - depth: running bracket nesting; an opener at new nesting n witnesses
   depth n (covers empty containers), any other non-closer character at
@@ -89,13 +99,25 @@ def json_pretty(j: F.Column) -> F.Column:
     )
 
 
+_REGEX_META = set("\\^$.|?*+()[]{}")
+
+
+def _regex_quote(s: str) -> str:
+    """Escape regex metacharacters (Java regex and RE2 agree on
+    backslash-escaped punctuation; alphanumerics stay bare because Java
+    rejects undefined alphanumeric escapes)."""
+    return "".join("\\" + c if c in _REGEX_META else c for c in s)
+
+
 def json_remove_key(j: F.Column, key: str) -> F.Column:
     """JSON_REMOVE(j, '$.key') for a top-level key with a scalar or string
     value (the engine-generated-document subset; nested values would need
     balanced matching that regexes can't express). Removes the pair with its
     separating comma; a leading '{,' from removing the first key is fixed
-    up. The oracle runs the byte-identical regex in DuckDB."""
-    pat = ',?"' + key + '":("[^"]*"|[^,}\\]]*)'
+    up. The key is regex-quoted, so dots and other metacharacters in key
+    names match literally. The oracle runs the byte-identical regex in
+    DuckDB."""
+    pat = ',?"' + _regex_quote(key) + '":("[^"]*"|[^,}\\]]*)'
     return F.replace(
         F.regexp_replace(j, pat, ""), F.lit("{,"), F.lit("{")
     )

@@ -61,7 +61,11 @@ def discover_fds(df: DataFrame, columns: list[str], *,
     single-column LHS, which is one distributed pass:
 
     - FD ``a → b`` holds iff ndv(a) == ndv((a,b)) — every LHS value maps
-      to exactly one RHS value;
+      to exactly one RHS value. NDVs use row-tuple semantics: a pair with
+      a NULL field still counts (struct-based counting in both exact and
+      HLL modes, matching SQL ``count(DISTINCT (a,b))``), so all three
+      paths agree on nullable columns; with NULLs in the LHS the
+      criterion is conservative (a NULL-LHS row inflates the pair NDV);
     - ``k`` is a unique key iff ndv(k) == n_rows, i.e. ``k → *`` (emitted
       as a row with rhs='*').
 
@@ -81,22 +85,31 @@ def discover_fds(df: DataFrame, columns: list[str], *,
     ndv = F.approx_count_distinct if approximate else F.countDistinct
 
     def ndv2(a: str, b: str) -> F.Column:
-        # approx_count_distinct is single-argument: HLL the (a,b) struct
+        # always count distinct (a,b) STRUCTS: a struct with a NULL field
+        # is itself non-null, so exact mode, HLL mode and the SQL oracle's
+        # count(DISTINCT (a,b)) row-tuple semantics all agree on
+        # NULL-bearing pairs (multi-arg countDistinct would drop them)
         return (F.approx_count_distinct(F.struct(a, b)) if approximate
-                else F.countDistinct(a, b))
+                else F.countDistinct(F.struct(a, b)))
 
+    idx = {c: i for i, c in enumerate(columns)}
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in columns:
-        aggs.append(ndv(c).alias(f"__nd_{c}"))
+    for i, c in enumerate(columns):
+        aggs.append(ndv(c).alias(f"__nd_{i}"))
     pairs = [(a, b) for i, a in enumerate(columns)
              for b in columns[i + 1:]]
+    # positional aliases: name-based ones collide for underscore-bearing
+    # columns (('x', 'y_z') vs ('x_y', 'z') both make __ndp_x_y_z)
     for a, b in pairs:
-        aggs.append(ndv2(a, b).alias(f"__ndp_{a}_{b}"))
+        aggs.append(ndv2(a, b).alias(f"__ndp_{idx[a]}_{idx[b]}"))
     wide = df.agg(*aggs)
 
+    def single_ndv(c: str) -> F.Column:
+        return F.col(f"__nd_{idx[c]}")
+
     def pair_ndv(a: str, b: str) -> F.Column:
-        name = f"__ndp_{a}_{b}" if (a, b) in pairs else f"__ndp_{b}_{a}"
-        return F.col(name)
+        i, j = sorted((idx[a], idx[b]))
+        return F.col(f"__ndp_{i}_{j}")
 
     rows = []
     for a in columns:
@@ -105,15 +118,15 @@ def discover_fds(df: DataFrame, columns: list[str], *,
                 continue
             rows.append(F.struct(
                 F.lit(a).alias("lhs"), F.lit(b).alias("rhs"),
-                F.col(f"__nd_{a}").cast("long").alias("ndv_lhs"),
+                single_ndv(a).cast("long").alias("ndv_lhs"),
                 pair_ndv(a, b).cast("long").alias("ndv_pair"),
-                (F.col(f"__nd_{a}") == pair_ndv(a, b)).alias("fd_holds"),
+                (single_ndv(a) == pair_ndv(a, b)).alias("fd_holds"),
             ))
         rows.append(F.struct(
             F.lit(a).alias("lhs"), F.lit("*").alias("rhs"),
-            F.col(f"__nd_{a}").cast("long").alias("ndv_lhs"),
+            single_ndv(a).cast("long").alias("ndv_lhs"),
             F.col("__n").cast("long").alias("ndv_pair"),
-            (F.col(f"__nd_{a}") == F.col("__n")).alias("fd_holds"),
+            (single_ndv(a) == F.col("__n")).alias("fd_holds"),
         ))
     return (
         wide.select(F.explode(F.array(*rows)).alias("p"))

@@ -71,6 +71,30 @@ def lattice_algebra(workload: Sequence[WorkloadQuery]):
     return candidates, serves
 
 
+def _dim_stats(fact: DataFrame, workload: Sequence[WorkloadQuery],
+               approximate: bool):
+    """One distributed NDV profile over the workload's dim columns →
+    (est_rows function, n_rows). Shared by candidate_tiles and
+    suggest_tiles so the Lattice.getRowCountEstimate formula lives in
+    exactly one place."""
+    from drill_calcite_spark.operators.profile import profile
+
+    all_dims = sorted({c for q in workload for c in q.group_by})
+    stats = {
+        r["column"]: (r["n_rows"], r["n_distinct"])
+        for r in profile(fact, all_dims, approximate=approximate).collect()
+    }
+    n_rows = next(iter(stats.values()))[0] if stats else 0
+
+    def est_rows(dims: tuple[str, ...]) -> int:
+        prod = 1
+        for d in dims:
+            prod *= max(stats[d][1], 1)
+        return min(prod, n_rows)
+
+    return est_rows, n_rows
+
+
 def candidate_tiles(
     spark: SparkSession,
     fact: DataFrame,
@@ -85,22 +109,8 @@ def candidate_tiles(
     est_rows = min(n_rows, Π ndv(dim)) per Lattice.getRowCountEstimate's
     independence assumption. The NDV profile is the distributed part and
     is SQL-replayable, so this output is oracle-checkable."""
-    from drill_calcite_spark.operators.profile import profile
-
-    all_dims = sorted({c for q in workload for c in q.group_by})
-    stats = {
-        r["column"]: (r["n_rows"], r["n_distinct"])
-        for r in profile(fact, all_dims, approximate=approximate).collect()
-    }
-    n_rows = next(iter(stats.values()))[0] if stats else 0
+    est_rows, _ = _dim_stats(fact, workload, approximate)
     candidates, serves = lattice_algebra(workload)
-
-    def est_rows(dims: tuple[str, ...]) -> int:
-        prod = 1
-        for d in dims:
-            prod *= max(stats[d][1], 1)
-        return min(prod, n_rows)
-
     rows = [
         (",".join(dims), ",".join(sorted(candidates[dims])), est_rows(dims),
          len(serves[dims]), ",".join(sorted(q.name for q in serves[dims])))
@@ -127,21 +137,8 @@ def suggest_tiles(
     queries are already covered. Deterministic (ties break on the dim
     tuple). Returns the same schema as ``candidate_tiles``, chosen tiles
     only, in selection order."""
-    from drill_calcite_spark.operators.profile import profile
-
-    all_dims = sorted({c for q in workload for c in q.group_by})
-    stats = {
-        r["column"]: (r["n_rows"], r["n_distinct"])
-        for r in profile(fact, all_dims, approximate=approximate).collect()
-    }
-    n_rows = next(iter(stats.values()))[0] if stats else 0
+    est_rows, _ = _dim_stats(fact, workload, approximate)
     candidates, serves_map = lattice_algebra(workload)
-
-    def est_rows(dims: tuple[str, ...]) -> int:
-        prod = 1
-        for d in dims:
-            prod *= max(stats[d][1], 1)
-        return min(prod, n_rows)
 
     chosen: list[tuple[tuple[str, ...], list[WorkloadQuery], int]] = []
     covered: set[str] = set()

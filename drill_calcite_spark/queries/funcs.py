@@ -645,12 +645,21 @@ _JSON_PRETTY_AGG = """string_agg(CASE
       ELSE c END, '' ORDER BY i)"""
 
 
+# The oracle scan explodes positions from a fixed range, so it is only
+# exact up to this many characters; both sides return NULL beyond it to
+# make the bound an explicit shared contract instead of a silent oracle
+# truncation (battery documents are < 100 chars).
+_JSON_SCAN_CAP = 512
+
+
 def _depth_sql(col: str) -> str:
-    return (_JSON_NEST_SCAN % {"agg": _JSON_DEPTH_AGG}).replace("__COL__", col)
+    scan = (_JSON_NEST_SCAN % {"agg": _JSON_DEPTH_AGG}).replace("__COL__", col)
+    return f"(CASE WHEN length({col}) <= {_JSON_SCAN_CAP} THEN {scan} END)"
 
 
 def _pretty_sql(col: str) -> str:
-    return (_JSON_NEST_SCAN % {"agg": _JSON_PRETTY_AGG}).replace("__COL__", col)
+    scan = (_JSON_NEST_SCAN % {"agg": _JSON_PRETTY_AGG}).replace("__COL__", col)
+    return f"(CASE WHEN length({col}) <= {_JSON_SCAN_CAP} THEN {scan} END)"
 
 
 @q("func_json_depth", """
@@ -696,13 +705,18 @@ def func_json_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
     j3 = F.to_json(F.array(F.array("user_id", "event_id")))
     j0 = F.col("event_id").cast("string")
+
+    def capped(j, expr):
+        # mirror the oracle's explicit scan-length contract (_JSON_SCAN_CAP)
+        return F.when(F.length(j) <= _JSON_SCAN_CAP, expr)
+
     return e.select(
         "event_id",
-        json_depth(j0).alias("depth_scalar"),
-        json_depth(j1).alias("depth_flat"),
-        json_depth(j2).alias("depth_nested"),
-        json_depth(j3).alias("depth_arr"),
-        json_pretty(j2).alias("pretty"),
+        capped(j0, json_depth(j0)).alias("depth_scalar"),
+        capped(j1, json_depth(j1)).alias("depth_flat"),
+        capped(j2, json_depth(j2)).alias("depth_nested"),
+        capped(j3, json_depth(j3)).alias("depth_arr"),
+        capped(j2, json_pretty(j2)).alias("pretty"),
         json_remove_key(j1, "t").alias("removed"),
         json_storage_size(j1).alias("st_size"),
     )
@@ -972,7 +986,7 @@ WITH pts AS (
 SELECT event_id,
        {sql_intersects_poly_poly(_POLY_C, _SQ_RING_SQL)}  AS sq_meets_c,
        {sql_contains_poly_poly(_POLY_C, _SQ_RING_SQL)}    AS sq_in_c,
-       {sql_within_poly_poly(_SQ_RING_SQL, _POLY_HOLE)}   AS hole_in_sq,
+       {sql_within_poly_poly(_POLY_HOLE, _SQ_RING_SQL)}   AS hole_in_sq,
        (NOT {sql_intersects_poly_poly(_POLY_HOLE, _SQ_RING_SQL)})
                                                           AS sq_avoids_hole
 FROM sq
@@ -988,8 +1002,8 @@ def func_geo_poly_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertex-containment decomposition, all unrolled column math
     (functions/geo.py:st_intersects_poly_poly). sq_meets_c exercises
     intersects both ways, sq_in_c containment of a column ring in a
-    literal ring, hole_in_sq the reverse direction (ST_Within ≡ flipped
-    ST_Contains), sq_avoids_hole disjointness."""
+    literal ring, hole_in_sq the reverse direction (ST_Within(hole, square) — the
+    per-row ring as the container), sq_avoids_hole disjointness."""
     from drill_calcite_spark.functions.geo import (
         st_contains_poly_poly,
         st_intersects_poly_poly,
@@ -1018,7 +1032,7 @@ def func_geo_poly_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         st_intersects_poly_poly(_POLY_C, sq).alias("sq_meets_c"),
         st_contains_poly_poly(_POLY_C, sq).alias("sq_in_c"),
-        st_within_poly_poly(sq, _POLY_HOLE).alias("hole_in_sq"),
+        st_within_poly_poly(_POLY_HOLE, sq).alias("hole_in_sq"),
         (~st_intersects_poly_poly(_POLY_HOLE, sq)).alias("sq_avoids_hole"),
     )
 
@@ -1551,8 +1565,8 @@ SELECT event_id,
        (ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York' AS ny,
        (ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Tokyo'       AS tokyo,
        (ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Kolkata'     AS kolkata,
-       (((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York')
-          AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC'  AS roundtrip,
+       (((ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Kolkata')
+          AT TIME ZONE 'Asia/Kolkata') AT TIME ZONE 'UTC'      AS roundtrip,
        monthname(ts)                                           AS mon_name,
        dayname(ts)                                             AS day_name
 FROM events
@@ -1560,22 +1574,27 @@ FROM events
 def func_tz_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONVERT_TIMEZONE (SqlLibraryOperators; runtime/SqlFunctions.java
     convertTimezone) + MONTHNAME/DAYNAME (SqlLibraryOperators MONTHNAME/
-    DAYNAME). Zones cover DST transitions (New_York over a full year of
-    events) and a half-hour offset (Kolkata); the roundtrip column pins
-    to/from inversion. Session TZ is UTC so TIMESTAMP ≡ TIMESTAMP_NTZ."""
+    DAYNAME). UTC→zone conversions are total and unambiguous for every
+    zone (the UTC timeline is continuous), so the one-way NY/Tokyo
+    columns are engine-safe year-round; the roundtrip inversion pins
+    zone→UTC through Kolkata, a half-hour-offset zone with NO DST —
+    local→UTC through a DST zone is ambiguous during fall-back and the
+    engines resolve the ambiguity differently (Spark picks the earlier
+    offset, DuckDB the later). Session TZ is UTC so TIMESTAMP ≡
+    TIMESTAMP_NTZ."""
     ev = t(spark, sf_dir, "events")
     ntz = F.col("ts").cast("timestamp_ntz")
 
     def conv(to: str) -> F.Column:
         return F.convert_timezone(F.lit("UTC"), F.lit(to), ntz).cast("timestamp")
 
-    ny = F.convert_timezone(F.lit("UTC"), F.lit("America/New_York"), ntz)
+    kol = F.convert_timezone(F.lit("UTC"), F.lit("Asia/Kolkata"), ntz)
     return ev.select(
         "event_id",
         conv("America/New_York").alias("ny"),
         conv("Asia/Tokyo").alias("tokyo"),
         conv("Asia/Kolkata").alias("kolkata"),
-        F.convert_timezone(F.lit("America/New_York"), F.lit("UTC"), ny)
+        F.convert_timezone(F.lit("Asia/Kolkata"), F.lit("UTC"), kol)
         .cast("timestamp").alias("roundtrip"),
         F.date_format("ts", "MMMM").alias("mon_name"),
         F.date_format("ts", "EEEE").alias("day_name"),

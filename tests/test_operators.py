@@ -670,7 +670,7 @@ def test_poly_poly_ground_truth(spark):
             "name",
             st_intersects_poly_poly(_POLY_C, sq).alias("meets"),
             st_contains_poly_poly(_POLY_C, sq).alias("in_c"),
-            st_within_poly_poly(sq, _POLY_HOLE).alias("hole_in_sq"),
+            st_within_poly_poly(_POLY_HOLE, sq).alias("hole_in_sq"),
         ).collect()
     }
     assert (got["inside_c"].meets, got["inside_c"].in_c) == (True, True)
@@ -826,3 +826,41 @@ def test_geo_buffer_ground_truth(spark):
     assert r.c0 is True and r.c15 is False
     assert (r.n1, r.n2) == (1, 2)
     assert r.u.startswith("MULTIPOLYGON (((") and r.u.endswith(")))")
+
+
+def test_json_remove_key_metacharacters(spark):
+    """Keys with regex metacharacters are quoted, not interpreted
+    (review round-6): 'a.b' must not match 'axb'."""
+    from drill_calcite_spark.functions.json import json_remove_key
+
+    rows = spark.createDataFrame(
+        [('{"axb":1,"a.b":2}',)], "j string"
+    ).select(json_remove_key(F.col("j"), "a.b").alias("r")).collect()
+    assert rows[0].r == '{"axb":1}'
+
+
+def test_discover_fds_underscore_collision(spark):
+    """Pair aliases are positional, so ('x','y_z') vs ('x_y','z') cannot
+    collide (review round-6)."""
+    from drill_calcite_spark.operators.profile import discover_fds
+
+    df = spark.createDataFrame(
+        [(1, 1, 1, 1), (2, 2, 2, 2)], "x long, x_y long, y_z long, z long"
+    )
+    out = discover_fds(df, ["x", "x_y", "y_z", "z"]).collect()
+    assert len(out) == 4 * 4  # 12 ordered pairs + 4 key rows
+    assert all(r.fd_holds for r in out)  # all columns identical → all FDs
+
+
+def test_discover_fds_null_tuple_semantics(spark):
+    """NULL-bearing pairs count under row-tuple semantics in BOTH exact
+    and approximate modes (review round-6: multi-arg countDistinct
+    dropped them in exact mode only)."""
+    from drill_calcite_spark.operators.profile import discover_fds
+
+    df = spark.createDataFrame([(1, None), (2, "x")], "a long, b string")
+    for approx in (False, True):
+        got = {(r.lhs, r.rhs): r for r in
+               discover_fds(df, ["a", "b"], approximate=approx).collect()}
+        r = got[("a", "b")]
+        assert (r.ndv_lhs, r.ndv_pair, r.fd_holds) == (2, 2, True), approx
