@@ -533,6 +533,12 @@ def st_union_disjoint_wkt(a: Column, b: Column) -> Column:
                     body(b), F.lit(")"))
 
 
+def st_geometry_type(wkt: Column) -> Column:
+    """ST_GeometryType of a WKT value: the leading tag word
+    (POINT / LINESTRING / POLYGON / MULTIPOLYGON / ...)."""
+    return F.regexp_extract(wkt, "^[A-Z]+", 0)
+
+
 def st_num_geometries(wkt: Column) -> Column:
     """ST_NumGeometries of a [MULTI]POLYGON WKT: count of '((' ring
     openings (1 for a simple POLYGON)."""

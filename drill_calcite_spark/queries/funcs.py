@@ -1138,7 +1138,9 @@ SELECT event_id,
         || ', '
         || regexp_replace({sql_polygon_wkt(_BUF_RING2)}, '^POLYGON ', '')
         || ')')                                           AS union_wkt,
-       CAST(2 AS BIGINT)                                  AS n_geoms
+       CAST(2 AS BIGINT)                                  AS n_geoms,
+       regexp_extract({sql_polygon_wkt(_BUF_RING)}, '^[A-Z]+', 0) AS t_poly,
+       'MULTIPOLYGON'                                     AS t_multi
 FROM pts
 """
 
@@ -1157,6 +1159,7 @@ def func_geo_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_area_colring,
         st_buffer_point_ring,
         st_contains_colring,
+        st_geometry_type,
         st_num_geometries,
         st_polygon_wkt,
         st_union_disjoint_wkt,
@@ -1183,6 +1186,8 @@ def func_geo_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_contains_colring(ring, px + 1.5 * r, py).alias("has_far"),
         union.alias("union_wkt"),
         st_num_geometries(union).alias("n_geoms"),
+        st_geometry_type(st_polygon_wkt(ring)).alias("t_poly"),
+        st_geometry_type(union).alias("t_multi"),
     )
 
 
@@ -1246,7 +1251,8 @@ WITH d AS (
   SELECT doc_id, string_split(text, ' ') AS toks
   FROM documents WHERE doc_id < 300
 ), ab AS (
-  SELECT doc_id, toks[1:12] AS a, toks[5:16] AS b FROM d
+  SELECT doc_id, toks[1:12] AS a, toks[5:16] AS b, toks[40:45] AS tail
+  FROM d
 )
 SELECT doc_id,
        (len(list_distinct(a)) = len(a))                        AS a_is_set,
@@ -1260,13 +1266,15 @@ SELECT doc_id,
          list_transform(range(least(len(list_filter(a, x -> x = e)),
            len(list_filter(b, x -> x = e)))), i -> e)))), ',')
                                                                AS intersect_all,
-       CAST(len(a) + len(b) AS BIGINT)                         AS card_sum
+       CAST(len(a) + len(b) AS BIGINT)                         AS card_sum,
+       (len(tail) = 0)                                         AS tail_empty,
+       (len(a) <> 0)                                           AS a_not_empty
 FROM ab
 """)
 def func_multiset_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTISET bag semantics + predicates (SqlStdOperatorTable:113-143:
-    IS [NOT] A SET, MULTISET UNION ALL, MULTISET EXCEPT ALL, MULTISET
-    INTERSECT ALL, CARDINALITY): two overlapping token slices per document
+    IS [NOT] A SET, IS [NOT] EMPTY, MULTISET UNION ALL, MULTISET EXCEPT
+    ALL, MULTISET INTERSECT ALL, CARDINALITY): two overlapping token slices per document
     give naturally duplicated elements. Bag EXCEPT/INTERSECT use
     per-distinct-element count arithmetic (max(0, cnt_a − cnt_b) / min) and
     rebuild via array_repeat inside a transform — pure higher-order column
@@ -1279,6 +1287,7 @@ def func_multiset_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.slice(toks, 1, 12).alias("a"),
         F.slice(toks, 5, 12).alias("b"),
+        F.slice(toks, 40, 6).alias("tail"),
     )
     a, b = F.col("a"), F.col("b")
 
@@ -1301,6 +1310,8 @@ def func_multiset_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("except_all"),
         F.array_join(bag_op(F.least), ",").alias("intersect_all"),
         (F.size(a) + F.size(b)).cast("bigint").alias("card_sum"),
+        (F.size(F.col("tail")) == 0).alias("tail_empty"),
+        (F.size(a) != 0).alias("a_not_empty"),
     )
 
 
