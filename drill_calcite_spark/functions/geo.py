@@ -274,7 +274,12 @@ def _any_straddle(ring_a: "ColRing", ring_b: "ColRing") -> Column:
             d2 = _cross(b1[0], b1[1], b2[0], b2[1], a2[0], a2[1])
             d3 = _cross(a1[0], a1[1], a2[0], a2[1], b1[0], b1[1])
             d4 = _cross(a1[0], a1[1], a2[0], a2[1], b2[0], b2[1])
-            hit = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+            # strict sign opposition on BOTH edges: d == 0 (an endpoint
+            # exactly on the other edge's line) is never a proper crossing,
+            # matching the module-head boundary convention symmetrically
+            hit = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) & (
+                ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
+            )
             out = hit if out is None else (out | hit)
     return out
 
@@ -292,8 +297,11 @@ def _sql_any_straddle(ring_a, ring_b) -> str:
             b1, b2 = ring_b[j], ring_b[(j + 1) % nb]
             d1, d2 = cross(b1, b2, a1), cross(b1, b2, a2)
             d3, d4 = cross(a1, a2, b1), cross(a1, a2, b2)
-            parts.append(f"((({d1} > 0) != ({d2} > 0)) AND"
-                         f" (({d3} > 0) != ({d4} > 0)))")
+            parts.append(
+                f"(((({d1} > 0) AND ({d2} < 0)) OR (({d1} < 0) AND ({d2} > 0)))"
+                f" AND ((({d3} > 0) AND ({d4} < 0))"
+                f" OR (({d3} < 0) AND ({d4} > 0))))"
+            )
     return "(" + " OR ".join(parts) + ")"
 
 

@@ -22,6 +22,21 @@ under documented per-function preconditions:
   path instead.
 - no escaped quotes anywhere (both scans).
 
+The preconditions are ENFORCED at runtime by default (``strict=True``):
+input that violates them raises a per-row error (``F.raise_error``)
+instead of silently producing a wrong number — the same fail-loudly
+contract pattern.py and geo.py follow at translate time. The strict
+check is a single anchored regex (alternating quoted/unquoted spans;
+conservatively rejects ANY backslash, since an escape can hide a quote
+from the span decomposition). Pass ``strict=False`` only when the input
+is engine-generated and the check's scan cost matters.
+
+Empty/blank input: ``json_depth`` returns NULL (invalid JSON — MySQL
+errors; NULL is the engine's non-error analogue and matches a
+max-over-zero-rows oracle scan). ``json_pretty``/``json_storage_size``
+pass blanks to the strict guard, which rejects them (whitespace outside
+a string).
+
 Within those contracts the scans are exact:
 
 - depth: running bracket nesting; an opener at new nesting n witnesses
@@ -54,9 +69,37 @@ def _chars(j: F.Column) -> F.Column:
     return F.split(j, "")
 
 
-def json_depth(j: F.Column) -> F.Column:
+# Anchored alternating-span decompositions: in quote-balanced text with no
+# backslashes, the 2nd/4th/... quote-delimited spans ARE the string values,
+# so "no X inside strings" is one full-match regex (no backreferences —
+# runs identically under Java regex; see [[duckdb-spark-parity-gotchas]]).
+_DEPTH_OK = r'^([^"\\]*"[^"{}\[\]\\]*")*[^"\\]*$'
+_COMPACT_OK = r'^([^"\s\\]*"[^",:{}\[\]\s\\]*")*[^"\s\\]*$'
+
+
+def _strict_guard(j: F.Column, ok_pattern: str, name: str,
+                  result: F.Column) -> F.Column:
+    """Fail-loudly wrapper: rows violating the scan precondition raise
+    (CASE WHEN branches evaluate lazily, so conforming rows never pay the
+    error path); NULL input stays NULL."""
+    return (
+        F.when(j.isNull(), F.lit(None))
+        .when(j.rlike(ok_pattern), result)
+        .otherwise(F.raise_error(F.concat(
+            F.lit(f"{name}: input violates the compact-JSON scan "
+                  "precondition (see drill_calcite_spark/functions/json.py; "
+                  "route arbitrary documents through from_json): "),
+            F.substr(j, F.lit(1), F.lit(80)),
+        )))
+    )
+
+
+def json_depth(j: F.Column, strict: bool = True) -> F.Column:
     """JSON_DEPTH(j) — maximum nesting depth (MySQL semantics); NULL in,
-    NULL out. Single pass: acc.n = bracket nesting, acc.d = best depth."""
+    NULL out; empty/blank in, NULL out (invalid JSON — see module head).
+    Single pass: acc.n = bracket nesting, acc.d = best depth. With
+    ``strict`` (default), input with brackets-in-strings or any backslash
+    raises instead of silently miscounting."""
 
     def step(acc: F.Column, c: F.Column) -> F.Column:
         n2 = acc.n + F.when(c.isin(*_OPENS), 1).when(c.isin(*_CLOSES), -1).otherwise(0)
@@ -64,17 +107,22 @@ def json_depth(j: F.Column) -> F.Column:
         cand = F.when(c.isin(*_CLOSES) | (c == ""), acc.d).otherwise(acc.n + 1)
         return F.struct(n2.alias("n"), F.greatest(acc.d, cand).alias("d"))
 
-    return F.aggregate(
+    scan = F.aggregate(
         _chars(j),
         F.struct(F.lit(0).alias("n"), F.lit(0).alias("d")),
         step,
         lambda acc: acc.d.cast("bigint"),
     )
+    blank_null = F.when(F.length(F.trim(j)) > 0, scan).cast("bigint")
+    if not strict:
+        return blank_null
+    return _strict_guard(j, _DEPTH_OK, "json_depth", blank_null).cast("bigint")
 
 
-def json_pretty(j: F.Column) -> F.Column:
+def json_pretty(j: F.Column, strict: bool = True) -> F.Column:
     """JSON_PRETTY(j) — 2-space-indent pretty printing of a compact JSON
-    document (Jackson DefaultPrettyPrinter style, as Calcite's jsonPretty)."""
+    document (Jackson DefaultPrettyPrinter style, as Calcite's jsonPretty).
+    With ``strict`` (default), non-compact input raises (module head)."""
 
     def indent(n: F.Column) -> F.Column:
         return F.substr(F.lit(_INDENT_POOL), F.lit(1), n * 2)
@@ -91,12 +139,15 @@ def json_pretty(j: F.Column) -> F.Column:
         )
         return F.struct(n2.alias("n"), F.concat(acc.out, frag).alias("out"))
 
-    return F.aggregate(
+    scan = F.aggregate(
         _chars(j),
         F.struct(F.lit(0).alias("n"), F.lit("").alias("out")),
         step,
         lambda acc: acc.out,
     )
+    if not strict:
+        return scan
+    return _strict_guard(j, _COMPACT_OK, "json_pretty", scan).cast("string")
 
 
 _REGEX_META = set("\\^$.|?*+()[]{}")
@@ -123,8 +174,14 @@ def json_remove_key(j: F.Column, key: str) -> F.Column:
     )
 
 
-def json_storage_size(j: F.Column) -> F.Column:
+def json_storage_size(j: F.Column, strict: bool = True) -> F.Column:
     """JSON_STORAGE_SIZE(j) — bytes of the serialized document. Calcite
     returns Jackson's serialized byte length (JsonFunctions.jsonStorageSize);
-    for an already-compact document that is its octet length."""
-    return F.octet_length(j).cast("bigint")
+    for an already-compact document that is its octet length. With
+    ``strict`` (default), non-compact input raises rather than returning
+    the padded length (module head)."""
+    if not strict:
+        return F.octet_length(j).cast("bigint")
+    return _strict_guard(
+        j, _COMPACT_OK, "json_storage_size", F.octet_length(j)
+    ).cast("bigint")

@@ -678,7 +678,7 @@ SELECT event_id,
        CAST(""" + _depth_sql("j2") + """ AS BIGINT) AS depth_nested,
        CAST(""" + _depth_sql("j3") + """ AS BIGINT) AS depth_arr,
        """ + _pretty_sql("j2") + """ AS pretty,
-       replace(regexp_replace(j1, ',?"t":("[^"]*"|[^,}\\]]*)', ''), '{,', '{')
+       replace(regexp_replace(j1, ',?"t":("[^"]*"|[^,}\\]]*)', '', 'g'), '{,', '{')
                                                     AS removed,
        CAST(strlen(j1) AS BIGINT)                   AS st_size
 FROM j
@@ -1318,7 +1318,7 @@ def func_multiset_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("agg_fusion", """
 WITH d AS (
   SELECT doc_id % 7 AS grp, string_split(text, ' ')[1:8] AS toks
-  FROM documents WHERE doc_id < 300
+  FROM documents WHERE doc_id < 300 AND text IS NOT NULL
 )
 SELECT grp,
        array_to_string(list_sort(flatten(list(toks))), ',')     AS fused,
@@ -1336,9 +1336,13 @@ def agg_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first — idempotent under set semantics). collect_list arrival
     order is nondeterministic, so both outputs canonicalize sorted; the
     fold itself is order-insensitive (intersection is commutative and
-    associative over sets)."""
+    associative over sets). NULL texts are filtered on BOTH engines before
+    collection (Spark collect_list drops NULL arrays, DuckDB list() keeps
+    them — the filter makes the twins agree by construction), and the
+    INTERSECTION output's empty-string coalesce is mirrored on both."""
     d = (
-        t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+        t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 300) & F.col("text").isNotNull())
         .select(
             (F.col("doc_id") % 7).alias("grp"),
             F.slice(F.split(F.col("text"), " "), 1, 8).alias("toks"),
@@ -1357,7 +1361,9 @@ def agg_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "grp",
         F.array_join(F.sort_array(F.flatten(lists)), ",").alias("fused"),
-        F.array_join(F.sort_array(F.array_distinct(inter)), ",").alias("common"),
+        F.coalesce(
+            F.array_join(F.sort_array(F.array_distinct(inter)), ","), F.lit("")
+        ).alias("common"),
         "n_docs",
     )
 

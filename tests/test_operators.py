@@ -615,6 +615,41 @@ def test_json_depth_pretty_mysql_cases(spark):
     }
 
 
+def test_json_scan_strict_guards(spark):
+    """The compact-JSON preconditions are enforced at runtime: violating
+    input raises per-row (fail-loudly contract, VERDICT r6 #1) instead of
+    silently returning a wrong number; empty/blank depth input is NULL."""
+    import pytest as _pytest
+
+    from drill_calcite_spark.functions.json import (
+        json_depth, json_pretty, json_storage_size,
+    )
+
+    def run(expr_fn, doc):
+        return (
+            spark.createDataFrame([(doc,)], "j string")
+            .select(expr_fn(F.col("j")).alias("v")).collect()[0].v
+        )
+
+    # violation paths raise with a pointer to the documented precondition
+    for fn, bad in [
+        (json_depth, '{"a":"[oops]"}'),      # bracket inside a string value
+        (json_depth, '{"a":"x\\"y"}'),       # escaped quote (backslash)
+        (json_pretty, '{ "a": 1 }'),         # whitespace outside strings
+        (json_storage_size, '{"a":"x,y"}'),  # comma inside a string value
+    ]:
+        with _pytest.raises(Exception, match="precondition"):
+            run(fn, bad)
+
+    # empty/blank depth input is NULL (matches a max-over-zero-rows oracle)
+    assert run(json_depth, "") is None
+    assert run(json_depth, "   ") is None
+    # whitespace OUTSIDE strings is fine for depth (the props-column shape)
+    assert run(json_depth, '{"k": 87}') == 2
+    # strict=False opts out of the guard (engine-generated input)
+    assert run(lambda c: json_depth(c, strict=False), '{"k":1}') == 2
+
+
 # ------------------------------------------------------------------ geometry
 def test_ring_guards_raise_at_translate_time(spark):
     import pytest as _pytest
