@@ -70,10 +70,12 @@ _DRIVER_PRIORITY = [
 
 
 def _merged(attr: str) -> dict:
-    from drill_calcite_spark.queries import custom, funcs, llm, relops, sources, streaming, tpch, tpch2
+    from drill_calcite_spark.queries import (
+        custom, funcs, llm, relops, sources, streaming, tpch, tpch2, tpch3,
+    )
 
     out: dict = {}
-    for mod in (tpch, tpch2, relops, funcs, custom, llm, streaming, sources):
+    for mod in (tpch, tpch2, tpch3, relops, funcs, custom, llm, streaming, sources):
         out.update(getattr(mod, attr))
     return out
 

@@ -1,0 +1,439 @@
+"""TPC-H queries 2, 9, 11, 16, 20, 21 — the six correlation-heavy queries
+from the reference's acceptance suite (plus/src/test/java/org/apache/calcite/
+adapter/tpch/TpchTest.java:944-946; query text :46-53), ADAPTED to the
+driver schema, which has no partsupp table and no l_commitdate/
+l_receiptdate/p_container/s_comment columns (TESTDATA.md).
+
+Adaptation contract — the point of these six is their plan SHAPES
+(correlated scalar MIN over a 4-way dim join, 6-table profit aggregation,
+HAVING against a global scalar sub-query, NOT IN + COUNT(DISTINCT),
+nested IN chains with a correlated scalar, EXISTS + NOT EXISTS double
+correlation), so each keeps its reference shape exactly and substitutes
+only the missing physical columns:
+
+- ``partsupp`` is DERIVED from lineitem:
+  (ps_partkey, ps_suppkey, ps_supplycost = MIN(l_extendedprice /
+  l_quantity), ps_availqty = SUM(l_quantity)) GROUP BY the pair.
+  MIN over identical IEEE divisions and SUM over integer-valued
+  quantities (< 2^53) are bit-deterministic on both engines, so the
+  derived columns are oracle-exact. At scale this derivation is ONE
+  hash aggregate over lineitem (map-side partial combine); a production
+  deployment would read the real partsupp table and skip it.
+- q16's "customer complaints" supplier exclusion (s_comment LIKE
+  '%Complaints%') becomes s_acctbal < 0; q21's "kept waiting" predicate
+  (l_receiptdate > l_commitdate) becomes l_returnflag = 'R'. Both keep
+  the surrounding sub-query structure untouched.
+- single-nation filters widen to single-REGION filters so the queries
+  stay non-degenerate at sf0.001 (~10 suppliers spread over 25 nations).
+
+Scale notes: dims broadcast, facts probe-side, every sub-query
+decorrelated into the join/aggregate Catalyst's own decorrelation rules
+(RewriteCorrelatedScalarSubquery, RewritePredicateSubquery) would emit —
+the DuckDB oracles run the ORIGINAL correlated forms, so the driver's
+hash-compare is an engine-level proof of each decorrelation. Float sums
+route through DECIMAL(18,6) as everywhere else (see tpch2.py head).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from drill_calcite_spark.queries.common import t, ts
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return deco
+
+
+def _dec_sum(c):
+    return F.sum(c.cast("decimal(18,6)")).cast("double")
+
+
+# Shared oracle CTE: the derived partsupp (module head).
+_PS_CTE = """partsupp AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         min(l_extendedprice / l_quantity) AS ps_supplycost,
+         sum(l_quantity) AS ps_availqty
+  FROM lineitem GROUP BY 1, 2)"""
+
+
+def _partsupp(li: DataFrame) -> DataFrame:
+    """Spark twin of ``_PS_CTE``: one shuffle of lineitem on the
+    (partkey, suppkey) pair, partial-aggregated map-side."""
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+        .alias("ps_supplycost"),
+        F.sum("l_quantity").alias("ps_availqty"),
+    )
+
+
+def _region_suppliers(spark, sf_dir, r_name: str) -> DataFrame:
+    """supplier ⋈ nation ⋈ region (both dims broadcast), keeping the
+    supplier attributes the callers project."""
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        supp.join(F.broadcast(nation),
+                  supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region.filter(F.col("r_name") == r_name)),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+
+
+# --------------------------------------------------------------------- Q2
+@q("q2_min_cost_supplier", f"""
+WITH {_PS_CTE}
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       round(ps_supplycost, 4) AS supplycost
+FROM partsupp
+JOIN part ON p_partkey = ps_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE p_size = 15 AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT min(ps2.ps_supplycost)
+    FROM partsupp ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, ps_suppkey
+LIMIT 100
+""")
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): for every size-15 part, the
+    EUROPE supplier(s) offering it at the regional minimum cost — a
+    correlated scalar MIN over a 4-way dim join, decorrelated into a
+    per-part MIN aggregate joined back on (part, cost). The part filter
+    is pushed below the aggregate (MIN is per-part, so pruning parts
+    first is semantics-preserving and drops ~98% of the aggregate
+    input); cost equality is exact because both engines take MIN over
+    identical IEEE division results. Top-100 with a total tiebreak
+    ordering (ps_suppkey last) → TakeOrderedAndProject, no global sort."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    p15 = part.filter(F.col("p_size") == 15).select("p_partkey", "p_name")
+    eu = _region_suppliers(spark, sf_dir, "EUROPE")
+
+    ps_eu = (
+        _partsupp(li)
+        .join(F.broadcast(p15.select("p_partkey")),
+              F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(eu), F.col("ps_suppkey") == F.col("s_suppkey"))
+    )
+    mins = ps_eu.groupBy(F.col("ps_partkey").alias("mp")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    best = ps_eu.join(
+        mins,
+        (F.col("ps_partkey") == F.col("mp"))
+        & (F.col("ps_supplycost") == F.col("min_cost")),
+    )
+    return (
+        best.join(F.broadcast(p15), F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.round("ps_supplycost", 4).alias("supplycost"),
+            "ps_suppkey",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey",
+                 "ps_suppkey")
+        .limit(100)
+        .drop("ps_suppkey")
+    )
+
+
+# --------------------------------------------------------------------- Q9
+@q("q9_product_type_profit", f"""
+WITH {_PS_CTE}
+SELECT n_name AS nation, extract(year FROM o_orderdate) AS o_year,
+       round(sum(((l_extendedprice * (1 - l_discount))
+                  - (ps_supplycost * l_quantity))::DECIMAL(18,6))::DOUBLE, 2)
+         AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE 'red%'
+GROUP BY 1, 2
+""")
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): revenue minus supply cost per
+    nation per year across the full 6-table join (lineitem, part,
+    supplier, derived partsupp, orders, nation). The 'red%' part filter
+    broadcast-semi-prunes lineitem BEFORE the partsupp join, so the
+    expensive (partkey, suppkey) shuffle join only sees matching lines;
+    partsupp itself aggregates full lineitem on the SAME key pair, so
+    AQE can co-locate the two exchanges."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    supp = t(spark, sf_dir, "supplier")
+    ords = t(spark, sf_dir, "orders")
+    nation = t(spark, sf_dir, "nation")
+
+    red = part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    j = (
+        li.join(F.broadcast(red), li.l_partkey == F.col("p_partkey"),
+                "left_semi")
+        .join(
+            _partsupp(li),
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(ords.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(
+                t(spark, sf_dir, "nation")
+                .select("n_nationkey", F.col("n_name").alias("nation"))
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("ps_supplycost") * F.col("l_quantity")
+    )
+    return (
+        j.groupBy("nation", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(F.round(_dec_sum(amount), 2).alias("sum_profit"))
+    )
+
+
+# -------------------------------------------------------------------- Q11
+@q("q11_important_stock", f"""
+WITH {_PS_CTE},
+ps_region AS (
+  SELECT ps_partkey,
+         CAST(ps_supplycost * ps_availqty AS DECIMAL(18,6)) AS val
+  FROM partsupp
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE')
+SELECT ps_partkey, round(sum(val)::DOUBLE, 2) AS part_value
+FROM ps_region
+GROUP BY ps_partkey
+HAVING sum(val)::DOUBLE >
+  (SELECT 2.0 * sum(val)::DOUBLE / count(DISTINCT ps_partkey)
+   FROM ps_region)
+""")
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock): per-part inventory value among EUROPE
+    suppliers, kept only when it exceeds a threshold computed from the
+    GLOBAL total — HAVING against a global scalar sub-query. The
+    reference's FRACTION parameter is 0.0001/SF (scale-dependent by
+    spec); this adaptation uses 2× the average per-part value, the
+    scale-invariant equivalent, so the query stays non-degenerate at
+    every SF. Decorrelation: the scalar is a 1-row aggregate
+    broadcast-crossJoined into the per-part aggregate (never a global
+    window, which would funnel every group through one task at scale).
+    DECIMAL(18,6) sums make both totals bit-identical across engines,
+    so the threshold comparison selects identical parts."""
+    li = t(spark, sf_dir, "lineitem")
+    eu_keys = F.broadcast(
+        _region_suppliers(spark, sf_dir, "EUROPE").select("s_suppkey")
+    )
+    ps_eu = (
+        _partsupp(li)
+        .join(eu_keys, F.col("ps_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty"))
+            .cast("decimal(18,6)").alias("val"),
+        )
+    )
+    per_part = ps_eu.groupBy("ps_partkey").agg(
+        F.sum("val").cast("double").alias("val_sum")
+    )
+    total = ps_eu.agg(
+        (2.0 * F.sum("val").cast("double")
+         / F.countDistinct("ps_partkey")).alias("__threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("val_sum") > F.col("__threshold"))
+        .select("ps_partkey", F.round("val_sum", 2).alias("part_value"))
+    )
+
+
+# -------------------------------------------------------------------- Q16
+@q("q16_parts_supplier_relationship", """
+WITH pairs AS (SELECT DISTINCT l_partkey AS ps_partkey,
+                               l_suppkey AS ps_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM pairs JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#5' AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (1, 4, 7, 10, 14, 23, 25, 30, 35, 49)
+  AND ps_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""")
+def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): distinct supplier count
+    per (brand, type, size) over the part-supplier pairs, excluding
+    'complaint' suppliers (adapted: s_acctbal < 0) via NOT IN. The NOT IN
+    rewrites to a broadcast LEFT ANTI join — exact here because both
+    s_suppkey and the sub-query's values are non-nullable keys (the
+    3-valued NOT IN NULL case is covered by subquery_not_in_nulls in
+    relops.py); COUNT(DISTINCT) is partial-aggregable via Spark's
+    two-phase distinct expansion."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    supp = t(spark, sf_dir, "supplier")
+
+    pairs = li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct()
+    pf = part.filter(
+        (F.col("p_brand") != "Brand#5")
+        & ~F.col("p_type").like("MEDIUM%")
+        & F.col("p_size").isin(1, 4, 7, 10, 14, 23, 25, 30, 35, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        pairs.join(F.broadcast(pf), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("ps_suppkey") == F.col("s_suppkey"),
+              "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").cast("bigint")
+             .alias("supplier_cnt"))
+    )
+
+
+# -------------------------------------------------------------------- Q20
+@q("q20_potential_promotion", f"""
+WITH {_PS_CTE}
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE r_name = 'AMERICA'
+  AND s_suppkey IN (
+    SELECT ps_suppkey FROM partsupp
+    WHERE ps_partkey IN
+          (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND ps_availqty > 4.0 * (
+        SELECT sum(l_quantity) FROM lineitem
+        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'))
+""")
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): AMERICA suppliers holding
+    excess stock of 'small%' parts — an IN chain nested inside an IN,
+    with a correlated scalar SUM in the innermost predicate. The
+    correlated sum decorrelates into a (partkey, suppkey) window
+    aggregate INNER-joined back: rows with no 1996 shipments drop out of
+    the inner join exactly as the correlated NULL comparison drops them
+    in the oracle. The part IN-list is a broadcast semi join; the final
+    supplier IN is a semi join against the distinct candidate keys."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+
+    small = part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    win = (
+        li.filter(
+            (F.col("l_shipdate") >= ts("1996-01-01"))
+            & (F.col("l_shipdate") < ts("1997-01-01"))
+        )
+        .groupBy(
+            F.col("l_partkey").alias("wp"), F.col("l_suppkey").alias("ws")
+        )
+        .agg(F.sum("l_quantity").alias("win_qty"))
+    )
+    cand = (
+        _partsupp(li)
+        .join(F.broadcast(small),
+              F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+        .join(win, (F.col("ps_partkey") == F.col("wp"))
+              & (F.col("ps_suppkey") == F.col("ws")))
+        .filter(F.col("ps_availqty") > 4.0 * F.col("win_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        _region_suppliers(spark, sf_dir, "AMERICA")
+        .join(cand, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+# -------------------------------------------------------------------- Q21
+@q("q21_suppliers_kept_waiting", """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' AND r_name = 'EUROPE'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+""")
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): EUROPE suppliers
+    solely responsible for a problem line (adapted: l_returnflag = 'R')
+    in a finished multi-supplier order — the EXISTS + NOT EXISTS double
+    correlation. Decorrelation: EXISTS → LEFT SEMI and NOT EXISTS →
+    LEFT ANTI join on l_orderkey with the l_suppkey inequality as the
+    join residual (Catalyst's RewritePredicateSubquery plan). The
+    supplier region filter and returnflag filter prune l1 BEFORE the
+    order-key shuffles; all three lineitem legs shuffle on the same
+    l_orderkey, so AQE coalesces them consistently."""
+    li = t(spark, sf_dir, "lineitem")
+    ords = t(spark, sf_dir, "orders")
+
+    eu = F.broadcast(
+        _region_suppliers(spark, sf_dir, "EUROPE").select("s_suppkey", "s_name")
+    )
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(eu, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            ords.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    l2 = li.select(F.col("l_orderkey").alias("o2"),
+                   F.col("l_suppkey").alias("s2"))
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    )
+    kept = (
+        l1.join(l2, (F.col("l_orderkey") == F.col("o2"))
+                & (F.col("l_suppkey") != F.col("s2")), "left_semi")
+        .join(l3, (F.col("l_orderkey") == F.col("o3"))
+              & (F.col("l_suppkey") != F.col("s3")), "left_anti")
+    )
+    return kept.groupBy("s_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("numwait")
+    )
