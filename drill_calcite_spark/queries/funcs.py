@@ -1191,6 +1191,190 @@ def func_geo_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from drill_calcite_spark.functions.geo import (  # noqa: E402
+    sql_area_ring_arr,
+    sql_boundary_polygon,
+    sql_contains_ring_arr,
+    sql_crosses_line_poly,
+    sql_envelope_from_ring,
+    sql_overlaps_poly_poly,
+    sql_perimeter_ring_arr,
+    sql_polygon_wkt,
+    sql_ring_from_wkt,
+    sql_touches_poly_poly,
+)
+
+# Literal 10×10 square — the fixed side of the overlaps/touches/crosses
+# relations. The per-row square and polyline use INTEGER-valued doubles
+# (exact arithmetic), so boundary contact — the thing ST_Touches needs —
+# actually occurs in the data instead of being float-never.
+_POLY_S = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+
+_SQ2_RING_SQL = [("sx_lo", "sy_lo"), ("sx_hi", "sy_lo"),
+                 ("sx_hi", "sy_hi"), ("sx_lo", "sy_hi")]
+_LINE_SQL = [("lx0", "ly0"), ("lx1", "ly1"), ("lx2", "ly2")]
+
+_GEO_RELATIONS_SQL = f"""
+WITH pts AS (
+  SELECT event_id,
+         ((event_id % 41) - 10)::DOUBLE AS cx,
+         ((user_id % 37) - 13)::DOUBLE  AS cy,
+         (1 + event_id % 3)::DOUBLE     AS h
+  FROM events WHERE event_id < 3000
+), geoms AS (
+  SELECT event_id,
+         cx - h AS sx_lo, cx + h AS sx_hi, cy - h AS sy_lo, cy + h AS sy_hi,
+         cx AS lx0, cy AS ly0, cx + 3*h AS lx1, cy + 2*h AS ly1,
+         cx + 6*h AS lx2, cy - h AS ly2
+  FROM pts
+)
+SELECT event_id,
+       {sql_overlaps_poly_poly(_POLY_S, _SQ2_RING_SQL)} AS sq_overlaps,
+       {sql_touches_poly_poly(_POLY_S, _SQ2_RING_SQL)}  AS sq_touches,
+       {sql_crosses_line_poly(_POLY_S, _LINE_SQL)}      AS line_crosses
+FROM geoms
+"""
+
+
+@q("func_geo_relations", _GEO_RELATIONS_SQL)
+def func_geo_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DE-9IM relation tail ST_Overlaps / ST_Touches / ST_Crosses
+    (runtime/GeoFunctions.java ST_Overlaps/ST_Touches/ST_Crosses
+    overloads; spatial.iq relation cases): a per-row integer-grid square
+    against the literal 10×10 square — overlaps = proper boundary
+    crossing, touches = vertex-witnessed boundary contact with disjoint
+    interiors, crosses = a 3-point polyline vs the polygon (segment
+    crossing or endpoints on opposite sides). Integer-valued doubles make
+    exact boundary contact occur in the data; all three stay unrolled
+    whole-stage-codegen column math (functions/geo.py)."""
+    from drill_calcite_spark.functions.geo import (
+        st_crosses_line_poly,
+        st_overlaps_poly_poly,
+        st_touches_poly_poly,
+    )
+
+    pts = (
+        t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+        .select(
+            "event_id",
+            ((F.col("event_id") % 41) - 10).cast("double").alias("cx"),
+            ((F.col("user_id") % 37) - 13).cast("double").alias("cy"),
+            (1 + F.col("event_id") % 3).cast("double").alias("h"),
+        )
+    )
+    cx, cy, h = F.col("cx"), F.col("cy"), F.col("h")
+    sq = [(cx - h, cy - h), (cx + h, cy - h), (cx + h, cy + h),
+          (cx - h, cy + h)]
+    line = [(cx, cy), (cx + 3 * h, cy + 2 * h), (cx + 6 * h, cy - h)]
+    return pts.select(
+        "event_id",
+        st_overlaps_poly_poly(_POLY_S, sq).alias("sq_overlaps"),
+        st_touches_poly_poly(_POLY_S, sq).alias("sq_touches"),
+        st_crosses_line_poly(_POLY_S, line).alias("line_crosses"),
+    )
+
+
+def _wkt_case_sql(tri: str, quad: str, pent: str) -> str:
+    return (f"(CASE (event_id % 3) WHEN 0 THEN {tri} WHEN 1 THEN {quad}"
+            f" ELSE {pent} END)")
+
+
+_TRI_SQL = [("cx", "cy"), ("cx + 3*h", "cy"), ("cx + h", "cy + 2*h")]
+_QUAD_SQL = [("cx", "cy"), ("cx + 2*h", "cy"), ("cx + 2*h", "cy + 2*h"),
+             ("cx", "cy + 2*h")]
+_PENT_SQL = [("cx", "cy"), ("cx + 2*h", "cy - h"), ("cx + 4*h", "cy"),
+             ("cx + 3*h", "cy + 2*h"), ("cx + h", "cy + 2*h")]
+
+_GEO_WKT_SQL = f"""
+WITH pts AS (
+  SELECT event_id,
+         ((event_id % 41) - 10)::DOUBLE AS cx,
+         ((user_id % 37) - 13)::DOUBLE  AS cy,
+         (1 + event_id % 3)::DOUBLE     AS h,
+         (user_id % 11)::DOUBLE         AS pdx
+  FROM events WHERE event_id < 3000
+), w AS (
+  SELECT event_id, cx, cy, h, pdx,
+         {_wkt_case_sql(sql_polygon_wkt(_TRI_SQL),
+                        sql_polygon_wkt(_QUAD_SQL),
+                        sql_polygon_wkt(_PENT_SQL))} AS wkt
+  FROM pts
+), g AS (
+  SELECT event_id, cx, cy, h, pdx, wkt,
+         {sql_ring_from_wkt("wkt")} AS ring
+  FROM w
+)
+SELECT event_id, wkt,
+       CAST(len(ring) AS BIGINT)                              AS n_pts,
+       {sql_contains_ring_arr("ring", "cx + pdx", "cy + h")}  AS has_probe,
+       round({sql_area_ring_arr("ring")}, 6)                  AS area,
+       round({sql_perimeter_ring_arr("ring")}, 6)             AS perim,
+       {sql_envelope_from_ring("ring")}                       AS envelope,
+       {sql_boundary_polygon("wkt")}                          AS boundary
+FROM g
+"""
+
+
+@q("func_geo_wkt", _GEO_WKT_SQL)
+def func_geo_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKT-COLUMN polygon parsing (runtime/GeoFunctions.java
+    ST_GeomFromText + ST_Envelope + ST_Boundary; closes VERDICT r6's
+    'WKT parsing of arbitrary POLYGON columns' gap): per-row POLYGON text
+    with a DATA-DEPENDENT vertex count (triangle / quad / pentagon by
+    event_id % 3) is parsed into an array<struct<x,y>> ring and every
+    downstream measure runs as a higher-order fold over it — ray-cast
+    containment, shoelace area, perimeter, envelope WKT, boundary
+    LINESTRING. Plan size is O(1) in ring size (the fold replaces the
+    unrolled per-vertex expressions), so one plan serves any polygon
+    column at any scale; the DuckDB twin folds with
+    list_transform/list_sum over the identical formulas."""
+    from drill_calcite_spark.functions.geo import (
+        st_area_ring_arr,
+        st_boundary_polygon,
+        st_contains_ring_arr,
+        st_envelope_from_ring,
+        st_perimeter_ring_arr,
+        st_polygon_wkt,
+        st_ring_from_wkt,
+    )
+
+    pts = (
+        t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+        .select(
+            "event_id",
+            ((F.col("event_id") % 41) - 10).cast("double").alias("cx"),
+            ((F.col("user_id") % 37) - 13).cast("double").alias("cy"),
+            (1 + F.col("event_id") % 3).cast("double").alias("h"),
+            (F.col("user_id") % 11).cast("double").alias("pdx"),
+        )
+    )
+    cx, cy, h = F.col("cx"), F.col("cy"), F.col("h")
+    tri = [(cx, cy), (cx + 3 * h, cy), (cx + h, cy + 2 * h)]
+    quad = [(cx, cy), (cx + 2 * h, cy), (cx + 2 * h, cy + 2 * h),
+            (cx, cy + 2 * h)]
+    pent = [(cx, cy), (cx + 2 * h, cy - h), (cx + 4 * h, cy),
+            (cx + 3 * h, cy + 2 * h), (cx + h, cy + 2 * h)]
+    wkt = (
+        F.when(F.col("event_id") % 3 == 0, st_polygon_wkt(tri))
+        .when(F.col("event_id") % 3 == 1, st_polygon_wkt(quad))
+        .otherwise(st_polygon_wkt(pent))
+    )
+    g = pts.withColumn("wkt", wkt).withColumn(
+        "ring", st_ring_from_wkt(F.col("wkt"))
+    )
+    ring = F.col("ring")
+    return g.select(
+        "event_id", "wkt",
+        F.size(ring).cast("bigint").alias("n_pts"),
+        st_contains_ring_arr(ring, cx + F.col("pdx"), cy + h)
+        .alias("has_probe"),
+        F.round(st_area_ring_arr(ring), 6).alias("area"),
+        F.round(st_perimeter_ring_arr(ring), 6).alias("perim"),
+        st_envelope_from_ring(ring).alias("envelope"),
+        st_boundary_polygon(F.col("wkt")).alias("boundary"),
+    )
+
+
 # ------------------------------------------------------------- array / struct
 @q("func_array_ops", """
 SELECT doc_id,

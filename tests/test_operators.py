@@ -863,6 +863,40 @@ def test_geo_buffer_ground_truth(spark):
     assert r.u.startswith("MULTIPOLYGON (((") and r.u.endswith(")))")
 
 
+def test_geo_buffer_segments_error_bound(spark):
+    """The documented radial error bound r·(1 − cos(π/N)) (VERDICT r6
+    #2): at N=16 a probe just inside the bound radius is contained, one
+    just outside r is not, and the 16-gon area is within the bound's
+    area deficit of πr² — the knob a user sizes ``segments`` with."""
+    import math
+
+    from drill_calcite_spark.functions.geo import (
+        st_area_colring, st_buffer_point_ring, st_contains_colring,
+    )
+
+    df = spark.createDataFrame([(1,)], "id long")
+    z = F.lit(0.0)
+    n = 16
+    ring = st_buffer_point_ring(z, z, F.lit(1.0), n)
+    inradius = math.cos(math.pi / n)  # 1 - bound
+    # probe at an edge-midpoint angle — the worst case for the N-gon
+    mid = math.pi / n
+    r_in = df.select(
+        st_contains_colring(
+            ring, F.lit((inradius - 1e-9) * math.cos(mid)),
+            F.lit((inradius - 1e-9) * math.sin(mid))).alias("inside"),
+        st_contains_colring(
+            ring, F.lit((1.0 + 1e-9) * math.cos(mid)),
+            F.lit((1.0 + 1e-9) * math.sin(mid))).alias("outside"),
+        st_area_colring(ring).alias("area"),
+    ).collect()[0]
+    assert r_in.inside is True
+    assert r_in.outside is False
+    exact = 0.5 * n * math.sin(2.0 * math.pi / n)
+    assert abs(r_in.area - exact) < 1e-9
+    assert math.pi - r_in.area < math.pi * 2.0 * (1.0 - math.cos(math.pi / n))
+
+
 def test_json_remove_key_metacharacters(spark):
     """Keys with regex metacharacters are quoted, not interpreted
     (review round-6): 'a.b' must not match 'axb'."""

@@ -75,11 +75,30 @@ def test_round6_batteries_are_map_only(spark):
     qs = entrymod.queries()
     for name in ["func_geo_poly_poly", "func_geo_measures",
                  "func_geo_buffer", "func_json_depth",
-                 "func_strings_phonetic", "func_tz_convert"]:
+                 "func_strings_phonetic", "func_tz_convert",
+                 "func_geo_relations", "func_geo_wkt"]:
         plan = _plan(qs[name](spark, SF_DIR))
         assert "Exchange" not in plan, f"{name} shuffles: {plan[:400]}"
         # codegen renders as the '*(n)' star marker in the tree string
         assert "*(" in plan, f"{name} fell out of codegen: {plan[:400]}"
+
+
+def test_approximate_fd_discovery_single_pass_no_expand(spark):
+    """discover_fds(approximate=True) pins the 100 TB contract (VERDICT r6
+    #3): HLL sketches keep the whole FD/unique-key discovery ONE
+    partial-aggregable aggregate — exactly one exchange and no Expand
+    node (exact mode's multi-countDistinct expansion)."""
+    from drill_calcite_spark.operators.profile import discover_fds
+
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    plan = _plan(discover_fds(
+        df, ["o_orderkey", "o_custkey", "o_orderstatus"], approximate=True))
+    assert "Expand" not in plan, f"approximate FD plan expands: {plan[:400]}"
+    assert plan.count("Exchange") <= 1, \
+        f"approximate FD plan has multiple exchanges: {plan[:400]}"
+    # partial aggregation before the exchange (map-side combine)
+    assert "partial_approx_count_distinct" in plan.lower() \
+        or "HashAggregate" in plan, plan[:400]
 
 
 def test_single_value_lookup_broadcasts(spark):
