@@ -26,56 +26,60 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # oracle-backed entries, every pytest run); the slots below hand the
 # driver whatever most needs a fresh hard-signal row.
 #
-# ROUND-6 ROTATION (executed): rounds 1-5 hard-checked 145 distinct names.
-# These 50 slots hold, in order:
-# (a) the 18 oracle-backed names with NO driver row ever — the 4 deferred
-#     from the round-5 rotation (case_conditional, distinct_projection,
-#     func_strings_basic, func_geo_poly) plus the 14 new round-6 queries;
-#     after this round every oracle-backed name has had the driver's own
-#     hard signal at least once;
-# (b) 8 names whose code was touched this round (LSH de-literaling,
-#     join_strategy_hints body slim-down, ranks assume_unique param,
-#     pattern brace validation, geo advice fixes, profile module);
-# (c) 24 names whose newest green row is round 2 — the oldest evidence in
-#     the registry: headline TPC-H, core joins, aggregates, windows, set
-#     ops — re-validated four rounds of refactors later.
+# ROUND-7 ROTATION: every oracle-backed name has at least one driver-green
+# row (r1-r6); rotation now tracks NEWEST evidence. These 50 slots hold,
+# in order:
+# (a) the 10 NEW round-7 queries — the six schema-adapted TPC-H
+#     correlation queries completing the 22-query battery (tpch3.py), the
+#     two spatial-tail batteries (relations + WKT-column parsing), and
+#     the two TPC-DS-shape queries (tpcds.py);
+# (b) 3 names whose code changed this round (compact-JSON strict guards +
+#     oracle 'g' flag; agg_fusion NULL filter/coalesce mirror; the
+#     straddle strict-sign fix feeding the poly-poly relations);
+# (c) all 25 names whose newest green row is round 2 — the oldest
+#     evidence left: TPC-H 4/7/8/10/12/13/14/15/17/19/22, HAVING,
+#     bit aggs, set ops, unnest, sort/sample, IN + correlated-scalar
+#     subqueries;
+# (d) 12 round-4-vintage names from the families VERDICT r6 called out
+#     as aging: materialized views, recursion, snapshot, subqueries,
+#     lateral, as-of, MATCH_RECOGNIZE, stateful streaming.
 _DRIVER_PRIORITY = [
-    # (a) never driver-checked
-    "case_conditional", "distinct_projection", "func_strings_basic",
-    "func_geo_poly",
-    "func_strings_phonetic", "func_tz_convert", "func_json_depth",
-    "func_geo_poly_poly", "func_geo_measures", "func_multiset_predicates",
-    "agg_fusion", "profile_fd_discovery",
-    "func_math_extended", "func_strings_misc", "agg_regression",
-    "subquery_single_value", "lattice_candidate_tiles", "func_geo_buffer",
-    # (b) code touched in round 6
-    "ann_lsh_topk", "dedup_embedding_lsh", "join_strategy_hints",
-    "window_distribution_scalable", "func_similar_to", "func_like_family",
-    "func_geo_st", "profile_orders",
-    # (c) oldest evidence (round 2): TPC-H spine
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q18_large_volume_customer",
-    # (c) joins
-    "join_left_outer", "join_right_outer", "join_full_outer", "join_semi",
-    "join_anti", "join_cross", "join_band_theta",
-    # (c) aggregates
-    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_distinct_filter",
-    "agg_stats", "agg_collect_listagg",
-    # (c) windows
-    "window_rank_topk", "window_lead_lag", "window_value_funcs",
-    "window_running_frames", "window_distribution",
-    # (c) set ops
-    "setop_union_all",
+    # (a) new in round 7
+    "q2_min_cost_supplier", "q9_product_type_profit", "q11_important_stock",
+    "q16_parts_supplier_relationship", "q20_potential_promotion",
+    "q21_suppliers_kept_waiting", "func_geo_relations", "func_geo_wkt",
+    "ds_sales_rollup_rank", "ds_channel_report",
+    # (b) code touched in round 7
+    "func_json_depth", "agg_fusion", "func_geo_poly_poly",
+    # (c) oldest evidence (round 2)
+    "q4_order_priority", "q10_returned_items", "q12_priority_shipping",
+    "q14_promo_effect", "q22_global_sales_opportunity", "q7_volume_shipping",
+    "q8_market_share", "q13_customer_distribution", "q15_top_supplier",
+    "q17_small_quantity", "q19_discounted_revenue",
+    "agg_having", "agg_bitops",
+    "setop_union_distinct", "setop_intersect", "setop_intersect_all",
+    "setop_except", "setop_except_all",
+    "values_inline", "unnest_words", "unnest_with_ordinality",
+    "sort_limit_offset", "sample_deterministic",
+    "subquery_in", "subquery_scalar_correlated",
+    # (d) round-4-vintage families the judge flagged as aging
+    "mv_tile_rollup", "mv_join_rewrite", "mv_filter_rewrite",
+    "recursive_numbers", "recursive_nation_tree", "snapshot_orders_scd",
+    "subquery_not_in_null", "subquery_quantified_some",
+    "correlate_lateral_topn", "asof_last_purchase", "match_vshape_all_rows",
+    "stream_stateful_counter",
 ]
 
 
 def _merged(attr: str) -> dict:
     from drill_calcite_spark.queries import (
-        custom, funcs, llm, relops, sources, streaming, tpch, tpch2, tpch3,
+        custom, funcs, llm, relops, sources, streaming, tpcds, tpch, tpch2,
+        tpch3,
     )
 
     out: dict = {}
-    for mod in (tpch, tpch2, tpch3, relops, funcs, custom, llm, streaming, sources):
+    for mod in (tpch, tpch2, tpch3, tpcds, relops, funcs, custom, llm,
+                streaming, sources):
         out.update(getattr(mod, attr))
     return out
 

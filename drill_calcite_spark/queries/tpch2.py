@@ -1,9 +1,7 @@
-"""TPC-H queries 7, 8, 13, 15, 17, 19 — the remaining queries adaptable to
-the driver schema (TESTDATA.md lacks partsupp, l_commitdate/receiptdate,
-p_container, o_comment free-text, so Q2/9/11/16/20/21 have no faithful
-adaptation; with this module 16 of 22 are covered, matching the operator
-spine of the reference's TpchTest suite,
-plus/src/test/java/org/apache/calcite/adapter/tpch/TpchTest.java:944-946).
+"""TPC-H queries 7, 8, 13, 15, 17, 19 (with tpch.py's 10 and tpch3.py's
+6, all 22 of the reference's TpchTest suite are registered —
+plus/src/test/java/org/apache/calcite/adapter/tpch/TpchTest.java:944-946;
+tpch3.py documents the schema adaptations the last six need).
 
 Scale notes as in tpch.py: dims broadcast (nation explicitly, supplier/part
 via AQE), facts on the probe side, all filters pushdown-shaped. Q17's
