@@ -28,6 +28,13 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q18_large_volume_customer",
+    # round 7: the two heaviest of the six queries completing the TPC-H
+    # battery — q9 (6-table profit join incl. the derived-partsupp
+    # aggregate) and q21 (EXISTS + NOT EXISTS → three lineitem legs
+    # shuffled on l_orderkey). NEW in BENCH_r07: they add to the total,
+    # so round-over-round totals compare on the shared queries only.
+    "q9_product_type_profit",
+    "q21_suppliers_kept_waiting",
 ]
 
 

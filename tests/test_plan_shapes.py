@@ -83,6 +83,34 @@ def test_round6_batteries_are_map_only(spark):
         assert "*(" in plan, f"{name} fell out of codegen: {plan[:400]}"
 
 
+def test_tpch3_plan_shapes(spark):
+    """The six round-7 TPC-H queries keep their docstring plan claims:
+    no cartesian products anywhere; q2 takes its top-100 via
+    TakeOrderedAndProject; q9's part filter broadcast-semi-prunes
+    lineitem; q16/q20/q21 decorrelate to semi/anti joins (LeftSemi /
+    LeftAnti in the physical plan, never a subquery re-execution)."""
+    qs = entrymod.queries()
+    plans = {n: _plan(qs[n](spark, SF_DIR)) for n in [
+        "q2_min_cost_supplier", "q9_product_type_profit",
+        "q11_important_stock", "q16_parts_supplier_relationship",
+        "q20_potential_promotion", "q21_suppliers_kept_waiting"]}
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, f"{name} cartesian"
+    assert "TakeOrderedAndProject" in plans["q2_min_cost_supplier"]
+    assert "LeftSemi" in plans["q9_product_type_profit"], \
+        "q9 part filter is not a semi-join prune"
+    assert "LeftAnti" in plans["q16_parts_supplier_relationship"], \
+        "q16 NOT IN is not an anti join"
+    assert "LeftSemi" in plans["q20_potential_promotion"]
+    assert ("LeftSemi" in plans["q21_suppliers_kept_waiting"]
+            and "LeftAnti" in plans["q21_suppliers_kept_waiting"]), \
+        "q21 EXISTS/NOT EXISTS did not become semi + anti joins"
+    # q11's global scalar enters through a broadcast, not a window
+    assert "BroadcastNestedLoopJoin" in plans["q11_important_stock"] \
+        or "BroadcastHashJoin" in plans["q11_important_stock"]
+    assert "Window" not in plans["q11_important_stock"]
+
+
 def test_approximate_fd_discovery_single_pass_no_expand(spark):
     """discover_fds(approximate=True) pins the 100 TB contract (VERDICT r6
     #3): HLL sketches keep the whole FD/unique-key discovery ONE
