@@ -68,7 +68,15 @@ _PS_CTE = """partsupp AS (
 
 def _partsupp(li: DataFrame) -> DataFrame:
     """Spark twin of ``_PS_CTE``: one shuffle of lineitem on the
-    (partkey, suppkey) pair, partial-aggregated map-side."""
+    (partkey, suppkey) pair, partial-aggregated map-side.
+
+    Scale invariant the callers exploit: every derived column is grouped
+    BY (l_partkey, l_suppkey), so semi-pruning ``li`` on either key
+    BEFORE this aggregate leaves the surviving groups' values unchanged
+    — the queries below aggregate only the pruned slice of lineitem
+    (~2% for a part filter) instead of the full fact table, while their
+    oracles derive partsupp from full lineitem and prove the equivalence
+    via the hash-compare."""
     return li.groupBy(
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
@@ -130,11 +138,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p15 = part.filter(F.col("p_size") == 15).select("p_partkey", "p_name")
     eu = _region_suppliers(spark, sf_dir, "EUROPE")
 
-    ps_eu = (
-        _partsupp(li)
-        .join(F.broadcast(p15.select("p_partkey")),
-              F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
-        .join(F.broadcast(eu), F.col("ps_suppkey") == F.col("s_suppkey"))
+    li_p15 = li.join(F.broadcast(p15.select("p_partkey")),
+                     li.l_partkey == F.col("p_partkey"), "left_semi")
+    ps_eu = _partsupp(li_p15).join(
+        F.broadcast(eu), F.col("ps_suppkey") == F.col("s_suppkey")
     )
     mins = ps_eu.groupBy(F.col("ps_partkey").alias("mp")).agg(
         F.min("ps_supplycost").alias("min_cost")
@@ -178,10 +185,11 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 (product-type profit): revenue minus supply cost per
     nation per year across the full 6-table join (lineitem, part,
     supplier, derived partsupp, orders, nation). The 'red%' part filter
-    broadcast-semi-prunes lineitem BEFORE the partsupp join, so the
-    expensive (partkey, suppkey) shuffle join only sees matching lines;
-    partsupp itself aggregates full lineitem on the SAME key pair, so
-    AQE can co-locate the two exchanges."""
+    broadcast-semi-prunes lineitem ONCE and both partsupp and the probe
+    side derive from the pruned slice (exact — _partsupp groups by
+    l_partkey, see its docstring), so the (partkey, suppkey) aggregate
+    and join see ~10% of the fact table; both exchanges hash the same
+    key pair, so AQE can co-locate them."""
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
     supp = t(spark, sf_dir, "supplier")
@@ -189,11 +197,11 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = t(spark, sf_dir, "nation")
 
     red = part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    li_red = li.join(F.broadcast(red), li.l_partkey == F.col("p_partkey"),
+                     "left_semi")
     j = (
-        li.join(F.broadcast(red), li.l_partkey == F.col("p_partkey"),
-                "left_semi")
-        .join(
-            _partsupp(li),
+        li_red.join(
+            _partsupp(li_red),
             (F.col("l_partkey") == F.col("ps_partkey"))
             & (F.col("l_suppkey") == F.col("ps_suppkey")),
         )
@@ -253,9 +261,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     eu_keys = F.broadcast(
         _region_suppliers(spark, sf_dir, "EUROPE").select("s_suppkey")
     )
+    li_eu = li.join(eu_keys, li.l_suppkey == F.col("s_suppkey"), "left_semi")
     ps_eu = (
-        _partsupp(li)
-        .join(eu_keys, F.col("ps_suppkey") == F.col("s_suppkey"), "left_semi")
+        _partsupp(li_eu)
         .select(
             "ps_partkey",
             (F.col("ps_supplycost") * F.col("ps_availqty"))
@@ -353,8 +361,10 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = t(spark, sf_dir, "part")
 
     small = part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    li_small = li.join(F.broadcast(small),
+                       li.l_partkey == F.col("p_partkey"), "left_semi")
     win = (
-        li.filter(
+        li_small.filter(
             (F.col("l_shipdate") >= ts("1996-01-01"))
             & (F.col("l_shipdate") < ts("1997-01-01"))
         )
@@ -364,9 +374,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("l_quantity").alias("win_qty"))
     )
     cand = (
-        _partsupp(li)
-        .join(F.broadcast(small),
-              F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+        _partsupp(li_small)
         .join(win, (F.col("ps_partkey") == F.col("wp"))
               & (F.col("ps_suppkey") == F.col("ws")))
         .filter(F.col("ps_availqty") > 4.0 * F.col("win_qty"))
