@@ -927,3 +927,86 @@ def sql_boundary_polygon(wkt: str) -> str:
     closed = (f"(CASE WHEN trim({last}) = trim({first}) THEN {body}"
               f" ELSE {body} || ', ' || trim({first}) END)")
     return f"('LINESTRING (' || {closed} || ')')"
+
+
+# --------------------------------------------------------- SRID / transform
+# ST_SetSRID / ST_SRID over EWKT text ('SRID=4326;POINT (...)') and an
+# ANALYTIC ST_Transform for the one projection pair ubiquitous in practice,
+# WGS84 lon/lat (EPSG:4326) ↔ spherical web mercator (EPSG:3857)
+# (GeoFunctions.java ST_SetSRID/ST_SRID/ST_Transform). The reference
+# delegates general CRS transforms to a projection engine; the spherical
+# mercator pair is closed-form — x = R·λ_rad, y = R·ln(tan(π/4 + φ_rad/2)),
+# R = 6378137 — so it stays pure column math with a byte-identical SQL
+# twin. Other SRID pairs raise at translate time (fail-early contract).
+# WKB round-tripping needs IEEE-754 byte access neither engine exposes in
+# column algebra — documented skip, same contract as the ESRI clipper.
+
+_WEB_MERCATOR_R = 6378137.0
+_EWKT_SRID = r"^SRID=([0-9]+);"
+
+
+def st_set_srid(wkt: Column, srid: int) -> Column:
+    """ST_SetSRID(geom, srid) → EWKT text (PostGIS-style 'SRID=n;WKT',
+    the tagging Calcite keeps on its geometry objects)."""
+    return F.concat(F.lit(f"SRID={int(srid)};"), wkt)
+
+
+def st_srid(geom: Column) -> Column:
+    """ST_SRID: the EWKT tag, or 0 for untagged WKT (Calcite's default
+    for geometries constructed without a CRS)."""
+    return F.coalesce(
+        F.regexp_extract(geom, _EWKT_SRID, 1).cast("bigint"), F.lit(0)
+    )
+
+
+def sql_srid(geom: str) -> str:
+    return (f"coalesce(TRY_CAST(regexp_extract({geom}, '{_EWKT_SRID}', 1)"
+            f" AS BIGINT), 0)")
+
+
+def st_geom_from_ewkt(geom: Column) -> Column:
+    """Strip the EWKT SRID tag, returning bare WKT (the inverse of
+    st_set_srid; ST_GeomFromEWKT's text component)."""
+    return F.regexp_replace(geom, _EWKT_SRID, "")
+
+
+def _transform_guard(from_srid: int, to_srid: int) -> None:
+    if {from_srid, to_srid} != {4326, 3857}:
+        raise ValueError(
+            "st_transform: only the analytic WGS84↔web-mercator pair "
+            f"(4326↔3857) is supported, got {from_srid}→{to_srid}; general "
+            "CRS transforms need a projection engine (documented skip)")
+
+
+def st_transform_xy(x: Column, y: Column, from_srid: int,
+                    to_srid: int) -> "tuple[Column, Column]":
+    """ST_Transform on coordinate columns. 4326→3857: meters east/north;
+    3857→4326: degrees. Spherical mercator (no ellipsoidal correction —
+    EPSG:3857's own definition). Latitude must lie in (−90, 90)."""
+    _transform_guard(from_srid, to_srid)
+    R = _WEB_MERCATOR_R
+    if from_srid == 4326:
+        mx = F.radians(x) * R
+        my = F.log(F.tan(F.lit(0.25) * F.lit(3.141592653589793)
+                         + F.radians(y) / 2)) * R
+        return mx, my
+    lon = F.degrees(x / R)
+    lat = F.degrees(F.atan(F.exp(y / R)) * 2 - F.lit(3.141592653589793 / 2))
+    return lon, lat
+
+
+def sql_transform_xy(x: str, y: str, from_srid: int,
+                     to_srid: int) -> "tuple[str, str]":
+    """SQL twin of ``st_transform_xy`` (same formula text; pi emitted as
+    the same 17-digit literal so both engines fold identical constants)."""
+    _transform_guard(from_srid, to_srid)
+    R = _g(_WEB_MERCATOR_R)
+    if from_srid == 4326:
+        return (
+            f"(radians({x}) * {R})",
+            f"(ln(tan(0.25 * 3.141592653589793 + radians({y}) / 2)) * {R})",
+        )
+    return (
+        f"(degrees(({x}) / {R}))",
+        f"(degrees(atan(exp(({y}) / {R})) * 2 - {_g(3.141592653589793 / 2)}))",
+    )

@@ -1274,6 +1274,75 @@ def func_geo_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from drill_calcite_spark.functions.geo import (  # noqa: E402
+    sql_srid,
+    sql_transform_xy,
+)
+
+_MX_SQL, _MY_SQL = sql_transform_xy("lon", "lat", 4326, 3857)
+_LON_BACK_SQL, _LAT_BACK_SQL = sql_transform_xy(_MX_SQL, _MY_SQL, 3857, 4326)
+
+_GEO_SRID_SQL = f"""
+WITH pts AS (
+  SELECT event_id,
+         (value % 360.0) - 180.0        AS lon,
+         ((user_id % 170) - 85)::DOUBLE AS lat
+  FROM events WHERE event_id < 3000
+)
+SELECT event_id,
+       'SRID=4326;' || printf('POINT (%.6f %.6f)', lon, lat) AS ewkt,
+       {sql_srid("'SRID=4326;' || printf('POINT (%.6f %.6f)', lon, lat)")}
+                                                             AS srid_tagged,
+       {sql_srid("printf('POINT (%.6f %.6f)', lon, lat)")}   AS srid_bare,
+       round({_MX_SQL}, 3)                                   AS merc_x,
+       round({_MY_SQL}, 3)                                   AS merc_y,
+       round({_LON_BACK_SQL}, 6)                             AS lon_back,
+       round({_LAT_BACK_SQL}, 6)                             AS lat_back
+FROM pts
+"""
+
+
+@q("func_geo_srid", _GEO_SRID_SQL)
+def func_geo_srid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_SetSRID / ST_SRID / ST_Transform (runtime/GeoFunctions.java —
+    the CRS tail): EWKT SRID tagging and extraction (untagged WKT → 0),
+    plus the analytic WGS84↔web-mercator transform (EPSG:4326↔3857,
+    spherical — x = R·λ, y = R·ln(tan(π/4 + φ/2))) with the inverse
+    applied to the forward output as a closed-loop roundtrip. Both
+    engines run the identical formula text (general CRS pairs raise at
+    translate time; WKB needs IEEE byte access neither engine exposes in
+    column algebra — documented skips, functions/geo.py)."""
+    from drill_calcite_spark.functions.geo import (
+        st_point,
+        st_set_srid,
+        st_srid,
+        st_transform_xy,
+    )
+
+    pts = (
+        t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+        .select(
+            "event_id",
+            ((F.col("value") % 360.0) - 180.0).alias("lon"),
+            ((F.col("user_id") % 170) - 85).cast("double").alias("lat"),
+        )
+    )
+    lon, lat = F.col("lon"), F.col("lat")
+    wkt = st_point(lon, lat)
+    mx, my = st_transform_xy(lon, lat, 4326, 3857)
+    lon_back, lat_back = st_transform_xy(mx, my, 3857, 4326)
+    return pts.select(
+        "event_id",
+        st_set_srid(wkt, 4326).alias("ewkt"),
+        st_srid(st_set_srid(wkt, 4326)).alias("srid_tagged"),
+        st_srid(wkt).alias("srid_bare"),
+        F.round(mx, 3).alias("merc_x"),
+        F.round(my, 3).alias("merc_y"),
+        F.round(lon_back, 6).alias("lon_back"),
+        F.round(lat_back, 6).alias("lat_back"),
+    )
+
+
 def _wkt_case_sql(tri: str, quad: str, pent: str) -> str:
     return (f"(CASE (event_id % 3) WHEN 0 THEN {tri} WHEN 1 THEN {quad}"
             f" ELSE {pent} END)")

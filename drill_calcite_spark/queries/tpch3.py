@@ -58,10 +58,16 @@ def _dec_sum(c):
     return F.sum(c.cast("decimal(18,6)")).cast("double")
 
 
-# Shared oracle CTE: the derived partsupp (module head).
+# Shared oracle CTE: the derived partsupp (module head). The unit cost is
+# quantized through DECIMAL(18,6) BEFORE the MIN: a raw double division
+# can land a hair's width under a decimal half boundary (observed:
+# 1259.58/48 = 26.241249999999997), where Spark's round() (half-up on the
+# binary value) and DuckDB's round() disagree at 4dp; both engines cast
+# double→DECIMAL and round DECIMAL with deterministic half-up, so the
+# quantized cost and everything derived from it round identically.
 _PS_CTE = """partsupp AS (
   SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-         min(l_extendedprice / l_quantity) AS ps_supplycost,
+         min((l_extendedprice / l_quantity)::DECIMAL(18,6)) AS ps_supplycost,
          sum(l_quantity) AS ps_availqty
   FROM lineitem GROUP BY 1, 2)"""
 
@@ -81,8 +87,8 @@ def _partsupp(li: DataFrame) -> DataFrame:
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
     ).agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity"))
-        .alias("ps_supplycost"),
+        F.min((F.col("l_extendedprice") / F.col("l_quantity"))
+              .cast("decimal(18,6)")).alias("ps_supplycost"),
         F.sum("l_quantity").alias("ps_availqty"),
     )
 
@@ -106,7 +112,7 @@ def _region_suppliers(spark, sf_dir, r_name: str) -> DataFrame:
 @q("q2_min_cost_supplier", f"""
 WITH {_PS_CTE}
 SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
-       round(ps_supplycost, 4) AS supplycost
+       round(ps_supplycost, 4)::DOUBLE AS supplycost
 FROM partsupp
 JOIN part ON p_partkey = ps_partkey
 JOIN supplier ON s_suppkey = ps_suppkey
@@ -155,7 +161,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         best.join(F.broadcast(p15), F.col("ps_partkey") == F.col("p_partkey"))
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
-            F.round("ps_supplycost", 4).alias("supplycost"),
+            F.round("ps_supplycost", 4).cast("double").alias("supplycost"),
             "ps_suppkey",
         )
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey",
