@@ -1010,3 +1010,155 @@ def sql_transform_xy(x: str, y: str, from_srid: int,
         f"(degrees(({x}) / {R}))",
         f"(degrees(atan(exp(({y}) / {R})) * 2 - {_g(3.141592653589793 / 2)}))",
     )
+
+
+# ------------------------------------------------- type / identity tail
+# The remaining GeoFunctions.java surface: text round-trips
+# (ST_AsText/ST_AsWKT/ST_GeomFromText + the typed *FromText aliases),
+# 3D accessors (ST_Is3D/ST_Z over 'POINT Z' text), the OGC SFS type code
+# (ST_GeometryTypeCode; enum Type, GeoFunctions.java:639-651), equality
+# (ST_Equals/ST_OrderingEquals — the reference implements BOTH as
+# GeometryEngine.equals, GeoFunctions.java:370,391), ST_Disjoint as the
+# negation of intersects (GeoFunctions.java:357), and
+# ST_EnvelopesIntersect as closed-interval bbox overlap
+# (GeoFunctions.java:363). ST_Covers is `throw todo()` in the reference
+# itself (GeoFunctions.java:347-349) — matched skip.
+
+_WKT_TAG = ("POINT|LINESTRING|POLYGON|MULTIPOINT|MULTILINESTRING"
+            "|MULTIPOLYGON|GEOMETRYCOLLECTION")
+_WKT_VALID = rf"^({_WKT_TAG})( Z)? \(.*\)$"
+_WKT_Z3 = r"^POINT Z \(-?[0-9.]+ -?[0-9.]+ (-?[0-9.]+)\)"
+
+# OGC SFS codes, GeoFunctions.java:640-647 (Geometry=0 is the fallback).
+_TYPE_CODES = [("POINT", 1), ("LINESTRING", 2), ("POLYGON", 3),
+               ("MULTIPOINT", 4), ("MULTILINESTRING", 5),
+               ("MULTIPOLYGON", 6), ("GEOMETRYCOLLECTION", 7)]
+
+
+def st_as_text(geom: Column) -> Column:
+    """ST_AsText / ST_AsWKT: the WKT of a geometry value — for EWKT input
+    the SRID tag is stripped (the reference returns the geometry's text
+    without its spatial-reference id, GeoFunctions.java:95-101)."""
+    return st_geom_from_ewkt(geom)
+
+
+def st_geom_from_text(s: Column, srid: "int | None" = None) -> Column:
+    """ST_GeomFromText(s[, srid]) — validity-gated WKT parse. Well-formed
+    WKT passes through (tagged with the SRID when given, matching the
+    2-arg overload GeoFunctions.java:108); malformed text yields NULL
+    rather than a silently-wrong geometry. The typed aliases
+    (ST_PointFromText / ST_PolyFromText / ST_MPointFromText / ... )
+    all delegate to this untyped parse in the reference too
+    (GeoFunctions.java:115-170 — no tag enforcement there either)."""
+    ok = s.rlike(_WKT_VALID)
+    parsed = F.when(ok, s)
+    if srid is None:
+        return parsed
+    return F.when(ok, st_set_srid(s, srid))
+
+
+def sql_geom_from_text(s: str, srid: "int | None" = None) -> str:
+    tagged = f"('SRID={int(srid)};' || {s})" if srid is not None else s
+    return (f"(CASE WHEN regexp_matches({s}, '{_WKT_VALID}')"
+            f" THEN {tagged} END)")
+
+
+def st_make_point(x: Column, y: Column, z: "Column | None" = None) -> Column:
+    """ST_MakePoint(x, y[, z]) (GeoFunctions.java:225-231) — the 3-arg
+    form emits 'POINT Z (x y z)' text, the PostGIS/EWKT 3D convention the
+    reference's hasZ() description flag maps to."""
+    if z is None:
+        return st_point(x, y)
+    return F.format_string("POINT Z (%.6f %.6f %.6f)", x, y, z)
+
+
+def st_is_3d(wkt: Column) -> Column:
+    """ST_Is3D: the geometry carries a z-coordinate — the ' Z ' dimension
+    tag in text form (GeoFunctions.java:255)."""
+    return wkt.rlike(r"^[A-Z]+ Z \(")
+
+
+def st_z(wkt: Column) -> Column:
+    """ST_Z: z of the first coordinate of a 3D point, NULL for 2D input
+    or non-points (GeoFunctions.java:270-273)."""
+    return F.nullif(F.regexp_extract(wkt, _WKT_Z3, 1), F.lit("")) \
+        .cast("double")
+
+
+def st_geometry_type_code(wkt: Column) -> Column:
+    """ST_GeometryTypeCode: OGC SFS code of the WKT tag
+    (GeoFunctions.java:293-295 via enum Type)."""
+    tag = st_geometry_type(wkt)
+    expr = F.lit(0)
+    code_expr = None
+    for name, code in _TYPE_CODES:
+        branch = F.when(tag == name, F.lit(code))
+        code_expr = branch if code_expr is None else code_expr.when(
+            tag == name, F.lit(code))
+    return code_expr.otherwise(expr).cast("int")
+
+
+def sql_geometry_type_code(wkt: str) -> str:
+    arms = " ".join(f"WHEN '{n}' THEN {c}" for n, c in _TYPE_CODES)
+    return (f"(CASE regexp_extract({wkt}, '^[A-Z]+', 0) {arms}"
+            f" ELSE 0 END)::INT")
+
+
+def st_equals_point(a: Column, b: Column) -> Column:
+    """ST_Equals for POINT geometries: coordinate equality after parse,
+    so differently-formatted text of the same point compares equal
+    (GeometryEngine.equals semantics, GeoFunctions.java:370). Exactness
+    domain: POINT/POINT Z inputs (the module's text constructors);
+    non-point input yields NULL-driven false, not an error."""
+    return (st_x(a).eqNullSafe(st_x(b))) & (st_y(a).eqNullSafe(st_y(b))) & (
+        st_z(a).eqNullSafe(st_z(b)))
+
+
+def st_ordering_equals(a: Column, b: Column) -> Column:
+    """ST_OrderingEquals: equal AND same coordinate order — on text
+    geometry this is byte equality of the (normalized printf) WKT. The
+    reference maps it to plain equals (GeoFunctions.java:391-393); byte
+    equality is the strictly-ordered refinement its javadoc describes."""
+    return a.eqNullSafe(b)
+
+
+def st_disjoint_poly_poly(lit_ring, col_ring: "ColRing") -> Column:
+    """ST_Disjoint(literal polygon, per-row polygon) — the negation of
+    intersects (GeoFunctions.java:357-359), under the module's
+    proper-crossing convention: boundary-touching-only pairs count as
+    disjoint (strict-sign straddle; documented at the relation block)."""
+    return ~st_intersects_poly_poly(lit_ring, col_ring)
+
+
+def sql_disjoint_poly_poly(lit_ring, col_ring_sql) -> str:
+    return f"(NOT {sql_intersects_poly_poly(lit_ring, col_ring_sql)})"
+
+
+def st_envelopes_intersect_rings(ring_a: Column, ring_b: Column) -> Column:
+    """ST_EnvelopesIntersect over two array<struct<x,y>> rings: the
+    axis-aligned bounding boxes overlap, closed intervals (ESRI envelope
+    intersects includes boundary contact; GeoFunctions.java:363-368)."""
+    def lo(r, f):
+        return F.array_min(F.transform(r, f))
+
+    def hi(r, f):
+        return F.array_max(F.transform(r, f))
+
+    ax1, ax2 = lo(ring_a, lambda v: v.x), hi(ring_a, lambda v: v.x)
+    ay1, ay2 = lo(ring_a, lambda v: v.y), hi(ring_a, lambda v: v.y)
+    bx1, bx2 = lo(ring_b, lambda v: v.x), hi(ring_b, lambda v: v.x)
+    by1, by2 = lo(ring_b, lambda v: v.y), hi(ring_b, lambda v: v.y)
+    return (ax1 <= bx2) & (bx1 <= ax2) & (ay1 <= by2) & (by1 <= ay2)
+
+
+def sql_envelopes_intersect_rings(ring_a: str, ring_b: str) -> str:
+    def agg(r, fld, how):
+        return (f"list_aggregate(list_transform({r}, v -> v.{fld}),"
+                f" '{how}')")
+
+    ax1, ax2 = agg(ring_a, "x", "min"), agg(ring_a, "x", "max")
+    ay1, ay2 = agg(ring_a, "y", "min"), agg(ring_a, "y", "max")
+    bx1, bx2 = agg(ring_b, "x", "min"), agg(ring_b, "x", "max")
+    by1, by2 = agg(ring_b, "y", "min"), agg(ring_b, "y", "max")
+    return (f"(({ax1} <= {bx2}) AND ({bx1} <= {ax2})"
+            f" AND ({ay1} <= {by2}) AND ({by1} <= {ay2}))")

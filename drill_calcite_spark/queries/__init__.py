@@ -29,10 +29,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # ROUND-7 ROTATION: every oracle-backed name has at least one driver-green
 # row (r1-r6); rotation now tracks NEWEST evidence. These 50 slots hold,
 # in order:
-# (a) the 10 NEW round-7 queries — the six schema-adapted TPC-H
+# (a) the 12 NEW round-7 queries — the six schema-adapted TPC-H
 #     correlation queries completing the 22-query battery (tpch3.py), the
 #     two spatial-tail batteries (relations + WKT-column parsing), and
-#     the two TPC-DS-shape queries (tpcds.py);
+#     the two TPC-DS-shape queries (tpcds.py), the geo type/identity
+#     tail (func_geo_types), and the arbitrary-document Jackson JSON
+#     battery (func_json_hostile; the ALL set-op variants rotated out to
+#     hold 50 — their DISTINCT cousins keep the family covered);
 # (b) 3 names whose code changed this round (compact-JSON strict guards +
 #     oracle 'g' flag; agg_fusion NULL filter/coalesce mirror; the
 #     straddle strict-sign fix feeding the poly-poly relations);
@@ -49,6 +52,7 @@ _DRIVER_PRIORITY = [
     "q16_parts_supplier_relationship", "q20_potential_promotion",
     "q21_suppliers_kept_waiting", "func_geo_relations", "func_geo_wkt",
     "ds_sales_rollup_rank", "ds_channel_report",
+    "func_geo_types", "func_json_hostile",
     # (b) code touched in round 7
     "func_json_depth", "agg_fusion", "func_geo_poly_poly",
     # (c) oldest evidence (round 2)
@@ -57,8 +61,7 @@ _DRIVER_PRIORITY = [
     "q8_market_share", "q13_customer_distribution", "q15_top_supplier",
     "q17_small_quantity", "q19_discounted_revenue",
     "agg_having", "agg_bitops",
-    "setop_union_distinct", "setop_intersect", "setop_intersect_all",
-    "setop_except", "setop_except_all",
+    "setop_union_distinct", "setop_intersect", "setop_except",
     "values_inline", "unnest_words", "unnest_with_ordinality",
     "sort_limit_offset", "sample_deterministic",
     "subquery_in", "subquery_scalar_correlated",
