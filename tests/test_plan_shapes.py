@@ -133,3 +133,42 @@ def test_single_value_lookup_broadcasts(spark):
     plan = _plan(entrymod.queries()["subquery_single_value"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, \
         "single-value nation lookup is not a broadcast join"
+
+
+def test_round7_batteries_are_map_only(spark):
+    """func_geo_types (type/identity tail) and func_json_hostile
+    (Jackson-parsed arbitrary documents) are pure per-row column math —
+    no Exchange, codegen stays on."""
+    qs = entrymod.queries()
+    for name in ["func_geo_types", "func_json_hostile"]:
+        plan = _plan(qs[name](spark, SF_DIR))
+        assert "Exchange" not in plan, f"{name} shuffles: {plan[:400]}"
+        assert "*(" in plan, f"{name} fell out of codegen: {plan[:400]}"
+
+
+def test_tpcds_round7_plan_shapes(spark):
+    """The four TpcdsTest-mirroring shapes keep their docstring claims:
+    ds_returns_above_avg broadcasts its 25-row per-nation thresholds;
+    ds_cross_channel_band aggregates all three channels in ONE pass over
+    the fact (a single aggregate pair, not three scans); 
+    ds_multi_supplier_orders decorrelates EXISTS/NOT-EXISTS to
+    semi + anti joins; ds_quantity_stats semi-join-prunes on the
+    returned-item key set and broadcasts part. No cartesian products
+    anywhere."""
+    qs = entrymod.queries()
+    plans = {n: _plan(qs[n](spark, SF_DIR)) for n in [
+        "ds_returns_above_avg", "ds_cross_channel_band",
+        "ds_multi_supplier_orders", "ds_quantity_stats"]}
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, f"{name} cartesian"
+    assert "BroadcastHashJoin" in plans["ds_returns_above_avg"], \
+        "per-nation thresholds are not broadcast"
+    # one conditional-agg pass: lineitem parquet appears in exactly one scan
+    assert plans["ds_cross_channel_band"].count("lineitem.parquet") == 1, \
+        "cross-channel band re-scans the fact per channel"
+    assert ("LeftSemi" in plans["ds_multi_supplier_orders"]
+            and "LeftAnti" in plans["ds_multi_supplier_orders"]), \
+        "q95-shape EXISTS pair did not become semi + anti joins"
+    assert ("LeftSemi" in plans["ds_quantity_stats"]
+            and "BroadcastHashJoin" in plans["ds_quantity_stats"]), \
+        "q17-shape returned-item prune / part broadcast missing"
