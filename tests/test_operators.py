@@ -933,3 +933,59 @@ def test_discover_fds_null_tuple_semantics(spark):
                discover_fds(df, ["a", "b"], approximate=approx).collect()}
         r = got[("a", "b")]
         assert (r.ndv_lhs, r.ndv_pair, r.fd_holds) == (2, 2, True), approx
+
+
+def test_geo_type_identity_tail_ground_truth(spark):
+    """Hand-computed cases for the round-7 type/identity tail
+    (GeoFunctions.java:95-170,225-295,341-393): validity gating,
+    3D accessors, OGC type codes, parsed vs byte equality, envelope
+    touching counts as intersecting (closed intervals)."""
+    from drill_calcite_spark.functions.geo import (
+        st_as_text, st_envelopes_intersect_rings, st_equals_point,
+        st_geom_from_text, st_geometry_type_code, st_is_3d, st_make_point,
+        st_ordering_equals, st_ring_from_wkt, st_z,
+    )
+
+    df = spark.createDataFrame([(1,)], "id long")
+    lit = F.lit
+    # touching envelopes: [0,1]² and [1,2]² share only the corner (1,1)
+    sq = "POLYGON ((0 0, 1 0, 1 1, 0 1))"
+    sq_touch = "POLYGON ((1 1, 2 1, 2 2, 1 2))"
+    sq_far = "POLYGON ((5 5, 6 5, 6 6, 5 6))"
+    r = df.select(
+        st_as_text(lit("SRID=3857;POINT (1.000000 2.000000)")).alias("atx"),
+        st_geom_from_text(lit(sq)).alias("ok_wkt"),
+        st_geom_from_text(lit("POINT 1 2")).alias("bad_wkt"),
+        st_geom_from_text(lit(sq), 4326).alias("tagged"),
+        st_make_point(lit(1.0), lit(2.0), lit(3.0)).alias("p3"),
+        st_is_3d(st_make_point(lit(1.0), lit(2.0), lit(3.0))).alias("i3"),
+        st_is_3d(lit("POINT (1.000000 2.000000)")).alias("i2"),
+        st_z(st_make_point(lit(1.0), lit(2.0), lit(3.0))).alias("z3"),
+        st_z(lit(sq)).alias("z_poly"),
+        st_geometry_type_code(lit(sq)).alias("c_poly"),
+        st_geometry_type_code(lit("LINESTRING (0 0, 1 1)")).alias("c_line"),
+        st_geometry_type_code(lit("GEOMETRYCOLLECTION (POINT (0 0))"))
+        .alias("c_coll"),
+        st_geometry_type_code(lit("SRID=1;POINT (0 0)")).alias("c_unk"),
+        st_equals_point(lit("POINT (1.000000 2.000000)"),
+                        st_make_point(lit(1.0), lit(2.0))).alias("eq"),
+        st_equals_point(lit("POINT (1.000000 2.000000)"),
+                        st_make_point(lit(1.0), lit(2.5))).alias("neq"),
+        st_ordering_equals(lit(sq), lit(sq)).alias("oeq"),
+        st_envelopes_intersect_rings(
+            st_ring_from_wkt(lit(sq)),
+            st_ring_from_wkt(lit(sq_touch))).alias("env_touch"),
+        st_envelopes_intersect_rings(
+            st_ring_from_wkt(lit(sq)),
+            st_ring_from_wkt(lit(sq_far))).alias("env_far"),
+    ).collect()[0]
+    assert r.atx == "POINT (1.000000 2.000000)"
+    assert r.ok_wkt == sq and r.bad_wkt is None
+    assert r.tagged == f"SRID=4326;{sq}"
+    assert r.p3 == "POINT Z (1.000000 2.000000 3.000000)"
+    assert r.i3 is True and r.i2 is False
+    assert r.z3 == 3.0 and r.z_poly is None
+    assert (r.c_poly, r.c_line, r.c_coll, r.c_unk) == (3, 2, 7, 0)
+    assert r.eq is True and r.neq is False and r.oeq is True
+    assert r.env_touch is True   # closed-interval contact intersects
+    assert r.env_far is False
