@@ -1162,3 +1162,114 @@ def sql_envelopes_intersect_rings(ring_a: str, ring_b: str) -> str:
     by1, by2 = agg(ring_b, "y", "min"), agg(ring_b, "y", "max")
     return (f"(({ax1} <= {bx2}) AND ({bx1} <= {ax2})"
             f" AND ({ay1} <= {by2}) AND ({by1} <= {ay2}))")
+
+
+# ----------------------------------------------- convex clip (intersection)
+# ST_Intersection of a per-row polygon with a plan-time literal CONVEX
+# clip region, via Sutherland–Hodgman (GeoFunctions.java delegates
+# overlapping-polygon set ops to the ESRI clipper; for a convex clip the
+# clip is closed-form column algebra, so this covers the
+# intersection-with-a-region shape — the ubiquitous "clip to tile /
+# viewport / cell" use — without a geometry engine). One chained
+# ring-transform per clip edge; the caller materializes each step as its
+# own projection (a named column / CTE stage), so plan text stays
+# O(clip_edges), not O(refs^edges). Points exactly on a clip line count
+# as inside (d >= 0) — both twins share the convention. The intersection
+# coordinates come from the identical formula text on both engines, so
+# the DuckDB oracle hash checks every emitted vertex byte-for-byte.
+
+_PT_ARR = "array<struct<x:double,y:double>>"
+_PT_ARR_SQL = "STRUCT(x DOUBLE, y DOUBLE)[]"
+
+
+def _convex_clip_guard(vertices, op: str) -> "Ring":
+    """Translate-time guard: valid ring, normalized to CCW, convex."""
+    _ring_guard(vertices, op)
+    area2 = sum(x1 * y2 - x2 * y1
+                for (x1, y1), (x2, y2) in _edges(vertices))
+    verts = list(vertices) if area2 > 0 else list(reversed(vertices))
+    n = len(verts)
+    for i in range(n):
+        (ax, ay), (bx, by) = verts[i], verts[(i + 1) % n]
+        (qx, qy) = verts[(i + 2) % n]
+        if (bx - ax) * (qy - ay) - (by - ay) * (qx - ax) < 0:
+            raise ValueError(f"{op}: clip ring must be convex")
+    return verts
+
+
+def st_clip_convex_step(ring: Column, a, b) -> Column:
+    """One Sutherland–Hodgman pass of ``ring`` against the directed clip
+    line a→b (inside = left of / on the line). Returns the clipped ring;
+    rings that degenerate below 3 vertices become empty."""
+    ax, ay = F.lit(float(a[0])), F.lit(float(a[1]))
+    bx, by = F.lit(float(b[0])), F.lit(float(b[1]))
+    n = F.size(ring)
+
+    def cross(p):
+        return (bx - ax) * (p.y - ay) - (by - ay) * (p.x - ax)
+
+    def step(i):
+        v1 = F.element_at(ring, i.cast("int"))
+        v2 = F.element_at(ring, (F.pmod(i, n) + 1).cast("int"))
+        d1, d2 = cross(v1), cross(v2)
+        tt = d1 / (d1 - d2)
+        ip = F.struct((v1.x + tt * (v2.x - v1.x)).alias("x"),
+                      (v1.y + tt * (v2.y - v1.y)).alias("y"))
+        return (
+            F.when((d1 >= 0) & (d2 >= 0), F.array(v2))
+            .when((d1 >= 0) & (d2 < 0), F.array(ip))
+            .when((d1 < 0) & (d2 >= 0), F.array(ip, v2))
+            .otherwise(F.array().cast(_PT_ARR))
+        )
+
+    clipped = F.flatten(F.transform(F.sequence(F.lit(1), n), step))
+    return F.when(n >= 3, clipped).otherwise(F.array().cast(_PT_ARR))
+
+
+def sql_clip_convex_step(r: str, a, b) -> str:
+    """SQL twin of ``st_clip_convex_step``. ``r`` should be a simple
+    column name (one CTE stage per edge) so the text stays linear."""
+    ax, ay, bx, by = _g(a[0]), _g(a[1]), _g(b[0]), _g(b[1])
+    v1 = f"({r})[CAST(i AS INT)]"
+    v2 = f"({r})[CAST(i AS INT) % len({r}) + 1]"
+
+    def cross(p):
+        return (f"(({bx} - {ax}) * ({p}.y - {ay})"
+                f" - ({by} - {ay}) * ({p}.x - {ax}))")
+
+    d1, d2 = cross(v1), cross(v2)
+    tt = f"({d1} / ({d1} - {d2}))"
+    ip = (f"struct_pack(x := {v1}.x + {tt} * ({v2}.x - {v1}.x),"
+          f" y := {v1}.y + {tt} * ({v2}.y - {v1}.y))")
+    body = (f"CASE WHEN ({d1} >= 0) AND ({d2} >= 0) THEN [{v2}]"
+            f" WHEN ({d1} >= 0) AND ({d2} < 0) THEN [{ip}]"
+            f" WHEN ({d1} < 0) AND ({d2} >= 0) THEN [{ip}, {v2}]"
+            f" ELSE []::{_PT_ARR_SQL} END")
+    return (f"(CASE WHEN len({r}) >= 3 THEN"
+            f" flatten(list_transform(range(1, len({r}) + 1), i -> {body}))"
+            f" ELSE []::{_PT_ARR_SQL} END)")
+
+
+def clip_convex_edges(clip_ring, op: str = "st_clip_convex"):
+    """The guarded, CCW-normalized edge list of a literal convex clip
+    ring — the iteration order both twins chain their steps in."""
+    return _edges(_convex_clip_guard(clip_ring, op))
+
+
+def st_ring_wkt_arr(ring: Column) -> Column:
+    """Closed POLYGON WKT of an array ring (NULL when empty) — printf
+    %.6f vertex bytes, the module's engine-portable text contract."""
+    pts = F.transform(ring, lambda v: F.format_string("%.6f %.6f", v.x, v.y))
+    first = F.element_at(pts, 1)
+    return F.when(
+        F.size(ring) >= 3,
+        F.concat(F.lit("POLYGON (("), F.array_join(pts, ", "),
+                 F.lit(", "), first, F.lit("))")),
+    )
+
+
+def sql_ring_wkt_arr(ring: str) -> str:
+    pts = f"list_transform({ring}, v -> printf('%.6f %.6f', v.x, v.y))"
+    return (f"(CASE WHEN len({ring}) >= 3 THEN 'POLYGON ((' ||"
+            f" array_to_string({pts}, ', ') || ', ' || ({pts})[1] || '))'"
+            f" END)")

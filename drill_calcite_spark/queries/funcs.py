@@ -1505,6 +1505,9 @@ def func_geo_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from drill_calcite_spark.functions.geo import (  # noqa: E402
+    clip_convex_edges,
+    sql_clip_convex_step,
+    sql_ring_wkt_arr,
     sql_disjoint_poly_poly,
     sql_envelopes_intersect_rings,
     sql_geom_from_text,
@@ -1570,6 +1573,111 @@ SELECT event_id,
            sql_ring_from_wkt("wkt_b"))}                  AS env_int
 FROM w
 """
+
+
+_CLIP_SQ = [(0.0, 0.0), (14.0, 0.0), (14.0, 14.0), (0.0, 14.0)]
+_CLIP_EDGES = clip_convex_edges(_CLIP_SQ)
+
+
+def _clip_cte_chain() -> str:
+    stages = []
+    for k, (a, b) in enumerate(_CLIP_EDGES, start=1):
+        stages.append(
+            f"g{k} AS (SELECT event_id, r0,"
+            f" {sql_clip_convex_step(f'r{k - 1}', a, b)} AS r{k}"
+            f" FROM g{k - 1})")
+    return ", ".join(stages)
+
+
+_GEO_CLIP_SQL = f"""
+WITH pts AS (
+  SELECT event_id,
+         ((event_id % 41) - 10)::DOUBLE AS cx,
+         ((user_id % 37) - 13)::DOUBLE  AS cy,
+         (1 + event_id % 3)::DOUBLE     AS h
+  FROM events WHERE event_id < 3000
+), w AS (
+  SELECT event_id,
+         {_wkt_case_sql(sql_polygon_wkt(_TRI_SQL),
+                        sql_polygon_wkt(_QUAD_SQL),
+                        sql_polygon_wkt(_PENT_SQL))} AS wkt
+  FROM pts
+), g0 AS (
+  SELECT event_id, {sql_ring_from_wkt("wkt")} AS r0 FROM w
+), {_clip_cte_chain()}
+SELECT event_id,
+       CAST(len(r{len(_CLIP_EDGES)}) AS BIGINT) AS n_clip,
+       CASE WHEN len(r{len(_CLIP_EDGES)}) >= 3
+            THEN round({sql_area_ring_arr(f"r{len(_CLIP_EDGES)}")}, 6)
+            ELSE 0.0 END                        AS area_clip,
+       {sql_ring_wkt_arr(f"r{len(_CLIP_EDGES)}")} AS wkt_clip,
+       round({sql_area_ring_arr("r0")}, 6)      AS area_subj
+FROM g{len(_CLIP_EDGES)}
+"""
+
+
+@q("func_geo_clip", _GEO_CLIP_SQL)
+def func_geo_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Intersection(polygon, literal CONVEX region) via
+    Sutherland–Hodgman (closes the 'overlapping polygon set ops need the
+    ESRI clipper' gap for the convex-clip case — the clip-to-tile /
+    viewport / grid-cell shape; GeoFunctions.java delegates this to
+    OperatorIntersection): per-row triangle / quad / pentagon rings with
+    data-dependent placement are clipped against the square
+    (0,0)-(14,14) — a mix of fully-inside, straddling, and fully-outside
+    subjects — one chained ring transform per clip edge, each
+    materialized as its own projection stage so plan text stays
+    O(edges). Outputs: clipped vertex count, clipped area (0 when the
+    intersection is empty), clipped POLYGON WKT (NULL when empty), and
+    the subject area for reference. Every emitted intersection vertex is
+    hash-compared byte-for-byte against DuckDB running the identical
+    formula chain."""
+    from drill_calcite_spark.functions.geo import (
+        st_area_ring_arr,
+        st_clip_convex_step,
+        st_polygon_wkt,
+        st_ring_from_wkt,
+        st_ring_wkt_arr,
+    )
+
+    pts = (
+        t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+        .select(
+            "event_id",
+            ((F.col("event_id") % 41) - 10).cast("double").alias("cx"),
+            ((F.col("user_id") % 37) - 13).cast("double").alias("cy"),
+            (1 + F.col("event_id") % 3).cast("double").alias("h"),
+        )
+    )
+    cx, cy, h = F.col("cx"), F.col("cy"), F.col("h")
+    tri = [(cx, cy), (cx + 3 * h, cy), (cx + h, cy + 2 * h)]
+    quad = [(cx, cy), (cx + 2 * h, cy), (cx + 2 * h, cy + 2 * h),
+            (cx, cy + 2 * h)]
+    pent = [(cx, cy), (cx + 2 * h, cy - h), (cx + 4 * h, cy),
+            (cx + 3 * h, cy + 2 * h), (cx + h, cy + 2 * h)]
+    wkt = (
+        F.when(F.col("event_id") % 3 == 0, st_polygon_wkt(tri))
+        .when(F.col("event_id") % 3 == 1, st_polygon_wkt(quad))
+        .otherwise(st_polygon_wkt(pent))
+    )
+    g = (
+        pts.withColumn("wkt", wkt)
+        .select("event_id", st_ring_from_wkt(F.col("wkt")).alias("r0"))
+    )
+    for k, (a, b) in enumerate(_CLIP_EDGES, start=1):
+        g = g.withColumn(f"r{k}",
+                         st_clip_convex_step(F.col(f"r{k - 1}"), a, b))
+        if k > 1:
+            g = g.drop(f"r{k - 1}")
+    last = F.col(f"r{len(_CLIP_EDGES)}")
+    return g.select(
+        "event_id",
+        F.size(last).cast("bigint").alias("n_clip"),
+        F.when(F.size(last) >= 3, F.round(st_area_ring_arr(last), 6))
+        .otherwise(F.lit(0.0)).alias("area_clip"),
+        st_ring_wkt_arr(last).alias("wkt_clip"),
+        F.round(st_area_ring_arr(F.col("r0")), 6).alias("area_subj"),
+    )
 
 
 @q("func_geo_types", _GEO_TYPES_SQL)

@@ -989,3 +989,42 @@ def test_geo_type_identity_tail_ground_truth(spark):
     assert r.eq is True and r.neq is False and r.oeq is True
     assert r.env_touch is True   # closed-interval contact intersects
     assert r.env_far is False
+
+
+def test_geo_convex_clip_ground_truth(spark):
+    """Sutherland–Hodgman vs hand-computed intersections with the clip
+    square (0,0)-(14,14): straddling square → 4×4 corner overlap,
+    fully-inside → unchanged, fully-outside → empty, and a triangle
+    crossing one edge → trapezoid of known area."""
+    from drill_calcite_spark.functions.geo import (
+        clip_convex_edges, st_area_ring_arr, st_clip_convex_step,
+        st_ring_from_wkt, st_ring_wkt_arr,
+    )
+
+    clip = clip_convex_edges([(0.0, 0.0), (14.0, 0.0), (14.0, 14.0),
+                              (0.0, 14.0)])
+    cases = [
+        # (wkt, expected_area)
+        ("POLYGON ((10 10, 20 10, 20 20, 10 20))", 16.0),   # corner overlap
+        ("POLYGON ((2 2, 6 2, 6 6, 2 6))", 16.0),           # fully inside
+        ("POLYGON ((20 20, 30 20, 25 30))", 0.0),           # fully outside
+        # triangle (10,0) (18,0) (10,8): clipped at x=14 → trapezoid
+        # area = ½·8·8 − ½·4·4 = 24
+        ("POLYGON ((10 0, 18 0, 10 8))", 24.0),
+    ]
+    df = spark.createDataFrame([(i, w) for i, (w, _) in enumerate(cases)],
+                               "id long, wkt string")
+    g = df.withColumn("r0", st_ring_from_wkt(F.col("wkt")))
+    for k, (a, b) in enumerate(clip, start=1):
+        g = g.withColumn(f"r{k}", st_clip_convex_step(F.col(f"r{k-1}"), a, b))
+    last = F.col(f"r{len(clip)}")
+    rows = g.select(
+        "id",
+        F.when(F.size(last) >= 3, st_area_ring_arr(last))
+        .otherwise(F.lit(0.0)).alias("area"),
+        st_ring_wkt_arr(last).alias("wkt_clip"),
+    ).orderBy("id").collect()
+    for (w, want), row in zip(cases, rows):
+        assert abs(row.area - want) < 1e-9, (w, row.area, want)
+    assert rows[2].wkt_clip is None          # empty intersection → NULL
+    assert rows[1].wkt_clip is not None      # inside stays a polygon
