@@ -29,7 +29,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # ROUND-7 ROTATION: every oracle-backed name has at least one driver-green
 # row (r1-r6); rotation now tracks NEWEST evidence. These 50 slots hold,
 # in order:
-# (a) the 17 NEW round-7 queries — the six schema-adapted TPC-H
+# (a) the 19 NEW round-7 queries — the six schema-adapted TPC-H
 #     correlation queries completing the 22-query battery (tpch3.py), the
 #     two spatial-tail batteries (relations + WKT-column parsing), and
 #     the six TPC-DS-shape queries (tpcds.py — the q67/q77 pair plus
@@ -37,11 +37,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #     the geo type/identity tail (func_geo_types), and the
 #     arbitrary-document Jackson JSON battery (func_json_hostile), and
 #     the Sutherland–Hodgman convex-clip ST_Intersection
-#     (func_geo_clip). To hold 50, seven multi-representative-family or
-#     trivial names rotated out (ALL set-op variants, union-distinct,
-#     mv_filter_rewrite, recursive_numbers, subquery_quantified_some,
-#     values_inline — each family keeps at least one slot and full
-#     cumulative r1-r6 evidence);
+#     (func_geo_clip), the period-operator tail (func_period_ops), and
+#     SUM0/ANY_VALUE (agg_sum0_anyvalue). To hold 50, nine
+#     multi-representative-family or trivial names rotated out (ALL
+#     set-op variants, union-distinct, mv_filter_rewrite,
+#     recursive_numbers, subquery_quantified_some, values_inline,
+#     agg_having, sample_deterministic — each family keeps at least one
+#     slot and full cumulative r1-r6 evidence);
 # (b) 3 names whose code changed this round (compact-JSON strict guards +
 #     oracle 'g' flag; agg_fusion NULL filter/coalesce mirror; the
 #     straddle strict-sign fix feeding the poly-poly relations);
@@ -61,6 +63,7 @@ _DRIVER_PRIORITY = [
     "func_geo_types", "func_json_hostile",
     "ds_returns_above_avg", "ds_cross_channel_band",
     "ds_multi_supplier_orders", "ds_quantity_stats", "func_geo_clip",
+    "func_period_ops", "agg_sum0_anyvalue",
     # (b) code touched in round 7
     "func_json_depth", "agg_fusion", "func_geo_poly_poly",
     # (c) oldest evidence (round 2)
@@ -68,10 +71,10 @@ _DRIVER_PRIORITY = [
     "q14_promo_effect", "q22_global_sales_opportunity", "q7_volume_shipping",
     "q8_market_share", "q13_customer_distribution", "q15_top_supplier",
     "q17_small_quantity", "q19_discounted_revenue",
-    "agg_having", "agg_bitops",
+    "agg_bitops",
     "setop_intersect", "setop_except",
     "unnest_words", "unnest_with_ordinality",
-    "sort_limit_offset", "sample_deterministic",
+    "sort_limit_offset",
     "subquery_in", "subquery_scalar_correlated",
     # (d) round-4-vintage families the judge flagged as aging
     "mv_tile_rollup", "mv_join_rewrite",

@@ -340,6 +340,61 @@ def func_datetime_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("func_period_ops", """
+SELECT o_orderkey,
+       (o_orderdate + INTERVAL 90 DAY <= TIMESTAMP '1997-07-01 00:00:00')
+         AS precedes_q3,
+       (o_orderdate + INTERVAL 90 DAY = TIMESTAMP '1997-07-01 00:00:00')
+         AS imm_precedes_q3,
+       (o_orderdate >= TIMESTAMP '1997-10-01 00:00:00')
+         AS succeeds_q3,
+       (o_orderdate <= TIMESTAMP '1997-08-15 00:00:00'
+        AND o_orderdate + INTERVAL 90 DAY >= TIMESTAMP '1997-08-15 00:00:00')
+         AS contains_mid,
+       (o_orderdate = date_trunc('month', o_orderdate))
+         AS equals_month_anchor,
+       o_orderdate + INTERVAL 1 MONTH AS ts_add_mo,
+       CAST(date_diff('month', date_trunc('month', o_orderdate),
+                      TIMESTAMP '1998-01-01 00:00:00') AS BIGINT)
+         AS ts_diff_mo
+FROM orders
+""")
+def func_period_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining period-operator family PRECEDES / IMMEDIATELY
+    PRECEDES / SUCCEEDS / CONTAINS / EQUALS (SqlStdOperatorTable:
+    1269-1287 — Calcite expands each to the boolean endpoint
+    comparisons both engines run here; func_datetime_overlaps covers
+    OVERLAPS) over the order period [o_orderdate, o_orderdate + 90
+    days) — 90, not 30, because DuckDB's interval equality normalizes 1
+    month = 30 days and its CSE would silently fold the month-add
+    constant into a co-occurring 30-day constant (verified live; the
+    month-add column came back day-shifted) — plus explicit
+    TIMESTAMPADD (1-arg MONTH — both engines clamp
+    month-end identically) and TIMESTAMPDIFF in months. The month diff
+    is anchored on date_trunc'd month starts, where Spark's
+    full-months-between and DuckDB's boundary-crossing count coincide —
+    on unaligned endpoints the two semantics genuinely differ, so the
+    battery pins the aligned contract."""
+    o = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    plus90 = d + F.expr("INTERVAL 90 DAYS")
+    q3_start = F.lit("1997-07-01").cast("timestamp")
+    q3_end = F.lit("1997-10-01").cast("timestamp")
+    mid = F.lit("1997-08-15").cast("timestamp")
+    return o.select(
+        "o_orderkey",
+        (plus90 <= q3_start).alias("precedes_q3"),
+        (plus90 == q3_start).alias("imm_precedes_q3"),
+        (d >= q3_end).alias("succeeds_q3"),
+        ((d <= mid) & (plus90 >= mid)).alias("contains_mid"),
+        (d == F.date_trunc("month", d)).alias("equals_month_anchor"),
+        F.expr("o_orderdate + INTERVAL 1 MONTH").alias("ts_add_mo"),
+        F.expr("timestampdiff(MONTH, date_trunc('month', o_orderdate),"
+               " TIMESTAMP '1998-01-01 00:00:00')")
+        .cast("bigint").alias("ts_diff_mo"),
+    )
+
+
 # --------------------------------------------------------------------- JSON
 @q("func_json", """
 SELECT event_id,

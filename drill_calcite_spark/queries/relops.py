@@ -242,6 +242,41 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("agg_sum0_anyvalue", """
+SELECT l_returnflag,
+       round(coalesce(sum(CASE WHEN l_linestatus = 'F' AND l_quantity > 48
+                          THEN l_extendedprice::DECIMAL(18,6) END)::DOUBLE,
+                      0.0), 2)                       AS sum0_f_heavy,
+       round(coalesce(sum(CASE WHEN l_quantity > 50
+                          THEN l_extendedprice::DECIMAL(18,6) END)::DOUBLE,
+                      0.0), 2)                       AS sum0_empty,
+       any_value(upper(l_returnflag))                AS anyv_flag
+FROM lineitem GROUP BY l_returnflag
+""")
+def agg_sum0_anyvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$SUM0 (SqlStdOperatorTable:1135 — the sum-or-ZERO aggregate
+    Calcite itself substitutes when decorrelating; rendered as
+    COALESCE(SUM(...), 0) on both engines, with `sum0_empty` pinning the
+    all-NULL-group → 0 contract since l_quantity never exceeds 50) and
+    ANY_VALUE (:951 — nondeterministic by spec, made deterministic here
+    by aggregating a value constant within its group, the only form an
+    oracle can check)."""
+    li = t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,6)")
+
+    def sum0(cond):
+        return F.round(
+            F.coalesce(F.sum(F.when(cond, price)).cast("double"),
+                       F.lit(0.0)), 2)
+
+    return li.groupBy("l_returnflag").agg(
+        sum0((F.col("l_linestatus") == "F") & (F.col("l_quantity") > 48))
+        .alias("sum0_f_heavy"),
+        sum0(F.col("l_quantity") > 50).alias("sum0_empty"),
+        F.any_value(F.upper("l_returnflag")).alias("anyv_flag"),
+    )
+
+
 @q("agg_bitops", """
 SELECT o_orderstatus,
        bit_and(o_custkey) AS band, bit_or(o_custkey) AS bor

@@ -1028,3 +1028,18 @@ def test_geo_convex_clip_ground_truth(spark):
         assert abs(row.area - want) < 1e-9, (w, row.area, want)
     assert rows[2].wkt_clip is None          # empty intersection → NULL
     assert rows[1].wkt_clip is not None      # inside stays a polygon
+
+
+def test_sha1_against_hashlib(spark):
+    """SHA1 (SqlLibraryOperators digest family): DuckDB core ships no
+    sha1, so the oracle can't check it — pin Spark's F.sha1 against
+    Python hashlib goldens instead (md5/sha256 are oracle-checked in
+    func_hashes / func_strings_codec)."""
+    import hashlib
+
+    vals = ["", "abc", "drill-calcite", "Customer#000000042"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {r.s: r.h for r in
+           df.select("s", F.sha1("s").alias("h")).collect()}
+    for v in vals:
+        assert got[v] == hashlib.sha1(v.encode()).hexdigest(), v
