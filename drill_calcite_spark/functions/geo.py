@@ -1273,3 +1273,62 @@ def sql_ring_wkt_arr(ring: str) -> str:
     return (f"(CASE WHEN len({ring}) >= 3 THEN 'POLYGON ((' ||"
             f" array_to_string({pts}, ', ') || ', ' || ({pts})[1] || '))'"
             f" END)")
+
+
+# --------------------------------------------- convex containment / set ops
+# ST_ContainsProperly + inclusion-exclusion ST_Union area for a literal
+# CONVEX region vs a per-row polygon ring. The reference delegates both
+# to the ESRI GeometryEngine (GeoFunctions.java:341-345 containsProperly
+# via OperatorRelate "T**FF*FF*"-style matrices; ST_Union(geom1, geom2)
+# GeoFunctions.java:491-497 via GeometryEngine.union); for a convex
+# region the predicates are closed-form column algebra: a polygon lies
+# inside a convex region iff EVERY vertex is inside every supporting
+# half-plane, with strict (>) inequality for the PROPER variant
+# (interior-only, no boundary contact) and closed (>=) for plain
+# Contains. Exact for simple subject rings by convexity — no clipping
+# needed for the predicate itself.
+
+
+def st_contains_convex(lit_ring, ring: Column, *,
+                       proper: bool = False) -> Column:
+    """ST_Contains / ST_ContainsProperly(literal convex region, per-row
+    polygon ring). ``proper=True`` demands strict interior containment —
+    a subject touching the region's boundary is contained but NOT
+    properly contained (GeoFunctions.java:341-345). One
+    ``array_min(transform(...))`` fold per clip edge; plan size
+    O(edges), per-row cost O(edges x vertices)."""
+    verts = _convex_clip_guard(lit_ring, "st_contains_convex")
+
+    def half_plane(ax, ay, bx, by):
+        def cross(v):
+            return (F.lit(bx - ax) * (v.y - F.lit(ay))
+                    - F.lit(by - ay) * (v.x - F.lit(ax)))
+        return cross
+
+    out: "Column | None" = None
+    for (ax, ay), (bx, by) in _edges(verts):
+        d = F.array_min(F.transform(ring, half_plane(ax, ay, bx, by)))
+        cond = (d > 0) if proper else (d >= 0)
+        out = cond if out is None else (out & cond)
+    return out
+
+
+def sql_contains_convex(lit_ring, ring: str, *, proper: bool = False) -> str:
+    """SQL twin of ``st_contains_convex`` (identical formula text)."""
+    verts = _convex_clip_guard(lit_ring, "st_contains_convex")
+    op = ">" if proper else ">="
+    conds = []
+    for (ax, ay), (bx, by) in _edges(verts):
+        d = (f"list_aggregate(list_transform({ring}, v -> "
+             f"{_g(bx - ax)} * (v.y - {_g(ay)})"
+             f" - {_g(by - ay)} * (v.x - {_g(ax)})), 'min')")
+        conds.append(f"({d} {op} 0)")
+    return "(" + " AND ".join(conds) + ")"
+
+
+def convex_ring_area(lit_ring) -> float:
+    """Plan-time shoelace area of a literal ring (the constant term of the
+    inclusion-exclusion union area: area(P) + area(C) - area(P n C))."""
+    verts = _convex_clip_guard(lit_ring, "convex_ring_area")
+    return abs(sum(x1 * y2 - x2 * y1
+                   for (x1, y1), (x2, y2) in _edges(verts))) / 2.0

@@ -37,8 +37,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #     the geo type/identity tail (func_geo_types), and the
 #     arbitrary-document Jackson JSON battery (func_json_hostile), and
 #     the Sutherland–Hodgman convex-clip ST_Intersection
-#     (func_geo_clip), the period-operator tail (func_period_ops), and
-#     SUM0/ANY_VALUE (agg_sum0_anyvalue). To hold 50, nine
+#     (func_geo_clip), the period-operator tail (func_period_ops),
+#     SUM0/ANY_VALUE (agg_sum0_anyvalue), and the last GeoFunctions
+#     surface items — ST_ContainsProperly / inclusion-exclusion union
+#     area / ST_MLineFromText+ST_MPolyFromText (func_geo_setops, which
+#     took setop_intersect's slot: that family keeps setop_except here
+#     plus full cumulative r1-r6 evidence). To hold 50, nine
 #     multi-representative-family or trivial names rotated out (ALL
 #     set-op variants, union-distinct, mv_filter_rewrite,
 #     recursive_numbers, subquery_quantified_some, values_inline,
@@ -63,7 +67,7 @@ _DRIVER_PRIORITY = [
     "func_geo_types", "func_json_hostile",
     "ds_returns_above_avg", "ds_cross_channel_band",
     "ds_multi_supplier_orders", "ds_quantity_stats", "func_geo_clip",
-    "func_period_ops", "agg_sum0_anyvalue",
+    "func_period_ops", "agg_sum0_anyvalue", "func_geo_setops",
     # (b) code touched in round 7
     "func_json_depth", "agg_fusion", "func_geo_poly_poly",
     # (c) oldest evidence (round 2)
@@ -72,7 +76,7 @@ _DRIVER_PRIORITY = [
     "q8_market_share", "q13_customer_distribution", "q15_top_supplier",
     "q17_small_quantity", "q19_discounted_revenue",
     "agg_bitops",
-    "setop_intersect", "setop_except",
+    "setop_except",
     "unnest_words", "unnest_with_ordinality",
     "sort_limit_offset",
     "subquery_in", "subquery_scalar_correlated",

@@ -2266,3 +2266,140 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("__approx") - F.col("exact_nd"))
          <= 0.05 * F.col("exact_nd")).alias("approx_within_5pct"),
     )
+
+
+from drill_calcite_spark.functions.geo import (  # noqa: E402
+    convex_ring_area,
+    sql_contains_convex,
+    st_contains_convex,
+)
+
+_CLIP_AREA = convex_ring_area(_CLIP_SQ)  # 196.0 — the inclusion-exclusion constant
+
+
+def _sql_union_area(n_edges: int) -> str:
+    last = f"r{n_edges}"
+    inter = (f"(CASE WHEN len({last}) >= 3"
+             f" THEN {sql_area_ring_arr(last)} ELSE 0.0 END)")
+    return (f"round({sql_area_ring_arr('r0')} + {_CLIP_AREA!r}"
+            f" - {inter}, 6)")
+
+
+_GEO_SETOPS_SQL = f"""
+WITH pts AS (
+  SELECT event_id,
+         ((event_id % 41) - 10)::DOUBLE AS cx,
+         ((user_id % 37) - 13)::DOUBLE  AS cy,
+         (1 + event_id % 3)::DOUBLE     AS h
+  FROM events WHERE event_id < 3000
+), w AS (
+  SELECT event_id,
+         {_wkt_case_sql(sql_polygon_wkt(_TRI_SQL),
+                        sql_polygon_wkt(_QUAD_SQL),
+                        sql_polygon_wkt(_PENT_SQL))} AS wkt,
+         printf('MULTILINESTRING ((%.6f %.6f, %.6f %.6f))',
+                cx, cy, cx + h, cy + h) AS ml_txt,
+         ((CASE WHEN event_id % 5 = 0 THEN 'MULTIPOLY'
+                ELSE 'MULTIPOLYGON' END) ||
+          printf(' (((%.6f %.6f, %.6f %.6f, %.6f %.6f, %.6f %.6f)))',
+                 cx, cy, cx + h, cy, cx, cy + h, cx, cy)) AS mp_txt
+  FROM pts
+), g0 AS (
+  SELECT event_id, {sql_ring_from_wkt("wkt")} AS r0 FROM w
+), {_clip_cte_chain()}
+SELECT g.event_id,
+       {sql_contains_convex(_CLIP_SQ, "r0")}              AS contains_c,
+       {sql_contains_convex(_CLIP_SQ, "r0", proper=True)} AS contains_prop,
+       ({sql_contains_convex(_CLIP_SQ, "r0")}
+        AND NOT {sql_contains_convex(_CLIP_SQ, "r0", proper=True)})
+                                                          AS boundary_touch,
+       {_sql_union_area(len(_CLIP_EDGES))}                AS area_union,
+       {sql_geom_from_text("ml_txt")}                     AS mline,
+       {sql_geom_from_text("mp_txt")}                     AS mpoly
+FROM g{len(_CLIP_EDGES)} g JOIN w USING (event_id)
+"""
+
+
+@q("func_geo_setops", _GEO_SETOPS_SQL)
+def func_geo_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last GeoFunctions.java surface items: ST_ContainsProperly
+    (GeoFunctions.java:341-345 — strict-interior containment, no boundary
+    contact, vs plain closed ST_Contains; the convex-region form is exact
+    closed-form column algebra, one half-plane fold per clip edge),
+    overlapping-polygon ST_Union *area* via inclusion-exclusion
+    area(P) + area(C) - area(P ∩ C) with the intersection term from the
+    established Sutherland–Hodgman clip chain (GeoFunctions.java:491-497
+    delegates union to GeometryEngine; the measure is closed-form when one
+    operand is convex — general union RINGS still need a geometry engine,
+    documented skip), and the two remaining typed parse aliases
+    ST_MLineFromText / ST_MPolyFromText (GeoFunctions.java:115-170 —
+    validity-gated untyped parse, NULL on malformed text; every 5th row
+    carries a corrupted tag to exercise the reject path on real data).
+    Subjects are the clip battery's per-row triangle/quad/pentagon rings
+    against the (0,0)-(14,14) square: integer placements land vertices
+    exactly ON the clip boundary, so contains_c and contains_prop
+    genuinely diverge (boundary_touch witnesses the rows where they do).
+    Plan shape: map-only column algebra, no shuffle, plan text
+    O(clip_edges)."""
+    from drill_calcite_spark.functions.geo import (
+        st_area_ring_arr,
+        st_clip_convex_step,
+        st_geom_from_text,
+        st_polygon_wkt,
+        st_ring_from_wkt,
+    )
+
+    pts = (
+        t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+        .select(
+            "event_id",
+            ((F.col("event_id") % 41) - 10).cast("double").alias("cx"),
+            ((F.col("user_id") % 37) - 13).cast("double").alias("cy"),
+            (1 + F.col("event_id") % 3).cast("double").alias("h"),
+        )
+    )
+    cx, cy, h = F.col("cx"), F.col("cy"), F.col("h")
+    tri = [(cx, cy), (cx + 3 * h, cy), (cx + h, cy + 2 * h)]
+    quad = [(cx, cy), (cx + 2 * h, cy), (cx + 2 * h, cy + 2 * h),
+            (cx, cy + 2 * h)]
+    pent = [(cx, cy), (cx + 2 * h, cy - h), (cx + 4 * h, cy),
+            (cx + 3 * h, cy + 2 * h), (cx + h, cy + 2 * h)]
+    wkt = (
+        F.when(F.col("event_id") % 3 == 0, st_polygon_wkt(tri))
+        .when(F.col("event_id") % 3 == 1, st_polygon_wkt(quad))
+        .otherwise(st_polygon_wkt(pent))
+    )
+    g = (
+        pts
+        .withColumn("ml_txt", F.format_string(
+            "MULTILINESTRING ((%.6f %.6f, %.6f %.6f))",
+            cx, cy, cx + h, cy + h))
+        .withColumn("mp_txt", F.concat(
+            F.when(F.col("event_id") % 5 == 0, F.lit("MULTIPOLY"))
+            .otherwise(F.lit("MULTIPOLYGON")),
+            F.format_string(
+                " (((%.6f %.6f, %.6f %.6f, %.6f %.6f, %.6f %.6f)))",
+                cx, cy, cx + h, cy, cx, cy + h, cx, cy)))
+        .withColumn("r0", st_ring_from_wkt(wkt))
+    )
+    for k, (a, b) in enumerate(_CLIP_EDGES, start=1):
+        g = g.withColumn(f"r{k}",
+                         st_clip_convex_step(F.col(f"r{k - 1}"), a, b))
+        if k > 1:
+            g = g.drop(f"r{k - 1}")
+    last = F.col(f"r{len(_CLIP_EDGES)}")
+    r0 = F.col("r0")
+    contains_c = st_contains_convex(_CLIP_SQ, r0)
+    contains_prop = st_contains_convex(_CLIP_SQ, r0, proper=True)
+    inter_area = (F.when(F.size(last) >= 3, st_area_ring_arr(last))
+                  .otherwise(F.lit(0.0)))
+    return g.select(
+        "event_id",
+        contains_c.alias("contains_c"),
+        contains_prop.alias("contains_prop"),
+        (contains_c & ~contains_prop).alias("boundary_touch"),
+        F.round(st_area_ring_arr(r0) + F.lit(_CLIP_AREA) - inter_area, 6)
+        .alias("area_union"),
+        st_geom_from_text(F.col("ml_txt")).alias("mline"),
+        st_geom_from_text(F.col("mp_txt")).alias("mpoly"),
+    )

@@ -1043,3 +1043,57 @@ def test_sha1_against_hashlib(spark):
            df.select("s", F.sha1("s").alias("h")).collect()}
     for v in vals:
         assert got[v] == hashlib.sha1(v.encode()).hexdigest(), v
+
+
+def test_geo_contains_properly_ground_truth(spark):
+    """ST_Contains vs ST_ContainsProperly against the clip square
+    (0,0)-(14,14) on hand-placed subjects: strictly-interior → both true;
+    edge-touching → contained but NOT properly; straddling / outside →
+    neither. Also pins the inclusion-exclusion union-area identity
+    area(P ∪ C) = area(P) + 196 − area(P ∩ C) on the same rows."""
+    from drill_calcite_spark.functions.geo import (
+        clip_convex_edges, convex_ring_area, st_area_ring_arr,
+        st_clip_convex_step, st_contains_convex, st_ring_from_wkt,
+    )
+
+    square = [(0.0, 0.0), (14.0, 0.0), (14.0, 14.0), (0.0, 14.0)]
+    assert convex_ring_area(square) == 196.0
+    cases = [
+        # (wkt, contains, properly, expected union area)
+        ("POLYGON ((2 2, 6 2, 6 6, 2 6))", True, True, 196.0),    # interior
+        ("POLYGON ((0 2, 6 2, 6 6, 0 6))", True, False, 196.0),   # edge touch
+        ("POLYGON ((10 10, 20 10, 20 20, 10 20))", False, False,
+         196.0 + 100.0 - 16.0),                                   # straddle
+        ("POLYGON ((20 20, 30 20, 30 30, 20 30))", False, False,
+         196.0 + 100.0),                                          # disjoint
+    ]
+    df = spark.createDataFrame([(i, w) for i, (w, *_) in enumerate(cases)],
+                               "id long, wkt string")
+    g = df.withColumn("r0", st_ring_from_wkt(F.col("wkt")))
+    for k, (a, b) in enumerate(clip_convex_edges(square), start=1):
+        g = g.withColumn(f"r{k}", st_clip_convex_step(F.col(f"r{k-1}"), a, b))
+    last = F.col("r4")
+    inter = (F.when(F.size(last) >= 3, st_area_ring_arr(last))
+             .otherwise(F.lit(0.0)))
+    rows = g.select(
+        "id",
+        st_contains_convex(square, F.col("r0")).alias("c"),
+        st_contains_convex(square, F.col("r0"), proper=True).alias("p"),
+        (st_area_ring_arr(F.col("r0")) + F.lit(196.0) - inter).alias("u"),
+    ).orderBy("id").collect()
+    for (w, want_c, want_p, want_u), row in zip(cases, rows):
+        assert row.c == want_c and row.p == want_p, (w, row.c, row.p)
+        assert abs(row.u - want_u) < 1e-9, (w, row.u, want_u)
+
+
+def test_contains_convex_rejects_concave_region(spark):
+    """Translate-time guard: a concave literal region must be rejected
+    (the closed-form half-plane fold is only exact for convex regions)."""
+    import pytest as _pytest
+
+    from drill_calcite_spark.functions.geo import st_contains_convex
+
+    concave = [(0.0, 0.0), (10.0, 0.0), (5.0, 5.0), (10.0, 10.0),
+               (0.0, 10.0)]
+    with _pytest.raises(ValueError, match="convex"):
+        st_contains_convex(concave, F.lit(None))
