@@ -42,7 +42,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #     surface items — ST_ContainsProperly / inclusion-exclusion union
 #     area / ST_MLineFromText+ST_MPolyFromText (func_geo_setops, which
 #     took setop_intersect's slot: that family keeps setop_except here
-#     plus full cumulative r1-r6 evidence). To hold 50, nine
+#     plus full cumulative r1-r6 evidence), and the Kafka row-converter
+#     plumbing driven end-to-end (source_kafka_convert, in
+#     unnest_words' slot — unnest keeps unnest_with_ordinality here).
+#     To hold 50, nine
 #     multi-representative-family or trivial names rotated out (ALL
 #     set-op variants, union-distinct, mv_filter_rewrite,
 #     recursive_numbers, subquery_quantified_some, values_inline,
@@ -68,6 +71,7 @@ _DRIVER_PRIORITY = [
     "ds_returns_above_avg", "ds_cross_channel_band",
     "ds_multi_supplier_orders", "ds_quantity_stats", "func_geo_clip",
     "func_period_ops", "agg_sum0_anyvalue", "func_geo_setops",
+    "source_kafka_convert",
     # (b) code touched in round 7
     "func_json_depth", "agg_fusion", "func_geo_poly_poly",
     # (c) oldest evidence (round 2)
@@ -77,7 +81,7 @@ _DRIVER_PRIORITY = [
     "q17_small_quantity", "q19_discounted_revenue",
     "agg_bitops",
     "setop_except",
-    "unnest_words", "unnest_with_ordinality",
+    "unnest_with_ordinality",
     "sort_limit_offset",
     "subquery_in", "subquery_scalar_correlated",
     # (d) round-4-vintage families the judge flagged as aging

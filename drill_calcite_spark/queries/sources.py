@@ -334,3 +334,60 @@ def modify_snapshot_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(prev), int(cur))], "rows_before bigint, rows_after bigint"
     )
+
+
+_KAFKA_CONVERT_SQL = """
+SELECT (user_id % 8)::INT            AS MSG_PARTITION,
+       count(*)                      AS n_msgs,
+       max(event_id)                 AS max_offset,
+       count(DISTINCT event_type)    AS n_types,
+       sum(value::DECIMAL(18,6))::DOUBLE AS total_value,
+       min(epoch_us(ts) // 1000)     AS min_ts_ms,
+       max(epoch_us(ts) // 1000)     AS max_ts_ms
+FROM events WHERE event_id < 20000
+GROUP BY 1
+"""
+
+
+@q("source_kafka_convert", _KAFKA_CONVERT_SQL)
+def source_kafka_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka adapter's row-converter surface (KafkaStreamTable +
+    KafkaRowConverter, kafka/.../KafkaRowConverterImpl.java:37-67) driven
+    end-to-end without a broker: events rows are ENCODED into the exact
+    consumer-record schema spark's kafka source yields (key/value UTF-8
+    bytes + topic/partition/offset/timestamp — the test-harness producer),
+    then DECODED back through json_value_converter (from_json over value
+    bytes — JVM Jackson, the pluggable half of KafkaRowConverter), and
+    aggregated per MSG_PARTITION. The oracle recomputes from the raw
+    events table, so the hash-match proves the encode→bytes→decode round
+    trip is lossless — including double-valued JSON payloads and epoch-ms
+    consumer timestamps. Map-only conversion + one partial-aggregated
+    shuffle; the live readStream variant of the same plumbing is
+    exercised in tests/test_streaming.py."""
+    from drill_calcite_spark.sources.kafka import (
+        json_value_converter,
+        kafka_shaped_records,
+    )
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    records = kafka_shaped_records(
+        ev,
+        topic="events",
+        key=F.col("user_id").cast("string"),
+        value=F.to_json(F.struct(
+            F.col("event_id"), F.col("event_type"), F.col("value"))),
+        partition=F.pmod(F.col("user_id"), F.lit(8)),
+        offset=F.col("event_id"),
+        timestamp=F.col("ts"),
+    )
+    typed = json_value_converter(
+        "event_id bigint, event_type string, value double")(records)
+    return typed.groupBy("MSG_PARTITION").agg(
+        F.count("*").alias("n_msgs"),
+        F.max("MSG_OFFSET").alias("max_offset"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+        .alias("total_value"),
+        F.min("MSG_TIMESTAMP").alias("min_ts_ms"),
+        F.max("MSG_TIMESTAMP").alias("max_ts_ms"),
+    )

@@ -88,3 +88,51 @@ def test_live_drain_equals_batch(spark):
     ).count().select(F.col("w.start").cast("long").alias("d"), "count")
     assert live == {(r.d, r["count"]) for r in batch.collect()}
     assert live  # non-vacuous
+
+
+def test_kafka_shaped_live_stream_roundtrip(spark, tmp_path):
+    """The Kafka adapter plumbing (sources/kafka.py) end-to-end on a REAL
+    readStream: encode rows into the consumer-record schema, stream them
+    from disk, decode through the default converter (KafkaRowConverterImpl
+    parity), and check the drained result against the batch answer —
+    bytes, offsets, and epoch-ms timestamps all surviving the trip."""
+    from drill_calcite_spark.sources.kafka import (
+        default_row_converter,
+        kafka_shaped_records,
+        kafka_shaped_stream,
+    )
+
+    src = spark.createDataFrame(
+        [(i, f"u{i % 3}", f"payload-{i}", "2024-01-01 00:00:%02d" % i)
+         for i in range(20)],
+        "id long, user string, body string, ts_s string",
+    ).select("id", "user", "body", F.col("ts_s").cast("timestamp").alias("ts"))
+    records = kafka_shaped_records(
+        src, topic="t", key=F.col("user"), value=F.col("body"),
+        partition=F.pmod(F.col("id"), F.lit(4)), offset=F.col("id"),
+        timestamp=F.col("ts"))
+    path = str(tmp_path / "kafka_shaped")
+    records.write.parquet(path)
+
+    live = kafka_shaped_stream(spark, path, converter=default_row_converter)
+    assert live.isStreaming
+    got = run_available_now(live, spark, output_mode="append")
+    rows = {r.MSG_OFFSET: r for r in got.collect()}
+    assert len(rows) == 20
+    assert rows[7].MSG_PARTITION == 3
+    assert bytes(rows[7].MSG_KEY_BYTES).decode() == "u1"
+    assert bytes(rows[7].MSG_VALUE_BYTES).decode() == "payload-7"
+    # epoch millis of 2024-01-01 00:00:07 UTC
+    assert rows[7].MSG_TIMESTAMP == 1704067207000
+
+
+def test_kafka_connector_unavailable_error(spark):
+    """No broker/connector jars in this container: kafka_stream must fail
+    loudly with the documented error, not a bare classpath stack."""
+    from drill_calcite_spark.sources.kafka import (
+        KafkaConnectorUnavailable,
+        kafka_stream,
+    )
+
+    with pytest.raises(KafkaConnectorUnavailable, match="spark-sql-kafka"):
+        kafka_stream(spark, "localhost:9092", "events")
