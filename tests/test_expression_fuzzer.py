@@ -1,0 +1,201 @@
+"""Expression fuzzer: the reference's fuzzing test layer (SURVEY.md §5
+layer 5 — core/src/test/java/org/apache/calcite/test/fuzzer/, a random
+Rex expression generator validating that planner simplification preserves
+semantics) re-expressed for this engine: generate random, type-correct
+scalar expressions in the ANSI subset BOTH engines parse, evaluate each
+over a NULL-rich fixture through Spark SQL (where Catalyst constant-folds
+/ simplifies them) and through DuckDB, and require identical results.
+
+What this pins that the per-function batteries can't: arbitrary
+COMPOSITIONS — three-valued logic threading through nested CASE/COALESCE/
+NULLIF, null-safe comparison chains, string/numeric coercions — the same
+class of bug RexProgramFuzzyTest hunts in RexSimplify.
+
+Determinism: seeds are fixed; every expression is reproducible from its
+(seed, index). Each seed's 20 expressions evaluate as ONE projection per
+engine (one Spark job), so the layer stays cheap.
+
+Dialect-subset rules (deliberate exclusions, each a known cross-engine
+divergence, NOT a bug): no division (0/0 NaN-vs-NULL), no ROUND
+(half-even vs half-away), no trig (libm ulps), FLOOR/CEIL wrapped in
+CAST AS DOUBLE (Spark returns BIGINT, DuckDB DOUBLE), ASCII-only strings
+(collation/locale), int arithmetic lifted to DOUBLE (overflow behavior).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+# ---------------------------------------------------------------- fixture
+
+_N_ROWS = 60
+
+
+def _fixture_rows():
+    rows = []
+    for k in range(_N_ROWS):
+        i = None if k % 7 == 0 else (k * 13) % 201 - 100
+        j = (k * 29) % 61 - 30
+        d = None if k % 11 == 3 else round((k * 37 % 997) / 8.0 - 50, 3)
+        e = round((k * 53 % 499) / 16.0 - 12, 4)
+        s = None if k % 13 == 5 else f"str{k % 17:02d}{'x' * (k % 4)}"
+        t = f"T{(k * 7) % 23:02d}"
+        b = None if k % 17 == 9 else (k % 3 == 0)
+        rows.append((k, i, j, d, e, s, t, b))
+    return rows
+
+
+_FIXTURE_SCHEMA = ("id bigint, i bigint, j bigint, d double, e double, "
+                   "s string, t string, b boolean")
+
+
+# ------------------------------------------------------------- generator
+# Each production emits SQL text valid and identically-defined in BOTH
+# engines. Three type families: num (DOUBLE), str (VARCHAR), bool.
+
+
+def _lit_num(rng: random.Random) -> str:
+    v = rng.choice([0.0, 1.0, -1.5, 2.25, 10.0, -0.75, 42.0])
+    return repr(v)
+
+
+def _lit_str(rng: random.Random) -> str:
+    return "'" + rng.choice(["", "a", "abc", "str07", "Zz", "hello"]) + "'"
+
+
+def _num(rng: random.Random, depth: int) -> str:
+    if depth <= 0:
+        return rng.choice(["d", "e", "CAST(i AS DOUBLE)", "CAST(j AS DOUBLE)",
+                           _lit_num(rng)])
+    pick = rng.randrange(9)
+    a, b = _num(rng, depth - 1), _num(rng, depth - 1)
+    if pick == 0:
+        return f"({a} + {b})"
+    if pick == 1:
+        return f"({a} - {b})"
+    if pick == 2:
+        return f"({a} * {b})"
+    if pick == 3:
+        return f"abs({a})"
+    if pick == 4:
+        return f"CAST(floor({a}) AS DOUBLE)"
+    if pick == 5:
+        return f"least({a}, {b})"
+    if pick == 6:
+        return f"greatest({a}, {b})"
+    if pick == 7:
+        return f"coalesce(nullif({a}, {b}), {_lit_num(rng)})"
+    c = _bool(rng, depth - 1)
+    return f"(CASE WHEN {c} THEN {a} ELSE {b} END)"
+
+
+def _str(rng: random.Random, depth: int) -> str:
+    if depth <= 0:
+        return rng.choice(["s", "t", _lit_str(rng)])
+    pick = rng.randrange(6)
+    a = _str(rng, depth - 1)
+    if pick == 0:
+        return f"upper({a})"
+    if pick == 1:
+        return f"lower({a})"
+    if pick == 2:
+        b = _str(rng, depth - 1)
+        return f"({a} || {b})"
+    if pick == 3:
+        start, ln = rng.randrange(1, 4), rng.randrange(1, 5)
+        return f"substr({a}, {start}, {ln})"
+    if pick == 4:
+        b = _str(rng, depth - 1)
+        return f"coalesce(nullif({a}, {b}), {_lit_str(rng)})"
+    c = _bool(rng, depth - 1)
+    b = _str(rng, depth - 1)
+    return f"(CASE WHEN {c} THEN {a} ELSE {b} END)"
+
+
+def _bool(rng: random.Random, depth: int) -> str:
+    if depth <= 0:
+        return rng.choice(["b", "(i IS NULL)", "(s IS NOT NULL)",
+                           "(j > 0)", "(d < 1.5)"])
+    pick = rng.randrange(7)
+    if pick == 0:
+        a, b = _num(rng, depth - 1), _num(rng, depth - 1)
+        op = rng.choice(["<", "<=", ">", ">=", "="])
+        return f"({a} {op} {b})"
+    if pick == 1:
+        a, b = _str(rng, depth - 1), _str(rng, depth - 1)
+        op = rng.choice(["<", ">", "="])
+        return f"({a} {op} {b})"
+    if pick == 2:
+        return f"(NOT {_bool(rng, depth - 1)})"
+    if pick == 3:
+        return f"({_bool(rng, depth - 1)} AND {_bool(rng, depth - 1)})"
+    if pick == 4:
+        return f"({_bool(rng, depth - 1)} OR {_bool(rng, depth - 1)})"
+    if pick == 5:
+        return f"({_num(rng, depth - 1)} IS NULL)"
+    return (f"(CASE WHEN {_bool(rng, depth - 1)} THEN "
+            f"{_bool(rng, depth - 1)} ELSE {_bool(rng, depth - 1)} END)")
+
+
+def _exprs_for_seed(seed: int, n: int = 20) -> list[str]:
+    rng = random.Random(seed)
+    out = []
+    for k in range(n):
+        fam = k % 3
+        depth = 2 + (k % 3)
+        if fam == 0:
+            out.append(_num(rng, depth))
+        elif fam == 1:
+            out.append(_str(rng, depth))
+        else:
+            out.append(_bool(rng, depth))
+    return out
+
+
+# ------------------------------------------------------------- the check
+
+
+def _cells_equal(x, y) -> bool:
+    if x is None and y is None:
+        return True
+    if isinstance(x, float) and isinstance(y, float):
+        if math.isnan(x) and math.isnan(y):
+            return True
+        return math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)
+    return x == y
+
+
+_SEEDS = [101, 202, 303, 404, 505, 606]
+
+
+@pytest.fixture(scope="module")
+def fuzz_tables(spark, duck):
+    import pandas as pd
+
+    rows = _fixture_rows()
+    sdf = spark.createDataFrame(rows, _FIXTURE_SCHEMA)
+    sdf.createOrReplaceTempView("fuzz_t")
+    cols = ["id", "i", "j", "d", "e", "s", "t", "b"]
+    pdf = pd.DataFrame(rows, columns=cols)
+    duck.register("fuzz_pd", pdf)
+    duck.execute("CREATE OR REPLACE VIEW fuzz_t AS SELECT * FROM fuzz_pd")
+    yield
+    duck.execute("DROP VIEW IF EXISTS fuzz_t")
+
+
+@pytest.mark.parametrize("seed", _SEEDS)
+def test_random_expressions_agree(spark, duck, fuzz_tables, seed):
+    exprs = _exprs_for_seed(seed)
+    select = ", ".join(f"{e} AS c{k}" for k, e in enumerate(exprs))
+    sql = f"SELECT id, {select} FROM fuzz_t ORDER BY id"
+    srows = [tuple(r) for r in spark.sql(sql).collect()]
+    drows = duck.execute(sql).fetchall()
+    assert len(srows) == len(drows) == _N_ROWS
+    for sr, dr in zip(srows, drows):
+        for k, (x, y) in enumerate(zip(sr, dr)):
+            assert _cells_equal(x, y), (
+                f"seed {seed} col {k - 1} id {sr[0]}: spark={x!r} "
+                f"duck={y!r}\n expr: {exprs[k - 1] if k else 'id'}")
