@@ -42,10 +42,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #     surface items — ST_ContainsProperly / inclusion-exclusion union
 #     area / ST_MLineFromText+ST_MPolyFromText (func_geo_setops, which
 #     took setop_intersect's slot: that family keeps setop_except here
-#     plus full cumulative r1-r6 evidence), and the Kafka row-converter
+#     plus full cumulative r1-r6 evidence), the Kafka row-converter
 #     plumbing driven end-to-end (source_kafka_convert, in
-#     unnest_words' slot — unnest keeps unnest_with_ordinality here).
-#     To hold 50, nine
+#     unnest_words' slot — unnest keeps unnest_with_ordinality here),
+#     and the Calcite-dialect SQL front door (sql_calcite_dialect —
+#     sql.py rewrites + the 226-case quidem conformance corpus; took
+#     subquery_in's slot, that family keeps subquery_scalar_correlated
+#     and subquery_not_in_null below). To hold 50, nine
 #     multi-representative-family or trivial names rotated out (ALL
 #     set-op variants, union-distinct, mv_filter_rewrite,
 #     recursive_numbers, subquery_quantified_some, values_inline,
@@ -71,7 +74,7 @@ _DRIVER_PRIORITY = [
     "ds_returns_above_avg", "ds_cross_channel_band",
     "ds_multi_supplier_orders", "ds_quantity_stats", "func_geo_clip",
     "func_period_ops", "agg_sum0_anyvalue", "func_geo_setops",
-    "source_kafka_convert",
+    "source_kafka_convert", "sql_calcite_dialect",
     # (b) code touched in round 7
     "func_json_depth", "agg_fusion", "func_geo_poly_poly",
     # (c) oldest evidence (round 2)
@@ -83,7 +86,7 @@ _DRIVER_PRIORITY = [
     "setop_except",
     "unnest_with_ordinality",
     "sort_limit_offset",
-    "subquery_in", "subquery_scalar_correlated",
+    "subquery_scalar_correlated",
     # (d) round-4-vintage families the judge flagged as aging
     "mv_tile_rollup", "mv_join_rewrite",
     "recursive_nation_tree", "snapshot_orders_scd",

@@ -1658,3 +1658,36 @@ def mv_filter_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderstatus", F.col("total").cast("double").alias("total"), "n"
     )
+
+
+@q("sql_calcite_dialect", """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       count(*) AS n
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""")
+def sql_calcite_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Calcite-DIALECT SQL front door (drill_calcite_spark/sql.py —
+    the pre-rewrite hook SURVEY §7 phase 0 plans): the query text below
+    is written in the reference's dialect — 1-arg LISTAGG (default ','
+    separator, SqlStdOperatorTable.java:2179) with WITHIN GROUP, and an
+    ORDER BY relying on Calcite's nulls-high default collation — and
+    calcite_sql() rewrites it to Spark SQL. The DuckDB oracle spells the
+    separator and ordering explicitly, so the hash-match proves the
+    rewrites reproduce Calcite's defaults. The full conformance evidence
+    for this surface is tests/test_quidem.py: 226 of the reference's own
+    quidem cases (core/src/test/resources/sql/*.iq) replayed verbatim
+    through this entry point."""
+    from drill_calcite_spark.catalog import register_tables
+    from drill_calcite_spark.sql import calcite_sql
+
+    register_tables(spark, sf_dir)
+    return calcite_sql(spark, """
+        SELECT r_name,
+               listagg(n_name) WITHIN GROUP (ORDER BY n_name) AS nations,
+               count(*) AS n
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY nullif(r_name, 'ASIA')
+    """)

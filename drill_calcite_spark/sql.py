@@ -1,0 +1,218 @@
+"""Calcite-dialect SQL front door: ``calcite_sql(spark, text)``.
+
+SURVEY.md §7 phase 0 plans "sql.py: engine.sql(q) → spark.sql with a
+pre-rewrite hook". The hook's job is the handful of places where the
+reference's SQL dialect (Parser.jj + SqlStdOperatorTable semantics) and
+Spark SQL disagree on DEFAULTS — not on expressiveness. Each rewrite
+below is tied to a concrete divergence, verified against the reference's
+own quidem expected outputs (tests/iq/):
+
+1. **Default null collation** (``nulls_high=True``): Calcite sorts NULL
+   as +infinity by default (NullCollation.HIGH,
+   core/.../config/CalciteConnectionProperty DEFAULT_NULL_COLLATION;
+   quidem winagg.iq:203-231 pins rank() putting the NULL-deptno row
+   LAST). Spark's default is NULLS FIRST for ASC / LAST for DESC (low).
+   The rewrite appends an explicit NULLS LAST (ASC) / NULLS FIRST (DESC)
+   to every ORDER BY item that doesn't already state one — in top-level
+   sorts, window specs, and WITHIN GROUP clauses alike.
+
+2. **LISTAGG default separator**: Calcite's 1-arg LISTAGG joins with ','
+   (SqlStdOperatorTable.java:2179, agg.iq:2725-2745); Spark's joins with
+   the empty string. 1-arg calls gain an explicit ',' argument.
+
+3. **FLOOR/CEIL-to-time-unit**: ``FLOOR(ts TO HOUR)``
+   (SqlStdOperatorTable.java:1773-1778) is Spark's
+   ``date_trunc('HOUR', ts)``. CEIL-to-unit has no Spark builtin and is
+   rejected with a clear error instead of silently mistranslating.
+
+4. **Quoted schema names**: the quidem scripts address catalogs as
+   ``"scott".emp``; ``schema_views`` maps those onto registered view
+   prefixes (Spark temp views are single-level).
+
+All rewrites are token-scans that respect string literals and quoted
+identifiers; none touch query STRUCTURE — Catalyst still owns parsing,
+validation, and planning (SURVEY §0 role map).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_WORD = re.compile(r"[A-Za-z_][A-Za-z_0-9]*")
+
+# keywords that end an ORDER BY list at paren depth 0
+_ORDER_TERMINATORS = {
+    "limit", "offset", "fetch", "rows", "range", "union", "intersect",
+    "except", "minus", "window", "for",
+}
+
+
+def _string_mask(text: str) -> list[bool]:
+    """mask[i] is True when text[i] sits inside a '...' string literal or
+    a "..." quoted identifier (including the quotes)."""
+    mask = [False] * len(text)
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in ("'", '"'):
+            quote = c
+            mask[i] = True
+            i += 1
+            while i < n:
+                mask[i] = True
+                if text[i] == quote:
+                    # doubled quote = escaped
+                    if i + 1 < n and text[i + 1] == quote:
+                        mask[i + 1] = True
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                i += 1
+        else:
+            i += 1
+    return mask
+
+
+def _word_at(text: str, i: int) -> str:
+    m = _WORD.match(text, i)
+    return m.group(0).lower() if m else ""
+
+
+class CeilToUnitUnsupported(ValueError):
+    """CEIL(ts TO unit) has no Spark builtin (date_trunc only floors)."""
+
+
+def _rewrite_floor_to(text: str) -> str:
+    """FLOOR(x TO unit) → date_trunc('UNIT', x); CEIL TO unit rejected."""
+    pat = re.compile(
+        r"\b(floor|ceil|ceiling)\s*\(([^()]+?)\s+to\s+"
+        r"(year|quarter|month|week|day|hour|minute|second)\s*\)",
+        re.I)
+
+    def sub(m: "re.Match[str]") -> str:
+        if m.group(1).lower() in ("ceil", "ceiling"):
+            raise CeilToUnitUnsupported(
+                f"calcite_sql: {m.group(0)!r} — CEIL to a time unit has no "
+                "Spark equivalent (date_trunc floors); rewrite the query "
+                "with date_trunc + INTERVAL arithmetic explicitly")
+        return f"date_trunc('{m.group(3).upper()}', {m.group(2)})"
+
+    return pat.sub(sub, text)
+
+
+def _rewrite_listagg(text: str) -> str:
+    """listagg(expr) → listagg(expr, ',') when the call has exactly one
+    top-level argument (Calcite's default comma separator)."""
+    mask = _string_mask(text)
+    out, consumed = [], 0
+    for m in re.finditer(r"\blistagg\s*\(", text, re.I):
+        if mask[m.start()]:
+            continue
+        # scan to the matching close paren, watching top-level commas
+        depth, i, has_comma = 1, m.end(), False
+        while i < len(text) and depth:
+            if not mask[i]:
+                c = text[i]
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                elif c == "," and depth == 1:
+                    has_comma = True
+            i += 1
+        if depth or has_comma:
+            continue
+        close = i - 1
+        out.append(text[consumed:close])
+        out.append(", ','")
+        consumed = close
+    out.append(text[consumed:])
+    return "".join(out)
+
+
+def _order_items(text: str, mask: list[bool], start: int):
+    """Yield (item_start, item_end) spans of the ORDER BY list starting
+    at ``start`` (just past 'by'), ending at a terminator keyword, an
+    unbalanced ')', or end of text."""
+    i, n = start, len(text)
+    depth = 0
+    item_start = None
+    items = []
+    while i < n:
+        if mask[i]:
+            i += 1
+            continue
+        c = text[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        elif c == "," and depth == 0:
+            items.append((item_start, i))
+            item_start = None
+        elif depth == 0 and c.isalpha():
+            w = _word_at(text, i)
+            if w in _ORDER_TERMINATORS:
+                break
+            if item_start is None:
+                item_start = i
+            i += len(w)
+            continue
+        elif item_start is None and not c.isspace():
+            item_start = i
+        i += 1
+    if item_start is not None:
+        items.append((item_start, i))
+    return [(a, b) for a, b in items if a is not None]
+
+
+def _rewrite_nulls_high(text: str) -> str:
+    """Append NULLS LAST (ASC) / NULLS FIRST (DESC) to every ORDER BY
+    item lacking an explicit NULLS clause — Calcite's HIGH default."""
+    mask = _string_mask(text)
+    edits: list[tuple[int, str]] = []
+    for m in re.finditer(r"\border\s+by\b", text, re.I):
+        if mask[m.start()]:
+            continue
+        for a, b in _order_items(text, mask, m.end()):
+            item = text[a:b]
+            words = [w.lower() for w in _WORD.findall(item)]
+            if "nulls" in words:
+                continue
+            direction = "desc" if words and words[-1] == "desc" else "asc"
+            suffix = " NULLS FIRST" if direction == "desc" else " NULLS LAST"
+            # trim trailing whitespace inside the span
+            end = b
+            while end > a and text[end - 1].isspace():
+                end -= 1
+            edits.append((end, suffix))
+    for pos, suffix in sorted(edits, reverse=True):
+        text = text[:pos] + suffix + text[pos:]
+    return text
+
+
+def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
+            nulls_high: bool = True) -> str:
+    """Apply the Calcite-dialect rewrites; returns plain Spark SQL."""
+    text = text.rstrip().rstrip(";")
+    for schema, prefix in (schema_views or {}).items():
+        text = re.sub(rf'"{re.escape(schema)}"\s*\.\s*', prefix, text,
+                      flags=re.I)
+    text = _rewrite_floor_to(text)
+    text = _rewrite_listagg(text)
+    if nulls_high:
+        text = _rewrite_nulls_high(text)
+    return text
+
+
+def calcite_sql(spark: SparkSession, text: str, *,
+                schema_views: "dict[str, str] | None" = None,
+                nulls_high: bool = True) -> DataFrame:
+    """The engine's SQL entry: Calcite-dialect text in, DataFrame out."""
+    return spark.sql(rewrite(text, schema_views=schema_views,
+                             nulls_high=nulls_high))

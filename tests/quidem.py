@@ -1,0 +1,163 @@
+"""Minimal quidem-script reader + result comparator for tests/iq/.
+
+The reference's end-to-end conformance layer is quidem scripts
+(core/src/test/resources/sql/*.iq, run by CoreQuidemTest.java): SQL text
+followed by the expected result rendered as a mysql-style table, closed
+by ``!ok``. This module parses that exact format so tests/test_quidem.py
+can replay the reference's own cases against this engine.
+
+Comparison is ORDER-INSENSITIVE (multiset of rows): Calcite's expected
+tables freeze one physical tie-order and one null-collation; the
+engine's ordering semantics are pinned separately (sql.py nulls-high
+rewrite + the rank/row_number VALUES inside rows, which encode ordering
+in data). Numeric cells compare with 1e-9 tolerance; NULL renders as an
+empty cell; booleans as true/false; structs as Calcite's {a, b} form.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import re
+from decimal import Decimal
+
+from pyspark.sql import Row
+
+_SQL_KW = re.compile(r"^\s*(select|with|values)\b", re.I)
+
+
+def _parse_mysql_table(block: list[str]):
+    lines = [ln.rstrip() for ln in block if ln.strip()]
+    if not lines or not lines[0].startswith("+-"):
+        return None
+    header = lines[1]
+    cols = [c.strip() for c in header.strip("|").split("|")]
+    if len(lines) < 3 or not lines[2].startswith("+"):
+        return None
+    rows, k = [], 3
+    while k < len(lines) and lines[k].startswith("|"):
+        body = lines[k][1:-1] if lines[k].endswith("|") else lines[k][1:]
+        cells = [c.strip() for c in body.split("|")]
+        if len(cells) != len(cols):
+            return None
+        rows.append([None if c == "" else c for c in cells])
+        k += 1
+    if k >= len(lines) or not lines[k].startswith("+"):
+        return None
+    m = (re.search(r"\((\d+) rows?\)", lines[k + 1])
+         if k + 1 < len(lines) else None)
+    if m and int(m.group(1)) != len(rows):
+        return None
+    return cols, rows
+
+
+def parse_iq(path: str) -> list[dict]:
+    """Parse a quidem script into cases: {file, line, sql, cols, rows}.
+    ``!if (false) { ... !}`` blocks are skipped (disabled in the
+    reference's own runs); only ``!ok`` verdicts with a well-formed
+    mysql-format table become cases."""
+    lines = open(path).read().splitlines()
+    cases, i, disabled = [], 0, 0
+    while i < len(lines):
+        line = lines[i]
+        if re.match(r"!if\s*\(false\)", line):
+            disabled += 1
+            i += 1
+            continue
+        if disabled:
+            if line.strip() == "!}":
+                disabled -= 1
+            i += 1
+            continue
+        if not _SQL_KW.match(line):
+            i += 1
+            continue
+        stmt, start = [], i
+        while i < len(lines):
+            stmt.append(lines[i])
+            if lines[i].rstrip().endswith(";"):
+                i += 1
+                break
+            i += 1
+        sql = "\n".join(stmt).rstrip().rstrip(";")
+        block = []
+        while i < len(lines) and not lines[i].startswith("!"):
+            block.append(lines[i])
+            i += 1
+        verdict = lines[i] if i < len(lines) else ""
+        i += 1
+        if verdict.strip() == "!ok":
+            exp = _parse_mysql_table(block)
+            if exp:
+                cases.append({"file": path.rsplit("/", 1)[-1],
+                              "line": start + 1, "sql": sql,
+                              "cols": exp[0], "rows": exp[1]})
+    return cases
+
+
+def norm_cell(v):
+    """Normalize an engine value to quidem's rendering domain."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, Row):
+        # Calcite renders ROW values as {a, b} with unadorned field text
+        def elem(x):
+            if x is None:
+                return "null"
+            if isinstance(x, bool):
+                return "true" if x else "false"
+            return str(x)
+        return "{" + ", ".join(elem(x) for x in v) + "}"
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, float):
+        return v
+    if isinstance(v, int):
+        return float(v)
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return str(v)
+    if isinstance(v, list):
+        return "[" + ", ".join(str(norm_cell(x)) for x in v) + "]"
+    return str(v)
+
+
+def norm_expected(c):
+    if c is None:
+        return None
+    try:
+        return float(c)
+    except ValueError:
+        return c
+
+
+def cells_eq(a, b) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            return math.isclose(float(a), float(b),
+                                rel_tol=1e-9, abs_tol=1e-9)
+        except (TypeError, ValueError):
+            return False
+    return a == b
+
+
+def assert_rows_match(got_rows, expected_cells, tag: str) -> None:
+    grows = sorted(([norm_cell(v) for v in r] for r in got_rows), key=repr)
+    erows = sorted(([norm_expected(c) for c in r] for r in expected_cells),
+                   key=repr)
+    assert len(grows) == len(erows), (
+        f"{tag}: row count {len(grows)} vs expected {len(erows)}")
+    for gr, er in zip(grows, erows):
+        assert len(gr) == len(er), (
+            f"{tag}: column count {len(gr)} vs expected {len(er)}")
+        for k, (a, b) in enumerate(zip(gr, er)):
+            assert cells_eq(a, b), (
+                f"{tag}: col {k}: engine={a!r} expected={b!r}\n"
+                f" engine row:   {gr}\n expected row: {er}")

@@ -1097,3 +1097,26 @@ def test_contains_convex_rejects_concave_region(spark):
                (0.0, 10.0)]
     with _pytest.raises(ValueError, match="convex"):
         st_contains_convex(concave, F.lit(None))
+
+
+def test_outer_join_onesided_condition(spark):
+    """outer.iq:139 is DISABLED in the reference ("we cannot handle
+    non-equi-join"): a RIGHT JOIN whose ON clause carries a one-sided
+    predicate (emp.gender = 'F'). This engine executes it; the expected
+    rows below are the MySQL answer recorded inside the reference's own
+    disabled block — exceeds-reference behavior, pinned here."""
+    from drill_calcite_spark.sources.test_schemas import register_post
+
+    register_post(spark)
+    rows = sorted(
+        (tuple(r) for r in spark.sql(
+            "select * from emp right join dept "
+            "on emp.deptno = dept.deptno and emp.gender = 'F'").collect()),
+        key=repr)
+    assert rows == sorted([
+        ("Jane", 10, "F", 10, "Sales"),
+        ("Susan", 30, "F", 30, "Engineering"),
+        ("Alice", 30, "F", 30, "Engineering"),
+        (None, None, None, 20, "Marketing"),
+        (None, None, None, 40, "Empty"),
+    ], key=repr)
