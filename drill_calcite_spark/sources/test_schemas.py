@@ -128,3 +128,54 @@ def register_scott(spark: SparkSession) -> None:
     spark.createDataFrame(
         _SCOTT_SALGRADE, "grade int, losal int, hisal int"
     ).createOrReplaceTempView("scott_salgrade")
+
+
+# HR schema — JdbcTest.java:7147-7180 (FIXTURES.md §2): nullable
+# commission, array-of-struct employees, nullable struct location.
+_HR_EMPS = [
+    (100, 10, "Bill", 10000.0, 1000),
+    (200, 20, "Eric", 8000.0, 500),
+    (150, 10, "Sebastian", 7000.0, None),
+    (110, 10, "Theodore", 11500.0, 250),
+]
+_HR_DEPTS = [
+    (10, "Sales", [(100, 10, "Bill", 10000.0, 1000),
+                   (150, 10, "Sebastian", 7000.0, None)], (-122, 38)),
+    (30, "Marketing", [], (0, 52)),
+    (40, "HR", [(200, 20, "Eric", 8000.0, 500)], None),
+]
+_HR_DEPENDENTS = [(10, "Michael"), (10, "Jane")]
+_HR_LOCATIONS = [(10, "San Francisco"), (20, "San Diego")]
+
+_HR_EMP_TYPE = ("empid int, deptno int, name string, salary double, "
+                "commission int")
+
+
+def register_hr(spark: SparkSession) -> None:
+    """Register the HR schema as hr_-prefixed temp views."""
+    spark.createDataFrame(_HR_EMPS, _HR_EMP_TYPE) \
+        .createOrReplaceTempView("hr_emps")
+    spark.createDataFrame(
+        _HR_DEPTS,
+        f"deptno int, name string, employees array<struct<{_HR_EMP_TYPE}>>,"
+        " location struct<x int, y int>",
+    ).createOrReplaceTempView("hr_depts")
+    spark.createDataFrame(
+        _HR_DEPENDENTS, "empid int, name string"
+    ).createOrReplaceTempView("hr_dependents")
+    spark.createDataFrame(
+        _HR_LOCATIONS, "empid int, name string"
+    ).createOrReplaceTempView("hr_locations")
+
+
+# CATCHALL reflective schema — ReflectiveSchemaTest.java:946-994; the
+# quidem conditions.iq cases use its "nullables"/"bools" tables.
+_NULLABLES = [(1, "A"), (2, "B"), (2, "C"), (3, None)]
+_BOOLS = [(1, "T"), (2, "F"), (3, None)]
+
+
+def register_catchall(spark: SparkSession) -> None:
+    spark.createDataFrame(_NULLABLES, "id int, value string") \
+        .createOrReplaceTempView("nullables")
+    spark.createDataFrame(_BOOLS, "id int, value string") \
+        .createOrReplaceTempView("bools")

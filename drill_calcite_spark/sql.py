@@ -196,15 +196,222 @@ def _rewrite_nulls_high(text: str) -> str:
     return text
 
 
+_ALIAS_STOPWORDS = {
+    "as", "where", "join", "on", "using", "group", "order", "having",
+    "limit", "union", "intersect", "except", "minus", "left", "right",
+    "inner", "full", "cross", "natural", "fetch", "offset", "for",
+    "window", "tablesample", "lateral", "and", "or",
+}
+
+
+def _rewrite_schema_refs(text: str, schema: str, prefix: str) -> str:
+    """``"schema".tbl`` → ``prefix_tbl AS tbl`` — the implicit alias
+    Calcite gives a schema-qualified table (queries then reference
+    ``tbl.col``); the AS is suppressed when an explicit alias follows."""
+    pat = re.compile(rf'"{re.escape(schema)}"\s*\.\s*([A-Za-z_]\w*)', re.I)
+    out, consumed = [], 0
+    for m in pat.finditer(text):
+        out.append(text[consumed:m.start()])
+        tbl = m.group(1)
+        nxt = _word_at(text, m.end() + len(text[m.end():])
+                       - len(text[m.end():].lstrip()))
+        if nxt and nxt not in _ALIAS_STOPWORDS:
+            out.append(f"{prefix}{tbl}")          # explicit alias follows
+        elif nxt == "as":
+            out.append(f"{prefix}{tbl}")
+        else:
+            out.append(f"{prefix}{tbl} AS {tbl}")
+        consumed = m.end()
+    out.append(text[consumed:])
+    return "".join(out)
+
+
+def _rewrite_dquote_idents(text: str) -> str:
+    """Calcite lexes double-quoted tokens as IDENTIFIERS (Parser.jj
+    DQID); Spark wants backticks. '...' string literals are untouched."""
+    out, i, n = [], 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(text[i:j + 1])
+            i = j + 1
+        elif c == '"':
+            j = i + 1
+            body = []
+            while j < n:
+                if text[j] == '"':
+                    if j + 1 < n and text[j + 1] == '"':
+                        body.append('"')
+                        j += 2
+                        continue
+                    break
+                body.append(text[j])
+                j += 1
+            out.append("`" + "".join(body) + "`")
+            i = j + 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _wrap_call(text: str, name: str, new_open: str, extra_close: str) -> str:
+    """Replace ``name(args)`` with ``new_open args extra_close )`` keeping
+    args balanced (e.g. fusion(x) → flatten(collect_list(x)))."""
+    mask = _string_mask(text)
+    out, consumed = [], 0
+    for m in re.finditer(rf"\b{name}\s*\(", text, re.I):
+        if mask[m.start()]:
+            continue
+        depth, i = 1, m.end()
+        while i < len(text) and depth:
+            if not mask[i]:
+                if text[i] == "(":
+                    depth += 1
+                elif text[i] == ")":
+                    depth -= 1
+            i += 1
+        if depth:
+            continue
+        close = i - 1
+        out.append(text[consumed:m.start()])
+        out.append(new_open)
+        out.append(text[m.end():close])
+        out.append(extra_close + ")")
+        consumed = close + 1
+    out.append(text[consumed:])
+    return "".join(out)
+
+
+# x > ANY(S): TRUE iff some non-null element is beaten; UNKNOWN when the
+# verdict hinges on a NULL element or a NULL x; FALSE otherwise.
+# Aggregate forms follow Calcite's SubQueryRemoveRule expansion
+# (rules/SubQueryRemoveRule.java — min/max + count guards).
+_QUANT_AGG = {("some", ">"): "min", ("some", ">="): "min",
+              ("some", "<"): "max", ("some", "<="): "max",
+              ("all", ">"): "max", ("all", ">="): "max",
+              ("all", "<"): "min", ("all", "<="): "min"}
+
+
+def _quant_case(lhs: str, op: str, quant: str, sub: str) -> str:
+    agg = _QUANT_AGG[(quant, op)]
+    cnt_all = f"(SELECT count(*) FROM ({sub}) AS __q(__c))"
+    cnt_val = f"(SELECT count(__c) FROM ({sub}) AS __q(__c))"
+    agg_val = f"(SELECT {agg}(__c) FROM ({sub}) AS __q(__c))"
+    null = "CAST(NULL AS BOOLEAN)"
+    if quant == "some":
+        return (f"(CASE WHEN {cnt_all} = 0 THEN FALSE"
+                f" WHEN ({lhs}) {op} {agg_val} THEN TRUE"
+                f" WHEN {cnt_val} < {cnt_all} OR ({lhs}) IS NULL"
+                f" THEN {null} ELSE FALSE END)")
+    return (f"(CASE WHEN {cnt_all} = 0 THEN TRUE"
+            f" WHEN NOT (({lhs}) {op} {agg_val}) THEN FALSE"
+            f" WHEN {cnt_val} < {cnt_all} OR ({lhs}) IS NULL"
+            f" THEN {null} ELSE TRUE END)")
+
+
+_QUANT_PAT = re.compile(
+    r'([A-Za-z_`"][\w`".]*)\s*(=|<>|!=|<=|>=|<|>)\s*(any|some|all)\s*\(',
+    re.I)
+
+
+def _rewrite_quantified(text: str) -> str:
+    """Quantified comparisons over UNCORRELATED subqueries
+    (SqlStdOperatorTable.java:404-440): ``= ANY`` → IN, ``<> ALL`` →
+    NOT IN, ordered ops → Calcite's min/max + count-guard expansion
+    (rules/SubQueryRemoveRule.java), preserving three-valued logic.
+    The quidem some.iq corpus (NULL-element edge cases) is the check."""
+    mask = _string_mask(text)
+    while True:
+        m = _QUANT_PAT.search(text)
+        if not m or mask[m.start()]:
+            if not m:
+                return text
+            # inside a string: give up (no such case in practice)
+            return text
+        lhs, op, quant = m.group(1), m.group(2), m.group(3).lower()
+        depth, i = 1, m.end()
+        while i < len(text) and depth:
+            if text[i] == "(":
+                depth += 1
+            elif text[i] == ")":
+                depth -= 1
+            i += 1
+        sub = text[m.end():i - 1]
+        if not re.match(r"\s*(select|with|values)\b", sub, re.I):
+            # quantified over a VALUE LIST: x > ALL (a, b) — lift the
+            # list into a VALUES subquery and reuse the same expansion
+            items = ", ".join(f"({v.strip()})" for v in sub.split(","))
+            sub = f"SELECT __v FROM (VALUES {items}) AS __t(__v)"
+        quant_kind = "some" if quant in ("any", "some") else "all"
+        if op == "=" and quant_kind == "some":
+            repl = f"(({lhs}) IN ({sub}))"
+        elif op in ("<>", "!=") and quant_kind == "all":
+            repl = f"(({lhs}) NOT IN ({sub}))"
+        elif (quant_kind, op) in _QUANT_AGG:
+            repl = _quant_case(lhs, op, quant_kind, sub)
+        else:
+            raise ValueError(
+                f"calcite_sql: quantified {op} {quant.upper()} has no "
+                "three-valued-logic-preserving rewrite here; use the "
+                "builder API's quantified forms")
+        text = text[:m.start()] + repl + text[i:]
+        mask = _string_mask(text)
+
+
+def _rewrite_array_literals(text: str) -> str:
+    """ARRAY[a, b] / MULTISET[a, b] → array(a, b), innermost first."""
+    pat = re.compile(r"\b(array|multiset)\s*\[", re.I)
+    while True:
+        m = pat.search(text)
+        if not m:
+            return text
+        depth, i = 1, m.end()
+        while i < len(text) and depth:
+            if text[i] == "[":
+                depth += 1
+            elif text[i] == "]":
+                depth -= 1
+            i += 1
+        if depth:
+            return text  # unbalanced — leave untouched
+        body = text[m.end():i - 1]
+        text = text[:m.start()] + "array(" + body + ")" + text[i:]
+
+
 def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
             nulls_high: bool = True) -> str:
     """Apply the Calcite-dialect rewrites; returns plain Spark SQL."""
     text = text.rstrip().rstrip(";")
     for schema, prefix in (schema_views or {}).items():
-        text = re.sub(rf'"{re.escape(schema)}"\s*\.\s*', prefix, text,
-                      flags=re.I)
+        text = _rewrite_schema_refs(text, schema, prefix)
+    text = _rewrite_dquote_idents(text)
+    text = _rewrite_quantified(text)
     text = _rewrite_floor_to(text)
     text = _rewrite_listagg(text)
+    # COLLECT → collect_list; FUSION → flatten(collect_list(..))
+    # (SqlStdOperatorTable.java:2165; FUSION multiset-union aggregate)
+    text = re.sub(r"\bcollect\s*\(", "collect_list(", text, flags=re.I)
+    text = _wrap_call(text, "fusion", "flatten(collect_list(", ")")
+    # GROUP BY () = the single global group
+    text = re.sub(r"\bgroup\s+by\s+\(\)", "", text, flags=re.I)
+    # ARRAY[..] / MULTISET[..] literal constructors → array(..)
+    # (SqlStdOperatorTable.java:2038-2045; MULTISET = unordered ArrayType
+    # per SURVEY §1.2 — the quidem comparator applies multiset equality)
+    text = _rewrite_array_literals(text)
+    # niladic PI
+    text = re.sub(r"(?<![\w.'])pi(?![\w('])", "pi()", text, flags=re.I)
+    # ROW(a, b) value constructor → struct(a, b)
+    # (SqlStdOperatorTable.java:1176; rendering stays Calcite's {a, b})
+    text = re.sub(r"\brow\s*\(", "struct(", text, flags=re.I)
     if nulls_high:
         text = _rewrite_nulls_high(text)
     return text

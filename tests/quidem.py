@@ -102,14 +102,7 @@ def norm_cell(v):
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, Row):
-        # Calcite renders ROW values as {a, b} with unadorned field text
-        def elem(x):
-            if x is None:
-                return "null"
-            if isinstance(x, bool):
-                return "true" if x else "false"
-            return str(x)
-        return "{" + ", ".join(elem(x) for x in v) + "}"
+        return _row_text(v)
     if isinstance(v, Decimal):
         return float(v)
     if isinstance(v, float):
@@ -119,13 +112,53 @@ def norm_cell(v):
     if isinstance(v, (datetime.date, datetime.datetime)):
         return str(v)
     if isinstance(v, list):
-        return "[" + ", ".join(str(norm_cell(x)) for x in v) + "]"
+        # Calcite COLLECT/FUSION produce MULTISETS (unordered): compare
+        # as a sorted element multiset, rendered Calcite-style
+        return ("__multiset__", tuple(sorted(_elem_text(x) for x in v)))
     return str(v)
+
+
+def _elem_text(x) -> str:
+    if x is None:
+        return "null"
+    if isinstance(x, bool):
+        return "true" if x else "false"
+    if isinstance(x, Row):
+        return _row_text(x)
+    return str(x)
+
+
+def _row_text(v: Row) -> str:
+    """Calcite renders ROW values as {a, b} with unadorned field text."""
+    return "{" + ", ".join(_elem_text(x) for x in v) + "}"
+
+
+def _split_multiset(body: str) -> list[str]:
+    """Split a rendered multiset body on commas OUTSIDE {...} structs."""
+    out, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
 
 
 def norm_expected(c):
     if c is None:
         return None
+    if c.startswith("[") and c.endswith("]"):
+        body = c[1:-1].strip()
+        elems = _split_multiset(body) if body else []
+        return ("__multiset__", tuple(sorted(elems)))
     try:
         return float(c)
     except ValueError:

@@ -41,12 +41,16 @@ _CASES = _all_cases()
 @pytest.fixture(scope="module")
 def quidem_schemas(spark):
     from drill_calcite_spark.sources.test_schemas import (
+        register_catchall,
+        register_hr,
         register_post,
         register_scott,
     )
 
     register_post(spark)
     register_scott(spark)
+    register_hr(spark)
+    register_catchall(spark)
     yield
 
 
@@ -55,10 +59,10 @@ def quidem_schemas(spark):
 def test_quidem_case(spark, quidem_schemas, case):
     from drill_calcite_spark.sql import calcite_sql
 
-    df = calcite_sql(spark, case["sql"], schema_views={"scott": "scott_"})
+    df = calcite_sql(spark, case["sql"], schema_views={"scott": "scott_", "hr": "hr_"})
     got = df.limit(2000).collect()
     assert_rows_match(got, case["rows"], f'{case["file"]}:{case["line"]}')
 
 
 def test_corpus_is_nonempty():
-    assert len(_CASES) >= 200, f"quidem corpus shrank: {len(_CASES)} cases"
+    assert len(_CASES) >= 320, f"quidem corpus shrank: {len(_CASES)} cases"

@@ -62,14 +62,87 @@ def test_ceil_to_unit_rejected():
         rewrite("select ceil(ts to hour) from t")
 
 
-def test_string_literals_untouched():
-    sql = "select 'order by x' as s, \"order\" from t"
-    assert rewrite(sql) == sql
+def test_string_literals_untouched_identifiers_backticked():
+    out = rewrite("select 'order by x' as s, \"order\" from t")
+    assert out == "select 'order by x' as s, `order` from t"
 
 
-def test_schema_views_mapping():
+def test_schema_views_mapping_explicit_alias():
     out = rewrite('select * from "scott".emp e join "scott".dept d '
                   "on e.deptno = d.deptno", schema_views={"scott": "scott_"},
                   nulls_high=False)
     assert out == ("select * from scott_emp e join scott_dept d "
                    "on e.deptno = d.deptno")
+
+
+def test_schema_views_mapping_implicit_alias():
+    """Calcite gives '"scott".emp' the implicit alias 'emp'; the rewrite
+    must preserve it so emp.col references still resolve."""
+    out = rewrite('select emp.job from "scott".emp where emp.sal > 1000',
+                  schema_views={"scott": "scott_"}, nulls_high=False)
+    assert out == ("select emp.job from scott_emp AS emp "
+                   "where emp.sal > 1000")
+
+
+def test_quantified_eq_any_to_in():
+    out = rewrite("select * from t where x = any (select y from u)",
+                  nulls_high=False)
+    assert "IN (select y from u)" in out
+
+
+def test_quantified_neq_all_to_not_in():
+    out = rewrite("select * from t where x <> all (select y from u)",
+                  nulls_high=False)
+    assert "NOT IN (select y from u)" in out
+
+
+def test_quantified_gt_any_expansion():
+    out = rewrite("select * from t where x > any (select y from u)",
+                  nulls_high=False)
+    assert "min(__c)" in out and "count(__c)" in out
+    assert "CASE WHEN" in out and "THEN FALSE" in out
+
+
+def test_quantified_lt_all_expansion():
+    out = rewrite("select * from t where x < all (select y from u)",
+                  nulls_high=False)
+    assert "min(__c)" in out and "THEN TRUE" in out
+
+
+def test_collect_and_fusion_renames():
+    out = rewrite("select collect(distinct d) as a, fusion(arr) as b from t",
+                  nulls_high=False)
+    assert out == ("select collect_list(distinct d) as a, "
+                   "flatten(collect_list(arr)) as b from t")
+
+
+def test_group_by_unit_removed():
+    out = rewrite("select count(1) from t where false group by ()",
+                  nulls_high=False)
+    assert "group by" not in out.lower()
+
+
+def test_niladic_pi():
+    out = rewrite("values (degrees(pi), degrees(-pi / 2))", nulls_high=False)
+    assert out == "values (degrees(pi()), degrees(-pi() / 2))"
+
+
+def test_quantified_value_list():
+    out = rewrite("select * from t where sal > all (4000, 2000)",
+                  nulls_high=False)
+    assert "VALUES (4000), (2000)" in out and "max(__c)" in out
+
+
+def test_array_and_multiset_literals():
+    assert rewrite("select array[1,null,2] as a from t",
+                   nulls_high=False) == \
+        "select array(1,null,2) as a from t"
+    assert rewrite("select multiset[1, array[2, 3]] as m from t",
+                   nulls_high=False) == \
+        "select array(1, array(2, 3)) as m from t"
+
+
+def test_row_constructor():
+    out = rewrite("select ROW(1, 2) as r, row_number() over (order by x) "
+                  "from t", nulls_high=False)
+    assert out.startswith("select struct(1, 2) as r, row_number() over")
