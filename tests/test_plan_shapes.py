@@ -172,3 +172,41 @@ def test_tpcds_round7_plan_shapes(spark):
     assert ("LeftSemi" in plans["ds_quantity_stats"]
             and "BroadcastHashJoin" in plans["ds_quantity_stats"]), \
         "q17-shape returned-item prune / part broadcast missing"
+
+
+def test_quantified_expansion_merges_scalar_subqueries(spark):
+    """100 TB contract for the quantified SOME/ALL textual expansion
+    (sql.py): its four count/min-max scalar subqueries over the same
+    relation must collapse into ONE shared aggregate (Catalyst's
+    MergeScalarSubqueries emits a single named_struct mergedValue) —
+    one scan of the subquery relation, not four."""
+    from drill_calcite_spark.sources.test_schemas import register_scott
+    from drill_calcite_spark.sql import calcite_sql
+
+    register_scott(spark)
+    df = calcite_sql(
+        spark,
+        'select ename from "scott".emp '
+        'where sal > all (select comm * 2 from "scott".emp)',
+        schema_views={"scott": "scott_"})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "mergedValue" in plan, (
+        "quantified expansion's subqueries were not merged:\n" + plan[:500])
+
+
+def test_geo_setops_map_only_and_kafka_single_shuffle(spark):
+    """func_geo_setops is pure column algebra (no Exchange);
+    source_kafka_convert is map-side encode/decode + ONE partial-agg
+    shuffle on MSG_PARTITION."""
+    qs = entrymod.queries()
+    geo = _plan(qs["func_geo_setops"](spark, SF_DIR))
+    assert "Exchange" not in geo, f"geo setops shuffles: {geo[:400]}"
+    kafka = _plan(qs["source_kafka_convert"](spark, SF_DIR))
+    n_exchange = kafka.count("Exchange hashpartitioning")
+    # 2 = the count(DISTINCT event_type) expansion: partial agg on
+    # (partition, type) then final on partition — both partial-aggregated
+    # map-side; the encode/decode itself adds no shuffle.
+    assert n_exchange == 2, (
+        f"kafka convert expected the 2-phase distinct-agg exchanges, "
+        f"saw {n_exchange}:\n" + kafka[:400])
+    assert "Exchange rangepartitioning" not in kafka
