@@ -60,7 +60,8 @@ def test_similar_to_brace_validation():
 def _runs(seq, pattern, skip_past=True):
     """seq: string per row of applicable symbols, e.g. ['S','SD','SU']."""
     symrows = [set(s) for s in seq]
-    return _find_matches(symrows, _parse_pattern(pattern), skip_past)
+    skip = ("past_last",) if skip_past else ("next_row",)
+    return _find_matches(symrows, _parse_pattern(pattern), skip)
 
 
 def test_nfa_greedy_plus():
@@ -1120,3 +1121,63 @@ def test_outer_join_onesided_condition(spark):
         (None, None, None, 20, "Marketing"),
         (None, None, None, 40, "Empty"),
     ], key=repr)
+
+
+def test_match_recognize_ticker_skip_to_last_up(spark):
+    """The canonical TICKER V-shape MATCH_RECOGNIZE with AFTER MATCH SKIP
+    TO LAST UP (match.iq:164-180 — a case the reference itself DISABLES;
+    its enabled match.iq cases record the experimental Enumerable
+    implementation's nonstandard output, see tests/iq/README.md).
+    Expected matches are hand-derived from the 20-day TICKER fixture
+    under SQL:2016 semantics; SKIP TO LAST UP makes match 2 START on
+    match 1's final rise (2017-12-10) — the overlap that
+    skip_past_last_row cannot produce."""
+    import pandas as pd
+
+    from drill_calcite_spark.operators.match_recognize import (
+        match_recognize,
+    )
+    from drill_calcite_spark.sources.test_schemas import register_post
+
+    register_post(spark)
+    ticker = spark.table("ticker")
+    out = match_recognize(
+        ticker, ["symbol"], ["tstamp"],
+        pattern="STRT DOWN+ UP+",
+        define={
+            "DOWN": lambda p: p["price"] < p["price"].shift(1),
+            "UP": lambda p: p["price"] > p["price"].shift(1),
+        },
+        measures={
+            "symbol": lambda p, m: p["symbol"].iloc[0],
+            "start_tstamp": lambda p, m: p["tstamp"].iloc[m["STRT"][0]],
+            "bottom_tstamp": lambda p, m: p["tstamp"].iloc[m["DOWN"][-1]],
+            "end_tstamp": lambda p, m: p["tstamp"].iloc[m["UP"][-1]],
+        },
+        output_schema=("symbol string, start_tstamp date, "
+                       "bottom_tstamp date, end_tstamp date"),
+        after_match="skip_to_last UP",
+    )
+    rows = sorted((r.symbol, str(r.start_tstamp), str(r.bottom_tstamp),
+                   str(r.end_tstamp)) for r in out.collect())
+    assert rows == [
+        ("ACME", "2017-12-05", "2017-12-06", "2017-12-10"),
+        ("ACME", "2017-12-10", "2017-12-12", "2017-12-13"),
+        ("ACME", "2017-12-14", "2017-12-16", "2017-12-18"),
+    ]
+
+
+def test_match_recognize_skip_mode_validation(spark):
+    """Malformed AFTER MATCH text still fails at translate time."""
+    import pytest as _pytest
+
+    from drill_calcite_spark.operators.match_recognize import (
+        match_recognize,
+    )
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    with _pytest.raises(ValueError, match="AFTER MATCH"):
+        match_recognize(
+            df, ["id"], ["id"], "A", {"A": lambda p: p["v"] > 0},
+            {"id": lambda p, m: p["id"].iloc[0]}, "id long",
+            after_match="skip_sideways")
