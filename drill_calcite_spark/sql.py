@@ -367,6 +367,45 @@ def _rewrite_quantified(text: str) -> str:
         mask = _string_mask(text)
 
 
+def _rewrite_multiarg_count(text: str) -> str:
+    """Calcite's composite COUNT(a, b, ...) counts rows where EVERY
+    argument is non-null (SqlStdOperatorTable COUNT is multi-arg;
+    agg.iq's "composite count" cases). Spark's COUNT takes one argument
+    unless DISTINCT — rewrite to count(CASE WHEN ... THEN 1 END)."""
+    mask = _string_mask(text)
+    out, consumed = [], 0
+    for m in re.finditer(r"\bcount\s*\(", text, re.I):
+        if mask[m.start()]:
+            continue
+        depth, i = 1, m.end()
+        commas = []
+        while i < len(text) and depth:
+            if not mask[i]:
+                c = text[i]
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                elif c == "," and depth == 1:
+                    commas.append(i)
+            i += 1
+        if depth or not commas:
+            continue
+        close = i - 1
+        body = text[m.end():close]
+        if re.match(r"\s*distinct\b", body, re.I):
+            continue  # count(DISTINCT a, b) is native
+        bounds = [m.end()] + [c + 1 for c in commas] + [close + 1]
+        args = [text[bounds[k]:bounds[k + 1] - 1].strip()
+                for k in range(len(bounds) - 1)]
+        cond = " AND ".join(f"({a}) IS NOT NULL" for a in args)
+        out.append(text[consumed:m.start()])
+        out.append(f"count(CASE WHEN {cond} THEN 1 END)")
+        consumed = close + 1
+    out.append(text[consumed:])
+    return "".join(out)
+
+
 def _rewrite_array_literals(text: str) -> str:
     """ARRAY[a, b] / MULTISET[a, b] → array(a, b), innermost first."""
     pat = re.compile(r"\b(array|multiset)\s*\[", re.I)
@@ -412,6 +451,7 @@ def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
     # ROW(a, b) value constructor → struct(a, b)
     # (SqlStdOperatorTable.java:1176; rendering stays Calcite's {a, b})
     text = re.sub(r"\brow\s*\(", "struct(", text, flags=re.I)
+    text = _rewrite_multiarg_count(text)
     if nulls_high:
         text = _rewrite_nulls_high(text)
     return text
@@ -420,6 +460,17 @@ def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
 def calcite_sql(spark: SparkSession, text: str, *,
                 schema_views: "dict[str, str] | None" = None,
                 nulls_high: bool = True) -> DataFrame:
-    """The engine's SQL entry: Calcite-dialect text in, DataFrame out."""
-    return spark.sql(rewrite(text, schema_views=schema_views,
-                             nulls_high=nulls_high))
+    """The engine's SQL entry: Calcite-dialect text in, DataFrame out.
+
+    Runs with ``spark.sql.groupByOrdinal=false`` for the duration of the
+    parse: Calcite's default conformance does NOT read GROUP BY integers
+    as ordinals (SqlConformance.isGroupByOrdinal() = false — ``GROUP BY
+    1`` groups by the constant), while ORDER BY ordinals stay on
+    (isSortByOrdinal() = true), matching Spark's separate conf."""
+    prev = spark.conf.get("spark.sql.groupByOrdinal", "true")
+    spark.conf.set("spark.sql.groupByOrdinal", "false")
+    try:
+        return spark.sql(rewrite(text, schema_views=schema_views,
+                                 nulls_high=nulls_high))
+    finally:
+        spark.conf.set("spark.sql.groupByOrdinal", prev)

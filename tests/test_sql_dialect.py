@@ -146,3 +146,15 @@ def test_row_constructor():
     out = rewrite("select ROW(1, 2) as r, row_number() over (order by x) "
                   "from t", nulls_high=False)
     assert out.startswith("select struct(1, 2) as r, row_number() over")
+
+
+def test_multiarg_count():
+    out = rewrite("select count(deptno, ename, 1, deptno) as c from emp",
+                  nulls_high=False)
+    assert out == ("select count(CASE WHEN (deptno) IS NOT NULL AND "
+                   "(ename) IS NOT NULL AND (1) IS NOT NULL AND "
+                   "(deptno) IS NOT NULL THEN 1 END) as c from emp")
+    # single-arg and DISTINCT forms untouched
+    for sql in ("select count(x) from t", "select count(*) from t",
+                "select count(distinct a, b) from t"):
+        assert rewrite(sql, nulls_high=False) == sql
