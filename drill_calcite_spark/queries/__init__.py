@@ -45,10 +45,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #     plus full cumulative r1-r6 evidence), the Kafka row-converter
 #     plumbing driven end-to-end (source_kafka_convert, in
 #     unnest_words' slot — unnest keeps unnest_with_ordinality here),
-#     and the Calcite-dialect SQL front door (sql_calcite_dialect —
-#     sql.py rewrites + the 226-case quidem conformance corpus; took
+#     the Calcite-dialect SQL front door (sql_calcite_dialect —
+#     sql.py rewrites + the 328-case quidem conformance corpus; took
 #     subquery_in's slot, that family keeps subquery_scalar_correlated
-#     and subquery_not_in_null below). To hold 50, nine
+#     and subquery_not_in_null below), and the DYNAMIC_STAR
+#     heterogeneous-batch schema-merge battery (source_dynamic_star, in
+#     q4_order_priority's slot — TPC-H keeps 7 other refreshes here
+#     plus all six new tpch3 queries). To hold 50, nine
 #     multi-representative-family or trivial names rotated out (ALL
 #     set-op variants, union-distinct, mv_filter_rewrite,
 #     recursive_numbers, subquery_quantified_some, values_inline,
@@ -74,11 +77,11 @@ _DRIVER_PRIORITY = [
     "ds_returns_above_avg", "ds_cross_channel_band",
     "ds_multi_supplier_orders", "ds_quantity_stats", "func_geo_clip",
     "func_period_ops", "agg_sum0_anyvalue", "func_geo_setops",
-    "source_kafka_convert", "sql_calcite_dialect",
+    "source_kafka_convert", "sql_calcite_dialect", "source_dynamic_star",
     # (b) code touched in round 7
     "func_json_depth", "agg_fusion", "func_geo_poly_poly",
     # (c) oldest evidence (round 2)
-    "q4_order_priority", "q10_returned_items", "q12_priority_shipping",
+    "q10_returned_items", "q12_priority_shipping",
     "q14_promo_effect", "q22_global_sales_opportunity", "q7_volume_shipping",
     "q8_market_share", "q13_customer_distribution", "q15_top_supplier",
     "q17_small_quantity", "q19_discounted_revenue",

@@ -391,3 +391,60 @@ def source_kafka_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("MSG_TIMESTAMP").alias("min_ts_ms"),
         F.max("MSG_TIMESTAMP").alias("max_ts_ms"),
     )
+
+
+_DYN_STAR_SQL = """
+SELECT coalesce(CASE WHEN event_id < 5000 THEN event_type END,
+                '<absent>')                                   AS etype,
+       count(*)                                               AS n,
+       sum(CASE WHEN event_id >= 5000
+                THEN value::DECIMAL(18,6) END)::DOUBLE        AS total_value,
+       count(CASE WHEN event_id < 5000 THEN 1 END)            AS n_typed
+FROM events WHERE event_id < 10000
+GROUP BY 1
+"""
+
+
+@q("source_dynamic_star", _DYN_STAR_SQL)
+def source_dynamic_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC_STAR schema-on-read over HETEROGENEOUS batches — the
+    Drill-fork hallmark (rel/type/DynamicRecordType.java:24-37 '**'
+    columns; sql/type/SqlTypeName.java:121): two JSON batches carry
+    DIFFERENT field sets (batch A: event_id/user_id/event_type; batch B:
+    event_id/user_id/value), one scan discovers the UNION row type
+    (fields "added on reference" — Spark's JSON schema union is the
+    validate-time analogue, SURVEY §1.3), and conform_to coerces the
+    discovered frame to the catalog row type with typed NULLs where a
+    batch lacks a field. The aggregate proves per-batch field absence
+    surfaces as NULL, not as error or dropped rows. Scale: inference
+    samples; at 100 TB pass the explicit schema (files.py module note) —
+    the discovery path here is the schema-on-query surface itself."""
+    import os as _os
+
+    from pyspark.sql.types import StructType
+
+    from drill_calcite_spark.sources.files import conform_to
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 10000)
+    base = _os.path.join(_fixture_dir(sf_dir), "dyn_star")
+    if not _os.path.exists(base):
+        ev.filter(F.col("event_id") < 5000) \
+            .select("event_id", "user_id", "event_type") \
+            .coalesce(1).write.mode("overwrite").json(base + "/a")
+        ev.filter(F.col("event_id") >= 5000) \
+            .select("event_id", "user_id", "value") \
+            .coalesce(1).write.mode("overwrite").json(base + "/b")
+    discovered = (
+        spark.read.option("recursiveFileLookup", "true").json(base)
+    )
+    target = StructType.fromDDL(
+        "event_id bigint, user_id bigint, event_type string, value double")
+    df = conform_to(discovered, target)
+    return df.groupBy(
+        F.coalesce(F.col("event_type"), F.lit("<absent>")).alias("etype")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+        .alias("total_value"),
+        F.count(F.col("event_type")).alias("n_typed"),
+    )
