@@ -208,11 +208,12 @@ def _rewrite_schema_refs(text: str, schema: str, prefix: str) -> str:
     """``"schema".tbl`` → ``prefix_tbl AS tbl`` — the implicit alias
     Calcite gives a schema-qualified table (queries then reference
     ``tbl.col``); the AS is suppressed when an explicit alias follows."""
-    pat = re.compile(rf'"{re.escape(schema)}"\s*\.\s*([A-Za-z_]\w*)', re.I)
+    pat = re.compile(
+        rf'"{re.escape(schema)}"\s*\.\s*(?:([A-Za-z_]\w*)|"(\w+)")', re.I)
     out, consumed = [], 0
     for m in pat.finditer(text):
         out.append(text[consumed:m.start()])
-        tbl = m.group(1)
+        tbl = m.group(1) or m.group(2)
         nxt = _word_at(text, m.end() + len(text[m.end():])
                        - len(text[m.end():].lstrip()))
         if nxt and nxt not in _ALIAS_STOPWORDS:
@@ -426,10 +427,104 @@ def _rewrite_array_literals(text: str) -> str:
         text = text[:m.start()] + "array(" + body + ")" + text[i:]
 
 
+_MSET_OP = re.compile(
+    r"\bmultiset\s+(except|union|intersect)\b(?:\s+(all|distinct))?", re.I)
+
+
+def _operand_back(text: str, end: int) -> int:
+    """Start index of the expression ending just before ``end``: a
+    balanced ``name(...)``/``(...)`` group or a (dotted) identifier."""
+    i = end
+    while i > 0 and text[i - 1].isspace():
+        i -= 1
+    if i > 0 and text[i - 1] == ")":
+        depth = 0
+        while i > 0:
+            i -= 1
+            if text[i] == ")":
+                depth += 1
+            elif text[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+        # include an attached function name
+        j = i
+        while j > 0 and (text[j - 1].isalnum() or text[j - 1] in "_."):
+            j -= 1
+        return j
+    j = i
+    while j > 0 and (text[j - 1].isalnum() or text[j - 1] in "_.`"):
+        j -= 1
+    return j
+
+
+def _operand_fwd(text: str, start: int) -> int:
+    """End index of the expression starting at/after ``start``."""
+    i = start
+    while i < len(text) and text[i].isspace():
+        i += 1
+    j = i
+    while j < len(text) and (text[j].isalnum() or text[j] in "_.`"):
+        j += 1
+    while j < len(text) and text[j].isspace():
+        j += 1
+    if j < len(text) and text[j] == "(":
+        depth = 0
+        while j < len(text):
+            if text[j] == "(":
+                depth += 1
+            elif text[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    return j + 1
+            j += 1
+    return j
+
+
+def _mset_expr(op: str, qual: str, left: str, right: str) -> str:
+    """MULTISET binary ops (SqlStdOperatorTable.java:113-143); the
+    unqualified forms are ALL (bag semantics) — pinned by operator.iq's
+    expected outputs. Bag forms count occurrences per distinct element
+    (O(distinct x n) per row — same shape as the registered
+    func_multiset_predicates battery)."""
+    def cnt(arr):
+        return f"size(filter({arr}, __x -> __x = __e))"
+
+    if op == "union":
+        base = f"concat({left}, {right})"
+        return f"array_distinct({base})" if qual == "distinct" else base
+    if op == "intersect":
+        if qual == "distinct":
+            return f"array_intersect({left}, {right})"
+        return (f"flatten(transform(array_distinct({left}), __e -> "
+                f"array_repeat(__e, least({cnt(left)}, {cnt(right)}))))")
+    if qual == "distinct":
+        return f"array_except({left}, {right})"
+    return (f"flatten(transform(array_distinct({left}), __e -> "
+            f"array_repeat(__e, greatest({cnt(left)} - {cnt(right)}, 0))))")
+
+
+def _rewrite_multiset_binops(text: str) -> str:
+    while True:
+        m = _MSET_OP.search(text)
+        if not m:
+            return text
+        lstart = _operand_back(text, m.start())
+        rend = _operand_fwd(text, m.end())
+        left = text[lstart:m.start()].strip()
+        right = text[m.end():rend].strip()
+        expr = _mset_expr(m.group(1).lower(),
+                          (m.group(2) or "all").lower(), left, right)
+        text = text[:lstart] + expr + text[rend:]
+
+
 def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
             nulls_high: bool = True) -> str:
     """Apply the Calcite-dialect rewrites; returns plain Spark SQL."""
     text = text.rstrip().rstrip(";")
+    # (TABLE t) explicit-table operator → (SELECT * FROM t)
+    text = re.sub(r"\(\s*table\s+([^)]+)\)", r"(select * from \1)", text,
+                  flags=re.I)
     for schema, prefix in (schema_views or {}).items():
         text = _rewrite_schema_refs(text, schema, prefix)
     text = _rewrite_dquote_idents(text)
@@ -446,6 +541,9 @@ def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
     # (SqlStdOperatorTable.java:2038-2045; MULTISET = unordered ArrayType
     # per SURVEY §1.2 — the quidem comparator applies multiset equality)
     text = _rewrite_array_literals(text)
+    # MULTISET EXCEPT/UNION/INTERSECT [ALL|DISTINCT] binary operators
+    # (after the literal rewrite so operands are array(..) expressions)
+    text = _rewrite_multiset_binops(text)
     # niladic PI
     text = re.sub(r"(?<![\w.'])pi(?![\w('])", "pi()", text, flags=re.I)
     # ROW(a, b) value constructor → struct(a, b)
@@ -454,6 +552,20 @@ def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
     text = _rewrite_multiarg_count(text)
     if nulls_high:
         text = _rewrite_nulls_high(text)
+    # Spark inline tables (VALUES) reject non-foldable expressions such
+    # as the lambda-based multiset rewrites — a single-row VALUES of one
+    # expression is SELECT-without-FROM
+    if re.match(r"\s*values\b", text, re.I) and "->" in text:
+        depth, top_comma = 0, False
+        for ch in text:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                top_comma = True
+        if not top_comma:
+            text = re.sub(r"^\s*values\b", "select", text, flags=re.I)
     return text
 
 

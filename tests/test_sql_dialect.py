@@ -158,3 +158,24 @@ def test_multiarg_count():
     for sql in ("select count(x) from t", "select count(*) from t",
                 "select count(distinct a, b) from t"):
         assert rewrite(sql, nulls_high=False) == sql
+
+
+def test_multiset_binary_ops():
+    from drill_calcite_spark.sql import rewrite as rw
+
+    out = rw("values multiset ['a','c','a'] multiset except multiset ['a']",
+             nulls_high=False)
+    assert out.startswith("select flatten(transform(array_distinct(")
+    assert "greatest(" in out
+    out2 = rw("select a multiset union distinct b from t", nulls_high=False)
+    assert "array_distinct(concat(a, b))" in out2
+    out3 = rw("select a multiset intersect distinct b from t",
+              nulls_high=False)
+    assert "array_intersect(a, b)" in out3
+
+
+def test_table_operator():
+    out = rewrite('select * from (table "scott".emp) where deptno = 10',
+                  schema_views={"scott": "scott_"}, nulls_high=False)
+    assert out == ("select * from (select * from scott_emp AS emp) "
+                   "where deptno = 10")
