@@ -61,6 +61,12 @@ def get_spark(
         # --- python boundary: Arrow batches for the pandas-UDF operators ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- DDL surface: managed CREATE TABLE targets land in a
+        # per-process scratch warehouse, never the repo cwd (the quidem
+        # blank-schema cases create real tables) ---
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE",
+                               f"/tmp/spark_graft_warehouse_{os.getpid()}"))
         # --- local-mode niceties (no-ops on a cluster manager) ---
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

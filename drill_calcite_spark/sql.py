@@ -208,8 +208,11 @@ def _rewrite_schema_refs(text: str, schema: str, prefix: str) -> str:
     """``"schema".tbl`` → ``prefix_tbl AS tbl`` — the implicit alias
     Calcite gives a schema-qualified table (queries then reference
     ``tbl.col``); the AS is suppressed when an explicit alias follows."""
+    # schema may be quoted ("scott".emp) or bare (GEO."countries" —
+    # spatial.iq addresses the geo catalog unquoted)
     pat = re.compile(
-        rf'"{re.escape(schema)}"\s*\.\s*(?:([A-Za-z_]\w*)|"(\w+)")', re.I)
+        rf'(?:"{re.escape(schema)}"|\b{re.escape(schema)}\b)'
+        rf'\s*\.\s*(?:([A-Za-z_]\w*)|"(\w+)")', re.I)
     out, consumed = [], 0
     for m in pat.finditer(text):
         out.append(text[consumed:m.start()])
@@ -518,6 +521,77 @@ def _rewrite_multiset_binops(text: str) -> str:
         text = text[:lstart] + expr + text[rend:]
 
 
+_VALUES_OPEN = re.compile(r"\(\s*values\b", re.I)
+_VALUES_ALIAS = re.compile(
+    r"\s*(?:as\s+)?([A-Za-z_]\w*)\s*\(([^)]*)\)", re.I)
+_CALL_IN_CELL = re.compile(r"[A-Za-z_]\w*\s*\(")
+
+
+def _split_depth0(s: str) -> "list[str]":
+    """Split on commas at paren depth 0, respecting string literals."""
+    mask = _string_mask(s)
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if mask[i]:
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return parts
+
+
+def _rewrite_values_exprs(text: str) -> str:
+    """Calcite evaluates arbitrary expressions inside a VALUES inline
+    table; Spark's inline tables accept only foldable literals
+    (INVALID_INLINE_TABLE.CANNOT_EVALUATE_EXPRESSION_IN_INLINE_TABLE —
+    SQL-UDF calls like the spatial battery's ST_Buffer rows are
+    rejected). Rewrite ``(VALUES (e1, e2), …) AS t(c1, c2)`` whose rows
+    contain function calls into the equivalent
+    ``(SELECT e1 AS c1, e2 AS c2 UNION ALL …) AS t``."""
+    mask = _string_mask(text)
+    matches = [m for m in _VALUES_OPEN.finditer(text) if not mask[m.start()]]
+    for m in reversed(matches):
+        depth, end = 0, None
+        for j in range(m.start(), len(text)):
+            if mask[j]:
+                continue
+            if text[j] == "(":
+                depth += 1
+            elif text[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    end = j
+                    break
+        if end is None:
+            continue
+        alias = _VALUES_ALIAS.match(text, end + 1)
+        if not alias:
+            continue
+        rows = [r.strip() for r in _split_depth0(text[m.end():end])]
+        cols = [c.strip() for c in alias.group(2).split(",")]
+        cells_by_row = []
+        for r in rows:
+            body = r[1:-1] if r.startswith("(") and r.endswith(")") else r
+            cells_by_row.append([c.strip() for c in _split_depth0(body)])
+        if not any(_CALL_IN_CELL.search(c)
+                   for row in cells_by_row for c in row):
+            continue  # plain literal rows: Spark handles them natively
+        if any(len(row) != len(cols) for row in cells_by_row):
+            continue
+        selects = " UNION ALL ".join(
+            "SELECT " + ", ".join(f"{cell} AS {col}"
+                                  for cell, col in zip(row, cols))
+            for row in cells_by_row)
+        text = (text[:m.start()] + "(" + selects + ") AS "
+                + alias.group(1) + text[alias.end():])
+    return text
+
+
 def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
             nulls_high: bool = True) -> str:
     """Apply the Calcite-dialect rewrites; returns plain Spark SQL."""
@@ -546,6 +620,18 @@ def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
     text = _rewrite_multiset_binops(text)
     # niladic PI
     text = re.sub(r"(?<![\w.'])pi(?![\w('])", "pi()", text, flags=re.I)
+    # Spatial dialect glue (functions/geo_sqlfn.py): Calcite's GEOMETRY
+    # type is this engine's ESRI-JSON string; Spark 4.1's native
+    # st_setsrid/st_srid builtins cannot be replaced by SQL UDFs, so
+    # the Calcite spellings map onto the '2'-suffixed registrations;
+    # VALUES rows with function calls become UNION ALL selects.
+    text = re.sub(r"\bas\s+geometry\b", "as string", text, flags=re.I)
+    # Calcite accepts length-less VARCHAR in CAST (unbounded); Spark
+    # demands VARCHAR(n) — map the bare form to STRING
+    text = re.sub(r"\bas\s+varchar\s*\)", "as string)", text, flags=re.I)
+    text = re.sub(r"\bst_setsrid\s*\(", "ST_SetSRID2(", text, flags=re.I)
+    text = re.sub(r"\bst_srid\s*\(", "ST_SRID2(", text, flags=re.I)
+    text = _rewrite_values_exprs(text)
     # ROW(a, b) value constructor → struct(a, b)
     # (SqlStdOperatorTable.java:1176; rendering stays Calcite's {a, b})
     text = re.sub(r"\brow\s*\(", "struct(", text, flags=re.I)

@@ -24,6 +24,8 @@ from decimal import Decimal
 from pyspark.sql import Row
 
 _SQL_KW = re.compile(r"^\s*(select|with|values)\b", re.I)
+_SETUP_KW = re.compile(r"^\s*(create|insert|update|delete|drop|merge)\b",
+                       re.I)
 
 
 def _parse_mysql_table(block: list[str]):
@@ -51,13 +53,57 @@ def _parse_mysql_table(block: list[str]):
     return cols, rows
 
 
+_TRUNC = re.compile(r"^(.*)\.\.\. \((\d+) characters\)$")
+
+
+def _parse_csv_table(block: list[str]):
+    """Quidem's ``!set outputformat csv`` rendering (spatial.iq): a
+    header line of comma-space-separated column names, then one line
+    per row. NULL renders as the text ``null``; a cell longer than
+    quidem's limit renders as ``<prefix>... (N characters)`` — kept as
+    a ("__trunc__", prefix, length) marker that cells_eq checks by
+    prefix + total length."""
+    lines = [ln for ln in block if ln.strip()]
+    if len(lines) < 1 or lines[0].startswith(("+", "|")):
+        return None
+    cols = [c.strip() for c in lines[0].split(", ")]
+    rows = []
+    for ln in lines[1:]:
+        if len(cols) == 1:
+            cells = [ln.strip()]
+        else:
+            cells = [c.strip() for c in ln.split(", ")]
+            if len(cells) != len(cols):
+                return None
+        out = []
+        for c in cells:
+            m = _TRUNC.match(c)
+            if m:
+                out.append(("__trunc__", m.group(1), int(m.group(2))))
+            else:
+                out.append(None if c == "null" else c)
+        rows.append(out)
+    return cols, rows
+
+
 def parse_iq(path: str) -> list[dict]:
     """Parse a quidem script into cases: {file, line, sql, cols, rows}.
     ``!if (false) { ... !}`` blocks are skipped (disabled in the
     reference's own runs); only ``!ok`` verdicts with a well-formed
-    mysql-format table become cases."""
+    mysql-format or csv-format table become cases."""
     lines = open(path).read().splitlines()
-    cases, i, disabled = [], 0, 0
+    cases, setups, i, disabled = [], [], 0, 0
+
+    def read_block():
+        nonlocal i
+        block = []
+        while i < len(lines) and not lines[i].startswith("!"):
+            block.append(lines[i])
+            i += 1
+        verdict = lines[i].strip() if i < len(lines) else ""
+        i += 1
+        return block, verdict
+
     while i < len(lines):
         line = lines[i]
         if re.match(r"!if\s*\(false\)", line):
@@ -69,7 +115,8 @@ def parse_iq(path: str) -> list[dict]:
                 disabled -= 1
             i += 1
             continue
-        if not _SQL_KW.match(line):
+        is_setup = bool(_SETUP_KW.match(line))
+        if not (_SQL_KW.match(line) or is_setup):
             i += 1
             continue
         stmt, start = [], i
@@ -80,18 +127,25 @@ def parse_iq(path: str) -> list[dict]:
                 break
             i += 1
         sql = "\n".join(stmt).rstrip().rstrip(";")
-        block = []
-        while i < len(lines) and not lines[i].startswith("!"):
-            block.append(lines[i])
-            i += 1
-        verdict = lines[i] if i < len(lines) else ""
-        i += 1
-        if verdict.strip() == "!ok":
-            exp = _parse_mysql_table(block)
+        block, verdict = read_block()
+        if is_setup:
+            # DDL/DML followed by "(N rows modified)" + !update: record
+            # as ordered setup state for the cases that follow
+            # (blank.iq's create-table/insert preludes)
+            if verdict == "!update":
+                setups.append(sql)
+            continue
+        # a case may print its plan first: `!plan` block(s) precede the
+        # result table (blank.iq's CALCITE-1493 battery)
+        while verdict in ("!plan", "!type"):
+            block, verdict = read_block()
+        if verdict == "!ok":
+            exp = _parse_mysql_table(block) or _parse_csv_table(block)
             if exp:
                 cases.append({"file": path.rsplit("/", 1)[-1],
                               "line": start + 1, "sql": sql,
-                              "cols": exp[0], "rows": exp[1]})
+                              "cols": exp[0], "rows": exp[1],
+                              "setup": tuple(setups)})
     return cases
 
 
@@ -155,6 +209,8 @@ def _split_multiset(body: str) -> list[str]:
 def norm_expected(c):
     if c is None:
         return None
+    if isinstance(c, tuple):          # ("__trunc__", prefix, length)
+        return c
     if c.startswith("[") and c.endswith("]"):
         body = c[1:-1].strip()
         elems = _split_multiset(body) if body else []
@@ -166,6 +222,10 @@ def norm_expected(c):
 
 
 def cells_eq(a, b) -> bool:
+    if isinstance(b, tuple) and len(b) == 3 and b[0] == "__trunc__":
+        # quidem-truncated long cell: compare prefix + total length
+        return (isinstance(a, str) and len(a) == b[2]
+                and a.startswith(b[1]))
     if a is None or b is None:
         return a is None and b is None
     if isinstance(a, float) and isinstance(b, float):

@@ -40,8 +40,10 @@ _CASES = _all_cases()
 
 @pytest.fixture(scope="module")
 def quidem_schemas(spark):
+    from drill_calcite_spark.functions.geo_sqlfn import register_geo_sql
     from drill_calcite_spark.sources.test_schemas import (
         register_catchall,
+        register_geo,
         register_hr,
         register_post,
         register_scott,
@@ -51,7 +53,30 @@ def quidem_schemas(spark):
     register_scott(spark)
     register_hr(spark)
     register_catchall(spark)
+    register_geo(spark)
+    register_geo_sql(spark)
     yield
+
+
+# per-file count of already-executed setup statements (blank.iq's
+# create-table/insert preludes run once, in order, as cases need them)
+_SETUPS_DONE: dict[str, int] = {}
+
+
+def _run_setups(spark, case):
+    import re
+
+    setups = case.get("setup") or ()
+    done = _SETUPS_DONE.get(case["file"], 0)
+    for stmt in setups[done:]:
+        m = re.match(r"\s*create\s+table\s+(\w+)", stmt, re.I)
+        if m:
+            # idempotent re-create into the scratch warehouse; Spark's
+            # v1 parquet tables reject column NOT NULL constraints
+            spark.sql(f"DROP TABLE IF EXISTS {m.group(1)}")
+            stmt = re.sub(r"\s+not\s+null\b", "", stmt, flags=re.I)
+        spark.sql(stmt)
+    _SETUPS_DONE[case["file"]] = max(done, len(setups))
 
 
 @pytest.mark.parametrize(
@@ -59,10 +84,13 @@ def quidem_schemas(spark):
 def test_quidem_case(spark, quidem_schemas, case):
     from drill_calcite_spark.sql import calcite_sql
 
-    df = calcite_sql(spark, case["sql"], schema_views={"scott": "scott_", "hr": "hr_"})
+    _run_setups(spark, case)
+    df = calcite_sql(spark, case["sql"],
+                     schema_views={"scott": "scott_", "hr": "hr_",
+                                   "GEO": "geo_"})
     got = df.limit(2000).collect()
     assert_rows_match(got, case["rows"], f'{case["file"]}:{case["line"]}')
 
 
 def test_corpus_is_nonempty():
-    assert len(_CASES) >= 360, f"quidem corpus shrank: {len(_CASES)} cases"
+    assert len(_CASES) >= 445, f"quidem corpus shrank: {len(_CASES)} cases"
