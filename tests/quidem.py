@@ -98,6 +98,12 @@ def parse_iq(path: str) -> list[dict]:
         nonlocal i
         block = []
         while i < len(lines) and not lines[i].startswith("!"):
+            # a new statement beginning means the previous one carried
+            # NO verdict — quidem never executes verdict-less
+            # statements (table_as.iq's bare `drop table d4;`), so
+            # neither do we
+            if _SQL_KW.match(lines[i]) or _SETUP_KW.match(lines[i]):
+                return block, ""
             block.append(lines[i])
             i += 1
         verdict = lines[i].strip() if i < len(lines) else ""
@@ -135,9 +141,11 @@ def parse_iq(path: str) -> list[dict]:
             if verdict == "!update":
                 setups.append(sql)
             continue
-        # a case may print its plan first: `!plan` block(s) precede the
-        # result table (blank.iq's CALCITE-1493 battery)
-        while verdict in ("!plan", "!type"):
+        # a case may print its plan first or last: `!plan` blocks wrap
+        # the result table (blank.iq's CALCITE-1493 battery,
+        # materialized_view.iq's exact-match case); `!type` terminates
+        # a case without a result table (table.iq) — not a case here
+        while verdict == "!plan":
             block, verdict = read_block()
         if verdict == "!ok":
             exp = _parse_mysql_table(block) or _parse_csv_table(block)

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 
 import pytest
 
@@ -58,24 +59,157 @@ def quidem_schemas(spark):
     yield
 
 
-# per-file count of already-executed setup statements (blank.iq's
-# create-table/insert preludes run once, in order, as cases need them)
+# per-file count of already-executed setup statements (the
+# create-table/insert/view/schema preludes of blank.iq and the server
+# DDL scripts run once, in order, as cases need them)
 _SETUPS_DONE: dict[str, int] = {}
+
+# Calcite server-DDL (server/src/main/codegen — CREATE [MATERIALIZED]
+# VIEW / TABLE [AS] / SCHEMA) → Spark DDL. A materialized view executes
+# as a real table (the precompute half of the contract; the engine's
+# substitution/rewrite surface is plans/materialized.py, exercised by
+# mv_* registry entries). CREATE TABLE AS with a column ALIAS list — a
+# Calcite form Spark's CTAS grammar lacks — runs the query and saves it
+# under the renamed columns.
+_CREATE_RE = re.compile(
+    r"\s*create\s+(or\s+replace\s+)?(materialized\s+view|table|view)\s+"
+    r"(if\s+not\s+exists\s+)?([\w.]+)\s*"
+    r"(\(((?:[^()]|\([^()]*\))*)\))?\s*(as\b(.*))?",
+    re.I | re.S)
+
+
+def _alias_select_items(query: str, collist: str) -> "str | None":
+    """Rewrite ``select e1, e2 from …`` to ``select (e1) AS c1, … from
+    …`` using the view's column alias list. Returns None (caller falls
+    back to the native DDL) unless the query is a plain top-level
+    SELECT whose item count matches the list."""
+    from drill_calcite_spark.sql import _split_depth0, _string_mask
+
+    m = re.match(r"(\s*select\s+)(.*)$", query, re.I | re.S)
+    if not m:
+        return None
+    rest = m.group(2)
+    mask = _string_mask(rest)
+    depth, from_idx = 0, None
+    for i, ch in enumerate(rest):
+        if mask[i]:
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and rest[i:i + 5].lower() == "from " and (
+                i == 0 or not (rest[i - 1].isalnum() or rest[i - 1] == "_")):
+            from_idx = i
+            break
+    if from_idx is None:
+        return None
+    items = [it.strip() for it in _split_depth0(rest[:from_idx])]
+    cols = [c.strip() for c in _split_depth0(collist)]
+    if len(items) != len(cols):
+        return None
+    aliased = []
+    for it, col in zip(items, cols):
+        it = re.sub(r'\s+as\s+("[^"]+"|\w+)\s*$', "", it, flags=re.I)
+        aliased.append(f"({it}) AS {col}")
+    return m.group(1) + ", ".join(aliased) + " " + rest[from_idx:]
+
+
+def _exec_setup(spark, stmt: str) -> None:
+    from drill_calcite_spark.sql import calcite_sql
+
+    s = stmt.strip()
+    m = re.match(r"\s*create\s+(or\s+replace\s+)?schema\s+"
+                 r"(if\s+not\s+exists\s+)?(\w+)", s, re.I)
+    if m:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {m.group(3)}")
+        return
+    m = re.match(r"\s*drop\s+schema\s+(if\s+exists\s+)?(\w+)", s, re.I)
+    if m:
+        spark.sql(f"DROP DATABASE IF EXISTS {m.group(2)} CASCADE")
+        return
+    s = re.sub(r"\bdrop\s+materialized\s+view\b", "drop table", s,
+               flags=re.I)
+    m = _CREATE_RE.match(s)
+    if m:
+        or_replace, kind, if_not_exists, name, _, collist, as_kw, query = \
+            m.groups()
+        kind = "table" if "materialized" in kind.lower() else kind.lower()
+        if not (if_not_exists or or_replace):
+            # idempotent re-create (fresh in-file create; also guards
+            # same-named objects created by OTHER corpus files); twice
+            # because the first DROP removes a same-named fixture TEMP
+            # view when one shadows the real object
+            spark.sql(f"DROP {kind.upper()} IF EXISTS {name}")
+            spark.sql(f"DROP {kind.upper()} IF EXISTS {name}")
+        if kind == "view":
+            # Spark's CREATE [OR REPLACE] VIEW natively takes the
+            # optional column alias list and a VALUES query — but
+            # unlike Calcite it still demands an explicit alias on
+            # every select-list EXPRESSION (view.iq's `select i, i + 1`
+            # under a column list), so push the list's names down as
+            # aliases when the defining query is a plain select
+            if collist and collist.strip():
+                aliased = _alias_select_items(query or "", collist)
+                if aliased is not None:
+                    orr = "OR REPLACE " if or_replace else ""
+                    calcite_sql(
+                        spark,
+                        f"CREATE {orr}VIEW {name} ({collist}) AS {aliased}")
+                    return
+            calcite_sql(spark, s)
+            return
+        if as_kw and query:
+            if query.lstrip().lower().startswith("values"):
+                query = f"select * from ({query})"
+            if if_not_exists and spark.catalog.tableExists(name):
+                return
+            if collist and collist.strip():
+                # strip optional declared types; Calcite keeps the
+                # query's types (table_as.iq d7/d10)
+                cols = [c.strip().split()[0].strip('"')
+                        for c in collist.split(",")]
+                calcite_sql(spark, query).toDF(*cols) \
+                    .write.saveAsTable(name)
+                return
+            spark.sql(f"CREATE TABLE {name} AS {query}")
+            return
+        # plain column-defined CREATE TABLE: Spark's v1 parquet tables
+        # reject column NOT NULL constraints — strip them — and Spark
+        # ENFORCES varchar(n) length where Calcite does not
+        # (table_as.iq inserts 'Engineering' into varchar(10)) — widen
+        # to string to match the reference's leniency
+        s = re.sub(r"\s+not\s+null\b", "", s, flags=re.I)
+        s = re.sub(r"\bvarchar\s*\(\d+\)", "string", s, flags=re.I)
+    calcite_sql(spark, s)
+
+
+_CURRENT_FILE = [None]
 
 
 def _run_setups(spark, case):
-    import re
+    if case["file"] != _CURRENT_FILE[0]:
+        # file boundary: restore the data fixtures. The DDL scripts'
+        # own `drop table dept` legitimately removes a same-named
+        # fixture TEMP view (Spark's DROP TABLE drops temp views), and
+        # their created tables must not leak into the next script's
+        # unqualified name resolution — re-registering the temp views
+        # re-shadows them.
+        from drill_calcite_spark.sources.test_schemas import (
+            register_catchall, register_geo, register_hr, register_post,
+            register_scott,
+        )
 
+        register_post(spark)
+        register_scott(spark)
+        register_hr(spark)
+        register_catchall(spark)
+        register_geo(spark)
+        _CURRENT_FILE[0] = case["file"]
     setups = case.get("setup") or ()
     done = _SETUPS_DONE.get(case["file"], 0)
     for stmt in setups[done:]:
-        m = re.match(r"\s*create\s+table\s+(\w+)", stmt, re.I)
-        if m:
-            # idempotent re-create into the scratch warehouse; Spark's
-            # v1 parquet tables reject column NOT NULL constraints
-            spark.sql(f"DROP TABLE IF EXISTS {m.group(1)}")
-            stmt = re.sub(r"\s+not\s+null\b", "", stmt, flags=re.I)
-        spark.sql(stmt)
+        _exec_setup(spark, stmt)
     _SETUPS_DONE[case["file"]] = max(done, len(setups))
 
 
@@ -93,4 +227,4 @@ def test_quidem_case(spark, quidem_schemas, case):
 
 
 def test_corpus_is_nonempty():
-    assert len(_CASES) >= 445, f"quidem corpus shrank: {len(_CASES)} cases"
+    assert len(_CASES) >= 470, f"quidem corpus shrank: {len(_CASES)} cases"
