@@ -592,6 +592,87 @@ def _rewrite_values_exprs(text: str) -> str:
     return text
 
 
+_RANKING_FNS = ("rank", "dense_rank", "row_number", "ntile",
+                "percent_rank", "cume_dist")
+_OVER_RE = re.compile(r"\bover\s*\(", re.I)
+
+
+def _rewrite_unordered_windows(text: str) -> str:
+    """Calcite permits ranking functions over an UNORDERED window;
+    Spark requires an ORDER BY. For ROW_NUMBER-family functions append
+    the constant ``order by 1`` (window-spec ordinals are constants in
+    Spark, so every row stays a peer). RANK/DENSE_RANK over an
+    unordered window return the PARTITION ROW COUNT in the reference's
+    own runs — redshift.iq:685 expects 14 for every row from ``rank()
+    over ()`` and the partition sizes from ``rank() over (partition by
+    deptno)`` (:703) — i.e. every row ranks behind all its peers;
+    ``count(*)`` over the same partition reproduces that exactly (and
+    needs no ORDER BY)."""
+    mask = _string_mask(text)
+    out, consumed = [], 0
+    for m in _OVER_RE.finditer(text):
+        if mask[m.start()] or m.start() < consumed:
+            continue
+        # ranking function call directly before OVER?
+        head = text[:m.start()].rstrip()
+        fn = re.search(r"([a-z_]+)\s*\(([^()]*)\)$", head, re.I)
+        if not fn or fn.group(1).lower() not in _RANKING_FNS:
+            continue
+        depth, j = 1, m.end()
+        while j < len(text) and depth:
+            if not mask[j]:
+                if text[j] == "(":
+                    depth += 1
+                elif text[j] == ")":
+                    depth -= 1
+            j += 1
+        spec = text[m.end():j - 1]
+        if re.search(r"\border\s+by\b", spec, re.I):
+            continue
+        name = fn.group(1).lower()
+        out.append(text[consumed:fn.start()])
+        if name in ("rank", "dense_rank"):
+            out.append("count(*)")
+            out.append(text[fn.end():j - 1])
+        else:
+            out.append(f"{name}({fn.group(2)})")
+            out.append(text[fn.end():j - 1])
+            out.append(" order by 1" if spec.strip() else "order by 1")
+        consumed = j - 1
+    out.append(text[consumed:])
+    return "".join(out)
+
+
+def _rewrite_unary_minmax(text: str) -> str:
+    """Calcite accepts 1-argument GREATEST/LEAST (identity;
+    redshift.iq:859); Spark demands at least two arguments — unwrap the
+    single-argument form."""
+    pat = re.compile(r"\b(greatest|least)\s*\(", re.I)
+    while True:
+        mask = _string_mask(text)
+        m = next((mm for mm in pat.finditer(text) if not mask[mm.start()]),
+                 None)
+        if m is None:
+            return text
+        depth, j, comma = 1, m.end(), False
+        while j < len(text) and depth:
+            if not mask[j]:
+                if text[j] == "(":
+                    depth += 1
+                elif text[j] == ")":
+                    depth -= 1
+                elif text[j] == "," and depth == 1:
+                    comma = True
+            j += 1
+        if comma:
+            # ≥ 2 args: leave it (rescan from the end of this call)
+            head, tail = text[:j], text[j:]
+            tail = _rewrite_unary_minmax(tail)
+            return head + tail
+        text = (text[:m.start()] + "(" + text[m.end():j - 1].strip() + ")"
+                + text[j:])
+
+
 def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
             nulls_high: bool = True) -> str:
     """Apply the Calcite-dialect rewrites; returns plain Spark SQL."""
@@ -618,8 +699,13 @@ def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
     # MULTISET EXCEPT/UNION/INTERSECT [ALL|DISTINCT] binary operators
     # (after the literal rewrite so operands are array(..) expressions)
     text = _rewrite_multiset_binops(text)
-    # niladic PI
-    text = re.sub(r"(?<![\w.'])pi(?![\w('])", "pi()", text, flags=re.I)
+    # niladic PI — but not when `pi` is a column ALIAS (… AS pi;
+    # redshift.iq:1475 `select atan2(2,2) * 4 as pi`)
+    def _pi(m):
+        before = text[:m.start()].rstrip().lower()
+        return m.group(0) if before.endswith(" as") else "pi()"
+
+    text = re.sub(r"(?<![\w.'])pi(?![\w('])", _pi, text, flags=re.I)
     # Spatial dialect glue (functions/geo_sqlfn.py): Calcite's GEOMETRY
     # type is this engine's ESRI-JSON string; Spark 4.1's native
     # st_setsrid/st_srid builtins cannot be replaced by SQL UDFs, so
@@ -632,6 +718,8 @@ def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
     text = re.sub(r"\bst_setsrid\s*\(", "ST_SetSRID2(", text, flags=re.I)
     text = re.sub(r"\bst_srid\s*\(", "ST_SRID2(", text, flags=re.I)
     text = _rewrite_values_exprs(text)
+    text = _rewrite_unordered_windows(text)
+    text = _rewrite_unary_minmax(text)
     # ROW(a, b) value constructor → struct(a, b)
     # (SqlStdOperatorTable.java:1176; rendering stays Calcite's {a, b})
     text = re.sub(r"\brow\s*\(", "struct(", text, flags=re.I)

@@ -93,16 +93,21 @@ def parse_iq(path: str) -> list[dict]:
     mysql-format or csv-format table become cases."""
     lines = open(path).read().splitlines()
     cases, setups, i, disabled = [], [], 0, 0
+    use = next((ln.split(None, 1)[1].strip() for ln in lines
+                if ln.startswith("!use ")), None)
 
     def read_block():
         nonlocal i
         block = []
         while i < len(lines) and not lines[i].startswith("!"):
-            # a new statement beginning means the previous one carried
-            # NO verdict — quidem never executes verdict-less
+            # a new DDL/DML statement beginning means the previous one
+            # carried NO verdict — quidem never executes verdict-less
             # statements (table_as.iq's bare `drop table d4;`), so
-            # neither do we
-            if _SQL_KW.match(lines[i]) or _SETUP_KW.match(lines[i]):
+            # neither do we. Only setup keywords stop the block: an
+            # expected block may itself start with SELECT text
+            # (redshift.iq's !explain-validated-on blocks hold the
+            # validated SQL).
+            if _SETUP_KW.match(lines[i]):
                 return block, ""
             block.append(lines[i])
             i += 1
@@ -153,7 +158,7 @@ def parse_iq(path: str) -> list[dict]:
                 cases.append({"file": path.rsplit("/", 1)[-1],
                               "line": start + 1, "sql": sql,
                               "cols": exp[0], "rows": exp[1],
-                              "setup": tuple(setups)})
+                              "setup": tuple(setups), "use": use})
     return cases
 
 

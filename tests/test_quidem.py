@@ -205,6 +205,12 @@ def _run_setups(spark, case):
         register_hr(spark)
         register_catchall(spark)
         register_geo(spark)
+        if (case.get("use") or "").startswith("scott"):
+            # scott-redshift / scott-babel address scott UNQUALIFIED
+            # (redshift.iq's `select … from emp`): alias the scott
+            # fixtures over the POST names for this file
+            for t in ("emp", "dept", "salgrade"):
+                spark.table(f"scott_{t}").createOrReplaceTempView(t)
         _CURRENT_FILE[0] = case["file"]
     setups = case.get("setup") or ()
     done = _SETUPS_DONE.get(case["file"], 0)
@@ -227,4 +233,4 @@ def test_quidem_case(spark, quidem_schemas, case):
 
 
 def test_corpus_is_nonempty():
-    assert len(_CASES) >= 470, f"quidem corpus shrank: {len(_CASES)} cases"
+    assert len(_CASES) >= 575, f"quidem corpus shrank: {len(_CASES)} cases"
