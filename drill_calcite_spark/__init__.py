@@ -14,6 +14,8 @@ similarity search, text analysis, multimodal columns).
 from drill_calcite_spark.session import get_spark, stop_spark
 from drill_calcite_spark.catalog import register_tables, load_tables, TABLES
 from drill_calcite_spark.plans.builder import Rel
+from drill_calcite_spark.sql import calcite_sql
+from drill_calcite_spark.functions.geo_sqlfn import register_geo_sql
 
 __all__ = [
     "get_spark",
@@ -22,6 +24,8 @@ __all__ = [
     "load_tables",
     "TABLES",
     "Rel",
+    "calcite_sql",
+    "register_geo_sql",
 ]
 
 __version__ = "0.1.0"

@@ -11,8 +11,10 @@ as the ESRI JSON of the underlying com.esri.core.geometry object
 surface adopts **ESRI JSON text as the geometry representation**: every
 function below is a pure Catalyst expression over that string — parse
 with ``from_json``, build with ``concat``/higher-order array functions —
-no Python UDF anywhere, so a 100 TB spatial filter stays inside
-whole-stage codegen exactly like the rest of the engine.
+no Python UDF anywhere, so a 100 TB spatial pipeline stays map-only on
+the executor JVM (the higher-order lambdas evaluate interpreted, outside
+whole-stage codegen, but never cross an Arrow/Python boundary;
+tests/test_plan_shapes.py pins the no-Exchange/no-Python shape).
 
 Plan-size discipline (the 100 TB concern for an inlined-macro surface):
 Spark SQL scalar UDFs are macro-inlined by Catalyst

@@ -210,3 +210,18 @@ def test_geo_setops_map_only_and_kafka_single_shuffle(spark):
         f"kafka convert expected the 2-phase distinct-agg exchanges, "
         f"saw {n_exchange}:\n" + kafka[:400])
     assert "Exchange rangepartitioning" not in kafka
+
+
+def test_sql_spatial_surface_map_only_jvm_side(spark):
+    """sql_spatial_surface: the SQL-UDF ST_* calls macro-inline into
+    plain Catalyst expressions — the whole battery is ONE map-only
+    projection over the scan with no Exchange and no Python boundary
+    (the higher-order lambdas run interpreted-eval on the executor JVM;
+    they are outside whole-stage codegen but never cross into Python) —
+    the 100 TB contract of functions/geo_sqlfn.py's binding
+    discipline."""
+    plan = _plan(entrymod.queries()["sql_spatial_surface"](spark, SF_DIR))
+    assert "Exchange" not in plan, f"spatial surface shuffles: {plan[:400]}"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, \
+        "spatial surface crossed into Python"
+    assert plan.count("Scan parquet") == 1, "expected exactly one scan"
