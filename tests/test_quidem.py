@@ -115,10 +115,37 @@ def _alias_select_items(query: str, collist: str) -> "str | None":
     return m.group(1) + ", ".join(aliased) + " " + rest[from_idx:]
 
 
+# CREATE TYPE name AS <type> (server/type.iq) — Calcite user-defined
+# type aliases; column definitions substitute the Spark type text
+_TYPE_ALIASES: dict[str, str] = {}
+
+
+def _register_type(name: str, defn: str) -> None:
+    defn = defn.strip().rstrip(";").strip()
+    if defn.startswith("("):
+        body = defn[1:-1]
+        fields = []
+        for f in body.split(","):
+            toks = f.split()
+            ftype = " ".join(t for t in toks[1:]
+                             if t.lower() not in ("not", "null"))
+            fields.append(f"{toks[0]}: {ftype}")
+        _TYPE_ALIASES[name.lower()] = f"STRUCT<{', '.join(fields)}>"
+    else:
+        _TYPE_ALIASES[name.lower()] = defn
+
+
 def _exec_setup(spark, stmt: str) -> None:
     from drill_calcite_spark.sql import calcite_sql
 
     s = stmt.strip()
+    m = re.match(r"\s*create\s+type\s+(\w+)\s+as\s+(.*)$", s,
+                 re.I | re.S)
+    if m:
+        _register_type(m.group(1), m.group(2))
+        return
+    for alias, sparktype in _TYPE_ALIASES.items():
+        s = re.sub(rf"\b{alias}\b", sparktype, s, flags=re.I)
     m = re.match(r"\s*create\s+(or\s+replace\s+)?schema\s+"
                  r"(if\s+not\s+exists\s+)?(\w+)", s, re.I)
     if m:
@@ -137,11 +164,17 @@ def _exec_setup(spark, stmt: str) -> None:
         kind = "table" if "materialized" in kind.lower() else kind.lower()
         if not (if_not_exists or or_replace):
             # idempotent re-create (fresh in-file create; also guards
-            # same-named objects created by OTHER corpus files); twice
-            # because the first DROP removes a same-named fixture TEMP
-            # view when one shadows the real object
-            spark.sql(f"DROP {kind.upper()} IF EXISTS {name}")
-            spark.sql(f"DROP {kind.upper()} IF EXISTS {name}")
+            # same-named objects created by OTHER corpus files, which
+            # may be the OTHER kind — type.iq's table `v` vs view.iq's
+            # view `v`); twice because the first DROP removes a
+            # same-named fixture TEMP view when one shadows the real
+            # object
+            for _ in range(2):
+                for cmd in ("DROP VIEW IF EXISTS", "DROP TABLE IF EXISTS"):
+                    try:
+                        spark.sql(f"{cmd} {name}")
+                    except Exception:
+                        pass  # wrong kind for this name — other cmd wins
         if kind == "view":
             # Spark's CREATE [OR REPLACE] VIEW natively takes the
             # optional column alias list and a VALUES query — but
@@ -233,4 +266,4 @@ def test_quidem_case(spark, quidem_schemas, case):
 
 
 def test_corpus_is_nonempty():
-    assert len(_CASES) >= 575, f"quidem corpus shrank: {len(_CASES)} cases"
+    assert len(_CASES) >= 580, f"quidem corpus shrank: {len(_CASES)} cases"
