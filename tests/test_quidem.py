@@ -2,9 +2,10 @@
 against the engine's Calcite-dialect SQL front door.
 
 Corpus provenance: every case in tests/iq/ is copied VERBATIM (SQL +
-expected result table) from the reference's end-to-end scripts
-core/src/test/resources/sql/*.iq (Apache Calcite, Apache-2.0) — the
-source file:line is recorded above each case. These are conformance
+expected result table) from the reference's end-to-end scripts —
+core/src/test/resources/sql/*.iq, server/src/test/resources/sql/*.iq,
+babel/src/test/resources/sql/redshift.iq (Apache Calcite, Apache-2.0) —
+the source file:line is recorded above each case. These are conformance
 DATA — queries plus the answers the reference itself prints — used here
 exactly as BASELINE.md prescribes: hold this engine to the reference's
 results on the reference's own test queries. See tests/iq/README.md for
