@@ -73,3 +73,70 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def connected_components(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst",
+    max_iterations: int = 25, checkpoint_every: int = 4,
+) -> DataFrame:
+    """Connected components over an undirected edge list via synchronous
+    min-label propagation: every node starts as its own component and
+    repeatedly takes the minimum component id among itself and its
+    neighbors until a fixed point. Returns (node, component) where
+    component = the smallest node id in the node's component.
+
+    This is the cluster-formation step a dedup pipeline needs after
+    candidate-pair generation: MinHash/LSH emits near-duplicate PAIRS
+    (operators/dedup.py); keeping one document per duplicate GROUP
+    requires the transitive closure of those pairs — see
+    queries/llm.py `dedup_clusters`. Reference parity: the iterative
+    RepeatUnion/Spool plan class (rel/core/RepeatUnion.java), same as
+    pagerank above.
+
+    Scale contract: each round is ONE edges⋈labels shuffle + one
+    min-aggregate — labels are (node, component), tiny next to edges,
+    and broadcast when small. Rounds needed = graph diameter; LSH
+    near-dup clusters are near-cliques (diameter ~2), so 3-4 rounds
+    close real corpora — far below GraphX's alternating large/small-star
+    constant factors for this workload. Convergence is detected with one
+    count() action per round (an O(nodes) aggregate, not a collect) and
+    the loop stops early; ``localCheckpoint`` truncates loop lineage.
+    Deterministic: min() is order-independent, so the result is exact
+    regardless of partitioning — a DuckDB recursive-CTE transitive
+    closure replays it (the `dedup_clusters` oracle).
+    """
+    und = (
+        edges.select(F.col(src).alias("__a"), F.col(dst).alias("__b"))
+        .union(edges.select(F.col(dst).alias("__a"),
+                            F.col(src).alias("__b")))
+        .distinct()
+    )
+    labels = (
+        und.select(F.col("__a").alias("node")).distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for i in range(max_iterations):
+        neigh_min = (
+            und.join(labels, und.__b == labels.node)
+            .groupBy(F.col("__a").alias("node"))
+            .agg(F.min("component").alias("__nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("__nmin"), F.col("component")),
+                ).alias("component"),
+                F.col("component").alias("__old"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        changed = new_labels.filter(
+            F.col("component") != F.col("__old")).count()
+        labels = new_labels.drop("__old")
+        if changed == 0:
+            break
+    return labels

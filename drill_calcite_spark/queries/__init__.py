@@ -78,9 +78,12 @@ _DRIVER_PRIORITY = [
     "ds_multi_supplier_orders", "ds_quantity_stats", "func_geo_clip",
     "func_period_ops", "agg_sum0_anyvalue", "func_geo_setops",
     "source_kafka_convert", "sql_calcite_dialect", "source_dynamic_star",
-    # late round 7: the SQL-callable ST_* surface (spatial.iq corpus);
-    # took sort_limit_offset's slot (r1/r5 evidence + pytest every run)
-    "sql_spatial_surface",
+    # late round 7: the SQL-callable ST_* surface (spatial.iq corpus)
+    # and duplicate-cluster formation (connected components over the
+    # LSH pair graph); took the sort_limit_offset and
+    # unnest_with_ordinality slots (r1/r2/r5 evidence + pytest every
+    # run)
+    "sql_spatial_surface", "dedup_clusters",
     # (b) code touched in round 7
     "func_json_depth", "agg_fusion", "func_geo_poly_poly",
     # (c) oldest evidence (round 2)
@@ -90,7 +93,6 @@ _DRIVER_PRIORITY = [
     "q17_small_quantity", "q19_discounted_revenue",
     "agg_bitops",
     "setop_except",
-    "unnest_with_ordinality",
     "subquery_scalar_correlated",
     # (d) round-4-vintage families the judge flagged as aging
     "mv_tile_rollup", "mv_join_rewrite",

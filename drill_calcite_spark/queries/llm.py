@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from drill_calcite_spark.functions.text import rolling_fingerprint, shingles, tokens
 from drill_calcite_spark.operators.dedup import (
@@ -147,6 +148,60 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup(
         _shingled(spark, sf_dir), "doc_id", "sh",
         num_hashes=NUM_HASHES, bands=BANDS, threshold=0.5,
+    )
+
+
+def _clusters_oracle() -> str:
+    """The minhash-pair oracle extended with a recursive-CTE transitive
+    closure: component id = min reachable doc_id — exactly what
+    min-label propagation converges to."""
+    pairs = _minhash_oracle().strip()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT doc_i AS a, doc_j AS b FROM pairs
+  UNION SELECT doc_j, doc_i FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+  FROM reach GROUP BY a
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM comp
+"""
+
+
+@q("dedup_clusters", _clusters_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER formation — the step after candidate pairs
+    that a production dedup pipeline needs to keep one document per
+    duplicate group: MinHash/LSH verified pairs (same pipeline as
+    `dedup_minhash_lsh`) → connected components via min-label
+    propagation (operators/graph.py) → per-document cluster id, cluster
+    size, and the keep-this-one flag (the smallest doc_id is canonical).
+    The DuckDB oracle replays the identical pair generation and takes
+    the recursive-CTE transitive closure, so the hash-compare proves the
+    component structure, not just row counts. Scale: pairs are the
+    candidate-only LSH output (never all-pairs); each propagation round
+    is one pairs⋈labels shuffle and LSH near-dup clusters close in ~2-4
+    rounds (the loop exits on a converged round)."""
+    from drill_calcite_spark.operators.graph import connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    comp = connected_components(pairs, src="doc_i", dst="doc_j")
+    w = Window.partitionBy("cluster_id")
+    return (
+        comp.select(F.col("node").alias("doc_id"),
+                    F.col("component").alias("cluster_id"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
     )
 
 

@@ -264,3 +264,55 @@ def test_lsh_plan_size_bounded_at_high_dim(spark):
     # and it still computes: both rows bucketed, 16 sign bits
     rows = b.select("id", "__bucket").collect()
     assert all(len(r["__bucket"]) == planes for r in rows)
+
+
+def test_connected_components_transitive_chain(spark):
+    """Min-label propagation must close TRANSITIVE chains (diameter >
+    1) — the sf0.01 LSH graph only has isolated pairs, so the property
+    is pinned here: a 4-node path, a separate triangle, and an isolated
+    pair, labels = min node id of each component."""
+    from drill_calcite_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40),          # path: diameter 3
+         (100, 200), (200, 300), (100, 300),    # triangle
+         (7, 8)],                               # pair
+        "src bigint, dst bigint")
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {10: 10, 20: 10, 30: 10, 40: 10,
+                   100: 100, 200: 100, 300: 100, 7: 7, 8: 7}
+
+
+def test_connected_components_converges_early(spark):
+    """A clique closes in one round; the loop's convergence check must
+    stop it well before max_iterations (no wasted shuffles)."""
+    import time
+
+    from drill_calcite_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, j) for i in range(1, 5) for j in range(i + 1, 5)],
+        "src bigint, dst bigint")
+    t0 = time.monotonic()
+    rows = connected_components(edges, max_iterations=25).collect()
+    assert {r["component"] for r in rows} == {1}
+    # 25 un-converged rounds of shuffles would take far longer
+    assert time.monotonic() - t0 < 60
+
+
+def test_dedup_clusters_canonical_per_cluster(spark):
+    """Every cluster has exactly ONE canonical row (the min doc_id) and
+    cluster_size matches the member count."""
+    from drill_calcite_spark.queries.llm import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["dedup_clusters"](spark, SF_DIR).collect()
+    assert rows, "degenerate: no duplicate clusters at this SF"
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert sum(m["is_canonical"] for m in members) == 1
+        assert all(m["cluster_size"] == len(members) for m in members)
+        assert min(m["doc_id"] for m in members) == cid
