@@ -83,13 +83,17 @@ _DRIVER_PRIORITY = [
     # LSH pair graph); took the sort_limit_offset and
     # unnest_with_ordinality slots (r1/r2/r5 evidence + pytest every
     # run)
+    # ... plus benchmark decontamination and stratified quota sampling
+    # (took the q13/q14 slots — TPC-H keeps 8 refreshed slots + all 22
+    # in pytest)
     "sql_spatial_surface", "dedup_clusters",
+    "decontaminate_ngrams", "sample_stratified_quota",
     # (b) code touched in round 7
     "func_json_depth", "agg_fusion", "func_geo_poly_poly",
     # (c) oldest evidence (round 2)
     "q10_returned_items", "q12_priority_shipping",
-    "q14_promo_effect", "q22_global_sales_opportunity", "q7_volume_shipping",
-    "q8_market_share", "q13_customer_distribution", "q15_top_supplier",
+    "q22_global_sales_opportunity", "q7_volume_shipping",
+    "q8_market_share", "q15_top_supplier",
     "q17_small_quantity", "q19_discounted_revenue",
     "agg_bitops",
     "setop_except",

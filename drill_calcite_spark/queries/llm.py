@@ -811,6 +811,86 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=5, damping=0.85)
 
 
+# word n-gram text for the decontamination battery: n=3 keeps the
+# battery non-degenerate on the short synthetic documents (171 flagged
+# docs at sf0.01); production decontamination uses the same plan with
+# n=8..13 — only the shingle width changes.
+_DECON_N = 3
+_SQL_SH3 = (
+    "SELECT doc_id, CASE WHEN len(t) >= 3 THEN list_transform("
+    "generate_series(1, len(t)-2), i -> t[i]||' '||t[i+1]||' '||t[i+2]) "
+    "ELSE [] END ts FROM toks"
+)
+
+
+@q("decontaminate_ngrams", f"""
+WITH toks AS ({_SQL_TOKS}),
+sh AS ({_SQL_SH3}),
+bg AS (SELECT DISTINCT unnest(ts) AS g FROM sh WHERE doc_id % 97 = 0),
+cg AS (SELECT DISTINCT doc_id, unnest(ts) AS g FROM sh
+       WHERE doc_id % 97 <> 0)
+SELECT cg.doc_id, count(DISTINCT cg.g) AS matched_ngrams
+FROM cg JOIN bg USING (g)
+GROUP BY cg.doc_id
+""")
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION — the training-pipeline step that flags
+    corpus documents sharing any word n-gram with an evaluation set
+    (here the deterministic doc_id % 97 == 0 slice stands in for the
+    benchmark): benchmark n-grams are the SMALL side and broadcast;
+    corpus n-grams explode once, inner-join the broadcast set, and
+    aggregate matched-gram counts per document (partial map-side
+    combine). At 100 TB the corpus side is embarrassingly parallel and
+    the only shuffle is the per-doc count; the benchmark set (eval
+    suites are ~10⁵-10⁶ grams) always fits in a broadcast."""
+    docs = t(spark, sf_dir, "documents")
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    grams = (
+        docs.repartition(n, F.col("doc_id"))
+        .select("doc_id",
+                F.explode(shingles(tokens(F.col("text")), _DECON_N))
+                .alias("g"))
+        .distinct()
+    )
+    bench = (grams.filter(F.col("doc_id") % 97 == 0)
+             .select("g").distinct())
+    corpus = grams.filter(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("matched_ngrams"))
+    )
+
+
+@q("sample_stratified_quota", """
+WITH ranked AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY md5(cast(doc_id AS VARCHAR))) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, source, rn AS pick_rank
+FROM ranked WHERE rn <= 5
+""")
+def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic STRATIFIED QUOTA sampling — the data-mixing step
+    that caps each (lang, source) stratum at a fixed quota: rank every
+    document inside its stratum by a content-free hash
+    (md5(doc_id) — reproducible across engines AND runs, unlike
+    rand()), keep the first K. One shuffle on the strata key; at 100 TB
+    the per-stratum TOP-K never materializes the full sort (rank +
+    filter prunes early under AQE). The DuckDB twin is the identical
+    SQL, so the driver hash proves the exact sample membership."""
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", "lang", "source",
+                    F.row_number().over(w).alias("pick_rank"))
+        .filter(F.col("pick_rank") <= 5)
+    )
+
+
 @q("pipeline_clean_corpus", f"""
 WITH keep AS (
   SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)

@@ -225,3 +225,13 @@ def test_sql_spatial_surface_map_only_jvm_side(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, \
         "spatial surface crossed into Python"
     assert plan.count("Scan parquet") == 1, "expected exactly one scan"
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """decontaminate_ngrams: the benchmark n-gram set is the small side
+    and must BROADCAST — a shuffled join here would reshuffle the whole
+    exploded corpus at 100 TB."""
+    plan = _plan(entrymod.queries()["decontaminate_ngrams"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, \
+        f"benchmark grams not broadcast:\n{plan[:500]}"
+    assert "SortMergeJoin" not in plan
