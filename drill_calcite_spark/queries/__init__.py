@@ -87,12 +87,12 @@ _DRIVER_PRIORITY = [
     # (took the q13/q14 slots — TPC-H keeps 8 refreshed slots + all 22
     # in pytest)
     "sql_spatial_surface", "dedup_clusters",
-    "decontaminate_ngrams", "sample_stratified_quota",
+    "decontaminate_ngrams", "sample_stratified_quota", "scrub_pii",
     # (b) code touched in round 7
     "func_json_depth", "agg_fusion", "func_geo_poly_poly",
     # (c) oldest evidence (round 2)
     "q10_returned_items", "q12_priority_shipping",
-    "q22_global_sales_opportunity", "q7_volume_shipping",
+    "q7_volume_shipping",
     "q8_market_share", "q15_top_supplier",
     "q17_small_quantity", "q19_discounted_revenue",
     "agg_bitops",

@@ -891,6 +891,67 @@ def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII scrubbing patterns — conservative syntax shared by Java regex
+# (Spark) and RE2 (DuckDB): no lookaround, no backreferences.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\(\d{3}\)\s\d{3}-\d{4}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_SQL_PII_RAW = (
+    "substr(text, 1, 40) || ' reach user' || doc_id || "
+    "'@example.com or (555) ' || lpad((doc_id % 1000)::VARCHAR, 3, '0') "
+    "|| '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') "
+    "|| ' ip 10.' || (doc_id % 256) || '.0.7'"
+)
+
+
+@q("scrub_pii", f"""
+WITH raw AS (SELECT doc_id, {_SQL_PII_RAW} AS r FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(r, '{_PII_EMAIL}')) AS n_emails,
+  len(regexp_extract_all(r, '{_PII_PHONE}')) AS n_phones,
+  len(regexp_extract_all(r, '{_PII_IP}')) AS n_ips,
+  regexp_replace(regexp_replace(regexp_replace(r,
+    '{_PII_EMAIL}', '<EMAIL>', 'g'),
+    '{_PII_PHONE}', '<PHONE>', 'g'),
+    '{_PII_IP}', '<IP>', 'g') AS scrubbed
+FROM raw
+""")
+def scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII SCRUBBING — the redaction step every training pipeline runs
+    before a corpus ships: emails, phone numbers, and IPv4 addresses
+    replaced with typed placeholder tokens, with per-document redaction
+    counts for audit. The synthetic corpus carries no PII, so the
+    battery INJECTS deterministic contact lines (doc_id-derived, byte-
+    identical in both engines) and proves the scrubbing machinery — the
+    regexes use the conservative syntax subset shared by Java regex and
+    RE2, so the same patterns run verbatim at 100 TB and in the DuckDB
+    twin. Map-only: three chained regexp_replace + three regexp_count
+    per row, no shuffle, no Python."""
+    docs = t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.substring(F.col("text"), 1, 40),
+        F.lit(" reach user"), d.cast("string"),
+        F.lit("@example.com or (555) "),
+        F.lpad((d % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."), (d % 256).cast("string"), F.lit(".0.7"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE, "<PHONE>"),
+        _PII_IP, "<IP>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(raw, F.lit(_PII_PHONE)).alias("n_phones"),
+        F.regexp_count(raw, F.lit(_PII_IP)).alias("n_ips"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
 @q("pipeline_clean_corpus", f"""
 WITH keep AS (
   SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
