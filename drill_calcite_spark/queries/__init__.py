@@ -29,7 +29,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # ROUND-7 ROTATION: every oracle-backed name has at least one driver-green
 # row (r1-r6); rotation now tracks NEWEST evidence. These 50 slots hold,
 # in order:
-# (a) the 19 NEW round-7 queries — the six schema-adapted TPC-H
+# (a) the 24 NEW round-7 queries — the six schema-adapted TPC-H
 #     correlation queries completing the 22-query battery (tpch3.py), the
 #     two spatial-tail batteries (relations + WKT-column parsing), and
 #     the six TPC-DS-shape queries (tpcds.py — the q67/q77 pair plus
@@ -51,19 +51,25 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #     and subquery_not_in_null below), and the DYNAMIC_STAR
 #     heterogeneous-batch schema-merge battery (source_dynamic_star, in
 #     q4_order_priority's slot — TPC-H keeps 7 other refreshes here
-#     plus all six new tpch3 queries). To hold 50, nine
-#     multi-representative-family or trivial names rotated out (ALL
-#     set-op variants, union-distinct, mv_filter_rewrite,
-#     recursive_numbers, subquery_quantified_some, values_inline,
-#     agg_having, sample_deterministic — each family keeps at least one
-#     slot and full cumulative r1-r6 evidence);
+#     plus all six new tpch3 queries). Late round 7 added five more:
+#     the SQL-callable ST_* surface (sql_spatial_surface,
+#     spatial.iq corpus), duplicate-cluster formation (dedup_clusters,
+#     connected components over the LSH pair graph), benchmark
+#     decontamination (decontaminate_ngrams), stratified quota
+#     sampling (sample_stratified_quota), and PII scrubbing
+#     (scrub_pii). To hold 50, fourteen multi-representative-family or
+#     trivial names rotated out (ALL set-op variants, union-distinct,
+#     mv_filter_rewrite, recursive_numbers, subquery_quantified_some,
+#     values_inline, agg_having, sample_deterministic,
+#     sort_limit_offset, unnest_with_ordinality, q13/q14/q22 — each
+#     family keeps at least one slot and full cumulative r1-r6
+#     evidence);
 # (b) 3 names whose code changed this round (compact-JSON strict guards +
 #     oracle 'g' flag; agg_fusion NULL filter/coalesce mirror; the
 #     straddle strict-sign fix feeding the poly-poly relations);
-# (c) all 25 names whose newest green row is round 2 — the oldest
-#     evidence left: TPC-H 4/7/8/10/12/13/14/15/17/19/22, HAVING,
-#     bit aggs, set ops, unnest, sort/sample, IN + correlated-scalar
-#     subqueries;
+# (c) the round-2-vintage names still here — the oldest evidence
+#     left: TPC-H 7/8/10/12/15/17/19, bit aggs, set-op except,
+#     correlated-scalar subqueries;
 # (d) 12 round-4-vintage names from the families VERDICT r6 called out
 #     as aging: materialized views, recursion, snapshot, subqueries,
 #     lateral, as-of, MATCH_RECOGNIZE, stateful streaming.
