@@ -92,6 +92,32 @@ NUM_HASHES = 12
 BANDS = 4
 
 
+def _r6_ratio(p, q):
+    """``round(p/q, 6)`` for NON-NEGATIVE integer columns, computed
+    exactly in integer space: ``floor(p*10^6/q + 1/2) = (2*p*10^6 + q)
+    div (2*q)`` micro-units, then one exact double division by 10^6.
+
+    Why not ``F.round(p/q, 6)``: an integer ratio can land exactly on a
+    .xxxxxx5 boundary (e.g. q a power of two — 125/128 = 0.9765625),
+    where Spark (HALF_UP on the exact binary value) and DuckDB
+    (scaled-double) may round differently — the same divergence class as
+    the r7 ``ds_cross_channel_band`` half-cent red row, at 6 dp. Both
+    engines do the integer form exactly (Spark ``div`` / DuckDB ``//``
+    truncate toward zero = floor for the non-negative values here).
+    The SQL twin is ``_sql_r6_ratio``."""
+    p = p.cast("bigint")
+    q = q.cast("bigint")
+    micros = F.call_function(
+        "div", F.lit(2) * p * F.lit(1000000) + q, F.lit(2) * q)
+    return micros / F.lit(1000000.0)
+
+
+def _sql_r6_ratio(p: str, q: str) -> str:
+    """DuckDB twin of ``_r6_ratio`` (same integer half-up form)."""
+    return (f"(((2 * ({p})::BIGINT * 1000000 + ({q})::BIGINT)"
+            f" // (2 * ({q})::BIGINT)) / 1000000.0)")
+
+
 # ------------------------------------------------------------------- dedup
 @q("dedup_exact", """
 SELECT min(doc_id) AS keep_id, count(*) AS n_copies
@@ -581,17 +607,17 @@ m AS (
   FROM toks
 ),
 r AS (
-  SELECT doc_id, n_tok,
-    n_uniq::DOUBLE / n_tok AS uniq_ratio,
-    n_stop::DOUBLE / n_tok AS stop_ratio,
-    sum_len::DOUBLE / n_tok AS avg_len,
+  SELECT doc_id, n_tok, n_uniq, n_stop, sum_len,
     0.4 * (n_uniq::DOUBLE / n_tok) + 0.4 * (n_stop::DOUBLE / n_tok)
       + 0.2 * (least(n_tok, 100)::DOUBLE / 100.0) AS score
   FROM m
 )
-SELECT doc_id, n_tok AS n_tokens, round(avg_len, 6) AS avg_token_len,
-  round(uniq_ratio, 6) AS uniq_ratio, round(stop_ratio, 6) AS stop_ratio,
-  round(score, 6) AS quality_score,
+SELECT doc_id, n_tok AS n_tokens,
+  {_sql_r6_ratio('sum_len', 'n_tok')} AS avg_token_len,
+  {_sql_r6_ratio('n_uniq', 'n_tok')} AS uniq_ratio,
+  {_sql_r6_ratio('n_stop', 'n_tok')} AS stop_ratio,
+  {_sql_r6_ratio('200*(n_uniq + n_stop) + n_tok*least(n_tok, 100)',
+                 '500*n_tok')} AS quality_score,
   CASE WHEN score >= 0.6 THEN 'high'
        WHEN score >= 0.4 THEN 'medium' ELSE 'low' END AS bucket
 FROM r
@@ -613,18 +639,26 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uniq = F.col("n_uniq").cast("double") / F.col("n_tok")
     stop = F.col("n_stop").cast("double") / F.col("n_tok")
-    avg = F.col("sum_len").cast("double") / F.col("n_tok")
     score = (
         0.4 * uniq + 0.4 * stop
         + 0.2 * (F.least(F.col("n_tok"), F.lit(100)).cast("double") / 100.0)
     )
+    # display ratios round EXACTLY in integer space (_r6_ratio — the r8
+    # sweep after the q58 half-cent red row); the bucket compare keeps
+    # the plain double score, an expression both engines evaluate
+    # identically. score = 0.4u/n + 0.4s/n + 0.2·min(n,100)/100
+    # = (200(u+s) + n·min(n,100)) / (500n) exactly.
     return m.select(
         "doc_id",
         F.col("n_tok").cast("bigint").alias("n_tokens"),
-        F.round(avg, 6).alias("avg_token_len"),
-        F.round(uniq, 6).alias("uniq_ratio"),
-        F.round(stop, 6).alias("stop_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        _r6_ratio(F.col("sum_len"), F.col("n_tok")).alias("avg_token_len"),
+        _r6_ratio(F.col("n_uniq"), F.col("n_tok")).alias("uniq_ratio"),
+        _r6_ratio(F.col("n_stop"), F.col("n_tok")).alias("stop_ratio"),
+        _r6_ratio(
+            F.lit(200) * (F.col("n_uniq") + F.col("n_stop"))
+            + F.col("n_tok") * F.least(F.col("n_tok"), F.lit(100)),
+            F.lit(500) * F.col("n_tok"),
+        ).alias("quality_score"),
         F.when(score >= 0.6, "high").when(score >= 0.4, "medium")
         .otherwise("low").alias("bucket"),
     )
@@ -636,7 +670,7 @@ SELECT doc_id,
   len(t) AS n_ws_tokens,
   len(regexp_extract_all(text, '[a-z]+')) AS n_word_tokens,
   length(text) AS n_chars,
-  round(length(text)::DOUBLE / len(t), 6) AS chars_per_token
+  {_sql_r6_ratio('length(text)', 'len(t)')} AS chars_per_token
 FROM toks
 """)
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -650,7 +684,8 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), 0))
         .cast("bigint").alias("n_word_tokens"),
         F.length("text").cast("bigint").alias("n_chars"),
-        F.round(F.length("text").cast("double") / F.size(toks), 6)
+        # exact integer-space rounding (_r6_ratio, r8 sweep)
+        _r6_ratio(F.length("text"), F.size(toks))
         .alias("chars_per_token"),
     )
 

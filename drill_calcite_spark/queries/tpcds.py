@@ -42,7 +42,10 @@ def q(name: str, sql: str | None):
 
 
 def _dec_sum(c):
-    return F.sum(c.cast("decimal(18,6)")).cast("double")
+    """Exact DECIMAL(18,6) sum, kept IN DECIMAL — display columns round
+    the decimal first and only then cast to double (the r7 red-row
+    lesson; see ds_cross_channel_band's docstring and tpch3._PS_CTE)."""
+    return F.sum(c.cast("decimal(18,6)"))
 
 
 @q("ds_sales_rollup_rank", """
@@ -57,13 +60,13 @@ WITH src AS (
          CAST(GROUPING(p_type) AS BIGINT)  AS g_type,
          CAST(GROUPING(p_brand) AS BIGINT) AS g_brand,
          CAST(GROUPING(o_year) AS BIGINT)  AS g_year,
-         sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))::DOUBLE
+         sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))
            AS sum_sales
   FROM src
   GROUP BY ROLLUP (p_type, p_brand, o_year)
 )
 SELECT p_type, p_brand, o_year, g_type, g_brand, g_year,
-       round(sum_sales, 2) AS sum_sales, rk
+       round(sum_sales, 2)::DOUBLE AS sum_sales, rk
 FROM (
   SELECT *, CAST(rank() OVER (
       PARTITION BY p_type
@@ -111,7 +114,9 @@ def ds_sales_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.withColumn("rk", F.rank().over(w).cast("bigint"))
         .filter(F.col("rk") <= 5)
         .select("p_type", "p_brand", "o_year", "g_type", "g_brand", "g_year",
-                F.round("sum_sales", 2).alias("sum_sales"), "rk")
+                # decimal round THEN double cast (r8 sweep, see module q58)
+                F.round("sum_sales", 2).cast("double").alias("sum_sales"),
+                "rk")
     )
 
 
@@ -130,7 +135,7 @@ WITH chan AS (
 SELECT channel, n_name,
        CAST(GROUPING(channel) AS BIGINT) AS g_chan,
        CAST(GROUPING(n_name) AS BIGINT)  AS g_nation,
-       round(sum(amt)::DOUBLE, 2)        AS total_amt,
+       round(sum(amt), 2)::DOUBLE        AS total_amt,
        CAST(count(*) AS BIGINT)          AS n_lines
 FROM chan
 JOIN customer ON c_custkey = o_custkey
@@ -174,7 +179,10 @@ def ds_channel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.rollup("channel", "n_name").agg(
         F.grouping("channel").cast("bigint").alias("g_chan"),
         F.grouping("n_name").cast("bigint").alias("g_nation"),
-        F.round(F.sum("amt").cast("double"), 2).alias("total_amt"),
+        # decimal round THEN double cast (r8 sweep, see module q58):
+        # both engines round DECIMAL half-away-from-zero, so the negated
+        # returns rows round identically too
+        F.round(F.sum("amt"), 2).cast("double").alias("total_amt"),
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
     )
 
@@ -202,7 +210,7 @@ WITH ctr AS (
          1.2 * (sum(ctr_total)::DOUBLE / count(*)) AS t_avg
   FROM ctr GROUP BY ctr_nation
 )
-SELECT c_custkey, c_name, round(ctr_total::DOUBLE, 2) AS total_returns
+SELECT c_custkey, c_name, round(ctr_total, 2)::DOUBLE AS total_returns
 FROM ctr
 JOIN thresh ON ctr_nation = t_nation
 JOIN customer ON c_custkey = ctr_cust
@@ -243,7 +251,8 @@ def ds_returns_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust.select("c_custkey", "c_name"),
               F.col("ctr_cust") == F.col("c_custkey"))
         .select("c_custkey", "c_name",
-                F.round(F.col("ctr_total").cast("double"), 2)
+                # decimal round THEN double cast (r8 sweep, see q58)
+                F.round("ctr_total", 2).cast("double")
                 .alias("total_returns"))
     )
 
@@ -263,12 +272,15 @@ WITH rev AS (
   FROM lineitem GROUP BY l_partkey
 ), banded AS (
   SELECT l_partkey, ch_a::DOUBLE AS a, ch_n::DOUBLE AS n, ch_r::DOUBLE AS r,
-         (ch_a + ch_n + ch_r)::DOUBLE / 3.0 AS ch_avg
+         (ch_a + ch_n + ch_r)::DOUBLE / 3.0 AS ch_avg,
+         round(ch_a, 2)::DOUBLE AS rev_a,
+         round(ch_n, 2)::DOUBLE AS rev_n,
+         round(ch_r, 2)::DOUBLE AS rev_r,
+         ((2 * CAST((ch_a + ch_n + ch_r) * 1000000 AS HUGEINT) + 30000)
+          // 60000) / 100.0 AS rev_avg
   FROM rev
 )
-SELECT p_partkey, p_brand,
-       round(a, 2) AS rev_a, round(n, 2) AS rev_n, round(r, 2) AS rev_r,
-       round(ch_avg, 2) AS rev_avg
+SELECT p_partkey, p_brand, rev_a, rev_n, rev_r, rev_avg
 FROM banded JOIN part ON p_partkey = l_partkey
 WHERE a BETWEEN 0.7 * ch_avg AND 1.3 * ch_avg
   AND n BETWEEN 0.7 * ch_avg AND 1.3 * ch_avg
@@ -283,7 +295,20 @@ def ds_cross_channel_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics, one shuffle instead of three (the Spark-first plan; the
     oracle computes the identical conditional aggregation). Exact
     DECIMAL channel sums are cast to DOUBLE for the band arithmetic, so
-    band-edge rows agree across engines."""
+    band-edge rows agree across engines.
+
+    Display rounding (the round-7 red row, fixed r8): the 2-dp display
+    columns round IN DECIMAL SPACE before the double cast — never
+    ``round(x::DOUBLE, 2)``, whose half-cent boundaries Spark (HALF_UP
+    on the exact binary value) and DuckDB (scaled-double) resolve
+    differently (observed: 606508.945 → .95 vs .94). This is the
+    quantize-before-round precedent of tpch3.py's ``_PS_CTE``. The
+    channel AVERAGE leaves decimal space on division, so its half-up
+    2-dp rounding is computed exactly in integer micros:
+    ``cents = (2*m + 30000) div 60000`` with ``m = sum * 10^6``, i.e.
+    ``floor(m/30000 + 1/2)`` — bit-identical on both engines for the
+    non-negative sums here (Spark ``div`` and DuckDB ``//`` both
+    truncate toward zero)."""
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
     amt = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
@@ -301,10 +326,18 @@ def ds_cross_channel_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = F.col("ch_a").cast("double")
     n = F.col("ch_n").cast("double")
     r = F.col("ch_r").cast("double")
+    ch_sum = F.col("ch_a") + F.col("ch_n") + F.col("ch_r")
     banded = rev.select(
         "l_partkey", a.alias("a"), n.alias("n"), r.alias("r"),
-        ((F.col("ch_a") + F.col("ch_n") + F.col("ch_r")).cast("double")
-         / 3.0).alias("ch_avg"),
+        (ch_sum.cast("double") / 3.0).alias("ch_avg"),
+        # decimal-space rounding + exact integer-micros average: see
+        # the docstring (quantize-before-round, tpch3._PS_CTE precedent)
+        F.round("ch_a", 2).cast("double").alias("rev_a"),
+        F.round("ch_n", 2).cast("double").alias("rev_n"),
+        F.round("ch_r", 2).cast("double").alias("rev_r"),
+        (ch_sum * F.lit(1000000)).cast("decimal(38,0)").alias("__m"),
+    ).withColumn(
+        "rev_avg", F.expr("(2 * __m + 30000) div 60000") / F.lit(100.0)
     )
     avg = F.col("ch_avg")
     in_band = (
@@ -316,11 +349,7 @@ def ds_cross_channel_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         banded.filter(in_band)
         .join(part.select("p_partkey", "p_brand"),
               F.col("l_partkey") == F.col("p_partkey"))
-        .select("p_partkey", "p_brand",
-                F.round("a", 2).alias("rev_a"),
-                F.round("n", 2).alias("rev_n"),
-                F.round("r", 2).alias("rev_r"),
-                F.round("ch_avg", 2).alias("rev_avg"))
+        .select("p_partkey", "p_brand", "rev_a", "rev_n", "rev_r", "rev_avg")
     )
 
 
@@ -333,7 +362,7 @@ WITH multi AS (
 )
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS order_count,
-       round(sum(o_totalprice::DECIMAL(18,6))::DOUBLE, 2) AS total_price
+       round(sum(o_totalprice::DECIMAL(18,6)), 2)::DOUBLE AS total_price
 FROM orders
 WHERE o_orderkey IN (SELECT l_orderkey FROM multi)
   AND o_orderkey NOT IN (SELECT l_orderkey FROM ret)
@@ -365,8 +394,9 @@ def ds_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("order_count"),
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
-                    .cast("double"), 2).alias("total_price"),
+            # decimal round THEN double cast (r8 sweep, see q58)
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double").alias("total_price"),
         )
     )
 

@@ -55,7 +55,11 @@ def q(name: str, sql: str | None):
 
 
 def _dec_sum(c):
-    return F.sum(c.cast("decimal(18,6)")).cast("double")
+    """Exact DECIMAL(18,6) sum, kept IN DECIMAL — display columns must
+    round the decimal first and cast to double after (the r8 sweep after
+    the q58 half-cent red row; see _PS_CTE's quantize-before-round note).
+    """
+    return F.sum(c.cast("decimal(18,6)"))
 
 
 # Shared oracle CTE: the derived partsupp (module head). The unit cost is
@@ -176,7 +180,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_PS_CTE}
 SELECT n_name AS nation, extract(year FROM o_orderdate) AS o_year,
        round(sum(((l_extendedprice * (1 - l_discount))
-                  - (ps_supplycost * l_quantity))::DECIMAL(18,6))::DOUBLE, 2)
+                  - (ps_supplycost * l_quantity))::DECIMAL(18,6)), 2)::DOUBLE
          AS sum_profit
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
@@ -229,7 +233,9 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         j.groupBy("nation", F.year("o_orderdate").cast("bigint").alias("o_year"))
-        .agg(F.round(_dec_sum(amount), 2).alias("sum_profit"))
+        # decimal round THEN double cast — quantize-before-round, the
+        # _PS_CTE precedent (r8 sweep after the q58 half-cent red row)
+        .agg(F.round(_dec_sum(amount), 2).cast("double").alias("sum_profit"))
     )
 
 
@@ -244,7 +250,7 @@ ps_region AS (
   JOIN nation ON n_nationkey = s_nationkey
   JOIN region ON r_regionkey = n_regionkey
   WHERE r_name = 'EUROPE')
-SELECT ps_partkey, round(sum(val)::DOUBLE, 2) AS part_value
+SELECT ps_partkey, round(sum(val), 2)::DOUBLE AS part_value
 FROM ps_region
 GROUP BY ps_partkey
 HAVING sum(val)::DOUBLE >
@@ -277,7 +283,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_part = ps_eu.groupBy("ps_partkey").agg(
-        F.sum("val").cast("double").alias("val_sum")
+        F.sum("val").alias("val_dec")
     )
     total = ps_eu.agg(
         (2.0 * F.sum("val").cast("double")
@@ -285,8 +291,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("val_sum") > F.col("__threshold"))
-        .select("ps_partkey", F.round("val_sum", 2).alias("part_value"))
+        # the HAVING compare stays in double (identical IEEE both
+        # engines); the DISPLAY rounds the decimal first then casts —
+        # quantize-before-round (r8 sweep, _PS_CTE precedent)
+        .filter(F.col("val_dec").cast("double") > F.col("__threshold"))
+        .select("ps_partkey",
+                F.round("val_dec", 2).cast("double").alias("part_value"))
     )
 
 

@@ -37,9 +37,8 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # kill -0.0 and 1e-12 jitter left after in-query rounding
-        r = round(v, 9)
-        return 0.0 if r == 0 else r
+        # normalize -0.0 only; values are otherwise compared EXACTLY.
+        return 0.0 if v == 0 else v
     return v
 
 
@@ -64,15 +63,34 @@ def assert_matches_oracle(spark_df, duck_con, sql, check_names=True):
     _, s_norm = _norm_rows(s_cols, s_rows)
     _, d_norm = _norm_rows(d_cols, d_rows)
     for i, (a, b) in enumerate(zip(s_norm, d_norm)):
-        assert _rows_close(a, b), f"row {i} differs:\n spark={a}\n duck ={b}"
+        assert _rows_close(a, b), (
+            f"row {i} differs:\n spark={a}\n duck ={b}"
+            + ("\n (values are within 1e-6 — an engine rounding divergence "
+               "the driver's exact hash WOULD flag; round in DECIMAL space "
+               "before any double cast, see tpch3._PS_CTE)"
+               if _rows_close(a, b, tol=1e-6) else "")
+        )
 
 
-def _rows_close(a, b, tol=1e-6):
+def _rows_close(a, b, tol=0.0):
+    """Row comparison for the oracle-parity gate.
+
+    STRICT by default (tol=0.0): floats must be bit-equal (after the
+    -0.0 and NaN normalization in ``_norm_cell``), matching the driver's
+    exact value-hash.  The round-7 red row ``ds_cross_channel_band`` was
+    a 1-cent divergence on a 600k value (1.7e-8 relative) — invisible to
+    the old blanket rel_tol=1e-6, red to the driver; this gate must be
+    at least as strict as the driver or its green proves nothing.  The
+    tolerant form survives only as a failure-message diagnostic above.
+    """
     if len(a) != len(b):
         return False
     for x, y in zip(a, b):
         if isinstance(x, float) and isinstance(y, float):
-            if not math.isclose(x, y, rel_tol=tol, abs_tol=tol):
+            if tol == 0.0:
+                if x != y:
+                    return False
+            elif not math.isclose(x, y, rel_tol=tol, abs_tol=tol):
                 return False
         elif hasattr(x, "timestamp") and hasattr(y, "timestamp"):
             if str(x) != str(y):

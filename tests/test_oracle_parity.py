@@ -1,6 +1,9 @@
 """Driver-mimicking gate: every queries() entry that declares an oracle must
-hash-match DuckDB at sf0.01 (BASELINE.md t2). This is the same comparison the
-driver runs, so green here ⇒ green in CORRECTNESS_r{N}.json."""
+match DuckDB at sf0.01 (BASELINE.md t2) with EXACT float equality (after
+-0.0/NaN normalization) — at least as strict as the driver's value hash, so
+green here ⇒ green in CORRECTNESS_r{N}.json.  (Until round 8 this gate
+quietly tolerated rel_tol=1e-6 and missed the ds_cross_channel_band half-cent
+divergence the driver flagged; see conftest._rows_close.)"""
 
 from __future__ import annotations
 
