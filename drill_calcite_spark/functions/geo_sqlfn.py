@@ -616,9 +616,12 @@ def build_statements() -> "list[str]":
         "ST_Distance", "g1 STRING, g2 STRING", "DOUBLE",
         f"CASE WHEN g1 IS NULL OR g2 IS NULL THEN NULL ELSE "
         f"{_bind2(_parse('g1'), _parse('g2'), dist_body)} END"))
+    # <= (inclusive), matching the reference: GeoFunctions.java:415
+    # returns distance <= d, so geometries at EXACTLY distance d are
+    # within (ADVICE r7 — the previous '<' diverged on boundary pairs).
     stmts.append(_f(
         "ST_DWithin", "g1 STRING, g2 STRING, d DOUBLE", "BOOLEAN",
-        "ST_Distance(g1, g2) < d"))
+        "ST_Distance(g1, g2) <= d"))
 
     # --- relation predicates ----------------------------------------
     def env_pair(o1: str, o2: str) -> str:

@@ -139,4 +139,14 @@ def connected_components(
         labels = new_labels.drop("__old")
         if changed == 0:
             break
+    else:
+        # loop exhausted with labels still moving: the ids are only
+        # partially propagated (wrong) — e.g. a path graph with diameter
+        # > max_iterations. Fail loudly rather than return bad clusters
+        # (ADVICE r7). LSH dedup graphs are near-cliques (diameter ~2),
+        # so a trip here means the input is not the intended workload.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing); raise "
+            f"max_iterations for high-diameter graphs")
     return labels

@@ -22,94 +22,64 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver's per-round CORRECTNESS gate oracles the FIRST 50 registry
 # entries (registration order). Rotated-out queries keep full coverage via
-# tests/test_oracle_parity.py (the identical comparison over ALL
-# oracle-backed entries, every pytest run); the slots below hand the
-# driver whatever most needs a fresh hard-signal row.
+# tests/test_oracle_parity.py (EXACT float comparison since r8 — at least
+# as strict as the driver's value hash); the slots below hand the driver
+# whatever most needs a fresh hard-signal row. The rotation invariant —
+# every oracle-backed name is green in some committed CORRECTNESS_r*.json
+# or sits in this head — is machine-checked by
+# tests/test_registry_evidence.py (added r8 after func_geo_srid slipped
+# through round 7 unslated).
 #
-# ROUND-7 ROTATION: every oracle-backed name has at least one driver-green
-# row (r1-r6); rotation now tracks NEWEST evidence. These 50 slots hold,
-# in order:
-# (a) the 24 NEW round-7 queries — the six schema-adapted TPC-H
-#     correlation queries completing the 22-query battery (tpch3.py), the
-#     two spatial-tail batteries (relations + WKT-column parsing), and
-#     the six TPC-DS-shape queries (tpcds.py — the q67/q77 pair plus
-#     the four shapes TpcdsTest actually executes: q1/q17/q58/q95),
-#     the geo type/identity tail (func_geo_types), and the
-#     arbitrary-document Jackson JSON battery (func_json_hostile), and
-#     the Sutherland–Hodgman convex-clip ST_Intersection
-#     (func_geo_clip), the period-operator tail (func_period_ops),
-#     SUM0/ANY_VALUE (agg_sum0_anyvalue), and the last GeoFunctions
-#     surface items — ST_ContainsProperly / inclusion-exclusion union
-#     area / ST_MLineFromText+ST_MPolyFromText (func_geo_setops, which
-#     took setop_intersect's slot: that family keeps setop_except here
-#     plus full cumulative r1-r6 evidence), the Kafka row-converter
-#     plumbing driven end-to-end (source_kafka_convert, in
-#     unnest_words' slot — unnest keeps unnest_with_ordinality here),
-#     the Calcite-dialect SQL front door (sql_calcite_dialect —
-#     sql.py rewrites + the 328-case quidem conformance corpus; took
-#     subquery_in's slot, that family keeps subquery_scalar_correlated
-#     and subquery_not_in_null below), and the DYNAMIC_STAR
-#     heterogeneous-batch schema-merge battery (source_dynamic_star, in
-#     q4_order_priority's slot — TPC-H keeps 7 other refreshes here
-#     plus all six new tpch3 queries). Late round 7 added five more:
-#     the SQL-callable ST_* surface (sql_spatial_surface,
-#     spatial.iq corpus), duplicate-cluster formation (dedup_clusters,
-#     connected components over the LSH pair graph), benchmark
-#     decontamination (decontaminate_ngrams), stratified quota
-#     sampling (sample_stratified_quota), and PII scrubbing
-#     (scrub_pii). To hold 50, fourteen multi-representative-family or
-#     trivial names rotated out (ALL set-op variants, union-distinct,
-#     mv_filter_rewrite, recursive_numbers, subquery_quantified_some,
-#     values_inline, agg_having, sample_deterministic,
-#     sort_limit_offset, unnest_with_ordinality, q13/q14/q22 — each
-#     family keeps at least one slot and full cumulative r1-r6
-#     evidence);
-# (b) 3 names whose code changed this round (compact-JSON strict guards +
-#     oracle 'g' flag; agg_fusion NULL filter/coalesce mirror; the
-#     straddle strict-sign fix feeding the poly-poly relations);
-# (c) the round-2-vintage names still here — the oldest evidence
-#     left: TPC-H 7/8/10/12/15/17/19, bit aggs, set-op except,
-#     correlated-scalar subqueries;
-# (d) 12 round-4-vintage names from the families VERDICT r6 called out
-#     as aging: materialized views, recursion, snapshot, subqueries,
-#     lateral, as-of, MATCH_RECOGNIZE, stateful streaming.
+# ROUND-8 ROTATION, in order:
+# (a) the two names with NO hard evidence ever: ds_cross_channel_band
+#     (r7's one red row — display rounding fixed this round, must prove
+#     green) and func_geo_srid (added late r7, never slated);
+# (b) new in round 8: CEIL(ts TO unit) through the front door
+#     (func_datetime_ceil) and the three TPC-DS stretch shapes the
+#     reference plans — q64 chained-star self-join, q23 MAX-over-CTE,
+#     q78 three-channel FULL OUTER;
+# (c) every name whose code or oracle changed in round 8: the
+#     decimal-display-rounding sweep (ds_* five, q9, q11), the exact
+#     integer-ratio rounding in the text batteries, the ST_DWithin <=
+#     boundary fix (sql_spatial_surface), the connected-components
+#     convergence guard (dedup_clusters), and the front-door pi-alias +
+#     CEIL rewrites (sql_calcite_dialect);
+# (d) the fifteen round-2-vintage names — the oldest evidence left
+#     (TPC-H q4/q13/q14/q22, the set-op family, values/unnest/sort/
+#     sample, subquery_in);
+# (e) seventeen round-4-vintage names from the families VERDICT r7
+#     flagged as aging: the r3/r4 LLM battery (minhash/jaccard/simhash
+#     dedup, exact-cosine anchor, lang-id, multimodal, pagerank,
+#     corpus pipeline) and the r4 sources (partition/dynamic pruning,
+#     bucketed join, jdbc, csv, DML insert/delete + merge).
+# Rotated out (all with r6/r7 green rows + exact-gate pytest coverage):
+# the r7 TPC-H six, the geo batteries, kafka/dynamic-star, the r7 LLM
+# additions, and the r4-refreshed mv/recursion/snapshot/match family.
 _DRIVER_PRIORITY = [
-    # (a) new in round 7
-    "q2_min_cost_supplier", "q9_product_type_profit", "q11_important_stock",
-    "q16_parts_supplier_relationship", "q20_potential_promotion",
-    "q21_suppliers_kept_waiting", "func_geo_relations", "func_geo_wkt",
-    "ds_sales_rollup_rank", "ds_channel_report",
-    "func_geo_types", "func_json_hostile",
-    "ds_returns_above_avg", "ds_cross_channel_band",
-    "ds_multi_supplier_orders", "ds_quantity_stats", "func_geo_clip",
-    "func_period_ops", "agg_sum0_anyvalue", "func_geo_setops",
-    "source_kafka_convert", "sql_calcite_dialect", "source_dynamic_star",
-    # late round 7: the SQL-callable ST_* surface (spatial.iq corpus)
-    # and duplicate-cluster formation (connected components over the
-    # LSH pair graph); took the sort_limit_offset and
-    # unnest_with_ordinality slots (r1/r2/r5 evidence + pytest every
-    # run)
-    # ... plus benchmark decontamination and stratified quota sampling
-    # (took the q13/q14 slots — TPC-H keeps 8 refreshed slots + all 22
-    # in pytest)
-    "sql_spatial_surface", "dedup_clusters",
-    "decontaminate_ngrams", "sample_stratified_quota", "scrub_pii",
-    # (b) code touched in round 7
-    "func_json_depth", "agg_fusion", "func_geo_poly_poly",
-    # (c) oldest evidence (round 2)
-    "q10_returned_items", "q12_priority_shipping",
-    "q7_volume_shipping",
-    "q8_market_share", "q15_top_supplier",
-    "q17_small_quantity", "q19_discounted_revenue",
-    "agg_bitops",
-    "setop_except",
-    "subquery_scalar_correlated",
-    # (d) round-4-vintage families the judge flagged as aging
-    "mv_tile_rollup", "mv_join_rewrite",
-    "recursive_nation_tree", "snapshot_orders_scd",
-    "subquery_not_in_null",
-    "correlate_lateral_topn", "asof_last_purchase", "match_vshape_all_rows",
-    "stream_stateful_counter",
+    # (a) zero-evidence names
+    "ds_cross_channel_band", "func_geo_srid",
+    # (b) new in round 8
+    "func_datetime_ceil", "ds_chained_star_join", "ds_max_over_cte",
+    "ds_three_channel_full",
+    # (c) code/oracle touched in round 8
+    "ds_sales_rollup_rank", "ds_channel_report", "ds_returns_above_avg",
+    "ds_multi_supplier_orders", "q9_product_type_profit",
+    "q11_important_stock", "text_quality_score", "text_token_stats",
+    "sql_spatial_surface", "dedup_clusters", "sql_calcite_dialect",
+    # (d) oldest evidence (round 2)
+    "q4_order_priority", "q13_customer_distribution", "q14_promo_effect",
+    "q22_global_sales_opportunity", "agg_having", "setop_union_distinct",
+    "setop_intersect", "setop_intersect_all", "setop_except_all",
+    "values_inline", "unnest_words", "unnest_with_ordinality",
+    "sort_limit_offset", "sample_deterministic", "subquery_in",
+    # (e) round-4-vintage LLM + sources families (VERDICT r7 item 5)
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_ngram_capped",
+    "dedup_simhash_buckets", "ann_cosine_topk", "text_lang_id",
+    "multimodal_meta", "multimodal_frame_sample", "pagerank_nations",
+    "pipeline_clean_corpus", "source_partition_pruning",
+    "source_dynamic_pruning", "bucketed_join_colocated",
+    "source_jdbc_scan", "source_csv_scan", "modify_insert_delete",
+    "modify_merge_orders",
 ]
 
 

@@ -319,6 +319,53 @@ def func_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("func_datetime_ceil", """
+SELECT event_id,
+  CASE WHEN date_trunc('hour', ts) = ts THEN date_trunc('hour', ts)
+       ELSE date_trunc('hour', ts) + INTERVAL 1 HOUR END   AS ceil_hour,
+  CASE WHEN date_trunc('minute', ts) = ts THEN date_trunc('minute', ts)
+       ELSE date_trunc('minute', ts) + INTERVAL 1 MINUTE END AS ceil_minute,
+  CASE WHEN date_trunc('day', ts) = ts THEN date_trunc('day', ts)
+       ELSE date_trunc('day', ts) + INTERVAL 1 DAY END     AS ceil_day,
+  CASE WHEN date_trunc('week', ts) = ts THEN date_trunc('week', ts)
+       ELSE date_trunc('week', ts) + INTERVAL 1 WEEK END   AS ceil_week,
+  CASE WHEN date_trunc('month', ts) = ts THEN date_trunc('month', ts)
+       ELSE date_trunc('month', ts) + INTERVAL 1 MONTH END AS ceil_month,
+  CASE WHEN date_trunc('quarter', ts) = ts THEN date_trunc('quarter', ts)
+       ELSE date_trunc('quarter', ts) + INTERVAL 3 MONTH END AS ceil_quarter,
+  date_trunc('hour', ts) AS ceil_aligned,
+  date_trunc('hour', ts) AS floor_hour
+FROM events
+""")
+def func_datetime_ceil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEIL(ts TO unit) — the one SqlStdOperatorTable datetime operator
+    the front door used to REJECT (SqlStdOperatorTable.java:1773-1778;
+    r7 VERDICT missing #1), now rewritten to the already-aligned guard +
+    one interval step in pure Catalyst (sql._rewrite_floor_to). The
+    query runs in the CALCITE dialect through calcite_sql(), so the
+    driver hash proves the rewrite end-to-end: six units (QUARTER steps
+    3 months), plus CEIL over an already-floored column (``ceil_aligned``
+    — a boundary value is its own ceiling, the guard's THEN branch), and
+    FLOOR alongside for the floor/ceil pairing. The oracle spells out
+    the CASE expansion explicitly. Map-only, no shuffle."""
+    from drill_calcite_spark.catalog import register_tables
+    from drill_calcite_spark.sql import calcite_sql
+
+    register_tables(spark, sf_dir)
+    return calcite_sql(spark, """
+        SELECT event_id,
+               ceil(ts TO hour)       AS ceil_hour,
+               ceil(ts TO minute)     AS ceil_minute,
+               ceil(ts TO day)        AS ceil_day,
+               ceil(ts TO week)       AS ceil_week,
+               ceil(ts TO month)      AS ceil_month,
+               ceiling(ts TO quarter) AS ceil_quarter,
+               ceil(h TO hour)        AS ceil_aligned,
+               floor(ts TO hour)      AS floor_hour
+        FROM (SELECT event_id, ts, floor(ts TO hour) AS h FROM events)
+    """)
+
+
 @q("func_datetime_overlaps", """
 SELECT o_orderkey,
        (o_orderdate < TIMESTAMP '1998-01-01 00:00:00'

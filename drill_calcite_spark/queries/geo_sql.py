@@ -62,7 +62,7 @@ SELECT c_custkey,
     AS dist,
   sqrt((cast(ix AS DOUBLE) - 500.0) * (cast(ix AS DOUBLE) - 500.0)
      + (cast(iy AS DOUBLE) - 500.0) * (cast(iy AS DOUBLE) - 500.0))
-    < 2000.0 AS nearby,
+    <= 2000.0 AS nearby,
   'POLYGON ((' || least(ix, 500) || ' ' || least(iy, 500)
     || ', ' || greatest(ix, 500) || ' ' || least(iy, 500)
     || ', ' || greatest(ix, 500) || ' ' || greatest(iy, 500)

@@ -442,3 +442,206 @@ def ds_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sd, 4).alias("qty_sd"),
         F.round(sd / mean, 4).alias("qty_cov"),
     )
+
+
+# Round-8 stretch: the reference PLANS the full TPC-DS suite
+# (TpcdsTest.java:62-69 runs the planner over every query); these three
+# adapt the suite's hardest PLANNING shapes beyond the four executed
+# ones — q64 (multi-CTE chained star join + self-join across years),
+# q23 (MAX-over-CTE scalar threshold + double IN), q78 (three-channel
+# FULL OUTER on keys). Display columns follow the r8 rounding rule:
+# DECIMAL rounds before any double cast (see ds_cross_channel_band).
+
+
+@q("ds_chained_star_join", """
+WITH cs AS (
+  SELECT l_partkey AS pk, extract(year FROM o_orderdate) AS yr,
+         CAST(count(*) AS BIGINT) AS n_sales,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+         sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)) AS rev
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_type = 'STANDARD'
+  GROUP BY 1, 2
+)
+SELECT cs1.pk AS p_key, p_name, cs1.yr AS yr1,
+       cs1.n_sales AS n1, cs2.n_sales AS n2,
+       cs1.n_supp AS supp1, cs2.n_supp AS supp2,
+       round(cs1.rev, 2)::DOUBLE AS rev1,
+       round(cs2.rev, 2)::DOUBLE AS rev2
+FROM cs cs1
+JOIN cs cs2 ON cs1.pk = cs2.pk AND cs2.yr = cs1.yr + 1
+JOIN part ON p_partkey = cs1.pk
+WHERE cs2.n_sales > cs1.n_sales
+""")
+def ds_chained_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q64 shape (TpcdsTest.java:62-69 plans it): a chained
+    star-join CTE (fact ⋈ orders ⋈ filtered part) aggregated per
+    (item, year), then SELF-JOINED across consecutive years keeping
+    items whose sale count grew — q64's cross_sales cs1 ⋈ cs2 ON item
+    with cs2.cnt > cs1.cnt. Scale notes: the 'STANDARD' part filter
+    broadcast-prunes lineitem BEFORE the fact shuffle (~17% survives);
+    the CTE aggregate shuffles once on (pk, yr); the self-join re-keys
+    on pk only — both sides of the self-join come from the SAME
+    aggregate subplan, which AQE dedups via ReusedExchange; part
+    re-joins broadcast for the display name."""
+    li = t(spark, sf_dir, "lineitem")
+    ords = t(spark, sf_dir, "orders")
+    part = t(spark, sf_dir, "part")
+
+    std = part.filter(F.col("p_type") == "STANDARD") \
+        .select("p_partkey", "p_name")
+    cs = (
+        li.join(F.broadcast(std.select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"), "left_semi")
+        .join(ords.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_partkey").alias("pk"),
+                 F.year("o_orderdate").cast("bigint").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sales"),
+            F.countDistinct("l_suppkey").cast("bigint").alias("n_supp"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .cast("decimal(18,6)")).alias("rev"),
+        )
+    )
+    c1, c2 = cs.alias("c1"), cs.alias("c2")
+    return (
+        c1.join(c2, (F.col("c1.pk") == F.col("c2.pk"))
+                & (F.col("c2.yr") == F.col("c1.yr") + 1))
+        .filter(F.col("c2.n_sales") > F.col("c1.n_sales"))
+        .join(F.broadcast(std), F.col("c1.pk") == F.col("p_partkey"))
+        .select(
+            F.col("c1.pk").alias("p_key"), "p_name",
+            F.col("c1.yr").alias("yr1"),
+            F.col("c1.n_sales").alias("n1"), F.col("c2.n_sales").alias("n2"),
+            F.col("c1.n_supp").alias("supp1"),
+            F.col("c2.n_supp").alias("supp2"),
+            # decimal round THEN double cast (r8 rule, see q58)
+            F.round(F.col("c1.rev"), 2).cast("double").alias("rev1"),
+            F.round(F.col("c2.rev"), 2).cast("double").alias("rev2"),
+        )
+    )
+
+
+@q("ds_max_over_cte", """
+WITH freq AS (
+  SELECT l_partkey FROM lineitem GROUP BY l_partkey HAVING count(*) > 30
+), best AS (
+  SELECT o_custkey, sum(o_totalprice::DECIMAL(18,6)) AS spend
+  FROM orders GROUP BY o_custkey
+), mx AS (
+  SELECT max(spend)::DOUBLE AS max_spend FROM best
+)
+SELECT extract(month FROM o_orderdate) AS mo,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)),
+             2)::DOUBLE AS sales
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+WHERE l_partkey IN (SELECT l_partkey FROM freq)
+  AND o_custkey IN (SELECT o_custkey FROM best CROSS JOIN mx
+                    WHERE spend::DOUBLE > 0.5 * max_spend)
+GROUP BY 1
+""")
+def ds_max_over_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q23 shape: sales restricted to FREQUENT items (HAVING
+    count over the fact) and BEST customers (spend above a fraction of
+    the MAX-over-CTE scalar), grouped by month. Decorrelation: both IN
+    predicates become left-semi joins against pre-aggregated key sets;
+    the MAX scalar is a 1-row aggregate broadcast-crossJoined into the
+    per-customer spend (never a global window). The exact DECIMAL spend
+    is cast to DOUBLE before the single threshold multiply, so both
+    engines compare identical IEEE values (ds_returns_above_avg
+    precedent); the display sum rounds in decimal (r8 rule)."""
+    li = t(spark, sf_dir, "lineitem")
+    ords = t(spark, sf_dir, "orders")
+
+    freq = (li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 30).select("l_partkey"))
+    best = ords.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("spend"))
+    mx = best.agg(F.max("spend").cast("double").alias("max_spend"))
+    best_keys = (
+        best.join(F.broadcast(mx))
+        .filter(F.col("spend").cast("double") > 0.5 * F.col("max_spend"))
+        .select("o_custkey")
+    )
+    return (
+        li.join(freq, "l_partkey", "left_semi")
+        .join(ords.select("o_orderkey", "o_custkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(best_keys.withColumnRenamed("o_custkey", "bk"),
+              F.col("o_custkey") == F.col("bk"), "left_semi")
+        .groupBy(F.month("o_orderdate").cast("bigint").alias("mo"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(F.sum((F.col("l_extendedprice")
+                           * (1 - F.col("l_discount")))
+                          .cast("decimal(18,6)")), 2)
+            .cast("double").alias("sales"),
+        )
+    )
+
+
+@q("ds_three_channel_full", """
+WITH ca AS (
+  SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS n_a,
+         CAST(sum(l_quantity::BIGINT) AS BIGINT) AS qty_a,
+         sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)) AS rev_a
+  FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1
+), cn AS (
+  SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS n_n,
+         CAST(sum(l_quantity::BIGINT) AS BIGINT) AS qty_n
+  FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1
+), cr AS (
+  SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS n_r,
+         CAST(sum(l_quantity::BIGINT) AS BIGINT) AS qty_r
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+)
+SELECT coalesce(ca.pk, cn.pk, cr.pk) AS p_key,
+       n_a, qty_a, round(rev_a, 2)::DOUBLE AS rev_a2,
+       n_n, qty_n, n_r, qty_r
+FROM ca
+FULL OUTER JOIN cn ON ca.pk = cn.pk
+FULL OUTER JOIN cr ON coalesce(ca.pk, cn.pk) = cr.pk
+""")
+def ds_three_channel_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q78 shape: per-channel aggregates (the three return-flag
+    populations standing in for store/web/catalog) FULL OUTER joined on
+    the item key, keeping items absent from any channel with NULL
+    measures — q78's ws ⋈ cs ⋈ ss chain on (item, year). The second
+    join keys on COALESCE of the first pair, q78's null-safe chaining.
+    Scale notes: all three aggregates and both joins hash the same pk,
+    so the three exchanges co-locate (AQE reuses the partitioning);
+    each channel ships pre-aggregated group rows, never fact rows.
+    Quantities sum as BIGINT (exact); revenue rounds in decimal before
+    the double cast (r8 rule)."""
+    li = t(spark, sf_dir, "lineitem")
+
+    def chan(flag, suffix, with_rev=False):
+        aggs = [
+            F.count(F.lit(1)).cast("bigint").alias(f"n_{suffix}"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint")
+            .alias(f"qty_{suffix}"),
+        ]
+        if with_rev:
+            aggs.append(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                      .cast("decimal(18,6)")).alias(f"rev_{suffix}"))
+        return (li.filter(F.col("l_returnflag") == flag)
+                .groupBy(F.col("l_partkey").alias(f"pk_{suffix}"))
+                .agg(*aggs))
+
+    ca, cn, cr = chan("A", "a", True), chan("N", "n"), chan("R", "r")
+    j = (
+        ca.join(cn, ca.pk_a == cn.pk_n, "full_outer")
+        .join(cr, F.coalesce(ca.pk_a, cn.pk_n) == cr.pk_r, "full_outer")
+    )
+    return j.select(
+        F.coalesce("pk_a", "pk_n", "pk_r").alias("p_key"),
+        "n_a", "qty_a",
+        F.round("rev_a", 2).cast("double").alias("rev_a2"),
+        "n_n", "qty_n", "n_r", "qty_r",
+    )

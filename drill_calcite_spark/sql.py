@@ -81,24 +81,36 @@ def _word_at(text: str, i: int) -> str:
     return m.group(0).lower() if m else ""
 
 
-class CeilToUnitUnsupported(ValueError):
-    """CEIL(ts TO unit) has no Spark builtin (date_trunc only floors)."""
+# one unit step for the CEIL rewrite (QUARTER has no interval literal)
+_CEIL_STEP = {
+    "year": "INTERVAL 1 YEAR", "quarter": "INTERVAL 3 MONTH",
+    "month": "INTERVAL 1 MONTH", "week": "INTERVAL 1 WEEK",
+    "day": "INTERVAL 1 DAY", "hour": "INTERVAL 1 HOUR",
+    "minute": "INTERVAL 1 MINUTE", "second": "INTERVAL 1 SECOND",
+}
 
 
 def _rewrite_floor_to(text: str) -> str:
-    """FLOOR(x TO unit) → date_trunc('UNIT', x); CEIL TO unit rejected."""
+    """FLOOR(x TO unit) → date_trunc('UNIT', x);
+    CEIL(x TO unit) → already-aligned guard + one interval step:
+    ``CASE WHEN date_trunc(u, x) = x THEN date_trunc(u, x)
+    ELSE date_trunc(u, x) + INTERVAL 1 u END`` — Calcite's ceiling
+    semantics (SqlStdOperatorTable.java:1773-1778: a value already on
+    the unit boundary is its own ceiling) in pure Catalyst expressions.
+    WEEK follows date_trunc's Monday start, the same convention the
+    FLOOR rewrite (and the green quidem corpus) already pins."""
     pat = re.compile(
         r"\b(floor|ceil|ceiling)\s*\(([^()]+?)\s+to\s+"
         r"(year|quarter|month|week|day|hour|minute|second)\s*\)",
         re.I)
 
     def sub(m: "re.Match[str]") -> str:
+        unit = m.group(3).lower()
+        tr = f"date_trunc('{unit.upper()}', {m.group(2)})"
         if m.group(1).lower() in ("ceil", "ceiling"):
-            raise CeilToUnitUnsupported(
-                f"calcite_sql: {m.group(0)!r} — CEIL to a time unit has no "
-                "Spark equivalent (date_trunc floors); rewrite the query "
-                "with date_trunc + INTERVAL arithmetic explicitly")
-        return f"date_trunc('{m.group(3).upper()}', {m.group(2)})"
+            return (f"(case when {tr} = {m.group(2)} then {tr} "
+                    f"else {tr} + {_CEIL_STEP[unit]} end)")
+        return tr
 
     return pat.sub(sub, text)
 
@@ -700,12 +712,14 @@ def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
     # (after the literal rewrite so operands are array(..) expressions)
     text = _rewrite_multiset_binops(text)
     # niladic PI — but not when `pi` is a column ALIAS (… AS pi;
-    # redshift.iq:1475 `select atan2(2,2) * 4 as pi`)
-    def _pi(m):
-        before = text[:m.start()].rstrip().lower()
-        return m.group(0) if before.endswith(" as") else "pi()"
-
-    text = re.sub(r"(?<![\w.'])pi(?![\w('])", _pi, text, flags=re.I)
+    # redshift.iq:1475 `select atan2(2,2) * 4 as pi`). If ANY `as pi`
+    # alias exists in the statement, later references (ORDER BY pi,
+    # outer selects over the aliased sub-query) must stay column refs
+    # too, so the niladic rewrite is suppressed statement-wide
+    # (ADVICE r7 — the old guard only looked at the token right after
+    # 'as').
+    if not re.search(r"\bas\s+pi\b", text, flags=re.I):
+        text = re.sub(r"(?<![\w.'])pi(?![\w('])", "pi()", text, flags=re.I)
     # Spatial dialect glue (functions/geo_sqlfn.py): Calcite's GEOMETRY
     # type is this engine's ESRI-JSON string; Spark 4.1's native
     # st_setsrid/st_srid builtins cannot be replaced by SQL UDFs, so

@@ -301,6 +301,21 @@ def test_connected_components_converges_early(spark):
     assert time.monotonic() - t0 < 60
 
 
+def test_connected_components_nonconvergence_raises(spark):
+    """Exhausting max_iterations with labels still moving must raise —
+    silently returning partially-propagated (wrong) component ids was
+    the r7 ADVICE finding. A 6-node path has diameter 5, so 2 rounds
+    cannot finish min-label propagation."""
+    import pytest as _pytest
+
+    from drill_calcite_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "src bigint, dst bigint")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iterations=2).collect()
+
+
 def test_dedup_clusters_canonical_per_cluster(spark):
     """Every cluster has exactly ONE canonical row (the min doc_id) and
     cluster_size matches the member count."""

@@ -1,0 +1,53 @@
+"""Machine-check of the rotation invariant the r7 VERDICT found broken:
+every oracle-backed registry entry must either already have a green driver
+row in some committed CORRECTNESS_r*.json, or sit in the current
+_DRIVER_PRIORITY head (the slots the driver will oracle THIS round).
+``func_geo_srid`` was added late in round 7 and never slated — the only
+entry that had zero hard evidence; this test makes that gap impossible to
+reintroduce silently."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from drill_calcite_spark.queries import _DRIVER_PRIORITY, all_oracles
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# The driver oracles the first N registry entries.
+DRIVER_SLOTS = 50
+
+
+def _driver_green_names() -> set[str]:
+    green = set()
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        for name, rec in json.load(open(path)).items():
+            ok = rec.get("hash_match")
+            if ok is None:  # rows-only entries: rows + no error
+                ok = bool(rec.get("rows_match")) and not rec.get("err")
+            if ok:
+                green.add(name)
+    return green
+
+
+def test_every_oracle_backed_name_has_or_will_get_driver_evidence():
+    oracle_names = set(all_oracles())
+    covered = _driver_green_names() | set(_DRIVER_PRIORITY[:DRIVER_SLOTS])
+    missing = sorted(oracle_names - covered)
+    assert not missing, (
+        f"oracle-backed queries with NO driver CORRECTNESS row and NO slot "
+        f"in the current rotation (add them to _DRIVER_PRIORITY): {missing}")
+
+
+def test_driver_priority_within_slots_and_unique():
+    assert len(_DRIVER_PRIORITY) == len(set(_DRIVER_PRIORITY)), "duplicates"
+    assert len(_DRIVER_PRIORITY) <= DRIVER_SLOTS, (
+        f"{len(_DRIVER_PRIORITY)} prioritized names but the driver only "
+        f"oracles the first {DRIVER_SLOTS}")
+    # every prioritized name must actually be oracle-backed (a rows-only
+    # name in the head would waste a hard-evidence slot)
+    oracle_names = set(all_oracles())
+    not_backed = [n for n in _DRIVER_PRIORITY if n not in oracle_names]
+    assert not not_backed, f"slated but not oracle-backed: {not_backed}"

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import pytest
 
-from drill_calcite_spark.sql import CeilToUnitUnsupported, rewrite
+from drill_calcite_spark.sql import rewrite
 
 
 def test_nulls_high_asc_desc():
@@ -57,9 +57,18 @@ def test_floor_to_unit():
                    "group by date_trunc('HOUR', ts)")
 
 
-def test_ceil_to_unit_rejected():
-    with pytest.raises(CeilToUnitUnsupported, match="date_trunc"):
-        rewrite("select ceil(ts to hour) from t")
+def test_ceil_to_unit_rewrites():
+    """CEIL(x TO unit) → aligned guard + one interval step (round-8
+    implementation of the reference's SqlStdOperatorTable.java:1773-1778
+    ceiling; previously rejected outright)."""
+    out = rewrite("select ceil(ts to hour) from t")
+    assert out == ("select (case when date_trunc('HOUR', ts) = ts "
+                   "then date_trunc('HOUR', ts) "
+                   "else date_trunc('HOUR', ts) + INTERVAL 1 HOUR end) "
+                   "from t")
+    # QUARTER steps 3 months; CEILING is an alias
+    out = rewrite("select ceiling(ts to quarter) from t")
+    assert "INTERVAL 3 MONTH" in out and "date_trunc('QUARTER', ts)" in out
 
 
 def test_string_literals_untouched_identifiers_backticked():
@@ -125,6 +134,19 @@ def test_group_by_unit_removed():
 def test_niladic_pi():
     out = rewrite("values (degrees(pi), degrees(-pi / 2))", nulls_high=False)
     assert out == "values (degrees(pi()), degrees(-pi() / 2))"
+
+
+def test_niladic_pi_alias_suppresses_statement_wide():
+    """`as pi` anywhere makes every bare `pi` a column reference — the
+    alias itself, ORDER BY pi, and outer selects over the aliased
+    sub-query (ADVICE r7: the old guard only covered the token right
+    after 'as')."""
+    out = rewrite("select atan2(2,2) * 4 as pi from t order by pi",
+                  nulls_high=False)
+    assert out == "select atan2(2,2) * 4 as pi from t order by pi"
+    out = rewrite("select pi from (select 3.14 as pi from t)",
+                  nulls_high=False)
+    assert "pi()" not in out
 
 
 def test_quantified_value_list():
