@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from drill_calcite_spark.queries.common import r2, r4, t, ts
+from drill_calcite_spark.queries.common import r2, r2_dsum, r4, t, ts
 
 QUERIES = {}
 ORACLES = {}
@@ -111,7 +111,8 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q("join_band_theta", """
-SELECT tier, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+SELECT tier, count(*) AS n_orders,
+       round(sum(o_totalprice::DECIMAL(18,6)), 2)::DOUBLE AS total
 FROM orders
 JOIN (VALUES ('small', 0.0, 100000.0),
              ('medium', 100000.0, 250000.0),
@@ -133,7 +134,8 @@ def join_band_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ords.join(tiers, (ords.o_totalprice >= tiers.lo) & (ords.o_totalprice < tiers.hi))
         .groupBy("tier")
-        .agg(F.count("*").alias("n_orders"), r2(F.sum("o_totalprice")).alias("total"))
+        .agg(F.count("*").alias("n_orders"),
+             r2_dsum(F.col("o_totalprice")).alias("total"))
         .orderBy("tier")
     )
 
@@ -207,14 +209,16 @@ def agg_distinct_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q("agg_having", """
-SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spent
+SELECT o_custkey, count(*) AS n_orders,
+       round(sum(o_totalprice::DECIMAL(18,6)), 2)::DOUBLE AS spent
 FROM orders GROUP BY o_custkey HAVING count(*) >= 15
 """)
 def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     ords = t(spark, sf_dir, "orders")
     return (
         ords.groupBy("o_custkey")
-        .agg(F.count("*").alias("n_orders"), r2(F.sum("o_totalprice")).alias("spent"))
+        .agg(F.count("*").alias("n_orders"),
+             r2_dsum(F.col("o_totalprice")).alias("spent"))
         .filter(F.col("n_orders") >= 15)
     )
 
@@ -1153,7 +1157,8 @@ def sql_text_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q("join_strategy_hints", """
-SELECT s_nationkey, count(*) AS n_supp, round(sum(s_acctbal), 2) AS bal
+SELECT s_nationkey, count(*) AS n_supp,
+       round(sum(s_acctbal::DECIMAL(18,6)), 2)::DOUBLE AS bal
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 GROUP BY s_nationkey
 """)
@@ -1172,7 +1177,7 @@ def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
                   supp.s_nationkey == nat.n_nationkey)
     return j.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).alias("n_supp"),
-        F.round(F.sum("s_acctbal"), 2).alias("bal"),
+        r2_dsum(F.col("s_acctbal")).alias("bal"),
     )
 
 

@@ -507,9 +507,16 @@ def ds_chained_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     c1, c2 = cs.alias("c1"), cs.alias("c2")
+    # the year step is deliberately written as a RESIDUAL predicate
+    # (c2.yr - c1.yr = 1) rather than the equi form c2.yr = c1.yr + 1:
+    # with (pk, yr±1) as join keys the two sides hash DIFFERENT
+    # expressions, so Spark would compute the expensive fact aggregate
+    # twice; keyed on pk alone, both exchanges are byte-identical and
+    # ReusedExchange materializes the CTE once (each pk carries only
+    # |years| rows, so the pk-only key adds no meaningful skew)
     return (
         c1.join(c2, (F.col("c1.pk") == F.col("c2.pk"))
-                & (F.col("c2.yr") == F.col("c1.yr") + 1))
+                & (F.col("c2.yr") - F.col("c1.yr") == 1))
         .filter(F.col("c2.n_sales") > F.col("c1.n_sales"))
         .join(F.broadcast(std), F.col("c1.pk") == F.col("p_partkey"))
         .select(

@@ -18,7 +18,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from drill_calcite_spark.queries.common import r2, r4, t, ts
+from drill_calcite_spark.queries.common import (
+    r2, r2_dsum, r4_davg, sql_r2_dsum, sql_r4_davg, t, ts,
+)
 
 
 # --------------------------------------------------------------------- Q1
@@ -30,29 +32,33 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= ts("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
+            # money sums/averages through the exact DECIMAL/integer
+            # forms (common.r2_dsum / r4_davg — the r8 hardening sweep);
+            # sum_qty stays a plain double sum: quantities are integral,
+            # so that sum is already exact and order-independent
             r2(F.sum("l_quantity")).alias("sum_qty"),
-            r2(F.sum("l_extendedprice")).alias("sum_base_price"),
-            r2(F.sum(disc_price)).alias("sum_disc_price"),
-            r2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
-            r4(F.avg("l_quantity")).alias("avg_qty"),
-            r4(F.avg("l_extendedprice")).alias("avg_price"),
-            r4(F.avg("l_discount")).alias("avg_disc"),
+            r2_dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            r2_dsum(disc_price).alias("sum_disc_price"),
+            r2_dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            r4_davg(F.col("l_quantity")).alias("avg_qty"),
+            r4_davg(F.col("l_extendedprice")).alias("avg_price"),
+            r4_davg(F.col("l_discount")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
 
 
-Q1_SQL = """
+Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                          AS sum_qty,
-       round(sum(l_extendedprice), 2)                                     AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
-       round(avg(l_quantity), 4)                                          AS avg_qty,
-       round(avg(l_extendedprice), 4)                                     AS avg_price,
-       round(avg(l_discount), 4)                                          AS avg_disc,
-       count(*)                                                           AS count_order
+       round(sum(l_quantity), 2) AS sum_qty,
+       {sql_r2_dsum('l_extendedprice')} AS sum_base_price,
+       {sql_r2_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {sql_r2_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {sql_r4_davg('l_quantity')} AS avg_qty,
+       {sql_r4_davg('l_extendedprice')} AS avg_price,
+       {sql_r4_davg('l_discount')} AS avg_disc,
+       count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
@@ -70,15 +76,16 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(ords, li.l_orderkey == ords.o_orderkey)
         .join(cust, ords.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(r2_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
     )
 
 
-Q3_SQL = """
+Q3_SQL = f"""
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {sql_r2_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -139,13 +146,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, supplier.s_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(r2_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
 
-Q5_SQL = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+Q5_SQL = f"""
+SELECT n_name, {sql_r2_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -170,12 +178,13 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+        .agg(r2_dsum(F.col("l_extendedprice") * F.col("l_discount"))
+             .alias("revenue"))
     )
 
 
-Q6_SQL = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+Q6_SQL = f"""
+SELECT {sql_r2_dsum('l_extendedprice * l_discount')} AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -198,15 +207,16 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, ords.o_custkey == cust.c_custkey)
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(r2_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
 
 
-Q10_SQL = """
+Q10_SQL = f"""
 SELECT c_custkey, c_name, c_acctbal, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {sql_r2_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
 FROM customer, orders, lineitem, nation
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
@@ -261,22 +271,38 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .agg(
-            r4(
-                F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev)
-            ).alias("promo_revenue")
+            # round(100*sa/sb, 4) computed exactly in integer micros:
+            # (2*10^6*ma + mb) div (2*mb) / 10^4 with ma, mb the
+            # DECIMAL(18,6) sums in micros (r8 hardening; common.r4_davg
+            # rationale — both sums non-negative here)
+            (F.call_function(
+                "div",
+                F.lit(2) * F.lit(1000000)
+                * (F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                         .otherwise(0.0).cast("decimal(18,6)"))
+                   * F.lit(1000000)).cast("decimal(38,0)")
+                + (F.sum(rev.cast("decimal(18,6)"))
+                   * F.lit(1000000)).cast("decimal(38,0)"),
+                F.lit(2) * (F.sum(rev.cast("decimal(18,6)"))
+                            * F.lit(1000000)).cast("decimal(38,0)"),
+            ) / F.lit(10000.0)).alias("promo_revenue")
         )
     )
 
 
 Q14_SQL = """
-SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-  AND l_shipdate <  TIMESTAMP '1997-03-01 00:00:00'
+WITH ms AS (
+  SELECT CAST(sum((CASE WHEN p_type = 'PROMO'
+              THEN l_extendedprice * (1 - l_discount)
+              ELSE 0.0 END)::DECIMAL(18,6)) * 1000000 AS HUGEINT) AS ma,
+         CAST(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6))
+              * 1000000 AS HUGEINT) AS mb
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-03-01 00:00:00'
+)
+SELECT ((2 * 1000000 * ma + mb) // (2 * mb)) / 10000.0 AS promo_revenue
+FROM ms
 """
 
 
@@ -333,13 +359,13 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
         .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
         .groupBy("c_nationkey")
-        .agg(F.count("*").alias("numcust"), r2(F.sum("c_acctbal")).alias("totacctbal"))
+        .agg(F.count("*").alias("numcust"), r2_dsum(F.col("c_acctbal")).alias("totacctbal"))
         .orderBy("c_nationkey")
     )
 
 
-Q22_SQL = """
-SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+Q22_SQL = f"""
+SELECT c_nationkey, count(*) AS numcust, {sql_r2_dsum('c_acctbal')} AS totacctbal
 FROM customer
 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey

@@ -76,6 +76,50 @@ def _string_mask(text: str) -> list[bool]:
     return mask
 
 
+# Control char that cannot appear in any SQL the front door accepts —
+# used to build inert placeholders for shielded string literals.
+_LIT_SENTINEL = "\x1f"
+
+
+def _shield_literals(text: str) -> "tuple[str, list[str]]":
+    """Replace every single-quoted literal's CONTENT with an inert
+    placeholder (``'\\x1f<k>\\x1f'``) so NO token rewrite can match
+    inside it — keywords in literal text ('has pi here',
+    'floor(d to day)', '(table t2)') must survive the pipeline verbatim,
+    and unbalanced parens inside literals must not confuse the
+    depth-counting scans. ``_unshield_literals`` restores the bodies
+    after all rewrites ran. Double-quoted identifiers are NOT shielded:
+    ``_rewrite_dquote_idents`` needs their contents. Doubled ''
+    escapes stay inside the captured body and restore exactly."""
+    lits: list[str] = []
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        if text[i] == "'":
+            j = i + 1
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            if j < n:  # terminated literal
+                out.append(f"'{_LIT_SENTINEL}{len(lits)}{_LIT_SENTINEL}'")
+                lits.append(text[i + 1:j])
+                i = j + 1
+                continue
+        out.append(text[i])
+        i += 1
+    return "".join(out), lits
+
+
+def _unshield_literals(text: str, lits: "list[str]") -> str:
+    return re.sub(
+        f"{_LIT_SENTINEL}(\\d+){_LIT_SENTINEL}",
+        lambda m: lits[int(m.group(1))], text)
+
+
 def _word_at(text: str, i: int) -> str:
     m = _WORD.match(text, i)
     return m.group(0).lower() if m else ""
@@ -335,8 +379,53 @@ def _quant_case(lhs: str, op: str, quant: str, sub: str) -> str:
 
 
 _QUANT_PAT = re.compile(
-    r'([A-Za-z_`"][\w`".]*)\s*(=|<>|!=|<=|>=|<|>)\s*(any|some|all)\s*\(',
-    re.I)
+    r"(=|<>|!=|<=|>=|<|>)\s*(any|some|all)\s*\(", re.I)
+
+# words that signal the backward LHS scan landed on a construct it
+# cannot capture (CASE ... END > ALL (...)); bail loudly-by-analysis
+# rather than emit a silently wrong span
+_QUANT_LHS_STOPWORDS = {"end", "then", "else", "when", "null", "and",
+                        "or", "not", "in", "between"}
+
+
+def _quant_lhs_span(text: str, op_start: int) -> "tuple[int, int] | None":
+    """Scan LEFT from the comparison operator for the LHS operand:
+    either a bare (possibly qualified/quoted) identifier or literal, or
+    a balanced parenthesized expression with an optional function name
+    — supports ``(a + b) > ALL (...)`` and ``abs(x) < SOME (...)``,
+    which the old identifier-only pattern missed (round-8 fuzzer
+    finding). Returns (start, end) of the LHS or None to skip."""
+    j = op_start - 1
+    while j >= 0 and text[j].isspace():
+        j -= 1
+    if j < 0:
+        return None
+    if text[j] == ")":
+        depth, k = 0, j
+        while k >= 0:
+            if text[k] == ")":
+                depth += 1
+            elif text[k] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            k -= 1
+        if depth != 0:
+            return None
+        # include a directly-attached function name, if any
+        i = k - 1
+        while i >= 0 and (text[i].isalnum() or text[i] in "_`\"."):
+            i -= 1
+        return (i + 1, j + 1)
+    k = j
+    while k >= 0 and (text[k].isalnum() or text[k] in "_`\".'"):
+        k -= 1
+    start = k + 1
+    if start > j:
+        return None
+    if text[start:j + 1].lower() in _QUANT_LHS_STOPWORDS:
+        return None
+    return (start, j + 1)
 
 
 def _rewrite_quantified(text: str) -> str:
@@ -346,14 +435,20 @@ def _rewrite_quantified(text: str) -> str:
     (rules/SubQueryRemoveRule.java), preserving three-valued logic.
     The quidem some.iq corpus (NULL-element edge cases) is the check."""
     mask = _string_mask(text)
+    pos = 0
     while True:
-        m = _QUANT_PAT.search(text)
-        if not m or mask[m.start()]:
-            if not m:
-                return text
-            # inside a string: give up (no such case in practice)
+        m = _QUANT_PAT.search(text, pos)
+        if not m:
             return text
-        lhs, op, quant = m.group(1), m.group(2), m.group(3).lower()
+        if mask[m.start()]:
+            pos = m.end()
+            continue
+        span = _quant_lhs_span(text, m.start())
+        if span is None:
+            pos = m.end()
+            continue
+        lhs = text[span[0]:span[1]]
+        op, quant = m.group(1), m.group(2).lower()
         depth, i = 1, m.end()
         while i < len(text) and depth:
             if text[i] == "(":
@@ -379,8 +474,9 @@ def _rewrite_quantified(text: str) -> str:
                 f"calcite_sql: quantified {op} {quant.upper()} has no "
                 "three-valued-logic-preserving rewrite here; use the "
                 "builder API's quantified forms")
-        text = text[:m.start()] + repl + text[i:]
+        text = text[:span[0]] + repl + text[i:]
         mask = _string_mask(text)
+        pos = 0
 
 
 def _rewrite_multiarg_count(text: str) -> str:
@@ -689,6 +785,11 @@ def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
             nulls_high: bool = True) -> str:
     """Apply the Calcite-dialect rewrites; returns plain Spark SQL."""
     text = text.rstrip().rstrip(";")
+    # shield string-literal CONTENTS for the whole pipeline: no rewrite
+    # below can see (or corrupt) keyword-looking text inside '...'
+    # (round-8 fuzzer finding: 9 of 11 token rewrites matched inside
+    # literals — 'has pi here' became 'has pi() here', etc.)
+    text, _lits = _shield_literals(text)
     # (TABLE t) explicit-table operator → (SELECT * FROM t)
     text = re.sub(r"\(\s*table\s+([^)]+)\)", r"(select * from \1)", text,
                   flags=re.I)
@@ -754,7 +855,7 @@ def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
                 top_comma = True
         if not top_comma:
             text = re.sub(r"^\s*values\b", "select", text, flags=re.I)
-    return text
+    return _unshield_literals(text, _lits)
 
 
 def calcite_sql(spark: SparkSession, text: str, *,

@@ -174,6 +174,41 @@ def test_tpcds_round7_plan_shapes(spark):
         "q17-shape returned-item prune / part broadcast missing"
 
 
+def test_tpcds_round8_stretch_plan_shapes(spark):
+    """The three r8 stretch shapes keep their docstring claims:
+    ds_chained_star_join broadcast-semi-prunes lineitem on the filtered
+    part set and broadcasts part for the display join, no cartesian;
+    ds_max_over_cte turns both IN predicates into left-semi joins and
+    broadcasts the 1-row MAX scalar (never a global window);
+    ds_three_channel_full chains genuine FULL OUTER joins with all
+    exchanges hashing the same part key."""
+    qs = entrymod.queries()
+    plans = {n: _plan(qs[n](spark, SF_DIR)) for n in [
+        "ds_chained_star_join", "ds_max_over_cte", "ds_three_channel_full"]}
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, f"{name} cartesian"
+        assert "Window" not in plan, f"{name} sneaked in a window"
+    p64 = plans["ds_chained_star_join"]
+    assert "LeftSemi" in p64 and "BroadcastHashJoin" in p64, \
+        "q64-shape part prune / broadcast missing"
+    # the self-join must materialize the expensive CTE ONCE: the year
+    # step is a residual predicate so both sides hash pk alone, and AQE
+    # stage-reuses the identical exchange at runtime
+    df64 = qs["ds_chained_star_join"](spark, SF_DIR)
+    df64.collect()
+    final64 = df64._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final64, \
+        "q64-shape self-join recomputes the fact aggregate twice"
+    p23 = plans["ds_max_over_cte"]
+    assert p23.count("LeftSemi") >= 2, \
+        "q23-shape IN predicates did not both become semi joins"
+    assert "BroadcastNestedLoopJoin" in p23 or "BroadcastHashJoin" in p23, \
+        "q23-shape MAX scalar is not broadcast"
+    p78 = plans["ds_three_channel_full"]
+    assert p78.count("FullOuter") >= 2, \
+        "q78-shape is not a genuine FULL OUTER chain"
+
+
 def test_quantified_expansion_merges_scalar_subqueries(spark):
     """100 TB contract for the quantified SOME/ALL textual expansion
     (sql.py): its four count/min-max scalar subqueries over the same
