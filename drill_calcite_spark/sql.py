@@ -159,6 +159,194 @@ def _rewrite_floor_to(text: str) -> str:
     return pat.sub(sub, text)
 
 
+# ------------------------------------------------------------------ JSON
+# JSON_OBJECT('k': v, …) / JSON_OBJECTAGG(k: v) / JSON_ARRAYAGG(v …)
+# (SqlStdOperatorTable JSON family; agg.iq:2586-2710). Calcite renders
+# JSON objects from a java.util.HashMap, so KEY ORDER in its output is
+# HashMap iteration order: bucket = (h ^ (h >>> 16)) & 15 over
+# String.hashCode with the default capacity 16, insertion-ordered within
+# a bucket. The rewrites reproduce that exactly — at REWRITE time for
+# JSON_OBJECT (literal keys), at RUNTIME for JSON_OBJECTAGG (a stable
+# array_sort over computed buckets; Spark's comparator sort is a stable
+# mergesort, verified in tests). Values render through a one-field
+# to_json so numeric/string/null quoting matches a real JSON writer.
+
+_JSON_CALL = re.compile(
+    r"\b(json_objectagg|json_arrayagg|json_object)\s*\(", re.I)
+
+
+def _java_hash_bucket(key: str) -> int:
+    """Python twin of Java's HashMap bucket for a String key (cap 16)."""
+    h = 0
+    for ch in key:
+        h = (31 * h + ord(ch)) & 0xFFFFFFFF
+    return ((h ^ (h >> 16)) & 0xFFFFFFFF) & 15
+
+
+def _sql_bucket(key_expr: str) -> str:
+    """SQL twin of ``_java_hash_bucket`` (bind h once via the
+    one-element-transform trick to avoid macro duplication)."""
+    h = (f"aggregate(split({key_expr}, ''), 0L, "
+         f"(h, c) -> pmod(31*h + ascii(c), 4294967296L))")
+    return (f"transform(array({h}), _h -> "
+            f"pmod(CAST(_h ^ shiftright(_h, 16) AS BIGINT), 16))[0]")
+
+
+def _sql_jv(val_expr: str) -> str:
+    """Render one value as JSON text (quotes strings, bare numerics,
+    ``null`` for NULL) via a single-field to_json."""
+    j = (f"to_json(named_struct('a', {val_expr}), "
+         f"map('ignoreNullFields', 'false'))")
+    return (f"transform(array({j}), _j -> "
+            f"substring(_j, 6, length(_j) - 6))[0]")
+
+
+def _split_top_level(s: str, sep: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+_NULL_CLAUSE = re.compile(r"\s+(null|absent)\s+on\s+null\s*$", re.I)
+_FORMAT_JSON = re.compile(r"\s+format\s+json\s*$", re.I)
+_ORDER_CLAUSE = re.compile(
+    r"\s+order\s+by\s+(.+?)(\s+(asc|desc))?\s*$", re.I)
+_LIT_REF = re.compile(f"^\\s*'{_LIT_SENTINEL}(\\d+){_LIT_SENTINEL}'\\s*$")
+
+
+def _rewrite_json_calls(text: str, lits: "list[str]") -> str:
+    """Rewrite the three JSON constructor/aggregate forms, innermost
+    first. Runs on SHIELDED text: literal keys are placeholder refs
+    resolved through ``lits``, and emitted string fragments are
+    appended to ``lits`` so later pipeline passes cannot touch them."""
+    def emit_lit(body: str) -> str:
+        lits.append(body)
+        return f"'{_LIT_SENTINEL}{len(lits) - 1}{_LIT_SENTINEL}'"
+
+    def one(m: "re.Match[str]") -> "str | None":
+        fn = m.group(1).lower()
+        depth, i = 1, m.end()
+        while i < len(text) and depth:
+            if text[i] == "(":
+                depth += 1
+            elif text[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            return None
+        args, close = text[m.end():i - 1], i
+        if _JSON_CALL.search(args):
+            return None  # not innermost — recurse later
+        if fn == "json_object":
+            pairs = []
+            for part in _split_top_level(args, ","):
+                k_txt, v_txt = _split_top_level(part, ":")
+                lm = _LIT_REF.match(k_txt)
+                if not lm:
+                    raise ValueError(
+                        "calcite_sql: json_object keys must be string "
+                        f"literals, got {k_txt!r}")
+                key = lits[int(lm.group(1))]
+                v_txt = v_txt.strip()
+                fm = _FORMAT_JSON.search(v_txt)
+                if fm:
+                    v_txt = v_txt[:fm.start()]
+                rendered = v_txt if fm else _sql_jv(v_txt)
+                pairs.append((key, rendered))
+            pairs.sort(key=lambda p: _java_hash_bucket(p[0]))  # stable
+            body = " || ".join(
+                f"{emit_lit(('' if n == 0 else ',') + '%s:' % _jq(k))}"
+                f" || {v}" for n, (k, v) in enumerate(pairs))
+            repl = f"(({emit_lit('{')} || {body}) || {emit_lit('}')})"
+        elif fn == "json_objectagg":
+            a = args
+            nc = _NULL_CLAUSE.search(a)
+            absent = bool(nc and nc.group(1).lower() == "absent")
+            if nc:
+                a = a[:nc.start()]
+            k_txt, v_txt = _split_top_level(a, ":")
+            k_txt, v_txt = k_txt.strip(), v_txt.strip()
+            guard = (f"({k_txt}) IS NOT NULL AND ({v_txt}) IS NOT NULL"
+                     if absent else f"({k_txt}) IS NOT NULL")
+            entries = (
+                f"collect_list(CASE WHEN {guard} THEN "
+                f"struct(({k_txt}) AS k, {_sql_jv(v_txt)} AS v) END)")
+            sorted_ = (
+                f"array_sort(transform({entries}, _e -> "
+                f"struct({_sql_bucket('_e.k')} AS b, _e.k AS k, "
+                f"_e.v AS v)), (l, r) -> CASE WHEN l.b < r.b THEN -1 "
+                f"WHEN l.b > r.b THEN 1 ELSE 0 END)")
+            dq = emit_lit('"')
+            mid = emit_lit('":')
+            repl = (f"(({emit_lit('{')} || concat_ws({emit_lit(',')}, "
+                    f"transform({sorted_}, _e -> "
+                    f"concat({dq}, _e.k, {mid}, _e.v)))) "
+                    f"|| {emit_lit('}')})")
+        else:  # json_arrayagg
+            a = args
+            nc = _NULL_CLAUSE.search(a)
+            null_on_null = bool(nc and nc.group(1).lower() == "null")
+            if nc:
+                a = a[:nc.start()]
+            oc = _ORDER_CLAUSE.search(a)
+            order_expr = order_desc = None
+            if oc:
+                order_expr = oc.group(1).strip()
+                order_desc = (oc.group(3) or "asc").lower() == "desc"
+                a = a[:oc.start()]
+            fm = _FORMAT_JSON.search(a)
+            if fm:
+                a = a[:fm.start()]
+            v_txt = a.strip()
+            rendered = v_txt if fm else _sql_jv(v_txt)
+            sort_key = order_expr if order_expr else "0"
+            entry = f"struct(({sort_key}) AS s, {rendered} AS v)"
+            if not null_on_null:
+                entry = (f"CASE WHEN ({v_txt}) IS NOT NULL "
+                         f"THEN {entry} END")
+            entries = f"collect_list({entry})"
+            if order_expr:
+                lo, hi = ("1", "-1") if order_desc else ("-1", "1")
+                entries = (
+                    f"array_sort({entries}, (l, r) -> "
+                    f"CASE WHEN l.s < r.s THEN {lo} "
+                    f"WHEN l.s > r.s THEN {hi} ELSE 0 END)")
+            repl = (f"(({emit_lit('[')} || concat_ws({emit_lit(',')}, "
+                    f"transform({entries}, _e -> _e.v))) "
+                    f"|| {emit_lit(']')})")
+        return text[:m.start()] + repl + text[close:]
+
+    guard_iters = 0
+    while True:
+        replaced = False
+        for m in _JSON_CALL.finditer(text):
+            new = one(m)
+            if new is not None:
+                text, replaced = new, True
+                break
+        if not replaced:
+            return text
+        guard_iters += 1
+        if guard_iters > 50:
+            raise ValueError("calcite_sql: json rewrite did not converge")
+
+
+def _jq(key: str) -> str:
+    """A JSON object key fragment: '"<key>":' minus the trailing colon
+    handled by the caller."""
+    return f'"{key}"'
+
+
 def _rewrite_listagg(text: str) -> str:
     """listagg(expr) → listagg(expr, ',') when the call has exactly one
     top-level argument (Calcite's default comma separator)."""
@@ -790,6 +978,10 @@ def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
     # (round-8 fuzzer finding: 9 of 11 token rewrites matched inside
     # literals — 'has pi here' became 'has pi() here', etc.)
     text, _lits = _shield_literals(text)
+    # JSON constructors/aggregates first (they emit their own shielded
+    # fragments and must see the original literal keys via _lits)
+    if _JSON_CALL.search(text):
+        text = _rewrite_json_calls(text, _lits)
     # (TABLE t) explicit-table operator → (SELECT * FROM t)
     text = re.sub(r"\(\s*table\s+([^)]+)\)", r"(select * from \1)", text,
                   flags=re.I)

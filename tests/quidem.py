@@ -225,9 +225,14 @@ def norm_expected(c):
     if isinstance(c, tuple):          # ("__trunc__", prefix, length)
         return c
     if c.startswith("[") and c.endswith("]"):
+        # Calcite renders MULTISETs as [..] — but so do JSON strings
+        # (JSON_ARRAYAGG). Keep the raw text alongside the sorted
+        # multiset view; cells_eq picks by the ENGINE value's type:
+        # engine list → unordered multiset compare, engine string →
+        # exact JSON text compare (order is part of the JSON value).
         body = c[1:-1].strip()
         elems = _split_multiset(body) if body else []
-        return ("__multiset__", tuple(sorted(elems)))
+        return ("__multiset__", tuple(sorted(elems)), c)
     try:
         return float(c)
     except ValueError:
@@ -239,6 +244,12 @@ def cells_eq(a, b) -> bool:
         # quidem-truncated long cell: compare prefix + total length
         return (isinstance(a, str) and len(a) == b[2]
                 and a.startswith(b[1]))
+    if isinstance(b, tuple) and b and b[0] == "__multiset__":
+        if isinstance(a, tuple) and a and a[0] == "__multiset__":
+            return a[1] == b[1]
+        if isinstance(a, str):
+            return len(b) >= 3 and a == b[2]
+        return False
     if a is None or b is None:
         return a is None and b is None
     if isinstance(a, float) and isinstance(b, float):

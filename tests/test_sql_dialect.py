@@ -201,3 +201,37 @@ def test_table_operator():
                   schema_views={"scott": "scott_"}, nulls_high=False)
     assert out == ("select * from (select * from scott_emp AS emp) "
                    "where deptno = 10")
+
+
+def test_json_object_literal_keys_hashmap_order():
+    """JSON_OBJECT emits keys in Java-HashMap iteration order (Calcite
+    renders from a HashMap), computed at rewrite time for literal keys:
+    bucket('employees')=12 < bucket('deptno')=14, so 'employees' renders
+    first even though 'deptno' is written first (agg.iq:2608)."""
+    from drill_calcite_spark.sql import _java_hash_bucket
+
+    assert _java_hash_bucket("ename") == 2
+    assert _java_hash_bucket("deptno") == 14
+    assert _java_hash_bucket("employees") == 12
+    out = rewrite("select json_object('deptno': d, 'employees': e) from t",
+                  nulls_high=False)
+    assert out.index("employees") < out.index("deptno")
+    assert "json_object" not in out
+
+
+def test_json_objectagg_rewrites_to_stable_bucket_sort():
+    out = rewrite("select json_objectagg(k: v absent on null) from t",
+                  nulls_high=False)
+    assert "collect_list" in out and "array_sort" in out
+    assert "(v) IS NOT NULL" in out          # absent on null filter
+    out2 = rewrite("select json_objectagg(k: v) from t", nulls_high=False)
+    assert "(v) IS NOT NULL" not in out2     # null on null keeps nulls
+
+
+def test_json_arrayagg_order_and_null_clauses():
+    out = rewrite("select json_arrayagg(d order by d desc) from t",
+                  nulls_high=False)
+    assert "array_sort" in out and "THEN 1" in out
+    out2 = rewrite("select json_arrayagg(d null on null) from t",
+                   nulls_high=False)
+    assert "IS NOT NULL" not in out2
