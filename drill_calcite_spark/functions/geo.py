@@ -1332,3 +1332,148 @@ def convex_ring_area(lit_ring) -> float:
     verts = _convex_clip_guard(lit_ring, "convex_ring_area")
     return abs(sum(x1 * y2 - x2 * y1
                    for (x1, y1), (x2, y2) in _edges(verts))) / 2.0
+
+
+# ----------------------------------------------------------- curve buffer
+# ST_Buffer of a CONVEX polygon ring (GeoFunctions.java ST_Buffer over
+# polygons; spatial.iq:788 exercises the curve form). The Minkowski sum
+# of a convex ring with a disk: every edge offsets outward by r, every
+# vertex grows a circular-arc join tessellated with 2^k chords. The
+# tessellation is TRIG-FREE so both engines produce bit-identical
+# vertices: the join angle's (cos, sin) comes from the edge normals'
+# dot/cross products, the per-chord step from k half-angle steps
+# (c' = sqrt((1+c)/2), s' = s/(2c')), and each arc point from an
+# incremental 2x2 rotation — only +,-,*,/,sqrt, all IEEE
+# correctly-rounded on the JVM and in DuckDB, unlike libm sin/cos which
+# diverge by ulps between runtimes. Rendering stays byte-portable
+# through st_ring_wkt_arr's %.6f contract.
+#
+# Scale: pure column expressions, no shuffle, no Python. The rotation
+# recurrence runs through F.aggregate (a runtime fold — O(1) plan size),
+# so the macro-inlining plan-size hazard documented in geo_sqlfn.py
+# does not apply; the DuckDB twin unrolls the same recurrence as an
+# O(2^k)-text binder chain. ESRI's exact curve tessellation differs
+# (it starts caps mid-arc at computed angle-0 crossings —
+# tests/iq/README.md), so the byte-level .iq cases remain excluded; the
+# SHAPE is value-correct: area(buffer) = A + P*r + the tessellated join
+# sectors, pinned in tests/test_geo_buffer.py.
+
+
+def _half_angle_steps(c, s, k: int):
+    """k half-angle steps on a (cos, sin) pair — the per-chord rotation
+    for 2^k chords over the angle. Valid for |angle| < pi (convex join
+    angles), either sign of s."""
+    for _ in range(k):
+        c_next = F.sqrt((1.0 + c) / 2.0)
+        s = s / (2.0 * c_next)
+        c = c_next
+    return c, s
+
+
+def st_buffer_ring_arr(ring: Column, r, k: int = 3) -> Column:
+    """Positive buffer of a convex array ring (either orientation) as an
+    array ring: per input vertex, the incoming offset corner, 2^k - 1
+    arc points, and the outgoing offset corner. Concave rings are out of
+    contract (Calcite delegates those to ESRI's curve engine —
+    documented exclusion, tests/iq/README.md)."""
+    m = 2 ** k
+    r = r if isinstance(r, Column) else F.lit(float(r))
+    n = F.size(ring)
+    # orientation: +1 for CCW (positive shoelace), -1 for CW
+    sigma = F.signum(_ring_fold(
+        ring, lambda v1, v2: v1.x * v2.y - v2.x * v1.y))
+
+    def vertex_points(j: Column) -> Column:
+        vp = F.element_at(ring, (F.pmod(j - 2 + n, n) + 1).cast("int"))
+        v = F.element_at(ring, j.cast("int"))
+        vn = F.element_at(ring, (F.pmod(j, n) + 1).cast("int"))
+        e1x, e1y = v.x - vp.x, v.y - vp.y
+        e2x, e2y = vn.x - v.x, vn.y - v.y
+        l1 = F.sqrt(e1x * e1x + e1y * e1y)
+        l2 = F.sqrt(e2x * e2x + e2y * e2y)
+        # outward unit normals of the two incident edges
+        n1x, n1y = sigma * e1y / l1, -sigma * e1x / l1
+        n2x, n2y = sigma * e2y / l2, -sigma * e2x / l2
+        c_step, s_step = _half_angle_steps(
+            n1x * n2x + n1y * n2y, n1x * n2y - n1y * n2x, k)
+        p0 = F.struct((v.x + r * n1x).alias("x"),
+                      (v.y + r * n1y).alias("y"))
+        seed = F.struct(n1x.alias("ux"), n1y.alias("uy"),
+                        F.array(p0).alias("pts"))
+
+        def rot(acc: Column, _t: Column) -> Column:
+            nux = acc.ux * c_step - acc.uy * s_step
+            nuy = acc.ux * s_step + acc.uy * c_step
+            pt = F.struct((v.x + r * nux).alias("x"),
+                          (v.y + r * nuy).alias("y"))
+            return F.struct(nux.alias("ux"), nuy.alias("uy"),
+                            F.concat(acc.pts, F.array(pt)).alias("pts"))
+
+        return F.aggregate(F.sequence(F.lit(1), F.lit(m)), seed, rot,
+                           lambda a: a.pts)
+
+    return F.flatten(F.transform(F.sequence(F.lit(1), n),
+                                 lambda j: vertex_points(j)))
+
+
+def sql_buffer_ring_arr(ring: str, r: str, k: int = 3) -> str:
+    """DuckDB twin of ``st_buffer_ring_arr`` — the identical arithmetic
+    with the rotation recurrence unrolled as a chain of one-element
+    ``list_transform`` binders (DuckDB 1.0 has no seeded list_reduce),
+    each level O(1) text, so the whole expression stays O(2^k)."""
+    m = 2 ** k
+    sigma = ("sign(" + _sql_ring_fold(
+        ring, "(__V1__.x * __V2__.y - __V2__.x * __V1__.y)") + ")")
+    vp = f"({ring})[CAST((j - 2 + len({ring})) % len({ring}) AS INT) + 1]"
+    v = f"({ring})[CAST(j AS INT)]"
+    vn = f"({ring})[CAST(j % len({ring}) AS INT) + 1]"
+    # binder level 0: raw vertex triple + sigma
+    lvl0 = (f"[struct_pack(vpx := {vp}.x, vpy := {vp}.y, "
+            f"vx := {v}.x, vy := {v}.y, "
+            f"vnx := {vn}.x, vny := {vn}.y, sg := {sigma})]")
+    # binder level 1: unit normals
+    lvl1 = (
+        f"list_transform({lvl0}, _q -> struct_pack("
+        "vx := _q.vx, vy := _q.vy, "
+        "n1x := _q.sg * (_q.vy - _q.vpy) / sqrt("
+        "(_q.vx - _q.vpx)*(_q.vx - _q.vpx) + "
+        "(_q.vy - _q.vpy)*(_q.vy - _q.vpy)), "
+        "n1y := -_q.sg * (_q.vx - _q.vpx) / sqrt("
+        "(_q.vx - _q.vpx)*(_q.vx - _q.vpx) + "
+        "(_q.vy - _q.vpy)*(_q.vy - _q.vpy)), "
+        "n2x := _q.sg * (_q.vny - _q.vy) / sqrt("
+        "(_q.vnx - _q.vx)*(_q.vnx - _q.vx) + "
+        "(_q.vny - _q.vy)*(_q.vny - _q.vy)), "
+        "n2y := -_q.sg * (_q.vnx - _q.vx) / sqrt("
+        "(_q.vnx - _q.vx)*(_q.vnx - _q.vx) + "
+        "(_q.vny - _q.vy)*(_q.vny - _q.vy))))")
+    # binder level 2: join-angle (cos, sin)
+    lvl2 = (f"list_transform({lvl1}, _n -> struct_pack("
+            "vx := _n.vx, vy := _n.vy, n1x := _n.n1x, n1y := _n.n1y, "
+            "c := (_n.n1x * _n.n2x + _n.n1y * _n.n2y), "
+            "s := (_n.n1x * _n.n2y - _n.n1y * _n.n2x)))")
+    # k half-angle binder levels
+    cur = lvl2
+    for _ in range(k):
+        cur = (f"list_transform({cur}, _h -> struct_pack("
+               "vx := _h.vx, vy := _h.vy, n1x := _h.n1x, n1y := _h.n1y, "
+               "c := sqrt((1.0 + _h.c) / 2.0), "
+               "s := _h.s / (2.0 * sqrt((1.0 + _h.c) / 2.0))))")
+    # m rotation binder levels accumulating the point list
+    cur = (f"list_transform({cur}, _a -> struct_pack("
+           "vx := _a.vx, vy := _a.vy, c := _a.c, s := _a.s, "
+           "ux := _a.n1x, uy := _a.n1y, "
+           f"pts := [struct_pack(x := _a.vx + ({r}) * _a.n1x, "
+           f"y := _a.vy + ({r}) * _a.n1y)]))")
+    for _ in range(m):
+        cur = (
+            f"list_transform({cur}, _a -> struct_pack("
+            "vx := _a.vx, vy := _a.vy, c := _a.c, s := _a.s, "
+            "ux := (_a.ux * _a.c - _a.uy * _a.s), "
+            "uy := (_a.ux * _a.s + _a.uy * _a.c), "
+            "pts := list_append(_a.pts, struct_pack("
+            f"x := _a.vx + ({r}) * (_a.ux * _a.c - _a.uy * _a.s), "
+            f"y := _a.vy + ({r}) * (_a.ux * _a.s + _a.uy * _a.c)))))")
+    body = f"({cur})[1].pts"
+    return (f"flatten(list_transform(range(1, len({ring}) + 1), "
+            f"j -> {body}))")

@@ -58,9 +58,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _DRIVER_PRIORITY = [
     # (a) zero-evidence names
     "ds_cross_channel_band", "func_geo_srid",
-    # (b) new in round 8
+    # (b) new in round 8 (func_geo_buffer_poly: the convex curve-buffer
+    # closure of the last documented geometry gap, trig-free bit-exact
+    # tessellation)
     "func_datetime_ceil", "ds_chained_star_join", "ds_max_over_cte",
-    "ds_three_channel_full",
+    "ds_three_channel_full", "func_geo_buffer_poly",
     # (c) code/oracle touched in round 8
     "ds_sales_rollup_rank", "ds_channel_report", "ds_returns_above_avg",
     "ds_multi_supplier_orders", "q9_product_type_profit",
