@@ -95,3 +95,39 @@ def register_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[s
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+# ------------------------------------------------------------- sequences
+# NEXT VALUE FOR / CURRENT VALUE FOR (SqlStdOperatorTable.java:2206-2213;
+# core/src/test/resources/sql/sequence.iq) — a session-scoped sequence
+# catalog. Semantics contract: each STATEMENT that references
+# NEXT VALUE FOR drains one value per produced row (Calcite's behavior
+# in sequence.iq: two rows -> 1, 2; CURRENT VALUE then reads 2).
+# calcite_sql implements that by pre-counting the statement's rows and
+# advancing the counter before returning the (literal-based, stable)
+# DataFrame. Steady-state DISTRIBUTED sequences remain by-design out of
+# scope (SURVEY §2.4: a 1000-executor cluster needs block allocation
+# from a coordination service, not a driver dict); this surface covers
+# the reference's actual sequence test matrix — session DDL + small
+# statements — and fails loudly on unknown names.
+
+_SEQUENCES: "dict[str, dict]" = {}
+
+
+def create_sequence(name: str, start: int = 1, increment: int = 1) -> None:
+    """(Re)create a sequence — resets its counter (fixture semantics)."""
+    _SEQUENCES[name.lower()] = {
+        "next": start, "inc": increment, "start": start}
+
+
+def get_sequence(name: str) -> "dict | None":
+    return _SEQUENCES.get(name.lower())
+
+
+def advance_sequence(name: str, n_rows: int) -> None:
+    seq = _SEQUENCES[name.lower()]
+    seq["next"] += n_rows * seq["inc"]
+
+
+def sequence_names() -> "list[str]":
+    return sorted(_SEQUENCES)

@@ -72,7 +72,11 @@ _DRIVER_PRIORITY = [
     "q4_order_priority", "q13_customer_distribution", "q14_promo_effect",
     "q22_global_sales_opportunity", "agg_having", "setop_union_distinct",
     "setop_intersect", "setop_intersect_all", "setop_except_all",
-    "values_inline", "unnest_words", "unnest_with_ordinality",
+    "values_inline", "unnest_words",
+    # (unnest_with_ordinality ceded its slot to func_sequence_next —
+    # the unnest family keeps unnest_words here + r2 evidence; sequences
+    # are NEW surface closing the last SURVEY §2 'no')
+    "func_sequence_next",
     "sort_limit_offset", "sample_deterministic", "subquery_in",
     # (e) round-4-vintage LLM + sources families (VERDICT r7 item 5)
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_ngram_capped",

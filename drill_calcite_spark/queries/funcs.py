@@ -2559,3 +2559,49 @@ def func_geo_buffer_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + st_perimeter_ring_arr(F.col("r0")) * F.col("br"), 6)
         .alias("lower_bound_area"),
     )
+
+
+@q("func_sequence_next", """
+SELECT CAST(1000 AS BIGINT) AS n,
+       CAST(1 AS BIGINT) AS lo,
+       CAST(1000 AS BIGINT) AS hi,
+       CAST(500500 AS BIGINT) AS total,
+       CAST(1001 AS BIGINT) AS second_lo
+""")
+def func_sequence_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequences NEXT VALUE FOR (SqlStdOperatorTable.java:2206-2213;
+    sequence.iq) — the last by-design '§2 no' now covered for its
+    actual test matrix: session-scoped counters with statement-level
+    draining (catalog.create_sequence / sql._rewrite_sequences; the
+    three sequence.iq cases replay verbatim in tests/iq/). Distributed
+    steady-state sequences stay out of scope (SURVEY §2.4), so the
+    oracle pins the ORDER-INDEPENDENT invariants of the drained block:
+    a fresh increment-2 sequence over 1000 rows must hand out exactly
+    {1, 3, …, 1999} — count, min, max, and sum are deterministic
+    regardless of which row got which value — and a second statement
+    must start at the advanced counter (its value = 2001 ⇒
+    second_lo = 1001 after scaling). The assigned-per-row order is intentionally NOT
+    pinned (row_number over an arbitrary order), matching the
+    engine-defined assignment Calcite also leaves open."""
+    from drill_calcite_spark.catalog import create_sequence, register_tables
+    from drill_calcite_spark.sql import calcite_sql
+
+    register_tables(spark, sf_dir)
+    create_sequence("battery_seq", start=1, increment=2)
+    # draining counts the STATEMENT'S result rows (sql.py contract), so
+    # the sequence sits in the top-level select; the order-independent
+    # aggregate goes on top in DataFrame land
+    first = calcite_sql(spark, """
+        select next value for battery_seq as v
+        from (select * from orders limit 1000)
+    """).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        ((F.min("v") + 1) / 2).cast("bigint").alias("lo"),
+        ((F.max("v") + 1) / 2).cast("bigint").alias("hi"),
+        ((F.sum("v") + F.count(F.lit(1))) / 2).cast("bigint").alias("total"),
+    )
+    second = calcite_sql(spark, """
+        select next value for battery_seq as v
+        from (select * from orders limit 1)
+    """).agg(((F.min("v") + 1) / 2).cast("bigint").alias("second_lo"))
+    return first.crossJoin(second)

@@ -442,3 +442,30 @@ def register_geo(spark: SparkSession) -> None:
         _GEO_COUNTRIES,
         "country string, latitude double, longitude double, name string",
     ).createOrReplaceTempView("geo_countries")
+
+
+def register_seq(spark: SparkSession) -> None:
+    """The reference's ``seq`` quidem fixture
+    (CoreQuidemTest / sequence.iq): schema ``s`` holding sequence
+    ``my_seq`` (start 1, increment 1) plus the Calcite ``metadata``
+    catalog's TABLES view, where sequences appear with tableType
+    'SEQUENCE'. Re-registering RESETS the sequence counter — quidem
+    replays are file-scoped sessions."""
+    from drill_calcite_spark.catalog import create_sequence
+
+    create_sequence("my_seq", start=1, increment=1)
+    rows = [
+        (None, "metadata", "COLUMNS", "SYSTEM TABLE",
+         None, None, None, None, None, None),
+        (None, "metadata", "TABLES", "SYSTEM TABLE",
+         None, None, None, None, None, None),
+        (None, "s", "my_seq", "SEQUENCE",
+         None, None, None, None, None, None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "tableCat string, tableSchem string, tableName string, "
+        "tableType string, remarks string, typeCat string, "
+        "typeSchem string, typeName string, "
+        "selfReferencingColName string, refGeneration string",
+    ).createOrReplaceTempView("metadata_tables")

@@ -159,6 +159,51 @@ def _rewrite_floor_to(text: str) -> str:
     return pat.sub(sub, text)
 
 
+# ------------------------------------------------------------- sequences
+_SEQ_REF = re.compile(
+    r"\b(next|current)\s+value\s+for\s+"
+    r"((?:\"[\w$]+\"|\w+)(?:\s*\.\s*(?:\"[\w$]+\"|\w+))?)", re.I)
+
+
+def _seq_name(ref: str) -> str:
+    """Normalize a possibly schema-qualified, possibly dquoted sequence
+    reference to the bare lowercase name (the flat registry key)."""
+    last = ref.split(".")[-1].strip()
+    return last.strip('"').lower()
+
+
+def _rewrite_sequences(text: str) -> str:
+    """NEXT VALUE FOR seq → start-offset + ROW_NUMBER (one value per
+    produced row); CURRENT VALUE FOR seq → the last issued value as a
+    literal. Counter state lives in catalog._SEQUENCES; calcite_sql
+    advances it by the statement's RESULT row count (see catalog.py
+    contract). Caveat that follows: a sequence reference inside the
+    sub-query of an AGGREGATING statement drains only the aggregated
+    row count — put the sequence in the top-level select and aggregate
+    on the returned DataFrame for block semantics
+    (queries/funcs.func_sequence_next shows the pattern). Unknown
+    sequence → loud ValueError mirroring Calcite's 'Table not found'
+    validation error (sequence.iq's !error cases)."""
+    from drill_calcite_spark.catalog import get_sequence
+
+    def sub(m: "re.Match[str]") -> str:
+        kind = m.group(1).lower()
+        name = _seq_name(m.group(2))
+        seq = get_sequence(name)
+        if seq is None:
+            raise ValueError(
+                f"calcite_sql: Table '{m.group(2)}' not found "
+                f"(not a registered sequence)")
+        base, inc = seq["next"], seq["inc"]
+        if kind == "next":
+            return (f"(CAST({base - inc} AS BIGINT) + "
+                    f"CAST({inc} AS BIGINT) * "
+                    f"row_number() OVER (ORDER BY 1))")
+        return f"CAST({base - inc} AS BIGINT)"
+
+    return _SEQ_REF.sub(sub, text)
+
+
 # ------------------------------------------------------------------ JSON
 # JSON_OBJECT('k': v, …) / JSON_OBJECTAGG(k: v) / JSON_ARRAYAGG(v …)
 # (SqlStdOperatorTable JSON family; agg.iq:2586-2710). Calcite renders
@@ -982,6 +1027,8 @@ def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
     # fragments and must see the original literal keys via _lits)
     if _JSON_CALL.search(text):
         text = _rewrite_json_calls(text, _lits)
+    if _SEQ_REF.search(text):
+        text = _rewrite_sequences(text)
     # (TABLE t) explicit-table operator → (SELECT * FROM t)
     text = re.sub(r"\(\s*table\s+([^)]+)\)", r"(select * from \1)", text,
                   flags=re.I)
@@ -1063,7 +1110,20 @@ def calcite_sql(spark: SparkSession, text: str, *,
     prev = spark.conf.get("spark.sql.groupByOrdinal", "true")
     spark.conf.set("spark.sql.groupByOrdinal", "false")
     try:
-        return spark.sql(rewrite(text, schema_views=schema_views,
-                                 nulls_high=nulls_high))
+        df = spark.sql(rewrite(text, schema_views=schema_views,
+                               nulls_high=nulls_high))
     finally:
         spark.conf.set("spark.sql.groupByOrdinal", prev)
+    # NEXT VALUE FOR drains one value per produced row: pre-count the
+    # statement and advance each referenced sequence so the NEXT
+    # statement sees fresh values. The returned df bakes the base as a
+    # literal, so re-execution stays stable; the extra count pass is the
+    # documented cost of session sequences (catalog.py contract).
+    next_refs = [m for m in _SEQ_REF.finditer(text)
+                 if m.group(1).lower() == "next"]
+    if next_refs:
+        from drill_calcite_spark.catalog import advance_sequence
+        n = df.count()
+        for name in {_seq_name(m.group(2)) for m in next_refs}:
+            advance_sequence(name, n)
+    return df

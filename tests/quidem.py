@@ -159,6 +159,13 @@ def parse_iq(path: str) -> list[dict]:
                               "line": start + 1, "sql": sql,
                               "cols": exp[0], "rows": exp[1],
                               "setup": tuple(setups), "use": use})
+                if re.search(r"\bnext\s+value\s+for\b", sql, re.I):
+                    # sequence statements are STATEFUL: later cases in
+                    # the same script observe the drained counter
+                    # (sequence.iq's CURRENT VALUE case), so replay this
+                    # statement as a tagged setup when a later case runs
+                    # standalone
+                    setups.append("--seq-stateful--\n" + sql)
     return cases
 
 

@@ -139,6 +139,11 @@ def _register_type(name: str, defn: str) -> None:
 def _exec_setup(spark, stmt: str) -> None:
     from drill_calcite_spark.sql import calcite_sql
 
+    if stmt.startswith("--seq-stateful--"):
+        # replay a sequence-draining SELECT for its counter side effect
+        # (calcite_sql pre-counts and advances internally)
+        calcite_sql(spark, stmt.split("\n", 1)[1])
+        return
     s = stmt.strip()
     m = re.match(r"\s*create\s+type\s+(\w+)\s+as\s+(.*)$", s,
                  re.I | re.S)
@@ -239,6 +244,8 @@ def _run_setups(spark, case):
         register_hr(spark)
         register_catchall(spark)
         register_geo(spark)
+        from drill_calcite_spark.sources.test_schemas import register_seq
+        register_seq(spark)  # resets the my_seq counter per script
         if (case.get("use") or "").startswith("scott"):
             # scott-redshift / scott-babel address scott UNQUALIFIED
             # (redshift.iq's `select … from emp`): alias the scott
@@ -261,8 +268,14 @@ def test_quidem_case(spark, quidem_schemas, case):
     _run_setups(spark, case)
     df = calcite_sql(spark, case["sql"],
                      schema_views={"scott": "scott_", "hr": "hr_",
-                                   "GEO": "geo_"})
+                                   "GEO": "geo_",
+                                   "metadata": "metadata_"})
     got = df.limit(2000).collect()
+    if re.search(r"\bnext\s+value\s+for\b", case["sql"], re.I):
+        # this statement's tagged setup-twin already ran as the case
+        # itself (calcite_sql advanced the counter); skip the replay
+        _SETUPS_DONE[case["file"]] = max(
+            _SETUPS_DONE.get(case["file"], 0), len(case["setup"]) + 1)
     assert_rows_match(got, case["rows"], f'{case["file"]}:{case["line"]}')
 
 
