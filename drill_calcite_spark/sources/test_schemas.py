@@ -469,3 +469,25 @@ def register_seq(spark: SparkSession) -> None:
         "typeSchem string, typeName string, "
         "selfReferencingColName string, refGeneration string",
     ).createOrReplaceTempView("metadata_tables")
+
+
+def register_foodmart(spark: SparkSession) -> None:
+    """The SUBSET of the FoodMart quidem fixture whose contents are
+    fully derivable from the reference's own expected outputs (the full
+    FoodMart dataset ships in an hsqldb artifact absent here —
+    tests/iq/README.md): ``days`` appears row-for-row across
+    sort.iq:28-43 / misc.iq:759-805, and ``store`` rows 0-2 print their
+    store_id/grocery_sqft values in the CALCITE-969/970 null-collation
+    cases (sort.iq:60-106; ``florist`` is never displayed, but those
+    cases' orderings require it to TIE across the three rows — false
+    throughout satisfies every case). Registered UNQUALIFIED, matching
+    the scripts' bare dquoted references."""
+    spark.createDataFrame(
+        [(1, "Sunday"), (2, "Monday"), (3, "Tuesday"), (4, "Wednesday"),
+         (5, "Thursday"), (6, "Friday"), (7, "Saturday")],
+        "day int, week_day string",
+    ).createOrReplaceTempView("days")
+    spark.createDataFrame(
+        [(0, None, False), (1, 17475, False), (2, 22271, False)],
+        "store_id int, grocery_sqft int, florist boolean",
+    ).createOrReplaceTempView("store")

@@ -57,6 +57,11 @@ def quidem_schemas(spark):
     register_catchall(spark)
     register_geo(spark)
     register_geo_sql(spark)
+    from drill_calcite_spark.sources.test_schemas import (
+        register_foodmart, register_seq,
+    )
+    register_seq(spark)
+    register_foodmart(spark)
     yield
 
 
@@ -244,8 +249,11 @@ def _run_setups(spark, case):
         register_hr(spark)
         register_catchall(spark)
         register_geo(spark)
-        from drill_calcite_spark.sources.test_schemas import register_seq
+        from drill_calcite_spark.sources.test_schemas import (
+            register_foodmart, register_seq,
+        )
         register_seq(spark)  # resets the my_seq counter per script
+        register_foodmart(spark)
         if (case.get("use") or "").startswith("scott"):
             # scott-redshift / scott-babel address scott UNQUALIFIED
             # (redshift.iq's `select … from emp`): alias the scott
@@ -268,8 +276,8 @@ def test_quidem_case(spark, quidem_schemas, case):
     _run_setups(spark, case)
     df = calcite_sql(spark, case["sql"],
                      schema_views={"scott": "scott_", "hr": "hr_",
-                                   "GEO": "geo_",
-                                   "metadata": "metadata_"})
+                                   "GEO": "geo_", "metadata": "metadata_",
+                                   "jdbc_scott": "scott_"})
     got = df.limit(2000).collect()
     if re.search(r"\bnext\s+value\s+for\b", case["sql"], re.I):
         # this statement's tagged setup-twin already ran as the case
@@ -280,4 +288,4 @@ def test_quidem_case(spark, quidem_schemas, case):
 
 
 def test_corpus_is_nonempty():
-    assert len(_CASES) >= 580, f"quidem corpus shrank: {len(_CASES)} cases"
+    assert len(_CASES) >= 610, f"quidem corpus shrank: {len(_CASES)} cases"
