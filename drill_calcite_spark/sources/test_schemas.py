@@ -491,3 +491,26 @@ def register_foodmart(spark: SparkSession) -> None:
         [(0, None, False), (1, 17475, False), (2, 22271, False)],
         "store_id int, grocery_sqft int, florist boolean",
     ).createOrReplaceTempView("store")
+
+
+def register_orinoco(spark: SparkSession) -> None:
+    """The reference's ``orinoco`` streaming fixture — the ORDERS stream
+    table's five rows, transcribed from the reference's own source
+    (core/src/test/java/org/apache/calcite/test/StreamTest.java:395-401,
+    BaseOrderStreamTable.getRowList). The quidem agg.iq cases query it
+    as a plain bounded relation (quidem drains streams to tables); the
+    engine's live Structured-Streaming surface is streaming/core.py."""
+    rows = [
+        ("2015-02-15 10:15:00", 1, "paint", 10),
+        ("2015-02-15 10:24:15", 2, "paper", 5),
+        ("2015-02-15 10:24:45", 3, "brush", 12),
+        ("2015-02-15 10:58:00", 4, "paint", 3),
+        ("2015-02-15 11:10:00", 5, "paint", 3),
+    ]
+    from pyspark.sql import functions as F
+
+    spark.createDataFrame(
+        rows, "rowtime string, id int, product string, units int",
+    ).withColumn("rowtime", F.col("rowtime").cast("timestamp")) \
+        .createOrReplaceTempView("orders_stream")
+    spark.table("orders_stream").createOrReplaceTempView("Orders")

@@ -143,20 +143,40 @@ def _rewrite_floor_to(text: str) -> str:
     the unit boundary is its own ceiling) in pure Catalyst expressions.
     WEEK follows date_trunc's Monday start, the same convention the
     FLOOR rewrite (and the green quidem corpus) already pins."""
-    pat = re.compile(
-        r"\b(floor|ceil|ceiling)\s*\(([^()]+?)\s+to\s+"
-        r"(year|quarter|month|week|day|hour|minute|second)\s*\)",
+    head = re.compile(r"\b(floor|ceil|ceiling)\s*\(", re.I)
+    tail = re.compile(
+        r"\s+to\s+(year|quarter|month|week|day|hour|minute|second)\s*$",
         re.I)
-
-    def sub(m: "re.Match[str]") -> str:
-        unit = m.group(3).lower()
-        tr = f"date_trunc('{unit.upper()}', {m.group(2)})"
+    pos = 0
+    while True:
+        m = head.search(text, pos)
+        if not m:
+            return text
+        depth, i = 1, m.end()
+        while i < len(text) and depth:
+            if text[i] == "(":
+                depth += 1
+            elif text[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            return text
+        args = text[m.end():i - 1]
+        tm = tail.search(args)
+        if not tm:
+            pos = m.end()  # plain numeric floor/ceil — leave untouched
+            continue
+        x, unit = args[:tm.start()], tm.group(1).lower()
+        tr = f"date_trunc('{unit.upper()}', {x})"
         if m.group(1).lower() in ("ceil", "ceiling"):
-            return (f"(case when {tr} = {m.group(2)} then {tr} "
+            repl = (f"(case when {tr} = {x} then {tr} "
                     f"else {tr} + {_CEIL_STEP[unit]} end)")
-        return tr
-
-    return pat.sub(sub, text)
+        else:
+            repl = tr
+        text = text[:m.start()] + repl + text[i:]
+        # rescan from the replacement start: x may itself contain a
+        # nested FLOOR/CEIL-to-unit (date_trunc never re-matches)
+        pos = m.start()
 
 
 # ------------------------------------------------------------- sequences
@@ -1036,6 +1056,13 @@ def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
         text = _rewrite_schema_refs(text, schema, prefix)
     text = _rewrite_dquote_idents(text)
     text = _rewrite_quantified(text)
+    # Calcite's interval-qualifier cast on a parenthesized difference —
+    # `(t1 - t2) SECOND` constructs INTERVAL SECOND (agg.iq's orinoco
+    # 2-hour-window case). Spark's t1 - t2 is already a day-time
+    # interval, so the qualifier is a no-op type ascription: drop it.
+    # Anchored to a CLOSING paren, so EXTRACT(second FROM …) and
+    # `AS second` aliases never match.
+    text = re.sub(r"\)\s+second\b(?!\s*\()", ")", text, flags=re.I)
     text = _rewrite_floor_to(text)
     text = _rewrite_listagg(text)
     # COLLECT → collect_list; FUSION → flatten(collect_list(..))

@@ -58,10 +58,11 @@ def quidem_schemas(spark):
     register_geo(spark)
     register_geo_sql(spark)
     from drill_calcite_spark.sources.test_schemas import (
-        register_foodmart, register_seq,
+        register_foodmart, register_orinoco, register_seq,
     )
     register_seq(spark)
     register_foodmart(spark)
+    register_orinoco(spark)
     yield
 
 
@@ -250,10 +251,11 @@ def _run_setups(spark, case):
         register_catchall(spark)
         register_geo(spark)
         from drill_calcite_spark.sources.test_schemas import (
-            register_foodmart, register_seq,
+            register_foodmart, register_orinoco, register_seq,
         )
         register_seq(spark)  # resets the my_seq counter per script
         register_foodmart(spark)
+        register_orinoco(spark)
         if (case.get("use") or "").startswith("scott"):
             # scott-redshift / scott-babel address scott UNQUALIFIED
             # (redshift.iq's `select … from emp`): alias the scott
@@ -288,4 +290,4 @@ def test_quidem_case(spark, quidem_schemas, case):
 
 
 def test_corpus_is_nonempty():
-    assert len(_CASES) >= 610, f"quidem corpus shrank: {len(_CASES)} cases"
+    assert len(_CASES) >= 612, f"quidem corpus shrank: {len(_CASES)} cases"
