@@ -179,6 +179,81 @@ def _rewrite_floor_to(text: str) -> str:
         pos = m.start()
 
 
+# ------------------------------------------------- grouping-function glue
+# Calcite's GROUPING/GROUPING_ID accept ANY columns in ANY order
+# (SqlStdOperatorTable GROUPING; agg.iq:616-690), while Spark's
+# grouping_id() demands the exact grouping-column list. Expand to the
+# always-legal per-column form: grouping_id(a1..ak) = Σ grouping(ai)·2^(k-1-i).
+# GROUP_ID() distinguishes DUPLICATE grouping sets — but Calcite itself
+# de-duplicates them and returns 0 (CALCITE-1824, pinned by
+# agg.iq:858-871's expected table), so the faithful rewrite is the
+# constant 0 plus de-duplication of the GROUPING SETS list (Spark would
+# otherwise emit the duplicate rows Calcite suppresses).
+
+
+def _scan_call(text: str, start: int) -> "tuple[str, int] | None":
+    """(args, close_index) for the call whose '(' is at start-1... given
+    a match ending just past '('. Returns None on unbalanced text."""
+    depth, i = 1, start
+    while i < len(text) and depth:
+        if text[i] == "(":
+            depth += 1
+        elif text[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        return None
+    return text[start:i - 1], i
+
+
+def _rewrite_grouping_funcs(text: str) -> str:
+    text = re.sub(r"\bgroup_id\s*\(\s*\)", "0", text, flags=re.I)
+    pat = re.compile(r"\b(grouping_id|grouping)\s*\(", re.I)
+    pos = 0
+    while True:
+        m = pat.search(text, pos)
+        if not m:
+            return text
+        scanned = _scan_call(text, m.end())
+        if scanned is None:
+            return text
+        args, close = scanned
+        items = [a.strip() for a in _split_depth0(args)]
+        if m.group(1).lower() == "grouping" and len(items) == 1:
+            pos = m.end()  # native single-column grouping
+            continue
+        k = len(items)
+        repl = "(" + " + ".join(
+            f"grouping({a}) * {2 ** (k - 1 - i)}" if k - 1 - i else
+            f"grouping({a})"
+            for i, a in enumerate(items)) + ")"
+        text = text[:m.start()] + repl + text[close:]
+        pos = m.start() + len(repl)
+
+
+def _rewrite_grouping_sets_dedup(text: str) -> str:
+    pat = re.compile(r"\bgrouping\s+sets\s*\(", re.I)
+    pos = 0
+    while True:
+        m = pat.search(text, pos)
+        if not m:
+            return text
+        scanned = _scan_call(text, m.end())
+        if scanned is None:
+            return text
+        args, close = scanned
+        seen, kept = set(), []
+        for item in _split_depth0(args):
+            key = re.sub(r"\s+", "", item).lower()
+            if key in seen:
+                continue
+            seen.add(key)
+            kept.append(item.strip())
+        repl = "grouping sets (" + ", ".join(kept) + ")"
+        text = text[:m.start()] + repl + text[close:]
+        pos = m.start() + len(repl)
+
+
 # ------------------------------------------------------------- sequences
 _SEQ_REF = re.compile(
     r"\b(next|current)\s+value\s+for\s+"
@@ -1049,6 +1124,9 @@ def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
         text = _rewrite_json_calls(text, _lits)
     if _SEQ_REF.search(text):
         text = _rewrite_sequences(text)
+    if re.search(r"\bgroup(ing)?_?", text, re.I):
+        text = _rewrite_grouping_funcs(text)
+        text = _rewrite_grouping_sets_dedup(text)
     # (TABLE t) explicit-table operator → (SELECT * FROM t)
     text = re.sub(r"\(\s*table\s+([^)]+)\)", r"(select * from \1)", text,
                   flags=re.I)
