@@ -290,4 +290,4 @@ def test_quidem_case(spark, quidem_schemas, case):
 
 
 def test_corpus_is_nonempty():
-    assert len(_CASES) >= 616, f"quidem corpus shrank: {len(_CASES)} cases"
+    assert len(_CASES) >= 618, f"quidem corpus shrank: {len(_CASES)} cases"
