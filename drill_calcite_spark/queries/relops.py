@@ -1681,7 +1681,7 @@ def sql_calcite_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     calcite_sql() rewrites it to Spark SQL. The DuckDB oracle spells the
     separator and ordering explicitly, so the hash-match proves the
     rewrites reproduce Calcite's defaults. The full conformance evidence
-    for this surface is tests/test_quidem.py: 584 of the reference's own
+    for this surface is tests/test_quidem.py: 618 of the reference's own
     quidem cases (core/src/test/resources/sql/*.iq) replayed verbatim
     through this entry point."""
     from drill_calcite_spark.catalog import register_tables

@@ -1,6 +1,6 @@
 """Unit tests for the Calcite-dialect SQL rewrites
 (drill_calcite_spark/sql.py). End-to-end conformance evidence for the
-same surface is tests/test_quidem.py (365 reference quidem cases)."""
+same surface is tests/test_quidem.py (618 reference quidem cases)."""
 
 from __future__ import annotations
 
