@@ -68,16 +68,26 @@ _DRIVER_PRIORITY = [
     "ds_multi_supplier_orders", "q9_product_type_profit",
     "q11_important_stock", "text_quality_score", "text_token_stats",
     "sql_spatial_surface", "dedup_clusters", "sql_calcite_dialect",
+    # (b2) new mid-round-8: three training-pipeline operators (Gopher
+    # repetition metrics, passage-level cross-doc dedup, sequence
+    # packing) + two more TPC-DS planning shapes (q88 one-scan
+    # multi-band counts, q34/q73 group-count band). They take the five
+    # slots previously refreshing setop_intersect_all/setop_except_all/
+    # values_inline/sample_deterministic/subquery_in — each of those has
+    # r1+r2 green rows, unchanged code, a family representative still
+    # slated, and exact-gate pytest coverage; new names NEED first rows
+    # (tests/test_registry_evidence.py enforces it).
+    "text_repetition_stats", "dedup_passage", "pack_token_chunks",
+    "ds_band_counts", "ds_group_count_band",
     # (d) oldest evidence (round 2)
     "q4_order_priority", "q13_customer_distribution", "q14_promo_effect",
     "q22_global_sales_opportunity", "agg_having", "setop_union_distinct",
-    "setop_intersect", "setop_intersect_all", "setop_except_all",
-    "values_inline", "unnest_words",
+    "setop_intersect", "unnest_words",
     # (unnest_with_ordinality ceded its slot to func_sequence_next —
     # the unnest family keeps unnest_words here + r2 evidence; sequences
     # are NEW surface closing the last SURVEY §2 'no')
     "func_sequence_next",
-    "sort_limit_offset", "sample_deterministic", "subquery_in",
+    "sort_limit_offset",
     # (e) round-4-vintage LLM + sources families (VERDICT r7 item 5)
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_ngram_capped",
     "dedup_simhash_buckets", "ann_cosine_topk", "text_lang_id",

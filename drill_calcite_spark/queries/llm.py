@@ -1041,6 +1041,219 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("text_repetition_stats", f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, w,
+    list_transform(list_zip(w[1:len(w)-1], w[2:len(w)]),
+                   s -> s[1] || ' ' || s[2]) AS bg,
+    CASE WHEN len(w) >= 5 THEN list_transform(
+      generate_series(1, len(w)-4), i -> array_to_string(w[i:i+4], ' '))
+      ELSE []::VARCHAR[] END AS g5
+  FROM d
+), counted AS (
+  SELECT doc_id,
+    CAST(len(w) AS BIGINT) AS n_words,
+    CAST(len(bg) AS BIGINT) AS n_bigrams,
+    CAST(coalesce(list_max(list_transform(list_distinct(bg),
+      x -> len(list_filter(bg, y -> y = x)))), 0) AS BIGINT) AS top_bigram_n,
+    CAST(len(g5) AS BIGINT) AS n_5grams,
+    CAST(len(g5) - len(list_distinct(g5)) AS BIGINT) AS dup_5grams
+  FROM g
+)
+SELECT doc_id, n_words, top_bigram_n, dup_5grams,
+  CASE WHEN n_bigrams > 0
+       THEN {_sql_r6_ratio('top_bigram_n', 'n_bigrams')} END
+    AS top_bigram_frac,
+  CASE WHEN n_5grams > 0
+       THEN {_sql_r6_ratio('dup_5grams', 'n_5grams')} END
+    AS dup_5gram_frac
+FROM counted
+""")
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-DOCUMENT REPETITION metrics — the Gopher/MassiveText
+    repetition-removal rules (Rae et al. 2021 §A1.1: drop documents
+    whose most-frequent 2-gram or duplicate n-gram mass exceeds a
+    threshold): per document, the occurrence count of its most frequent
+    word bigram and the fraction of 5-grams that are repeats.
+
+    Plan shape: map-only after one balancing repartition — every metric
+    is a higher-order array expression evaluated inside the row
+    (``transform``/``filter``/``array_distinct``), no explode and no
+    per-gram shuffle. The top-bigram count is O(distinct·total) lambda
+    steps per document — the right trade below ~10k words/doc (the
+    whole corpus-prep regime); beyond that, explode+groupBy per doc_id
+    is the fallback. Ratios round in exact integer space (``_r6_ratio``
+    — the r8 display-rounding rule), so both engines emit identical
+    doubles; documents too short for a window emit NULL, not 0/0."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = t(spark, sf_dir, "documents").repartition(n, F.col("doc_id"))
+    d = docs.select("doc_id", tokens(F.col("text")).alias("w"))
+    w = F.col("w")
+    g = d.select(
+        "doc_id", "w",
+        shingles(w).alias("bg"),
+        shingles(w, 5).alias("g5"),
+    )
+    bg, g5 = F.col("bg"), F.col("g5")
+    counted = g.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("n_words"),
+        F.size(bg).cast("bigint").alias("n_bigrams"),
+        F.coalesce(
+            F.array_max(F.transform(
+                F.array_distinct(bg),
+                lambda x: F.size(F.filter(bg, lambda y: y == x)))),
+            F.lit(0)).cast("bigint").alias("top_bigram_n"),
+        F.size(g5).cast("bigint").alias("n_5grams"),
+        (F.size(g5) - F.size(F.array_distinct(g5))).cast("bigint")
+        .alias("dup_5grams"),
+    )
+    return counted.select(
+        "doc_id", "n_words", "top_bigram_n", "dup_5grams",
+        F.when(F.col("n_bigrams") > 0,
+               _r6_ratio(F.col("top_bigram_n"), F.col("n_bigrams")))
+        .alias("top_bigram_frac"),
+        F.when(F.col("n_5grams") > 0,
+               _r6_ratio(F.col("dup_5grams"), F.col("n_5grams")))
+        .alias("dup_5gram_frac"),
+    )
+
+
+@q("dedup_passage", f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), c AS (
+  SELECT doc_id, md5(p) AS h FROM (
+    SELECT doc_id, unnest(list_transform(
+      generate_series(1, len(w) // 8),
+      i -> array_to_string(w[(i-1)*8+1:(i-1)*8+8], ' '))) AS p
+    FROM d) u
+), freq AS (
+  SELECT h, count(DISTINCT doc_id) AS nd FROM c GROUP BY h
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_passages,
+  CAST(count(*) FILTER (WHERE nd > 1) AS BIGINT) AS n_shared,
+  {_sql_r6_ratio('count(*) FILTER (WHERE nd > 1)', 'count(*)')}
+    AS shared_frac
+FROM c JOIN freq USING (h)
+GROUP BY doc_id
+""")
+def dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PASSAGE-LEVEL cross-document dedup — the sub-document granularity
+    exact dedup (RefinedWeb/CCNet run it after document-level MinHash):
+    documents are cut into non-overlapping 8-word passages; a passage
+    whose md5 appears in MORE THAN ONE document is boilerplate shared
+    across pages, and each document reports the fraction of its passages
+    that are shared. Downstream, documents above a shared_frac threshold
+    are dropped or passage-stripped.
+
+    Scale shape: one explode (≈ n_words/8 rows per doc), then every
+    shuffled payload is a 32-char md5 + ids — passage TEXT never
+    crosses the wire. The global passage-frequency aggregate and the
+    count-back join both hash the same md5 key, so AQE co-locates the
+    two exchanges; partial counts combine map-side. Documents shorter
+    than 8 words have no full passage and drop out (documented; the
+    short-doc gate upstream of this operator removes them anyway)."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = t(spark, sf_dir, "documents").repartition(n, F.col("doc_id"))
+    w = F.col("w")
+    chunks = F.when(
+        F.size(w) >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.call_function("div", F.size(w), F.lit(8))),
+            lambda i: F.concat_ws(" ", F.slice(w, (i - 1) * 8 + 1, 8)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    c = (
+        docs.select("doc_id", tokens(F.col("text")).alias("w"))
+        .select("doc_id", F.explode(chunks).alias("p"))
+        .select("doc_id", F.md5(F.col("p")).alias("h"))
+    )
+    freq = c.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    shared = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+    return (
+        c.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_passages"),
+            shared.cast("bigint").alias("n_shared"),
+        )
+        .select(
+            "doc_id", "n_passages", "n_shared",
+            # exact integer-space rounding (_r6_ratio, r8 sweep)
+            _r6_ratio(F.col("n_shared"), F.col("n_passages"))
+            .alias("shared_frac"),
+        )
+    )
+
+
+@q("pack_token_chunks", """
+WITH d AS (
+  SELECT doc_id, source,
+    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+      AS n_tok
+  FROM documents
+), ordered AS (
+  SELECT doc_id, source, n_tok,
+    CAST(sum(n_tok) OVER (
+      PARTITION BY source
+      ORDER BY md5(doc_id::VARCHAR), doc_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM d WHERE n_tok > 0
+)
+SELECT doc_id, source, n_tok,
+  CAST((cum - n_tok) // 512 AS BIGINT) AS chunk_start,
+  CAST((cum - 1) // 512 - (cum - n_tok) // 512 + 1 AS BIGINT)
+    AS chunks_spanned
+FROM ordered
+""")
+def pack_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PACKING — the batch-construction step of LLM training:
+    documents are concatenated in a deterministic shuffled order and cut
+    into fixed 512-token chunks (the GPT-style pack-then-split; tokens =
+    whitespace tokens here). Each document reports the chunk index where
+    it starts and how many chunk boundaries it spans — exactly what a
+    writer needs to emit packed training shards.
+
+    Determinism: the concatenation order is (md5(doc_id), doc_id) — a
+    content-free pseudo-shuffle identical across engines and runs (the
+    ``sample_stratified_quota`` convention), never ``rand()``. All chunk
+    arithmetic is integer (``div`` / ``//`` on non-negative BIGINTs), so
+    both engines agree bit-for-bit.
+
+    Scale shape: packing is order-DEFINED, so each packing stream is one
+    window partition; the stream key is ``source`` here, standing in for
+    the (dataset, output-shard) key a production pipeline packs by —
+    thousands of shards → thousands of independent partitions, each
+    bounded by shard size, never a global single-task window. One
+    shuffle on the stream key; the window itself is a running sum,
+    computed in one pass per partition."""
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    win = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    B = F.lit(512)
+    ordered = d.withColumn("cum", F.sum("n_tok").over(win).cast("bigint"))
+    start = F.call_function("div", F.col("cum") - F.col("n_tok"), B)
+    end = F.call_function("div", F.col("cum") - 1, B)
+    return ordered.select(
+        "doc_id", "source", "n_tok",
+        start.cast("bigint").alias("chunk_start"),
+        (end - start + 1).cast("bigint").alias("chunks_spanned"),
+    )
+
+
 # ------------------------------------------------------------------- bench
 def bench_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_minhash_lsh(spark, sf_dir)

@@ -592,6 +592,89 @@ def ds_max_over_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("ds_band_counts", """
+SELECT
+  CAST(count(*) FILTER (WHERE l_quantity BETWEEN 1 AND 6
+       AND l_discount >= 0.05) AS BIGINT) AS b1,
+  CAST(count(*) FILTER (WHERE l_quantity BETWEEN 7 AND 12
+       AND l_tax >= 0.04) AS BIGINT) AS b2,
+  CAST(count(*) FILTER (WHERE l_quantity BETWEEN 13 AND 18
+       AND l_discount >= 0.05) AS BIGINT) AS b3,
+  CAST(count(*) FILTER (WHERE l_quantity BETWEEN 19 AND 24
+       AND l_tax >= 0.04) AS BIGINT) AS b4,
+  CAST(count(*) FILTER (WHERE l_quantity BETWEEN 25 AND 30
+       AND l_discount >= 0.05) AS BIGINT) AS b5,
+  CAST(count(*) FILTER (WHERE l_quantity BETWEEN 31 AND 36
+       AND l_tax >= 0.04) AS BIGINT) AS b6,
+  CAST(count(*) FILTER (WHERE l_quantity BETWEEN 37 AND 42
+       AND l_discount >= 0.05) AS BIGINT) AS b7,
+  CAST(count(*) FILTER (WHERE l_quantity BETWEEN 43 AND 50
+       AND l_tax >= 0.04) AS BIGINT) AS b8
+FROM lineitem
+WHERE l_linestatus = 'F'
+""")
+def ds_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q88 shape (TpcdsTest.java:62-69 plans it): eight band
+    counts — q88's eight half-hour × demographic populations, adapted to
+    quantity bands with alternating discount/tax side conditions — that
+    a naive engine (and q88's own text) computes as EIGHT separate
+    scans cross-joined; here all eight are conditional counts in ONE
+    scan of the common-filter slice. One pass, one 1-row aggregate, no
+    join at all — the canonical multi-band single-scan rewrite. All
+    outputs are BIGINT counts: exact on any engine."""
+    li = t(spark, sf_dir, "lineitem")
+
+    def band(lo, hi, side):
+        return F.count(F.when(
+            F.col("l_quantity").between(lo, hi) & side, 1)).cast("bigint")
+
+    disc = F.col("l_discount") >= 0.05
+    tax = F.col("l_tax") >= 0.04
+    return li.filter(F.col("l_linestatus") == "F").agg(
+        band(1, 6, disc).alias("b1"), band(7, 12, tax).alias("b2"),
+        band(13, 18, disc).alias("b3"), band(19, 24, tax).alias("b4"),
+        band(25, 30, disc).alias("b5"), band(31, 36, tax).alias("b6"),
+        band(37, 42, disc).alias("b7"), band(43, 50, tax).alias("b8"),
+    )
+
+
+@q("ds_group_count_band", """
+WITH cnt AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+  HAVING count(*) BETWEEN 7 AND 9
+)
+SELECT c_custkey, c_name, o_orderkey, n_lines
+FROM cnt
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+""")
+def ds_group_count_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q34/q73 shape: orders whose line count falls in a band
+    (q34's 'between 15 and 20 items per ticket'), returned with the
+    buying customer. The HAVING band aggregates the fact ONCE on its
+    native key and ships only the surviving order keys into the joins;
+    orders joins on its own key (no re-shuffle of the fact), customer
+    joins on custkey. Every output column is an exact integer or
+    verbatim string."""
+    li = t(spark, sf_dir, "lineitem")
+    ords = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+
+    cnt = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+        .filter(F.col("n_lines").between(7, 9))
+    )
+    return (
+        cnt.join(ords.select("o_orderkey", "o_custkey"),
+                 F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", "c_name"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "n_lines")
+    )
+
+
 @q("ds_three_channel_full", """
 WITH ca AS (
   SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS n_a,
