@@ -270,3 +270,53 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     assert "BroadcastHashJoin" in plan, \
         f"benchmark grams not broadcast:\n{plan[:500]}"
     assert "SortMergeJoin" not in plan
+
+
+def test_repetition_stats_single_shuffle_no_explode_no_python(spark):
+    """text_repetition_stats: every metric is a higher-order array
+    expression inside the row — the plan must contain exactly ONE
+    Exchange (the balancing repartition), no Generate (no explode —
+    grams never become rows), and no Python evaluation."""
+    plan = _plan(entrymod.queries()["text_repetition_stats"](spark, SF_DIR))
+    assert plan.count("Exchange") == 1, plan[:800]
+    assert "Generate" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_passage_dedup_shuffles_hashes_not_text(spark):
+    """dedup_passage: one explode, then the frequency aggregate and the
+    count-back join shuffle md5 hashes only; no cartesian product and
+    no Python anywhere."""
+    plan = _plan(entrymod.queries()["dedup_passage"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    # partial counts combine map-side before the hash exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_pack_token_chunks_partitioned_window(spark):
+    """pack_token_chunks: the running sum windows per source shard —
+    never a SinglePartition global window — and needs exactly one
+    shuffle (the window's own partitioning)."""
+    plan = _plan(entrymod.queries()["pack_token_chunks"](spark, SF_DIR))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan, \
+        "packing window collapsed to a single task"
+    assert plan.count("Exchange") == 1, plan[:800]
+
+
+def test_band_counts_single_scan_no_join(spark):
+    """ds_band_counts: all eight band populations come out of ONE scan
+    as conditional counts — the naive q88 form is eight scans
+    cross-joined."""
+    plan = _plan(entrymod.queries()["ds_band_counts"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1, "more than one fact scan"
+    assert "Join" not in plan, "band counts should not join"
+
+
+def test_group_count_band_aggregates_before_joins(spark):
+    """ds_group_count_band: the HAVING band reduces the fact on its
+    native key before any join; partial aggregation is map-side."""
+    plan = _plan(entrymod.queries()["ds_group_count_band"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
