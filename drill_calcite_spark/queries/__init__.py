@@ -79,9 +79,12 @@ _DRIVER_PRIORITY = [
     # (tests/test_registry_evidence.py enforces it).
     "text_repetition_stats", "dedup_passage", "pack_token_chunks",
     "ds_band_counts", "ds_group_count_band",
+    # + the bucketed interval range join (operators/range_join.py) —
+    # takes agg_having's slot (r1+r2 green, unchanged, family covered)
+    "range_join_attribution",
     # (d) oldest evidence (round 2)
     "q4_order_priority", "q13_customer_distribution", "q14_promo_effect",
-    "q22_global_sales_opportunity", "agg_having", "setop_union_distinct",
+    "q22_global_sales_opportunity", "setop_union_distinct",
     "setop_intersect", "unnest_words",
     # (unnest_with_ordinality ceded its slot to func_sequence_next —
     # the unnest family keeps unnest_words here + r2 evidence; sequences

@@ -9,7 +9,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from drill_calcite_spark.operators import asof_join, match_recognize, repeat_union, snapshot
+from drill_calcite_spark.operators import (
+    asof_join, match_recognize, range_join, repeat_union, snapshot,
+)
 from drill_calcite_spark.queries.common import t, ts
 
 QUERIES = {}
@@ -284,3 +286,37 @@ def snapshot_orders_scd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return snapshot(scd, "1998-06-01", valid_from="valid_from", valid_to="valid_to") \
         .select("o_custkey", "o_orderkey")
+
+
+# ------------------------------------------------------------- range join
+@q("range_join_attribution", """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id AS user_id,
+       (epoch_us(p.ts) - epoch_us(c.ts)) AS delta_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+""")
+def range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL RANGE JOIN — click→purchase attribution: every purchase
+    a user makes within one hour (inclusive) after each click. Calcite
+    plans this as a theta join (equi key + time inequalities on the Join
+    condition, rel/core/Join.java:63); the engine's scale path is the
+    bucketed rewrite (operators/range_join.py): window-width time
+    buckets join EQUI on (user_id, bucket) with a 2× probe-side fan-out
+    and the inequality kept as a residual — a hot key's history spreads
+    across time buckets instead of meeting itself quadratically. The
+    oracle runs the plain theta form; the hash match proves the rewrite
+    returns the identical row multiset (boundary rows included — all
+    time arithmetic is exact BIGINT microseconds)."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("c_ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("p_ts"))
+    j = range_join.bucketed_range_join(
+        clicks, purchases, "user_id", "c_ts", "p_ts", 3_600_000_000)
+    return j.select("click_id", "purchase_id", "user_id", "delta_us")

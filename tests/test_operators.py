@@ -1181,3 +1181,36 @@ def test_match_recognize_skip_mode_validation(spark):
             df, ["id"], ["id"], "A", {"A": lambda p: p["v"] > 0},
             {"id": lambda p, m: p["id"].iloc[0]}, "id long",
             after_match="skip_sideways")
+
+
+# ----------------------------------------------------------------- range join
+def test_bucketed_range_join_equals_theta_and_includes_boundaries(spark):
+    """The bucketed rewrite must return the identical row multiset as
+    the naive theta join — including rows at EXACTLY the window edges
+    (delta 0 and delta == window), and across bucket boundaries."""
+    from drill_calcite_spark.operators.range_join import (
+        bucketed_range_join, range_join_theta)
+
+    W = 60 * 1_000_000  # 1-minute window
+    left = spark.createDataFrame(
+        [(1, "k", "2024-01-01 00:00:30"),   # straddles the :01 bucket edge
+         (2, "k", "2024-01-01 00:01:00"),   # exactly ON a bucket edge
+         (3, "x", "2024-01-01 00:00:00")],
+        "lid long, key string, lts string",
+    ).withColumn("lts", F.to_timestamp("lts"))
+    right = spark.createDataFrame(
+        [(10, "k", "2024-01-01 00:00:30"),  # delta 0 vs lid=1
+         (11, "k", "2024-01-01 00:01:30"),  # delta == W vs lid=1 (edge in)
+         (12, "k", "2024-01-01 00:02:00"),  # delta == W vs lid=2
+         (13, "k", "2024-01-01 00:02:01"),  # out of range for both
+         (14, "y", "2024-01-01 00:00:10")], # key mismatch
+        "rid long, key string, rts string",
+    ).withColumn("rts", F.to_timestamp("rts"))
+
+    b = bucketed_range_join(left, right, "key", "lts", "rts", W)
+    th = range_join_theta(left, right, "key", "lts", "rts", W)
+    cols = ["lid", "rid", "delta_us"]
+    got = sorted(tuple(r) for r in b.select(cols).collect())
+    want = sorted(tuple(r) for r in th.select(cols).collect())
+    assert got == want
+    assert got == [(1, 10, 0), (1, 11, W), (2, 11, 30_000_000), (2, 12, W)]

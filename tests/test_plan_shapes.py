@@ -320,3 +320,14 @@ def test_group_count_band_aggregates_before_joins(spark):
     plan = _plan(entrymod.queries()["ds_group_count_band"](spark, SF_DIR))
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    """range_join_attribution: the bucketed rewrite must execute as an
+    EQUI join on (user_id, bucket) — never a nested-loop/cartesian theta
+    join, which is quadratic in per-key history at scale."""
+    plan = _plan(entrymod.queries()["range_join_attribution"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan[:800]
