@@ -44,9 +44,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #     boundary fix (sql_spatial_surface), the connected-components
 #     convergence guard (dedup_clusters), and the front-door pi-alias +
 #     CEIL rewrites (sql_calcite_dialect);
-# (d) the fifteen round-2-vintage names — the oldest evidence left
-#     (TPC-H q4/q13/q14/q22, the set-op family, values/unnest/sort/
-#     sample, subquery_in);
+# (d) round-2-vintage names — the oldest evidence left (eight kept:
+#     TPC-H q4/q13/q22, set-op reps, unnest_words, sort; seven ceded
+#     their slots to the (b2) first-row names — see the (b2) note);
 # (e) seventeen round-4-vintage names from the families VERDICT r7
 #     flagged as aging: the r3/r4 LLM battery (minhash/jaccard/simhash
 #     dedup, exact-cosine anchor, lang-id, multimodal, pagerank,
@@ -82,8 +82,11 @@ _DRIVER_PRIORITY = [
     # + the bucketed interval range join (operators/range_join.py) —
     # takes agg_having's slot (r1+r2 green, unchanged, family covered)
     "range_join_attribution",
+    # + vocabulary induction (takes q14_promo_effect's slot — r1+r2
+    # green, unchanged code, exact-gate pytest coverage)
+    "text_vocab_topk",
     # (d) oldest evidence (round 2)
-    "q4_order_priority", "q13_customer_distribution", "q14_promo_effect",
+    "q4_order_priority", "q13_customer_distribution",
     "q22_global_sales_opportunity", "setop_union_distinct",
     "setop_intersect", "unnest_words",
     # (unnest_with_ordinality ceded its slot to func_sequence_next —

@@ -1192,6 +1192,42 @@ def dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("text_vocab_topk", f"""
+WITH d AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+    AS tok
+  FROM documents
+)
+SELECT tok, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM d
+GROUP BY tok
+ORDER BY n_occurrences DESC, tok ASC
+LIMIT 50
+""")
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY INDUCTION — the first step of tokenizer training:
+    the corpus-wide top-k tokens by occurrence count, with document
+    frequency alongside. Deterministic tiebreak (count DESC, token
+    ASC) so the top-k cut is engine-identical.
+
+    Scale shape: one explode, then the (token → counts) aggregate
+    combines map-side before the only wide shuffle (token strings are
+    short; the distinct-doc count rides the same exchange), and the
+    top-50 executes as TakeOrderedAndProject — per-partition heaps, a
+    50-row driver merge, never a global sort of the vocabulary."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = t(spark, sf_dir, "documents").repartition(n, F.col("doc_id"))
+    d = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    return (
+        d.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+             F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+        .orderBy(F.desc("n_occurrences"), F.asc("tok"))
+        .limit(50)
+    )
+
+
 @q("pack_token_chunks", """
 WITH d AS (
   SELECT doc_id, source,
