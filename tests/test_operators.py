@@ -1214,3 +1214,68 @@ def test_bucketed_range_join_equals_theta_and_includes_boundaries(spark):
     want = sorted(tuple(r) for r in th.select(cols).collect())
     assert got == want
     assert got == [(1, 10, 0), (1, 11, W), (2, 11, 30_000_000), (2, 12, W)]
+
+
+def test_bucketed_range_join_property_random_events(spark):
+    """Property check over a deterministic pseudo-random event set (seeded
+    — not hypothesis-driven, because each case spins Spark jobs): for
+    several window widths, the bucketed rewrite must equal the theta join
+    row-for-row. Events are dense enough (2000 in ~3 windows) that every
+    bucket-edge relationship occurs."""
+    import random
+
+    from drill_calcite_spark.operators.range_join import (
+        bucketed_range_join, range_join_theta)
+
+    rng = random.Random(8)
+    base = 1_700_000_000_000_000  # epoch micros
+    rows = [(i, f"k{rng.randrange(5)}", base + rng.randrange(0, 10_000_000))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, key string, e long") \
+        .withColumn("ts", F.timestamp_micros(F.col("e"))).drop("e")
+    left = df.select(F.col("id").alias("lid"), "key",
+                     F.col("ts").alias("lts"))
+    right = df.select(F.col("id").alias("rid"), "key",
+                      F.col("ts").alias("rts"))
+    for w_us in (1, 999_999, 3_333_333):
+        b = bucketed_range_join(left, right, "key", "lts", "rts", w_us)
+        th = range_join_theta(left, right, "key", "lts", "rts", w_us)
+        cols = ["lid", "rid", "delta_us"]
+        got = sorted(tuple(r) for r in b.select(cols).collect())
+        want = sorted(tuple(r) for r in th.select(cols).collect())
+        assert got == want, f"divergence at window {w_us}"
+        assert got, f"vacuous check at window {w_us}"
+
+
+def test_pack_token_chunks_invariants(spark):
+    """Packing invariants on the real table: chunk arithmetic is
+    consistent (spans ≥ 1; a document spans exactly the chunks its
+    token interval touches; within a source, consecutive docs tile the
+    token axis with no gaps), and the assignment is bit-stable across
+    re-runs (content-free hash order, no rand())."""
+    import __spark_entry__ as entrymod
+
+    from tests.conftest import SF_DIR
+
+    q = entrymod.queries()["pack_token_chunks"]
+    rows = q(spark, SF_DIR).collect()
+    assert rows and all(r.chunks_spanned >= 1 for r in rows)
+    # per-source, token intervals tile [0, total) exactly: reconstruct
+    # cumulative starts from n_tok and re-derive each doc's chunk span
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    import hashlib
+
+    for src, rs in by_src.items():
+        # replay the operator's own packing order: (md5(doc_id), doc_id)
+        rs = sorted(rs, key=lambda r: (
+            hashlib.md5(str(r.doc_id).encode()).hexdigest(), r.doc_id))
+        cum = 0
+        for r in rs:
+            assert r.chunk_start == cum // 512, (src, r)
+            assert r.chunks_spanned == (cum + r.n_tok - 1) // 512 \
+                - cum // 512 + 1, (src, r)
+            cum += r.n_tok
+    again = sorted(map(tuple, q(spark, SF_DIR).collect()))
+    assert again == sorted(map(tuple, rows))
