@@ -8,7 +8,7 @@ Submodules group the inventory:
 - custom    — operators Spark lacks natively (§2.1 Match, RepeatUnion; as-of join)
 - llm       — training-data-pipeline operators (dedup, similarity, text analysis)
 - streaming — TUMBLE/HOP/SESSION + live Structured Streaming drains (§2.5)
-- sources   — CSV/JSON schema-on-read scans + TableModify DML (§2.3)
+- sources   — CSV/JSON/HTML-table schema-on-read scans + TableModify DML (§2.3)
 """
 
 from __future__ import annotations
@@ -85,6 +85,10 @@ _DRIVER_PRIORITY = [
     # + vocabulary induction (takes q14_promo_effect's slot — r1+r2
     # green, unchanged code, exact-gate pytest coverage)
     "text_vocab_topk",
+    # + the HTML-table file source (takes source_csv_scan's slot — r4
+    # green, unchanged; the sources family keeps jdbc/partition/dml
+    # slots and gains this first-row name)
+    "source_html_table",
     # (d) oldest evidence (round 2)
     "q4_order_priority", "q13_customer_distribution",
     "q22_global_sales_opportunity", "setop_union_distinct",
@@ -100,7 +104,7 @@ _DRIVER_PRIORITY = [
     "multimodal_meta", "multimodal_frame_sample", "pagerank_nations",
     "pipeline_clean_corpus", "source_partition_pruning",
     "source_dynamic_pruning", "bucketed_join_colocated",
-    "source_jdbc_scan", "source_csv_scan", "modify_insert_delete",
+    "source_jdbc_scan", "modify_insert_delete",
     "modify_merge_orders",
 ]
 

@@ -20,8 +20,10 @@ from drill_calcite_spark.queries.common import t
 from drill_calcite_spark.sources.files import (
     conform_to,
     ensure_csv_copy,
+    ensure_html_copy,
     ensure_json_copy,
     read_csv_inferred,
+    read_html_table,
     read_json_inferred,
 )
 from drill_calcite_spark.sources.modify import (
@@ -218,6 +220,24 @@ def source_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(_fixture_dir(sf_dir), "nation_csv")
     ensure_csv_copy(spark, nation, path)
     return conform_to(read_csv_inferred(spark, path), nation.schema)
+
+
+@q("source_html_table", "SELECT * FROM nation")
+def source_html_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML <table> file source — the reference's file adapter relation
+    format (file/.../FileReader.java jsoup <tr>/<td> parse;
+    FileRowConverter.java typed field mapping). The writer emits one
+    <tr> per LINE so the file stays a SPLITTABLE text source: Spark's
+    line scan parallelizes it, cell extraction is one JVM-side
+    non-greedy regexp per row (map-only), entities round-trip through
+    &-escaping, and the string cells are conformed to the catalog row
+    type exactly like CSV schema-on-read. The oracle reads the original
+    parquet — the hash proves the full HTML round trip."""
+    nation = t(spark, sf_dir, "nation")
+    path = os.path.join(_fixture_dir(sf_dir), "nation_html")
+    ensure_html_copy(spark, nation, path)
+    return conform_to(
+        read_html_table(spark, path, list(nation.columns)), nation.schema)
 
 
 @q("source_json_scan", """

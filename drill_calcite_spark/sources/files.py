@@ -62,3 +62,64 @@ def ensure_json_copy(spark: SparkSession, src_df: DataFrame, path: str) -> str:
     if not os.path.exists(path):
         src_df.coalesce(1).write.mode("overwrite").json(path)
     return path
+
+
+# ----------------------------------------------------------- HTML tables
+# The reference's file adapter reads HTML <table> elements as relations
+# (file/src/main/java/org/apache/calcite/adapter/file/FileReader.java —
+# jsoup-parsed <tr>/<th>/<td>; FileRowConverter.java maps cells to typed
+# fields). The Spark-first equivalent keeps the FORMAT but not the
+# single-threaded DOM parse: the writer emits ONE <tr> PER LINE, which
+# makes the file a splittable text source — Spark's line-based text scan
+# parallelizes it like any log file, and cell extraction is a JVM-side
+# regexp per row (map-only, whole-stage codegen). A DOM parser would
+# force whole-file reads; line-oriented HTML is still valid HTML.
+
+_HTML_ESCAPES = [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")]
+
+
+def _html_escape(col):
+    out = col.cast("string")
+    for raw, ent in _HTML_ESCAPES:
+        out = F.replace(out, F.lit(raw), F.lit(ent))
+    return out
+
+
+def _html_unescape(col):
+    out = col
+    for raw, ent in reversed(_HTML_ESCAPES):
+        out = F.replace(out, F.lit(ent), F.lit(raw))
+    return out
+
+
+def ensure_html_copy(spark: SparkSession, src_df: DataFrame, path: str) -> str:
+    """Materialize a one-time HTML-table copy of a table: a <table>
+    wrapper, one header <tr><th> line, one data <tr><td> line per row
+    (cells &-escaped so markup characters round-trip)."""
+    if not os.path.exists(path):
+        cells = [F.concat(F.lit("<td>"), _html_escape(F.col(c)),
+                          F.lit("</td>")) for c in src_df.columns]
+        row = F.concat(F.lit("  <tr>"), *cells, F.lit("</tr>"))
+        header = "  <tr>" + "".join(
+            f"<th>{c}</th>" for c in src_df.columns) + "</tr>"
+        wrapper = spark.createDataFrame(
+            [("<table>",), (header,), ("</table>",)], "value string")
+        (src_df.select(row.alias("value")).unionAll(wrapper)
+         .coalesce(1).write.mode("overwrite").text(path))
+    return path
+
+
+def read_html_table(spark: SparkSession, path: str,
+                    columns: list[str]) -> DataFrame:
+    """Read a line-oriented HTML table: keep only <td> rows (the header's
+    <th> row and the <table> wrapper fall out), extract cells with a
+    non-greedy regexp, unescape entities, and name the columns from the
+    declared list (FileRowConverter's field mapping). All string-typed —
+    callers conform to a target row type (schema-on-read, like CSV)."""
+    tds = F.regexp_extract_all(F.col("value"), F.lit("<td>(.*?)</td>"), 1)
+    lines = spark.read.text(path)
+    rows = lines.select(tds.alias("c")).filter(F.size(F.col("c")) > 0)
+    return rows.select(*[
+        _html_unescape(F.element_at(F.col("c"), i + 1)).alias(name)
+        for i, name in enumerate(columns)
+    ])

@@ -140,3 +140,19 @@ def test_jdbc_roundtrip_partitioned(spark, tmp_path):
     sub = jdbc_read(spark, derby_url(db),
                     '(SELECT "k", "v" FROM t1 WHERE "k" < 3) s')
     assert sorted(map(tuple, sub.collect())) == [(0, 0.0), (1, 1.5), (2, 3.0)]
+
+
+def test_html_table_roundtrip_escapes_markup(spark, tmp_path):
+    """Cells containing HTML markup characters must round-trip through
+    the &-escaping (FileReader.java parses entities the same way)."""
+    from drill_calcite_spark.sources.files import (
+        ensure_html_copy, read_html_table)
+
+    df = spark.createDataFrame(
+        [(1, "a < b & c > d"), (2, "<td>nested</td>"), (3, "plain")],
+        "id int, s string")
+    path = str(tmp_path / "html_tbl")
+    ensure_html_copy(spark, df, path)
+    back = read_html_table(spark, path, ["id", "s"])
+    got = sorted((int(r.id), r.s) for r in back.collect())
+    assert got == [(1, "a < b & c > d"), (2, "<td>nested</td>"), (3, "plain")]
