@@ -89,9 +89,11 @@ _DRIVER_PRIORITY = [
     # green, unchanged; the sources family keeps jdbc/partition/dml
     # slots and gains this first-row name)
     "source_html_table",
+    # + TPC-DS q51 cumulative-crossover shape (takes
+    # q13_customer_distribution's slot — r1+r2 green, unchanged code)
+    "ds_cumulative_channel_cross",
     # (d) oldest evidence (round 2)
-    "q4_order_priority", "q13_customer_distribution",
-    "q22_global_sales_opportunity", "setop_union_distinct",
+    "q4_order_priority", "q22_global_sales_opportunity", "setop_union_distinct",
     "setop_intersect", "unnest_words",
     # (unnest_with_ordinality ceded its slot to func_sequence_next —
     # the unnest family keeps unnest_words here + r2 evidence; sequences

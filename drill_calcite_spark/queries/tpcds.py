@@ -675,6 +675,79 @@ def ds_group_count_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("ds_cumulative_channel_cross", """
+WITH web AS (
+  SELECT l_partkey AS pk, extract(month FROM l_shipdate) AS mo,
+         sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)) AS rev
+  FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1, 2
+), store AS (
+  SELECT l_partkey AS pk, extract(month FROM l_shipdate) AS mo,
+         sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)) AS rev
+  FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1, 2
+), web_c AS (
+  SELECT pk, mo, sum(rev) OVER (PARTITION BY pk ORDER BY mo
+    ROWS UNBOUNDED PRECEDING)::DECIMAL(22,6) AS cum FROM web
+), store_c AS (
+  SELECT pk, mo, sum(rev) OVER (PARTITION BY pk ORDER BY mo
+    ROWS UNBOUNDED PRECEDING)::DECIMAL(22,6) AS cum FROM store
+)
+SELECT coalesce(w.pk, s.pk) AS p_key, coalesce(w.mo, s.mo) AS mo,
+       round(w.cum, 2)::DOUBLE AS web_cum,
+       round(s.cum, 2)::DOUBLE AS store_cum
+FROM web_c w
+FULL OUTER JOIN store_c s ON w.pk = s.pk AND w.mo = s.mo
+WHERE coalesce(w.cum, 0::DECIMAL(22,6))
+      > coalesce(s.cum, 0::DECIMAL(22,6))
+""")
+def ds_cumulative_channel_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q51 shape (TpcdsTest.java:62-69 plans it): per-item
+    CUMULATIVE monthly revenue in two channels (the N/A return-flag
+    populations standing in for web/store), FULL OUTER joined on
+    (item, month), keeping points where the web cumulative leads — q51's
+    'web cumulative > store cumulative' crossover detection. The
+    cumulative windows run per item over post-aggregate month rows
+    (never fact rows); both window partitions and the join hash the same
+    pk, so the exchanges co-locate. Every comparison happens in exact
+    DECIMAL (the running sums stay decimal through the window); display
+    columns round in decimal before the double cast (r8 rule)."""
+    li = t(spark, sf_dir, "lineitem")
+
+    def channel(flag):
+        return (
+            li.filter(F.col("l_returnflag") == flag)
+            .groupBy(F.col("l_partkey").alias("pk"),
+                     F.month("l_shipdate").cast("bigint").alias("mo"))
+            .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                       .cast("decimal(18,6)")).alias("rev"))
+            .withColumn(
+                "cum",
+                F.sum("rev").over(
+                    Window.partitionBy("pk").orderBy("mo")
+                    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ).cast("decimal(22,6)"))
+            .drop("rev")
+        )
+
+    w = channel("N").withColumnsRenamed(
+        {"pk": "w_pk", "mo": "w_mo", "cum": "w_cum"})
+    s = channel("A").withColumnsRenamed(
+        {"pk": "s_pk", "mo": "s_mo", "cum": "s_cum"})
+    zero = F.lit(0).cast("decimal(22,6)")
+    return (
+        w.join(s, (F.col("w_pk") == F.col("s_pk"))
+               & (F.col("w_mo") == F.col("s_mo")), "full_outer")
+        .filter(F.coalesce(F.col("w_cum"), zero)
+                > F.coalesce(F.col("s_cum"), zero))
+        .select(
+            F.coalesce("w_pk", "s_pk").alias("p_key"),
+            F.coalesce("w_mo", "s_mo").alias("mo"),
+            # decimal round THEN double cast (r8 rule, see q58)
+            F.round("w_cum", 2).cast("double").alias("web_cum"),
+            F.round("s_cum", 2).cast("double").alias("store_cum"),
+        )
+    )
+
+
 @q("ds_three_channel_full", """
 WITH ca AS (
   SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS n_a,

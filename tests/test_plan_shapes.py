@@ -331,3 +331,16 @@ def test_range_join_is_equi_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan), plan[:800]
+
+
+def test_cumulative_channel_cross_windows_after_aggregate(spark):
+    """ds_cumulative_channel_cross: the cumulative windows must run over
+    POST-aggregate (pk, month) rows with per-pk partitions — never a
+    SinglePartition window and never over fact rows — and the FULL OUTER
+    join must be an equi join."""
+    plan = _plan(entrymod.queries()["ds_cumulative_channel_cross"](
+        spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FullOuter" in plan, plan[:600]
