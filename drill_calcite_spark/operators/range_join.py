@@ -2,7 +2,7 @@
 ``l.key = r.key AND r.ts BETWEEN l.ts AND l.ts + W`` joins.
 
 Calcite plans this shape as a theta join (a Join whose condition mixes
-the equi key with the time inequalities — ``rel/core/Join.java:63``
+the equi key with the time inequalities — ``rel/core/Join.java:58``
 accepts any condition; the Enumerable engine then nested-loops the
 non-equi residual). Spark's SortMergeJoin does the same: the equi key
 carries the shuffle and every same-key pair is tested against the time

@@ -302,7 +302,7 @@ def range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERVAL RANGE JOIN — click→purchase attribution: every purchase
     a user makes within one hour (inclusive) after each click. Calcite
     plans this as a theta join (equi key + time inequalities on the Join
-    condition, rel/core/Join.java:63); the engine's scale path is the
+    condition, rel/core/Join.java:58); the engine's scale path is the
     bucketed rewrite (operators/range_join.py): window-width time
     buckets join EQUI on (user_id, bucket) with a 2× probe-side fan-out
     and the inequality kept as a residual — a hot key's history spreads

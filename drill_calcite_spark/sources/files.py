@@ -66,9 +66,10 @@ def ensure_json_copy(spark: SparkSession, src_df: DataFrame, path: str) -> str:
 
 # ----------------------------------------------------------- HTML tables
 # The reference's file adapter reads HTML <table> elements as relations
-# (file/src/main/java/org/apache/calcite/adapter/file/FileReader.java —
-# jsoup-parsed <tr>/<th>/<td>; FileRowConverter.java maps cells to typed
-# fields). The Spark-first equivalent keeps the FORMAT but not the
+# (file/src/main/java/org/apache/calcite/adapter/file/FileReader.java:35
+# — jsoup-parsed: doc.select("table") at :111, rows via
+# tableElement.select("tr") at :159; FileRowConverter.java:45 maps cells
+# to typed fields). The Spark-first equivalent keeps the FORMAT but not the
 # single-threaded DOM parse: the writer emits ONE <tr> PER LINE, which
 # makes the file a splittable text source — Spark's line-based text scan
 # parallelizes it like any log file, and cell extraction is a JVM-side
