@@ -5,7 +5,7 @@ Submodules group the inventory:
 - tpch      — headline relational queries (scan/filter/project/agg/join/sort spine)
 - relops    — per-operator coverage (§2.1: joins, set ops, windows, grouping sets, …)
 - funcs     — scalar function batteries (§2.4)
-- custom    — operators Spark lacks natively (§2.1 Match, RepeatUnion; as-of join)
+- custom    — operators Spark lacks natively (§2.1 Match, RepeatUnion; as-of + range joins)
 - llm       — training-data-pipeline operators (dedup, similarity, text analysis)
 - streaming — TUMBLE/HOP/SESSION + live Structured Streaming drains (§2.5)
 - sources   — CSV/JSON/HTML-table schema-on-read scans + TableModify DML (§2.3)
