@@ -92,9 +92,14 @@ _DRIVER_PRIORITY = [
     # + TPC-DS q51 cumulative-crossover shape (takes
     # q13_customer_distribution's slot — r1+r2 green, unchanged code)
     "ds_cumulative_channel_cross",
+    # + the seeded RAND/RAND_INTEGER battery (java.util.Random LCG in
+    # pure Catalyst, functions/randfn.py — takes setop_intersect's slot:
+    # r1+r2 green, unchanged code, setop_union_distinct still represents
+    # the family)
+    "func_rand_seeded",
     # (d) oldest evidence (round 2)
     "q4_order_priority", "q22_global_sales_opportunity", "setop_union_distinct",
-    "setop_intersect", "unnest_words",
+    "unnest_words",
     # (unnest_with_ordinality ceded its slot to func_sequence_next —
     # the unnest family keeps unnest_words here + r2 evidence; sequences
     # are NEW surface closing the last SURVEY §2 'no')

@@ -319,6 +319,63 @@ def func_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rand_seeded_oracle() -> str:
+    from drill_calcite_spark.functions.randfn import (
+        duck_rand_cte, mix_rand_seed)
+
+    return f"""
+WITH RECURSIVE {duck_rand_cte('r5', 1, 64, bound=5)},
+{duck_rand_cte('r2', -1, 64, bound=2)},
+{duck_rand_cte('rdbl', 0, 64, premixed_seed=mix_rand_seed(-1))},
+pos AS (SELECT n_nationkey,
+               row_number() OVER (ORDER BY n_nationkey) AS p
+        FROM nation)
+SELECT pos.n_nationkey,
+       r5.v   AS ri5,
+       r2.v   AS ri_pow2,
+       rdbl.v AS rd
+FROM pos
+JOIN r5   ON r5.pos = pos.p
+JOIN r2   ON r2.pos = pos.p
+JOIN rdbl ON rdbl.pos = pos.p
+"""
+
+
+@q("func_rand_seeded", _rand_seeded_oracle())
+def func_rand_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded RAND / RAND_INTEGER — Calcite's deterministic PRNG
+    (RandomFunction.java:48-73: one java.util.Random per query, one draw
+    per row; quidem-pinned at misc.iq:1878-1955). Three streams over
+    nation at explicit key-order positions: rand_integer(1,5) (the
+    rejection-loop nextInt path), rand_integer(-1,2) (the power-of-two
+    fast path), and rand(-1) (nextDouble, the int32 ``seed ^ seed<<16``
+    premix). The Spark side folds the 48-bit LCG in pure Catalyst
+    BIGINT arithmetic (functions/randfn.py — overflow-free decomposed
+    multiply, ANSI-safe); the DuckDB oracle advances the SAME recurrence
+    through a recursive CTE with unbounded rejection, so the hash proves
+    the two formulations agree draw-for-draw, bit-for-bit. Positions
+    come from row_number() over the table key, not enumeration order,
+    making the query engine-order-independent; the front-door rewrite
+    (sql._rewrite_seeded_rand) uses enumeration order to match the
+    reference's single-threaded replay. Scale note: a seeded sequential
+    PRNG is one stream by definition — conformance surface, not a scale
+    path (randfn.py module docstring)."""
+    from drill_calcite_spark.functions.randfn import (
+        rand_integer_expr, rand_seed_expr)
+
+    n = t(spark, sf_dir, "nation")
+    pos = n.select(
+        "n_nationkey",
+        F.expr("row_number() over (order by n_nationkey)").alias("p"),
+    )
+    return pos.select(
+        "n_nationkey",
+        F.expr(rand_integer_expr(1, 5, "p")).alias("ri5"),
+        F.expr(rand_integer_expr(-1, 2, "p")).alias("ri_pow2"),
+        F.expr(rand_seed_expr(-1, "p")).alias("rd"),
+    )
+
+
 @q("func_datetime_ceil", """
 SELECT event_id,
   CASE WHEN date_trunc('hour', ts) = ts THEN date_trunc('hour', ts)

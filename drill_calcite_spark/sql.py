@@ -1109,6 +1109,41 @@ def _rewrite_unary_minmax(text: str) -> str:
                 + text[j:])
 
 
+_SEEDED_RAND = re.compile(
+    r"(?<![\w.])rand(_integer)?\s*\(\s*(-?\d+)\s*(?:,\s*(-?\d+)\s*)?\)",
+    re.I)
+
+
+def _rewrite_seeded_rand(text: str) -> str:
+    """RAND(seed) / RAND_INTEGER(seed, bound) with literal arguments —
+    Calcite's seeded deterministic PRNG (RandomFunction.java:48-73: ONE
+    java.util.Random per query, one draw per row, pinned by
+    misc.iq:1878-1955). Spark's own rand(seed) is a different generator
+    (per-partition XORShift streams), so the seeded forms rewrite to the
+    exact 48-bit-LCG fold from functions/randfn.py; stream position =
+    enumeration order via ``row_number() over (order by 1)``, a single
+    stream exactly like the reference's single-threaded execution.
+    Untouched: no-arg RAND() and one-arg RAND_INTEGER(bound) (unseeded,
+    nondeterministic by contract — the sample_bernoulli convention) and
+    non-literal seeds. Identical call sites produce identical values per
+    row, matching Calcite's common-subexpression reuse of
+    ``@Deterministic`` function instances."""
+    from drill_calcite_spark.functions.randfn import (
+        rand_integer_expr, rand_seed_expr)
+
+    pos = "row_number() over (order by 1)"
+
+    def sub(m: "re.Match[str]") -> str:
+        is_int, a, b = m.group(1), m.group(2), m.group(3)
+        if is_int and b is not None:
+            return rand_integer_expr(int(a), int(b), pos)
+        if not is_int and b is None:
+            return rand_seed_expr(int(a), pos)
+        return m.group(0)  # unseeded RAND_INTEGER(bound): leave alone
+
+    return _SEEDED_RAND.sub(sub, text)
+
+
 def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
             nulls_high: bool = True) -> str:
     """Apply the Calcite-dialect rewrites; returns plain Spark SQL."""
@@ -1165,6 +1200,8 @@ def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
     # 'as').
     if not re.search(r"\bas\s+pi\b", text, flags=re.I):
         text = re.sub(r"(?<![\w.'])pi(?![\w('])", "pi()", text, flags=re.I)
+    if re.search(r"\brand", text, flags=re.I):
+        text = _rewrite_seeded_rand(text)
     # Spatial dialect glue (functions/geo_sqlfn.py): Calcite's GEOMETRY
     # type is this engine's ESRI-JSON string; Spark 4.1's native
     # st_setsrid/st_srid builtins cannot be replaced by SQL UDFs, so

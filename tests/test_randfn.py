@@ -1,0 +1,102 @@
+"""Seeded-PRNG emulation (functions/randfn.py): the Catalyst fold, the
+DuckDB CTE oracle, and the Python mirror must agree with java.util.Random
+draw-for-draw — including the nextInt rejection loop and the
+power-of-two fast path (RandomFunction.java:48-73; misc.iq:1878-1955)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from drill_calcite_spark.functions import randfn as R
+
+# misc.iq's own pinned streams (the reference executed these)
+QUIDEM_STREAMS = {
+    (1, 5): [0, 3, 2, 3, 4],
+    (-1, 5): [3, 0, 4, 4, 4],
+    (-1, 2): [0, 0, 0, 1, 1],
+}
+QUIDEM_DOUBLES = [
+    0.03305388522187047, 0.6573104025344794, 0.7450920948729041,
+    0.6624972807480889, 0.5532616835728703,
+]
+
+# seed 0 with bound 2/3·2^31: rejection probability 1/3 per raw draw —
+# draw 12 of this stream needs THREE consecutive rejections, the case
+# that broke the first (3-try-unroll) implementation.
+ADVERSARIAL = (0, 1431655765)
+
+
+def test_python_mirror_matches_quidem():
+    for (seed, bound), exp in QUIDEM_STREAMS.items():
+        assert R.java_random_ints(seed, bound, 5) == exp
+    assert R.java_random_doubles(-1, 5) == QUIDEM_DOUBLES
+
+
+def test_mix_rand_seed_int32_wrap():
+    # RandomFunction.java:50 runs seed ^ (seed << 16) on Java ints
+    assert R.mix_rand_seed(-1) == 65535
+    assert R.mix_rand_seed(1) == 65537
+    assert R.mix_rand_seed(2**15) == (2**15) ^ -2**31  # << wraps negative
+
+
+@pytest.mark.parametrize("seed,bound", [
+    (1, 5), (-1, 5), (-1, 2), (42, 8), (7, 1), (123, 1000003), ADVERSARIAL,
+])
+def test_duck_cte_matches_mirror(seed, bound):
+    con = duckdb.connect()
+    cte = R.duck_rand_cte("r", seed, 40, bound=bound)
+    got = [v for _, v in con.execute(
+        f"WITH RECURSIVE {cte} SELECT pos, v FROM r WHERE pos <= 40 "
+        f"ORDER BY pos").fetchall()]
+    assert got == R.java_random_ints(seed, bound, 40)
+
+
+def test_duck_cte_doubles_matches_mirror():
+    con = duckdb.connect()
+    cte = R.duck_rand_cte("r", 0, 20, premixed_seed=R.mix_rand_seed(-1))
+    got = [v for _, v in con.execute(
+        f"WITH RECURSIVE {cte} SELECT pos, v FROM r ORDER BY pos").fetchall()]
+    assert got == R.java_random_doubles(-1, 20)
+
+
+@pytest.mark.parametrize("seed,bound", [
+    (1, 5), (-1, 2), (42, 8), ADVERSARIAL,
+])
+def test_spark_expr_matches_mirror(spark, seed, bound):
+    e = R.rand_integer_expr(seed, bound, "p")
+    rows = spark.sql(
+        f"select p, {e} as v from (select row_number() over (order by 1) p "
+        f"from range(25)) order by p").collect()
+    assert [r.v for r in rows] == R.java_random_ints(seed, bound, 25)
+
+
+def test_spark_rand_seed_matches_mirror(spark):
+    e = R.rand_seed_expr(-1, "p")
+    rows = spark.sql(
+        f"select p, {e} as v from (select row_number() over (order by 1) p "
+        f"from range(12)) order by p").collect()
+    assert [r.v for r in rows] == R.java_random_doubles(-1, 12)
+
+
+def test_front_door_rewrites_seeded_forms(spark):
+    from drill_calcite_spark.sql import calcite_sql, rewrite
+
+    df = calcite_sql(
+        spark,
+        "select i, rand_integer(1, 5) as r from (values 1, 2, 3, 4, 5) as t(i)",
+        nulls_high=False)
+    assert sorted((r.i, r.r) for r in df.collect()) == [
+        (1, 0), (2, 3), (3, 2), (4, 3), (5, 4)]
+    # unseeded forms stay untouched (nondeterministic by contract)
+    assert "rand()" in rewrite("select rand() from t")
+    assert "rand_integer(5)" in rewrite("select rand_integer(5) from t")
+    # literal-shield: 'rand(1)' inside a string is not rewritten
+    assert "'rand(1)'" in rewrite("select 'rand(1)' from t")
+
+
+def test_bound_must_be_positive():
+    with pytest.raises(ValueError):
+        R.rand_integer_expr(1, 0, "p")
+    with pytest.raises(ValueError):
+        R.duck_rand_cte("r", 1, 5)  # neither bound nor premixed_seed
