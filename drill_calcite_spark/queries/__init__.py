@@ -97,8 +97,13 @@ _DRIVER_PRIORITY = [
     # r1+r2 green, unchanged code, setop_union_distinct still represents
     # the family)
     "func_rand_seeded",
+    # + BPE merge induction (queries/llm.py text_bpe_merges — the
+    # tokenizer-training loop completing vocab_topk; takes
+    # setop_union_distinct's slot: r1+r2 green, unchanged code, the
+    # set-op family keeps setop_except's fresh r7 row)
+    "text_bpe_merges",
     # (d) oldest evidence (round 2)
-    "q4_order_priority", "q22_global_sales_opportunity", "setop_union_distinct",
+    "q4_order_priority", "q22_global_sales_opportunity",
     "unnest_words",
     # (unnest_with_ordinality ceded its slot to func_sequence_next —
     # the unnest family keeps unnest_words here + r2 evidence; sequences

@@ -1228,6 +1228,135 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_ROUNDS = 5
+_BPE_VOCAB = 200
+
+
+def _bpe_oracle() -> str:
+    """K unrolled merge rounds as CTE layers. Pair counting, the
+    deterministic argmax, and the padded-double-space literal-replace
+    merge mirror the Spark side expression-for-expression."""
+    pair_list = (
+        "list_transform(generate_series(1, len(string_split(seq, ' ')) - 1), "
+        "i -> string_split(seq, ' ')[i] || ' ' || string_split(seq, ' ')[i+1])"
+    )
+    merge = (
+        "trim(replace(replace(' ' || replace(v.seq, ' ', '  ') || ' ', "
+        "' ' || replace(b.pair, ' ', '  ') || ' ', "
+        "' ' || replace(b.pair, ' ', '') || ' '), '  ', ' '))"
+    )
+    parts = [f"""
+WITH wf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+    FROM documents) t
+  GROUP BY w
+),
+v0 AS (
+  SELECT w AS word, freq,
+         trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq
+  FROM wf ORDER BY freq DESC, w ASC LIMIT {_BPE_VOCAB}
+)"""]
+    for r in range(1, _BPE_ROUNDS + 1):
+        parts.append(f""",
+c{r} AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT unnest({pair_list}) AS pair, freq FROM v{r - 1}) t
+  GROUP BY pair
+),
+b{r} AS (SELECT pair, cnt FROM c{r} ORDER BY cnt DESC, pair ASC LIMIT 1),
+v{r} AS (SELECT v.word, v.freq, {merge} AS seq FROM v{r - 1} v, b{r} b)""")
+    rows = "\nUNION ALL ".join(
+        f"SELECT {r} AS merge_round, pair, replace(pair, ' ', '') AS merged, "
+        f"cnt FROM b{r}"
+        for r in range(1, _BPE_ROUNDS + 1))
+    parts.append(f"\nSELECT * FROM ({rows}) ORDER BY merge_round")
+    return "".join(parts)
+
+
+@q("text_bpe_merges", _bpe_oracle())
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE MERGE INDUCTION — the tokenizer-training loop itself
+    (byte-pair encoding, Sennrich et al. 2016): after
+    ``text_vocab_topk`` picks the word vocabulary, this operator runs
+    the first K=5 merge rounds — count adjacent symbol pairs across the
+    (word, frequency) vocabulary, pick the most frequent pair
+    (deterministic tie-break: count DESC, pair ASC), fuse it in every
+    word, repeat — and returns the merge table (round, pair, merged
+    symbol, corpus-weighted count), exactly what a tokenizer ships.
+
+    Cross-engine exactness: word sequences are space-joined symbols;
+    "merge pair (x, y)" is a LITERAL string replace on a double-spaced
+    padding (`` x  y `` → `` xy ``) so each symbol keeps one delimiter
+    for its neighbor — reproducing BPE's left-to-right non-overlapping
+    merge ("a a a a" → "aa aa") with identical semantics in Spark's
+    ``replace`` and DuckDB's — no regex, no lookaround (RE2∩Java
+    discipline, the scrub_pii precedent). All counts are exact
+    integers.
+
+    Scale shape: the ONLY corpus-scale pass is the word-frequency
+    aggregate (map-side combine, one shuffle on the word key — shared
+    with text_vocab_topk upstream). Every merge round then operates on
+    the bounded vocabulary table (top-{_BPE_VOCAB} here; ≤ a few 100k
+    rows at any corpus size): pair explode ≈ |word| rows per word,
+    partial-aggregated before its shuffle, and the 1-row argmax joins
+    back by broadcast — the loop's cost is independent of corpus size,
+    which is why single-machine BPE trainers parallelize the same way.
+    The K rounds build one lazy plan; nothing collects to the driver."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = t(spark, sf_dir, "documents").repartition(n, F.col("doc_id"))
+    wf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    vocab = (
+        wf.orderBy(F.desc("freq"), F.asc("w")).limit(_BPE_VOCAB)
+        .select(
+            F.col("w").alias("word"), "freq",
+            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("seq"),
+        )
+    )
+    sp = F.lit(" ")
+    merge_rows = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        arr = F.split(F.col("seq"), " ")
+        prs = F.when(
+            F.size(arr) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - 1),
+                lambda i: F.concat(
+                    F.element_at(arr, i), sp, F.element_at(arr, i + 1)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        best = (
+            vocab.select(F.explode(prs).alias("pair"), "freq")
+            .groupBy("pair").agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair")).limit(1)
+        )
+        merge_rows.append(best.select(
+            F.lit(r).cast("int").alias("merge_round"),
+            "pair",
+            F.replace(F.col("pair"), sp, F.lit("")).alias("merged"),
+            "cnt",
+        ))
+        pair = F.col("pair")
+        padded = F.concat(sp, F.replace(F.col("seq"), sp, F.lit("  ")), sp)
+        pat = F.concat(sp, F.replace(pair, sp, F.lit("  ")), sp)
+        rep = F.concat(sp, F.replace(pair, sp, F.lit("")), sp)
+        vocab = (
+            vocab.crossJoin(F.broadcast(best))
+            .select(
+                "word", "freq",
+                F.trim(F.replace(F.replace(padded, pat, rep),
+                                 F.lit("  "), sp)).alias("seq"),
+            )
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionAll(m)
+    return out.orderBy("merge_round")
+
+
 @q("pack_token_chunks", """
 WITH d AS (
   SELECT doc_id, source,

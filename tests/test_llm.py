@@ -331,3 +331,69 @@ def test_dedup_clusters_canonical_per_cluster(spark):
         assert sum(m["is_canonical"] for m in members) == 1
         assert all(m["cluster_size"] == len(members) for m in members)
         assert min(m["doc_id"] for m in members) == cid
+
+
+def test_bpe_merge_replace_semantics(spark):
+    """The padded double-space literal replace reproduces BPE's
+    left-to-right non-overlapping pair fusion — including the
+    "a a a a" tiling (both disjoint pairs merge), the "a a a" odd tail
+    (third symbol survives), and interior merges keeping their
+    neighbors' delimiters."""
+    rows = spark.sql("""
+        SELECT trim(replace(replace(' ' || replace(seq, ' ', '  ') || ' ',
+                    ' ' || replace(p, ' ', '  ') || ' ',
+                    ' ' || replace(p, ' ', '') || ' '), '  ', ' ')) AS m
+        FROM VALUES ('a a a a', 'a a'), ('a a a', 'a a'),
+                    ('h e l l o', 'l l'), ('x y', 'a b'),
+                    ('b a a', 'a a'), ('a', 'a a') AS t(seq, p)
+    """).collect()
+    assert [r.m for r in rows] == [
+        "aa aa", "aa a", "h e ll o", "x y", "b aa", "a"]
+
+
+def test_bpe_merges_match_reference_trainer(spark):
+    """Drive the operator's full loop on a tiny in-memory corpus and
+    compare against a straightforward single-machine BPE trainer."""
+    import collections
+
+    def reference_bpe(word_freq, rounds):
+        seqs = {w: list(w) for w in word_freq}
+        out = []
+        for r in range(rounds):
+            cnt = collections.Counter()
+            for w, f in word_freq.items():
+                s = seqs[w]
+                for i in range(len(s) - 1):
+                    cnt[(s[i], s[i + 1])] += f
+            if not cnt:
+                break
+            best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            out.append((r + 1, " ".join(best), "".join(best),
+                        cnt[best]))
+            for w in seqs:
+                s, ns, i = seqs[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                        ns.append(s[i] + s[i + 1])
+                        i += 2
+                    else:
+                        ns.append(s[i])
+                        i += 1
+                seqs[w] = ns
+        return out
+
+    corpus = {"lower": 9, "low": 7, "newest": 6, "widest": 3, "new": 2}
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    with tempfile.TemporaryDirectory() as d:
+        text = " ".join(w for w, f in corpus.items() for _ in range(f))
+        spark.createDataFrame(
+            [("d1", "synthetic", text)], "doc_id string, source string, text string"
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        from drill_calcite_spark.queries.llm import text_bpe_merges
+        got = sorted(
+            (r.merge_round, r.pair, r.merged, r.cnt)
+            for r in text_bpe_merges(spark, d).collect())
+    assert got == reference_bpe(corpus, 5)

@@ -344,3 +344,19 @@ def test_cumulative_channel_cross_windows_after_aggregate(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "FullOuter" in plan, plan[:600]
+
+
+def test_bpe_merges_broadcast_argmax_no_cartesian(spark):
+    """text_bpe_merges: each round's 1-row argmax joins back into the
+    vocabulary by BROADCAST (crossJoin(broadcast(best)) — a
+    BroadcastNestedLoopJoin over one row), never a CartesianProduct;
+    the whole K-round loop stays JVM-side (no Python), and the only
+    corpus-scale pass is the word-frequency aggregate — every
+    per-round pair count aggregates the bounded vocab table."""
+    plan = _plan(entrymod.queries()["text_bpe_merges"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan[:600]
+    assert "BroadcastNestedLoopJoin" in plan, \
+        f"argmax not broadcast:\n{plan[:600]}"
+    assert "EvalPython" not in plan
+    # partial aggregation combines map-side before every exchange
+    assert plan.count("HashAggregate") >= 2
