@@ -205,6 +205,64 @@ class MaterializedViews:
                 for out, op, col in measures]
         return tdf.groupBy(*dims).agg(*aggs)
 
+    # ------------------------------------------------- incremental refresh
+    def incremental_refresh(self, name: str, delta: DataFrame) -> None:
+        """Apply an INSERT-ONLY batch of new base rows to a tile without
+        recomputing it from the base table.
+
+        The reference's MV lifecycle leaves freshness to the caller
+        (module docstring; Calcite's SqlCreateMaterializedView stores a
+        snapshot and MaterializationService re-populates it wholesale).
+        At 100 TB a full re-population is exactly the cost the tile was
+        built to avoid, so this is the scale-path maintenance step: the
+        delta batch is aggregated to tile granularity (reading ONLY the
+        new rows) and merged into the stored tile with the same
+        re-aggregation algebra the rollup uses — sum/count tiles add,
+        min/max tiles take min/max (valid because inserts only GROW the
+        set; a delete could retract the current extremum, which is why
+        deletes are out of contract and callers with updates must
+        rebuild). The tile's WHERE predicate is re-applied to the delta
+        so a filtered tile stays consistent. NULL fidelity carries over:
+        per-column count tiles count non-nulls in the delta too.
+
+        The merged tile is written as a NEW versioned snapshot and the
+        registry repointed — Spark cannot overwrite a parquet path it is
+        reading, and in production this swap is a transactional-table
+        commit (Delta/Iceberg); versioned paths are the plain-parquet
+        equivalent. Cost: one shuffle of the delta at tile granularity +
+        one tile-sized merge; the base table is never touched
+        (unit-pinned by test_materialized.py's inputFiles assertion)."""
+        tile = next((tl for tl in self.tiles if tl.name == name), None)
+        if tile is None:
+            raise KeyError(f"no tile named {name!r}")
+        src = delta.filter(_conj(list(tile.where))) if tile.where else delta
+        aggs = []
+        for op, col in sorted(tile.ops):
+            if op == "count":
+                aggs.append(F.count(F.lit(1) if col == "*" else F.col(col))
+                            .alias(_tile_col(op, col)))
+            else:
+                aggs.append(getattr(F, op)(col).alias(_tile_col(op, col)))
+        delta_tile = src.groupBy(*tile.dims).agg(*aggs)
+        old = self.spark.read.parquet(tile.path)
+        merge = []
+        for op, col in sorted(tile.ops):
+            tc = _tile_col(op, col)
+            fold = F.min(tc) if op == "min" else (
+                F.max(tc) if op == "max" else F.sum(tc))
+            merge.append(fold.alias(tc))
+        merged = (
+            old.unionByName(delta_tile.select(*old.columns))
+            .groupBy(*tile.dims).agg(*merge)
+        )
+        base_path = tile.path.rsplit("__v", 1)[0]
+        version = int(tile.path.rsplit("__v", 1)[1]) + 1 \
+            if "__v" in tile.path else 1
+        new_path = f"{base_path}__v{version}"
+        merged.write.mode("overwrite").parquet(new_path)
+        self.tiles[self.tiles.index(tile)] = _Tile(
+            tile.name, tile.table, tile.dims, tile.ops, new_path, tile.where)
+
     # ---------------------------------------------------- join-MV unification
     @staticmethod
     def join_signature(tables: Sequence[str],

@@ -102,8 +102,12 @@ _DRIVER_PRIORITY = [
     # setop_union_distinct's slot: r1+r2 green, unchanged code, the
     # set-op family keeps setop_except's fresh r7 row)
     "text_bpe_merges",
+    # + incremental MV refresh (plans/materialized.py — delta-merge ≡
+    # full recompute; takes q4_order_priority's slot: r1+r2 green,
+    # unchanged code, the TPC-H family holds eleven r7/r8 rows)
+    "mv_incremental_refresh",
     # (d) oldest evidence (round 2)
-    "q4_order_priority", "q22_global_sales_opportunity",
+    "q22_global_sales_opportunity",
     "unnest_words",
     # (unnest_with_ordinality ceded its slot to func_sequence_next —
     # the unnest family keeps unnest_words here + r2 evidence; sequences

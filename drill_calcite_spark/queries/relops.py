@@ -1665,6 +1665,63 @@ def mv_filter_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("mv_incremental_refresh", """
+SELECT o_orderpriority,
+       sum(o_totalprice::DECIMAL(18,6))::DOUBLE AS total,
+       count(*) AS n,
+       min(o_totalprice) AS mn,
+       max(o_totalprice) AS mx
+FROM orders GROUP BY o_orderpriority
+""")
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MV maintenance (the scale-path refresh the
+    reference's MaterializationService lacks — it re-populates
+    wholesale; plans/materialized.py incremental_refresh): a tile is
+    built from the pre-1997 slice of orders, the 1997+ rows arrive as
+    an insert-only delta batch, and the refresh merges the
+    delta-aggregate into the stored tile — sum/count add, min/max fold
+    — WITHOUT touching the base table again. The rollup then serves the
+    priority-level query from the refreshed tile (inputFiles pins the
+    versioned snapshot), and the oracle aggregates ALL of orders
+    directly: the hash match proves delta-merge ≡ full recompute for
+    every algebra the tile stores. Decimal sums keep the merge
+    order-independent (the tpch3.py:62 quantize precedent)."""
+    import os as _os
+
+    from drill_calcite_spark.plans.materialized import MaterializedViews
+
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/spark_graft_fixtures/{tag}/mv_incr_tile"
+    ords = t(spark, sf_dir, "orders").withColumn(
+        "o_totalprice_dec", F.col("o_totalprice").cast("decimal(18,6)")
+    )
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    mvs = MaterializedViews(spark)
+    mvs.create(
+        "orders_incr_by_prio", "orders",
+        ords.filter(F.col("o_orderdate") < cutoff),
+        dims=["o_orderpriority", "o_orderstatus"],
+        measures=[("sum", "o_totalprice_dec"), ("min", "o_totalprice"),
+                  ("max", "o_totalprice")],
+        path=path,
+    )
+    mvs.incremental_refresh(
+        "orders_incr_by_prio", ords.filter(F.col("o_orderdate") >= cutoff))
+    out = mvs.summarize(
+        "orders", ords, ["o_orderpriority"],
+        [("total", "sum", "o_totalprice_dec"),
+         ("n", "count", "*"),
+         ("mn", "min", "o_totalprice"),
+         ("mx", "max", "o_totalprice")],
+    )
+    assert all("mv_incr_tile__v1" in f for f in out.inputFiles()), \
+        "query not served from the refreshed tile snapshot"
+    return out.select(
+        "o_orderpriority", F.col("total").cast("double").alias("total"),
+        "n", "mn", "mx",
+    )
+
+
 @q("sql_calcite_dialect", """
 SELECT r_name,
        string_agg(n_name, ',' ORDER BY n_name) AS nations,

@@ -191,3 +191,57 @@ def test_suggest_tiles_greedy(spark):
     for q in workload:
         assert q.name in {s.name
                           for s in serves[tuple(sorted(q.group_by))]}
+
+
+def test_incremental_refresh_equals_full_rebuild(spark, tmp_path):
+    """Delta-merge ≡ full recompute for every stored algebra — including
+    NULL measure values (per-column count tiles must count non-nulls in
+    the delta too), new grouping keys arriving only in the delta, and a
+    SECOND refresh on the already-versioned snapshot."""
+    import pytest
+
+    old = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", None), ("b", "x", 3.0)],
+        "k string, sub string, v double")
+    d1 = spark.createDataFrame(
+        [("a", "x", 10.0), ("b", "x", None), ("c", "z", 7.0)],
+        "k string, sub string, v double")
+    d2 = spark.createDataFrame(
+        [("c", "z", -1.0)], "k string, sub string, v double")
+    mvs = MaterializedViews(spark)
+    mvs.create("tile", "t", old, ["k", "sub"],
+               [("sum", "v"), ("min", "v"), ("max", "v"), ("avg", "v")],
+               str(tmp_path / "tile"))
+    mvs.incremental_refresh("tile", d1)
+    mvs.incremental_refresh("tile", d2)
+    assert mvs.tiles[0].path.endswith("__v2")
+
+    full = old.unionByName(d1).unionByName(d2)
+    measures = [("s", "sum", "v"), ("n", "count", "*"),
+                ("nv", "count", "v"), ("lo", "min", "v"),
+                ("hi", "max", "v"), ("m", "avg", "v")]
+    served = mvs.summarize("t", full, ["k"], measures)
+    assert all("__v2" in f for f in served.inputFiles()), \
+        "not served from the refreshed snapshot"
+    base = MaterializedViews(spark).summarize("t", full, ["k"], measures)
+    assert sorted(map(tuple, served.collect())) == \
+        sorted(map(tuple, base.collect()))
+
+    with pytest.raises(KeyError):
+        mvs.incremental_refresh("nope", d1)
+
+
+def test_incremental_refresh_respects_tile_predicate(spark, tmp_path):
+    """A filtered tile applies its WHERE to the delta batch — rows the
+    tile never covered must not leak into the refreshed snapshot."""
+    old = spark.createDataFrame(
+        [("a", 5.0), ("b", 1.0)], "k string, v double")
+    delta = spark.createDataFrame(
+        [("a", 9.0), ("a", 0.5)], "k string, v double")  # 0.5 fails P
+    mvs = MaterializedViews(spark)
+    mvs.create("tile", "t", old, ["k"], [("sum", "v")],
+               str(tmp_path / "ftile"), where=[("v", ">=", 1.0)])
+    mvs.incremental_refresh("tile", delta)
+    tdf = spark.read.parquet(mvs.tiles[0].path)
+    got = {r.k: r["__sum_v"] for r in tdf.collect()}
+    assert got == {"a": 14.0, "b": 1.0}  # 0.5 excluded by the predicate
