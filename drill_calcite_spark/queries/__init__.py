@@ -106,8 +106,11 @@ _DRIVER_PRIORITY = [
     # full recompute; takes q4_order_priority's slot: r1+r2 green,
     # unchanged code, the TPC-H family holds eleven r7/r8 rows)
     "mv_incremental_refresh",
+    # + count-min-sketch heavy hitters (operators/sketch.py — takes
+    # q22_global_sales_opportunity's slot: r1+r2 green, unchanged code,
+    # TPC-H family holds eleven r7/r8 rows)
+    "sketch_cms_heavy_hitters",
     # (d) oldest evidence (round 2)
-    "q22_global_sales_opportunity",
     "unnest_words",
     # (unnest_with_ordinality ceded its slot to func_sequence_next —
     # the unnest family keeps unnest_words here + r2 evidence; sequences

@@ -1357,6 +1357,73 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("merge_round")
 
 
+_CMS_HASH = ("('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || w), 1, 15))"
+             "::BIGINT % 64")
+
+@q("sketch_cms_heavy_hitters", f"""
+WITH wf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+    FROM documents) t
+  GROUP BY w
+),
+cells AS (
+  SELECT j, {_CMS_HASH} AS bucket, freq
+  FROM wf, range(1, 4) t(j)
+),
+sk AS (
+  SELECT j, bucket, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM cells GROUP BY j, bucket
+),
+top AS (SELECT w, freq FROM wf ORDER BY freq DESC, w ASC LIMIT 20),
+probes AS (
+  SELECT w, freq, j, {_CMS_HASH} AS bucket
+  FROM top, range(1, 4) t(j)
+)
+SELECT w AS token, freq AS true_n,
+       CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_n
+FROM probes LEFT JOIN sk USING (j, bucket)
+GROUP BY w, freq
+""")
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH heavy hitters (operators/sketch.py — Cormode &
+    Muthukrishnan 2005): estimate corpus token frequencies from a FIXED
+    3×64 counter matrix instead of a vocabulary-wide aggregate, then
+    report the top-20 true heavy hitters with their sketch estimates
+    alongside the exact counts. The md5-salted bucket hash is the
+    repo's standard 15-hex-char idiom, so the DuckDB oracle rebuilds
+    the sketch cell-for-cell and the driver hash pins the ESTIMATES —
+    including their collision overestimates — not just bounds.
+
+    Scale shape: the counter build is one aggregation whose key space
+    is capped at d×w = 192 cells no matter the corpus cardinality —
+    partial aggregation collapses every task's token stream map-side,
+    so the exchange carries ≤ tasks×192 tiny rows (a groupBy(token)
+    would shuffle the vocabulary). Estimation explodes only the 20
+    candidates and broadcast-joins the 192-cell table. (The exact
+    word-frequency CTE here exists to *grade* the sketch — a production
+    pipeline ships only the sketch side; sketches merge cellwise, the
+    property tests pin sketch(A∪B) = merge(sketch A, sketch B).)"""
+    from drill_calcite_spark.operators.sketch import (
+        cms_estimate, cms_sketch)
+
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = t(spark, sf_dir, "documents").repartition(n, F.col("doc_id"))
+    wf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    sk = cms_sketch(wf, "w", "freq")
+    top = wf.orderBy(F.desc("freq"), F.asc("w")).limit(20)
+    est = cms_estimate(sk, top.select("w"), "w")
+    return (
+        top.join(est, "w")
+        .select(F.col("w").alias("token"),
+                F.col("freq").alias("true_n"),
+                F.col("est_n").cast("bigint").alias("est_n"))
+    )
+
+
 @q("pack_token_chunks", """
 WITH d AS (
   SELECT doc_id, source,

@@ -397,3 +397,39 @@ def test_bpe_merges_match_reference_trainer(spark):
             (r.merge_round, r.pair, r.merged, r.cnt)
             for r in text_bpe_merges(spark, d).collect())
     assert got == reference_bpe(corpus, 5)
+
+
+def test_cms_overestimates_and_merges(spark):
+    """Count-min sketch invariants (operators/sketch.py): estimates
+    never underestimate; an uncolliding key estimates exactly; sketches
+    merge cellwise — sketch(A ∪ B) = merge(sketch(A), sketch(B)); an
+    unseen key estimates only collision mass (0 when its cells are
+    untouched)."""
+    from drill_calcite_spark.operators.sketch import (
+        CMS_DEPTH, CMS_WIDTH, cms_estimate, cms_merge, cms_sketch)
+
+    a = spark.createDataFrame(
+        [(f"k{i % 7}", 1) for i in range(70)], "k string, w long")
+    b = spark.createDataFrame(
+        [(f"k{i % 5}", 1) for i in range(25)], "k string, w long")
+    union = a.unionByName(b)
+
+    sk_u = cms_sketch(union, "k", "w")
+    assert sk_u.count() <= CMS_DEPTH * CMS_WIDTH
+    merged = cms_merge(cms_sketch(a, "k", "w"), cms_sketch(b, "k", "w"))
+    assert sorted(map(tuple, sk_u.collect())) == \
+        sorted(map(tuple, merged.collect()))
+
+    keys = union.select("k").distinct()
+    true = {r.k: r.n for r in
+            union.groupBy("k").agg(__import__(
+                "pyspark.sql.functions", fromlist=["F"]).sum("w").alias("n")
+            ).collect()}
+    est = {r.k: r.est_n for r in cms_estimate(sk_u, keys, "k").collect()}
+    assert set(est) == set(true)
+    for k, t_n in true.items():
+        assert est[k] >= t_n, (k, est[k], t_n)
+
+    unseen = spark.createDataFrame([("zzz-not-in-corpus",)], "k string")
+    (zrow,) = cms_estimate(sk_u, unseen, "k").collect()
+    assert zrow.est_n >= 0

@@ -360,3 +360,13 @@ def test_bpe_merges_broadcast_argmax_no_cartesian(spark):
     assert "EvalPython" not in plan
     # partial aggregation combines map-side before every exchange
     assert plan.count("HashAggregate") >= 2
+
+
+def test_cms_sketch_broadcast_estimate(spark):
+    """sketch_cms_heavy_hitters: the 192-cell counter table must
+    BROADCAST into the estimate join (a shuffled join would move the
+    probe side for nothing), and nothing crosses into Python."""
+    plan = _plan(entrymod.queries()["sketch_cms_heavy_hitters"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, f"sketch not broadcast:\n{plan[:500]}"
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
