@@ -110,13 +110,16 @@ _DRIVER_PRIORITY = [
     # q22_global_sales_opportunity's slot: r1+r2 green, unchanged code,
     # TPC-H family holds eleven r7/r8 rows)
     "sketch_cms_heavy_hitters",
+    # + bloom-filter join pruning (operators/bloom.py — takes
+    # sort_limit_offset's slot: r1+r2(+r5) green, unchanged code, the
+    # sort family keeps quidem sort.iq coverage + exact-gate pytest)
+    "bloom_prune_join",
     # (d) oldest evidence (round 2)
     "unnest_words",
     # (unnest_with_ordinality ceded its slot to func_sequence_next —
     # the unnest family keeps unnest_words here + r2 evidence; sequences
     # are NEW surface closing the last SURVEY §2 'no')
     "func_sequence_next",
-    "sort_limit_offset",
     # (e) round-4-vintage LLM + sources families (VERDICT r7 item 5)
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_ngram_capped",
     "dedup_simhash_buckets", "ann_cosine_topk", "text_lang_id",

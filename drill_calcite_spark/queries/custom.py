@@ -320,3 +320,34 @@ def range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = range_join.bucketed_range_join(
         clicks, purchases, "user_id", "c_ts", "p_ts", 3_600_000_000)
     return j.select("click_id", "purchase_id", "user_id", "delta_us")
+
+
+@q("bloom_prune_join", """
+SELECT o_orderkey, o_custkey, c_name, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_nationkey IN (1, 2, 3) AND c_mktsegment = 'BUILDING'
+""")
+def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER JOIN PRUNING (operators/bloom.py — the explicit
+    runtime-semi-join-filter building block; Calcite plans the
+    semi-join shape via SemiJoinRule, Drill's runtime generates bloom
+    filters inside its hash join): a selective customer subset builds a
+    one-row 8192-bit bloom; orders are pruned MAP-ONLY by k=3
+    array_contains probes before the join's shuffle (the final join is
+    hinted merge to model the at-scale case where the dim itself is too
+    big to broadcast but its bloom is not). No false negatives, so the
+    plain-SQL join oracle pins exact equality — every surviving false
+    positive is eliminated by the real join, every true match survives
+    the prune. Plan test pins the filter BELOW the join exchange."""
+    from drill_calcite_spark.operators.bloom import bloom_build, bloom_prune
+
+    cust = t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 2, 3) & (F.col("c_mktsegment") == "BUILDING"))
+    orders = t(spark, sf_dir, "orders")
+    bloom = bloom_build(cust, "c_custkey")
+    pruned = bloom_prune(orders, bloom, "o_custkey")
+    return (
+        pruned.hint("merge")
+        .join(cust, pruned["o_custkey"] == cust["c_custkey"])
+        .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+    )

@@ -1279,3 +1279,28 @@ def test_pack_token_chunks_invariants(spark):
             cum += r.n_tok
     again = sorted(map(tuple, q(spark, SF_DIR).collect()))
     assert again == sorted(map(tuple, rows))
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    """operators/bloom.py: membership never misses a build-side key
+    (join after prune == plain join), the prune genuinely drops
+    definitely-absent rows, and the bit array stays capped at m."""
+    from drill_calcite_spark.operators.bloom import (
+        BLOOM_BITS, bloom_build, bloom_prune)
+
+    small = spark.createDataFrame(
+        [(i,) for i in range(0, 100, 7)], "k long")          # 15 keys
+    big = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(500)], "k long, v string")
+    bloom = bloom_build(small, "k")
+    (brow,) = bloom.collect()
+    assert brow.n_bits == len(brow.bits) <= BLOOM_BITS
+
+    pruned = bloom_prune(big, bloom, "k")
+    kept = {r.k for r in pruned.collect()}
+    assert set(range(0, 100, 7)) <= kept          # no false negatives
+    assert len(kept) < 500                        # pruning happened
+
+    joined = sorted(map(tuple, pruned.join(small, "k").collect()))
+    plain = sorted(map(tuple, big.join(small, "k").collect()))
+    assert joined == plain

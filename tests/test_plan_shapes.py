@@ -370,3 +370,18 @@ def test_cms_sketch_broadcast_estimate(spark):
     assert "BroadcastHashJoin" in plan, f"sketch not broadcast:\n{plan[:500]}"
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_bloom_prune_below_join_exchange(spark):
+    """bloom_prune_join: the membership probes (array_contains over the
+    broadcast one-row bit set) must run BELOW the orders-side shuffle
+    that feeds the SortMergeJoin — pruning after the exchange would
+    move the dropped rows for nothing. Textually the Exchange line
+    precedes (sits above) the probe filter in the plan tree."""
+    plan = _plan(entrymod.queries()["bloom_prune_join"](spark, SF_DIR))
+    assert "SortMergeJoin" in plan, plan[:400]
+    assert "array_contains" in plan
+    probe_side = plan.index("Exchange hashpartitioning(o_custkey")
+    assert probe_side < plan.index("array_contains"), \
+        "bloom probe evaluated above the join exchange"
+    assert "EvalPython" not in plan
