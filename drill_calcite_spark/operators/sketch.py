@@ -1,7 +1,8 @@
-"""Count-min sketch: fixed-memory frequency estimation over unbounded
-key cardinality — the "novel sketch" operator class the reference's
-runtime does not ship (its approximate story is APPROX_COUNT_DISTINCT,
-SqlStdOperatorTable; frequency estimation has no Calcite counterpart).
+"""Sketches: count-min (frequency) and HyperLogLog (distinct count) —
+fixed-memory estimation over unbounded key cardinality, the "novel
+sketch" operator class the reference's runtime does not ship (its
+approximate story is APPROX_COUNT_DISTINCT, SqlStdOperatorTable;
+explicit mergeable sketch state has no Calcite counterpart).
 
 Cormode & Muthukrishnan 2005 (public): a d×w counter matrix; each key
 increments one counter per row j at column ``h_j(key) mod w``; the
@@ -83,6 +84,71 @@ def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
         a.unionByName(b)
         .groupBy("j", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+# ----------------------------------------------------------- HyperLogLog
+HLL_BUCKETS = 64          # m = 2^6: bucket = low 6 bits of the 60-bit hash
+HLL_ALPHA = 0.709         # Flajolet et al. 2007's stated constant for m=64
+# alpha * m^2 * 2^55 precomputed in Python and inlined as ONE double
+# literal so both engines divide the same numerator (the harmonic sum is
+# kept scaled by 2^55 in EXACT BIGINT space — see hll_registers)
+HLL_NUMERATOR = HLL_ALPHA * HLL_BUCKETS * HLL_BUCKETS * float(1 << 55)
+
+
+def hll_registers(df: DataFrame, key_col: str) -> DataFrame:
+    """The m=64 register table (bucket, m) — max leading-zero rank per
+    bucket over the 60-bit md5 hash (low 6 bits route, the remaining 54
+    are the rank payload). The rank is INTEGER-exact — ``55 -
+    length(bin(p))`` with the p=0 all-zeros case pinned to 55 — never a
+    float log2, whose boundary rounding could differ across engines.
+    One aggregation with key space capped at m cells (same scale shape
+    as the CMS counter build: map-side collapse, then a 64-row
+    exchange)."""
+    hv = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
+               16, 10).cast("bigint")
+    )
+    p = F.shiftright(hv, 6)
+    rank = F.when(p == 0, F.lit(55)).otherwise(
+        F.lit(55) - F.length(F.bin(p))).cast("int")
+    return (
+        df.select((hv % HLL_BUCKETS).alias("bucket"), rank.alias("r"))
+        .groupBy("bucket").agg(F.max("r").alias("m"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Registers merge by per-bucket MAX — like the CMS cellwise sum,
+    this is what makes the sketch distributable: per-partition/per-day
+    register tables combine without re-reading data."""
+    return a.unionByName(b).groupBy("bucket").agg(F.max("m").alias("m"))
+
+
+def hll_summary(registers: DataFrame) -> DataFrame:
+    """One row: (n_buckets, nonzero_regs, harmonic_sum_scaled, est_raw).
+
+    The harmonic sum Σ 2^-M_j is kept EXACT: each term is the dyadic
+    2^(55-M_j), a BIGINT shift (M_j ≤ 55 ⇒ terms ≤ 2^54, sum < 2^63),
+    so no float-summation order hazard exists; absent buckets (M=0)
+    contribute 2^55. The only floating-point step is the final single
+    division alpha·m²·2^55 / S — IEEE-deterministic given identical
+    inputs, so a DuckDB oracle reproduces est_raw bit-for-bit. The
+    small-range (linear counting, needs ln) and large-range corrections
+    are NOT applied — they would drag a transcendental into the
+    cross-engine contract; callers in the correction regimes see the
+    raw estimator, documented."""
+    m = HLL_BUCKETS
+    return registers.agg(
+        F.lit(m).cast("int").alias("n_buckets"),
+        F.count(F.lit(1)).cast("int").alias("nonzero_regs"),
+        (F.sum(F.expr("shiftleft(cast(1 as bigint), 55 - m)"))
+         + (F.lit(m) - F.count(F.lit(1))).cast("bigint")
+         * F.lit(1 << 55).cast("bigint")).alias("harmonic_sum_scaled"),
+    ).select(
+        "n_buckets", "nonzero_regs", "harmonic_sum_scaled",
+        (F.lit(HLL_NUMERATOR)
+         / F.col("harmonic_sum_scaled").cast("double")).alias("est_raw"),
     )
 
 

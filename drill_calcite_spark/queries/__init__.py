@@ -114,8 +114,10 @@ _DRIVER_PRIORITY = [
     # sort_limit_offset's slot: r1+r2(+r5) green, unchanged code, the
     # sort family keeps quidem sort.iq coverage + exact-gate pytest)
     "bloom_prune_join",
-    # (d) oldest evidence (round 2)
-    "unnest_words",
+    # + HyperLogLog distinct sketch (operators/sketch.py — takes
+    # unnest_words's slot: r1+r2 green, unchanged code, the unnest
+    # family keeps exact-gate pytest + collect/uncollect quidem cases)
+    "sketch_hll_distinct",
     # (unnest_with_ordinality ceded its slot to func_sequence_next —
     # the unnest family keeps unnest_words here + r2 evidence; sequences
     # are NEW surface closing the last SURVEY §2 'no')

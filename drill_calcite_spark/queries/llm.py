@@ -1424,6 +1424,67 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_oracle() -> str:
+    from drill_calcite_spark.operators.sketch import HLL_NUMERATOR
+
+    return f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+    AS hv
+  FROM orders
+),
+r AS (
+  SELECT hv % 64 AS bucket,
+         CASE WHEN hv // 64 = 0 THEN 55
+              ELSE 55 - length(bin(hv // 64)) END AS rank
+  FROM h
+),
+regs AS (SELECT bucket, max(rank) AS m FROM r GROUP BY bucket),
+summ AS (
+  SELECT CAST(64 AS INT) AS n_buckets,
+         CAST(count(*) AS INT) AS nonzero_regs,
+         CAST(sum(CAST(1 AS BIGINT) << (55 - m))
+              + (64 - count(*)) * (CAST(1 AS BIGINT) << 55) AS BIGINT)
+           AS harmonic_sum_scaled
+  FROM regs
+),
+tr AS (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) AS true_n
+       FROM orders)
+SELECT n_buckets, nonzero_regs, harmonic_sum_scaled,
+       {HLL_NUMERATOR!r} / CAST(harmonic_sum_scaled AS DOUBLE) AS est_raw,
+       true_n
+FROM summ, tr
+"""
+
+
+@q("sketch_hll_distinct", _hll_oracle())
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYPERLOGLOG distinct count (operators/sketch.py — Flajolet et
+    al. 2007) with an ENGINE-EXACT oracle: m=64 registers over the
+    60-bit md5 hash (low 6 bits route, max leading-zero rank of the
+    54-bit payload via integer `length(bin(p))`, never float log2), the
+    harmonic sum kept in exact BIGINT space as Σ 2^(55-M_j) so no
+    float-summation-order hazard exists, and a single IEEE division
+    producing the raw estimate — DuckDB reproduces every column
+    including est_raw bit-for-bit, which is the point: Spark's own
+    approx_count_distinct is HLL++ whose internals are opaque to an
+    oracle, while this sketch's STATE is the contract. True distinct
+    count rides alongside to grade the estimate. Corrections (linear
+    counting / large-range) are deliberately not applied — they need ln
+    (docstring in hll_summary); orders is deep in the raw regime at
+    every SF. Scale shape: one capped-keyspace aggregation (≤ 64 cells,
+    map-side collapse) + a 1-row summary; registers merge by per-bucket
+    max (property-tested)."""
+    from drill_calcite_spark.operators.sketch import (
+        hll_registers, hll_summary)
+
+    orders = t(spark, sf_dir, "orders")
+    summ = hll_summary(hll_registers(orders, "o_orderkey"))
+    true_n = orders.agg(
+        F.countDistinct("o_orderkey").cast("bigint").alias("true_n"))
+    return summ.crossJoin(F.broadcast(true_n))
+
+
 @q("pack_token_chunks", """
 WITH d AS (
   SELECT doc_id, source,

@@ -433,3 +433,38 @@ def test_cms_overestimates_and_merges(spark):
     unseen = spark.createDataFrame([("zzz-not-in-corpus",)], "k string")
     (zrow,) = cms_estimate(sk_u, unseen, "k").collect()
     assert zrow.est_n >= 0
+
+
+def test_hll_registers_and_merge(spark):
+    """HyperLogLog (operators/sketch.py): register ranks match a Python
+    mirror of the 60-bit-md5 / bin-length formulation exactly; registers
+    merge by per-bucket max — hll(A ∪ B) = merge(hll(A), hll(B)); the
+    raw estimate lands within 4 standard errors (σ = 1.04/√64 ≈ 13%)
+    of the true cardinality."""
+    import hashlib
+
+    from drill_calcite_spark.operators.sketch import (
+        hll_merge, hll_registers, hll_summary)
+
+    def mirror(keys):
+        regs = {}
+        for k in keys:
+            hv = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+            b, p = hv % 64, hv >> 6
+            rank = 55 if p == 0 else 55 - p.bit_length()
+            regs[b] = max(regs.get(b, 0), rank)
+        return regs
+
+    a = spark.createDataFrame([(i,) for i in range(1000)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(500, 1700)], "k long")
+    got = {r.bucket: r.m for r in hll_registers(a, "k").collect()}
+    assert got == mirror(range(1000))
+
+    u = a.unionByName(b)
+    direct = sorted(map(tuple, hll_registers(u, "k").collect()))
+    merged = sorted(map(tuple, hll_merge(
+        hll_registers(a, "k"), hll_registers(b, "k")).collect()))
+    assert direct == merged
+
+    (s,) = hll_summary(hll_registers(u, "k")).collect()
+    assert abs(s.est_raw - 1700) / 1700 < 4 * 1.04 / 8  # 4σ for m=64
