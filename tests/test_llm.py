@@ -468,3 +468,42 @@ def test_hll_registers_and_merge(spark):
 
     (s,) = hll_summary(hll_registers(u, "k")).collect()
     assert abs(s.est_raw - 1700) / 1700 < 4 * 1.04 / 8  # 4σ for m=64
+
+
+def test_bpe_merge_replace_property():
+    """Property (hypothesis, DuckDB-side — no JVM needed): for random
+    symbol sequences and random pairs, the padded double-space literal
+    replace equals the reference left-to-right non-overlapping merger."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    sym = st.sampled_from(["a", "b", "c", "ab", "ba"])
+    seqs = st.lists(sym, min_size=1, max_size=12)
+
+    def reference_merge(s, x, y):
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == x and s[i + 1] == y:
+                out.append(x + y)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        return out
+
+    con = duckdb.connect()
+
+    @settings(max_examples=300, deadline=None)
+    @given(seqs, sym, sym)
+    def check(s, x, y):
+        seq = " ".join(s)
+        pair = f"{x} {y}"
+        (got,) = con.execute(
+            "SELECT trim(replace(replace(' ' || replace(?, ' ', '  ') || ' ',"
+            " ' ' || replace(?, ' ', '  ') || ' ',"
+            " ' ' || replace(?, ' ', '') || ' '), '  ', ' '))",
+            [seq, pair, pair]).fetchone()
+        assert got == " ".join(reference_merge(s, x, y)), (s, x, y, got)
+
+    check()
