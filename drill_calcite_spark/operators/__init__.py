@@ -17,6 +17,15 @@ from drill_calcite_spark.operators.multimodal import (
     attach_binary_payload,
     extract_features,
 )
+from drill_calcite_spark.operators.bloom import bloom_build, bloom_prune
+from drill_calcite_spark.operators.sketch import (
+    cms_estimate,
+    cms_merge,
+    cms_sketch,
+    hll_merge,
+    hll_registers,
+    hll_summary,
+)
 
 __all__ = [
     "match_recognize", "repeat_union", "asof_join", "snapshot",
@@ -24,4 +33,7 @@ __all__ = [
     "simhash_signature",
     "cosine_topk", "embedding_near_dup_pairs", "lsh_ann_topk",
     "attach_binary_payload", "extract_features",
+    "bloom_build", "bloom_prune",
+    "cms_sketch", "cms_merge", "cms_estimate",
+    "hll_registers", "hll_merge", "hll_summary",
 ]
