@@ -113,7 +113,10 @@ def hll_registers(df: DataFrame, key_col: str) -> DataFrame:
     rank = F.when(p == 0, F.lit(55)).otherwise(
         F.lit(55) - F.length(F.bin(p))).cast("int")
     return (
-        df.select((hv % HLL_BUCKETS).alias("bucket"), rank.alias("r"))
+        # NULL keys drop, matching COUNT(DISTINCT)'s NULL semantics —
+        # without this a NULL would mint a phantom NULL-bucket register
+        df.filter(F.col(key_col).isNotNull())
+        .select((hv % HLL_BUCKETS).alias("bucket"), rank.alias("r"))
         .groupBy("bucket").agg(F.max("r").alias("m"))
     )
 

@@ -1133,12 +1133,17 @@ def _rewrite_seeded_rand(text: str) -> str:
 
     pos = "row_number() over (order by 1)"
 
+    def int32(v: int) -> int:
+        # both functions take Java int parameters (RandomFunction.java:
+        # 48,67) — an out-of-range literal wraps like a Java int cast
+        return ((v + 2**31) % 2**32) - 2**31
+
     def sub(m: "re.Match[str]") -> str:
         is_int, a, b = m.group(1), m.group(2), m.group(3)
         if is_int and b is not None:
-            return rand_integer_expr(int(a), int(b), pos)
+            return rand_integer_expr(int32(int(a)), int(b), pos)
         if not is_int and b is None:
-            return rand_seed_expr(int(a), pos)
+            return rand_seed_expr(int32(int(a)), pos)
         return m.group(0)  # unseeded RAND_INTEGER(bound): leave alone
 
     return _SEEDED_RAND.sub(sub, text)

@@ -507,3 +507,14 @@ def test_bpe_merge_replace_property():
         assert got == " ".join(reference_merge(s, x, y)), (s, x, y, got)
 
     check()
+
+
+def test_hll_null_keys_drop(spark):
+    """NULL keys must not mint a phantom register (COUNT DISTINCT NULL
+    semantics)."""
+    from drill_calcite_spark.operators.sketch import hll_registers
+
+    df = spark.createDataFrame([(1,), (None,), (2,)], "k long")
+    nn = spark.createDataFrame([(1,), (2,)], "k long")
+    assert sorted(map(tuple, hll_registers(df, "k").collect())) == \
+        sorted(map(tuple, hll_registers(nn, "k").collect()))

@@ -100,3 +100,16 @@ def test_bound_must_be_positive():
         R.rand_integer_expr(1, 0, "p")
     with pytest.raises(ValueError):
         R.duck_rand_cte("r", 1, 5)  # neither bound nor premixed_seed
+
+
+def test_front_door_wraps_out_of_int32_seeds(spark):
+    """Both PRNG functions take Java INT parameters (RandomFunction.java
+    :48,:67) — an out-of-range seed literal wraps like a Java int cast,
+    so rand(4294967295) ≡ rand(-1)."""
+    from drill_calcite_spark.sql import calcite_sql
+
+    a = calcite_sql(spark, "select i, rand(4294967295) as r "
+                    "from (values 1, 2, 3) as t(i)", nulls_high=False)
+    b = calcite_sql(spark, "select i, rand(-1) as r "
+                    "from (values 1, 2, 3) as t(i)", nulls_high=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
