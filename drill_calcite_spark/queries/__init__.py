@@ -111,7 +111,7 @@ _DRIVER_PRIORITY = [
     # TPC-H family holds eleven r7/r8 rows)
     "sketch_cms_heavy_hitters",
     # + bloom-filter join pruning (operators/bloom.py — takes
-    # sort_limit_offset's slot: r1+r2(+r5) green, unchanged code, the
+    # sort_limit_offset's slot: r1+r2 green, unchanged code, the
     # sort family keeps quidem sort.iq coverage + exact-gate pytest)
     "bloom_prune_join",
     # + HyperLogLog distinct sketch (operators/sketch.py — takes
