@@ -417,3 +417,115 @@ def cosine_topk_blocked(
         .select("query_id", "neighbor_id", "rank",
                 F.round("__cos", 6).alias("cos"))
     )
+
+
+def int8_quantize(df: DataFrame, vec_col: str, *, q_col: str = "__q8",
+                  maxabs_col: str = "__maxabs") -> DataFrame:
+    """Symmetric per-vector int8 quantization of an ``array<float|double>``
+    column: ``q_i = floor(x_i * 127 / max|x| + 0.5)`` (round-half-up), so
+    values land in [-127, 127] and the zero point is exactly 0 — the
+    standard storage/compute compression for embedding retrieval (4× vs
+    float32, 8× vs float64; integer dot products downstream).
+
+    Exactness contract (what makes the DuckDB oracle bit-identical): the
+    max|x| fold, the ``* 127 / max + 0.5`` chain, and ``floor`` are all
+    IEEE-correctly-rounded double ops, deterministic across engines — no
+    ``round()`` half-way ambiguity anywhere (the r7 half-cent lesson).
+    A zero vector quantizes to all zeros rather than dividing by zero.
+
+    Map-only: no shuffle, no Python; plan size O(1) in dim. At 100 TB the
+    quantized column is what you persist + shuffle; the float column can
+    be dropped after this projection (candidate generation happens on
+    sign bits of the ORIGINAL vectors, which quantization preserves in
+    sign, so bucketing before or after quantizing is equivalent).
+
+    Reference scope: the reference engine has no vector type at all —
+    this family is the training-pipeline extension mandated by the build
+    brief (embedding near-dup + ANN at corpus scale).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    out = df.withColumn(
+        maxabs_col,
+        F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))),
+    )
+    quant = F.when(
+        F.col(maxabs_col) == 0.0,
+        F.transform(F.col(vec_col), lambda x: F.lit(0).cast("bigint")),
+    ).otherwise(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(
+                x.cast("double") * 127.0 / F.col(maxabs_col) + 0.5),
+        )
+    )
+    return out.withColumn(q_col, quant)
+
+
+def int8_ann_topk(
+    df: DataFrame, id_col: str, vec_col: str, *,
+    k: int = 5, num_planes: int = 4, dim: int = 64, num_tables: int = 8,
+) -> DataFrame:
+    """Quantized-rerank ANN: multi-table hyperplane LSH proposes candidate
+    pairs (same OR-amplified bucketing as :func:`lsh_ann_topk` — map-only
+    sign bits, one shuffle on (table, bucket)), then the rerank scores
+    candidates with INTEGER dot products over int8-quantized vectors:
+    ``qcos = idot(qa, qb) / (sqrt(idot(qa,qa)) * sqrt(idot(qb,qb)))``.
+
+    Why this shape at 100 TB: the rerank join ships 64 bytes/vector
+    (int8) instead of 512 (float64) through the candidate shuffle, and
+    the scoring loop is integer multiply-accumulate — this is the
+    standard memory-bound ANN serving layout (FAISS SQ8). Recall vs the
+    exact float baseline is asserted in tests/test_llm.py; the whole
+    pipeline (bucketing, quantization, integer ranking) is replayed by a
+    DuckDB oracle, exact because integer dots are exact and sqrt/divide
+    are correctly-rounded IEEE ops.
+
+    Output: (query_id, neighbor_id, rank, qcos).
+    """
+    buckets = _table_buckets(vec_col, num_planes, dim, num_tables)
+    b = df.select(
+        F.col(id_col), F.explode(buckets).alias("tb"),
+    ).select(
+        id_col,
+        F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"),
+    )
+    a = b.alias("a")
+    c = b.alias("c")
+    cands = (
+        a.join(c, ["tbl", "bkt"])
+        .filter(F.col(f"a.{id_col}") != F.col(f"c.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("query_id"),
+            F.col(f"c.{id_col}").alias("neighbor_id"),
+        )
+        .distinct()
+    )
+    qz = int8_quantize(df, vec_col)
+    idot = F.aggregate(
+        F.zip_with(F.col("__q8"), F.col("__q8"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    qn = qz.withColumn("__ss", idot)
+    qa = qn.select(F.col(id_col).alias("query_id"),
+                   F.col("__q8").alias("__qa"), F.col("__ss").alias("__sa"))
+    qb = qn.select(F.col(id_col).alias("neighbor_id"),
+                   F.col("__q8").alias("__qb"), F.col("__ss").alias("__sb"))
+    pair_dot = F.aggregate(
+        F.zip_with(F.col("__qa"), F.col("__qb"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    scored = (
+        cands.join(qa, "query_id").join(qb, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.when((F.col("__sa") > 0) & (F.col("__sb") > 0),
+                   pair_dot / (F.sqrt(F.col("__sa")) * F.sqrt(F.col("__sb"))))
+            .otherwise(F.lit(0.0)).alias("__qcos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("__qcos"),
+                                          F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("__qcos", 6).alias("qcos"))
+    )

@@ -122,8 +122,13 @@ _DRIVER_PRIORITY = [
     # the unnest family keeps unnest_words here + r2 evidence; sequences
     # are NEW surface closing the last SURVEY §2 'no')
     "func_sequence_next",
+    # + int8-quantized rerank ANN (operators/similarity.py int8_ann_topk
+    # — NEW late r8, needs a first row; takes dedup_ngram_capped's slot:
+    # r3 green, unchanged code, dedup_ngram_jaccard still represents the
+    # n-gram family in the refresh group below)
+    "ann_int8_topk",
     # (e) round-4-vintage LLM + sources families (VERDICT r7 item 5)
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_ngram_capped",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_simhash_buckets", "ann_cosine_topk", "text_lang_id",
     "multimodal_meta", "multimodal_frame_sample", "pagerank_nations",
     "pipeline_clean_corpus", "source_partition_pruning",

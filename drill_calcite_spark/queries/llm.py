@@ -521,6 +521,98 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+_SQL_IDOT = (
+    "list_reduce(list_concat([0]::BIGINT[], "
+    "list_transform(list_zip({a}, {b}), s -> s[1] * s[2])), (x, y) -> x + y)"
+)
+
+
+def _ann_int8_oracle(k: int = 5, num_planes: int = 4, dim: int = 64,
+                     num_tables: int = 8) -> str:
+    """Replays the whole quantized-rerank pipeline: the md5-hyperplane
+    bucketing (identical construction to ``_ann_lsh_oracle``), then the
+    per-vector int8 quantization (max|x| fold → ``floor(x*127/max+0.5)``
+    — all IEEE-exact double ops, no round() half-way ambiguity), then the
+    INTEGER dot-product ranking. Integer dots are exact and sqrt/divide
+    are correctly-rounded, so the hash match is bit-for-bit."""
+    from drill_calcite_spark.operators.similarity import hyperplanes
+
+    def proj(w):
+        lits = ", ".join(repr(x) for x in w)
+        return _SQL_DOT.format(a="v", b=f"[{lits}]::DOUBLE[]")
+
+    tables = "\n  UNION ALL ".join(
+        "SELECT vec_id, {t} AS tbl, {bits} AS bkt FROM n".format(
+            t=tb,
+            bits=" || ".join(
+                f"CASE WHEN {proj(w)} >= 0 THEN '1' ELSE '0' END"
+                for w in hyperplanes(num_planes, dim, tb)
+            ),
+        )
+        for tb in range(num_tables)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
+           FROM embeddings),
+n AS (SELECT vec_id, v FROM e),
+bk AS ({tables}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bkt = b.bkt
+  WHERE a.vec_id <> b.vec_id
+),
+ma AS (
+  SELECT vec_id, v,
+         list_reduce(list_concat([0.0]::DOUBLE[],
+                     list_transform(v, x -> abs(x))),
+                     (x, y) -> greatest(x, y)) AS m
+  FROM e
+),
+q8 AS (
+  SELECT vec_id,
+         CASE WHEN m = 0 THEN list_transform(v, x -> 0::BIGINT)
+              ELSE list_transform(v,
+                     x -> floor(x * 127.0 / m + 0.5)::BIGINT) END AS q
+  FROM ma
+),
+sd AS (SELECT vec_id, q, {_SQL_IDOT.format(a='q', b='q')} AS ss FROM q8),
+p AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         CASE WHEN a.ss > 0 AND b.ss > 0
+              THEN {_SQL_IDOT.format(a='a.q', b='b.q')}
+                   / (sqrt(a.ss) * sqrt(b.ss))
+              ELSE 0.0 END AS c
+  FROM cand JOIN sd a ON a.vec_id = cand.query_id
+            JOIN sd b ON b.vec_id = cand.neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id, c,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, neighbor_id) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, rank, round(c, 6) AS qcos
+FROM r WHERE rank <= {k}
+"""
+
+
+@q("ann_int8_topk", _ann_int8_oracle())
+def ann_int8_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized rerank ANN (operators/similarity.py int8_ann_topk):
+    LSH candidates on the float vectors, integer-dot scoring over
+    symmetric per-vector int8 quantization — the FAISS-SQ8 memory-bound
+    serving layout (64 B/vector through the rerank shuffle instead of
+    512 B). Oracle replays bucketing + quantization + integer ranking
+    end-to-end; recall vs the exact float baseline is asserted in
+    tests/test_llm.py."""
+    from drill_calcite_spark.operators.similarity import int8_ann_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = int8_ann_topk(emb, "vec_id", "embedding", k=5,
+                        num_planes=4, dim=64, num_tables=8)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 # ----------------------------------------------------------- text analysis
 _STOPWORDS = {
     "en": ["the", "a", "of", "and", "is"],

@@ -518,3 +518,43 @@ def test_hll_null_keys_drop(spark):
     nn = spark.createDataFrame([(1,), (2,)], "k long")
     assert sorted(map(tuple, hll_registers(df, "k").collect())) == \
         sorted(map(tuple, hll_registers(nn, "k").collect()))
+
+def test_int8_quantize_bounds_and_error(spark):
+    from drill_calcite_spark.operators.similarity import int8_quantize
+
+    df = spark.createDataFrame(
+        _random_vectors(40, 16) + [(999, [0.0] * 16)],
+        "vec_id long, embedding array<double>",
+    )
+    out = int8_quantize(df, "embedding").collect()
+    for r in out:
+        m = max(abs(x) for x in r.embedding)
+        assert r["__maxabs"] == m
+        assert all(-127 <= qv <= 127 for qv in r["__q8"])
+        if m == 0.0:
+            assert all(qv == 0 for qv in r["__q8"])
+            continue
+        scale = m / 127.0
+        for x, qv in zip(r.embedding, r["__q8"]):
+            # sign preserved (half-up rounds ±0.5-boundary toward +inf,
+            # so a tiny negative can quantize to 0 — never flip sign)
+            assert qv * x >= 0 or qv == 0
+            # dequantization error bounded by half a quantization step
+            assert abs(qv * scale - x) <= scale / 2 + 1e-12
+
+
+def test_int8_ann_recall_vs_bruteforce(spark):
+    from drill_calcite_spark.operators.similarity import int8_ann_topk
+
+    df = spark.createDataFrame(
+        _random_vectors(120, 16), "vec_id long, embedding array<double>"
+    )
+    exact = cosine_topk(df, df, "vec_id", "embedding", k=3)
+    top1 = {r.query_id: r.neighbor_id for r in exact.collect() if r.rank == 1}
+    approx = int8_ann_topk(df, "vec_id", "embedding", k=3,
+                           num_planes=4, dim=16, num_tables=8)
+    got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    hits = sum((q, n) in got for q, n in top1.items())
+    # same candidate generation as the float LSH path; int8 scoring
+    # perturbs cosines by < 1/127 — top-1 ordering survives
+    assert hits / len(top1) >= 0.6, f"int8 recall {hits}/{len(top1)}"
