@@ -127,10 +127,16 @@ _DRIVER_PRIORITY = [
     # r3 green, unchanged code, dedup_ngram_jaccard still represents the
     # n-gram family in the refresh group below)
     "ann_int8_topk",
+    # + unigram-LM surprisal scoring and data-mixture reweighting
+    # (queries/llm.py — NEW late r8, need first rows; they take
+    # dedup_simhash_buckets' and multimodal_frame_sample's slots: both
+    # r3 green with unchanged code, and the dedup/multimodal families
+    # keep dedup_minhash_lsh / multimodal_meta in the refresh group)
+    "text_surprisal_score", "mix_domain_weights",
     # (e) round-4-vintage LLM + sources families (VERDICT r7 item 5)
     "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash_buckets", "ann_cosine_topk", "text_lang_id",
-    "multimodal_meta", "multimodal_frame_sample", "pagerank_nations",
+    "ann_cosine_topk", "text_lang_id",
+    "multimodal_meta", "pagerank_nations",
     "pipeline_clean_corpus", "source_partition_pruning",
     "source_dynamic_pruning", "bucketed_join_colocated",
     "source_jdbc_scan", "modify_insert_delete",

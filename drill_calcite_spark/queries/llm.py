@@ -1639,6 +1639,129 @@ def pack_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("text_surprisal_score", f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY tok),
+tot AS (SELECT sum(c)::BIGINT AS n FROM vocab),
+b AS (
+  SELECT toks.doc_id, toks.lang,
+         length(bin(tot.n // vocab.c)) - 1 AS bits
+  FROM toks JOIN vocab ON toks.tok = vocab.tok CROSS JOIN tot
+),
+d AS (
+  SELECT doc_id, lang, count(*)::BIGINT AS n_tokens,
+         sum(bits)::BIGINT AS sum_bits
+  FROM b GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, n_tokens, sum_bits,
+       {_sql_r6_ratio('sum_bits', 'n_tokens')} AS mean_bits
+FROM d
+""")
+def text_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIGRAM-LM SURPRISAL scoring — the perplexity-filter step of corpus
+    prep (CCNet, Wenzek et al. 2020: score each document by average token
+    surprisal under a language model; outliers on either end are
+    boilerplate or garbage). The LM here is the corpus's own unigram
+    distribution; per-token surprisal is the INTEGER bit count
+    ``floor(log2(N / count(tok)))``, computed without any transcendental
+    call as ``length(bin(N div c)) - 1`` — exact on both engines (libm
+    ``log`` is NOT cross-engine bit-stable; integer bin-length is), the
+    same spelling discipline as ``_r6_ratio``. Mean bits per token uses
+    the exact integer half-up ratio.
+
+    Scale shape: one groupBy(token) for the vocab (heavy-tailed — the
+    stopword keys are exactly what AQE skew-split handles), one
+    token-keyed join back (vocab is NOT broadcast by default: at corpus
+    scale raw vocab is 10⁸+ rows; a production variant caps vocab to
+    top-M + UNK, which then broadcasts), one groupBy(doc_id). No Python
+    anywhere; ``bin`` and ``div`` are whole-stage-codegen expressions.
+    """
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    doc = t(spark, sf_dir, "documents").repartition(n, F.col("doc_id"))
+    tok = doc.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    bits = (F.length(F.bin(F.call_function("div", F.col("n"), F.col("c"))))
+            - 1)
+    scored = (
+        tok.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))  # 1-row global scalar
+        .select("doc_id", "lang", bits.alias("bits"))
+    )
+    d = scored.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("bits").cast("bigint").alias("sum_bits"),
+    )
+    return d.select(
+        "doc_id", "lang", "n_tokens", "sum_bits",
+        _r6_ratio(F.col("sum_bits"), F.col("n_tokens")).alias("mean_bits"),
+    )
+
+
+@q("mix_domain_weights", f"""
+WITH s AS (
+  SELECT lang, source, count(*)::BIGINT AS n_docs FROM documents
+  GROUP BY lang, source
+),
+l AS (SELECT lang, sum(n_docs)::BIGINT AS lang_docs FROM s GROUP BY lang),
+g AS (
+  SELECT sum(lang_docs)::BIGINT AS total,
+         count(*)::BIGINT AS n_langs
+  FROM l
+)
+SELECT s.lang, s.source, s.n_docs,
+       {_sql_r6_ratio('l.lang_docs', 'g.total')} AS corpus_share,
+       {_sql_r6_ratio('g.total', 'g.n_langs * l.lang_docs')} AS weight,
+       least((2 * s.n_docs * g.total + g.n_langs * l.lang_docs)
+             // (2 * g.n_langs * l.lang_docs), s.n_docs * 3) AS quota_docs
+FROM s JOIN l ON s.lang = l.lang CROSS JOIN g
+""")
+def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-MIXTURE reweighting — compute per-stratum sampling weights so
+    the sampled corpus hits a TARGET distribution (here: uniform over
+    languages, the simplest of the DoReMi/Pile-style mixture specs;
+    the target spec is one line to swap). For each (lang, source)
+    stratum: ``weight = target_share(lang) / corpus_share(lang)`` and an
+    integer per-stratum document quota ``round(n_docs * weight)`` capped
+    at 3× (the standard upsampling cap that keeps rare-language
+    repetition bounded — Conneau et al. 2020 use temperature for the
+    same purpose).
+
+    Exactness: shares/weights are the integer half-up micro-ratio
+    (``_r6_ratio``); the quota is the same half-up integer form
+    ``(2·n·T + L·l) div (2·L·l)`` — no float round() anywhere.
+
+    Scale shape: two tiny aggregations (strata ≪ docs) + a broadcast of
+    the 1-row global; the weights table is the input to
+    ``sample_stratified_quota``-style top-K-by-hash selection, which
+    does the actual sampling in one shuffle."""
+    s = (t(spark, sf_dir, "documents")
+         .groupBy("lang", "source").agg(F.count("*").alias("n_docs")))
+    lang = s.groupBy("lang").agg(F.sum("n_docs").alias("lang_docs"))
+    g = lang.agg(F.sum("lang_docs").alias("total"),
+                 F.count("*").alias("n_langs"))
+    joined = (s.join(F.broadcast(lang), "lang")
+              .crossJoin(F.broadcast(g)))
+    quota = F.call_function(
+        "div",
+        F.lit(2) * F.col("n_docs") * F.col("total")
+        + F.col("n_langs") * F.col("lang_docs"),
+        F.lit(2) * F.col("n_langs") * F.col("lang_docs"))
+    return joined.select(
+        "lang", "source", "n_docs",
+        _r6_ratio(F.col("lang_docs"), F.col("total")).alias("corpus_share"),
+        _r6_ratio(F.col("total"),
+                  F.col("n_langs") * F.col("lang_docs")).alias("weight"),
+        F.least(quota, F.col("n_docs") * 3).cast("bigint")
+        .alias("quota_docs"),
+    )
+
+
 # ------------------------------------------------------------------- bench
 def bench_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_minhash_lsh(spark, sf_dir)

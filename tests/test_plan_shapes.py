@@ -385,3 +385,31 @@ def test_bloom_prune_below_join_exchange(spark):
     assert probe_side < plan.index("array_contains"), \
         "bloom probe evaluated above the join exchange"
     assert "EvalPython" not in plan
+
+
+def test_int8_ann_quantization_stays_jvm_side(spark):
+    """ann_int8_topk: bucketing + quantization + integer scoring are all
+    Catalyst expressions — no Python evaluation, no cartesian product
+    (candidates come from the LSH equi-join on (tbl, bkt))."""
+    plan = _plan(entrymod.queries()["ann_int8_topk"](spark, SF_DIR))
+    assert "EvalPython" not in plan, "quantized ANN crossed into Python"
+    assert "CartesianProduct" not in plan, "all-pairs leak in int8 ANN"
+
+
+def test_surprisal_no_python_no_cartesian_broadcast_scalar(spark):
+    """text_surprisal_score: the vocab join is token-keyed (shuffle, AQE
+    skew-splittable — NOT a cartesian), the only cross join is the 1-row
+    global-total broadcast, and everything stays JVM-side (bin/div are
+    codegen expressions, no log())."""
+    plan = _plan(entrymod.queries()["text_surprisal_score"](spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total scalar
+
+
+def test_mix_domain_weights_broadcast_only(spark):
+    """mix_domain_weights: strata aggregates are tiny — the lang join and
+    the global 1-row join must both be broadcasts; never a sort-merge."""
+    plan = _plan(entrymod.queries()["mix_domain_weights"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan[:600]
+    assert "EvalPython" not in plan
