@@ -133,13 +133,25 @@ _DRIVER_PRIORITY = [
     # r3 green with unchanged code, and the dedup/multimodal families
     # keep dedup_minhash_lsh / multimodal_meta in the refresh group)
     "text_surprisal_score", "mix_domain_weights",
+    # + three more TPC-DS planning shapes (NEW late r8, need first
+    # rows): q4/q11 YoY growth (lag-window rewrite of the aggregate
+    # self-join, hash-proven), q14 cross-channel INTERSECT (one-scan
+    # conditional-aggregate rewrite, hash-proven), q39 demand-variance
+    # month pairs (pure-integer cov predicate, lag-window rewrite).
+    # They take text_lang_id's, pipeline_clean_corpus', and
+    # modify_insert_delete's slots: r3/r3/r4 green, unchanged code;
+    # the text family gains text_surprisal_score above and keeps
+    # quality/token slots, the pipeline composes stages that are all
+    # individually slated, and modify_merge_orders still represents
+    # TableModify below.
+    "ds_yoy_growth", "ds_cross_channel_items", "ds_inventory_variance",
     # (e) round-4-vintage LLM + sources families (VERDICT r7 item 5)
     "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "ann_cosine_topk", "text_lang_id",
+    "ann_cosine_topk",
     "multimodal_meta", "pagerank_nations",
-    "pipeline_clean_corpus", "source_partition_pruning",
+    "source_partition_pruning",
     "source_dynamic_pruning", "bucketed_join_colocated",
-    "source_jdbc_scan", "modify_insert_delete",
+    "source_jdbc_scan",
     "modify_merge_orders",
 ]
 

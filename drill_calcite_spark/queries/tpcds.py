@@ -808,3 +808,228 @@ def ds_three_channel_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rev_a", 2).cast("double").alias("rev_a2"),
         "n_n", "qty_n", "n_r", "qty_r",
     )
+
+
+@q("ds_yoy_growth", """
+WITH yt AS (
+  SELECT o_custkey AS custkey,
+         CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(sum(CASE WHEN l_returnflag = 'N'
+             THEN (l_extendedprice * (1 - l_discount))::DECIMAL(18,6)
+             ELSE 0::DECIMAL(18,6) END) AS DECIMAL(18,6)) AS ch_a,
+         CAST(sum(CASE WHEN l_returnflag <> 'N'
+             THEN (l_extendedprice * (1 - l_discount))::DECIMAL(18,6)
+             ELSE 0::DECIMAL(18,6) END) AS DECIMAL(18,6)) AS ch_b
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+)
+SELECT cur.custkey, cur.yr,
+       round(prev.ch_a, 2)::DOUBLE AS a_prev,
+       round(cur.ch_a, 2)::DOUBLE  AS a_cur,
+       round(prev.ch_b, 2)::DOUBLE AS b_prev,
+       round(cur.ch_b, 2)::DOUBLE  AS b_cur
+FROM yt cur JOIN yt prev
+  ON cur.custkey = prev.custkey AND cur.yr = prev.yr + 1
+WHERE prev.ch_a > 0 AND prev.ch_b > 0
+  AND CAST(CAST(cur.ch_a AS DECIMAL(38,6)) * 1000000 AS HUGEINT)
+      * CAST(CAST(prev.ch_b AS DECIMAL(38,6)) * 1000000 AS HUGEINT)
+    > CAST(CAST(cur.ch_b AS DECIMAL(38,6)) * 1000000 AS HUGEINT)
+      * CAST(CAST(prev.ch_a AS DECIMAL(38,6)) * 1000000 AS HUGEINT)
+""")
+def ds_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q4/q11 shape (TpcdsTest.java plans the whole suite): per
+    customer-year totals along two channels, self-joined on
+    (customer, year → year+1), keeping customers whose channel-A
+    year-over-year growth EXCEEDS channel-B growth. q4 spells this
+    ``web_ratio > store_ratio`` with guarded divisions; here the ratio
+    comparison is the exact decimal CROSS-MULTIPLICATION
+    ``a_cur·b_prev > b_cur·a_prev`` — no division, no float, and the
+    half-up display columns round in decimal space (r8 rule). Sums are
+    re-cast to DECIMAL(18,6) before multiplying so Spark's product
+    stays at precision 37 (sum() widens to (28,6), and a (28,6)×(28,6)
+    product would truncate at 38); DuckDB refuses the 37-wide decimal
+    product outright, so the oracle spells the SAME comparison in
+    HUGEINT micros — both forms are exact integers, so they agree.
+
+    Scale notes: the ORACLE spells q4's literal aggregate self-join; the
+    Spark side computes the SAME result with a lag() WINDOW over the one
+    customer-year aggregate (partition custkey, order yr, guarded on
+    lag(yr) = yr-1 for q4's strict year-adjacency) — one fact scan + one
+    shuffle, no second aggregate and no self-join shuffle at all. The
+    hash match proves the rewrite. Per-customer partitions are a few
+    rows each — never a global window."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    amt = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    yt = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("o_custkey").alias("custkey"),
+                 F.year("o_orderdate").cast("bigint").alias("yr"))
+        .agg(F.sum(F.when(F.col("l_returnflag") == "N", amt)
+                   .otherwise(zero)).cast("decimal(18,6)").alias("ch_a"),
+             F.sum(F.when(F.col("l_returnflag") != "N", amt)
+                   .otherwise(zero)).cast("decimal(18,6)").alias("ch_b"))
+    )
+    w = Window.partitionBy("custkey").orderBy("yr")
+    lagged = yt.select(
+        "custkey", "yr", "ch_a", "ch_b",
+        F.lag("yr").over(w).alias("p_yr"),
+        F.lag("ch_a").over(w).alias("p_a"),
+        F.lag("ch_b").over(w).alias("p_b"),
+    )
+    j = lagged.filter(
+        (F.col("p_yr") == F.col("yr") - 1)
+        & (F.col("p_a") > 0) & (F.col("p_b") > 0)
+        & (F.col("ch_a") * F.col("p_b") > F.col("ch_b") * F.col("p_a"))
+    )
+    return j.select(
+        "custkey", "yr",
+        F.round(F.col("p_a"), 2).cast("double").alias("a_prev"),
+        F.round(F.col("ch_a"), 2).cast("double").alias("a_cur"),
+        F.round(F.col("p_b"), 2).cast("double").alias("b_prev"),
+        F.round(F.col("ch_b"), 2).cast("double").alias("b_cur"),
+    )
+
+
+@q("ds_cross_channel_items", """
+WITH ch AS (
+  SELECT DISTINCT l_partkey, o_orderstatus AS st
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+cross_items AS (
+  SELECT l_partkey FROM ch WHERE st = 'F'
+  INTERSECT
+  SELECT l_partkey FROM ch WHERE st = 'O'
+  INTERSECT
+  SELECT l_partkey FROM ch WHERE st = 'P'
+)
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_sales,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)),
+             2)::DOUBLE AS brand_rev
+FROM lineitem
+JOIN cross_items USING (l_partkey)
+JOIN part ON p_partkey = l_partkey
+GROUP BY p_brand
+""")
+def ds_cross_channel_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q14 shape: ``cross_items`` — items sold in ALL THREE
+    channels (store ∩ catalog ∩ web, spelled INTERSECT in q14; channels
+    here = the three order-status populations) — then total sales
+    restricted to those items. The ORACLE keeps q14's literal
+    three-branch INTERSECT; the Spark side computes the same set in ONE
+    fact pass — ``groupBy(partkey).agg(three bool_or flags)`` filtered
+    to all-three — so the hash match PROVES the rewrite: one scan + one
+    shuffle instead of three scans and two intersect shuffles (the
+    Spark-first plan; INTERSECT-the-operator itself is covered by the
+    setop battery). The item set then SEMI-joins back to the fact
+    (broadcast at these SFs — an item-id set is dimension-sized at any
+    scale) for the final brand rollup. Revenue rounds in decimal before
+    the double cast (r8 rule)."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    part = t(spark, sf_dir, "part")
+    flags = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_partkey")
+        .agg(*[F.max(F.when(F.col("o_orderstatus") == s, 1).otherwise(0))
+               .alias(f"in_{s.lower()}") for s in ("F", "O", "P")])
+    )
+    cross_items = (
+        flags.filter((F.col("in_f") == 1) & (F.col("in_o") == 1)
+                     & (F.col("in_p") == 1))
+        .select("l_partkey")
+    )
+    amt = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(cross_items), "l_partkey", "left_semi")
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sales"),
+             F.round(F.sum(amt), 2).cast("double").alias("brand_rev"))
+    )
+
+
+@q("ds_inventory_variance", """
+WITH m AS (
+  SELECT l_suppkey AS suppkey,
+         CAST(extract(year FROM l_shipdate) AS BIGINT) AS yr,
+         CAST(extract(month FROM l_shipdate) AS BIGINT) AS mo,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(l_quantity::BIGINT) AS BIGINT) AS s1,
+         CAST(sum(l_quantity::BIGINT * l_quantity::BIGINT) AS BIGINT) AS s2
+  FROM lineitem
+  GROUP BY 1, 2, 3
+),
+u AS (
+  SELECT * FROM m
+  WHERE n >= 2 AND n * n * (n * s2 - s1 * s1) > 4 * (n - 1) * s1 * s1
+)
+SELECT a.suppkey, a.yr, a.mo AS mo_prev, b.mo AS mo_cur,
+       a.n AS n_prev, b.n AS n_cur,
+       (((2 * a.s1 * 1000000 + a.n) // (2 * a.n)) / 1000000.0)
+         AS mean_prev,
+       (((2 * b.s1 * 1000000 + b.n) // (2 * b.n)) / 1000000.0)
+         AS mean_cur
+FROM u a JOIN u b
+  ON a.suppkey = b.suppkey AND a.yr = b.yr AND b.mo = a.mo + 1
+""")
+def ds_inventory_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q39 shape: per (warehouse, month) demand stats; keep
+    groups whose coefficient of variation exceeds a threshold, then
+    self-join CONSECUTIVE months both unstable — q39's two-CTE
+    inv1 ⋈ inv2 pattern (suppkey standing in for warehouse; x =
+    per-lineitem quantity; threshold cov > 2, which splits this
+    heavy-tailed quantity data ~25/75 — q39 uses cov > 1 the same way).
+
+    Exactness: q39 computes ``stdev/mean > k`` in floats; here the same
+    predicate is the pure-INTEGER equivalence
+    ``n²·(n·Σx² − (Σx)²) > k²·(n−1)·(Σx)²``  (σ²ₛₐₘₚ > k²μ² cleared of
+    both denominators — quantities are integral, so Σx/Σx² are exact
+    BIGINTs; magnitudes stay ≪ 2⁶³). Means display via the exact
+    half-up micro-ratio. No stddev()/sqrt() anywhere — libm-free, so
+    the engines agree bit-for-bit.
+
+    Scale notes: the ORACLE spells q39's literal inv1 ⋈ inv2 self-join;
+    the Spark side gets the same pairs from a lag() WINDOW over the one
+    filtered aggregate (partition (suppkey, yr), order mo, guarded on
+    lag(mo) = mo-1 — month-adjacency within the flagged set is exactly
+    the self-join condition). One shuffle total; per-(supplier, year)
+    partitions are ≤ 12 rows. The hash match proves the rewrite."""
+    li = t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("bigint")
+    m = (
+        li.groupBy(
+            F.col("l_suppkey").alias("suppkey"),
+            F.year("l_shipdate").cast("bigint").alias("yr"),
+            F.month("l_shipdate").cast("bigint").alias("mo"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+             F.sum(qty).cast("bigint").alias("s1"),
+             F.sum(qty * qty).cast("bigint").alias("s2"))
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    u = m.filter((n >= 2) & (n * n * (n * s2 - s1 * s1)
+                             > 4 * (n - 1) * s1 * s1))
+    w = Window.partitionBy("suppkey", "yr").orderBy("mo")
+    lagged = u.select(
+        "suppkey", "yr", "mo", "n", "s1",
+        F.lag("mo").over(w).alias("p_mo"),
+        F.lag("n").over(w).alias("p_n"),
+        F.lag("s1").over(w).alias("p_s1"),
+    ).filter(F.col("p_mo") == F.col("mo") - 1)
+
+    def mean_micros(s1c, nc):
+        return F.call_function(
+            "div",
+            F.lit(2) * F.col(s1c) * F.lit(1000000) + F.col(nc),
+            F.lit(2) * F.col(nc)) / F.lit(1000000.0)
+
+    return lagged.select(
+        "suppkey", "yr",
+        F.col("p_mo").alias("mo_prev"), F.col("mo").alias("mo_cur"),
+        F.col("p_n").alias("n_prev"), F.col("n").alias("n_cur"),
+        mean_micros("p_s1", "p_n").alias("mean_prev"),
+        mean_micros("s1", "n").alias("mean_cur"),
+    )

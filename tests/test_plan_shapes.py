@@ -413,3 +413,34 @@ def test_mix_domain_weights_broadcast_only(spark):
     plan = _plan(entrymod.queries()["mix_domain_weights"](spark, SF_DIR))
     assert "SortMergeJoin" not in plan, plan[:600]
     assert "EvalPython" not in plan
+
+
+def test_yoy_growth_window_not_self_join(spark):
+    """ds_yoy_growth: the year-over-year pairing is a lag() window over
+    the ONE customer-year aggregate — the executed plan must contain a
+    Window and NO sort-merge self-join (the only join is the broadcast
+    orders⋈lineitem below the aggregate); exactly one fact scan."""
+    plan = _plan(entrymod.queries()["ds_yoy_growth"](spark, SF_DIR))
+    assert "Window" in plan, plan[:600]
+    assert "SortMergeJoin" not in plan, f"self-join survived:\n{plan[:600]}"
+    assert plan.count("Scan parquet") == 2  # lineitem + orders, once each
+
+
+def test_inventory_variance_window_not_self_join(spark):
+    """ds_inventory_variance: the month-pair comes from a lag() window
+    over the one filtered aggregate — no join anywhere in the plan, and
+    the window partitions by (suppkey, yr), never a single partition."""
+    plan = _plan(entrymod.queries()["ds_inventory_variance"](spark, SF_DIR))
+    assert "Window" in plan
+    assert "Join" not in plan, f"self-join survived:\n{plan[:600]}"
+    assert "SinglePartition" not in plan
+
+
+def test_cross_channel_items_semi_join_broadcast(spark):
+    """ds_cross_channel_items: the cross-item set reaches the fact as a
+    BROADCAST left-semi join (an item-id set is dimension-sized at any
+    scale); the INTERSECT itself is one conditional aggregate, so no
+    Intersect operator and no cartesian appears."""
+    plan = _plan(entrymod.queries()["ds_cross_channel_items"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:600]
+    assert "CartesianProduct" not in plan
