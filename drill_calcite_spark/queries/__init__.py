@@ -145,11 +145,15 @@ _DRIVER_PRIORITY = [
     # individually slated, and modify_merge_orders still represents
     # TableModify below.
     "ds_yoy_growth", "ds_cross_channel_items", "ds_inventory_variance",
+    # + TUMBLE group-window family through the front door (NEW late r8,
+    # sql._rewrite_tumble; takes source_partition_pruning's slot — r4
+    # green, unchanged code, source_dynamic_pruning still pins the
+    # pruning family below)
+    "func_tumble_group",
     # (e) round-4-vintage LLM + sources families (VERDICT r7 item 5)
     "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "ann_cosine_topk",
     "multimodal_meta", "pagerank_nations",
-    "source_partition_pruning",
     "source_dynamic_pruning", "bucketed_join_colocated",
     "source_jdbc_scan",
     "modify_merge_orders",

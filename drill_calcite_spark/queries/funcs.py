@@ -423,6 +423,47 @@ def func_datetime_ceil(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+@q("func_tumble_group", """
+SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 7200000000) AS w_start,
+       make_timestamp(epoch_us(ts) - epoch_us(ts) % 7200000000
+                      + 7200000000) AS w_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(CAST(value AS DECIMAL(18,6))), 2)::DOUBLE AS total_value
+FROM events
+GROUP BY 1, 2, 3
+""")
+def func_tumble_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TUMBLE / TUMBLE_START / TUMBLE_END — Calcite's $TUMBLE
+    group-window family (SqlStdOperatorTable.java:2255-2287), the last
+    SqlStdOperatorTable datetime-operator surface the front door used to
+    lack. The query below is Calcite-dialect (GROUP BY TUMBLE(ts,
+    INTERVAL '2' HOUR) with both auxiliaries selected) and runs through
+    calcite_sql(); sql._rewrite_tumble turns it into epoch-micros bucket
+    arithmetic (timestamp_micros/unix_micros/pmod — floor semantics even
+    pre-epoch), with TUMBLE_END wrapping the start expression so Spark
+    matches the grouping tree. The oracle spells the same buckets in
+    DuckDB's epoch_us/make_timestamp. Map-side partial aggregation +
+    one shuffle on (bucket, type) — the standard batch tumbling rollup;
+    the STREAMING tumble (window() + watermark over an unbounded
+    source) is stream_tumble_hourly. Value sums in DECIMAL, 2-dp
+    display rounds in decimal space (r8 rule)."""
+    from drill_calcite_spark.catalog import register_tables
+    from drill_calcite_spark.sql import calcite_sql
+
+    register_tables(spark, sf_dir)
+    return calcite_sql(spark, """
+        SELECT TUMBLE_START(ts, INTERVAL '2' HOUR) AS w_start,
+               TUMBLE_END(ts, INTERVAL '2' HOUR)   AS w_end,
+               event_type,
+               count(*) AS n_events,
+               round(sum(CAST(value AS DECIMAL(18,6))), 2) AS total_value
+        FROM events
+        GROUP BY TUMBLE(ts, INTERVAL '2' HOUR), event_type
+    """).withColumn("total_value",
+                    F.col("total_value").cast("double"))
+
+
 @q("func_datetime_overlaps", """
 SELECT o_orderkey,
        (o_orderdate < TIMESTAMP '1998-01-01 00:00:00'

@@ -179,6 +179,103 @@ def _rewrite_floor_to(text: str) -> str:
         pos = m.start()
 
 
+# TUMBLE group-window width in epoch micros per FIXED-WIDTH unit.
+# MONTH/YEAR tumbles are not fixed-width; Calcite's validator likewise
+# demands a constant interval — rejected loudly below.
+_TUMBLE_MICROS = {
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 604_800_000_000,
+}
+
+
+class TumbleUnsupported(ValueError):
+    """TUMBLE form the rewrite cannot express (variable-width unit or
+    the 3-arg offset form) — loud-fail, never silently wrong."""
+
+
+def _rewrite_tumble(text: str, lits: "list[str]") -> str:
+    """``TUMBLE(ts, INTERVAL 'n' unit)`` / ``TUMBLE_START`` /
+    ``TUMBLE_END`` — Calcite's $TUMBLE group-window family
+    (SqlStdOperatorTable.java:2255-2287: TUMBLE in GROUP BY with the
+    START/END auxiliaries in the select list) → pure epoch-micros bucket
+    arithmetic:
+
+        start = timestamp_micros(unix_micros(ts) - pmod(unix_micros(ts), W))
+        end   = start + W micros
+
+    ``pmod`` (not ``%``) keeps the floor semantics for pre-epoch
+    timestamps. TUMBLE and TUMBLE_START both rewrite to the START
+    expression, so a GROUP BY TUMBLE(...) key and a selected
+    TUMBLE_START(...) are the same expression tree and Spark resolves
+    the aggregate. Streaming TUMBLE over an unbounded source is the
+    streaming battery's ``stream_tumble_hourly`` (window() + watermark);
+    this rewrite is the batch GROUP BY form.
+
+    The interval literal rides through ``_shield_literals`` — its body
+    is recovered from ``lits``. Variable-width units (MONTH/YEAR) and
+    the 3-arg offset form raise :class:`TumbleUnsupported`."""
+    head = re.compile(r"\b(tumble_start|tumble_end|tumble)\s*\(", re.I)
+    interval = re.compile(
+        rf"^\s*interval\s+(?:'{_LIT_SENTINEL}(\d+){_LIT_SENTINEL}'|(\d+))"
+        r"\s+(year|quarter|month|week|day|hour|minute|second)\s*$", re.I)
+    pos = 0
+    while True:
+        m = head.search(text, pos)
+        if not m:
+            return text
+        depth, i = 1, m.end()
+        args_split = []
+        last = m.end()
+        while i < len(text) and depth:
+            c = text[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    args_split.append(text[last:i])
+            elif c == "," and depth == 1:
+                args_split.append(text[last:i])
+                last = i + 1
+            i += 1
+        if depth:
+            return text
+        if len(args_split) != 2:
+            raise TumbleUnsupported(
+                f"{m.group(1).upper()} takes (datetime, interval); the "
+                f"3-arg offset form is not supported "
+                f"(got {len(args_split)} args)")
+        x, iv = args_split[0].strip(), args_split[1]
+        im = interval.match(iv)
+        if not im:
+            raise TumbleUnsupported(
+                f"{m.group(1).upper()} requires a constant INTERVAL "
+                f"second argument, got: {iv.strip()!r}")
+        n = int(lits[int(im.group(1))] if im.group(1) is not None
+                else im.group(2))
+        unit = im.group(3).lower()
+        if unit not in _TUMBLE_MICROS:
+            raise TumbleUnsupported(
+                f"TUMBLE window unit {unit.upper()} is not fixed-width")
+        w = n * _TUMBLE_MICROS[unit]
+        um = f"unix_micros({x})"
+        start = f"timestamp_micros({um} - pmod({um}, {w}))"
+        if m.group(1).lower() == "tumble_end":
+            # wrap the WHOLE start expression (exact micros round-trip)
+            # so it stays a subtree of the select expression — Spark then
+            # matches it against the GROUP BY TUMBLE(...) key and the
+            # aggregate resolves; a re-derived `... + w` spelling would
+            # NOT match the grouping expression tree
+            repl = f"timestamp_micros(unix_micros({start}) + {w})"
+        else:
+            repl = start
+        text = text[:m.start()] + repl + text[i:]
+        pos = m.start() + len(repl)
+
+
 # ------------------------------------------------- grouping-function glue
 # Calcite's GROUPING/GROUPING_ID accept ANY columns in ANY order
 # (SqlStdOperatorTable GROUPING; agg.iq:616-690), while Spark's
@@ -1182,6 +1279,8 @@ def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
     # `AS second` aliases never match.
     text = re.sub(r"\)\s+second\b(?!\s*\()", ")", text, flags=re.I)
     text = _rewrite_floor_to(text)
+    if re.search(r"\btumble", text, re.I):
+        text = _rewrite_tumble(text, _lits)
     text = _rewrite_listagg(text)
     # COLLECT → collect_list; FUSION → flatten(collect_list(..))
     # (SqlStdOperatorTable.java:2165; FUSION multiset-union aggregate)

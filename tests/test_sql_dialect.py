@@ -235,3 +235,49 @@ def test_json_arrayagg_order_and_null_clauses():
     out2 = rewrite("select json_arrayagg(d null on null) from t",
                    nulls_high=False)
     assert "IS NOT NULL" not in out2
+
+
+def test_tumble_rewrites_to_epoch_micros_buckets():
+    out = rewrite(
+        "select tumble_start(ts, interval '2' hour) as ws, count(*) "
+        "from events group by tumble(ts, interval '2' hour)",
+        nulls_high=False)
+    assert "tumble" not in out.lower()
+    assert out.count(
+        "timestamp_micros(unix_micros(ts) - pmod(unix_micros(ts), "
+        "7200000000))") == 2  # select key == group key, tree-identical
+    # unquoted interval form too (Spark spelling)
+    out2 = rewrite("select tumble(ts, interval 90 second) from t group by 1",
+                   nulls_high=False)
+    assert "pmod(unix_micros(ts), 90000000)" in out2
+
+
+def test_tumble_end_wraps_start_expression():
+    out = rewrite("select tumble_end(ts, interval '1' day) from t group by 1",
+                  nulls_high=False)
+    # end = start shifted a window INSIDE a fresh timestamp_micros, so
+    # the start subtree stays intact for grouping-tree matching
+    assert ("timestamp_micros(unix_micros(timestamp_micros("
+            "unix_micros(ts) - pmod(unix_micros(ts), 86400000000))) "
+            "+ 86400000000)") in out
+
+
+def test_tumble_rejects_unsupported_forms():
+    from drill_calcite_spark.sql import TumbleUnsupported
+
+    with pytest.raises(TumbleUnsupported):  # variable-width unit
+        rewrite("select tumble(ts, interval '1' month) from t group by 1",
+                nulls_high=False)
+    with pytest.raises(TumbleUnsupported):  # 3-arg offset form
+        rewrite("select tumble(ts, interval '1' hour, time '00:30:00') "
+                "from t group by 1", nulls_high=False)
+    with pytest.raises(TumbleUnsupported):  # non-constant interval
+        rewrite("select tumble(ts, iv) from t group by 1",
+                nulls_high=False)
+
+
+def test_tumble_literal_shielding_does_not_leak():
+    # a string literal containing 'tumble(' must survive verbatim
+    out = rewrite("select 'call tumble(x) here' as s from t",
+                  nulls_high=False)
+    assert out == "select 'call tumble(x) here' as s from t"
