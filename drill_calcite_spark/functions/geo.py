@@ -1477,3 +1477,168 @@ def sql_buffer_ring_arr(ring: str, r: str, k: int = 3) -> str:
     body = f"({cur})[1].pts"
     return (f"flatten(list_transform(range(1, len({ring}) + 1), "
             f"j -> {body}))")
+
+
+# ------------------------------------ concave x concave set-operation areas
+# The reference delegates polygon set operations to the ESRI
+# GeometryEngine (GeoFunctions.java:491-497 ST_Union via
+# GeometryEngine.union; the engine's OperatorIntersection backs the
+# intersection path), which handles CONCAVE operands. The module's
+# Sutherland-Hodgman clip (st_clip_convex_step above) requires a convex
+# clipper, so until round 8 the concave x concave case was a documented
+# delegation gap (tests/iq/README.md). The AREA of any simple-polygon
+# intersection is closed over that machinery via the signed fan
+# decomposition: for a simple CCW polygon P with vertices p1..pn and any
+# fan origin o among them, the indicator satisfies (a.e.)
+#
+#     chi_P  =  sum_i  sigma_i * chi_{T_i},   T_i = (o, p_i, p_i+1),
+#     sigma_i = sign of the triangle's orientation
+#
+# (the winding-number identity behind the shoelace formula - reflex
+# regions are subtracted by negative-sign triangles). Hence
+#
+#     area(P n Q) = sum_i sum_j sigma_i * tau_j * area(T_i n S_j)
+#
+# where every T_i n S_j is a CONVEX x CONVEX clip - exactly the
+# Sutherland-Hodgman chain already proven above. Union / difference /
+# symmetric difference follow by inclusion-exclusion. The decomposition
+# is exact in real arithmetic and engine-portable in floats because both
+# twins evaluate the identical formula text in the identical order.
+# Plan size: O(|sub_tris| x |lit_tris| x 3 clip edges) with every
+# intermediate ring bound exactly once through a one-element lambda (the
+# geo_sqlfn.py plan-size discipline), so growth is additive, and the
+# whole computation is map-only column algebra - no shuffle, no Python.
+
+
+def fan_triangles(vertices, origin: int = 0):
+    """Plan-time signed fan decomposition of a literal SIMPLE polygon
+    (concavity allowed). Returns ``(tris, area)`` where ``tris`` is a
+    list of ``(ccw_triangle, sigma)`` - each triangle reoriented CCW with
+    its decomposition sign pulled out - and ``area`` is the polygon's
+    shoelace area. ``origin`` picks the fan vertex (any choice is valid;
+    fanning from a reflex vertex yields mixed signs, the interesting
+    exercise of the identity). Degenerate (collinear) fan triangles are
+    dropped - they carry zero measure."""
+    _ring_guard(vertices, "fan_triangles")
+    area2 = sum(x1 * y2 - x2 * y1
+                for (x1, y1), (x2, y2) in _edges(vertices))
+    verts = list(vertices) if area2 > 0 else list(reversed(vertices))
+    n = len(verts)
+    o = verts[origin % n]
+    tris = []
+    for k in range(1, n - 1):
+        a = verts[(origin + k) % n]
+        b = verts[(origin + k + 1) % n]
+        cr = ((a[0] - o[0]) * (b[1] - o[1])
+              - (a[1] - o[1]) * (b[0] - o[0]))
+        if cr == 0:
+            continue
+        tri = [o, a, b] if cr > 0 else [o, b, a]
+        tris.append((tri, 1.0 if cr > 0 else -1.0))
+    return tris, abs(area2) / 2.0
+
+
+def _let_arr(val: Column, body_fn) -> Column:
+    """Bind an array-valued expression exactly once (one-element-lambda
+    let, the geo_sqlfn.py discipline) so chained clip stages reference a
+    variable, not a re-inlined subtree."""
+    return F.element_at(F.transform(F.array(val), body_fn), 1)
+
+
+def st_clip_area_convex(ring: Column, lit_convex) -> Column:
+    """area(ring n literal convex polygon): the Sutherland-Hodgman chain
+    of st_clip_convex_step over the clipper's CCW edges, each stage
+    let-bound, then the shoelace area (0.0 when the clip ring
+    degenerates below 3 vertices)."""
+    edges = clip_convex_edges(lit_convex, "st_clip_area_convex")
+
+    def chain(r: Column, rem) -> Column:
+        if not rem:
+            return (F.when(F.size(r) >= 3, st_area_ring_arr(r))
+                    .otherwise(F.lit(0.0)))
+        a, b = rem[0]
+        return _let_arr(st_clip_convex_step(r, a, b),
+                        lambda r2: chain(r2, rem[1:]))
+
+    return chain(ring, edges)
+
+
+def sql_clip_area_convex(ring: str, lit_convex) -> str:
+    """SQL twin of ``st_clip_area_convex`` (identical formula text)."""
+    edges = clip_convex_edges(lit_convex, "st_clip_area_convex")
+
+    def chain(r: str, rem, depth: int) -> str:
+        if not rem:
+            return (f"(CASE WHEN len({r}) >= 3 THEN {sql_area_ring_arr(r)}"
+                    " ELSE 0.0 END)")
+        a, b = rem[0]
+        var = f"_cc{depth}"
+        return (f"list_transform([{sql_clip_convex_step(r, a, b)}], "
+                f"{var} -> {chain(var, rem[1:], depth + 1)})[1]")
+
+    return chain(ring, edges, 0)
+
+
+def _pt_struct(x: Column, y: Column) -> Column:
+    return F.struct(x.alias("x"), y.alias("y"))
+
+
+def st_concave_intersection_area(sub_verts, lit_poly, *,
+                                 origin: int = 0) -> Column:
+    """area(subject n literal) where BOTH polygons may be CONCAVE: the
+    subject is a plan-time-fixed-length list of (x, y) Column pairs with
+    data-dependent coordinates (a simple ring in either orientation),
+    the clipper a literal simple polygon. Double signed fan
+    decomposition (module comment above): the subject fans from its
+    first vertex with a data-dependent sign per triangle (signum of the
+    orientation cross product, CASE-reversed to CCW), the literal
+    clipper fans at plan time via ``fan_triangles``; every pair clips
+    through ``st_clip_area_convex``. Terms accumulate in a fixed
+    (i outer, j inner) order so float summation matches the SQL twin
+    bit for bit."""
+    tris, _ = fan_triangles(lit_poly, origin)
+    ox, oy = sub_verts[0]
+    total = F.lit(0.0)
+    for i in range(1, len(sub_verts) - 1):
+        (ax, ay), (bx, by) = sub_verts[i], sub_verts[i + 1]
+        cr = (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+        o_pt, a_pt, b_pt = (_pt_struct(ox, oy), _pt_struct(ax, ay),
+                            _pt_struct(bx, by))
+        tri = (F.when(cr >= 0, F.array(o_pt, a_pt, b_pt))
+               .otherwise(F.array(o_pt, b_pt, a_pt)))
+
+        def inner(tt: Column) -> Column:
+            acc = None
+            for ctri, sj in tris:
+                term = F.lit(sj) * st_clip_area_convex(tt, ctri)
+                acc = term if acc is None else acc + term
+            return acc
+
+        total = total + F.signum(cr) * _let_arr(tri, inner)
+    return total
+
+
+def sql_concave_intersection_area(sub_verts, lit_poly, *,
+                                  origin: int = 0) -> str:
+    """SQL twin of ``st_concave_intersection_area`` (identical formula
+    text, identical term order)."""
+    tris, _ = fan_triangles(lit_poly, origin)
+    (ox, oy) = sub_verts[0]
+    parts = []
+    for i in range(1, len(sub_verts) - 1):
+        (ax, ay), (bx, by) = sub_verts[i], sub_verts[i + 1]
+        cr = (f"((({ax}) - ({ox})) * (({by}) - ({oy}))"
+              f" - (({ay}) - ({oy})) * (({bx}) - ({ox})))")
+        pt = "struct_pack(x := ({x}), y := ({y}))"
+        o_pt = pt.format(x=ox, y=oy)
+        a_pt = pt.format(x=ax, y=ay)
+        b_pt = pt.format(x=bx, y=by)
+        tri = (f"(CASE WHEN {cr} >= 0 THEN [{o_pt}, {a_pt}, {b_pt}]"
+               f" ELSE [{o_pt}, {b_pt}, {a_pt}] END)")
+        var = f"_st{i}"
+        terms = " + ".join(
+            f"{_g(sj)} * {sql_clip_area_convex(var, ctri)}"
+            for ctri, sj in tris)
+        parts.append(
+            f"sign({cr}) * list_transform([{tri}], {var} -> ({terms}))[1]")
+    return "(0.0 + " + " + ".join(parts) + ")"

@@ -60,9 +60,13 @@ _DRIVER_PRIORITY = [
     "ds_cross_channel_band", "func_geo_srid",
     # (b) new in round 8 (func_geo_buffer_poly: the convex curve-buffer
     # closure of the last documented geometry gap, trig-free bit-exact
-    # tessellation)
+    # tessellation; func_geo_concave: concave x concave set-op AREAS via
+    # the signed fan decomposition — takes ann_cosine_topk's refresh
+    # slot: r3 green, unchanged code, pinned exact-baseline anchor with
+    # exact-gate pytest coverage, and the similarity family keeps
+    # ann_int8_topk + dedup_minhash_lsh slots)
     "func_datetime_ceil", "ds_chained_star_join", "ds_max_over_cte",
-    "ds_three_channel_full", "func_geo_buffer_poly",
+    "ds_three_channel_full", "func_geo_buffer_poly", "func_geo_concave",
     # (c) code/oracle touched in round 8
     "ds_sales_rollup_rank", "ds_channel_report", "ds_returns_above_avg",
     "ds_multi_supplier_orders", "q9_product_type_profit",
@@ -152,7 +156,6 @@ _DRIVER_PRIORITY = [
     "func_tumble_group",
     # (e) round-4-vintage LLM + sources families (VERDICT r7 item 5)
     "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "ann_cosine_topk",
     "multimodal_meta", "pagerank_nations",
     "source_dynamic_pruning", "bucketed_join_colocated",
     "source_jdbc_scan",

@@ -2703,3 +2703,127 @@ def func_sequence_next(spark: SparkSession, sf_dir: str) -> DataFrame:
         from (select * from orders limit 1)
     """).agg(((F.min("v") + 1) / 2).cast("bigint").alias("second_lo"))
     return first.crossJoin(second)
+
+
+# The concave set-op clipper: an L-shape (a reflex vertex), fanned from
+# the corner that makes the signed decomposition MIXED-sign, so the
+# battery exercises the subtracted-triangle path of the identity on the
+# literal side; the dart/chevron subjects exercise it on the data side.
+_CONCAVE_L = [(0.0, 0.0), (10.0, 0.0), (10.0, 4.0), (4.0, 4.0),
+              (4.0, 10.0), (0.0, 10.0)]
+_CONCAVE_ORIGIN = 1  # fan from (10, 0): signs (+, -, +, +)
+
+
+def _geo_concave_sql() -> str:
+    from drill_calcite_spark.functions.geo import (
+        fan_triangles, sql_area_colring, sql_concave_intersection_area,
+    )
+
+    _, q_area = fan_triangles(_CONCAVE_L, _CONCAVE_ORIGIN)
+    dart = [("cx", "cy"), ("cx + w", "cy"), ("cx + w", "cy + h"),
+            ("cx + w / 2", "dd"), ("cx", "cy + h")]
+    chev = [("cx", "cy"), ("cx + w", "cy + h / 2"), ("cx", "cy + h"),
+            ("cx + w / 4", "cy + h / 2")]
+    ia_d = sql_concave_intersection_area(dart, _CONCAVE_L,
+                                         origin=_CONCAVE_ORIGIN)
+    ia_c = sql_concave_intersection_area(chev, _CONCAVE_L,
+                                         origin=_CONCAVE_ORIGIN)
+    return f"""
+WITH pts AS (
+  SELECT event_id,
+         CAST((event_id % 45) - 12 AS DOUBLE) AS cx,
+         CAST((user_id % 39) - 12 AS DOUBLE)  AS cy,
+         CAST(2 + event_id % 3 AS DOUBLE)     AS w,
+         CAST(2 + user_id % 3 AS DOUBLE)      AS h,
+         CAST((user_id % 39) - 12 AS DOUBLE)
+           + CAST(2 + user_id % 3 AS DOUBLE)
+             * (0.25 + 0.125 * (event_id % 5)) AS dd
+  FROM events WHERE event_id < 3000
+), g AS (
+  SELECT event_id,
+         {ia_d} AS ia_d,
+         {ia_c} AS ia_c,
+         {sql_area_colring(dart)} AS ar_d,
+         {sql_area_colring(chev)} AS ar_c
+  FROM pts
+)
+SELECT event_id,
+       round(ia_d, 6)                     AS dart_inter,
+       round(ar_d + {q_area!r} - ia_d, 6) AS dart_union,
+       round(ar_d - ia_d, 6)              AS dart_diff,
+       round(ar_d, 6)                     AS dart_area,
+       round(ia_c, 6)                     AS chev_inter,
+       round(ar_c + {q_area!r} - 2 * ia_c, 6) AS chev_symdiff
+FROM g
+"""
+
+
+@q("func_geo_concave", _geo_concave_sql())
+def func_geo_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONCAVE x CONCAVE set-operation areas — the round-8 closure of
+    the 'general concave ST_Union/Intersection rings delegate to a real
+    geometry engine' gap (the reference hands these to the ESRI
+    GeometryEngine, GeoFunctions.java:491-497 ST_Union via
+    GeometryEngine.union): area(P n Q), and by inclusion-exclusion the
+    union / difference / symmetric-difference areas, for simple
+    polygons that are BOTH non-convex. Method: the signed fan
+    decomposition chi_P = sum sigma_i chi_Ti (functions/geo.py module
+    comment) reduces the concave pair to |sub| x |lit| CONVEX triangle
+    clips through the proven Sutherland-Hodgman chain; subjects are
+    per-row notched DARTS (5 vertices, data-dependent notch depth whose
+    fan sign flips across the diagonal — including the exactly-
+    degenerate 0.5 fraction, which drops out through signum = 0) and
+    reflex CHEVRONS (4 vertices, always mixed-sign), the clipper a
+    literal L-shape fanned from the corner that makes ITS decomposition
+    mixed-sign. The intersection ring as an ordered vertex list still
+    delegates (tests/iq/README.md) — this closes every AREA-level
+    set-op ST_* question. Dyadic subject coordinates keep the 6-dp
+    display rounding tie-free on both engines; every term is evaluated
+    in the identical order as the DuckDB twin, so the fold is
+    bit-identical. Map-only column algebra: no shuffle, no Python, plan
+    size O(pairs) with every clip stage let-bound once (the geo_sqlfn
+    plan-size discipline)."""
+    from drill_calcite_spark.functions.geo import (
+        fan_triangles, st_area_colring, st_concave_intersection_area,
+    )
+
+    _, q_area = fan_triangles(_CONCAVE_L, _CONCAVE_ORIGIN)
+    pts = (
+        t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+        .select(
+            "event_id",
+            ((F.col("event_id") % 45) - 12).cast("double").alias("cx"),
+            ((F.col("user_id") % 39) - 12).cast("double").alias("cy"),
+            (2 + F.col("event_id") % 3).cast("double").alias("w"),
+            (2 + F.col("user_id") % 3).cast("double").alias("h"),
+            (((F.col("user_id") % 39) - 12).cast("double")
+             + (2 + F.col("user_id") % 3).cast("double")
+             * (0.25 + 0.125 * (F.col("event_id") % 5))).alias("dd"),
+        )
+    )
+    cx, cy = F.col("cx"), F.col("cy")
+    w, h, dd = F.col("w"), F.col("h"), F.col("dd")
+    dart = [(cx, cy), (cx + w, cy), (cx + w, cy + h),
+            (cx + w / 2, dd), (cx, cy + h)]
+    chev = [(cx, cy), (cx + w, cy + h / 2), (cx, cy + h),
+            (cx + w / 4, cy + h / 2)]
+    g = pts.select(
+        "event_id",
+        st_concave_intersection_area(dart, _CONCAVE_L,
+                                     origin=_CONCAVE_ORIGIN).alias("ia_d"),
+        st_concave_intersection_area(chev, _CONCAVE_L,
+                                     origin=_CONCAVE_ORIGIN).alias("ia_c"),
+        st_area_colring(dart).alias("ar_d"),
+        st_area_colring(chev).alias("ar_c"),
+    )
+    return g.select(
+        "event_id",
+        F.round("ia_d", 6).alias("dart_inter"),
+        F.round(F.col("ar_d") + F.lit(q_area) - F.col("ia_d"), 6)
+        .alias("dart_union"),
+        F.round(F.col("ar_d") - F.col("ia_d"), 6).alias("dart_diff"),
+        F.round("ar_d", 6).alias("dart_area"),
+        F.round("ia_c", 6).alias("chev_inter"),
+        F.round(F.col("ar_c") + F.lit(q_area) - 2 * F.col("ia_c"), 6)
+        .alias("chev_symdiff"),
+    )
