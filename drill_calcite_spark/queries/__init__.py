@@ -154,10 +154,18 @@ _DRIVER_PRIORITY = [
     # green, unchanged code, source_dynamic_pruning still pins the
     # pruning family below)
     "func_tumble_group",
+    # + HOP and SESSION — the other two Calcite group-window functions
+    # through the front door onto Spark's native sliding window() /
+    # session_window() (NEW late r8, sql._rewrite_hop/_rewrite_session;
+    # they take dedup_ngram_jaccard's and bucketed_join_colocated's
+    # slots: r3/r4 green, unchanged code, the dedup family keeps
+    # dedup_minhash_lsh + dedup_passage + dedup_clusters here and the
+    # bucketed join keeps its no-Exchange plan test + exact-gate pytest)
+    "func_hop_group", "func_session_group",
     # (e) round-4-vintage LLM + sources families (VERDICT r7 item 5)
-    "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
     "multimodal_meta", "pagerank_nations",
-    "source_dynamic_pruning", "bucketed_join_colocated",
+    "source_dynamic_pruning",
     "source_jdbc_scan",
     "modify_merge_orders",
 ]

@@ -464,6 +464,110 @@ def func_tumble_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("total_value").cast("double"))
 
 
+@q("func_hop_group", """
+WITH w AS (
+  SELECT event_type, value,
+         epoch_us(ts) - epoch_us(ts) % 3600000000
+           - i.i * 3600000000 AS ws,
+         epoch_us(ts) AS t
+  FROM events, (SELECT unnest(range(3)) AS i) i
+)
+SELECT make_timestamp(ws)                AS w_start,
+       make_timestamp(ws + 10800000000)  AS w_end,
+       event_type,
+       CAST(count(*) AS BIGINT)          AS n_events,
+       round(sum(CAST(value AS DECIMAL(18,6))), 2)::DOUBLE AS total_value
+FROM w
+WHERE ws + 10800000000 > t
+GROUP BY 1, 2, 3
+""")
+def func_hop_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOP / HOP_START / HOP_END — Calcite's $HOP group-window family
+    (the sliding companion of TUMBLE in the SqlStdOperatorTable
+    group-window trio; Calcite streaming docs spell the GROUP BY form)
+    through the front door: slide 1 hour, size 3 hours, so every event
+    lands in THREE windows. sql._rewrite_hop maps it onto Spark's
+    native sliding ``window()`` — the row replication happens in
+    Spark's Expand BEFORE the exchange with map-side combine, one
+    shuffle on (window, type), never a self-join of shifted copies.
+    The oracle materializes the same three windows per row explicitly
+    (floor-to-slide minus i·slide for i in 0..2, filtered to windows
+    still covering the row) and the hash proves window assignment,
+    alignment (epoch multiples of the slide), and both auxiliary
+    boundaries. Value sums in DECIMAL, 2-dp display rounds in decimal
+    space (r8 rule)."""
+    from drill_calcite_spark.catalog import register_tables
+    from drill_calcite_spark.sql import calcite_sql
+
+    register_tables(spark, sf_dir)
+    return calcite_sql(spark, """
+        SELECT HOP_START(ts, INTERVAL '1' HOUR, INTERVAL '3' HOUR)
+                 AS w_start,
+               HOP_END(ts, INTERVAL '1' HOUR, INTERVAL '3' HOUR)
+                 AS w_end,
+               event_type,
+               count(*) AS n_events,
+               round(sum(CAST(value AS DECIMAL(18,6))), 2) AS total_value
+        FROM events
+        GROUP BY HOP(ts, INTERVAL '1' HOUR, INTERVAL '3' HOUR),
+                 event_type
+    """).withColumn("total_value",
+                    F.col("total_value").cast("double"))
+
+
+@q("func_session_group", """
+WITH b AS (
+  SELECT event_type, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY event_type ORDER BY ts) > 1200000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT event_type, ts, value,
+         sum(brk) OVER (PARTITION BY event_type ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM b
+)
+SELECT make_timestamp(min(epoch_us(ts)))                AS s_start,
+       make_timestamp(max(epoch_us(ts)) + 1200000000)   AS s_end,
+       event_type,
+       CAST(count(*) AS BIGINT)                         AS n_events,
+       round(sum(CAST(value AS DECIMAL(18,6))), 2)::DOUBLE AS total_value
+FROM s
+GROUP BY event_type, sid
+""")
+def func_session_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION / SESSION_START / SESSION_END — the third Calcite
+    group-window function — through the front door: 20-minute gap,
+    sessionized per event_type (~4k sessions at sf0.01, a real mix of
+    singleton and multi-event sessions). sql._rewrite_session maps it
+    onto Spark's native ``session_window()`` (merge-on-gap inside the
+    aggregate, end = last event + gap — the Calcite/Flink convention
+    Spark shares). The oracle derives the identical sessions by
+    gaps-and-islands: break where the in-type gap exceeds 20 minutes,
+    cumulative-sum the breaks into session ids, then min/max + gap for
+    the boundaries — session membership is tie-order-invariant, so the
+    hash is deterministic. Scale note: Spark's session_window
+    aggregates with partial merge before the shuffle on the grouping
+    keys; the oracle's window-function formulation would shuffle the
+    raw events ONCE per window pass, which is why the operator form,
+    not the islands rewrite, is the production path."""
+    from drill_calcite_spark.catalog import register_tables
+    from drill_calcite_spark.sql import calcite_sql
+
+    register_tables(spark, sf_dir)
+    return calcite_sql(spark, """
+        SELECT SESSION_START(ts, INTERVAL '20' MINUTE) AS s_start,
+               SESSION_END(ts, INTERVAL '20' MINUTE)   AS s_end,
+               event_type,
+               count(*) AS n_events,
+               round(sum(CAST(value AS DECIMAL(18,6))), 2) AS total_value
+        FROM events
+        GROUP BY SESSION(ts, INTERVAL '20' MINUTE), event_type
+    """).withColumn("total_value",
+                    F.col("total_value").cast("double"))
+
+
 @q("func_datetime_overlaps", """
 SELECT o_orderkey,
        (o_orderdate < TIMESTAMP '1998-01-01 00:00:00'

@@ -276,6 +276,150 @@ def _rewrite_tumble(text: str, lits: "list[str]") -> str:
         pos = m.start() + len(repl)
 
 
+def _gw_calls(text: str, head: "re.Pattern"):
+    """Yield (match, end_index, args) for each ``head``-matched call,
+    splitting top-level comma-separated arguments (the same paren
+    scanner _rewrite_tumble uses)."""
+    pos = 0
+    while True:
+        m = head.search(text, pos)
+        if not m:
+            return
+        depth, i = 1, m.end()
+        args, last = [], m.end()
+        while i < len(text) and depth:
+            c = text[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    args.append(text[last:i])
+            elif c == "," and depth == 1:
+                args.append(text[last:i])
+                last = i + 1
+            i += 1
+        if depth:
+            return
+        yield m, i, args
+        pos = i
+
+
+_GW_INTERVAL = re.compile(
+    rf"^\s*interval\s+(?:'{_LIT_SENTINEL}(\d+){_LIT_SENTINEL}'|(\d+))"
+    r"\s+(year|quarter|month|week|day|hour|minute|second)\s*$", re.I)
+
+
+def _gw_micros(arg: str, lits: "list[str]", op: str) -> int:
+    """Fixed-width interval argument of a group-window function →
+    micros; loud-fail otherwise (Calcite's validator likewise demands a
+    constant fixed-width interval)."""
+    im = _GW_INTERVAL.match(arg)
+    if not im:
+        raise TumbleUnsupported(
+            f"{op} requires a constant INTERVAL argument, "
+            f"got: {arg.strip()!r}")
+    n = int(lits[int(im.group(1))] if im.group(1) is not None
+            else im.group(2))
+    unit = im.group(3).lower()
+    if unit not in _TUMBLE_MICROS:
+        raise TumbleUnsupported(
+            f"{op} window unit {unit.upper()} is not fixed-width")
+    return n * _TUMBLE_MICROS[unit]
+
+
+def _rewrite_hop(text: str, lits: "list[str]") -> str:
+    """``HOP(ts, slide, size)`` / ``HOP_START`` / ``HOP_END`` —
+    Calcite's $HOP group-window family (SqlStdOperatorTable.java's
+    HopTableFunction lineage; Calcite streaming docs spell the GROUP BY
+    form) → Spark's native sliding ``window(ts, size, slide)``. The
+    row-to-many-windows expansion is Spark's Expand under the aggregate
+    (size/slide replicas BEFORE the exchange, map-side combined), and
+    the auxiliaries become field references on the grouping struct:
+    HOP → ``window(x, 'Z microseconds', 'S microseconds')``,
+    HOP_START → ``window.start``, HOP_END → ``window.end`` (Spark names
+    the sliding-window grouping struct ``window``; the statement must
+    not bind that name to anything else). Window alignment matches
+    Calcite: starts on slide multiples from the epoch, [start, start +
+    size). One HOP argument triple per statement — the auxiliaries drop
+    their arguments in the rewrite, so mixed triples would silently
+    cross-wire and are rejected loudly instead."""
+    head = re.compile(r"\b(hop_start|hop_end|hop)\s*\(", re.I)
+    out, triples = text, set()
+    while True:
+        found = False
+        for m, end, args in _gw_calls(out, head):
+            kind = m.group(1).lower()
+            if len(args) != 3:
+                raise TumbleUnsupported(
+                    f"{kind.upper()} takes (datetime, slide, size); the "
+                    f"4-arg offset form is not supported "
+                    f"(got {len(args)} args)")
+            x = args[0].strip()
+            s = _gw_micros(args[1], lits, kind.upper())
+            z = _gw_micros(args[2], lits, kind.upper())
+            if s > z:
+                raise TumbleUnsupported(
+                    f"{kind.upper()}: slide must not exceed size "
+                    f"({s} > {z} micros)")
+            triples.add((x.lower(), s, z))
+            if len(triples) > 1:
+                raise TumbleUnsupported(
+                    "one HOP (datetime, slide, size) triple per "
+                    f"statement, saw: {sorted(triples)}")
+            if kind == "hop":
+                repl = (f"window({x}, '{z} microseconds', "
+                        f"'{s} microseconds')")
+            elif kind == "hop_start":
+                repl = "window.start"
+            else:
+                repl = "window.end"
+            out = out[:m.start()] + repl + out[end:]
+            found = True
+            break
+        if not found:
+            return out
+
+
+def _rewrite_session(text: str, lits: "list[str]") -> str:
+    """``SESSION(ts, gap)`` / ``SESSION_START`` / ``SESSION_END`` —
+    Calcite's $SESSION group-window family → Spark's native
+    ``session_window(ts, gap)``: windows merge events whose gaps stay
+    within ``gap`` per grouping-key combination, end = last event +
+    gap (Calcite/Flink and Spark agree on the convention). SESSION →
+    ``session_window(x, 'G microseconds')``, SESSION_START →
+    ``session_window.start``, SESSION_END → ``session_window.end``.
+    Same one-argument-pair-per-statement contract as _rewrite_hop."""
+    head = re.compile(r"\b(session_start|session_end|session)\s*\(", re.I)
+    out, pairs = text, set()
+    while True:
+        found = False
+        for m, end, args in _gw_calls(out, head):
+            kind = m.group(1).lower()
+            if len(args) != 2:
+                raise TumbleUnsupported(
+                    f"{kind.upper()} takes (datetime, gap), got "
+                    f"{len(args)} args")
+            x = args[0].strip()
+            g = _gw_micros(args[1], lits, kind.upper())
+            pairs.add((x.lower(), g))
+            if len(pairs) > 1:
+                raise TumbleUnsupported(
+                    "one SESSION (datetime, gap) pair per statement, "
+                    f"saw: {sorted(pairs)}")
+            if kind == "session":
+                repl = f"session_window({x}, '{g} microseconds')"
+            elif kind == "session_start":
+                repl = "session_window.start"
+            else:
+                repl = "session_window.end"
+            out = out[:m.start()] + repl + out[end:]
+            found = True
+            break
+        if not found:
+            return out
+
+
 # ------------------------------------------------- grouping-function glue
 # Calcite's GROUPING/GROUPING_ID accept ANY columns in ANY order
 # (SqlStdOperatorTable GROUPING; agg.iq:616-690), while Spark's
@@ -1281,6 +1425,10 @@ def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
     text = _rewrite_floor_to(text)
     if re.search(r"\btumble", text, re.I):
         text = _rewrite_tumble(text, _lits)
+    if re.search(r"\bhop(_start|_end)?\s*\(", text, re.I):
+        text = _rewrite_hop(text, _lits)
+    if re.search(r"\bsession(_start|_end)?\s*\(", text, re.I):
+        text = _rewrite_session(text, _lits)
     text = _rewrite_listagg(text)
     # COLLECT → collect_list; FUSION → flatten(collect_list(..))
     # (SqlStdOperatorTable.java:2165; FUSION multiset-union aggregate)

@@ -281,3 +281,63 @@ def test_tumble_literal_shielding_does_not_leak():
     out = rewrite("select 'call tumble(x) here' as s from t",
                   nulls_high=False)
     assert out == "select 'call tumble(x) here' as s from t"
+
+
+def test_hop_rewrites_to_sliding_window():
+    out = rewrite(
+        "select hop_start(ts, interval '1' hour, interval '3' hour) as ws, "
+        "hop_end(ts, interval '1' hour, interval '3' hour) as we, count(*) "
+        "from events "
+        "group by hop(ts, interval '1' hour, interval '3' hour)",
+        nulls_high=False)
+    assert "hop" not in out.lower()
+    assert ("window(ts, '10800000000 microseconds', "
+            "'3600000000 microseconds')") in out
+    assert "window.start" in out and "window.end" in out
+
+
+def test_hop_rejects_bad_forms():
+    from drill_calcite_spark.sql import TumbleUnsupported
+
+    with pytest.raises(TumbleUnsupported):  # slide > size
+        rewrite("select hop(ts, interval '2' hour, interval '1' hour) "
+                "from t group by 1", nulls_high=False)
+    with pytest.raises(TumbleUnsupported):  # 4-arg offset form
+        rewrite("select hop(ts, interval '1' hour, interval '2' hour, "
+                "time '00:30:00') from t group by 1", nulls_high=False)
+    with pytest.raises(TumbleUnsupported):  # mixed triples cross-wire
+        rewrite("select hop_start(ts, interval '1' hour, interval '2' hour) "
+                "from t group by hop(ts, interval '1' hour, "
+                "interval '3' hour)", nulls_high=False)
+    with pytest.raises(TumbleUnsupported):  # variable-width unit
+        rewrite("select hop(ts, interval '1' month, interval '2' month) "
+                "from t group by 1", nulls_high=False)
+
+
+def test_session_rewrites_to_session_window():
+    out = rewrite(
+        "select session_start(ts, interval '30' minute) as ss, "
+        "session_end(ts, interval '30' minute) as se, count(*) "
+        "from events group by session(ts, interval '30' minute), user_id",
+        nulls_high=False)
+    assert "session_window(ts, '1800000000 microseconds')" in out
+    assert "session_window.start" in out and "session_window.end" in out
+    # the emitted session_window(...) text must not be re-matched as a
+    # SESSION( call by the rescan
+    assert "session_window(session_window" not in out
+
+
+def test_session_rejects_bad_forms():
+    from drill_calcite_spark.sql import TumbleUnsupported
+
+    with pytest.raises(TumbleUnsupported):  # non-constant gap
+        rewrite("select session(ts, g) from t group by 1", nulls_high=False)
+    with pytest.raises(TumbleUnsupported):  # mixed gaps
+        rewrite("select session_start(ts, interval '1' hour) from t "
+                "group by session(ts, interval '2' hour)", nulls_high=False)
+
+
+def test_hop_session_literal_shielding():
+    out = rewrite("select 'hop(x) and session(y)' as s from t",
+                  nulls_high=False)
+    assert out == "select 'hop(x) and session(y)' as s from t"
