@@ -162,9 +162,15 @@ _DRIVER_PRIORITY = [
     # dedup_minhash_lsh + dedup_passage + dedup_clusters here and the
     # bucketed join keeps its no-Exchange plan test + exact-gate pytest)
     "func_hop_group", "func_session_group",
+    # + sliding-window chunking with overlap (queries/llm.py — the
+    # RAG/embedding-prep fan-out step; NEW late r8, needs a first row;
+    # takes pagerank_nations's slot: r3 green, unchanged code, and the
+    # label-propagation machinery it shares is re-proven this round by
+    # dedup_clusters above)
+    "chunk_sliding_windows",
     # (e) round-4-vintage LLM + sources families (VERDICT r7 item 5)
     "dedup_minhash_lsh",
-    "multimodal_meta", "pagerank_nations",
+    "multimodal_meta",
     "source_dynamic_pruning",
     "source_jdbc_scan",
     "modify_merge_orders",

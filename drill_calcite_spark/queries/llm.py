@@ -1577,6 +1577,73 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summ.crossJoin(F.broadcast(true_n))
 
 
+@q("chunk_sliding_windows", """
+WITH d AS (
+  SELECT doc_id, source, text, length(text) AS L FROM documents
+  WHERE length(text) > 0
+), n AS (
+  SELECT doc_id, source, text, L,
+         CASE WHEN L <= 128 THEN 1
+              ELSE 1 + (L - 33) // 96 END AS n_chunks
+  FROM d
+), e AS (
+  SELECT doc_id, source, text, L, n_chunks,
+         unnest(range(n_chunks)) AS i
+  FROM n
+)
+SELECT doc_id, source,
+       CAST(i AS BIGINT)                          AS chunk_id,
+       CAST(n_chunks AS BIGINT)                   AS n_chunks,
+       CAST(i * 96 AS BIGINT)                     AS chunk_offset,
+       substr(text, CAST(i * 96 + 1 AS INT), 128) AS chunk_text,
+       CAST(length(substr(text, CAST(i * 96 + 1 AS INT), 128)) AS BIGINT)
+                                                  AS chunk_len,
+       md5(substr(text, CAST(i * 96 + 1 AS INT), 128)) AS chunk_md5
+FROM e
+""")
+def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-WINDOW CHUNKING — the retrieval/embedding-prep step of a
+    corpus pipeline (RAG indexing, long-doc embedding): each document
+    splits into fixed 128-char windows at stride 96 (32-char overlap so
+    no boundary context is lost), the standard chunk-with-overlap
+    schema. Chunk count is the exact integer form
+    ``1 + (L - size + stride - 1) div stride`` for L > size (= 1 + (L -
+    33) div 96 here) — no float ceil, so both engines agree on every
+    boundary; the final chunk truncates at end-of-document. Each chunk
+    row carries its offset, text, length, and md5 (the identity a
+    downstream near-dup or embedding stage keys on — dedup_passage is
+    the consumer shape).
+
+    Scale shape: one explode (``sequence`` + Catalyst Generate) per
+    document — map-only, NO shuffle and no window function; chunk rows
+    are produced and consumed streaming within the stage, so the fan-out
+    (~len/stride per doc) never materializes on the driver. At 100 TB
+    the chunk table is written partitioned by source straight from the
+    map stage; substring on UTF-8 is character-based in both engines,
+    so multibyte text chunks identically."""
+    docs = t(spark, sf_dir, "documents")
+    L = F.length("text")
+    d = docs.filter(L > 0).select(
+        "doc_id", "source", "text", L.alias("L"),
+        F.when(L <= 128, F.lit(1))
+        .otherwise(1 + F.call_function("div", (L - 33).cast("bigint"),
+                                       F.lit(96).cast("bigint")))
+        .alias("n_chunks"),
+    )
+    e = d.withColumn(
+        "i", F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)))
+    chunk = F.substring(F.col("text"), F.col("i") * 96 + 1, F.lit(128))
+    return e.select(
+        "doc_id", "source",
+        F.col("i").cast("bigint").alias("chunk_id"),
+        F.col("n_chunks").cast("bigint").alias("n_chunks"),
+        (F.col("i") * 96).cast("bigint").alias("chunk_offset"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).cast("bigint").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    )
+
+
 @q("pack_token_chunks", """
 WITH d AS (
   SELECT doc_id, source,

@@ -305,6 +305,16 @@ def test_pack_token_chunks_partitioned_window(spark):
     assert plan.count("Exchange") == 1, plan[:800]
 
 
+def test_chunk_sliding_windows_map_only(spark):
+    """chunk_sliding_windows: one Generate (the per-doc chunk explode),
+    NO shuffle, no window function, no Python — the fan-out streams
+    through the map stage."""
+    plan = _plan(entrymod.queries()["chunk_sliding_windows"](spark, SF_DIR))
+    assert "Generate" in plan
+    assert "Exchange" not in plan, f"chunking shuffles: {plan[:600]}"
+    assert "Python" not in plan
+
+
 def test_band_counts_single_scan_no_join(spark):
     """ds_band_counts: all eight band populations come out of ONE scan
     as conditional counts — the naive q88 form is eight scans
