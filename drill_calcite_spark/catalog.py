@@ -52,14 +52,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     an oracle with ns precision will hash.
     """
     path = table_path(sf_dir, name)
+    ensure_semantics(spark)
     if name == "events":
         from pyspark.sql import functions as F
 
-        # Runtime read conf; session.get_spark() sets it at build time, but
-        # the driver hands us ITS OWN session, so ensure it here (check-first
-        # to avoid mutating a session that already has it).
-        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         ts_dtype = dict(df.dtypes).get("ts")
         if ts_dtype == "bigint":
@@ -80,8 +76,35 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# Runtime-settable semantic confs the engine's plans assume. session.get_spark()
+# sets them at build time, but the DRIVER hands the engine ITS OWN SparkSession
+# (Spark 4 defaults: ANSI ON), so every query entry point re-asserts them here —
+# the same pattern read_table already used for nanosAsLong. Without this,
+# permissive-cast expressions (e.g. st_srid's cast of a regexp_extract miss)
+# crash with CAST_INVALID_INPUT under the driver's ANSI-on session even though
+# the whole pytest suite (engine session, ANSI off) is green.
+_SEMANTIC_CONFS = {
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.decimalOperations.allowPrecisionLoss": "false",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def ensure_semantics(spark: SparkSession) -> None:
+    """Re-assert the engine's semantic confs on an externally-created session.
+
+    Check-first so a session that already has them (the engine's own) is not
+    mutated; all four keys are runtime-settable SQLConf entries.
+    """
+    for key, want in _SEMANTIC_CONFS.items():
+        if spark.conf.get(key, None) != want:
+            spark.conf.set(key, want)
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load every table in the scale directory as a lazy DataFrame."""
+    ensure_semantics(spark)
     out: dict[str, DataFrame] = {}
     for name in TABLES:
         if os.path.exists(table_path(sf_dir, name)):

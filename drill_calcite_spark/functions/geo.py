@@ -954,8 +954,11 @@ def st_set_srid(wkt: Column, srid: int) -> Column:
 def st_srid(geom: Column) -> Column:
     """ST_SRID: the EWKT tag, or 0 for untagged WKT (Calcite's default
     for geometries constructed without a CRS)."""
+    # try_cast, not cast: regexp_extract returns '' for untagged WKT, and a
+    # plain cast('' as bigint) throws CAST_INVALID_INPUT under ANSI mode
+    # (the driver's Spark 4 session default). Mirrors the oracle twin below.
     return F.coalesce(
-        F.regexp_extract(geom, _EWKT_SRID, 1).cast("bigint"), F.lit(0)
+        F.regexp_extract(geom, _EWKT_SRID, 1).try_cast("bigint"), F.lit(0)
     )
 
 

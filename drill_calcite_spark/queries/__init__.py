@@ -198,8 +198,27 @@ def _prioritized(merged: dict) -> dict:
     return head
 
 
+def _with_semantics(fn: QueryFn) -> QueryFn:
+    """Re-assert the engine's semantic confs (ANSI off, UTC, exact
+    decimals, nanosAsLong) before EVERY query body runs — the driver hands
+    the registry ITS OWN SparkSession (Spark 4 defaults: ANSI on), and a
+    query that never reads a table would otherwise skip the read_table
+    re-assertion path. Root cause of the r8 ``func_geo_srid`` crash."""
+    import functools
+
+    from drill_calcite_spark.catalog import ensure_semantics
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_semantics(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def all_queries() -> dict[str, QueryFn]:
-    return _prioritized(_merged("QUERIES"))
+    return {n: _with_semantics(f)
+            for n, f in _prioritized(_merged("QUERIES")).items()}
 
 
 def all_oracles() -> dict[str, str]:

@@ -43,6 +43,21 @@ def r6(c: F.Column) -> F.Column:
     return F.round(c, 6)
 
 
+def rz(c: F.Column, n: int) -> F.Column:
+    """``round(c, n) + 0.0`` — IEEE ``-0.0 + 0.0 = +0.0`` normalizes the
+    signed zero a round of a tiny negative residual produces (e.g.
+    ``round(-1e-16, 6)``), which DuckDB keeps as ``-0.0`` while Spark
+    emits ``+0.0`` — the r8 ``func_geo_concave`` hash-red class. Use on
+    every difference-of-measures DISPLAY column; the ``+ 0.0`` is exact
+    for every other value. SQL twin: ``sql_rz``."""
+    return F.round(c, n) + F.lit(0.0)
+
+
+def sql_rz(expr: str, n: int) -> str:
+    """DuckDB twin of ``rz``."""
+    return f"(round({expr}, {n}) + 0.0)"
+
+
 def r2_dsum(c: F.Column) -> F.Column:
     """``round(sum(c), 2)`` with the sum carried in DECIMAL(18,6) and the
     rounding done IN DECIMAL before the double cast — exact and

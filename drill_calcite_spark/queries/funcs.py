@@ -1658,10 +1658,10 @@ SELECT event_id,
        {sql_srid("'SRID=4326;' || printf('POINT (%.6f %.6f)', lon, lat)")}
                                                              AS srid_tagged,
        {sql_srid("printf('POINT (%.6f %.6f)', lon, lat)")}   AS srid_bare,
-       round({_MX_SQL}, 3)                                   AS merc_x,
-       round({_MY_SQL}, 3)                                   AS merc_y,
-       round({_LON_BACK_SQL}, 6)                             AS lon_back,
-       round({_LAT_BACK_SQL}, 6)                             AS lat_back
+       (round({_MX_SQL}, 3) + 0.0)                           AS merc_x,
+       (round({_MY_SQL}, 3) + 0.0)                           AS merc_y,
+       (round({_LON_BACK_SQL}, 6) + 0.0)                     AS lon_back,
+       (round({_LAT_BACK_SQL}, 6) + 0.0)                     AS lat_back
 FROM pts
 """
 
@@ -1700,10 +1700,13 @@ def func_geo_srid(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_set_srid(wkt, 4326).alias("ewkt"),
         st_srid(st_set_srid(wkt, 4326)).alias("srid_tagged"),
         st_srid(wkt).alias("srid_bare"),
-        F.round(mx, 3).alias("merc_x"),
-        F.round(my, 3).alias("merc_y"),
-        F.round(lon_back, 6).alias("lon_back"),
-        F.round(lat_back, 6).alias("lat_back"),
+        # + 0.0: signed-zero normalization in BOTH twins — at lat = 0,
+        # ln(tan(pi/4)) is a ~-1e-17 residual in DuckDB (-0.0 after the
+        # round) but +0.0 in Spark; the driver's hash distinguishes them.
+        (F.round(mx, 3) + F.lit(0.0)).alias("merc_x"),
+        (F.round(my, 3) + F.lit(0.0)).alias("merc_y"),
+        (F.round(lon_back, 6) + F.lit(0.0)).alias("lon_back"),
+        (F.round(lat_back, 6) + F.lit(0.0)).alias("lat_back"),
     )
 
 
@@ -2530,8 +2533,12 @@ def _sql_union_area(n_edges: int) -> str:
     last = f"r{n_edges}"
     inter = (f"(CASE WHEN len({last}) >= 3"
              f" THEN {sql_area_ring_arr(last)} ELSE 0.0 END)")
-    return (f"round({sql_area_ring_arr('r0')} + {_CLIP_AREA!r}"
-            f" - {inter}, 6)")
+    # + 0.0: signed-zero normalization on a difference column (see
+    # func_geo_concave) — union area here is >= 196 so it can't hit zero,
+    # but the spelling keeps every round-of-difference display column
+    # uniform across the geo batteries.
+    return (f"(round({sql_area_ring_arr('r0')} + {_CLIP_AREA!r}"
+            f" - {inter}, 6) + 0.0)")
 
 
 _GEO_SETOPS_SQL = f"""
@@ -2647,8 +2654,8 @@ def func_geo_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         contains_c.alias("contains_c"),
         contains_prop.alias("contains_prop"),
         (contains_c & ~contains_prop).alias("boundary_touch"),
-        F.round(st_area_ring_arr(r0) + F.lit(_CLIP_AREA) - inter_area, 6)
-        .alias("area_union"),
+        (F.round(st_area_ring_arr(r0) + F.lit(_CLIP_AREA) - inter_area, 6)
+         + F.lit(0.0)).alias("area_union"),
         st_geom_from_text(F.col("ml_txt")).alias("mline"),
         st_geom_from_text(F.col("mp_txt")).alias("mpoly"),
     )
@@ -2853,11 +2860,11 @@ WITH pts AS (
 )
 SELECT event_id,
        round(ia_d, 6)                     AS dart_inter,
-       round(ar_d + {q_area!r} - ia_d, 6) AS dart_union,
-       round(ar_d - ia_d, 6)              AS dart_diff,
+       (round(ar_d + {q_area!r} - ia_d, 6) + 0.0) AS dart_union,
+       (round(ar_d - ia_d, 6) + 0.0)      AS dart_diff,
        round(ar_d, 6)                     AS dart_area,
        round(ia_c, 6)                     AS chev_inter,
-       round(ar_c + {q_area!r} - 2 * ia_c, 6) AS chev_symdiff
+       (round(ar_c + {q_area!r} - 2 * ia_c, 6) + 0.0) AS chev_symdiff
 FROM g
 """
 
@@ -2923,11 +2930,16 @@ def func_geo_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "event_id",
         F.round("ia_d", 6).alias("dart_inter"),
-        F.round(F.col("ar_d") + F.lit(q_area) - F.col("ia_d"), 6)
-        .alias("dart_union"),
-        F.round(F.col("ar_d") - F.col("ia_d"), 6).alias("dart_diff"),
+        # + 0.0 after the round: IEEE -0.0 + 0.0 = +0.0 normalizes the
+        # signed zero a ~-1e-16 residual rounds to (DuckDB keeps -0.0,
+        # Spark emits +0.0 — the r8 hash-red class); exact for all other
+        # values. Same spelling in the SQL twin above.
+        (F.round(F.col("ar_d") + F.lit(q_area) - F.col("ia_d"), 6)
+         + F.lit(0.0)).alias("dart_union"),
+        (F.round(F.col("ar_d") - F.col("ia_d"), 6) + F.lit(0.0))
+        .alias("dart_diff"),
         F.round("ar_d", 6).alias("dart_area"),
         F.round("ia_c", 6).alias("chev_inter"),
-        F.round(F.col("ar_c") + F.lit(q_area) - 2 * F.col("ia_c"), 6)
-        .alias("chev_symdiff"),
+        (F.round(F.col("ar_c") + F.lit(q_area) - 2 * F.col("ia_c"), 6)
+         + F.lit(0.0)).alias("chev_symdiff"),
     )

@@ -37,8 +37,12 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # normalize -0.0 only; values are otherwise compared EXACTLY.
-        return 0.0 if v == 0 else v
+        # NO -0.0 normalization: the driver's value hash distinguishes the
+        # zero's sign bit (the r8 func_geo_concave red row — 13 cells
+        # differing ONLY in -0.0 vs +0.0 passed this gate while the driver
+        # hashed red). Queries normalize signed zeros THEMSELVES via the
+        # `round(...) + 0.0` spelling in both twins (common.rz).
+        return v
     return v
 
 
@@ -76,8 +80,8 @@ def _rows_close(a, b, tol=0.0):
     """Row comparison for the oracle-parity gate.
 
     STRICT by default (tol=0.0): floats must be bit-equal (after the
-    -0.0 and NaN normalization in ``_norm_cell``), matching the driver's
-    exact value-hash.  The round-7 red row ``ds_cross_channel_band`` was
+    NaN normalization in ``_norm_cell``; signed zeros are DISTINCT since
+    r9), matching the driver's exact value-hash.  The round-7 red row ``ds_cross_channel_band`` was
     a 1-cent divergence on a 600k value (1.7e-8 relative) — invisible to
     the old blanket rel_tol=1e-6, red to the driver; this gate must be
     at least as strict as the driver or its green proves nothing.  The
@@ -88,7 +92,11 @@ def _rows_close(a, b, tol=0.0):
     for x, y in zip(a, b):
         if isinstance(x, float) and isinstance(y, float):
             if tol == 0.0:
-                if x != y:
+                # bit-equal: Python's == treats -0.0 == +0.0, the driver's
+                # hash does not — compare the sign bit explicitly.
+                if x != y or (x == 0.0
+                              and math.copysign(1.0, x)
+                              != math.copysign(1.0, y)):
                     return False
             elif not math.isclose(x, y, rel_tol=tol, abs_tol=tol):
                 return False
