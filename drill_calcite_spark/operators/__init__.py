@@ -18,6 +18,7 @@ from drill_calcite_spark.operators.multimodal import (
     extract_features,
 )
 from drill_calcite_spark.operators.bloom import bloom_build, bloom_prune
+from drill_calcite_spark.operators.polyclip import clip_polygon_rings, rings_area
 from drill_calcite_spark.operators.sketch import (
     cms_estimate,
     cms_merge,
@@ -34,6 +35,7 @@ __all__ = [
     "cosine_topk", "embedding_near_dup_pairs", "lsh_ann_topk",
     "attach_binary_payload", "extract_features",
     "bloom_build", "bloom_prune",
+    "clip_polygon_rings", "rings_area",
     "cms_sketch", "cms_merge", "cms_estimate",
     "hll_registers", "hll_merge", "hll_summary",
 ]

@@ -12,33 +12,45 @@ thread the crossings into both vertex cycles, mark entry/exit by
 inside-state alternation, then trace rings switching lists at each
 crossing.
 
-GENERAL-POSITION CONTRACT: the implementation assumes no
-vertex-on-edge contact, no coincident/collinear edge overlap, and no
-three-way crossings — the classic GH precondition. The battery
-guarantees it BY CONSTRUCTION: subject coordinates are dyadic rationals
-on a 2^-5 grid while the literal clipper is offset by eps_x = 2^-20 /
-eps_y = 2^-21, so a contact would force an identity
-``k * 2^-20 + m * 2^-21 = multiple of 2^-5`` with |k| + |m| <= 2 —
-impossible. Violations surface loudly (ValueError), never as a
-silently wrong ring.
+EXACT ARITHMETIC: every coordinate is lifted to ``fractions.Fraction``
+(floats convert exactly), so crossing parameters, inside tests, and
+ring areas are exact rationals — no epsilon anywhere, and the
+general-position guards are exact equalities. ``ring_area_6dp`` rounds
+the exact rational half-away-from-zero at 6 dp, which is the SAME value
+``round(x, 6)`` produces in DuckDB/Spark whenever their double x is
+within float error of the true area and the true area is not within
+~1e-12 of a .0000005 boundary (the batteries construct tie-free
+geometry; see func_geo_concave).
+
+GENERAL-POSITION CONTRACT: no vertex-on-edge contact, no coincident or
+collinear edge overlap, no three-way crossings — the classic GH
+precondition. The geo battery guarantees it BY CONSTRUCTION: subject
+coordinates are dyadic rationals on a 2^-5 grid while the literal
+clipper is offset by eps_x = 2^-20 / eps_y = 2^-21, so a contact would
+force an identity ``k * 2^-20 + m * 2^-21 = multiple of 2^-5`` with
+|k| + |m| <= 2 — impossible. Violations surface loudly (ValueError),
+never as a silently wrong ring.
 
 This is the one Python-kernel geometry operator in the package (the
 stated custom-operator ladder: Catalyst composition first, Pandas-UDF
 second — ring tracing is inherently sequential per row and has no
-column-algebra form). It runs inside ``mapInPandas`` over Arrow
-batches; per-row cost is O((n+m)^2) on single-digit-vertex polygons.
-Output is canonicalized (each ring rotated to its lexicographically
+column-algebra form). Callers run it inside ``mapInPandas`` over Arrow
+batches (queries/funcs.py func_geo_rings); per-row cost is O((n+m)^2)
+on single-digit-vertex polygons, map-only — no shuffle at any scale.
+Output is canonicalized (each CCW ring rotated to its lexicographically
 smallest vertex, rings sorted) so the result is deterministic across
 partitionings and engines.
 """
 
 from __future__ import annotations
 
+from fractions import Fraction
 from typing import Iterable
 
 
-def _area2(ring: "list[tuple[float, float]]") -> float:
-    s = 0.0
+def _area2(ring):
+    """Twice the signed area (exact; CCW positive)."""
+    s = Fraction(0)
     n = len(ring)
     for i in range(n):
         x1, y1 = ring[i]
@@ -48,7 +60,10 @@ def _area2(ring: "list[tuple[float, float]]") -> float:
 
 
 def _ccw(ring):
-    return list(ring) if _area2(ring) > 0 else list(reversed(ring))
+    a2 = _area2(ring)
+    if a2 == 0:
+        raise ValueError("polyclip: degenerate (zero-area) ring")
+    return list(ring) if a2 > 0 else list(reversed(ring))
 
 
 def _inside(pt, ring) -> bool:
@@ -61,7 +76,7 @@ def _inside(pt, ring) -> bool:
         x2, y2 = ring[(i + 1) % n]
         if (y1 > y) != (y2 > y):
             dy = y2 - y1
-            left = ((x - x1) * dy - (x2 - x1) * (y - y1))
+            left = (x - x1) * dy - (x2 - x1) * (y - y1)
             if (left < 0) if dy > 0 else (left > 0):
                 hit = not hit
     return hit
@@ -70,7 +85,7 @@ def _inside(pt, ring) -> bool:
 class _Node:
     __slots__ = ("pt", "nxt", "neighbor", "entry", "inter", "visited", "t")
 
-    def __init__(self, pt, inter=False, t=0.0):
+    def __init__(self, pt, inter=False, t=Fraction(0)):
         self.pt = pt
         self.nxt = None
         self.neighbor = None
@@ -89,17 +104,27 @@ def _build(ring):
 
 def _seg_intersect(p1, p2, q1, q2):
     """Proper-crossing intersection of open segments; None otherwise.
-    Raises on (near-)degenerate contact — the general-position guard."""
+    Raises on endpoint/collinear contact — the general-position guard
+    (exact: all operands are Fractions)."""
     d1x, d1y = p2[0] - p1[0], p2[1] - p1[1]
     d2x, d2y = q2[0] - q1[0], q2[1] - q1[1]
     den = d1x * d2y - d1y * d2x
-    if den == 0.0:
-        return None  # parallel: collinear overlap is excluded by contract
+    if den == 0:
+        # parallel; collinear OVERLAP would violate the contract — detect
+        # it exactly: q1 on the p-line and the segments' spans touching.
+        if (q1[0] - p1[0]) * d1y == (q1[1] - p1[1]) * d1x:
+            lo1, hi1 = sorted((p1, p2))
+            lo2, hi2 = sorted((q1, q2))
+            if not (hi1 < lo2 or hi2 < lo1):
+                raise ValueError(
+                    "polyclip: collinear edge overlap violates the "
+                    "general-position contract")
+        return None
     t = ((q1[0] - p1[0]) * d2y - (q1[1] - p1[1]) * d2x) / den
     u = ((q1[0] - p1[0]) * d1y - (q1[1] - p1[1]) * d1x) / den
-    if 0.0 < t < 1.0 and 0.0 < u < 1.0:
+    if 0 < t < 1 and 0 < u < 1:
         return t, u, (p1[0] + t * d1x, p1[1] + t * d1y)
-    if t in (0.0, 1.0) and 0.0 <= u <= 1.0 or u in (0.0, 1.0) and 0.0 <= t <= 1.0:
+    if (t in (0, 1) and 0 <= u <= 1) or (u in (0, 1) and 0 <= t <= 1):
         raise ValueError(
             "polyclip: endpoint contact violates the general-position "
             f"contract (t={t}, u={u})")
@@ -109,25 +134,20 @@ def _seg_intersect(p1, p2, q1, q2):
 def clip_polygon_rings(subject: Iterable, clip: Iterable):
     """Intersection rings of two simple polygons in general position
     (either orientation; concavity allowed; no holes). Returns a list
-    of CCW rings, canonicalized: each rotated to its lexicographically
-    smallest vertex, list sorted by that vertex."""
-    subj = _ccw([(float(x), float(y)) for x, y in subject])
-    clp = _ccw([(float(x), float(y)) for x, y in clip])
+    of CCW rings of exact-Fraction (x, y) pairs, canonicalized: each
+    rotated to its lexicographically smallest vertex, list sorted by
+    that vertex."""
+    subj = _ccw([(Fraction(x), Fraction(y)) for x, y in subject])
+    clp = _ccw([(Fraction(x), Fraction(y)) for x, y in clip])
     s_nodes, c_nodes = _build(subj), _build(clp)
 
-    # 1. thread crossings into both cycles, ordered along each edge
-    crossings = []
-    for sn in list(s_nodes):
-        for cn in list(c_nodes):
-            hit = _seg_intersect(sn.pt, sn.nxt.pt if not sn.nxt.inter
-                                 else _edge_end(sn), _c0(cn),
-                                 _c1(cn)) if False else None
-    # (edge iteration must use the ORIGINAL edges, not the threaded
-    # lists — collect hits first, then insert)
+    # 1. find all proper crossings on the ORIGINAL edges, then thread
+    # them into both vertex cycles ordered by the along-edge parameter
     s_edges = [(n, n.nxt) for n in s_nodes]
     c_edges = [(n, n.nxt) for n in c_nodes]
-    per_s = {id(e[0]): [] for e in s_edges}
-    per_c = {id(e[0]): [] for e in c_edges}
+    per_s: dict[int, list] = {id(a): [] for a, _ in s_edges}
+    per_c: dict[int, list] = {id(a): [] for a, _ in c_edges}
+    crossings = []
     for sa, sb in s_edges:
         for ca, cb in c_edges:
             hit = _seg_intersect(sa.pt, sb.pt, ca.pt, cb.pt)
@@ -140,20 +160,13 @@ def clip_polygon_rings(subject: Iterable, clip: Iterable):
             per_s[id(sa)].append(ns)
             per_c[id(ca)].append(nc)
             crossings.append(ns)
-    for head, inserts in ((s_edges, per_s), (c_edges, per_c)):
-        for a, b in head:
-            chain = sorted(inserts[id(a)], key=lambda n: n.t)
+    for edges, inserts in ((s_edges, per_s), (c_edges, per_c)):
+        for a, b in edges:
             cur = a
-            for nd in chain:
-                nd.nxt = cur.nxt if cur is a else cur.nxt
-                # relink sequentially
-            # (simple relink: walk)
-            cur = a
-            nxt0 = a.nxt
-            for nd in chain:
+            for nd in sorted(inserts[id(a)], key=lambda n: n.t):
                 cur.nxt = nd
                 cur = nd
-            cur.nxt = nxt0
+            cur.nxt = b
 
     # 2. no crossings: containment / disjoint trichotomy
     if not crossings:
@@ -163,12 +176,12 @@ def clip_polygon_rings(subject: Iterable, clip: Iterable):
             return _canon([clp])
         return []
 
-    # 3. mark entry/exit on the subject cycle by inside-state
-    # alternation (start state = is the first ORIGINAL subject vertex
-    # inside the clip?), and symmetrically for the clip cycle
+    # 3. mark entry/exit on each cycle by inside-state alternation
+    # (start state = is the cycle's first ORIGINAL vertex inside the
+    # other polygon? inside -> the next crossing EXITS)
     for nodes, other in ((s_nodes, clp), (c_nodes, subj)):
         start = nodes[0]
-        state = _inside(start.pt, other)  # inside -> next crossing EXITS
+        state = _inside(start.pt, other)
         cur = start.nxt
         while True:
             if cur.inter:
@@ -178,32 +191,33 @@ def clip_polygon_rings(subject: Iterable, clip: Iterable):
                 break
             cur = cur.nxt
 
-    # 4. trace rings: deterministic start order
+    # 4. trace rings. Start ONLY at unvisited subject ENTRY crossings —
+    # every intersection ring alternates entry/exit on the subject cycle,
+    # so entries alone reach every ring; an exit-node start would need
+    # the backward walk this forward-only tracer deliberately lacks
+    # (starting at exits crashed ~half of valid inputs pre-r9).
     rings = []
     for start in sorted(crossings, key=lambda n: n.pt):
-        if start.visited:
+        if start.visited or not start.entry:
             continue
         ring = []
-        cur, on_subject = start, True
+        cur = start
         while not cur.visited:
             cur.visited = True
             if cur.neighbor is not None:
                 cur.neighbor.visited = True
-            if cur.entry:
-                while True:
-                    ring.append(cur.pt)
-                    cur = cur.nxt
-                    if cur.inter:
-                        break
-            else:
-                # walking backward is the textbook exit rule; with both
-                # cycles CCW and the intersection op, every switch lands
-                # on an entry node, so this branch means the marks
-                # desynchronized — loud-fail per the module contract
-                raise ValueError("polyclip: exit-node trace start "
-                                 "(degenerate input?)")
+            if not cur.entry:
+                # after a list switch we must land on an entry node (both
+                # cycles CCW, intersection op); anything else means the
+                # marks desynchronized — loud-fail per the module contract
+                raise ValueError("polyclip: exit node reached as a trace "
+                                 "head (degenerate input?)")
+            while True:
+                ring.append(cur.pt)
+                cur = cur.nxt
+                if cur.inter:
+                    break
             cur = cur.neighbor
-            on_subject = not on_subject
         if len(ring) >= 3:
             rings.append(ring)
     return _canon(rings)
@@ -219,13 +233,21 @@ def _canon(rings):
     return out
 
 
-def _edge_end(n):  # pragma: no cover - placeholder, unused
-    raise AssertionError
+def rings_area(rings) -> Fraction:
+    """Exact total area of a canonicalized (CCW) ring list."""
+    total = Fraction(0)
+    for r in rings:
+        total += _area2(r) / 2
+    return total
 
 
-def _c0(n):  # pragma: no cover - placeholder, unused
-    raise AssertionError
-
-
-def _c1(n):  # pragma: no cover - placeholder, unused
-    raise AssertionError
+def round_half_away_6dp(x: Fraction) -> float:
+    """Round an exact rational half-away-from-zero at 6 dp, as a double —
+    the value DuckDB/Spark ``round(x, 6)`` produces from a faithfully
+    computed double x (tie-free geometry; see module docstring)."""
+    scaled = x * 1_000_000
+    if scaled >= 0:
+        q = (2 * scaled + 1) // 2  # floor(scaled + 1/2)
+    else:
+        q = -((2 * -scaled + 1) // 2)
+    return float(q) / 1e6

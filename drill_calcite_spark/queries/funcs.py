@@ -424,9 +424,12 @@ def func_datetime_ceil(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q("func_tumble_group", """
-SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 7200000000) AS w_start,
-       make_timestamp(epoch_us(ts) - epoch_us(ts) % 7200000000
-                      + 7200000000) AS w_end,
+SELECT make_timestamp(epoch_us(ts)
+         - ((epoch_us(ts) % 7200000000) + 7200000000) % 7200000000)
+         AS w_start,
+       make_timestamp(epoch_us(ts)
+         - ((epoch_us(ts) % 7200000000) + 7200000000) % 7200000000
+         + 7200000000) AS w_end,
        event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        round(sum(CAST(value AS DECIMAL(18,6))), 2)::DOUBLE AS total_value
@@ -443,7 +446,9 @@ def func_tumble_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (timestamp_micros/unix_micros/pmod — floor semantics even
     pre-epoch), with TUMBLE_END wrapping the start expression so Spark
     matches the grouping tree. The oracle spells the same buckets in
-    DuckDB's epoch_us/make_timestamp. Map-side partial aggregation +
+    DuckDB's epoch_us/make_timestamp with an explicit double-mod
+    floor (DuckDB's % truncates toward zero), so the two sides agree
+    even for pre-epoch timestamps — the r9 ADVICE hardening. Map-side partial aggregation +
     one shuffle on (bucket, type) — the standard batch tumbling rollup;
     the STREAMING tumble (window() + watermark over an unbounded
     source) is stream_tumble_hourly. Value sums in DECIMAL, 2-dp
@@ -467,7 +472,8 @@ def func_tumble_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("func_hop_group", """
 WITH w AS (
   SELECT event_type, value,
-         epoch_us(ts) - epoch_us(ts) % 3600000000
+         epoch_us(ts)
+           - ((epoch_us(ts) % 3600000000) + 3600000000) % 3600000000
            - i.i * 3600000000 AS ws,
          epoch_us(ts) AS t
   FROM events, (SELECT unnest(range(3)) AS i) i
@@ -2886,9 +2892,9 @@ def func_geo_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerate 0.5 fraction, which drops out through signum = 0) and
     reflex CHEVRONS (4 vertices, always mixed-sign), the clipper a
     literal L-shape fanned from the corner that makes ITS decomposition
-    mixed-sign. The intersection ring as an ordered vertex list still
-    delegates (tests/iq/README.md) — this closes every AREA-level
-    set-op ST_* question. Dyadic subject coordinates keep the 6-dp
+    mixed-sign. This closes every AREA-level set-op ST_* question;
+    the intersection ring as an ordered vertex list is closed by
+    func_geo_rings (r9). Dyadic subject coordinates keep the 6-dp
     display rounding tie-free on both engines; every term is evaluated
     in the identical order as the DuckDB twin, so the fold is
     bit-identical. Map-only column algebra: no shuffle, no Python, plan
@@ -2943,3 +2949,95 @@ def func_geo_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("ar_c") + F.lit(q_area) - 2 * F.col("ia_c"), 6)
          + F.lit(0.0)).alias("chev_symdiff"),
     )
+
+
+# -------------------------------------------------- geometry: intersection RINGS
+# The eps-shifted L-shape: +2^-20 in x, +2^-27 in y. Subject (dart)
+# coordinates are dyadic multiples of 2^-3, so a vertex/edge contact with
+# this clipper would force 2^-27 * (dx - 128*dy) = multiple of 2^-6 with
+# |dx - 128*dy| < 2^9 -- i.e. dx = 128*dy exactly, impossible for the
+# dart's edge set (horizontal, vertical, and |dx| <= 2 / |dy| >= 0.5
+# notch diagonals). General position therefore holds BY CONSTRUCTION,
+# which is the Greiner-Hormann precondition (operators/polyclip.py).
+_RINGS_L = [(x + 2.0 ** -20, y + 2.0 ** -27) for (x, y) in _CONCAVE_L]
+
+
+def _geo_rings_sql() -> str:
+    from drill_calcite_spark.functions.geo import sql_concave_intersection_area
+
+    dart = [("cx", "cy"), ("cx + w", "cy"), ("cx + w", "cy + h"),
+            ("cx + w / 2", "dd"), ("cx", "cy + h")]
+    ia = sql_concave_intersection_area(dart, _RINGS_L,
+                                       origin=_CONCAVE_ORIGIN)
+    return f"""
+WITH pts AS (
+  SELECT event_id,
+         CAST((event_id % 45) - 12 AS DOUBLE) AS cx,
+         CAST((user_id % 39) - 12 AS DOUBLE)  AS cy,
+         CAST(2 + event_id % 3 AS DOUBLE)     AS w,
+         CAST(2 + user_id % 3 AS DOUBLE)      AS h,
+         CAST((user_id % 39) - 12 AS DOUBLE)
+           + CAST(2 + user_id % 3 AS DOUBLE)
+             * (0.25 + 0.125 * (event_id % 5)) AS dd
+  FROM events WHERE event_id < 3000
+)
+SELECT event_id,
+       (round({ia}, 6) + 0.0) AS inter_area
+FROM pts
+"""
+
+
+@q("func_geo_rings", _geo_rings_sql())
+def func_geo_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intersection RINGS of a concave x concave pair — the round-9
+    closure of the LAST geometry-engine delegation (the reference hands
+    ordered set-op vertex rings to the ESRI GeometryEngine,
+    GeoFunctions.java:491-497; func_geo_concave closed the AREAS in
+    column algebra, this closes the RINGS). Spark side: the
+    Greiner-Hormann clipper (operators/polyclip.py) in EXACT rational
+    arithmetic inside mapInPandas — map-only, no shuffle, Arrow-batched;
+    the displayed area is the exact rings area rounded half-away at
+    6 dp. Oracle: the completely independent signed-fan column-algebra
+    decomposition (functions/geo.py) over the identical geometry — two
+    unrelated algorithms (sequential ring tracing vs Sutherland-Hodgman
+    clip algebra) agreeing bit-for-bit at 6 dp is the strongest
+    cross-proof in the geo family. The eps-shifted clipper (_RINGS_L)
+    makes the general-position precondition provable, not probabilistic.
+    Scale: per-row cost is O((n+m)^2) on single-digit-vertex polygons
+    and the stage is embarrassingly parallel; ring structure itself
+    (counts, vertex order) is pinned by unit goldens in
+    tests/test_polyclip.py, since ring lists are not SQL-expressible."""
+    import pandas as pd
+
+    from drill_calcite_spark.operators.polyclip import (
+        clip_polygon_rings, rings_area, round_half_away_6dp,
+    )
+
+    pts = (
+        t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+        .select(
+            "event_id",
+            ((F.col("event_id") % 45) - 12).cast("double").alias("cx"),
+            ((F.col("user_id") % 39) - 12).cast("double").alias("cy"),
+            (2 + F.col("event_id") % 3).cast("double").alias("w"),
+            (2 + F.col("user_id") % 3).cast("double").alias("h"),
+            (((F.col("user_id") % 39) - 12).cast("double")
+             + (2 + F.col("user_id") % 3).cast("double")
+             * (0.25 + 0.125 * (F.col("event_id") % 5))).alias("dd"),
+        )
+    )
+    lit_clip = list(_RINGS_L)
+
+    def batch(frames):
+        for pdf in frames:
+            areas = []
+            for cx, cy, w, h, dd in zip(pdf["cx"], pdf["cy"], pdf["w"],
+                                        pdf["h"], pdf["dd"]):
+                dart = [(cx, cy), (cx + w, cy), (cx + w, cy + h),
+                        (cx + w / 2, dd), (cx, cy + h)]
+                rings = clip_polygon_rings(dart, lit_clip)
+                areas.append(round_half_away_6dp(rings_area(rings)) + 0.0)
+            yield pd.DataFrame({"event_id": pdf["event_id"],
+                                "inter_area": areas})
+
+    return pts.mapInPandas(batch, "event_id bigint, inter_area double")

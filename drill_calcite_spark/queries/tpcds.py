@@ -965,7 +965,7 @@ WITH m AS (
 ),
 u AS (
   SELECT * FROM m
-  WHERE n >= 2 AND n * n * (n * s2 - s1 * s1) > 4 * (n - 1) * s1 * s1
+  WHERE n >= 2 AND 16 * n * (n * s2 - s1 * s1) > 9 * (n - 1) * s1 * s1
 )
 SELECT a.suppkey, a.yr, a.mo AS mo_prev, b.mo AS mo_cur,
        a.n AS n_prev, b.n AS n_cur,
@@ -981,14 +981,15 @@ def ds_inventory_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups whose coefficient of variation exceeds a threshold, then
     self-join CONSECUTIVE months both unstable — q39's two-CTE
     inv1 ⋈ inv2 pattern (suppkey standing in for warehouse; x =
-    per-lineitem quantity; threshold cov > 2, which splits this
-    heavy-tailed quantity data ~25/75 — q39 uses cov > 1 the same way).
+    per-lineitem quantity; threshold cov > 3/4, which splits these
+    uniform quantities ~16/84 — q39 uses cov > 1 the same way on its
+    burstier inventory data).
 
     Exactness: q39 computes ``stdev/mean > k`` in floats; here the same
     predicate is the pure-INTEGER equivalence
-    ``n²·(n·Σx² − (Σx)²) > k²·(n−1)·(Σx)²``  (σ²ₛₐₘₚ > k²μ² cleared of
-    both denominators — quantities are integral, so Σx/Σx² are exact
-    BIGINTs; magnitudes stay ≪ 2⁶³). Means display via the exact
+    ``q²·n·(n·Σx² − (Σx)²) > p²·(n−1)·(Σx)²`` for k = p/q  (σ²ₛₐₘₚ >
+    k²μ² cleared of every denominator — quantities are integral, so
+    Σx/Σx² are exact BIGINTs; magnitudes stay ≪ 2⁶³). Means display via the exact
     half-up micro-ratio. No stddev()/sqrt() anywhere — libm-free, so
     the engines agree bit-for-bit.
 
@@ -1010,8 +1011,15 @@ def ds_inventory_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(qty * qty).cast("bigint").alias("s2"))
     )
     n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
-    u = m.filter((n >= 2) & (n * n * (n * s2 - s1 * s1)
-                             > 4 * (n - 1) * s1 * s1))
+    # cov > 3/4  ⟺  σ²ₛₐₘₚ > (9/16)μ²  ⟺  16n·(nΣx² − (Σx)²) > 9(n−1)(Σx)²
+    # (multiply both sides by 16n²(n−1) > 0). The r8 code had an extra
+    # factor of n (effective threshold 2/√n — the ADVICE finding); the
+    # honest cov > 2 filters EVERYTHING on this uniform-quantity data
+    # (cov ≈ 0.57), so the corrected predicate uses 3/4, which splits
+    # groups ~16/84 and keeps the month-pair join non-vacuous (q39
+    # itself uses cov > 1 on burstier inventory data).
+    u = m.filter((n >= 2) & (16 * n * (n * s2 - s1 * s1)
+                             > 9 * (n - 1) * s1 * s1))
     w = Window.partitionBy("suppkey", "yr").orderBy("mo")
     lagged = u.select(
         "suppkey", "yr", "mo", "n", "s1",

@@ -345,6 +345,14 @@ def _rewrite_hop(text: str, lits: "list[str]") -> str:
     their arguments in the rewrite, so mixed triples would silently
     cross-wire and are rejected loudly instead."""
     head = re.compile(r"\b(hop_start|hop_end|hop)\s*\(", re.I)
+    # The rewrite rebinds the bare name `window` (Spark's grouping-struct
+    # name) for the auxiliary START/END references; a statement that
+    # already binds or references that identifier would mis-resolve
+    # SILENTLY — enforce the documented constraint loudly (r9 ADVICE).
+    if head.search(text) and re.search(r"\bwindow\b", text, re.I):
+        raise TumbleUnsupported(
+            "HOP rewrite reserves the identifier `window` for Spark's "
+            "grouping struct; rename the conflicting column/alias")
     out, triples = text, set()
     while True:
         found = False
@@ -391,6 +399,11 @@ def _rewrite_session(text: str, lits: "list[str]") -> str:
     ``session_window.start``, SESSION_END → ``session_window.end``.
     Same one-argument-pair-per-statement contract as _rewrite_hop."""
     head = re.compile(r"\b(session_start|session_end|session)\s*\(", re.I)
+    # same loud-fail shadow guard as _rewrite_hop (r9 ADVICE)
+    if head.search(text) and re.search(r"\bsession_window\b", text, re.I):
+        raise TumbleUnsupported(
+            "SESSION rewrite reserves the identifier `session_window` for "
+            "Spark's grouping struct; rename the conflicting column/alias")
     out, pairs = text, set()
     while True:
         found = False

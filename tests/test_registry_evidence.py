@@ -12,7 +12,9 @@ import glob
 import json
 import os
 
-from drill_calcite_spark.queries import _DRIVER_PRIORITY, all_oracles
+from drill_calcite_spark.queries import (
+    _DRIVER_PRIORITY, _ROWS_ONLY_FIRST_EVIDENCE, all_oracles,
+)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -46,8 +48,13 @@ def test_driver_priority_within_slots_and_unique():
     assert len(_DRIVER_PRIORITY) <= DRIVER_SLOTS, (
         f"{len(_DRIVER_PRIORITY)} prioritized names but the driver only "
         f"oracles the first {DRIVER_SLOTS}")
-    # every prioritized name must actually be oracle-backed (a rows-only
-    # name in the head would waste a hard-evidence slot)
+    # every prioritized name must be oracle-backed, EXCEPT the explicit
+    # rows-only first-evidence slate (r9: the driver records a rows-only
+    # check for head entries without an oracle, and eight rows-only names
+    # had zero driver rows of any kind — one round of slots buys each its
+    # first hard-signal row; they rotate back out once green)
     oracle_names = set(all_oracles())
-    not_backed = [n for n in _DRIVER_PRIORITY if n not in oracle_names]
+    allowed_rows_only = set(_ROWS_ONLY_FIRST_EVIDENCE)
+    not_backed = [n for n in _DRIVER_PRIORITY
+                  if n not in oracle_names and n not in allowed_rows_only]
     assert not not_backed, f"slated but not oracle-backed: {not_backed}"

@@ -312,6 +312,20 @@ def test_hop_rejects_bad_forms():
     with pytest.raises(TumbleUnsupported):  # variable-width unit
         rewrite("select hop(ts, interval '1' month, interval '2' month) "
                 "from t group by 1", nulls_high=False)
+    with pytest.raises(TumbleUnsupported):  # `window` name shadow (r9)
+        rewrite("select window, hop_start(ts, interval '1' hour, "
+                "interval '2' hour) from t group by window, "
+                "hop(ts, interval '1' hour, interval '2' hour)",
+                nulls_high=False)
+
+
+def test_session_rejects_name_shadow():
+    from drill_calcite_spark.sql import TumbleUnsupported
+
+    with pytest.raises(TumbleUnsupported):  # `session_window` shadow (r9)
+        rewrite("select t.session_window, session_start(ts, "
+                "interval '30' minute) from t group by t.session_window, "
+                "session(ts, interval '30' minute)", nulls_high=False)
 
 
 def test_session_rewrites_to_session_window():
