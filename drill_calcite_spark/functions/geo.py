@@ -42,13 +42,17 @@ def st_x(wkt: Column) -> Column:
     """ST_X(point) — X coordinate of a WKT point.
 
     Oracle: regexp_extract(wkt, 'POINT \\((-?[0-9.]+) ', 1)::DOUBLE
+
+    try_cast, not cast: a regexp miss (non-POINT input) yields '' which
+    throws under ANSI mode — NULL is the permissive-evaluation contract
+    (the r9 ANSI-hazard sweep; same class as the st_srid r8 red).
     """
-    return F.regexp_extract(wkt, _WKT_X, 1).cast("double")
+    return F.regexp_extract(wkt, _WKT_X, 1).try_cast("double")
 
 
 def st_y(wkt: Column) -> Column:
-    """ST_Y(point) — Y coordinate of a WKT point."""
-    return F.regexp_extract(wkt, _WKT_Y, 1).cast("double")
+    """ST_Y(point) — Y coordinate of a WKT point (try_cast: see st_x)."""
+    return F.regexp_extract(wkt, _WKT_Y, 1).try_cast("double")
 
 
 def st_distance(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
