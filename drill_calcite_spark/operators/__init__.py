@@ -19,6 +19,11 @@ from drill_calcite_spark.operators.multimodal import (
 )
 from drill_calcite_spark.operators.bloom import bloom_build, bloom_prune
 from drill_calcite_spark.operators.polyclip import clip_polygon_rings, rings_area
+from drill_calcite_spark.operators.qsketch import (
+    qsketch_build,
+    qsketch_merge,
+    qsketch_quantiles,
+)
 from drill_calcite_spark.operators.sketch import (
     cms_estimate,
     cms_merge,
@@ -37,5 +42,6 @@ __all__ = [
     "bloom_build", "bloom_prune",
     "clip_polygon_rings", "rings_area",
     "cms_sketch", "cms_merge", "cms_estimate",
+    "qsketch_build", "qsketch_merge", "qsketch_quantiles",
     "hll_registers", "hll_merge", "hll_summary",
 ]

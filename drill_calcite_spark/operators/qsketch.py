@@ -1,0 +1,120 @@
+"""Mergeable QUANTILE sketch — log-bucket histogram (HDR-histogram /
+DDSketch shape), completing the frequency (CMS) / distinct (HLL) /
+quantile sketch triad for 100 TB telemetry.
+
+Public provenance: Gil Tene's HdrHistogram (exponent + mantissa-prefix
+buckets, pure integer arithmetic) and the DDSketch framing (Masson,
+Rim & Lee, VLDB 2019: a fully-mergeable quantile sketch with RELATIVE
+error — bucket counts are linear, so sketches merge by cellwise
+addition). The reference has no mergeable quantile state; its quantile
+surface is PERCENTILE_CONT/DISC + a Calcite-side sort
+(SqlStdOperatorTable), which cannot merge across days/partitions.
+
+Bucketing (the engine-portable core): for a non-negative BIGINT value
+``v`` with ``e = length(bin(v)) - 1`` (the integer log2 — STRING length
+of the binary rendering, exact in both Spark and DuckDB, NO libm
+anywhere), the bucket is ``v`` floored to ``unit = 2^(e-B)``
+granularity (``unit = 1`` when ``e < B``):
+
+    lo = v - v % (CASE WHEN e < B THEN 1 ELSE 1 << (e - B) END)
+
+Every bucket's span is ≤ 2^-B of its magnitude, so the reported
+quantile ``lo`` satisfies ``lo ≤ x_q < lo·(1 + 2^-B)`` — a relative
+error of 2^-B (B = QSKETCH_SUB_BITS = 5 → ≤ 3.125%). The keyspace is
+capped at ``64·2^B`` buckets for ANY input cardinality.
+
+Scale shape (same discipline as operators/sketch.py CMS/HLL):
+- build = ONE aggregation with a ≤ 2048-cell key space: partial
+  aggregation collapses each task to ≤ 2048 cells BEFORE the exchange;
+- sketches MERGE by cellwise count addition (qsketch_merge; property-
+  tested sketch(A∪B) = merge(sketch A, sketch B));
+- quantile extraction runs on the ≤ 2048-row sketch — a single-task
+  window over the sketch is FINE at any data scale because the sketch,
+  not the data, is its input.
+
+Determinism contract: values must be non-negative integers (quantize
+money/doubles to exact micro/cent BIGINTs first — the repo's decimal
+discipline); the quantile rule is the smallest bucket whose cumulative
+count reaches ``ceil(q·N)`` (PERCENTILE_DISC's rank rule applied to
+buckets), so both engines agree bit for bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+QSKETCH_SUB_BITS = 5  # relative error 2^-5 = 3.125%; <= 2048 buckets
+
+
+def qsketch_bucket(v: Column, sub_bits: int = QSKETCH_SUB_BITS) -> Column:
+    """Bucket lower bound: ``v`` floored to 2^(e-B) granularity.
+    SQL twin: :func:`sql_qsketch_bucket` (identical formula text)."""
+    e = (F.length(F.bin(v)) - 1).cast("int")
+    unit = (F.when(e < sub_bits, F.lit(1).cast("bigint"))
+            .otherwise(F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"),
+                e - F.lit(sub_bits))))
+    return (v - v % unit).cast("bigint")
+
+
+def sql_qsketch_bucket(v: str, sub_bits: int = QSKETCH_SUB_BITS) -> str:
+    """DuckDB twin of :func:`qsketch_bucket`."""
+    e = f"(length(bin({v})) - 1)"
+    unit = (f"(CASE WHEN {e} < {sub_bits} THEN 1::BIGINT"
+            f" ELSE (1::BIGINT << ({e} - {sub_bits})) END)")
+    return f"CAST(({v}) - ({v}) % {unit} AS BIGINT)"
+
+
+def qsketch_build(df: DataFrame, value_col: str,
+                  sub_bits: int = QSKETCH_SUB_BITS) -> DataFrame:
+    """Build the sketch: ``(bucket_lo, cnt)``, ≤ 64·2^B rows. One
+    aggregation; the capped key space map-side-combines before the
+    exchange (plan-pinned in tests/test_plan_shapes.py)."""
+    return (df.select(qsketch_bucket(F.col(value_col), sub_bits)
+                      .alias("bucket_lo"))
+            .groupBy("bucket_lo")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+
+
+def qsketch_merge(*sketches: DataFrame) -> DataFrame:
+    """Cellwise merge — counts are linear, so union + re-aggregate."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket_lo").agg(F.sum("cnt").cast("bigint")
+                                        .alias("cnt"))
+
+
+def qsketch_quantiles(sketch: DataFrame, qs: "list[tuple[int, int]]",
+                      ) -> DataFrame:
+    """Quantile lower bounds from the sketch. ``qs`` is a list of
+    (numerator, denominator) rational quantiles (e.g. (99, 100)) —
+    rationals keep ``ceil(q·N)`` in exact integer arithmetic:
+    ``rank = (num·N + den − 1) div den``. Returns (q_pct, lo, n).
+    The window runs over the ≤ 2048-row SKETCH, never the data."""
+    w = Window.orderBy("bucket_lo").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = sketch.select(
+        "bucket_lo", "cnt",
+        F.sum("cnt").over(w).cast("bigint").alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("bigint").alias("n"),
+    )
+    qarr = F.array(*[
+        F.struct(F.lit(100 * num // den).cast("bigint").alias("q_pct"),
+                 F.lit(num).cast("bigint").alias("num"),
+                 F.lit(den).cast("bigint").alias("den"))
+        for num, den in qs])
+    expanded = cum.select("bucket_lo", "cum", "n",
+                          F.explode(qarr).alias("q"))
+    rank = F.call_function(
+        "div", F.col("q.num") * F.col("n") + F.col("q.den") - 1,
+        F.col("q.den"))
+    return (expanded.filter(F.col("cum") >= rank)
+            .groupBy(F.col("q.q_pct").alias("q_pct"))
+            .agg(F.min("bucket_lo").cast("bigint").alias("lo"),
+                 F.max("n").cast("bigint").alias("n")))

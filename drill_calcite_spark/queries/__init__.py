@@ -64,6 +64,9 @@ _DRIVER_PRIORITY = [
     # (d) code/oracle touched in round 9
     "func_geo_setops", "func_tumble_group", "func_hop_group",
     "ds_inventory_variance",
+    # (b2) new mid-round-9: the mergeable quantile sketch completing the
+    # CMS/HLL/quantile triad (operators/qsketch.py)
+    "sketch_qsketch_quantiles",
     # (e1) the complete round-2-vintage cohort
     "agg_having", "q13_customer_distribution", "q14_promo_effect",
     "q22_global_sales_opportunity", "q4_order_priority",

@@ -1577,6 +1577,69 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summ.crossJoin(F.broadcast(true_n))
 
 
+def _qsketch_oracle() -> str:
+    from drill_calcite_spark.operators.qsketch import sql_qsketch_bucket
+
+    return f"""
+WITH v AS (
+  SELECT CAST(l_extendedprice::DECIMAL(18,2) * 100 AS BIGINT) AS v
+  FROM lineitem
+),
+s AS (
+  SELECT {sql_qsketch_bucket('v')} AS bucket_lo,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM v GROUP BY 1
+),
+c AS (
+  SELECT bucket_lo,
+         sum(cnt) OVER (ORDER BY bucket_lo) AS cum,
+         sum(cnt) OVER () AS n
+  FROM s
+),
+q(q_pct, num, den) AS (
+  VALUES (1, 1, 100), (25, 1, 4), (50, 1, 2),
+         (75, 3, 4), (90, 9, 10), (99, 99, 100)
+)
+SELECT CAST(q_pct AS BIGINT)        AS q_pct,
+       CAST(min(bucket_lo) AS BIGINT) AS lo,
+       CAST(max(n) AS BIGINT)         AS n
+FROM c, q
+WHERE cum >= (num * n + den - 1) // den
+GROUP BY q_pct
+"""
+
+
+@q("sketch_qsketch_quantiles", _qsketch_oracle())
+def sketch_qsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE QUANTILE SKETCH (operators/qsketch.py — HdrHistogram /
+    DDSketch shape, VLDB 2019): price quantiles {1,25,50,75,90,99}% of
+    lineitem extended prices (exact cents) from a log-bucket histogram
+    whose key space is capped at ≤ 2048 buckets for ANY cardinality.
+    Completes the CMS (frequency) / HLL (distinct) / quantile sketch
+    triad. The bucket formula is pure integer arithmetic —
+    ``length(bin(v))`` for the exponent, shift for the unit, floor-mod
+    for the bucket — NO libm anywhere, so the DuckDB oracle rebuilds
+    the sketch cell-for-cell and the driver hash pins every reported
+    quantile bucket exactly. Reported ``lo`` satisfies
+    ``lo ≤ x_q < lo·(1 + 2^-5)`` (3.125% relative error, unit-tested
+    against exact quantiles; merge property sketch(A∪B) =
+    merge(sketch A, sketch B) property-tested in tests/test_operators).
+
+    Scale shape: ONE capped-keyspace aggregation (map-side collapse to
+    ≤ 2048 cells before the exchange — plan-pinned); quantile
+    extraction windows over the ≤ 2048-row SKETCH, never the data, so
+    its single-task window is size-independent of the corpus."""
+    from drill_calcite_spark.operators.qsketch import (
+        qsketch_build, qsketch_quantiles)
+
+    li = t(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("v"))
+    sk = qsketch_build(li, "v")
+    return qsketch_quantiles(
+        sk, [(1, 100), (1, 4), (1, 2), (3, 4), (9, 10), (99, 100)])
+
+
 @q("chunk_sliding_windows", """
 WITH d AS (
   SELECT doc_id, source, text, length(text) AS L FROM documents

@@ -558,3 +558,39 @@ def test_int8_ann_recall_vs_bruteforce(spark):
     # same candidate generation as the float LSH path; int8 scoring
     # perturbs cosines by < 1/127 — top-1 ordering survives
     assert hits / len(top1) >= 0.6, f"int8 recall {hits}/{len(top1)}"
+
+
+def test_qsketch_merge_and_error_bound(spark):
+    """Quantile-sketch invariants (operators/qsketch.py): sketches merge
+    cellwise — sketch(A ∪ B) = merge(sketch A, sketch B) exactly; every
+    reported quantile bucket lo satisfies lo <= x_q < lo * (1 + 2^-B)
+    against the EXACT rank-rule quantile; keyspace stays capped."""
+    import math
+
+    from drill_calcite_spark.operators.qsketch import (
+        QSKETCH_SUB_BITS, qsketch_build, qsketch_merge, qsketch_quantiles,
+    )
+
+    vals_a = [(i * i * 7 + 13) % 100000 + 1 for i in range(4000)]
+    vals_b = [(i * i * 11 + 5) % 250000 + 1 for i in range(3000)]
+    a = spark.createDataFrame([(v,) for v in vals_a], "v long")
+    b = spark.createDataFrame([(v,) for v in vals_b], "v long")
+    union = a.unionByName(b)
+
+    sk_u = qsketch_build(union, "v")
+    assert sk_u.count() <= 64 * (1 << QSKETCH_SUB_BITS)
+    merged = qsketch_merge(qsketch_build(a, "v"), qsketch_build(b, "v"))
+    assert sorted(map(tuple, sk_u.collect())) == \
+        sorted(map(tuple, merged.collect()))
+
+    qs = [(1, 100), (1, 4), (1, 2), (3, 4), (9, 10), (99, 100)]
+    got = {r.q_pct: r.lo for r in qsketch_quantiles(sk_u, qs).collect()}
+    allv = sorted(vals_a + vals_b)
+    n = len(allv)
+    rel = 2.0 ** -QSKETCH_SUB_BITS
+    for num, den in qs:
+        rank = -(-num * n // den)  # ceil(q*N), the PERCENTILE_DISC rule
+        x_q = allv[rank - 1]
+        lo = got[100 * num // den]
+        assert lo <= x_q, (num, den, lo, x_q)
+        assert x_q < lo * (1 + rel) + 1, (num, den, lo, x_q)

@@ -454,3 +454,19 @@ def test_cross_channel_items_semi_join_broadcast(spark):
     plan = _plan(entrymod.queries()["ds_cross_channel_items"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:600]
     assert "CartesianProduct" not in plan
+
+
+def test_qsketch_partial_agg_and_sketch_sized_window(spark):
+    """sketch_qsketch_quantiles: the capped-keyspace build must map-side
+    combine (partial + final HashAggregate on bucket_lo) so the exchange
+    carries <= tasks x 2048 cells, never raw values; everything stays
+    JVM-side; and the quantile window runs over the SKETCH (post-
+    aggregate), so the aggregate appears below the window in the tree."""
+    plan = _plan(entrymod.queries()["sketch_qsketch_quantiles"](
+        spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2, plan[:600]
+    assert "EvalPython" not in plan
+    win_at = plan.index("Window")
+    assert plan.rindex("HashAggregate") > win_at, \
+        "quantile window must consume the aggregated sketch (the build " \
+        "aggregate belongs BELOW the window in the tree)"
