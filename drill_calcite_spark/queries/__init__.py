@@ -65,8 +65,10 @@ _DRIVER_PRIORITY = [
     "func_geo_setops", "func_tumble_group", "func_hop_group",
     "ds_inventory_variance",
     # (b2) new mid-round-9: the mergeable quantile sketch completing the
-    # CMS/HLL/quantile triad (operators/qsketch.py)
-    "sketch_qsketch_quantiles",
+    # CMS/HLL/quantile triad (operators/qsketch.py), and MATCH_RECOGNIZE
+    # through the SQL front door (sql_match.py — reuses the islands
+    # oracle, so the driver hash proves SQL text ≡ operator ≡ algebra)
+    "sketch_qsketch_quantiles", "sql_match_recognize",
     # (e1) the complete round-2-vintage cohort
     "agg_having", "q13_customer_distribution", "q14_promo_effect",
     "q22_global_sales_opportunity", "q4_order_priority",

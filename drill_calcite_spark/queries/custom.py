@@ -351,3 +351,51 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, pruned["o_custkey"] == cust["c_custkey"])
         .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
     )
+
+
+# ------------------------------------------------- MATCH_RECOGNIZE as SQL text
+_MR_SQL_TEXT = """
+SELECT user_id, event_id, value, classifier, match_no, bottom, vv_n
+FROM events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  MEASURES MATCH_NUMBER() AS match_no,
+           CLASSIFIER()   AS classifier,
+           LAST(DOWN.value) AS bottom,
+           COUNT(VV.value)  AS vv_n
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (DOWN+ UP+)
+  SUBSET VV = (DOWN, UP)
+  DEFINE DOWN AS DOWN.value < PREV(DOWN.value),
+         UP   AS UP.value > PREV(UP.value)
+)
+"""
+
+# identical semantics to match_vshape_all_rows -> identical oracle text
+_MR_SQL_ORACLE = ORACLES["match_vshape_all_rows"]
+
+
+@q("sql_match_recognize", _MR_SQL_ORACLE)
+def sql_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE through the SQL FRONT DOOR (sql_match.py — the
+    round-9 closure of the last §3.1 parse-path gap): the user TYPES the
+    reference's row-pattern SQL (SqlMatchRecognize; the TICKER-query
+    form with MEASURES / ALL ROWS PER MATCH / AFTER MATCH / PATTERN /
+    SUBSET / DEFINE with PREV navigation) and calcite_sql routes the
+    clause onto the distributed operator
+    (operators/match_recognize.py), splicing the result back into the
+    outer projection via the normal dialect rewrite. Semantics are
+    IDENTICAL to match_vshape_all_rows (the hand-built operator call),
+    so this row reuses its gaps-and-islands DuckDB oracle verbatim —
+    the driver hash proves SQL-text path ≡ Python path ≡ islands
+    algebra, three independent spellings of one answer. DEFINE
+    conditions compile to VECTORIZED pandas expressions (never
+    row-at-a-time); the operator itself is applyInPandas per partition
+    key — one shuffle, sequential only within a partition (the
+    MATCH_RECOGNIZE contract)."""
+    from drill_calcite_spark.catalog import register_tables
+    from drill_calcite_spark.sql import calcite_sql
+
+    register_tables(spark, sf_dir)
+    return calcite_sql(spark, _MR_SQL_TEXT)

@@ -1514,6 +1514,14 @@ def calcite_sql(spark: SparkSession, text: str, *,
     as ordinals (SqlConformance.isGroupByOrdinal() = false — ``GROUP BY
     1`` groups by the constant), while ORDER BY ordinals stay on
     (isSortByOrdinal() = true), matching Spark's separate conf."""
+    from drill_calcite_spark.sql_match import (
+        has_match_recognize, translate_match_recognize)
+
+    if has_match_recognize(text):
+        # row-pattern matching has no Spark SQL form: route the clause to
+        # the distributed operator and the outer statement back through
+        # this rewrite pipeline (sql_match.py)
+        return translate_match_recognize(spark, text.rstrip().rstrip(";"))
     prev = spark.conf.get("spark.sql.groupByOrdinal", "true")
     spark.conf.set("spark.sql.groupByOrdinal", "false")
     try:

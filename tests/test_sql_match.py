@@ -1,0 +1,140 @@
+"""MATCH_RECOGNIZE SQL front door (drill_calcite_spark/sql_match.py).
+
+The registry row sql_match_recognize pins the ALL-ROWS TICKER form
+against the gaps-and-islands oracle; these tests pin the translator
+itself: SQL-text path ≡ hand-built operator call, ONE-ROW mode, the
+measure/define compilation surface, and the loud-fail contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+from drill_calcite_spark.catalog import register_tables
+from drill_calcite_spark.sql import calcite_sql
+from drill_calcite_spark.sql_match import (
+    MatchRecognizeUnsupported, _measure_body, _sql_ops_to_pandas,
+)
+
+
+def test_sql_text_equals_operator_call(spark):
+    from drill_calcite_spark.queries.custom import (
+        _MR_SQL_TEXT, match_vshape_all_rows)
+
+    register_tables(spark, SF_DIR)
+    via_sql = calcite_sql(spark, _MR_SQL_TEXT)
+    direct = match_vshape_all_rows(spark, SF_DIR)
+    cols = ["user_id", "event_id", "value", "classifier",
+            "match_no", "bottom", "vv_n"]
+    a = sorted(map(tuple, via_sql.select(cols).collect()))
+    b = sorted(map(tuple, direct.select(cols).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_one_row_per_match_with_aggregates(spark):
+    register_tables(spark, SF_DIR)
+    df = calcite_sql(spark, """
+        SELECT user_id, start_id, bottom, n_down, total_up
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(DOWN.event_id) AS start_id,
+                   LAST(DOWN.value)     AS bottom,
+                   COUNT(DOWN.value)    AS n_down,
+                   SUM(UP.value)        AS total_up
+          ONE ROW PER MATCH
+          PATTERN (DOWN+ UP+)
+          DEFINE DOWN AS DOWN.value < PREV(DOWN.value),
+                 UP   AS UP.value > PREV(UP.value)
+        )
+        WHERE n_down >= 2
+        ORDER BY user_id, start_id
+    """)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["user_id", "start_id", "bottom",
+                          "n_down", "total_up"]
+    assert all(r.n_down >= 2 for r in rows)
+    # cross-check one partition against the direct operator
+    from drill_calcite_spark.operators.match_recognize import (
+        match_recognize)
+    from drill_calcite_spark.queries.common import t
+
+    direct = match_recognize(
+        t(spark, SF_DIR, "events").select(
+            "user_id", "event_id", "ts", "value"),
+        ["user_id"], ["ts", "event_id"], "DOWN+ UP+",
+        define={
+            "DOWN": lambda p: p["value"] < p["value"].shift(1),
+            "UP": lambda p: p["value"] > p["value"].shift(1),
+        },
+        measures={
+            "user_id": lambda p, m: p["user_id"].iloc[0],
+            "start_id": lambda p, m: p["event_id"].iloc[m["DOWN"][0]],
+            "n_down": lambda p, m: len(m["DOWN"]),
+        },
+        output_schema="user_id long, start_id long, n_down long",
+    ).filter("n_down >= 2")
+    a = sorted((r.user_id, r.start_id, r.n_down) for r in rows)
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b
+
+
+def test_within_clause_restricts_matches(spark):
+    register_tables(spark, SF_DIR)
+    base = """
+        SELECT user_id, start_id
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(DOWN.event_id) AS start_id
+          ONE ROW PER MATCH
+          PATTERN (DOWN+ UP+)
+          {within}
+          DEFINE DOWN AS DOWN.value < PREV(DOWN.value),
+                 UP   AS UP.value > PREV(UP.value)
+        )
+    """
+    unbounded = calcite_sql(spark, base.format(within="")).count()
+    tight = calcite_sql(spark, base.format(
+        within="WITHIN INTERVAL '1' MINUTE")).count()
+    assert 0 <= tight < unbounded
+
+
+def test_unsupported_forms_fail_loudly(spark):
+    register_tables(spark, SF_DIR)
+    with pytest.raises(MatchRecognizeUnsupported):  # MATCH_NUMBER, one-row
+        calcite_sql(spark, """
+            SELECT user_id FROM events MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              MEASURES MATCH_NUMBER() AS mn
+              ONE ROW PER MATCH
+              PATTERN (D+) DEFINE D AS D.value < PREV(D.value))
+        """)
+    with pytest.raises(MatchRecognizeUnsupported):  # DESC ordering
+        calcite_sql(spark, """
+            SELECT user_id FROM events MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts DESC
+              MEASURES FIRST(D.event_id) AS s
+              PATTERN (D+) DEFINE D AS D.value < PREV(D.value))
+        """)
+    with pytest.raises(MatchRecognizeUnsupported):  # unknown column
+        calcite_sql(spark, """
+            SELECT user_id FROM events MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              MEASURES FIRST(D.nope) AS s
+              PATTERN (D+) DEFINE D AS D.value < PREV(D.value))
+        """)
+
+
+def test_bool_and_measure_compilation():
+    assert _sql_ops_to_pandas("a > 1 AND b < 2 OR NOT c = 3") == \
+        "((a > 1) & (b < 2)) | (~(c == 3))"
+    body, dt = _measure_body("SUM(UP.value)", {"value": "double"})
+    assert body == 'p["value"].iloc[m["UP"]].sum()' and dt == "double"
+    body, dt = _measure_body("COUNT(*)", {"value": "double"})
+    assert body == 'len(m["*"])' and dt == "long"
+    body, dt = _measure_body("STRT.price", {"price": "double"})
+    assert body == 'p["price"].iloc[m["STRT"][-1]]'
