@@ -69,6 +69,13 @@ _DRIVER_PRIORITY = [
     # through the SQL front door (sql_match.py — reuses the islands
     # oracle, so the driver hash proves SQL text ≡ operator ≡ algebra)
     "sketch_qsketch_quantiles", "sql_match_recognize",
+    # + two more TPC-DS planning shapes (NEW late r9): q36 ratio-rollup
+    # rank partitioned by grouping level (exact integer-quotient
+    # margin), q97 channel-overlap counts (one-scan presence-flag
+    # rewrite of the FULL OUTER of two DISTINCTs, hash-proven). They
+    # take recursive_numbers' and source_csv_scan's (e2) slots — both
+    # r4 green, unchanged code, family representatives still slated.
+    "ds_margin_rollup_rank", "ds_channel_overlap",
     # (e1) the complete round-2-vintage cohort
     "agg_having", "q13_customer_distribution", "q14_promo_effect",
     "q22_global_sales_opportunity", "q4_order_priority",
@@ -85,7 +92,6 @@ _DRIVER_PRIORITY = [
     "dedup_simhash_buckets", "func_json_agg", "func_json_family",
     "func_udf_surface", "modify_insert_delete", "multimodal_frame_sample",
     "mv_filter_rewrite", "pagerank_nations", "pipeline_clean_corpus",
-    "recursive_numbers", "source_csv_scan",
 ]
 
 

@@ -1041,3 +1041,155 @@ def ds_inventory_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_micros("p_s1", "p_n").alias("mean_prev"),
         mean_micros("s1", "n").alias("mean_cur"),
     )
+
+
+@q("ds_margin_rollup_rank", """
+WITH src AS (
+  SELECT p_type, p_brand,
+         (l_extendedprice * l_discount)::DECIMAL(18,6)       AS disc_amt,
+         l_extendedprice::DECIMAL(18,6)                      AS gross
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+), agg AS (
+  SELECT p_type, p_brand,
+         CAST(GROUPING(p_type) + GROUPING(p_brand) AS BIGINT)
+           AS lochierarchy,
+         CAST(GROUPING(p_brand) AS BIGINT) AS g_brand,
+         CAST(sum(disc_amt) * 1000000 AS HUGEINT) AS d_mic,
+         CAST(sum(gross) * 1000000 AS HUGEINT)    AS g_mic
+  FROM src
+  GROUP BY ROLLUP (p_type, p_brand)
+), m AS (
+  SELECT p_type, p_brand, lochierarchy, g_brand,
+         (2 * d_mic * 1000000 + g_mic) // (2 * g_mic) AS margin_mic
+  FROM agg
+)
+SELECT p_type, p_brand, lochierarchy,
+       (CAST(margin_mic AS BIGINT) / 1000000.0) AS margin,
+       rk
+FROM (
+  SELECT *, CAST(rank() OVER (
+      PARTITION BY lochierarchy,
+                   CASE WHEN g_brand = 0 THEN p_type END
+      ORDER BY margin_mic ASC,
+               p_type ASC NULLS FIRST, p_brand ASC NULLS FIRST
+    ) AS BIGINT) AS rk
+  FROM m
+)
+WHERE rk <= 3
+""")
+def ds_margin_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q36 shape: a RATIO measure (discount margin = Σ disc_amt /
+    Σ gross) over a ROLLUP(p_type, p_brand), ranked WITHIN EACH GROUPING
+    LEVEL — q36's `lochierarchy` (= grouping(cat)+grouping(class))
+    partitions the rank, and brand-level rows additionally rank within
+    their parent type (the CASE WHEN grouping = 0 partition key). Top 3
+    per level-partition.
+
+    Exactness: the margin is the exact integer half-up 6-dp quotient of
+    the two DECIMAL sums' micro forms — ``(2·d·10⁶ + g) div (2·g)`` —
+    no decimal/double division anywhere (divides on a power-of-two
+    denominator land exactly on .xxxxxx5 boundaries, the known
+    cross-engine rounding split), and the RANK orders by the SAME exact
+    integer, so rank ties are engine-identical by construction.
+
+    Scale: one fact scan, broadcast part, ROLLUP is one shuffle; the
+    rank window sees only aggregated rollup rows (≤ |types|·|brands|),
+    never the fact table."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    src = (
+        li.join(F.broadcast(part.select("p_partkey", "p_type", "p_brand")),
+                li.l_partkey == F.col("p_partkey"))
+        .select(
+            "p_type", "p_brand",
+            (F.col("l_extendedprice") * F.col("l_discount"))
+            .cast("decimal(18,6)").alias("disc_amt"),
+            F.col("l_extendedprice").cast("decimal(18,6)").alias("gross"),
+        )
+    )
+    agg = (
+        src.rollup("p_type", "p_brand")
+        .agg(
+            (F.grouping("p_type") + F.grouping("p_brand")).cast("bigint")
+            .alias("lochierarchy"),
+            F.grouping("p_brand").cast("bigint").alias("g_brand"),
+            (F.sum("disc_amt") * F.lit(1000000)).cast("decimal(38,0)")
+            .alias("d_mic"),
+            (F.sum("gross") * F.lit(1000000)).cast("decimal(38,0)")
+            .alias("g_mic"),
+        )
+    )
+    m = agg.select(
+        "p_type", "p_brand", "lochierarchy", "g_brand",
+        F.call_function(
+            "div",
+            F.lit(2) * F.col("d_mic") * F.lit(1000000) + F.col("g_mic"),
+            F.lit(2) * F.col("g_mic")).alias("margin_mic"),
+    )
+    w = Window.partitionBy(
+        "lochierarchy",
+        F.when(F.col("g_brand") == 0, F.col("p_type"))
+    ).orderBy(
+        F.col("margin_mic").asc(),
+        F.col("p_type").asc_nulls_first(),
+        F.col("p_brand").asc_nulls_first(),
+    )
+    return (
+        m.select(
+            "p_type", "p_brand", "lochierarchy",
+            (F.col("margin_mic").cast("bigint") / F.lit(1000000.0))
+            .alias("margin"),
+            F.rank().over(w).cast("bigint").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@q("ds_channel_overlap", """
+WITH a AS (
+  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+), b AS (
+  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+)
+SELECT CAST(sum(CASE WHEN a.c IS NOT NULL AND b.c IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS urgent_only,
+       CAST(sum(CASE WHEN a.c IS NULL AND b.c IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS routine_only,
+       CAST(sum(CASE WHEN a.c IS NOT NULL AND b.c IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS both_channels
+FROM a FULL OUTER JOIN b ON a.c = b.c AND a.p = b.p
+""")
+def ds_channel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q97 shape: customer-item overlap between two channels —
+    how many DISTINCT (customer, part) pairs bought urgent-only,
+    routine-only, or through both. The ORACLE spells q97's literal form
+    (two DISTINCT subqueries FULL OUTER joined on the pair); the Spark
+    side computes the same answer from ONE scan: per-(customer, part)
+    channel-presence flags via max(CASE), then three conditional counts
+    — no second scan, no FULL OUTER join, ONE shuffle on the pair key
+    instead of q97's two distincts + join (at 100 TB the join's shuffle
+    would move both distinct sets a second time). The hash proves the
+    rewrite ≡ the textbook form."""
+    li = t(spark, sf_dir, "lineitem")
+    ords = t(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    pairs = (
+        li.join(ords.select("o_orderkey", "o_custkey", "o_orderpriority"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(F.col("o_custkey").alias("c"),
+                 F.col("l_partkey").alias("p"))
+        .agg(F.max(F.when(urgent, 1).otherwise(0)).alias("in_a"),
+             F.max(F.when(~urgent, 1).otherwise(0)).alias("in_b"))
+    )
+    return pairs.agg(
+        F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 0), 1)
+              .otherwise(0)).cast("bigint").alias("urgent_only"),
+        F.sum(F.when((F.col("in_a") == 0) & (F.col("in_b") == 1), 1)
+              .otherwise(0)).cast("bigint").alias("routine_only"),
+        F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1)
+              .otherwise(0)).cast("bigint").alias("both_channels"),
+    )
