@@ -470,3 +470,28 @@ def test_qsketch_partial_agg_and_sketch_sized_window(spark):
     assert plan.rindex("HashAggregate") > win_at, \
         "quantile window must consume the aggregated sketch (the build " \
         "aggregate belongs BELOW the window in the tree)"
+
+
+def test_ds_margin_rollup_broadcast_and_post_agg_window(spark):
+    """ds_margin_rollup_rank: part broadcasts into the fact join; the
+    rank window consumes EXPANDED+aggregated rollup rows, never the fact
+    table (the bottom-most HashAggregate sits below the Window)."""
+    plan = _plan(entrymod.queries()["ds_margin_rollup_rank"](
+        spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan[:400]
+    assert "Expand" in plan  # ROLLUP grouping-set expansion
+    assert "Window" in plan
+    assert plan.rindex("HashAggregate") > plan.index("Window"), \
+        "rank window must run over aggregated rollup rows"
+    assert "EvalPython" not in plan
+
+
+def test_ds_channel_overlap_single_scan_no_join_of_distincts(spark):
+    """ds_channel_overlap: the presence-flag rewrite must touch lineitem
+    ONCE and never materialize q97's FULL OUTER join of two distincts —
+    one orders-lineitem join, no outer join, no second fact scan."""
+    plan = _plan(entrymod.queries()["ds_channel_overlap"](spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1, \
+        "fact table scanned more than once"
+    assert "FullOuter" not in plan and "full_outer" not in plan
+    assert "EvalPython" not in plan
