@@ -1453,6 +1453,17 @@ def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
     # (SqlStdOperatorTable.java:2038-2045; MULTISET = unordered ArrayType
     # per SURVEY §1.2 — the quidem comparator applies multiset equality)
     text = _rewrite_array_literals(text)
+    # MAP[k, v, ...] literal constructor → map(k, v, ...)
+    # (SqlStdOperatorTable MAP_VALUE_CONSTRUCTOR; winagg.iq:482)
+    text = re.sub(r"\bmap\s*\[([^\]]*)\]", r"map(\1)", text, flags=re.I)
+    # FROM-item UNNEST of a map → Spark's explode generator subquery
+    # (Calcite's Uncollect over a MAP yields (KEY, VALUE) columns —
+    # SqlUnnestOperator; winagg.iq:482 CALCITE-2271). Array unnest in
+    # FROM stays out of scope for the token front door (the registry's
+    # unnest battery covers the operator semantics).
+    text = re.sub(
+        r"\bunnest\s*\(\s*(map\([^)]*\))\s*\)\s+(\w+)",
+        r"(select explode(\1) as (key, value)) \2", text, flags=re.I)
     # MULTISET EXCEPT/UNION/INTERSECT [ALL|DISTINCT] binary operators
     # (after the literal rewrite so operands are array(..) expressions)
     text = _rewrite_multiset_binops(text)
