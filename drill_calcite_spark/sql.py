@@ -1010,6 +1010,81 @@ def _quant_lhs_span(text: str, op_start: int) -> "tuple[int, int] | None":
     return (start, j + 1)
 
 
+_PROJ_IN_PAT = re.compile(r"\b(not\s+)?in\s*\(\s*(?=select\b|with\b)", re.I)
+_CTX_KW = re.compile(r"\b(select|where|having|qualify|on|when)\b", re.I)
+
+
+def _rewrite_projected_in_subquery(text: str) -> str:
+    """Three-valued logic for ``[NOT] IN (subquery)`` used AS A VALUE
+    (in the select list): Spark's InSubquery collapses UNKNOWN to false
+    in projection context (``40 IN (10, 20, NULL)`` → false, standard
+    says NULL) and yields NULL for ``NULL IN (empty)`` (standard says
+    false) — both divergences pinned by the reference's own
+    sub-query.iq project-IN battery. Expansion (uncorrelated subquery,
+    the same contract as _rewrite_quantified):
+
+        CASE WHEN (SELECT count(*) FROM sub) = 0       THEN false
+             WHEN lhs IS NULL                          THEN NULL
+             WHEN lhs IN (sub)                         THEN true
+             WHEN (SELECT count(*) FROM sub WHERE v IS NULL) > 0
+                                                       THEN NULL
+             ELSE false END
+
+    WHERE/HAVING/ON contexts are deliberately left to Spark: a filter
+    treats UNKNOWN like false, so Spark's native (null-aware-anti-join)
+    plan is both correct there and the scale path — this rewrite's
+    scalar subqueries would cost two extra aggregations. Context is the
+    nearest preceding clause keyword: SELECT → value context, rewrite;
+    anything else → filter context, leave."""
+    pos = 0
+    while True:
+        mask = _string_mask(text)
+        m = None
+        for cand in _PROJ_IN_PAT.finditer(text, pos):
+            if not mask[cand.start()]:
+                m = cand
+                break
+        if m is None:
+            return text
+        span = _quant_lhs_span(text, m.start())
+        if span is None:
+            pos = m.end()
+            continue
+        lhs = text[span[0]:span[1]]
+        neg = bool(m.group(1))
+        depth, i = 1, m.end()
+        while i < len(text) and depth:
+            if not mask[i]:
+                if text[i] == "(":
+                    depth += 1
+                elif text[i] == ")":
+                    depth -= 1
+            i += 1
+        sub = text[m.end():i - 1]
+        # rewrite in SELECT (value) context, and in ANY context when the
+        # predicate's UNKNOWN-ness is OBSERVED by a following IS [NOT]
+        # NULL (the IS UNKNOWN spelling, already rewritten above) —
+        # Spark cannot even parse `x IN (sub) IS NULL`
+        kws = [k for k in _CTX_KW.finditer(text, 0, m.start())
+               if not mask[k.start()]]
+        observed = re.match(r"\s*is\s+(not\s+)?null\b", text[i:], re.I)
+        if (not kws or kws[-1].group(1).lower() != "select") \
+                and not observed:
+            pos = m.end()
+            continue
+        case = (
+            f"(CASE WHEN (SELECT count(*) FROM ({sub}) __in3c) = 0"
+            f" THEN false"
+            f" WHEN ({lhs}) IS NULL THEN CAST(NULL AS BOOLEAN)"
+            f" WHEN ({lhs}) IN ({sub}) THEN true"
+            f" WHEN (SELECT count(*) FROM ({sub}) __in3v(__v)"
+            f" WHERE __v IS NULL) > 0 THEN CAST(NULL AS BOOLEAN)"
+            f" ELSE false END)")
+        repl = f"(NOT {case})" if neg else case
+        text = text[:span[0]] + repl + text[i:]
+        pos = span[0] + len(repl)
+
+
 def _rewrite_quantified(text: str) -> str:
     """Quantified comparisons over UNCORRELATED subqueries
     (SqlStdOperatorTable.java:404-440): ``= ANY`` → IN, ``<> ALL`` →
@@ -1427,6 +1502,13 @@ def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
     for schema, prefix in (schema_views or {}).items():
         text = _rewrite_schema_refs(text, schema, prefix)
     text = _rewrite_dquote_idents(text)
+    # IS [NOT] UNKNOWN — for a BOOLEAN operand this is exactly IS [NOT]
+    # NULL (SqlStdOperatorTable IS_UNKNOWN; sub-query.iq's project-IN
+    # battery); Spark has no UNKNOWN spelling
+    text = re.sub(r"\bis\s+not\s+unknown\b", "is not null", text,
+                  flags=re.I)
+    text = re.sub(r"\bis\s+unknown\b", "is null", text, flags=re.I)
+    text = _rewrite_projected_in_subquery(text)
     text = _rewrite_quantified(text)
     # Calcite's interval-qualifier cast on a parenthesized difference —
     # `(t1 - t2) SECOND` constructs INTERVAL SECOND (agg.iq's orinoco
