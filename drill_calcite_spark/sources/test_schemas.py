@@ -179,6 +179,28 @@ def register_catchall(spark: SparkSession) -> None:
         .createOrReplaceTempView("nullables")
     spark.createDataFrame(_BOOLS, "id int, value string") \
         .createOrReplaceTempView("bools")
+    _register_everytypes(spark)
+
+
+def _register_everytypes(spark: SparkSession) -> None:
+    """The catchall schema's ``everyTypes`` table
+    (ReflectiveSchemaTest.java:956-969): two rows — epoch-zero values
+    and an all-null wrapper row. Only the columns the quidem cases
+    touch are materialized (the datetime family + string); sqlTime is
+    the engine's 'HH:mm:ss' TIME emulation (§1.2)."""
+    import datetime as _dt
+
+    rows = [
+        (_dt.date(1970, 1, 1), "00:00:00",
+         _dt.datetime(1970, 1, 1, 0, 0, 0),
+         _dt.datetime(1970, 1, 1, 0, 0, 0), "1"),
+        (None, None, None, None, None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "sqlDate date, sqlTime string, sqlTimestamp timestamp, "
+        "utilDate timestamp, string string",
+    ).createOrReplaceTempView("everyTypes")
 
 
 # GEO schema — the reference's countries table, transcribed from

@@ -855,6 +855,12 @@ def _rewrite_schema_refs(text: str, schema: str, prefix: str) -> str:
     for m in pat.finditer(text):
         out.append(text[consumed:m.start()])
         tbl = m.group(1) or m.group(2)
+        if text[m.end():].lstrip().startswith("."):
+            # 3-part COLUMN reference (CALCITE-356: schema.table.column,
+            # misc.iq:22) — resolve through the implicit table alias
+            out.append(tbl)
+            consumed = m.end()
+            continue
         nxt = _word_at(text, m.end() + len(text[m.end():])
                        - len(text[m.end():].lstrip()))
         if nxt and nxt not in _ALIAS_STOPWORDS:
@@ -1525,9 +1531,37 @@ def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
     if re.search(r"\bsession(_start|_end)?\s*\(", text, re.I):
         text = _rewrite_session(text, _lits)
     text = _rewrite_listagg(text)
+    # COLLECT(x) WITHIN GROUP (ORDER BY x|1 [ASC|DESC]) → sorted array
+    # (agg.iq:2385-2509; Calcite sorts the multiset). Only the
+    # self-ordered forms (order key = collected expr, or ordinal 1) map
+    # onto sort_array — a foreign sort key has no array-function form
+    # and is left for Spark to reject loudly. A trailing FILTER clause
+    # moves inside the sort_array argument.
+    def _collect_wg(m: "re.Match[str]") -> str:
+        expr, key, direction = m.group(1), m.group(2).strip(), \
+            (m.group(3) or "asc").lower()
+        filt = m.group(4) or ""
+        if key != "1" and re.sub(r"\s+", "", key.lower()) \
+                != re.sub(r"\s+", "", expr.lower()):
+            return m.group(0)
+        asc = "true" if direction == "asc" else "false"
+        return f"sort_array(collect_list({expr}){filt}, {asc})"
+
+    text = re.sub(
+        r"\bcollect\s*\(([^()]*)\)\s*within\s+group\s*\(\s*order\s+by\s+"
+        r"(.+?)(?:\s+(asc|desc))?\s*\)(\s*filter\s*\([^()]*\))?",
+        _collect_wg, text, flags=re.I)
     # COLLECT → collect_list; FUSION → flatten(collect_list(..))
     # (SqlStdOperatorTable.java:2165; FUSION multiset-union aggregate)
     text = re.sub(r"\bcollect\s*\(", "collect_list(", text, flags=re.I)
+    # (s1, e1) OVERLAPS (s2, e2) — Calcite's convertlet normalizes each
+    # pair (swap when start > end) and tests inclusive intersection
+    # (StandardConvertletTable OVERLAPS expansion; misc.iq:2189-2204)
+    text = re.sub(
+        r"\(([^(),]+),([^(),]+)\)\s+overlaps\s+\(([^(),]+),([^(),]+)\)",
+        r"(least(\1,\2) <= greatest(\3,\4)"
+        r" and least(\3,\4) <= greatest(\1,\2))",
+        text, flags=re.I)
     text = _wrap_call(text, "fusion", "flatten(collect_list(", ")")
     # GROUP BY () = the single global group
     text = re.sub(r"\bgroup\s+by\s+\(\)", "", text, flags=re.I)
@@ -1569,6 +1603,13 @@ def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
     # Calcite accepts length-less VARCHAR in CAST (unbounded); Spark
     # demands VARCHAR(n) — map the bare form to STRING
     text = re.sub(r"\bas\s+varchar\s*\)", "as string)", text, flags=re.I)
+    # TIME '...' literal → the engine's TIME emulation (§1.2: Spark has
+    # no TimeType; TIME columns are 'HH:mm:ss' strings, so the literal
+    # compares as a string — misc.iq:595 everyTypes). The literal body
+    # is shielded at this point, so match the quoted placeholder; the
+    # (?<!extract-from) guard is unnecessary because EXTRACT spells its
+    # unit BEFORE 'from', never as `time '...'`.
+    text = re.sub(r"\btime\s+(')", r"\1", text, flags=re.I)
     text = re.sub(r"\bst_setsrid\s*\(", "ST_SetSRID2(", text, flags=re.I)
     text = re.sub(r"\bst_srid\s*\(", "ST_SRID2(", text, flags=re.I)
     text = _rewrite_values_exprs(text)
