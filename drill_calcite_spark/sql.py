@@ -1530,6 +1530,23 @@ def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
         text = _rewrite_hop(text, _lits)
     if re.search(r"\bsession(_start|_end)?\s*\(", text, re.I):
         text = _rewrite_session(text, _lits)
+    # SELECT DISTINCT ... ORDER BY <aggregate> (CALCITE-634, sort.iq:189):
+    # Spark rejects ordering a DISTINCT by an expression not in the
+    # output — when the identical expression is ALIASED in the select
+    # list, order by the alias instead (same semantics, Spark-legal)
+    if re.search(r"\bselect\s+distinct\b", text, re.I):
+        ob = re.search(r"\border\s+by\s+(.+)$", text, re.I | re.S)
+        if ob:
+            parts = []
+            for item in ob.group(1).split(","):
+                m_dir = re.match(r"^(.*?)(\s+(?:asc|desc))?\s*$", item,
+                                 re.I | re.S)
+                expr = m_dir.group(1).strip()
+                alias = re.search(
+                    rf"{re.escape(expr)}\s+as\s+(\w+)", text, re.I)
+                parts.append((alias.group(1) if alias else expr)
+                             + (m_dir.group(2) or ""))
+            text = text[:ob.start(1)] + ", ".join(parts)
     text = _rewrite_listagg(text)
     # COLLECT(x) WITHIN GROUP (ORDER BY x|1 [ASC|DESC]) → sorted array
     # (agg.iq:2385-2509; Calcite sorts the multiset). Only the
