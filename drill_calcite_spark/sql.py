@@ -1500,6 +1500,14 @@ def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
     if _SEQ_REF.search(text):
         text = _rewrite_sequences(text)
     if re.search(r"\bgroup(ing)?_?", text, re.I):
+        # GROUPING()/GROUPING_ID() over a PLAIN group by (no rollup/
+        # cube/grouping sets): every argument is fully grouped, so the
+        # value is the constant 0 (agg.iq:565) — Spark refuses the
+        # functions outside multi-grouping queries, Calcite does not
+        if not re.search(r"\b(rollup|cube|grouping\s+sets)\b", text, re.I) \
+                and re.search(r"\bgroup\s+by\b", text, re.I):
+            text = re.sub(r"\bgrouping(_id)?\s*\([^()]*\)", "0", text,
+                          flags=re.I)
         text = _rewrite_grouping_funcs(text)
         text = _rewrite_grouping_sets_dedup(text)
     # (TABLE t) explicit-table operator → (SELECT * FROM t)
