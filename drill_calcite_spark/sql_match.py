@@ -311,11 +311,7 @@ def translate_match_recognize(spark: SparkSession, text: str) -> DataFrame:
     types = {f.name: _norm_type(f.dataType.simpleString())
              for f in df_in.schema.fields}
 
-    clauses = dict()
-    order = []
-    for kw, val in _split_clauses(body):
-        clauses[kw] = val
-        order.append(kw)
+    clauses = dict(_split_clauses(body))
     if "pattern" not in clauses or "define" not in clauses:
         raise MatchRecognizeUnsupported("PATTERN and DEFINE are required")
 
