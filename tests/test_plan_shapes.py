@@ -495,3 +495,14 @@ def test_ds_channel_overlap_single_scan_no_join_of_distincts(spark):
         "fact table scanned more than once"
     assert "FullOuter" not in plan and "full_outer" not in plan
     assert "EvalPython" not in plan
+
+
+def test_sql_match_recognize_one_shuffle_grouped_pandas(spark):
+    """sql_match_recognize: the SQL-text path must execute exactly like
+    the hand-built operator — ONE exchange on the partition keys feeding
+    a grouped-pandas node (FlatMapGroupsInPandas); pattern matching is
+    sequential only WITHIN a partition, never a driver-side loop."""
+    plan = _plan(entrymod.queries()["sql_match_recognize"](spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in plan, plan[:400]
+    assert plan.count("Exchange") <= 2, \
+        f"MR front door added exchanges: {plan[:500]}"
