@@ -1142,6 +1142,36 @@ def _rewrite_quantified(text: str) -> str:
         pos = 0
 
 
+def _rewrite_initcap(text: str) -> str:
+    """Calcite's INITCAP starts a new word after ANY non-alphanumeric
+    character (runtime SqlFunctions.initcap: [A-Za-z0-9] are the word
+    chars — 'nibh.enim@x' → 'Nibh.Enim@X', redshift.iq:1732); Spark's
+    initcap splits on whitespace only. Per-character transform with a
+    previous-char lookback — pure column algebra, no UDF."""
+    pat = re.compile(r"\binitcap\s*\(", re.I)
+    while True:
+        mask = _string_mask(text)
+        m = next((mm for mm in pat.finditer(text)
+                  if not mask[mm.start()]), None)
+        if m is None:
+            return text
+        depth, i = 1, m.end()
+        while i < len(text) and depth:
+            if not mask[i]:
+                if text[i] == "(":
+                    depth += 1
+                elif text[i] == ")":
+                    depth -= 1
+            i += 1
+        arg = text[m.end():i - 1]
+        repl = (
+            f"array_join(transform(split({arg}, ''), (__c, __i) -> "
+            f"CASE WHEN __i = 0 OR NOT substr({arg}, __i, 1) "
+            f"rlike '[A-Za-z0-9]' THEN ucase(__c) ELSE lcase(__c) END), "
+            f"'')")
+        text = text[:m.start()] + repl + text[i:]
+
+
 def _rewrite_multiarg_count(text: str) -> str:
     """Calcite's composite COUNT(a, b, ...) counts rows where EVERY
     argument is non-null (SqlStdOperatorTable COUNT is multi-arg;
@@ -1579,6 +1609,7 @@ def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
     # COLLECT → collect_list; FUSION → flatten(collect_list(..))
     # (SqlStdOperatorTable.java:2165; FUSION multiset-union aggregate)
     text = re.sub(r"\bcollect\s*\(", "collect_list(", text, flags=re.I)
+    text = _rewrite_initcap(text)
     # (s1, e1) OVERLAPS (s2, e2) — Calcite's convertlet normalizes each
     # pair (swap when start > end) and tests inclusive intersection
     # (StandardConvertletTable OVERLAPS expansion; misc.iq:2189-2204)
