@@ -61,9 +61,12 @@ _DRIVER_PRIORITY = [
     "func_geo_rings",
     # (c) rows-only first evidence
     *_ROWS_ONLY_FIRST_EVIDENCE,
-    # (d) code/oracle touched in round 9
+    # (d) code/oracle touched in round 9 — sql_calcite_dialect re-proves
+    # the front door after this round's rewrite additions (projected-IN
+    # 3VL, OVERLAPS, COLLECT WITHIN GROUP, INITCAP, MAP unnest, 3-part
+    # refs, IS UNKNOWN, DISTINCT-orderby-alias, grouping constant-fold)
     "func_geo_setops", "func_tumble_group", "func_hop_group",
-    "ds_inventory_variance",
+    "ds_inventory_variance", "sql_calcite_dialect",
     # (b2) new mid-round-9: the mergeable quantile sketch completing the
     # CMS/HLL/quantile triad (operators/qsketch.py), and MATCH_RECOGNIZE
     # through the SQL front door (sql_match.py — reuses the islands
