@@ -138,3 +138,42 @@ def test_bool_and_measure_compilation():
     assert body == 'len(m["*"])' and dt == "long"
     body, dt = _measure_body("STRT.price", {"price": "double"})
     assert body == 'p["price"].iloc[m["STRT"][-1]]'
+
+
+def test_ticker_skip_to_last_up_as_verbatim_sql_text(spark):
+    """The reference's canonical TICKER query (match.iq:164-180), which
+    Calcite itself DISABLES, executed as VERBATIM SQL TEXT through the
+    front door — including the table alias MR, the outer ORDER BY over
+    MR.*, SKIP TO LAST UP, and the STRT/LAST measures. Expected rows are
+    the hand-derived SQL:2016 results test_operators.py pins on the
+    Python surface; match 2 starting on match 1's final rise
+    (2017-12-10) is the overlap only SKIP TO LAST UP produces.
+    Exceeds-reference, now at the SQL parse path too."""
+    from drill_calcite_spark.sources.test_schemas import register_post
+
+    register_post(spark)
+    df = calcite_sql(spark, """
+        SELECT *
+        FROM ticker
+           MATCH_RECOGNIZE (
+             PARTITION BY symbol
+             ORDER BY tstamp
+             MEASURES  STRT.tstamp AS start_tstamp,
+                       LAST(DOWN.tstamp) AS bottom_tstamp,
+                       LAST(UP.tstamp) AS end_tstamp
+             ONE ROW PER MATCH
+             AFTER MATCH SKIP TO LAST UP
+             PATTERN (STRT DOWN+ UP+)
+             DEFINE
+                DOWN AS DOWN.price < PREV(DOWN.price),
+                UP AS UP.price > PREV(UP.price)
+             ) MR
+             ORDER BY MR.symbol, MR.start_tstamp
+    """)
+    rows = [(r.symbol, str(r.start_tstamp), str(r.bottom_tstamp),
+             str(r.end_tstamp)) for r in df.collect()]
+    assert rows == [
+        ("ACME", "2017-12-05", "2017-12-06", "2017-12-10"),
+        ("ACME", "2017-12-10", "2017-12-12", "2017-12-13"),
+        ("ACME", "2017-12-14", "2017-12-16", "2017-12-18"),
+    ]
