@@ -122,9 +122,83 @@ def _split_top(text: str, sep: str = ",") -> "list[str]":
 
 # ---------------------------------------------------------------- DEFINE
 
-_NAV = re.compile(r"\b(prev|next)\s*\(\s*(\w+)\s*\.\s*(\w+)"
-                  r"(?:\s*,\s*(\d+))?\s*\)", re.I)
-_SYMREF = re.compile(r"\b(\w+)\s*\.\s*(\w+)\b")
+# symbol/column groups must START WITH A LETTER — `\w+` would match the
+# halves of a decimal literal (`1.5` → sym "1", col "5") and reject any
+# DEFINE with a non-integer constant
+_NAV = re.compile(r"\b(prev|next)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*"
+                  r"([A-Za-z_]\w*)(?:\s*,\s*(\d+))?\s*\)", re.I)
+_SYMREF = re.compile(r"\b([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\b")
+
+
+def _assert_safe_expr(expr: str, original: str) -> None:
+    """Whitelist-validate the TRANSLATED condition before it is
+    compiled: only the node shapes the translator itself emits —
+    ``p["col"]`` subscripts, ``.shift(n)`` navigation, comparisons,
+    arithmetic, ``& | ~`` boolean algebra, and plain literals — may
+    appear. The DEFINE text reaches this module from arbitrary SQL
+    (including the reference's untrusted quidem corpus via resweep), so
+    anything outside the grammar — names, calls, attributes,
+    f-strings, comprehensions — is rejected loudly instead of being
+    handed to the compiler."""
+    import ast
+
+    try:
+        tree = ast.parse(expr, mode="eval")
+    except SyntaxError as exc:
+        raise MatchRecognizeUnsupported(
+            f"cannot compile DEFINE condition: {original!r} -> {expr!r}"
+        ) from exc
+
+    def is_col(node) -> bool:
+        return (isinstance(node, ast.Subscript)
+                and isinstance(node.value, ast.Name)
+                and node.value.id == "p"
+                and isinstance(node.slice, ast.Constant)
+                and isinstance(node.slice.value, str))
+
+    def is_int(node) -> bool:
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub):
+            node = node.operand
+        return (isinstance(node, ast.Constant)
+                and isinstance(node.value, int))
+
+    _BINOPS = (ast.Add, ast.Sub, ast.Mult, ast.Div, ast.Mod,
+               ast.BitAnd, ast.BitOr)
+    _UNOPS = (ast.USub, ast.UAdd, ast.Invert)
+    _CMPS = (ast.Lt, ast.Gt, ast.LtE, ast.GtE, ast.Eq, ast.NotEq)
+
+    def check(node) -> None:
+        if is_col(node):
+            return
+        if isinstance(node, ast.Constant) and isinstance(
+                node.value, (int, float, str, bool, type(None))):
+            return
+        if isinstance(node, ast.Call):
+            # the only call the translator emits: <col>.shift(±n)
+            f = node.func
+            if not (isinstance(f, ast.Attribute) and f.attr == "shift"
+                    and is_col(f.value) and not node.keywords
+                    and len(node.args) == 1 and is_int(node.args[0])):
+                raise MatchRecognizeUnsupported(
+                    f"unsupported DEFINE condition: {original!r}")
+            return
+        if isinstance(node, ast.BinOp) and isinstance(node.op, _BINOPS):
+            check(node.left)
+            check(node.right)
+            return
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, _UNOPS):
+            check(node.operand)
+            return
+        if isinstance(node, ast.Compare) and all(
+                isinstance(op, _CMPS) for op in node.ops):
+            check(node.left)
+            for c in node.comparators:
+                check(c)
+            return
+        raise MatchRecognizeUnsupported(
+            f"unsupported DEFINE condition: {original!r}")
+
+    check(tree.body)
 
 
 def _compile_define(cond: str, columns: "set[str]"):
@@ -148,12 +222,8 @@ def _compile_define(cond: str, columns: "set[str]"):
         return f'p["{col}"]'
     expr = _SYMREF.sub(symref, expr)
     expr = _sql_ops_to_pandas(expr)
-    try:
-        fn = eval(f"lambda p: ({expr})")  # noqa: S307 - engine-built text
-    except SyntaxError as exc:
-        raise MatchRecognizeUnsupported(
-            f"cannot compile DEFINE condition: {cond!r} -> {expr!r}"
-        ) from exc
+    _assert_safe_expr(expr, cond)
+    fn = eval(f"lambda p: ({expr})")  # noqa: S307 - whitelist-validated
     return fn
 
 

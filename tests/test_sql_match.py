@@ -129,6 +129,44 @@ def test_unsupported_forms_fail_loudly(spark):
         """)
 
 
+def test_define_compiler_rejects_non_grammar_code():
+    """The DEFINE compiler only accepts the translator's own grammar
+    (column refs, shift navigation, comparisons, arithmetic, boolean
+    algebra, literals). Arbitrary Python reaching the compiler — e.g.
+    `__import__('os')` smuggled through a DEFINE condition from an
+    untrusted .iq corpus — must be rejected BEFORE compilation, not
+    executed (ADVICE r9, high)."""
+    from drill_calcite_spark.sql_match import _compile_define
+
+    cols = {"value", "price"}
+    for hostile in (
+        "__import__('os').getpid() > 0",
+        "A.value > (lambda: 1)()",
+        "[x for x in (1,)][0] = 1",
+        "A.value > p.__class__",
+        "open('/etc/passwd') and A.value > 1",
+    ):
+        with pytest.raises(MatchRecognizeUnsupported):
+            _compile_define(hostile, cols)
+
+    # ...while the documented grammar still compiles and vectorizes
+    import pandas as pd
+
+    fn = _compile_define("A.value > PREV(A.value) AND A.price >= 1.5",
+                         cols)
+    p = pd.DataFrame({"value": [1.0, 2.0, 0.5], "price": [2.0, 3.0, 0.1]})
+    assert list(fn(p).fillna(False)) == [False, True, False]
+
+    # non-integer literals are literals, not symbol references
+    # (the old `\w+ . \w+` symref matched the halves of `1.5`)
+    fn2 = _compile_define("A.value > 1.5", cols)
+    assert list(fn2(p)) == [False, True, False]
+
+    # negative shifts (NEXT) and NOT still pass the whitelist
+    fn3 = _compile_define("NOT NEXT(A.value, 2) = 0.5", cols)
+    assert list(fn3(p).fillna(True)) == [False, True, True]
+
+
 def test_bool_and_measure_compilation():
     assert _sql_ops_to_pandas("a > 1 AND b < 2 OR NOT c = 3") == \
         "((a > 1) & (b < 2)) | (~(c == 3))"
