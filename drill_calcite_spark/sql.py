@@ -1019,6 +1019,47 @@ def _quant_lhs_span(text: str, op_start: int) -> "tuple[int, int] | None":
 _PROJ_IN_PAT = re.compile(r"\b(not\s+)?in\s*\(\s*(?=select\b|with\b)", re.I)
 _CTX_KW = re.compile(r"\b(select|where|having|qualify|on|when)\b", re.I)
 
+_FROM_ITEM = re.compile(
+    r"\b(?:from|join)\s+([A-Za-z_][\w.]*)(?:\s+(?:as\s+)?"
+    r"([A-Za-z_]\w*))?", re.I)
+_DERIVED_ALIAS = re.compile(r"\)\s*(?:as\s+)?([A-Za-z_]\w*)", re.I)
+_QUAL_REF = re.compile(r"\b([A-Za-z_]\w*)\s*\.\s*[A-Za-z_]\w*", re.I)
+_SQL_KW = frozenset(
+    "select from where group having order join inner left right full "
+    "cross on and or not in exists case when then else end as by union "
+    "all distinct values with limit offset".split())
+
+
+def _subquery_has_outer_refs(sub: str) -> bool:
+    """Heuristic correlation detector for the uncorrelated-only rewrites
+    (_rewrite_projected_in_subquery / _rewrite_quantified): a qualified
+    reference ``alias.col`` whose qualifier is not introduced by any
+    FROM/JOIN item (table name, any schema-path component, or alias)
+    inside the subquery text refers to an OUTER relation — expanding
+    such a subquery into standalone scalar aggregates would change its
+    semantics, so the caller must fall through and leave the predicate
+    to Spark. Bare-column correlation is not detectable without a
+    catalog and stays out of scope (as in Calcite's own
+    RexSubQuery-decorrelation preconditions)."""
+    mask = _string_mask(sub)
+    defined: "set[str]" = set()
+    for m in _FROM_ITEM.finditer(sub):
+        if mask[m.start()]:
+            continue
+        defined.update(p.lower() for p in m.group(1).split("."))
+        if m.group(2) and m.group(2).lower() not in _SQL_KW:
+            defined.add(m.group(2).lower())
+    for m in _DERIVED_ALIAS.finditer(sub):
+        if not mask[m.start()] and m.group(1).lower() not in _SQL_KW:
+            defined.add(m.group(1).lower())
+    for m in _QUAL_REF.finditer(sub):
+        if mask[m.start()]:
+            continue
+        q = m.group(1).lower()
+        if q not in defined and q not in _SQL_KW:
+            return True
+    return False
+
 
 def _rewrite_projected_in_subquery(text: str) -> str:
     """Three-valued logic for ``[NOT] IN (subquery)`` used AS A VALUE
@@ -1078,6 +1119,12 @@ def _rewrite_projected_in_subquery(text: str) -> str:
                 and not observed:
             pos = m.end()
             continue
+        if _subquery_has_outer_refs(sub):
+            # correlated subquery: the expansion's standalone scalar
+            # count(*) subqueries would change its meaning — leave the
+            # predicate to Spark (documented uncorrelated-only contract)
+            pos = m.end()
+            continue
         case = (
             f"(CASE WHEN (SELECT count(*) FROM ({sub}) __in3c) = 0"
             f" THEN false"
@@ -1131,6 +1178,13 @@ def _rewrite_quantified(text: str) -> str:
         elif op in ("<>", "!=") and quant_kind == "all":
             repl = f"(({lhs}) NOT IN ({sub}))"
         elif (quant_kind, op) in _QUANT_AGG:
+            if _subquery_has_outer_refs(sub):
+                # the min/max + count-guard expansion turns the subquery
+                # into standalone scalar aggregates — only valid
+                # UNCORRELATED (the = ANY / <> ALL branches above are
+                # pure syntactic equivalences and stay correlation-safe)
+                pos = m.end()
+                continue
             repl = _quant_case(lhs, op, quant_kind, sub)
         else:
             raise ValueError(
@@ -1572,19 +1626,42 @@ def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
     # Spark rejects ordering a DISTINCT by an expression not in the
     # output — when the identical expression is ALIASED in the select
     # list, order by the alias instead (same semantics, Spark-legal)
-    if re.search(r"\bselect\s+distinct\b", text, re.I):
-        ob = re.search(r"\border\s+by\s+(.+)$", text, re.I | re.S)
-        if ob:
+    sd = re.search(r"\bselect\s+distinct\b", text, re.I)
+    if sd:
+        # the STATEMENT-level ORDER BY is the depth-0 occurrence outside
+        # string literals — `order by` inside an OVER clause or a
+        # subquery sits at depth ≥ 1 and must not be touched
+        mask = _string_mask(text)
+        depths, d = [], 0
+        for i, ch in enumerate(text):
+            if not mask[i]:
+                if ch == "(":
+                    d += 1
+                elif ch == ")":
+                    d -= 1
+            depths.append(d)
+        obs = [m for m in re.finditer(r"\border\s+by\s+", text, re.I)
+               if not mask[m.start()] and depths[m.start()] == 0
+               and m.start() > sd.end()]
+        if obs:
+            ob = obs[-1]
+            # aliases live in the SELECT list: between DISTINCT and the
+            # statement-level FROM
+            fr = next((m for m in re.finditer(r"\bfrom\b", text, re.I)
+                       if not mask[m.start()] and depths[m.start()] == 0
+                       and m.start() > sd.end()), None)
+            sel = text[sd.end():fr.start() if fr else ob.start()]
             parts = []
-            for item in ob.group(1).split(","):
+            for item in _split_depth0(text[ob.end():]):
                 m_dir = re.match(r"^(.*?)(\s+(?:asc|desc))?\s*$", item,
                                  re.I | re.S)
                 expr = m_dir.group(1).strip()
                 alias = re.search(
-                    rf"{re.escape(expr)}\s+as\s+(\w+)", text, re.I)
+                    rf"(?<![\w.]){re.escape(expr)}\s+as\s+(\w+)\b",
+                    sel, re.I) if expr else None
                 parts.append((alias.group(1) if alias else expr)
                              + (m_dir.group(2) or ""))
-            text = text[:ob.start(1)] + ", ".join(parts)
+            text = text[:ob.end()] + ", ".join(parts)
     text = _rewrite_listagg(text)
     # COLLECT(x) WITHIN GROUP (ORDER BY x|1 [ASC|DESC]) → sorted array
     # (agg.iq:2385-2509; Calcite sorts the multiset). Only the

@@ -355,3 +355,70 @@ def test_hop_session_literal_shielding():
     out = rewrite("select 'hop(x) and session(y)' as s from t",
                   nulls_high=False)
     assert out == "select 'hop(x) and session(y)' as s from t"
+
+
+def test_distinct_orderby_alias_rewrite_robustness():
+    """CALCITE-634 rewrite hardening (ADVICE r9): the statement-level
+    ORDER BY is located at paren depth 0 (not inside an OVER clause),
+    items are split depth-aware (commas inside calls survive), and the
+    alias lookup is word-anchored to the SELECT list."""
+    # order by inside OVER must NOT be rewritten (it is not the
+    # statement-level sort); the statement-level one still is
+    out = rewrite(
+        "select distinct rank() over (order by sum(s)) as r, d as x "
+        "from t group by d order by sum(s)",
+        nulls_high=False)
+    assert "over (order by sum(s))" in out
+    assert out.rstrip().endswith("order by sum(s)")  # no alias in SELECT
+
+    # commas inside a function call in the ORDER BY list stay intact
+    out = rewrite(
+        "select distinct coalesce(a, b) as c from t order by "
+        "coalesce(a, b), d desc",
+        nulls_high=False)
+    assert out.endswith("order by c, d desc")
+
+    # the alias search is anchored: ORDER BY r must not bind to the
+    # tail of another expression ('...var as x')
+    out = rewrite(
+        "select distinct powvar as x, r from t order by r",
+        nulls_high=False)
+    assert out.endswith("order by r")
+
+    # the aliased-aggregate case the rewrite exists for (sort.iq:189)
+    out = rewrite(
+        "select distinct count(*) as c from t group by d order by count(*)",
+        nulls_high=False)
+    assert out.endswith("order by c")
+
+
+def test_projected_in_and_quantified_skip_correlated_subqueries():
+    """ADVICE r9: the 3VL projected-IN and quantified rewrites carry an
+    uncorrelated-only contract — a subquery referencing an outer alias
+    must be left verbatim for Spark, not expanded into standalone
+    scalar aggregates."""
+    from drill_calcite_spark.sql import _subquery_has_outer_refs
+
+    assert _subquery_has_outer_refs(
+        "select o.x from inner_t i where i.k = o.k")
+    assert not _subquery_has_outer_refs(
+        "select i.x from inner_t i where i.k = 3")
+    assert not _subquery_has_outer_refs(
+        "select t.x from sch.inner_t t join u on t.k = u.k")
+    # derived-table alias counts as defined
+    assert not _subquery_has_outer_refs(
+        "select d.x from (select 1 as x) d")
+
+    # correlated projected IN: left verbatim (Spark's plan is correct
+    # in filter context; here it must at least not be mangled)
+    q = ("select e.a, e.a in (select t.a from t where t.k = e.k) as f "
+         "from e")
+    assert rewrite(q, nulls_high=False).count("__in3c") == 0
+    # uncorrelated projected IN still expands
+    q2 = "select e.a, e.a in (select t.a from t) as f from e"
+    assert rewrite(q2, nulls_high=False).count("__in3c") == 1
+
+    # correlated quantified: no expansion, no error
+    q3 = ("select * from e where e.a > all "
+          "(select t.a from t where t.k = e.k)")
+    assert "min(" not in rewrite(q3, nulls_high=False).lower()
