@@ -92,8 +92,12 @@ def qsketch_quantiles(sketch: DataFrame, qs: "list[tuple[int, int]]",
     """Quantile lower bounds from the sketch. ``qs`` is a list of
     (numerator, denominator) rational quantiles (e.g. (99, 100)) —
     rationals keep ``ceil(q·N)`` in exact integer arithmetic:
-    ``rank = (num·N + den − 1) div den``. Returns (q_pct, lo, n).
-    The window runs over the ≤ 2048-row SKETCH, never the data."""
+    ``rank = (num·N + den − 1) div den``. Returns
+    (q_pct, q_num, q_den, lo, n) — grouped by the EXACT (num, den)
+    pair, so distinct rationals that floor to the same display percent
+    (e.g. 1/3 and 33/100) each keep their own row; q_pct is display
+    only. The window runs over the ≤ 2048-row SKETCH, never the
+    data."""
     w = Window.orderBy("bucket_lo").rowsBetween(
         Window.unboundedPreceding, Window.currentRow)
     cum = sketch.select(
@@ -115,6 +119,8 @@ def qsketch_quantiles(sketch: DataFrame, qs: "list[tuple[int, int]]",
         "div", F.col("q.num") * F.col("n") + F.col("q.den") - 1,
         F.col("q.den"))
     return (expanded.filter(F.col("cum") >= rank)
-            .groupBy(F.col("q.q_pct").alias("q_pct"))
+            .groupBy(F.col("q.q_pct").alias("q_pct"),
+                     F.col("q.num").alias("q_num"),
+                     F.col("q.den").alias("q_den"))
             .agg(F.min("bucket_lo").cast("bigint").alias("lo"),
                  F.max("n").cast("bigint").alias("n")))

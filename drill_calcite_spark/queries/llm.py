@@ -1601,11 +1601,13 @@ q(q_pct, num, den) AS (
          (75, 3, 4), (90, 9, 10), (99, 99, 100)
 )
 SELECT CAST(q_pct AS BIGINT)        AS q_pct,
+       CAST(num AS BIGINT)          AS q_num,
+       CAST(den AS BIGINT)          AS q_den,
        CAST(min(bucket_lo) AS BIGINT) AS lo,
        CAST(max(n) AS BIGINT)         AS n
 FROM c, q
 WHERE cum >= (num * n + den - 1) // den
-GROUP BY q_pct
+GROUP BY q_pct, num, den
 """
 
 

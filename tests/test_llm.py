@@ -584,13 +584,22 @@ def test_qsketch_merge_and_error_bound(spark):
         sorted(map(tuple, merged.collect()))
 
     qs = [(1, 100), (1, 4), (1, 2), (3, 4), (9, 10), (99, 100)]
-    got = {r.q_pct: r.lo for r in qsketch_quantiles(sk_u, qs).collect()}
+    got = {(r.q_num, r.q_den): r.lo
+           for r in qsketch_quantiles(sk_u, qs).collect()}
     allv = sorted(vals_a + vals_b)
     n = len(allv)
     rel = 2.0 ** -QSKETCH_SUB_BITS
     for num, den in qs:
         rank = -(-num * n // den)  # ceil(q*N), the PERCENTILE_DISC rule
         x_q = allv[rank - 1]
-        lo = got[100 * num // den]
+        lo = got[(num, den)]
         assert lo <= x_q, (num, den, lo, x_q)
         assert x_q < lo * (1 + rel) + 1, (num, den, lo, x_q)
+
+    # distinct rationals flooring to the SAME display percent keep
+    # their own rows (ADVICE r9: the old percent-keyed groupBy silently
+    # merged (1,3) with (33,100))
+    close = qsketch_quantiles(sk_u, [(1, 3), (33, 100)]).collect()
+    assert len(close) == 2
+    assert {(r.q_num, r.q_den) for r in close} == {(1, 3), (33, 100)}
+    assert all(r.q_pct == 33 for r in close)
