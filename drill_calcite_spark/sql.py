@@ -485,6 +485,144 @@ def _rewrite_grouping_funcs(text: str) -> str:
         pos = m.start() + len(repl)
 
 
+def _depth0_positions(text: str, pattern: "re.Pattern[str]",
+                      mask: "list[bool] | None" = None):
+    """Matches of ``pattern`` at paren depth 0 outside string literals."""
+    mask = _string_mask(text) if mask is None else mask
+    depths, d = [], 0
+    for i, ch in enumerate(text):
+        if not mask[i]:
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+        depths.append(d)
+    return [m for m in pattern.finditer(text)
+            if not mask[m.start()] and depths[m.start()] == 0]
+
+
+_HAVING_KW = re.compile(r"\bhaving\b", re.I)
+_SELECT_KW = re.compile(r"\bselect\b(\s+distinct\b)?", re.I)
+_FROM_KW = re.compile(r"\bfrom\b", re.I)
+_TAIL_KW = re.compile(r"\border\s+by\b|\blimit\b|\boffset\b", re.I)
+
+
+def _rewrite_having_grouping(text: str) -> str:
+    """HAVING over GROUPING()/GROUPING_ID() ARITHMETIC (agg.iq:651/:683
+    — ``having grouping(deptno) <= grouping_id(deptno, gender,
+    deptno)``): Spark resolves grouping functions in HAVING only over
+    columns visible in the output and rejects these with
+    UNRESOLVED_COLUMN. Lift the condition into the projection of a
+    subquery and filter outside — semantically identical (HAVING is a
+    post-aggregate filter), and inside the projection Spark resolves
+    grouping() against the GROUP BY natively. Requires every select
+    item to be aliased or a bare column (the outer SELECT must be able
+    to re-project by name); falls through verbatim otherwise."""
+    having = next(iter(_depth0_positions(text, _HAVING_KW)), None)
+    if having is None:
+        return text
+    tail = next((m for m in _depth0_positions(text, _TAIL_KW)
+                 if m.start() > having.end()), None)
+    cond_end = tail.start() if tail else len(text)
+    cond = text[having.end():cond_end].strip()
+    if not re.search(r"\bgrouping(_id)?\s*\(", cond, re.I):
+        return text
+    sel = next(iter(_depth0_positions(text, _SELECT_KW)), None)
+    if sel is None or sel.group(1):  # DISTINCT: extra column changes it
+        return text
+    frm = next((m for m in _depth0_positions(text, _FROM_KW)
+                if m.start() > sel.end()), None)
+    if frm is None or frm.start() > having.start():
+        return text
+    outs = []
+    for it in _split_depth0(text[sel.end():frm.start()]):
+        it = it.strip()
+        ma = re.search(r"\s+as\s+(\w+)\s*$", it, re.I)
+        if ma:
+            outs.append(ma.group(1))
+        elif re.fullmatch(r"[\w.]+", it):
+            outs.append(it.split(".")[-1])
+        else:
+            return text
+    if len(set(o.lower() for o in outs)) != len(outs):
+        return text
+    inner = (text[sel.start():frm.start()].rstrip()
+             + f", ({cond}) as __hv "
+             + text[frm.start():having.start()])
+    return (text[:sel.start()]
+            + f"select {', '.join(outs)} from ({inner}) __havg "
+            + "where __hv"
+            + (" " + text[cond_end:] if tail else ""))
+
+
+_ORDER_BY_KW = re.compile(r"\border\s+by\b", re.I)
+_GROUP_BY_KW = re.compile(r"\bgroup\s+by\b", re.I)
+
+
+def _rewrite_orderby_grouping(text: str) -> str:
+    """ORDER BY over GROUPING()/GROUPING_ID() (agg.iq:683 — ``group by
+    rollup(deptno) order by grouping(deptno), c``): Spark resolves
+    grouping functions only against the aggregate's own projection, so
+    an ORDER BY key over a non-output column fails. Lift every
+    grouping-bearing sort key into the projection of a subquery
+    (``__ob{i}``), order outside, and re-project the original output
+    columns — the sort is a post-aggregate operator, so the transform
+    is exact. Same aliasable-select-list contract as the HAVING lift."""
+    ob = next(iter(_depth0_positions(text, _ORDER_BY_KW)), None)
+    if ob is None:
+        return text
+    lim = next((m for m in _depth0_positions(
+        text, re.compile(r"\blimit\b|\boffset\b", re.I))
+        if m.start() > ob.end()), None)
+    items_end = lim.start() if lim else len(text)
+    items = _split_depth0(text[ob.end():items_end])
+    if not any(re.search(r"\bgrouping(_id)?\s*\(", it, re.I)
+               for it in items):
+        return text
+    sel = next(iter(_depth0_positions(text, _SELECT_KW)), None)
+    if sel is None or sel.group(1):
+        return text
+    gb = next((m for m in _depth0_positions(text, _GROUP_BY_KW)
+               if m.start() > sel.end() and m.start() < ob.start()), None)
+    if gb is None:
+        return text
+    frm = next((m for m in _depth0_positions(text, _FROM_KW)
+                if m.start() > sel.end()), None)
+    if frm is None or frm.start() > gb.start():
+        return text
+    outs = []
+    for it in _split_depth0(text[sel.end():frm.start()]):
+        it = it.strip()
+        ma = re.search(r"\s+as\s+(\w+)\s*$", it, re.I)
+        if ma:
+            outs.append(ma.group(1))
+        elif re.fullmatch(r"[\w.]+", it):
+            outs.append(it.split(".")[-1])
+        else:
+            return text
+    if len(set(o.lower() for o in outs)) != len(outs):
+        return text
+    extra, order_items = [], []
+    for it in items:
+        m_dir = re.match(r"^(.*?)(\s+(?:asc|desc)"
+                         r"(?:\s+nulls\s+(?:first|last))?)?\s*$",
+                         it, re.I | re.S)
+        expr, suffix = m_dir.group(1).strip(), m_dir.group(2) or ""
+        if re.search(r"\bgrouping(_id)?\s*\(", expr, re.I):
+            alias = f"__ob{len(extra)}"
+            extra.append(f"({expr}) as {alias}")
+            order_items.append(alias + suffix)
+        else:
+            order_items.append(expr + suffix)
+    inner = (text[sel.start():frm.start()].rstrip()
+             + ", " + ", ".join(extra) + " "
+             + text[frm.start():ob.start()])
+    return (text[:sel.start()]
+            + f"select {', '.join(outs)} from ({inner}) __obg "
+            + "order by " + ", ".join(order_items)
+            + (" " + text[items_end:] if lim else ""))
+
+
 def _rewrite_grouping_sets_dedup(text: str) -> str:
     pat = re.compile(r"\bgrouping\s+sets\s*\(", re.I)
     pos = 0
@@ -1592,6 +1730,8 @@ def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
                 and re.search(r"\bgroup\s+by\b", text, re.I):
             text = re.sub(r"\bgrouping(_id)?\s*\([^()]*\)", "0", text,
                           flags=re.I)
+        text = _rewrite_having_grouping(text)
+        text = _rewrite_orderby_grouping(text)
         text = _rewrite_grouping_funcs(text)
         text = _rewrite_grouping_sets_dedup(text)
     # (TABLE t) explicit-table operator → (SELECT * FROM t)

@@ -161,7 +161,7 @@ def main():
             print(f"   fail :{ln} {e}")
         if write and chunks:
             with open(f"tests/iq/calcite_{name}.iq", "a") as f:
-                f.write("\n# ---- round-9 re-sweep additions ----\n\n"
+                f.write("\n# ---- re-sweep additions ----\n\n"
                         + "\n".join(chunks))
 
 

@@ -422,3 +422,30 @@ def test_projected_in_and_quantified_skip_correlated_subqueries():
     q3 = ("select * from e where e.a > all "
           "(select t.a from t where t.k = e.k)")
     assert "min(" not in rewrite(q3, nulls_high=False).lower()
+
+
+def test_having_and_orderby_grouping_lift():
+    """GROUPING()/GROUPING_ID() in HAVING or ORDER BY (agg.iq:651/:683):
+    Spark resolves grouping functions only in the aggregate's own
+    projection — the front door lifts the condition/sort key into a
+    subquery projection and filters/orders outside."""
+    out = rewrite(
+        "select count(*) as c from emp group by rollup(deptno) "
+        "having grouping(deptno) <= grouping_id(deptno, gender)",
+        nulls_high=False)
+    assert "__hv" in out and out.strip().endswith("where __hv")
+
+    out = rewrite(
+        "select count(*) as c from emp group by rollup(deptno) "
+        "order by grouping(deptno), c",
+        nulls_high=False)
+    assert "__ob0" in out and out.rstrip().endswith("order by __ob0, c")
+
+    # unaliased expression select items: fall through verbatim
+    q = ("select count(*) + 1 from emp group by rollup(deptno) "
+         "having grouping(deptno) = 0")
+    assert "__hv" not in rewrite(q, nulls_high=False)
+
+    # HAVING without grouping functions: untouched
+    q2 = "select deptno, count(*) as c from emp group by deptno having c > 2"
+    assert "__hv" not in rewrite(q2, nulls_high=False)
