@@ -460,6 +460,50 @@ def _scan_call(text: str, start: int) -> "tuple[str, int] | None":
     return text[start:i - 1], i
 
 
+_JSON_EXISTS = re.compile(r"\bjson_exists\s*\(", re.I)
+
+
+def _rewrite_json_exists(text: str, lits: "list[str]") -> str:
+    """``JSON_EXISTS(j, 'path' [mode ON ERROR])`` (SqlJsonExistsFunction;
+    misc.iq:2098) → ``get_json_object(j, path) IS NOT NULL``. The
+    ``strict``/``lax`` prefix is stripped (Spark's JSONPath has no mode
+    keyword; both behave identically on the existence test for
+    non-array paths). The ON ERROR mode is dropped: get_json_object
+    yields NULL on malformed JSON, which reproduces Calcite's default
+    FALSE ON ERROR — TRUE/UNKNOWN/ERROR modes on MALFORMED input are a
+    documented divergence (the corpus case uses the default-equivalent
+    FALSE). A JSON null value also reads as not-existing here (Spark
+    renders it as SQL NULL) — same leniency family."""
+    pos = 0
+    while True:
+        m = _JSON_EXISTS.search(text, pos)
+        if not m:
+            return text
+        scanned = _scan_call(text, m.end())
+        if scanned is None:
+            return text
+        args, close = scanned
+        parts = [p.strip() for p in _split_depth0(args)]
+        if len(parts) != 2:
+            pos = m.end()
+            continue
+        j, path = parts
+        pm = re.match(
+            rf"^'{_LIT_SENTINEL}(\d+){_LIT_SENTINEL}'"
+            r"(?:\s+(true|false|unknown|error)\s+on\s+error)?$",
+            path, re.I)
+        if not pm:
+            pos = m.end()
+            continue
+        body = re.sub(r"^\s*(strict|lax)\s+", "",
+                      lits[int(pm.group(1))], flags=re.I)
+        lits.append(body)
+        newlit = f"'{_LIT_SENTINEL}{len(lits) - 1}{_LIT_SENTINEL}'"
+        repl = f"(get_json_object({j}, {newlit}) is not null)"
+        text = text[:m.start()] + repl + text[close:]
+        pos = m.start() + len(repl)
+
+
 def _rewrite_grouping_funcs(text: str) -> str:
     text = re.sub(r"\bgroup_id\s*\(\s*\)", "0", text, flags=re.I)
     pat = re.compile(r"\b(grouping_id|grouping)\s*\(", re.I)
@@ -1257,10 +1301,15 @@ def _rewrite_projected_in_subquery(text: str) -> str:
                 and not observed:
             pos = m.end()
             continue
-        if _subquery_has_outer_refs(sub):
-            # correlated subquery: the expansion's standalone scalar
-            # count(*) subqueries would change its meaning — leave the
-            # predicate to Spark (documented uncorrelated-only contract)
+        if _subquery_has_outer_refs(sub) and not observed:
+            # correlated subquery in plain value context: leave it to
+            # Spark (native InSubquery) rather than expanding. When the
+            # predicate's UNKNOWN-ness is OBSERVED (`IN (sub) IS NULL`),
+            # Spark cannot parse the form at all, so the expansion is
+            # the only executable path — its pieces stay correlated
+            # scalar subqueries over the same text, evaluated per outer
+            # row (sub-query.iq:1869 pins this), and an unresolvable
+            # correlation fails loudly at analysis.
             pos = m.end()
             continue
         case = (
@@ -1274,6 +1323,84 @@ def _rewrite_projected_in_subquery(text: str) -> str:
         repl = f"(NOT {case})" if neg else case
         text = text[:span[0]] + repl + text[i:]
         pos = span[0] + len(repl)
+
+
+def _rewrite_row_in_nulllist(text: str) -> str:
+    """Row-valued ``[NOT] IN`` over a literal tuple list with a NULL
+    member (conditions.iq:262, CALCITE-2726 / HIVE-20617): Spark types
+    ``(NULL, 'bb')`` as ``struct<void,string>`` and rejects the IN with
+    DATATYPE_MISMATCH. Expand elementwise —
+
+        (s, t) IN ((a1, b1), (a2, b2))
+        → ((s=a1 AND t=b1) OR (s=a2 AND t=b2))
+
+    — an EXACT three-valued-logic equivalence: SQL row equality is
+    FALSE if any pair is FALSE else UNKNOWN if any pair is UNKNOWN
+    (= AND), and IN is the OR over the list. Triggered only when a
+    tuple member is a bare NULL literal; every other shape stays on
+    Spark's native struct-IN."""
+    pat = re.compile(r"\b(not\s+)?in\s*\(", re.I)
+    pos = 0
+    while True:
+        mask = _string_mask(text)
+        m = next((c for c in pat.finditer(text, pos)
+                  if not mask[c.start()]), None)
+        if m is None:
+            return text
+        depth, i = 1, m.end()
+        while i < len(text) and depth:
+            if not mask[i]:
+                if text[i] == "(":
+                    depth += 1
+                elif text[i] == ")":
+                    depth -= 1
+            i += 1
+        body = text[m.end():i - 1]
+        if re.match(r"\s*(select|with|values)\b", body, re.I):
+            pos = m.end()
+            continue
+        items = [it.strip() for it in _split_depth0(body)]
+        if not items or not all(it.startswith("(") and it.endswith(")")
+                                for it in items):
+            pos = m.end()
+            continue
+        tuples = [[v.strip() for v in _split_depth0(it[1:-1])]
+                  for it in items]
+        if not any(re.fullmatch(r"null", v, re.I)
+                   for tup in tuples for v in tup):
+            pos = m.end()
+            continue
+        # LHS: the balanced paren group immediately before [NOT] IN
+        j = m.start() - 1
+        while j >= 0 and text[j].isspace():
+            j -= 1
+        if j < 0 or text[j] != ")":
+            pos = m.end()
+            continue
+        d2, k = 0, j
+        while k >= 0:
+            if not mask[k]:
+                if text[k] == ")":
+                    d2 += 1
+                elif text[k] == "(":
+                    d2 -= 1
+                    if d2 == 0:
+                        break
+            k -= 1
+        if k < 0:
+            pos = m.end()
+            continue
+        lhs = [v.strip() for v in _split_depth0(text[k + 1:j])]
+        if len(lhs) < 2 or any(len(t) != len(lhs) for t in tuples):
+            pos = m.end()
+            continue
+        ors = " or ".join(
+            "(" + " and ".join(f"(({l}) = ({v}))"
+                               for l, v in zip(lhs, tup)) + ")"
+            for tup in tuples)
+        repl = f"(not ({ors}))" if m.group(1) else f"({ors})"
+        text = text[:k] + repl + text[i:]
+        pos = k + len(repl)
 
 
 def _rewrite_quantified(text: str) -> str:
@@ -1715,10 +1842,23 @@ def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
     # (round-8 fuzzer finding: 9 of 11 token rewrites matched inside
     # literals — 'has pi here' became 'has pi() here', etc.)
     text, _lits = _shield_literals(text)
+    # JDBC escape syntax (Calcite Parser.jj JdbcFunctionCall /
+    # date-time escapes; misc.iq:2098): {ts '...'} / {d '...'} /
+    # {t '...'} are typed literals, {fn f(args)} unwraps to the call.
+    # The literal bodies are already shielded — only the wrapper moves.
+    if "{" in text:
+        _JDBC_KW = {"ts": "timestamp", "d": "date", "t": "time"}
+        text = re.sub(
+            r"\{\s*(ts|d|t)\s+('[^']*')\s*\}",
+            lambda m: f"{_JDBC_KW[m.group(1).lower()]} {m.group(2)}",
+            text, flags=re.I)
+        text = re.sub(r"\{\s*fn\s+([^{}]*)\}", r"\1", text, flags=re.I)
     # JSON constructors/aggregates first (they emit their own shielded
     # fragments and must see the original literal keys via _lits)
     if _JSON_CALL.search(text):
         text = _rewrite_json_calls(text, _lits)
+    if _JSON_EXISTS.search(text):
+        text = _rewrite_json_exists(text, _lits)
     if _SEQ_REF.search(text):
         text = _rewrite_sequences(text)
     if re.search(r"\bgroup(ing)?_?", text, re.I):
@@ -1748,6 +1888,7 @@ def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
     text = re.sub(r"\bis\s+unknown\b", "is null", text, flags=re.I)
     text = _rewrite_projected_in_subquery(text)
     text = _rewrite_quantified(text)
+    text = _rewrite_row_in_nulllist(text)
     # Calcite's interval-qualifier cast on a parenthesized difference —
     # `(t1 - t2) SECOND` constructs INTERVAL SECOND (agg.iq's orinoco
     # 2-hour-window case). Spark's t1 - t2 is already a day-time
@@ -1929,13 +2070,31 @@ def calcite_sql(spark: SparkSession, text: str, *,
         # the distributed operator and the outer statement back through
         # this rewrite pipeline (sql_match.py)
         return translate_match_recognize(spark, text.rstrip().rstrip(";"))
+    # Calcite's double-quoted identifiers are case-SENSITIVE; Spark's
+    # default resolution is not, so a statement binding both "a" and "A"
+    # (DRILL-3860, misc.iq:1255) hits AMBIGUOUS_REFERENCE. When two
+    # quoted identifiers in the statement collide case-insensitively,
+    # resolve THIS statement under spark.sql.caseSensitive=true — the
+    # rewrite turns the quotes into backticks, which then resolve
+    # byte-exactly like Calcite's DQIDs.
+    mask = _string_mask(text)
+    dq = set()
+    for m in re.finditer(r'"((?:[^"]|"")+)"', text):
+        if mask[m.start()] and (m.start() == 0 or not mask[m.start() - 1]):
+            dq.add(m.group(1))
+    case_collide = len({d.lower() for d in dq}) != len(dq)
     prev = spark.conf.get("spark.sql.groupByOrdinal", "true")
+    prev_cs = spark.conf.get("spark.sql.caseSensitive", "false")
     spark.conf.set("spark.sql.groupByOrdinal", "false")
+    if case_collide:
+        spark.conf.set("spark.sql.caseSensitive", "true")
     try:
         df = spark.sql(rewrite(text, schema_views=schema_views,
                                nulls_high=nulls_high))
     finally:
         spark.conf.set("spark.sql.groupByOrdinal", prev)
+        if case_collide:
+            spark.conf.set("spark.sql.caseSensitive", prev_cs)
     # NEXT VALUE FOR drains one value per produced row: pre-count the
     # statement and advance each referenced sequence so the NEXT
     # statement sees fresh values. The returned df bakes the base as a

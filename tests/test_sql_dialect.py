@@ -449,3 +449,50 @@ def test_having_and_orderby_grouping_lift():
     # HAVING without grouping functions: untouched
     q2 = "select deptno, count(*) as c from emp group by deptno having c > 2"
     assert "__hv" not in rewrite(q2, nulls_high=False)
+
+
+def test_row_in_nulllist_expansion():
+    """Row-valued [NOT] IN over a literal list with a NULL member
+    (conditions.iq:262, CALCITE-2726): expanded elementwise to
+    OR-of-AND pairwise comparisons — exact 3VL equivalence; every
+    other IN shape stays native."""
+    out = rewrite("select * from t where (a, b) in ((1, 2), (null, 3))",
+                  nulls_high=False)
+    assert "in" not in out.lower().replace("into", "")
+    assert "((a) = (1)) and ((b) = (2))" in out
+    assert "((a) = (null)) and ((b) = (3))" in out
+
+    out = rewrite(
+        "select * from t where (a, b) not in ((null, 3))",
+        nulls_high=False)
+    assert out.count("not (") == 1
+
+    # no NULL member: untouched (Spark's struct-IN is the scale path)
+    q = "select * from t where (a, b) in ((1, 2), (3, 4))"
+    assert rewrite(q, nulls_high=False) == q
+    # scalar IN: untouched
+    q2 = "select * from t where a in (1, null)"
+    assert rewrite(q2, nulls_high=False) == q2
+
+
+def test_json_exists_rewrite():
+    out = rewrite(
+        "values json_exists('{\"foo\":1}', 'strict $.foo' false on error)",
+        nulls_high=False)
+    assert "get_json_object" in out and "is not null" in out
+    assert "strict" not in out and "on error" not in out
+    out2 = rewrite("select json_exists(j, 'lax $.a.b') from t",
+                   nulls_high=False)
+    assert "get_json_object(j, '$.a.b')" in out2
+
+
+def test_jdbc_escape_syntax():
+    out = rewrite("select * from t where c >= {ts '1969-01-01 00:00:00'}",
+                  nulls_high=False)
+    assert "timestamp '1969-01-01 00:00:00'" in out and "{" not in out
+    out = rewrite("select {d '2020-01-02'}, {fn abs(-3)}",
+                  nulls_high=False)
+    assert "date '2020-01-02'" in out and "abs(-3)" in out
+    # braces inside string literals survive (shielded)
+    q = "select '{ts not an escape}' as s from t"
+    assert rewrite(q, nulls_high=False) == q
