@@ -30,24 +30,30 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # tests/test_registry_evidence.py (added r8 after func_geo_srid slipped
 # through round 7 unslated).
 #
-# ROUND-9 ROTATION, in order:
-# (a) the ONLY two oracle-backed names without a green driver row ever —
-#     round 8's reds, both root-caused and fixed this round (st_srid
-#     try_cast + ANSI-conf re-assertion; signed-zero display
-#     normalization in both twins);
-# (b) NEW r9 surface: func_geo_rings (the Greiner-Hormann intersection
-#     ring clipper, operators/polyclip.py — closes the last
-#     geometry-engine delegation);
-# (c) first-ever driver evidence for the rows-only family (the driver
-#     records a rows-only check for head entries without an oracle —
-#     these eight have pytest coverage but zero driver rows);
-# (d) names whose code or oracle changed in round 9: func_geo_setops
-#     (area_union signed-zero normalization), the group-window oracles
-#     (floor-mod bucket spelling), ds_inventory_variance (cov>2
-#     threshold correction);
-# (e) the full round-2-vintage cohort (oldest evidence in the repo, 15
-#     names) and the oldest round-4-vintage names with the remaining
-#     slots.
+# ROUND-10 ROTATION, in order:
+# (a) names whose CODE, ORACLE, or feeding rewrites changed in round 10:
+#     agg_grouping_having (NEW — GROUPING arithmetic in HAVING through
+#     the front door's subquery lift), sketch_qsketch_quantiles (output
+#     now keyed by the exact (num, den) rational — schema changed, the
+#     r9 row covers the old shape), sql_match_recognize (the DEFINE
+#     compiler gained the AST whitelist + letter-anchored symbol refs),
+#     sql_calcite_dialect (front door gained the grouping lifts,
+#     row-IN NULL expansion, json_exists, JDBC escapes, caseSensitive
+#     toggle, hardened DISTINCT-orderby + correlation guard),
+#     subquery_in / subquery_quantified_some / subquery_quantified_all
+#     (the correlation guard touches their rewrite paths),
+#     sort_limit_offset (DISTINCT ORDER-BY rewrite hardening),
+#     agg_grouping_id (grouping rewrite family);
+# (b) the complete round-4-vintage cohort (oldest evidence after r9's
+#     r2-cohort refresh, 11 names);
+# (c) the oldest round-5-vintage names with the remaining slots (the
+#     rest of the r5 cohort — source_json_scan, sql_text_entry, the
+#     stream_* family, text_trigram_stats, unnest_map_entries,
+#     unnest_multi_zip, window_range_frame, subquery_exists_correlated
+#     — rotate in r11).
+# The r9 rows-only slate (sample_bernoulli/system, exchange_repartition,
+# match_vshape, ann_ivf_topk, multimodal_features/resize, bench_ann_topk)
+# holds its r9 marker rows and rotates out as planned.
 _ROWS_ONLY_FIRST_EVIDENCE = [
     "sample_bernoulli", "sample_system", "exchange_repartition",
     "match_vshape", "ann_ivf_topk", "multimodal_features",
@@ -55,46 +61,28 @@ _ROWS_ONLY_FIRST_EVIDENCE = [
 ]
 
 _DRIVER_PRIORITY = [
-    # (a) round-8 reds, fixed r9 — must lead the slate
-    "func_geo_srid", "func_geo_concave",
-    # (b) new r9
-    "func_geo_rings",
-    # (c) rows-only first evidence
-    *_ROWS_ONLY_FIRST_EVIDENCE,
-    # (d) code/oracle touched in round 9 — sql_calcite_dialect re-proves
-    # the front door after this round's rewrite additions (projected-IN
-    # 3VL, OVERLAPS, COLLECT WITHIN GROUP, INITCAP, MAP unnest, 3-part
-    # refs, IS UNKNOWN, DISTINCT-orderby-alias, grouping constant-fold)
-    "func_geo_setops", "func_tumble_group", "func_hop_group",
-    "ds_inventory_variance", "sql_calcite_dialect",
-    # (b2) new mid-round-9: the mergeable quantile sketch completing the
-    # CMS/HLL/quantile triad (operators/qsketch.py), and MATCH_RECOGNIZE
-    # through the SQL front door (sql_match.py — reuses the islands
-    # oracle, so the driver hash proves SQL text ≡ operator ≡ algebra)
-    "sketch_qsketch_quantiles", "sql_match_recognize",
-    # + two more TPC-DS planning shapes (NEW late r9): q36 ratio-rollup
-    # rank partitioned by grouping level (exact integer-quotient
-    # margin), q97 channel-overlap counts (one-scan presence-flag
-    # rewrite of the FULL OUTER of two DISTINCTs, hash-proven). They
-    # take recursive_numbers' and source_csv_scan's (e2) slots — both
-    # r4 green, unchanged code, family representatives still slated.
-    "ds_margin_rollup_rank", "ds_channel_overlap",
-    # (e1) the complete round-2-vintage cohort
-    "agg_having", "q13_customer_distribution", "q14_promo_effect",
-    "q22_global_sales_opportunity", "q4_order_priority",
-    "sample_deterministic", "setop_except_all", "setop_intersect",
-    "setop_intersect_all", "setop_union_distinct", "sort_limit_offset",
-    "subquery_in", "unnest_with_ordinality", "unnest_words",
-    "values_inline",
-    # (e2) oldest round-4-vintage names (the rest of the r4 cohort —
-    # source_partition_pruning, stream_sink_cow, subquery_quantified_some,
-    # table_function_series, text_lang_id, window_ignore_nulls,
-    # dedup_ngram_capped, func_char_pad, collect_nested — rotate in r10)
-    "agg_grouping_id", "agg_listagg_within", "agg_percentiles",
-    "ann_cosine_topk", "bucketed_join_colocated", "dedup_ngram_jaccard",
-    "dedup_simhash_buckets", "func_json_agg", "func_json_family",
-    "func_udf_surface", "modify_insert_delete", "multimodal_frame_sample",
-    "mv_filter_rewrite", "pagerank_nations", "pipeline_clean_corpus",
+    # (a) changed in round 10 — must lead the slate
+    "agg_grouping_having", "sketch_qsketch_quantiles",
+    "sql_match_recognize", "sql_calcite_dialect", "subquery_in",
+    "subquery_quantified_some", "subquery_quantified_all",
+    "sort_limit_offset", "agg_grouping_id",
+    # (b) the complete round-4-vintage cohort
+    "collect_nested", "dedup_ngram_capped", "func_char_pad",
+    "recursive_numbers", "source_csv_scan", "source_partition_pruning",
+    "stream_sink_cow", "table_function_series", "text_lang_id",
+    "window_ignore_nulls",
+    # (c) oldest round-5-vintage names
+    "agg_approx_distinct", "agg_approx_quantile", "bench_minhash_dedup",
+    "dedup_embedding_cosine", "dedup_exact", "doc_fingerprint",
+    "func_array_hof", "func_array_ops", "func_bitwise",
+    "func_datetime_arith", "func_datetime_extract",
+    "func_datetime_overlaps", "func_decimal_fidelity",
+    "func_greatest_null", "func_json", "func_json_type", "func_math",
+    "func_multiset_ops", "func_strings_advanced", "func_strings_search",
+    "func_struct_row", "func_time_arith", "func_time_emulation",
+    "is_distinct_from", "islands_increasing_runs", "join_salted_skew",
+    "modify_snapshot_versions", "modify_update_where",
+    "pivot_conditional", "pivot_dynamic", "sort_nulls_direction",
 ]
 
 

@@ -582,6 +582,49 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("agg_grouping_having", """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+       CAST(GROUPING(o_orderstatus, o_orderpriority, o_orderstatus)
+            AS BIGINT) AS gid3,
+       count(*) AS n
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+HAVING GROUPING(o_orderstatus)
+       <= GROUPING(o_orderstatus, o_orderpriority, o_orderstatus)
+""")
+def agg_grouping_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING()/GROUPING_ID() ARITHMETIC in HAVING over a ROLLUP —
+    including Calcite's duplicate-argument GROUPING_ID weighting
+    (agg.iq:651, CALCITE-1824 family). Runs the reference's dialect
+    TEXT through the front door: sql._rewrite_having_grouping lifts the
+    condition into a subquery projection (Spark resolves grouping
+    functions only against the aggregate's own output),
+    _rewrite_grouping_funcs expands the 3-arg duplicate form to the
+    per-column weighted sum. DuckDB evaluates the same HAVING natively,
+    so the hash pins the lift as semantics-preserving.
+
+    Scale shape: one rollup aggregation (map-side partials over ≤
+    |status|×|priority| cells) + a post-aggregate filter — the lift
+    adds NO exchange (filter over the aggregate's own projection)."""
+    from drill_calcite_spark.catalog import register_tables
+    from drill_calcite_spark.sql import calcite_sql
+
+    register_tables(spark, sf_dir)
+    return calcite_sql(spark, """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+               CAST(GROUPING_ID(o_orderstatus, o_orderpriority,
+                                o_orderstatus) AS BIGINT) AS gid3,
+               count(*) AS n
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        HAVING GROUPING(o_orderstatus)
+               <= GROUPING_ID(o_orderstatus, o_orderpriority,
+                              o_orderstatus)
+    """)
+
+
 @q("agg_percentiles", """
 SELECT l_returnflag,
        round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
