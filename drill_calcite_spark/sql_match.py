@@ -203,7 +203,19 @@ def _assert_safe_expr(expr: str, original: str) -> None:
 
 def _compile_define(cond: str, columns: "set[str]"):
     """SQL boolean condition → vectorized ``lambda p: Series``."""
-    expr = cond
+    # shield '...' string literals for the whole transform pipeline —
+    # a dot or `=` INSIDE a literal ('x.y', 'a=b') must not be read as
+    # a symbol reference or comparison. Placeholders are plain
+    # identifiers with no dot, invisible to every pattern below; the
+    # bodies are restored as Python string constants just before the
+    # AST whitelist runs (which accepts Constant str).
+    lit_bodies: "list[str]" = []
+
+    def _shield(m):
+        lit_bodies.append(m.group(0)[1:-1].replace("''", "'"))
+        return f" __mrlit{len(lit_bodies) - 1}x "
+
+    expr = re.sub(r"'(?:[^']|'')*'", _shield, cond)
     def nav(m):
         fn, _sym, col, n = (m.group(1).lower(), m.group(2),
                             m.group(3), m.group(4) or "1")
@@ -222,6 +234,8 @@ def _compile_define(cond: str, columns: "set[str]"):
         return f'p["{col}"]'
     expr = _SYMREF.sub(symref, expr)
     expr = _sql_ops_to_pandas(expr)
+    expr = re.sub(r"__mrlit(\d+)x",
+                  lambda m: repr(lit_bodies[int(m.group(1))]), expr)
     _assert_safe_expr(expr, cond)
     fn = eval(f"lambda p: ({expr})")  # noqa: S307 - whitelist-validated
     return fn

@@ -215,3 +215,20 @@ def test_ticker_skip_to_last_up_as_verbatim_sql_text(spark):
         ("ACME", "2017-12-10", "2017-12-12", "2017-12-13"),
         ("ACME", "2017-12-14", "2017-12-16", "2017-12-18"),
     ]
+
+
+def test_define_string_literals_shielded():
+    """Dots and comparison operators INSIDE a DEFINE string literal
+    must not be read as symbol refs or SQL operators."""
+    import pandas as pd
+
+    from drill_calcite_spark.sql_match import _compile_define
+
+    fn = _compile_define("A.job = 'x.y and z=1'", {"job"})
+    p = pd.DataFrame({"job": ["x.y and z=1", "other"]})
+    assert list(fn(p)) == [True, False]
+
+    # SQL '' escape restores to a single quote
+    fn2 = _compile_define("A.job <> 'it''s'", {"job"})
+    p2 = pd.DataFrame({"job": ["it's", "x"]})
+    assert list(fn2(p2)) == [False, True]
