@@ -506,3 +506,15 @@ def test_sql_match_recognize_one_shuffle_grouped_pandas(spark):
     assert "FlatMapGroupsInPandas" in plan, plan[:400]
     assert plan.count("Exchange") <= 2, \
         f"MR front door added exchanges: {plan[:500]}"
+
+
+def test_grouping_having_lift_adds_no_exchange(spark):
+    """agg_grouping_having: the HAVING-grouping subquery lift must stay
+    a post-aggregate Filter over the rollup's own projection — one
+    expand + one two-phase aggregate (a single shuffle), no extra
+    Exchange or Join introduced by the rewrite."""
+    plan = _plan(entrymod.queries()["agg_grouping_having"](spark, SF_DIR))
+    assert "Expand" in plan, "rollup did not plan as Expand"
+    n_ex = plan.count("Exchange")
+    assert n_ex <= 2, f"HAVING lift introduced extra shuffles: {n_ex}"
+    assert "Join" not in plan, "HAVING lift must not plan a join"
