@@ -133,11 +133,23 @@ def main():
     for path in glob.glob("tests/iq/calcite_*.iq"):
         corpus.update(norm(c["sql"]) for c in parse_iq(path))
 
+    import os
+
     for name in names:
-        ref = parse_psql(f"{REF_DIR}/{name}.iq")
+        path = f"{REF_DIR}/{name}.iq"
+        if not os.path.exists(path):
+            # the babel module's dialect scripts (redshift.iq)
+            path = (REF_DIR.replace("/core/", "/babel/") + f"/{name}.iq")
+        if name == "redshift":
+            # redshift.iq addresses Scott UNQUALIFIED (!use
+            # scott-redshift) — alias the scott fixtures over the plain
+            # names for this script, then restore the POST names after
+            for t in ("emp", "dept", "salgrade"):
+                spark.table(f"scott_{t}").createOrReplaceTempView(t)
+        ref = parse_psql(path)
         if not ref:
-            # mysql-box outputformat: the corpus's own reader handles it
-            ref = parse_iq(f"{REF_DIR}/{name}.iq")
+            # mysql-box / csv outputformat: the corpus's reader handles it
+            ref = parse_iq(path)
         ours = corpus
         missing = [c for c in ref if norm(c["sql"]) not in ours]
         chunks, failed = [], []
@@ -163,6 +175,8 @@ def main():
             with open(f"tests/iq/calcite_{name}.iq", "a") as f:
                 f.write("\n# ---- re-sweep additions ----\n\n"
                         + "\n".join(chunks))
+        if name == "redshift":
+            register_post(spark)  # restore the POST emp/dept bindings
 
 
 if __name__ == "__main__":
