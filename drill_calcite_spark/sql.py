@@ -1390,6 +1390,22 @@ def _rewrite_row_in_nulllist(text: str) -> str:
         if k < 0:
             pos = m.end()
             continue
+        # the paren group must be a ROW CONSTRUCTOR, not a call's
+        # argument list: `f(a, b) IN (...)` is a function whose name
+        # sits directly before the open paren — identify the preceding
+        # word and fall through unless it is a keyword/boundary
+        b = k - 1
+        while b >= 0 and text[b].isspace():
+            b -= 1
+        e_w = b
+        while b >= 0 and (text[b].isalnum() or text[b] in '_"`'):
+            b -= 1
+        word = text[b + 1:e_w + 1].lower()
+        if word and word not in ("where", "and", "or", "not", "when",
+                                 "then", "else", "on", "having", "select",
+                                 "by", "row"):
+            pos = m.end()
+            continue
         lhs = [v.strip() for v in _split_depth0(text[k + 1:j])]
         if len(lhs) < 2 or any(len(t) != len(lhs) for t in tuples):
             pos = m.end()

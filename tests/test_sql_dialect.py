@@ -496,3 +496,10 @@ def test_jdbc_escape_syntax():
     # braces inside string literals survive (shielded)
     q = "select '{ts not an escape}' as s from t"
     assert rewrite(q, nulls_high=False) == q
+
+
+def test_row_in_nulllist_skips_function_call_lhs():
+    """`f(a, b) IN ((1, 2), (null, 3))` — the paren group before IN is
+    a call's ARGUMENT LIST, not a row constructor; must stay native."""
+    q = "select * from t where point(a, b) in ((1, 2), (null, 3))"
+    assert rewrite(q, nulls_high=False) == q
