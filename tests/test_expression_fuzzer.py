@@ -307,3 +307,45 @@ def test_front_door_quantified_and_listagg_forms(spark, duck, fuzz_tables,
     srow = calcite_sql(spark, csql, nulls_high=False).collect()[0]
     drow = duck.execute(dsql).fetchone()
     assert tuple(srow) == tuple(drow), f"listagg diverged (seed {seed})"
+
+
+@pytest.mark.parametrize("seed", _SEEDS)
+def test_front_door_row_in_null_tuples(spark, duck, fuzz_tables, seed):
+    """Random row-valued [NOT] IN predicates over tuple lists with NULL
+    members (rewritten by _rewrite_row_in_nulllist), optionally with the
+    predicate's UNKNOWN-ness observed by IS NULL. The DuckDB twin is the
+    HAND-SPELLED elementwise OR-of-AND form — the SQL-standard row
+    comparison algebra (any pair FALSE → FALSE, else any pair UNKNOWN →
+    UNKNOWN) — evaluated independently; DuckDB's native row-IN is NOT
+    used because it returns UNKNOWN where the standard says FALSE
+    (pair-FALSE + pair-UNKNOWN)."""
+    from drill_calcite_spark.sql import calcite_sql
+
+    rng = random.Random(seed * 15485863)
+
+    def val():
+        return "null" if rng.random() < 0.35 else str(rng.randrange(-30, 31))
+
+    tuples = []
+    for k in range(rng.randrange(2, 5)):
+        a, b = val(), val()
+        if k == 0 and a != "null" and b != "null":
+            a = "null"  # guarantee the rewrite triggers
+        tuples.append((a, b))
+    lst = ", ".join(f"({a}, {b})" for a, b in tuples)
+    neg = rng.random() < 0.5
+    pred = f"(i, j) {'not ' if neg else ''}in ({lst})"
+    hand = " or ".join(f"((i = {a}) and (j = {b}))" for a, b in tuples)
+    hand = f"(not ({hand}))" if neg else f"({hand})"
+    observe = rng.random() < 0.5
+    if observe:
+        csql = f"select id from fuzz_t where ({pred}) is null order by id"
+        dsql = f"select id from fuzz_t where ({hand}) is null order by id"
+    else:
+        csql = f"select id from fuzz_t where {pred} order by id"
+        dsql = f"select id from fuzz_t where {hand} order by id"
+    s = [r[0] for r in calcite_sql(spark, csql, nulls_high=False).collect()]
+    d = [r[0] for r in duck.execute(dsql).fetchall()]
+    assert s == d, (
+        f"row-IN expansion diverged (seed {seed}): {pred!r} "
+        f"spark={len(s)} duck={len(d)} rows")
