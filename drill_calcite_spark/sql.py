@@ -460,6 +460,75 @@ def _scan_call(text: str, start: int) -> "tuple[str, int] | None":
     return text[start:i - 1], i
 
 
+_IVL_PROD = re.compile(
+    rf"([A-Za-z_][\w.]*|\"[\w$]+\")\s*\*\s*interval\s+(-)?\s*"
+    rf"'{_LIT_SENTINEL}(\d+){_LIT_SENTINEL}'\s+"
+    r"(year|month|day|hour|minute|second)s?(?:\s+to\s+"
+    r"(month|minute|second))?", re.I)
+
+_IVL_BASE = {  # base unit each qualifier accumulates into
+    ("year", "month"): 12, ("hour", "minute"): 60,
+    ("minute", "second"): 60, ("day", None): 1, ("hour", None): 1,
+    ("minute", None): 1, ("second", None): 1, ("year", None): 1,
+    ("month", None): 1,
+}
+
+
+def _rewrite_interval_products(text: str, lits: "list[str]") -> str:
+    """``col * INTERVAL [-]'[-]v' unit [TO unit]`` → Calcite's canonical
+    interval RENDERING as a string column (CALCITE-922, misc.iq:1372).
+    Calcite parses a sign both OUTSIDE the quotes (``interval -'3'
+    hour``) and inside (``interval -'-4' hour`` = +4), multiplies by
+    the integer operand, and prints the value in the literal's
+    qualifier form with an explicit sign: ``+20`` (single field),
+    ``-45:00`` (HOUR TO MINUTE), ``+12-06`` (YEAR TO MONTH). Spark's
+    interval types render differently AND PySpark cannot collect
+    YearMonthIntervalType at all, so the product is emulated as exact
+    integer arithmetic over the base unit (months / minutes / the
+    field itself) and formatted in pure column algebra — the same
+    string-emulation contract as the engine's TIME type. A NULL
+    operand propagates (concat is null-strict)."""
+    pos = 0
+    while True:
+        m = _IVL_PROD.search(text, pos)
+        if not m:
+            return text
+        term, outer_neg = m.group(1), bool(m.group(2))
+        body = lits[int(m.group(3))].strip()
+        unit = m.group(4).lower()
+        to_unit = m.group(5).lower() if m.group(5) else None
+        inner_neg = body.startswith("-")
+        digits = body.lstrip("-")
+        base = _IVL_BASE.get((unit, to_unit))
+        if base is None:
+            pos = m.end()
+            continue
+        if to_unit:
+            dm = re.fullmatch(r"(\d+)[-:](\d+)", digits)
+            if not dm:
+                pos = m.end()
+                continue
+            units = int(dm.group(1)) * base + int(dm.group(2))
+        else:
+            if not digits.isdigit():
+                pos = m.end()
+                continue
+            units = int(digits)
+        if inner_neg != outer_neg:  # exactly one sign → negative
+            units = -units
+        v = f"(cast(({term}) as bigint) * {units})"
+        sign = f"case when {v} < 0 then '-' else '+' end"
+        a = f"abs({v})"
+        if to_unit:
+            sep = "-" if (unit, to_unit) == ("year", "month") else ":"
+            repl = (f"concat({sign}, cast({a} div {base} as string), "
+                    f"'{sep}', lpad(cast({a} % {base} as string), 2, '0'))")
+        else:
+            repl = f"concat({sign}, cast({a} as string))"
+        text = text[:m.start()] + repl + text[m.end():]
+        pos = m.start() + len(repl)
+
+
 _JSON_EXISTS = re.compile(r"\bjson_exists\s*\(", re.I)
 
 
@@ -1875,6 +1944,8 @@ def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
         text = _rewrite_json_calls(text, _lits)
     if _JSON_EXISTS.search(text):
         text = _rewrite_json_exists(text, _lits)
+    if re.search(r"\*\s*interval\b", text, re.I):
+        text = _rewrite_interval_products(text, _lits)
     if _SEQ_REF.search(text):
         text = _rewrite_sequences(text)
     if re.search(r"\bgroup(ing)?_?", text, re.I):

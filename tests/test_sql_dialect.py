@@ -503,3 +503,29 @@ def test_row_in_nulllist_skips_function_call_lhs():
     a call's ARGUMENT LIST, not a row constructor; must stay native."""
     q = "select * from t where point(a, b) in ((1, 2), (null, 3))"
     assert rewrite(q, nulls_high=False) == q
+
+
+def test_interval_product_rendering():
+    """CALCITE-922 (misc.iq:1372): col * INTERVAL literal renders in
+    Calcite's canonical signed form — sign outside and/or inside the
+    quotes, single-field / HOUR TO MINUTE / YEAR TO MONTH shapes."""
+    out = rewrite("select deptno * interval '2' day as d2 from d",
+                  nulls_high=False)
+    assert "* 2)" in out and "concat" in out and "interval" not in out
+    out = rewrite("select deptno * interval -'3' hour as h3 from d",
+                  nulls_high=False)
+    assert "* -3)" in out
+    out = rewrite("select deptno * interval -'-4' hour as h4 from d",
+                  nulls_high=False)
+    assert "* 4)" in out
+    out = rewrite(
+        "select deptno * interval -'4:30' hour to minute as x from d",
+        nulls_high=False)
+    assert "* -270)" in out and "div 60" in out
+    out = rewrite(
+        "select deptno * interval -'-1-3' year to month as y from d",
+        nulls_high=False)
+    assert "* 15)" in out and "div 12" in out
+    # a plain interval literal (no product) is untouched
+    q = "select interval '2' day from d"
+    assert rewrite(q, nulls_high=False) == q
