@@ -18,7 +18,9 @@ from drill_calcite_spark.operators.multimodal import (
     extract_features,
 )
 from drill_calcite_spark.operators.bloom import bloom_build, bloom_prune
-from drill_calcite_spark.operators.polyclip import clip_polygon_rings, rings_area
+from drill_calcite_spark.operators.polyclip import (
+    clip_polygon_rings, polygon_setop_rings, rings_area,
+)
 from drill_calcite_spark.operators.qsketch import (
     qsketch_build,
     qsketch_merge,
@@ -40,7 +42,7 @@ __all__ = [
     "cosine_topk", "embedding_near_dup_pairs", "lsh_ann_topk",
     "attach_binary_payload", "extract_features",
     "bloom_build", "bloom_prune",
-    "clip_polygon_rings", "rings_area",
+    "clip_polygon_rings", "polygon_setop_rings", "rings_area",
     "cms_sketch", "cms_merge", "cms_estimate",
     "qsketch_build", "qsketch_merge", "qsketch_quantiles",
     "hll_registers", "hll_merge", "hll_summary",

@@ -83,11 +83,13 @@ def _inside(pt, ring) -> bool:
 
 
 class _Node:
-    __slots__ = ("pt", "nxt", "neighbor", "entry", "inter", "visited", "t")
+    __slots__ = ("pt", "nxt", "prv", "neighbor", "entry", "inter",
+                 "visited", "t")
 
     def __init__(self, pt, inter=False, t=Fraction(0)):
         self.pt = pt
         self.nxt = None
+        self.prv = None
         self.neighbor = None
         self.entry = False
         self.inter = inter
@@ -99,6 +101,7 @@ def _build(ring):
     nodes = [_Node(p) for p in ring]
     for i, nd in enumerate(nodes):
         nd.nxt = nodes[(i + 1) % len(nodes)]
+        nodes[(i + 1) % len(nodes)].prv = nd
     return nodes
 
 
@@ -131,14 +134,12 @@ def _seg_intersect(p1, p2, q1, q2):
     return None
 
 
-def clip_polygon_rings(subject: Iterable, clip: Iterable):
-    """Intersection rings of two simple polygons in general position
-    (either orientation; concavity allowed; no holes). Returns a list
-    of CCW rings of exact-Fraction (x, y) pairs, canonicalized: each
-    rotated to its lexicographically smallest vertex, list sorted by
-    that vertex."""
-    subj = _ccw([(Fraction(x), Fraction(y)) for x, y in subject])
-    clp = _ccw([(Fraction(x), Fraction(y)) for x, y in clip])
+def _interlink(subj, clp):
+    """Build both doubly-linked vertex cycles, thread every proper
+    crossing into each (ordered by the along-edge parameter), and mark
+    GEOMETRIC entry/exit on every crossing (entry = the cycle is about
+    to go INSIDE the other polygon). Returns (crossings) — the
+    subject-side crossing nodes."""
     s_nodes, c_nodes = _build(subj), _build(clp)
 
     # 1. find all proper crossings on the ORIGINAL edges, then thread
@@ -165,62 +166,135 @@ def clip_polygon_rings(subject: Iterable, clip: Iterable):
             cur = a
             for nd in sorted(inserts[id(a)], key=lambda n: n.t):
                 cur.nxt = nd
+                nd.prv = cur
                 cur = nd
             cur.nxt = b
+            b.prv = cur
 
-    # 2. no crossings: containment / disjoint trichotomy
-    if not crossings:
-        if _inside(subj[0], clp):
-            return _canon([subj])
-        if _inside(clp[0], subj):
-            return _canon([clp])
-        return []
-
-    # 3. mark entry/exit on each cycle by inside-state alternation
+    # 2. mark entry/exit on each cycle by inside-state alternation
     # (start state = is the cycle's first ORIGINAL vertex inside the
     # other polygon? inside -> the next crossing EXITS)
-    for nodes, other in ((s_nodes, clp), (c_nodes, subj)):
-        start = nodes[0]
-        state = _inside(start.pt, other)
-        cur = start.nxt
-        while True:
-            if cur.inter:
-                cur.entry = not state
-                state = not state
-            if cur is start:
-                break
-            cur = cur.nxt
+    if crossings:
+        for nodes, other in ((s_nodes, clp), (c_nodes, subj)):
+            start = nodes[0]
+            state = _inside(start.pt, other)
+            cur = start.nxt
+            while True:
+                if cur.inter:
+                    cur.entry = not state
+                    state = not state
+                if cur is start:
+                    break
+                cur = cur.nxt
+    return crossings
 
-    # 4. trace rings. Start ONLY at unvisited subject ENTRY crossings —
-    # every intersection ring alternates entry/exit on the subject cycle,
-    # so entries alone reach every ring; an exit-node start would need
-    # the backward walk this forward-only tracer deliberately lacks
-    # (starting at exits crashed ~half of valid inputs pre-r9).
+
+def clip_polygon_rings(subject: Iterable, clip: Iterable):
+    """Intersection rings of two simple polygons in general position
+    (either orientation; concavity allowed; no holes). Returns a list
+    of CCW rings of exact-Fraction (x, y) pairs, canonicalized: each
+    rotated to its lexicographically smallest vertex, list sorted by
+    that vertex. (Round-9 entry point; since round 10 a thin wrapper
+    over ``polygon_setop_rings(..., "intersection")`` — intersection
+    components of two simply-connected sets are simply connected, so
+    every ring comes out CCW.)"""
+    return polygon_setop_rings(subject, clip, "intersection")
+
+
+def polygon_setop_rings(subject: Iterable, clip: Iterable, op: str):
+    """Set-operation region of two simple polygons in general position
+    as ORDERED VERTEX RINGS — the round-10 completion of the
+    Greiner-Hormann family (the reference hands all four ops to the
+    ESRI GeometryEngine, GeoFunctions.java:491-497).
+
+    op: 'intersection' | 'union' | 'difference' (subject minus clip) |
+    'symmetric' (symmetric difference).
+
+    Returns a list of rings of exact-Fraction (x, y) pairs with
+    ORIENTATION POLARITY: CCW = outer boundary, CW = hole (a union of
+    two simply-connected polygons has a hole exactly when their
+    intersection is disconnected; containment cases of difference /
+    symmetric difference yield the inner polygon as a CW hole ring).
+    ``rings_area`` (signed) therefore returns the true region area.
+    Canonicalized: each ring rotated to its lexicographically smallest
+    vertex (orientation preserved), list sorted by that vertex.
+
+    Traversal derivation (both cycles CCW, proper crossings only):
+    every result ring alternates subject/clip arcs between crossings.
+    Subject arcs are ALWAYS walked forward (the result region keeps the
+    subject's interior-on-the-left where its boundary bounds the
+    result); clip arcs walk forward for intersection/union and BACKWARD
+    for difference (the clip boundary bounds subject-minus-clip with
+    the clip's interior on the OTHER side). Ring heads are subject
+    crossings whose forward segment bounds the result: geometric ENTRY
+    nodes for intersection, geometric EXIT nodes for union/difference;
+    at every head and every list switch the landing node's geometric
+    mark must equal entry-for-intersection / exit-otherwise — anything
+    else means the marks desynchronized — loud-fail per the module
+    contract. Symmetric difference = difference(A,B) ⊎ difference(B,A)
+    (disjoint interiors; boundaries share only crossing POINTS)."""
+    if op == "symmetric":
+        return _canon_signed(
+            polygon_setop_rings(subject, clip, "difference")
+            + polygon_setop_rings(clip, subject, "difference"))
+    if op not in ("intersection", "union", "difference"):
+        raise ValueError(f"polyclip: unknown set op {op!r}")
+
+    subj = _ccw([(Fraction(x), Fraction(y)) for x, y in subject])
+    clp = _ccw([(Fraction(x), Fraction(y)) for x, y in clip])
+    crossings = _interlink(subj, clp)
+
+    # no crossings: containment / disjoint trichotomy (general position
+    # makes containment all-or-nothing, so one vertex decides)
+    if not crossings:
+        s_in_c = _inside(subj[0], clp)
+        c_in_s = _inside(clp[0], subj)
+        if op == "intersection":
+            picks = [subj] if s_in_c else ([clp] if c_in_s else [])
+        elif op == "union":
+            picks = [clp] if s_in_c else ([subj] if c_in_s else [subj, clp])
+        else:  # difference
+            if s_in_c:
+                picks = []
+            elif c_in_s:
+                picks = [subj, list(reversed(clp))]  # clip becomes a hole
+            else:
+                picks = [subj]
+        return _canon_signed(picks)
+
+    head_entry = (op == "intersection")  # required geometric mark at
+    # every ring head and every post-switch landing (see docstring)
+    clip_forward = (op != "difference")
     rings = []
     for start in sorted(crossings, key=lambda n: n.pt):
-        if start.visited or not start.entry:
+        if start.visited or start.entry is not head_entry:
             continue
         ring = []
         cur = start
+        on_subject = True
         while not cur.visited:
             cur.visited = True
-            if cur.neighbor is not None:
-                cur.neighbor.visited = True
-            if not cur.entry:
-                # after a list switch we must land on an entry node (both
-                # cycles CCW, intersection op); anything else means the
-                # marks desynchronized — loud-fail per the module contract
-                raise ValueError("polyclip: exit node reached as a trace "
-                                 "head (degenerate input?)")
+            cur.neighbor.visited = True
+            if cur.entry is not head_entry:
+                raise ValueError(
+                    "polyclip: mis-marked node reached as a trace head "
+                    f"(op={op}; degenerate input?)")
+            forward = True if on_subject else clip_forward
             while True:
                 ring.append(cur.pt)
-                cur = cur.nxt
+                cur = cur.nxt if forward else cur.prv
                 if cur.inter:
                     break
             cur = cur.neighbor
+            on_subject = not on_subject
         if len(ring) >= 3:
             rings.append(ring)
-    return _canon(rings)
+    unvisited = [n for n in crossings if not n.visited]
+    if unvisited:
+        raise ValueError(
+            f"polyclip: {len(unvisited)} crossing(s) left untraced "
+            f"(op={op}; degenerate input?)")
+    return _canon_signed(rings)
 
 
 def _canon(rings):
@@ -230,6 +304,22 @@ def _canon(rings):
         k = min(range(len(r)), key=lambda i: r[i])
         out.append(r[k:] + r[:k])
     out.sort(key=lambda r: r[0])
+    return out
+
+
+def _canon_signed(rings):
+    """Rotation-only canonicalization: each ring rotated to its
+    lexicographically smallest vertex with ORIENTATION PRESERVED (CCW
+    outer / CW hole polarity is the result encoding), sorted by that
+    vertex (then by the full vertex tuple — symmetric-difference rings
+    may share crossing points)."""
+    out = []
+    for r in rings:
+        if _area2(r) == 0:
+            raise ValueError("polyclip: degenerate (zero-area) ring")
+        k = min(range(len(r)), key=lambda i: r[i])
+        out.append(list(r[k:]) + list(r[:k]))
+    out.sort(key=lambda r: (r[0], len(r), r))
     return out
 
 

@@ -124,3 +124,146 @@ def test_round_half_away_6dp():
     assert round_half_away_6dp(-Fraction(1, 2000000)) == -1e-6
     assert round_half_away_6dp(Fraction(0)) == 0.0
     assert round_half_away_6dp(Fraction(32, 3)) == 10.666667
+
+
+# ------------------------------------------------- set-op rings (round 10)
+# polygon_setop_rings extends the clipper to UNION / DIFFERENCE /
+# SYMMETRIC DIFFERENCE (the reference hands all four ops to the ESRI
+# GeometryEngine, GeoFunctions.java:491-497). Orientation polarity is
+# the encoding: CCW = outer boundary, CW = hole.
+
+from drill_calcite_spark.operators.polyclip import polygon_setop_rings
+
+
+def _signed(ring):
+    s = 0
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1]):
+        s += x1 * y2 - x2 * y1
+    return s
+
+
+_SQ_A = [(0, 0), (2, 0), (2, 2), (0, 2)]
+_SQ_B = [(1, 1), (3, 1), (3, 3), (1, 3)]
+
+
+def test_setop_two_squares_union():
+    rings = polygon_setop_rings(_SQ_A, _SQ_B, "union")
+    assert [_pts(r) for r in rings] == [
+        [(0.0, 0.0), (2.0, 0.0), (2.0, 1.0), (3.0, 1.0), (3.0, 3.0),
+         (1.0, 3.0), (1.0, 2.0), (0.0, 2.0)]]
+    assert rings_area(rings) == 7  # 4 + 4 - 1
+
+
+def test_setop_two_squares_difference():
+    rings = polygon_setop_rings(_SQ_A, _SQ_B, "difference")
+    assert [_pts(r) for r in rings] == [
+        [(0.0, 0.0), (2.0, 0.0), (2.0, 1.0), (1.0, 1.0), (1.0, 2.0),
+         (0.0, 2.0)]]
+    assert rings_area(rings) == 3  # 4 - 1
+
+
+def test_setop_two_squares_symmetric():
+    # two hexagons sharing only the crossing POINTS (2,1) and (1,2)
+    rings = polygon_setop_rings(_SQ_A, _SQ_B, "symmetric")
+    assert [_pts(r) for r in rings] == [
+        [(0.0, 0.0), (2.0, 0.0), (2.0, 1.0), (1.0, 1.0), (1.0, 2.0),
+         (0.0, 2.0)],
+        [(1.0, 2.0), (2.0, 2.0), (2.0, 1.0), (3.0, 1.0), (3.0, 3.0),
+         (1.0, 3.0)]]
+    assert rings_area(rings) == 6  # 4 + 4 - 2*1
+
+
+# A U-shape capped by a bar: the intersection is DISCONNECTED (two
+# squares), so the union has a HOLE — the polarity case the r9
+# intersection-only clipper could never produce.
+_U = [(0, 0), (3, 0), (3, 3), (2, 3), (2, 1), (1, 1), (1, 3), (0, 3)]
+_BAR = [(Fraction(-1, 2), Fraction(3, 2)), (Fraction(7, 2), Fraction(3, 2)),
+        (Fraction(7, 2), Fraction(5, 2)), (Fraction(-1, 2), Fraction(5, 2))]
+
+
+def test_setop_u_bar_intersection_two_rings():
+    rings = polygon_setop_rings(_U, _BAR, "intersection")
+    assert [_pts(r) for r in rings] == [
+        [(0.0, 1.5), (1.0, 1.5), (1.0, 2.5), (0.0, 2.5)],
+        [(2.0, 1.5), (3.0, 1.5), (3.0, 2.5), (2.0, 2.5)]]
+    assert rings_area(rings) == 2
+
+
+def test_setop_u_bar_union_has_cw_hole():
+    rings = polygon_setop_rings(_U, _BAR, "union")
+    assert len(rings) == 2
+    outer = [r for r in rings if _signed(r) > 0]
+    holes = [r for r in rings if _signed(r) < 0]
+    assert len(outer) == 1 and len(holes) == 1
+    # the hole: the notch region walled in below the bar, traced CW
+    assert _pts(holes[0]) == [
+        (1.0, 1.0), (1.0, 1.5), (2.0, 1.5), (2.0, 1.0)]
+    assert len(outer[0]) == 16
+    # signed total = |U| + |bar| - |intersection| = 7 + 4 - 2
+    assert rings_area(rings) == 9
+
+
+def test_setop_u_bar_difference_three_rings():
+    rings = polygon_setop_rings(_U, _BAR, "difference")
+    assert [_pts(r) for r in rings] == [
+        [(0.0, 0.0), (3.0, 0.0), (3.0, 1.5), (2.0, 1.5), (2.0, 1.0),
+         (1.0, 1.0), (1.0, 1.5), (0.0, 1.5)],
+        [(0.0, 2.5), (1.0, 2.5), (1.0, 3.0), (0.0, 3.0)],
+        [(2.0, 2.5), (3.0, 2.5), (3.0, 3.0), (2.0, 3.0)]]
+    assert rings_area(rings) == 5  # 7 - 2
+
+
+def test_setop_u_bar_symmetric_six_rings():
+    rings = polygon_setop_rings(_U, _BAR, "symmetric")
+    assert len(rings) == 6
+    assert all(_signed(r) > 0 for r in rings)  # disjoint pieces, no holes
+    assert rings_area(rings) == 7  # 7 + 4 - 2*2
+
+
+def test_setop_containment_and_disjoint_tables():
+    big = [(0, 0), (4, 0), (4, 4), (0, 4)]
+    small = [(1, 1), (2, 1), (2, 2), (1, 2)]
+    far = [(10, 10), (11, 10), (11, 11), (10, 11)]
+    # small inside big: difference/symmetric carry small as a CW hole
+    assert polygon_setop_rings(big, small, "intersection") == \
+        polygon_setop_rings(small, big, "intersection")
+    d = polygon_setop_rings(big, small, "difference")
+    assert len(d) == 2 and _signed(d[0]) > 0 and _signed(d[1]) < 0
+    assert rings_area(d) == 15
+    assert polygon_setop_rings(small, big, "difference") == []
+    s = polygon_setop_rings(big, small, "symmetric")
+    assert rings_area(s) == 15 and len(s) == 2
+    u = polygon_setop_rings(big, small, "union")
+    assert [_pts(r) for r in u] == [
+        [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)]]
+    # disjoint
+    assert polygon_setop_rings(big, far, "intersection") == []
+    assert rings_area(polygon_setop_rings(big, far, "union")) == 17
+    assert rings_area(polygon_setop_rings(big, far, "difference")) == 16
+    assert len(polygon_setop_rings(big, far, "symmetric")) == 2
+
+
+def test_setop_inclusion_exclusion_exact_on_concave_pair():
+    # dart x L-shape (concave x concave) — the driver battery's shapes;
+    # all four ops tie to the EXACT inclusion-exclusion identities
+    dart = [(0, 0), (4, 0), (4, 3), (2, Fraction(7, 4)), (0, 3)]
+    ell = [(Fraction(1, 8), Fraction(1, 16)),
+           (Fraction(41, 8), Fraction(1, 16)),
+           (Fraction(41, 8), Fraction(17, 16)),
+           (Fraction(17, 8), Fraction(17, 16)),
+           (Fraction(17, 8), Fraction(33, 16)),
+           (Fraction(1, 8), Fraction(33, 16))]
+    a_d = rings_area([[(Fraction(x), Fraction(y)) for x, y in dart]])
+    a_l = rings_area([[(Fraction(x), Fraction(y)) for x, y in ell]])
+    i = rings_area(polygon_setop_rings(dart, ell, "intersection"))
+    assert rings_area(polygon_setop_rings(dart, ell, "union")) \
+        == a_d + a_l - i
+    assert rings_area(polygon_setop_rings(dart, ell, "difference")) \
+        == a_d - i
+    assert rings_area(polygon_setop_rings(dart, ell, "symmetric")) \
+        == a_d + a_l - 2 * i
+
+
+def test_setop_unknown_op_raises():
+    with pytest.raises(ValueError):
+        polygon_setop_rings(_SQ_A, _SQ_B, "xor")
