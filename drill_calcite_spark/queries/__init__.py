@@ -62,6 +62,9 @@ _ROWS_ONLY_FIRST_EVIDENCE = [
 
 _DRIVER_PRIORITY = [
     # (a) changed in round 10 — must lead the slate
+    "func_geo_setop_rings",  # NEW r10: union/diff/symdiff RINGS (signed
+    # areas from the generalized Greiner-Hormann tracer vs the
+    # independent fan-algebra inclusion-exclusion oracle)
     "agg_grouping_having", "sketch_qsketch_quantiles",
     "sql_match_recognize", "sql_calcite_dialect", "subquery_in",
     "subquery_quantified_some", "subquery_quantified_all",

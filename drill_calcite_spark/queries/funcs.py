@@ -3041,3 +3041,102 @@ def func_geo_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "inter_area": areas})
 
     return pts.mapInPandas(batch, "event_id bigint, inter_area double")
+
+
+def _geo_setop_rings_sql() -> str:
+    from drill_calcite_spark.functions.geo import (
+        fan_triangles, sql_area_colring, sql_concave_intersection_area,
+    )
+
+    dart = [("cx", "cy"), ("cx + w", "cy"), ("cx + w", "cy + h"),
+            ("cx + w / 2", "dd"), ("cx", "cy + h")]
+    ia = sql_concave_intersection_area(dart, _RINGS_L,
+                                       origin=_CONCAVE_ORIGIN)
+    _, q_area = fan_triangles(_RINGS_L, _CONCAVE_ORIGIN)
+    ar = sql_area_colring(dart)
+    return f"""
+WITH pts AS (
+  SELECT event_id,
+         CAST((event_id % 45) - 12 AS DOUBLE) AS cx,
+         CAST((user_id % 39) - 12 AS DOUBLE)  AS cy,
+         CAST(2 + event_id % 3 AS DOUBLE)     AS w,
+         CAST(2 + user_id % 3 AS DOUBLE)      AS h,
+         CAST((user_id % 39) - 12 AS DOUBLE)
+           + CAST(2 + user_id % 3 AS DOUBLE)
+             * (0.25 + 0.125 * (event_id % 5)) AS dd
+  FROM events WHERE event_id < 3000
+), g AS (
+  SELECT event_id, {ia} AS ia, {ar} AS ar
+  FROM pts
+)
+SELECT event_id,
+       (round(ar + {q_area!r} - ia, 6) + 0.0)     AS union_area,
+       (round(ar - ia, 6) + 0.0)                  AS diff_area,
+       (round(ar + {q_area!r} - 2 * ia, 6) + 0.0) AS sym_area
+FROM g
+"""
+
+
+@q("func_geo_setop_rings", _geo_setop_rings_sql())
+def func_geo_setop_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / DIFFERENCE / SYMMETRIC-DIFFERENCE region as ORDERED
+    VERTEX RINGS — the round-10 completion of the set-op family the
+    reference hands to the ESRI GeometryEngine (GeoFunctions.java:
+    491-497 ST_Union via GeometryEngine.union; func_geo_rings closed
+    the intersection half in r9). Spark side: the generalized
+    Greiner-Hormann tracer (operators/polyclip.py polygon_setop_rings)
+    in EXACT rational arithmetic inside mapInPandas — map-only, no
+    shuffle, Arrow-batched; the displayed areas are the SIGNED ring
+    areas (CCW outer / CW hole) rounded half-away at 6 dp, so a union
+    whose intersection is disconnected (13 of the 3000 battery rows)
+    only matches when its hole ring subtracts — the oracle row is
+    polarity-sensitive, not just area-sensitive. Oracle: the completely
+    independent signed-fan column algebra (functions/geo.py) plus the
+    inclusion-exclusion identities |A∪B| = |A|+|B|-|A∩B|,
+    |A-B| = |A|-|A∩B|, |AΔB| = |A|+|B|-2|A∩B| — two unrelated
+    algorithms (sequential ring tracing vs Sutherland-Hodgman clip
+    algebra) agreeing bit-for-bit at 6 dp. Ring structure (counts,
+    vertex order, hole polarity) is pinned by hand-computed goldens in
+    tests/test_polyclip.py, since ring lists are not SQL-expressible.
+    Scale: per-row O((n+m)^2) on single-digit-vertex polygons,
+    embarrassingly parallel."""
+    import pandas as pd
+
+    from drill_calcite_spark.operators.polyclip import (
+        polygon_setop_rings, rings_area, round_half_away_6dp,
+    )
+
+    pts = (
+        t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+        .select(
+            "event_id",
+            ((F.col("event_id") % 45) - 12).cast("double").alias("cx"),
+            ((F.col("user_id") % 39) - 12).cast("double").alias("cy"),
+            (2 + F.col("event_id") % 3).cast("double").alias("w"),
+            (2 + F.col("user_id") % 3).cast("double").alias("h"),
+            (((F.col("user_id") % 39) - 12).cast("double")
+             + (2 + F.col("user_id") % 3).cast("double")
+             * (0.25 + 0.125 * (F.col("event_id") % 5))).alias("dd"),
+        )
+    )
+    lit_clip = list(_RINGS_L)
+
+    def batch(frames):
+        for pdf in frames:
+            cols = {"union_area": [], "diff_area": [], "sym_area": []}
+            for cx, cy, w, h, dd in zip(pdf["cx"], pdf["cy"], pdf["w"],
+                                        pdf["h"], pdf["dd"]):
+                dart = [(cx, cy), (cx + w, cy), (cx + w, cy + h),
+                        (cx + w / 2, dd), (cx, cy + h)]
+                for col, op in (("union_area", "union"),
+                                ("diff_area", "difference"),
+                                ("sym_area", "symmetric")):
+                    rings = polygon_setop_rings(dart, lit_clip, op)
+                    cols[col].append(
+                        round_half_away_6dp(rings_area(rings)) + 0.0)
+            yield pd.DataFrame({"event_id": pdf["event_id"], **cols})
+
+    return pts.mapInPandas(
+        batch,
+        "event_id bigint, union_area double, diff_area double, "
+        "sym_area double")
