@@ -65,6 +65,10 @@ _DRIVER_PRIORITY = [
     "func_geo_setop_rings",  # NEW r10: union/diff/symdiff RINGS (signed
     # areas from the generalized Greiner-Hormann tracer vs the
     # independent fan-algebra inclusion-exclusion oracle)
+    "ds_multichannel_rollup",  # NEW r10: TPC-DS q5 shape (channel
+    # sales/returns CTEs -> ROLLUP -> ordered LIMIT)
+    "ds_inventory_demand_window",  # NEW r10: TPC-DS q72 shape (the
+    # bucketed range-join rewrite vs the literal theta-join oracle)
     "agg_grouping_having", "sketch_qsketch_quantiles",
     "sql_match_recognize", "sql_calcite_dialect", "subquery_in",
     "subquery_quantified_some", "subquery_quantified_all",
@@ -85,7 +89,9 @@ _DRIVER_PRIORITY = [
     "func_struct_row", "func_time_arith", "func_time_emulation",
     "is_distinct_from", "islands_increasing_runs", "join_salted_skew",
     "modify_snapshot_versions", "modify_update_where",
-    "pivot_conditional", "pivot_dynamic", "sort_nulls_direction",
+    # pivot_conditional / pivot_dynamic / sort_nulls_direction (r5 rows
+    # still green) gave up their slots to the three new r10 names —
+    # rotate them in r11.
 ]
 
 

@@ -1193,3 +1193,323 @@ def ds_channel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1)
               .otherwise(0)).cast("bigint").alias("both_channels"),
     )
+
+
+@q("ds_multichannel_rollup", """
+WITH win AS (
+  SELECT o_orderkey, o_orderpriority FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+), ssr AS (
+  SELECT s_name AS id,
+         sum((CASE WHEN kind = 0 THEN l_extendedprice * (1 - l_discount)
+              ELSE 0 END)::DECIMAL(18,6)) AS sales,
+         sum((CASE WHEN kind = 1 THEN l_extendedprice
+              ELSE 0 END)::DECIMAL(18,6)) AS ret_amt,
+         sum((CASE WHEN kind = 0
+              THEN l_extendedprice * (1 - l_discount) - l_extendedprice * l_tax
+              ELSE -(l_extendedprice * (0.5 + l_tax)) END)::DECIMAL(18,6))
+           AS profit
+  FROM (
+    SELECT l_suppkey, l_extendedprice, l_discount, l_tax, l_orderkey,
+           0 AS kind
+    FROM lineitem WHERE l_linenumber % 3 = 0
+    UNION ALL
+    SELECT l_suppkey, l_extendedprice, l_discount, l_tax, l_orderkey,
+           1 AS kind
+    FROM lineitem WHERE l_linenumber % 3 = 0 AND l_returnflag = 'R'
+  ) sr
+  JOIN win ON o_orderkey = l_orderkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  GROUP BY 1
+), csr AS (
+  SELECT p_brand AS id,
+         sum((CASE WHEN kind = 0 THEN l_extendedprice * (1 - l_discount)
+              ELSE 0 END)::DECIMAL(18,6)) AS sales,
+         sum((CASE WHEN kind = 1 THEN l_extendedprice
+              ELSE 0 END)::DECIMAL(18,6)) AS ret_amt,
+         sum((CASE WHEN kind = 0
+              THEN l_extendedprice * (1 - l_discount) - l_extendedprice * l_tax
+              ELSE -(l_extendedprice * (0.5 + l_tax)) END)::DECIMAL(18,6))
+           AS profit
+  FROM (
+    SELECT l_partkey, l_extendedprice, l_discount, l_tax, l_orderkey,
+           0 AS kind
+    FROM lineitem WHERE l_linenumber % 3 = 1
+    UNION ALL
+    SELECT l_partkey, l_extendedprice, l_discount, l_tax, l_orderkey,
+           1 AS kind
+    FROM lineitem WHERE l_linenumber % 3 = 1 AND l_returnflag = 'R'
+  ) sr
+  JOIN win ON o_orderkey = l_orderkey
+  JOIN part ON p_partkey = l_partkey
+  GROUP BY 1
+), wsr AS (
+  SELECT id,
+         sum(sales::DECIMAL(18,6)) AS sales,
+         sum(ret_amt::DECIMAL(18,6)) AS ret_amt,
+         sum(profit::DECIMAL(18,6)) AS profit
+  FROM (
+    SELECT o_orderpriority AS id,
+           l_extendedprice * (1 - l_discount) AS sales,
+           0.0 AS ret_amt,
+           l_extendedprice * (1 - l_discount) - l_extendedprice * l_tax
+             AS profit
+    FROM lineitem JOIN win ON o_orderkey = l_orderkey
+    WHERE l_linenumber % 3 = 2
+    UNION ALL
+    SELECT coalesce(o_orderpriority, 'none') AS id,
+           0.0 AS sales,
+           l_extendedprice AS ret_amt,
+           -(l_extendedprice * (0.5 + l_tax)) AS profit
+    FROM lineitem LEFT JOIN win ON o_orderkey = l_orderkey
+    WHERE l_linenumber % 3 = 2 AND l_returnflag = 'R'
+  ) sr
+  GROUP BY 1
+)
+SELECT channel, id,
+       CAST(GROUPING(channel) AS BIGINT) AS g_ch,
+       CAST(GROUPING(id) AS BIGINT)      AS g_id,
+       round(sum(sales), 2)::DOUBLE      AS sales,
+       round(sum(ret_amt), 2)::DOUBLE    AS ret_amt,
+       round(sum(profit), 2)::DOUBLE     AS profit
+FROM (
+  SELECT 'store' AS channel, * FROM ssr
+  UNION ALL
+  SELECT 'catalog' AS channel, * FROM csr
+  UNION ALL
+  SELECT 'web' AS channel, * FROM wsr
+) x
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel ASC NULLS FIRST, id ASC NULLS FIRST
+LIMIT 100
+""")
+def ds_multichannel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q5 shape (TpcdsTest.java:62-69; queries/q5.sql in the
+    dsgen distribution): per-channel sales-and-returns CTEs (each an
+    aggregate over a sales UNION ALL returns inner union joined to a
+    channel dim), UNION ALLed under a ROLLUP (channel, id) with an
+    ordered LIMIT — q5's ssr/csr/wsr → rollup → top-100 spine. The
+    'web' branch mirrors q5's web_returns LEFT OUTER JOIN web_sales
+    wrinkle: its returns rows LEFT-join the date-window orders, so
+    out-of-window returns keep a NULL id and coalesce to 'none'
+    (real misses, data-dependent).
+
+    Scale notes: each branch is one fact-slice scan with the dims
+    BROADCAST (supplier / part; the window orders projection is small
+    after its date filter); per-branch aggregation collapses to
+    |ids| rows map-side BEFORE the union, so the rollup's Expand and
+    exchange see ≤ |s_name|+|p_brand|+|priorities| rows, never fact
+    rows; the final TakeOrdered(100) is a driver-side merge of
+    per-partition top-100s. DECIMAL(18,6) sums for engine-identical
+    totals; ORDER BY is total (channel, id unique per rollup row) with
+    explicit NULLS FIRST on both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    ords = t(spark, sf_dir, "orders")
+    win = (
+        ords.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+        .select("o_orderkey", "o_orderpriority")
+    )
+    ext, disc, tax = (F.col("l_extendedprice"), F.col("l_discount"),
+                      F.col("l_tax"))
+    sales_price = ext * (1 - disc)
+    sale_profit = ext * (1 - disc) - ext * tax
+    ret_loss = -(ext * (0.5 + tax))
+
+    def sales_and_returns(sl):
+        s = sl.withColumn("kind", F.lit(0))
+        r = (sl.filter(F.col("l_returnflag") == "R")
+             .withColumn("kind", F.lit(1)))
+        u = s.unionAll(r)
+        k = F.col("kind")
+        return u.select(
+            "l_orderkey", "l_suppkey", "l_partkey",
+            F.when(k == 0, sales_price).otherwise(F.lit(0.0))
+            .cast("decimal(18,6)").alias("sales_d"),
+            F.when(k == 1, ext).otherwise(F.lit(0.0))
+            .cast("decimal(18,6)").alias("ret_d"),
+            F.when(k == 0, sale_profit).otherwise(ret_loss)
+            .cast("decimal(18,6)").alias("profit_d"),
+        )
+
+    def agg_by_id(df):
+        return df.groupBy("id").agg(
+            F.sum("sales_d").alias("sales"),
+            F.sum("ret_d").alias("ret_amt"),
+            F.sum("profit_d").alias("profit"))
+
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+
+    ssr = agg_by_id(
+        sales_and_returns(li.filter(F.col("l_linenumber") % 3 == 0))
+        .join(win, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .withColumn("id", F.col("s_name")))
+    csr = agg_by_id(
+        sales_and_returns(li.filter(F.col("l_linenumber") % 3 == 1))
+        .join(win, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .withColumn("id", F.col("p_brand")))
+
+    web = li.filter(F.col("l_linenumber") % 3 == 2)
+    web_sales = (
+        web.join(win, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_orderpriority").alias("id"),
+                sales_price.cast("decimal(18,6)").alias("sales_d"),
+                F.lit(0.0).cast("decimal(18,6)").alias("ret_d"),
+                sale_profit.cast("decimal(18,6)").alias("profit_d"))
+    )
+    web_returns = (
+        web.filter(F.col("l_returnflag") == "R")
+        .join(win, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .select(F.coalesce("o_orderpriority", F.lit("none")).alias("id"),
+                F.lit(0.0).cast("decimal(18,6)").alias("sales_d"),
+                ext.cast("decimal(18,6)").alias("ret_d"),
+                ret_loss.cast("decimal(18,6)").alias("profit_d"))
+    )
+    wsr = agg_by_id(web_sales.unionAll(web_returns))
+
+    unioned = (
+        ssr.select(F.lit("store").alias("channel"), "id",
+                   "sales", "ret_amt", "profit")
+        .unionAll(csr.select(F.lit("catalog").alias("channel"), "id",
+                             "sales", "ret_amt", "profit"))
+        .unionAll(wsr.select(F.lit("web").alias("channel"), "id",
+                             "sales", "ret_amt", "profit"))
+    )
+    rolled = (
+        unioned.rollup("channel", "id")
+        .agg(F.grouping("channel").cast("bigint").alias("g_ch"),
+             F.grouping("id").cast("bigint").alias("g_id"),
+             F.sum("sales").alias("sales"),
+             F.sum("ret_amt").alias("ret_amt"),
+             F.sum("profit").alias("profit"))
+    )
+    return (
+        rolled.orderBy(F.asc_nulls_first("channel"),
+                       F.asc_nulls_first("id"))
+        .limit(100)
+        .select("channel", "id", "g_ch", "g_id",
+                F.round("sales", 2).cast("double").alias("sales"),
+                F.round("ret_amt", 2).cast("double").alias("ret_amt"),
+                F.round("profit", 2).cast("double").alias("profit"))
+    )
+
+
+# 1995-01-01 UTC in epoch micros / a ~6.3-year span that keeps the
+# remapped inventory timestamps inside the orders date range
+_INV_BASE_US = 788_918_400_000_000
+_INV_SPAN_US = 199_152_000_000_000
+_WEEK_US = 604_800_000_000
+_FIVE_DAYS_US = 432_000_000_000
+
+
+@q("ds_inventory_demand_window", f"""
+WITH inv AS (
+  SELECT user_id AS wh,
+         {_INV_BASE_US} + (epoch_us(ts) % {_INV_SPAN_US}) AS inv_us,
+         value AS inv_qty
+  FROM events
+), d AS (
+  SELECT l_suppkey AS wh, epoch_us(o_orderdate) AS ord_us,
+         l_quantity, l_partkey
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE epoch_us(l_shipdate) > epoch_us(o_orderdate) + {_FIVE_DAYS_US}
+)
+SELECT p_brand, d.wh, d.ord_us // {_WEEK_US} AS wk,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(count(s_suppkey) AS BIGINT) AS low_bal_cnt,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS demand_qty
+FROM d
+JOIN inv ON inv.wh = d.wh
+        AND inv.inv_us BETWEEN d.ord_us AND d.ord_us + {_WEEK_US}
+        AND inv.inv_qty < d.l_quantity
+JOIN part ON p_partkey = l_partkey
+LEFT JOIN supplier ON s_suppkey = d.wh AND s_acctbal < 0
+GROUP BY 1, 2, 3
+""")
+def ds_inventory_demand_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q72 shape (TpcdsTest.java:62-69; queries/q72.sql): the
+    demand-vs-inventory chained star — fact x inventory x date x
+    demographic dims with TWO inequality residuals (q72's
+    inv_quantity_on_hand < cs_quantity and d3.d_date > d1.d_date +
+    5 days) and a LEFT-joined promotion dim, grouped by (item,
+    warehouse, week). Adapted to the driver schema: lineitem⋈orders is
+    the demand fact (ship date / order date = q72's d3 / d1), events
+    remapped into the order era is the inventory snapshot stream
+    (user_id = warehouse key, value = quantity on hand), part is the
+    item dim, and the LEFT JOIN supplier ON s_acctbal < 0 mirrors the
+    promotion left join (real misses: 6% of suppliers).
+
+    The inventory-within-a-week-of-the-order predicate is the RANGE
+    JOIN the reference plans as a theta join (rel/core/Join.java:58
+    accepts the mixed condition; Enumerable nested-loops the residual):
+    the ORACLE spells that literal theta form, while the Spark side
+    runs operators/range_join.py's BUCKETED rewrite — the week-wide
+    window becomes part of the shuffle key (probe rows fan out to 2
+    buckets, build rows hash to their home bucket) so a hot warehouse
+    key spreads across time instead of nested-looping its whole
+    history; the quantity inequality and the 5-day ship residual stay
+    cheap post-join filters. The driver hash proves the rewrite ≡ the
+    theta join. Second real-query shape on the rewrite after r8's
+    range_join_attribution.
+
+    Scale notes: one exchange per fact (on (wh, bucket)), part and
+    supplier BROADCAST, the 2x probe fan-out is map-side and bounded;
+    epoch arithmetic is pure BIGINT (floor-div week numbers, positive
+    operands so DuckDB's truncating // agrees), so no timestamp
+    semantics cross the engines."""
+    from drill_calcite_spark.operators.range_join import bucketed_range_join
+
+    li = t(spark, sf_dir, "lineitem")
+    ords = t(spark, sf_dir, "orders")
+    # parquet timestamp[us] isAdjustedToUTC=false reads as TIMESTAMP_NTZ
+    # under the driver's session; the session TZ is pinned UTC, so the
+    # NTZ→TIMESTAMP cast is value-preserving (catalog.read_table's
+    # events idiom) and unix_micros then applies.
+    demand = (
+        li.join(ords.select("o_orderkey", "o_orderdate"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .filter(F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+                > F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                + _FIVE_DAYS_US)
+        .select(F.col("l_suppkey").alias("wh"),
+                F.col("o_orderdate").cast("timestamp").alias("ord_ts"),
+                "l_quantity", "l_partkey")
+    )
+    inv = (
+        t(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("wh"),
+                F.timestamp_micros(
+                    F.lit(_INV_BASE_US)
+                    + F.unix_micros(F.col("ts")) % _INV_SPAN_US)
+                .alias("inv_ts"),
+                F.col("value").alias("inv_qty"))
+    )
+    joined = (
+        bucketed_range_join(demand, inv, key="wh", left_ts="ord_ts",
+                            right_ts="inv_ts", window_us=_WEEK_US)
+        .filter(F.col("inv_qty") < F.col("l_quantity"))
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    low_bal = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    )
+    return (
+        joined
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(low_bal), F.col("s_suppkey") == F.col("wh"),
+              "left")
+        .groupBy(
+            "p_brand", "wh",
+            F.call_function("div", F.unix_micros(F.col("ord_ts")),
+                            F.lit(_WEEK_US)).alias("wk"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"),
+             F.count("s_suppkey").cast("bigint").alias("low_bal_cnt"),
+             F.sum(F.col("l_quantity").cast("bigint")).cast("bigint")
+             .alias("demand_qty"))
+    )

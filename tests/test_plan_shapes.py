@@ -518,3 +518,35 @@ def test_grouping_having_lift_adds_no_exchange(spark):
     n_ex = plan.count("Exchange")
     assert n_ex <= 2, f"HAVING lift introduced extra shuffles: {n_ex}"
     assert "Join" not in plan, "HAVING lift must not plan a join"
+
+
+def test_ds_multichannel_rollup_broadcast_dims_preagg_union(spark):
+    """ds_multichannel_rollup (q5 shape): supplier/part dims broadcast
+    into the channel branches; each branch pre-aggregates BEFORE the
+    union, so the rollup's Expand sees branch aggregates, not fact rows
+    (the Expand sits above a Union of HashAggregates); the top-100 is a
+    TakeOrdered, never a global sort."""
+    plan = _plan(entrymod.queries()["ds_multichannel_rollup"](
+        spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan[:400]
+    assert "Expand" in plan and "Union" in plan
+    assert plan.index("Expand") < plan.index("Union"), \
+        "rollup Expand must consume the union of PRE-AGGREGATED branches"
+    assert "TakeOrdered" in plan, "ordered LIMIT must be a TakeOrdered"
+    assert "EvalPython" not in plan
+
+
+def test_ds_inventory_demand_window_bucketed_equi_join(spark):
+    """ds_inventory_demand_window (q72 shape): the week-window
+    inventory join must run as the BUCKETED equi join — hash-partitioned
+    on (wh, bucket) with the inequalities as residual filters — never a
+    nested-loop/cartesian theta join; item and low-balance supplier dims
+    broadcast."""
+    plan = _plan(entrymod.queries()["ds_inventory_demand_window"](
+        spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, \
+        "range predicate leaked into a nested-loop join"
+    assert "__bucket" in plan, "bucketed range-join key missing"
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:400]
+    assert "EvalPython" not in plan
