@@ -262,9 +262,28 @@ def _split_kw(e: str, kw: str) -> "list[str]":
     return [p.strip() for p in parts]
 
 
+def _outer_parens(e: str) -> bool:
+    """True when ``e`` is one fully-parenthesized group."""
+    if not (e.startswith("(") and e.endswith(")")):
+        return False
+    depth = 0
+    for i, ch in enumerate(e):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i == len(e) - 1
+    return False
+
+
 def _bool_to_pandas(e: str) -> str:
     """AND/OR → & / | with every operand parenthesized (& and | bind
-    TIGHTER than comparisons in Python, the classic pandas trap)."""
+    TIGHTER than comparisons in Python, the classic pandas trap);
+    recurses into parenthesized groups so NOT/AND/OR nested under
+    parens — ``(NOT (c <= 4)) AND ...`` — translate too (r10; the MR
+    fuzzer surfaced the gap)."""
+    e = e.strip()
     ors = _split_kw(e, "or")
     if len(ors) > 1:
         return " | ".join(f"({_bool_to_pandas(p)})" for p in ors)
@@ -272,11 +291,43 @@ def _bool_to_pandas(e: str) -> str:
     if len(ands) > 1:
         return " & ".join(f"({_bool_to_pandas(p)})" for p in ands)
     # NOT binds looser than comparison in SQL: NOT c = 3 is NOT (c = 3),
-    # so the ~ must wrap the WHOLE remaining operand
+    # so the negation applies to the WHOLE remaining operand
     m = re.match(r"^\s*not\b(.*)$", e, re.I | re.S)
     if m:
-        return f"~({_bool_to_pandas(m.group(1).strip())})"
+        return _negate(m.group(1).strip())
+    if _outer_parens(e):
+        return f"({_bool_to_pandas(e[1:-1].strip())})"
     return e
+
+
+_CMP_FLIP = {"<=": ">", ">=": "<", "<": ">=", ">": "<=",
+             "==": "!=", "!=": "=="}
+_CMP_TOK = re.compile(r"<=|>=|==|!=|<|>")
+
+
+def _negate(e: str) -> str:
+    """SQL-3VL negation: NOT distributes by De Morgan and lands on each
+    comparison atom as an OPERATOR FLIP (``NOT (a <= b)`` ≡ ``a > b``
+    — both UNKNOWN when an operand is null, e.g. PREV on a partition's
+    first row). A pandas ``~`` would instead turn the null comparison's
+    False into True and admit rows SQL rejects."""
+    e = e.strip()
+    ors = _split_kw(e, "or")
+    if len(ors) > 1:
+        return " & ".join(f"({_negate(p)})" for p in ors)
+    ands = _split_kw(e, "and")
+    if len(ands) > 1:
+        return " | ".join(f"({_negate(p)})" for p in ands)
+    m = re.match(r"^\s*not\b(.*)$", e, re.I | re.S)
+    if m:  # double negation
+        return _bool_to_pandas(m.group(1).strip())
+    if _outer_parens(e):
+        return f"({_negate(e[1:-1].strip())})"
+    for mt in _CMP_TOK.finditer(e):
+        if e[:mt.start()].count("(") == e[:mt.start()].count(")"):
+            return e[:mt.start()] + _CMP_FLIP[mt.group(0)] + e[mt.end():]
+    raise MatchRecognizeUnsupported(
+        f"cannot negate DEFINE term: {e!r}")
 
 
 def _sql_ops_to_pandas(expr: str) -> str:

@@ -168,8 +168,15 @@ def test_define_compiler_rejects_non_grammar_code():
 
 
 def test_bool_and_measure_compilation():
+    # NOT lands on the comparison as an operator FLIP, not pandas ~ —
+    # 3VL: NOT (c = 3) ≡ c <> 3 (both UNKNOWN on null), whereas ~ would
+    # turn a null comparison's False into True (r10)
     assert _sql_ops_to_pandas("a > 1 AND b < 2 OR NOT c = 3") == \
-        "((a > 1) & (b < 2)) | (~(c == 3))"
+        "((a > 1) & (b < 2)) | (c != 3)"
+    assert _sql_ops_to_pandas("(NOT (a <= 4)) AND b < 2") == \
+        "(((a > 4))) & (b < 2)"
+    assert _sql_ops_to_pandas("NOT (a <= 4 OR NOT b < 2)") == \
+        "((a > 4) & (b < 2))"
     body, dt = _measure_body("SUM(UP.value)", {"value": "double"})
     assert body == 'p["value"].iloc[m["UP"]].sum()' and dt == "double"
     body, dt = _measure_body("COUNT(*)", {"value": "double"})
