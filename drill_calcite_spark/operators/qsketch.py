@@ -37,6 +37,16 @@ money/doubles to exact micro/cent BIGINTs first — the repo's decimal
 discipline); the quantile rule is the smallest bucket whose cumulative
 count reaches ``ceil(q·N)`` (PERCENTILE_DISC's rank rule applied to
 buckets), so both engines agree bit for bit.
+
+SIGNED values (round 10 — the standard two-sided DDSketch layout:
+negative store + zero bucket + positive store): the signed cell key is
+``sign(v) · bucket(|v|)`` — negatives mirror into their own key range,
+zero keeps its own cell, and the keys stay MONOTONE in value space, so
+the SAME cumulative-window rank rule extracts quantiles and the SAME
+cellwise merge applies; keyspace ≤ 2·64·2^B + 1. For a negative cell
+the key is the cell's value-space UPPER bound: the reported quantile r
+satisfies ``r·(1 + 2^-B) < x_q ≤ r`` — the magnitude error is the same
+2^-B. Contract: |v| < 2^63 (LONG_MIN has no BIGINT absolute value).
 """
 
 from __future__ import annotations
@@ -67,12 +77,33 @@ def sql_qsketch_bucket(v: str, sub_bits: int = QSKETCH_SUB_BITS) -> str:
     return f"CAST(({v}) - ({v}) % {unit} AS BIGINT)"
 
 
+def qsketch_bucket_signed(v: Column,
+                          sub_bits: int = QSKETCH_SUB_BITS) -> Column:
+    """Two-sided cell key ``sign(v) · bucket(|v|)`` (module docstring:
+    monotone in value space; a negative key is its cell's value-space
+    UPPER bound). SQL twin: :func:`sql_qsketch_bucket_signed`."""
+    return (F.when(v >= 0, qsketch_bucket(v, sub_bits))
+            .otherwise(-qsketch_bucket(-v, sub_bits)).cast("bigint"))
+
+
+def sql_qsketch_bucket_signed(v: str,
+                              sub_bits: int = QSKETCH_SUB_BITS) -> str:
+    """DuckDB twin of :func:`qsketch_bucket_signed`."""
+    pos = sql_qsketch_bucket(v, sub_bits)
+    neg = sql_qsketch_bucket(f"-({v})", sub_bits)
+    return (f"CAST(CASE WHEN ({v}) >= 0 THEN {pos}"
+            f" ELSE -({neg}) END AS BIGINT)")
+
+
 def qsketch_build(df: DataFrame, value_col: str,
-                  sub_bits: int = QSKETCH_SUB_BITS) -> DataFrame:
-    """Build the sketch: ``(bucket_lo, cnt)``, ≤ 64·2^B rows. One
-    aggregation; the capped key space map-side-combines before the
-    exchange (plan-pinned in tests/test_plan_shapes.py)."""
-    return (df.select(qsketch_bucket(F.col(value_col), sub_bits)
+                  sub_bits: int = QSKETCH_SUB_BITS,
+                  signed: bool = False) -> DataFrame:
+    """Build the sketch: ``(bucket_lo, cnt)``, ≤ 64·2^B rows (signed:
+    ≤ 2·64·2^B + 1). One aggregation; the capped key space
+    map-side-combines before the exchange (plan-pinned in
+    tests/test_plan_shapes.py)."""
+    bucket = qsketch_bucket_signed if signed else qsketch_bucket
+    return (df.select(bucket(F.col(value_col), sub_bits)
                       .alias("bucket_lo"))
             .groupBy("bucket_lo")
             .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))

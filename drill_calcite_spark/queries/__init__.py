@@ -69,6 +69,7 @@ _DRIVER_PRIORITY = [
     # sales/returns CTEs -> ROLLUP -> ordered LIMIT)
     "ds_inventory_demand_window",  # NEW r10: TPC-DS q72 shape (the
     # bucketed range-join rewrite vs the literal theta-join oracle)
+    "sketch_qsketch_signed",  # NEW r10: two-sided DDSketch layout
     "agg_grouping_having", "sketch_qsketch_quantiles",
     "sql_match_recognize", "sql_calcite_dialect", "subquery_in",
     "subquery_quantified_some", "subquery_quantified_all",
@@ -88,10 +89,10 @@ _DRIVER_PRIORITY = [
     "func_multiset_ops", "func_strings_advanced", "func_strings_search",
     "func_struct_row", "func_time_arith", "func_time_emulation",
     "is_distinct_from", "islands_increasing_runs", "join_salted_skew",
-    "modify_snapshot_versions", "modify_update_where",
-    # pivot_conditional / pivot_dynamic / sort_nulls_direction (r5 rows
-    # still green) gave up their slots to the three new r10 names —
-    # rotate them in r11.
+    "modify_snapshot_versions",
+    # modify_update_where / pivot_conditional / pivot_dynamic /
+    # sort_nulls_direction (r5 rows still green) gave up their slots to
+    # the four new r10 names — rotate them in r11.
 ]
 
 

@@ -603,3 +603,48 @@ def test_qsketch_merge_and_error_bound(spark):
     assert len(close) == 2
     assert {(r.q_num, r.q_den) for r in close} == {(1, 3), (33, 100)}
     assert all(r.q_pct == 33 for r in close)
+
+
+def test_qsketch_signed_two_sided(spark):
+    """Signed-sketch invariants (r10 — the two-sided DDSketch layout):
+    cell keys sign(v)·bucket(|v|) stay monotone, so the SAME rank rule
+    and cellwise merge apply; keyspace ≤ 2·64·2^B + 1; every reported
+    quantile keeps the 2^-B relative-magnitude bound on BOTH tails
+    (negative cells report their value-space UPPER bound); zero gets
+    its own cell."""
+    from drill_calcite_spark.operators.qsketch import (
+        QSKETCH_SUB_BITS, qsketch_build, qsketch_merge, qsketch_quantiles,
+    )
+
+    vals_a = [((i * i * 7 + 13) % 100000) - 50000 for i in range(4000)]
+    vals_b = [((i * i * 11 + 5) % 250000) - 125000 for i in range(3000)]
+    vals_a[17] = 0  # pin the zero cell
+    a = spark.createDataFrame([(v,) for v in vals_a], "v long")
+    b = spark.createDataFrame([(v,) for v in vals_b], "v long")
+    union = a.unionByName(b)
+
+    sk_u = qsketch_build(union, "v", signed=True)
+    assert sk_u.count() <= 2 * 64 * (1 << QSKETCH_SUB_BITS) + 1
+    assert sk_u.filter("bucket_lo = 0").count() == 1
+    assert sk_u.filter("bucket_lo < 0").count() > 0
+    merged = qsketch_merge(qsketch_build(a, "v", signed=True),
+                           qsketch_build(b, "v", signed=True))
+    assert sorted(map(tuple, sk_u.collect())) == \
+        sorted(map(tuple, merged.collect()))
+
+    qs = [(1, 100), (1, 4), (1, 2), (3, 4), (99, 100)]
+    got = {(r.q_num, r.q_den): r.lo
+           for r in qsketch_quantiles(sk_u, qs).collect()}
+    allv = sorted(vals_a + vals_b)
+    n = len(allv)
+    rel = 2.0 ** -QSKETCH_SUB_BITS
+    for num, den in qs:
+        rank = -(-num * n // den)
+        x_q = allv[rank - 1]
+        lo = got[(num, den)]
+        if lo >= 0:
+            assert lo <= x_q, (num, den, lo, x_q)
+            assert x_q < lo * (1 + rel) + 1, (num, den, lo, x_q)
+        else:  # negative cell: key is the value-space UPPER bound
+            assert x_q <= lo, (num, den, lo, x_q)
+            assert x_q > lo * (1 + rel) - 1, (num, den, lo, x_q)
