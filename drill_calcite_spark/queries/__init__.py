@@ -55,9 +55,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # match_vshape, ann_ivf_topk, multimodal_features/resize, bench_ann_topk)
 # holds its r9 marker rows and rotates out as planned.
 _ROWS_ONLY_FIRST_EVIDENCE = [
+    # multimodal_features / multimodal_resize left this list in r10:
+    # their deterministic stub dataflows gained full DuckDB oracles
+    # (ASCII payloads make byte slicing / byte histograms SQL-replayable)
     "sample_bernoulli", "sample_system", "exchange_repartition",
-    "match_vshape", "ann_ivf_topk", "multimodal_features",
-    "multimodal_resize", "bench_ann_topk",
+    "match_vshape", "ann_ivf_topk", "bench_ann_topk",
 ]
 
 _DRIVER_PRIORITY = [
@@ -69,6 +71,8 @@ _DRIVER_PRIORITY = [
     # sales/returns CTEs -> ROLLUP -> ordered LIMIT)
     "ds_inventory_demand_window",  # NEW r10: TPC-DS q72 shape (the
     # bucketed range-join rewrite vs the literal theta-join oracle)
+    "multimodal_features", "multimodal_resize",  # ORACLE-BACKED in r10
+    # (were rows-only r9 — the r9 slots recorded bare no_oracle markers)
     "sketch_qsketch_signed",  # NEW r10: two-sided DDSketch layout
     "agg_grouping_having", "sketch_qsketch_quantiles",
     "sql_match_recognize", "sql_calcite_dialect", "subquery_in",
@@ -88,11 +92,11 @@ _DRIVER_PRIORITY = [
     "func_greatest_null", "func_json", "func_json_type", "func_math",
     "func_multiset_ops", "func_strings_advanced", "func_strings_search",
     "func_struct_row", "func_time_arith", "func_time_emulation",
-    "is_distinct_from", "islands_increasing_runs", "join_salted_skew",
-    "modify_snapshot_versions",
-    # modify_update_where / pivot_conditional / pivot_dynamic /
-    # sort_nulls_direction (r5 rows still green) gave up their slots to
-    # the four new r10 names — rotate them in r11.
+    "is_distinct_from", "islands_increasing_runs",
+    # join_salted_skew / modify_snapshot_versions / modify_update_where /
+    # pivot_conditional / pivot_dynamic / sort_nulls_direction (r5 rows
+    # still green) gave up their slots to the six new/upgraded r10
+    # names — rotate them in r11.
 ]
 
 

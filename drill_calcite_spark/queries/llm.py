@@ -826,20 +826,46 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("n_bytes", F.col("n_bytes").cast("bigint"))
 
 
+@q("multimodal_features", """
+WITH c AS (
+  SELECT doc_id, unnest(split(text, '')) AS ch FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CAST(count(*) FILTER (unicode(ch) % 8 = 0) AS BIGINT) AS cnt0,
+         CAST(count(*) FILTER (unicode(ch) % 8 = 7) AS BIGINT)
+           AS cnt_last,
+         CAST(count(*) AS BIGINT) AS n_bytes
+  FROM c GROUP BY doc_id
+)
+SELECT h.doc_id, h.n_bytes,
+       (('0x' || substr(md5(d.text), 1, 2))::INTEGER + 16) AS width,
+       (('0x' || substr(md5(d.text), 3, 2))::INTEGER + 16) AS height,
+       h.cnt0, h.cnt_last
+FROM h JOIN documents d ON d.doc_id = h.doc_id
+""")
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas feature extraction over binary payloads — rows-only
-    (the decode step is a container stub; plumbing is tested in
-    tests/test_llm.py)."""
+    """mapInPandas feature extraction over binary payloads — ORACLE-
+    BACKED since r10 (was rows-only r9): the decode stub's byte
+    histogram (operators/multimodal.py _decode_bytes: bincount(bytes %
+    8), L1-normalized) is deterministic, and the display recovers the
+    EXACT integer bucket counts from the float features (cnt_j =
+    round(feat_j · n_bytes) — the division's rounding error is ≪ 0.5,
+    so recovery is exact), which DuckDB recomputes by per-character
+    code-point classes (payloads are UTF-8 of printable-ASCII text, so
+    bytes ≡ characters). The driver hash now pins the whole decode
+    dataflow — Arrow batching, histogram, normalization — not just row
+    counts. A real deployment swaps _decode_bytes for PIL/librosa;
+    nothing else changes."""
     doc = t(spark, sf_dir, "documents")
     feats = extract_features(attach_binary_payload(doc))
     return feats.select(
         "doc_id", "n_bytes", "width", "height",
-        F.round(F.element_at("feat", 1), 6).alias("feat0"),
-        F.round(F.element_at("feat", N_FEATURES), 6).alias("feat_last"),
+        F.round(F.element_at("feat", 1) * F.col("n_bytes"))
+        .cast("bigint").alias("cnt0"),
+        F.round(F.element_at("feat", N_FEATURES) * F.col("n_bytes"))
+        .cast("bigint").alias("cnt_last"),
     )
-
-
-QUERIES["multimodal_features"] = multimodal_features_q
 
 
 @q("multimodal_frame_sample", """
@@ -866,15 +892,37 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(attach_binary_payload(doc), stride=3)
 
 
+@q("multimodal_resize", """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE doc_id < 300
+),
+g AS (
+  SELECT doc_id,
+         md5(string_agg(substr(text, CAST((i * n) // 64 + 1 AS INT), 1),
+                        '' ORDER BY i)) AS resized_md5
+  FROM (SELECT doc_id, text, n,
+               unnest(generate_series(0, 63)) AS i
+        FROM d)
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST(8 AS INTEGER) AS out_w, CAST(8 AS INTEGER) AS out_h,
+       resized_md5
+FROM g
+""")
 def multimodal_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STUB nearest-neighbor resize over binary payloads — rows-only (the
-    stride-sampled grid is a stand-in for a real decoder+PIL resize; the
-    Arrow dataflow is the real thing, tests pin determinism)."""
+    """STUB nearest-neighbor resize over binary payloads — ORACLE-BACKED
+    since r10 (was rows-only r9): the stride-sampled 8×8 grid
+    (operators/multimodal.py resize_stub: grid[i] = payload[(i·len) div
+    64]) is deterministic integer arithmetic, so DuckDB replays the
+    identical sampling with substr + string_agg and md5s the grid
+    (payloads are UTF-8 of printable-ASCII text, so byte and character
+    offsets coincide). The driver hash pins the full Arrow resize
+    dataflow per document, not just row counts. A real deployment
+    decodes and resizes with PIL; the binary-in/fixed-size-out shape is
+    unchanged."""
     doc = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return resize_stub(attach_binary_payload(doc), out_w=8, out_h=8)
-
-
-QUERIES["multimodal_resize"] = multimodal_resize_q
 
 
 def _pagerank_oracle(iterations: int = 5, damping: float = 0.85,

@@ -121,8 +121,17 @@ def test_front_door_equals_direct_operator(spark, seed):
                           "classifier string, match_no long",
             after_match=skip_op, rows_per_match="all")
         cols = ["sym", "ts", "value", "classifier", "match_no"]
-    else:  # ONE ROW mode with three random measures
+    else:  # ONE ROW mode with three random measures (sometimes a SUBSET)
         ms = rng.sample(MEASURES, 3)
+        subset_sql = subset_op = None
+        if rng.random() < 0.5:
+            # SUBSET U = (A, B): union-symbol measures aggregate over
+            # every matched row of either member
+            subset_sql = "SUBSET U = (A, B)"
+            subset_op = {"U": ["A", "B"]}
+            ms = ms[:2] + [("s_u", "SUM(U.value)",
+                            lambda p, m: float(p["value"].iloc[m["U"]]
+                                               .sum()), "double")]
         sql = f"""SELECT sym, {', '.join(n for n, _, _, _ in ms)}
         FROM fuzzticker MATCH_RECOGNIZE (
           PARTITION BY sym ORDER BY ts
@@ -130,6 +139,7 @@ def test_front_door_equals_direct_operator(spark, seed):
           ONE ROW PER MATCH
           AFTER MATCH {skip_sql}
           PATTERN ({pattern})
+          {subset_sql or ''}
           DEFINE A AS {a_sql}, B AS {b_sql})"""
         meas = {"sym": lambda p, m: p["sym"].iloc[0]}
         schema = ["sym string"]
@@ -140,7 +150,8 @@ def test_front_door_equals_direct_operator(spark, seed):
             df, ["sym"], ["ts"], pattern,
             define={"A": a_fn, "B": b_fn}, measures=meas,
             output_schema=", ".join(schema),
-            after_match=skip_op, rows_per_match="one")
+            after_match=skip_op, rows_per_match="one",
+            subset=subset_op)
         cols = ["sym"] + [n for n, _, _, _ in ms]
     via = calcite_sql(spark, sql)
     a = sorted(map(tuple, via.select(cols).collect()))
