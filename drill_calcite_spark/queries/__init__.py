@@ -67,6 +67,10 @@ _DRIVER_PRIORITY = [
     "func_geo_setop_rings",  # NEW r10: union/diff/symdiff RINGS (signed
     # areas from the generalized Greiner-Hormann tracer vs the
     # independent fan-algebra inclusion-exclusion oracle)
+    "ds_weekly_ratio_yoy",  # NEW r10: TPC-DS q59 shape (AQE
+    # ReusedExchange self-join, plan-pinned)
+    "ds_channel_intersect",  # NEW r10: TPC-DS q38 shape (three-way
+    # INTERSECT -> one-scan presence flags, hash-proven)
     "ds_multichannel_rollup",  # NEW r10: TPC-DS q5 shape (channel
     # sales/returns CTEs -> ROLLUP -> ordered LIMIT)
     "ds_inventory_demand_window",  # NEW r10: TPC-DS q72 shape (the
@@ -92,10 +96,10 @@ _DRIVER_PRIORITY = [
     "func_greatest_null", "func_json", "func_json_type", "func_math",
     "func_multiset_ops", "func_strings_advanced", "func_strings_search",
     "func_struct_row", "func_time_arith", "func_time_emulation",
-    "is_distinct_from", "islands_increasing_runs",
-    # join_salted_skew / modify_snapshot_versions / modify_update_where /
+    # is_distinct_from / islands_increasing_runs / join_salted_skew /
+    # modify_snapshot_versions / modify_update_where /
     # pivot_conditional / pivot_dynamic / sort_nulls_direction (r5 rows
-    # still green) gave up their slots to the six new/upgraded r10
+    # still green) gave up their slots to the eight new/upgraded r10
     # names — rotate them in r11.
 ]
 

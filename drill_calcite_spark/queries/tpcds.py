@@ -1513,3 +1513,155 @@ def ds_inventory_demand_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.col("l_quantity").cast("bigint")).cast("bigint")
              .alias("demand_qty"))
     )
+
+
+_DAY_US = 86_400_000_000
+
+
+@q("ds_weekly_ratio_yoy", f"""
+WITH wk AS (
+  SELECT l_suppkey AS store,
+         epoch_us(o_orderdate) // {_WEEK_US} AS wkno,
+         CAST(sum(CASE WHEN (epoch_us(o_orderdate) // {_DAY_US}) % 7 = 0
+                  THEN cents ELSE 0 END) AS BIGINT) AS d0,
+         CAST(sum(CASE WHEN (epoch_us(o_orderdate) // {_DAY_US}) % 7 = 3
+                  THEN cents ELSE 0 END) AS BIGINT) AS d3,
+         CAST(sum(cents) AS BIGINT) AS total
+  FROM (
+    SELECT l_suppkey, o_orderdate,
+           CAST(l_extendedprice::DECIMAL(18,2) * 100 AS BIGINT) AS cents
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  ) f
+  GROUP BY 1, 2
+)
+SELECT a.store, a.wkno AS wk_prev, b.wkno AS wk_cur,
+       a.total AS total_prev, b.total AS total_cur,
+       CASE WHEN a.total > 0
+            THEN ((2 * b.total * 1000000 + a.total) // (2 * a.total))
+                 / 1000000.0 END AS r_total,
+       CASE WHEN a.d0 > 0
+            THEN ((2 * b.d0 * 1000000 + a.d0) // (2 * a.d0))
+                 / 1000000.0 END AS r_d0,
+       CASE WHEN a.d3 > 0
+            THEN ((2 * b.d3 * 1000000 + a.d3) // (2 * a.d3))
+                 / 1000000.0 END AS r_d3
+FROM wk a JOIN wk b
+  ON a.store = b.store AND b.wkno = a.wkno + 52
+""")
+def ds_weekly_ratio_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q59 shape (TpcdsTest.java:62-69; queries/q59.sql): weekly
+    per-store sales pivoted by day-of-week, then the SAME aggregate
+    self-joined at a 52-week offset to report this-year/last-year
+    ratios. Adapted: store = l_suppkey, the week/day numbers are pure
+    integer epoch arithmetic ((epoch_us div day) mod 7 — no engine
+    dayofweek semantics to reconcile), revenue is exact cents BIGINTs,
+    and each ratio is the exact half-up integer micro-quotient guarded
+    NULL on a zero denominator.
+
+    Scale notes: the weekly aggregate is built ONCE and self-joined —
+    Catalyst's ReuseExchange recognizes the two identical aggregate
+    subplans, so the fact table is scanned/shuffled for the pivot a
+    single time and the year-offset join consumes the SAME exchange
+    twice (plan-pinned: a ReusedExchange node must appear); the join
+    itself runs on (store, week) aggregate rows, thousands of times
+    smaller than the fact. q59's textbook form writes the CTE twice —
+    at 100 TB re-evaluating it would double the dominant scan+shuffle.
+    The ORACLE spells that literal two-instance form; the hash proves
+    the reuse rewrite."""
+    li = t(spark, sf_dir, "lineitem")
+    ords = t(spark, sf_dir, "orders")
+    f = (
+        li.join(ords.select("o_orderkey", "o_orderdate"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .select(
+            F.col("l_suppkey").alias("store"),
+            F.call_function(
+                "div",
+                F.unix_micros(F.col("o_orderdate").cast("timestamp")),
+                F.lit(_WEEK_US)).alias("wkno"),
+            (F.call_function(
+                "div",
+                F.unix_micros(F.col("o_orderdate").cast("timestamp")),
+                F.lit(_DAY_US)) % 7).alias("dow"),
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint").alias("cents"),
+        )
+    )
+    wk = (
+        f.groupBy("store", "wkno")
+        .agg(F.sum(F.when(F.col("dow") == 0, F.col("cents"))
+                   .otherwise(F.lit(0))).cast("bigint").alias("d0"),
+             F.sum(F.when(F.col("dow") == 3, F.col("cents"))
+                   .otherwise(F.lit(0))).cast("bigint").alias("d3"),
+             F.sum("cents").cast("bigint").alias("total"))
+    )
+
+    def micro_ratio(num, den):
+        return F.when(
+            den > 0,
+            F.call_function("div", F.lit(2) * num * F.lit(1000000) + den,
+                            F.lit(2) * den) / F.lit(1000000.0))
+
+    a = wk.alias("a")
+    b = wk.alias("b")
+    j = a.join(b, (F.col("a.store") == F.col("b.store"))
+               & (F.col("b.wkno") == F.col("a.wkno") + 52))
+    return j.select(
+        F.col("a.store").alias("store"),
+        F.col("a.wkno").alias("wk_prev"),
+        F.col("b.wkno").alias("wk_cur"),
+        F.col("a.total").alias("total_prev"),
+        F.col("b.total").alias("total_cur"),
+        micro_ratio(F.col("b.total"), F.col("a.total")).alias("r_total"),
+        micro_ratio(F.col("b.d0"), F.col("a.d0")).alias("r_d0"),
+        micro_ratio(F.col("b.d3"), F.col("a.d3")).alias("r_d3"),
+    )
+
+
+@q("ds_channel_intersect", """
+WITH u AS (
+  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+), m AS (
+  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderpriority = '3-MEDIUM'
+), l AS (
+  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+)
+SELECT CAST(count(*) AS BIGINT) AS hot_pairs
+FROM (SELECT c, p FROM u INTERSECT SELECT c, p FROM m
+      INTERSECT SELECT c, p FROM l) x
+""")
+def ds_channel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q38 shape (queries/q38.sql): COUNT of the three-way
+    INTERSECT of per-channel DISTINCT customer tuples. The ORACLE
+    spells the textbook form — three DISTINCT subqueries chained
+    through two INTERSECTs; the Spark side computes the same count
+    from ONE scan: per-(customer, part) presence flags via max(CASE)
+    over the priority channel, then a conditional count of pairs
+    present in all three — the q97-rewrite discipline applied to
+    INTERSECT. One shuffle on the pair key instead of three distincts
+    + two intersect shuffles that would move the distinct sets five
+    times at 100 TB. The hash proves the rewrite."""
+    li = t(spark, sf_dir, "lineitem")
+    ords = t(spark, sf_dir, "orders")
+    pr = F.col("o_orderpriority")
+    pairs = (
+        li.join(ords.select("o_orderkey", "o_custkey", "o_orderpriority"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(F.col("o_custkey").alias("c"),
+                 F.col("l_partkey").alias("p"))
+        .agg(F.max(F.when(pr.isin("1-URGENT", "2-HIGH"), 1)
+                   .otherwise(0)).alias("in_u"),
+             F.max(F.when(pr == "3-MEDIUM", 1).otherwise(0)).alias("in_m"),
+             F.max(F.when(pr.isin("4-NOT SPECIFIED", "5-LOW"), 1)
+                   .otherwise(0)).alias("in_l"))
+    )
+    return pairs.agg(
+        F.sum(F.when((F.col("in_u") == 1) & (F.col("in_m") == 1)
+                     & (F.col("in_l") == 1), 1).otherwise(0))
+        .cast("bigint").alias("hot_pairs"))

@@ -550,3 +550,33 @@ def test_ds_inventory_demand_window_bucketed_equi_join(spark):
     assert "__bucket" in plan, "bucketed range-join key missing"
     assert plan.count("BroadcastHashJoin") >= 2, plan[:400]
     assert "EvalPython" not in plan
+
+
+def test_ds_weekly_ratio_yoy_reuses_exchange(spark):
+    """ds_weekly_ratio_yoy (q59 shape): the weekly pivot aggregate is
+    built once and self-joined at the 52-week offset — AQE must REUSE
+    the aggregate's shuffle (one fact scan + one exchange feed both
+    join sides), never re-evaluate the CTE as q59's textbook form
+    spells it. Exchange reuse is an AQE stage-level decision, so this
+    test executes the query and asserts on the FINALIZED adaptive
+    plan."""
+    df = entrymod.queries()["ds_weekly_ratio_yoy"](spark, SF_DIR)
+    assert len(df.collect()) > 0
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, \
+        f"weekly aggregate re-evaluated instead of reused: {plan[:500]}"
+    # (no scan-count string check: the finalized adaptive render prints
+    # each query stage's full lineage, so the byte count over-counts —
+    # the ReusedExchange node IS the one-scan/one-shuffle proof)
+    assert "EvalPython" not in plan
+
+
+def test_ds_channel_intersect_single_scan_no_intersect(spark):
+    """ds_channel_intersect (q38 shape): the presence-flag rewrite must
+    touch lineitem ONCE and materialize no INTERSECT/join of distinct
+    sets."""
+    plan = _plan(entrymod.queries()["ds_channel_intersect"](spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1
+    assert "LeftSemi" not in plan  # Spark plans INTERSECT as semi joins
+    assert "EvalPython" not in plan

@@ -4,7 +4,16 @@ row in some committed CORRECTNESS_r*.json, or sit in the current
 _DRIVER_PRIORITY head (the slots the driver will oracle THIS round).
 ``func_geo_srid`` was added late in round 7 and never slated — the only
 entry that had zero hard evidence; this test makes that gap impossible to
-reintroduce silently."""
+reintroduce silently.
+
+Rows-only names carry PYTEST-ONLY evidence: the driver records a head
+entry without an oracle as a bare ``err: "no_oracle"`` marker with
+``rows_match: null`` (observed r9), which _driver_green_names() will
+never count green — so slating them buys a marker, not a check. Don't
+spend slots on them again (r9 verdict); their correctness lives in the
+unit/property lanes, and where a stub dataflow is deterministic enough
+to oracle, promote it instead (r10 did exactly that for
+multimodal_features / multimodal_resize)."""
 
 from __future__ import annotations
 
