@@ -341,3 +341,80 @@ def round_half_away_6dp(x: Fraction) -> float:
     else:
         q = -((2 * -scaled + 1) // 2)
     return float(q) / 1e6
+
+
+# ------------------------------------------------------- WKT layer (r10)
+# The SQL-callable surface (functions/geo_sqlfn.py) routes POLYGON
+# arguments of ST_Union / ST_Difference / ST_SymDifference /
+# ST_Intersection here through an Arrow-batched pandas UDF. The
+# reference marks the last three "Not implemented"
+# (core/src/test/resources/sql/spatial.iq:824-833) and exercises
+# ST_Union only on points — this EXCEEDS the reference by putting the
+# set-op tracer behind the standard function names.
+
+def _parse_polygon_wkt(wkt: str):
+    """Parse a single-ring ``POLYGON ((x y, x y, ...))`` (holes and
+    MULTIPOLYGON inputs are rejected loudly — the tracer's contract is
+    simple polygons)."""
+    import re as _re
+
+    m = _re.fullmatch(r"\s*POLYGON\s*\(\s*\(([^()]*)\)\s*\)\s*", wkt)
+    if not m:
+        raise ValueError(f"st_poly_setop: unsupported geometry {wkt!r} "
+                         "(single-ring POLYGON required)")
+    pts = []
+    for tok in m.group(1).split(","):
+        xy = tok.split()
+        if len(xy) != 2:
+            raise ValueError(f"st_poly_setop: bad coordinate {tok!r}")
+        pts.append((Fraction(xy[0]), Fraction(xy[1])))
+    if len(pts) >= 2 and pts[0] == pts[-1]:
+        pts.pop()  # WKT rings close on the first vertex
+    if len(pts) < 3:
+        raise ValueError(f"st_poly_setop: degenerate ring in {wkt!r}")
+    return pts
+
+
+def _fmt_coord(v: Fraction) -> str:
+    if v.denominator == 1:
+        return str(v.numerator)
+    return repr(float(v))  # non-integral: shortest double round-trip
+
+
+def _ring_wkt(ring) -> str:
+    pts = list(ring) + [ring[0]]
+    return "(" + ", ".join(f"{_fmt_coord(x)} {_fmt_coord(y)}"
+                           for x, y in pts) + ")"
+
+
+def setop_wkt(wkt1: str, wkt2: str, op: str) -> str:
+    """Set operation of two single-ring POLYGON WKTs, rendered as WKT
+    (see :func:`render_setop_wkt`)."""
+    return render_setop_wkt(polygon_setop_rings(
+        _parse_polygon_wkt(wkt1), _parse_polygon_wkt(wkt2), op))
+
+
+def render_setop_wkt(rings) -> str:
+    """Render a signed ring list (CCW outer / CW hole — the tracer's
+    encoding) as WKT: ``POLYGON EMPTY`` / ``POLYGON ((outer),
+    (hole)...)`` / ``MULTIPOLYGON (((...)), ...)``. Holes attach to the
+    outer ring that contains them; outers keep the canonical sort,
+    holes sort by first vertex within their outer."""
+    if not rings:
+        return "POLYGON EMPTY"
+    outers = [(r, []) for r in rings if _area2(r) > 0]
+    for hole in (r for r in rings if _area2(r) < 0):
+        homes = [o for o, _ in outers if _inside(hole[0], o)]
+        if len(homes) != 1:
+            raise ValueError(
+                f"st_poly_setop: hole containment ambiguous ({len(homes)} "
+                "candidate outers)")
+        next(h for o, h in outers if o is homes[0]).append(hole)
+    polys = []
+    for outer, holes in outers:
+        holes.sort(key=lambda r: r[0])
+        polys.append(", ".join([_ring_wkt(outer)]
+                               + [_ring_wkt(h) for h in holes]))
+    if len(polys) == 1:
+        return f"POLYGON ({polys[0]})"
+    return "MULTIPOLYGON (" + ", ".join(f"({p})" for p in polys) + ")"

@@ -116,3 +116,62 @@ def test_touches_endpoint_contact(geo):
                 " ST_GeomFromText('LINESTRING(1 -1, 1 5)'))") is True
     assert _one(geo, "ST_Overlaps(ST_GeomFromText('LINESTRING(0 0, 3 0)'),"
                 " ST_GeomFromText('LINESTRING(1 0, 5 0)'))") is True
+
+
+# ------------------------------------------- polygon set ops (round 10)
+# ST_Difference / ST_SymDifference / ST_Intersection are
+# "Not implemented" in the reference (spatial.iq:824-833) and its
+# ST_Union handles polygons only through the ESRI engine — these
+# EXCEED the reference: single-ring POLYGON args (internal JSON or raw
+# WKT text) run the Greiner-Hormann set-op tracer and return WKT text.
+
+_SQ_A = "ST_GeomFromText('POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))')"
+_SQ_B = "ST_GeomFromText('POLYGON((1 1, 3 1, 3 3, 1 3, 1 1))')"
+
+
+def test_setop_sql_two_squares(geo):
+    assert _one(geo, f"ST_Intersection({_SQ_A}, {_SQ_B})") == \
+        "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"
+    assert _one(geo, f"ST_PolyUnion({_SQ_A}, {_SQ_B})") == \
+        "POLYGON ((0 0, 2 0, 2 1, 3 1, 3 3, 1 3, 1 2, 0 2, 0 0))"
+    assert _one(geo, f"ST_Difference({_SQ_A}, {_SQ_B})") == \
+        "POLYGON ((0 0, 2 0, 2 1, 1 1, 1 2, 0 2, 0 0))"
+    assert _one(geo, f"ST_SymDifference({_SQ_A}, {_SQ_B})") == (
+        "MULTIPOLYGON (((0 0, 2 0, 2 1, 1 1, 1 2, 0 2, 0 0)), "
+        "((1 2, 2 2, 2 1, 3 1, 3 3, 1 3, 1 2)))")
+
+
+def test_setop_sql_raw_wkt_args_and_empty(geo):
+    # raw WKT text args work too; disjoint intersection renders EMPTY
+    a = "'POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'"
+    far = "'POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))'"
+    assert _one(geo, f"ST_Intersection({a}, {far})") == "POLYGON EMPTY"
+    assert _one(geo, f"ST_PolyUnion({a}, {far})") == (
+        "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), "
+        "((10 10, 11 10, 11 11, 10 11, 10 10)))")
+
+
+def test_setop_sql_union_hole(geo):
+    # U-shape capped by a bar: the union's hole renders as the inner
+    # ring of ONE polygon (CW, per the tracer's polarity)
+    u = ("ST_GeomFromText('POLYGON((0 0, 3 0, 3 3, 2 3, 2 1, 1 1, "
+         "1 3, 0 3, 0 0))')")
+    bar = ("ST_GeomFromText('POLYGON((-0.5 1.5, 3.5 1.5, 3.5 2.5, "
+           "-0.5 2.5, -0.5 1.5))')")
+    out = _one(geo, f"ST_PolyUnion({u}, {bar})")
+    assert out.startswith("POLYGON ((-0.5 1.5, 0 1.5, 0 0, 3 0, ")
+    assert out.endswith(", (1 1, 1 1.5, 2 1.5, 2 1, 1 1))")
+
+
+def test_setop_sql_nulls_and_misuse(geo):
+    import pytest
+
+    assert _one(geo, "ST_Intersection(CAST(NULL AS STRING), "
+                "'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')") is None
+    with pytest.raises(Exception, match="single-ring polygon"):
+        _one(geo, "ST_Difference(ST_GeomFromText('POINT(1 2)'), "
+             "'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')")
+    # point ST_Union is untouched by the polygon routing
+    assert _one(geo, "ST_AsText(ST_Union(ST_GeomFromText('POINT(1 2)'),"
+                " ST_GeomFromText('POINT(-2 3)')))") == \
+        "MULTIPOINT ((1 2), (-2 3))"
