@@ -267,3 +267,67 @@ def test_setop_inclusion_exclusion_exact_on_concave_pair():
 def test_setop_unknown_op_raises():
     with pytest.raises(ValueError):
         polygon_setop_rings(_SQ_A, _SQ_B, "xor")
+
+
+# ------------------------------------- property fuzzer (late round 10)
+# Random simple (radial star) polygon pairs; every accepted sample must
+# satisfy the EXACT inclusion-exclusion identities across all four set
+# ops, and every non-hole ring must come out CCW with no repeated
+# vertex. Samples violating the general-position precondition raise
+# ValueError by contract and are skipped (the eps offset makes them
+# rare); the lane asserts most samples are accepted so the identities
+# are actually exercised.
+
+def _star(rng, k, eps_x=Fraction(0), eps_y=Fraction(0), dx=0, dy=0):
+    import math
+
+    angles = sorted(rng.uniform(0, 2 * math.pi) for _ in range(k))
+    pts = []
+    for a in angles:
+        r = rng.uniform(1, 8)
+        # snap to the 2^-5 grid, then apply the (irrational-free) offset
+        x = Fraction(round(r * math.cos(a) * 32), 32) + eps_x + dx
+        y = Fraction(round(r * math.sin(a) * 32), 32) + eps_y + dy
+        pts.append((x, y))
+    # dedupe consecutive snapped duplicates
+    out = [p for i, p in enumerate(pts) if p != pts[(i - 1) % len(pts)]]
+    return out
+
+
+def test_setop_property_fuzzer_inclusion_exclusion():
+    import random
+
+    from drill_calcite_spark.operators.polyclip import (
+        _area2, polygon_setop_rings)
+
+    rng = random.Random(20261015)
+    accepted = tried = 0
+    while tried < 60:
+        tried += 1
+        try:
+            a = _star(rng, rng.randint(5, 9))
+            c = _star(rng, rng.randint(5, 9),
+                      eps_x=Fraction(1, 1 << 20), eps_y=Fraction(1, 1 << 21),
+                      dx=rng.randint(-3, 3), dy=rng.randint(-3, 3))
+            if len(a) < 3 or len(c) < 3:
+                continue
+            area_a = abs(_area2([(Fraction(x), Fraction(y))
+                                 for x, y in a])) / 2
+            area_c = abs(_area2([(Fraction(x), Fraction(y))
+                                 for x, y in c])) / 2
+            i = rings_area(polygon_setop_rings(a, c, "intersection"))
+            u = rings_area(polygon_setop_rings(a, c, "union"))
+            d = rings_area(polygon_setop_rings(a, c, "difference"))
+            s = rings_area(polygon_setop_rings(a, c, "symmetric"))
+        except ValueError:
+            continue  # general-position rejection — loud, never wrong
+        accepted += 1
+        assert u == area_a + area_c - i, (a, c)
+        assert d == area_a - i, (a, c)
+        assert s == area_a + area_c - 2 * i, (a, c)
+        assert Fraction(0) <= i <= min(area_a, area_c)
+        for op in ("intersection", "difference"):
+            for ring in polygon_setop_rings(a, c, op):
+                assert _signed(ring) > 0, f"non-CCW {op} ring"
+                assert len(set(ring)) == len(ring), "repeated vertex"
+    assert accepted >= tried * 3 // 5, (accepted, tried)
