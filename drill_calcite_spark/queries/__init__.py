@@ -75,6 +75,12 @@ _DRIVER_PRIORITY = [
     # sales/returns CTEs -> ROLLUP -> ordered LIMIT)
     "ds_inventory_demand_window",  # NEW r10: TPC-DS q72 shape (the
     # bucketed range-join rewrite vs the literal theta-join oracle)
+    "ds_monthly_deviation_neighbors",  # NEW r10: TPC-DS q47/q57 shape
+    # (lag/lead rewrite vs the literal three-instance CTE self-join)
+    "ds_cumulative_channel_max",  # NEW r10: TPC-DS q51 shape (one-scan
+    # conditional sums vs the literal FULL OUTER + max-fill oracle)
+    "ds_return_ratio_ranks",  # NEW r10: TPC-DS q49 shape (channel-as-
+    # a-column one-scan rewrite vs the literal three-branch UNION ALL)
     "multimodal_features", "multimodal_resize",  # ORACLE-BACKED in r10
     # (were rows-only r9 — the r9 slots recorded bare no_oracle markers)
     "sketch_qsketch_signed",  # NEW r10: two-sided DDSketch layout
@@ -95,11 +101,11 @@ _DRIVER_PRIORITY = [
     "func_datetime_overlaps", "func_decimal_fidelity",
     "func_greatest_null", "func_json", "func_json_type", "func_math",
     "func_multiset_ops", "func_strings_advanced", "func_strings_search",
-    "func_struct_row", "func_time_arith", "func_time_emulation",
+    # func_struct_row / func_time_arith / func_time_emulation /
     # is_distinct_from / islands_increasing_runs / join_salted_skew /
     # modify_snapshot_versions / modify_update_where /
     # pivot_conditional / pivot_dynamic / sort_nulls_direction (r5 rows
-    # still green) gave up their slots to the eight new/upgraded r10
+    # still green) gave up their slots to the eleven new/upgraded r10
     # names — rotate them in r11.
 ]
 

@@ -1665,3 +1665,299 @@ def ds_channel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when((F.col("in_u") == 1) & (F.col("in_m") == 1)
                      & (F.col("in_l") == 1), 1).otherwise(0))
         .cast("bigint").alias("hot_pairs"))
+
+
+@q("ds_monthly_deviation_neighbors", """
+WITH v1 AS (
+  SELECT p_brand, l_suppkey % 5 AS store,
+         extract(year FROM o_orderdate) AS yr,
+         extract(month FROM o_orderdate) AS mo,
+         CAST(sum(CAST(l_extendedprice::DECIMAL(18,2) * 100 AS BIGINT))
+              AS BIGINT) AS m_cents
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN part ON p_partkey = l_partkey
+  GROUP BY 1, 2, 3, 4
+), v2 AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY p_brand, store
+                            ORDER BY yr, mo) AS rn,
+         CAST(sum(m_cents) OVER (PARTITION BY p_brand, store, yr)
+              AS BIGINT) AS y_total,
+         CAST(count(*) OVER (PARTITION BY p_brand, store, yr)
+              AS BIGINT) AS n_mo
+  FROM v1
+)
+SELECT v.p_brand, v.store, v.yr, v.mo, v.m_cents, v.y_total, v.n_mo,
+       l.m_cents AS prev_cents, r.m_cents AS next_cents
+FROM v2 v
+JOIN v2 l ON l.p_brand = v.p_brand AND l.store = v.store
+         AND l.rn = v.rn - 1
+JOIN v2 r ON r.p_brand = v.p_brand AND r.store = v.store
+         AND r.rn = v.rn + 1
+WHERE v.y_total > 0
+  AND 10 * abs(v.n_mo * v.m_cents - v.y_total) > v.y_total * v.n_mo
+""")
+def ds_monthly_deviation_neighbors(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """TPC-DS q47/q57 shape (queries/q47.sql, q57.sql; reference plans
+    both via TpcdsTest.java:62-69): monthly sales per (brand, store)
+    with rows deviating more than 10% from that year's monthly
+    average, reported alongside the NEIGHBORING months' sales. The
+    textbook form instantiates the v1 CTE THREE times (v1, v1_lag,
+    v1_lead) and self-joins on a row_number offset — at 100 TB that
+    re-evaluates the dominant fact scan + aggregate shuffle twice
+    more. The Spark side builds the aggregate ONCE and reads the
+    neighbors with lag()/lead() windows over the same ordering
+    (rn-offset self-join ≡ lag/lead because (yr, mo) is unique per
+    group), so the fact is scanned once and the window pass runs over
+    aggregate rows only. The ORACLE spells the literal three-instance
+    self-join; the driver hash proves the rewrite. The 10% deviation
+    test is EXACT integer algebra on cents BIGINTs
+    (10·|n·m − Σ| > Σ·n  ⇔  |m − Σ/n| > (Σ/n)/10), so no engine
+    rounding can flip a boundary row."""
+    li = t(spark, sf_dir, "lineitem")
+    ords = t(spark, sf_dir, "orders")
+    part = t(spark, sf_dir, "part")
+    v1 = (
+        li.join(ords.select("o_orderkey", "o_orderdate"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(part.select("p_partkey", "p_brand")),
+              li.l_partkey == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand"),
+            (F.col("l_suppkey") % 5).alias("store"),
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"))
+        .agg(F.sum((F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+                   .cast("bigint")).cast("bigint").alias("m_cents"))
+    )
+    w_seq = Window.partitionBy("p_brand", "store").orderBy("yr", "mo")
+    w_year = Window.partitionBy("p_brand", "store", "yr")
+    v2 = (
+        v1
+        # lag/lead first: its Exchange(p_brand, store) hash-partitioning
+        # already satisfies the yearly window's ClusteredDistribution
+        # over (p_brand, store, yr), so the plan carries ONE exchange
+        # for both window passes (plan-pinned).
+        .withColumn("prev_cents", F.lag("m_cents").over(w_seq))
+        .withColumn("next_cents", F.lead("m_cents").over(w_seq))
+        .withColumn("y_total",
+                    F.sum("m_cents").over(w_year).cast("bigint"))
+        .withColumn("n_mo", F.count(F.lit(1)).over(w_year).cast("bigint"))
+    )
+    return (
+        v2.filter(
+            (F.col("y_total") > 0)
+            & (10 * F.abs(F.col("n_mo") * F.col("m_cents")
+                          - F.col("y_total"))
+               > F.col("y_total") * F.col("n_mo"))
+            & F.col("prev_cents").isNotNull()
+            & F.col("next_cents").isNotNull())
+        .select("p_brand", "store", "yr", "mo", "m_cents", "y_total",
+                "n_mo", "prev_cents", "next_cents")
+    )
+
+
+@q("ds_cumulative_channel_max", """
+WITH f AS (
+  SELECT p_brand,
+         12 * extract(year FROM o_orderdate)
+           + extract(month FROM o_orderdate) - 1 AS mons,
+         l_returnflag AS rf,
+         CAST(l_extendedprice::DECIMAL(18,2) * 100 AS BIGINT) AS cents
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN part ON p_partkey = l_partkey
+), web AS (
+  SELECT p_brand, mons, CAST(sum(cents) AS BIGINT) AS c
+  FROM f WHERE rf IN ('R', 'A') GROUP BY 1, 2
+), webc AS (
+  SELECT p_brand, mons,
+         CAST(sum(c) OVER (PARTITION BY p_brand ORDER BY mons
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cume
+  FROM web
+), store AS (
+  SELECT p_brand, mons, CAST(sum(cents) AS BIGINT) AS c
+  FROM f WHERE rf = 'N' GROUP BY 1, 2
+), storec AS (
+  SELECT p_brand, mons,
+         CAST(sum(c) OVER (PARTITION BY p_brand ORDER BY mons
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cume
+  FROM store
+), x AS (
+  SELECT coalesce(w.p_brand, s.p_brand) AS p_brand,
+         coalesce(w.mons, s.mons) AS mons,
+         w.cume AS wc, s.cume AS sc
+  FROM webc w FULL OUTER JOIN storec s
+    ON w.p_brand = s.p_brand AND w.mons = s.mons
+), y AS (
+  SELECT p_brand, mons,
+         CAST(max(wc) OVER (PARTITION BY p_brand ORDER BY mons
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS web_cume,
+         CAST(max(sc) OVER (PARTITION BY p_brand ORDER BY mons
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS store_cume
+  FROM x
+)
+SELECT p_brand, mons, web_cume, store_cume
+FROM y WHERE web_cume > store_cume
+""")
+def ds_cumulative_channel_max(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """TPC-DS q51 shape (queries/q51.sql): per-item monthly cumulative
+    sales in TWO channels, FULL OUTER joined on (item, month), each
+    side's gaps filled with a running max, reporting the months where
+    the first channel's cumulative total pulls ahead. The textbook
+    form scans the fact once per channel, windows each CTE, FULL
+    OUTER joins them (a second shuffle of both aggregate sets), then
+    runs a THIRD window pass to max-fill the gaps. The Spark side
+    computes the identical frame from ONE scan: conditional per-channel
+    sums in a single (brand, month) aggregate — a pair exists iff
+    either channel sold, which IS the FULL OUTER frame — then one
+    window pass of null-skipping running sums. Running-sum-over-nulls
+    ≡ q51's max-fill of per-channel cumulatives because cents ≥ 0
+    makes each channel's cumulative nondecreasing (and both are NULL
+    before the channel's first month). The ORACLE spells the literal
+    two-CTE FULL OUTER + max-fill; the driver hash proves the
+    rewrite. One exchange on the pair key + one on brand, vs four
+    shuffles and three fact/aggregate passes at 100 TB."""
+    li = t(spark, sf_dir, "lineitem")
+    ords = t(spark, sf_dir, "orders")
+    part = t(spark, sf_dir, "part")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    agg = (
+        li.join(ords.select("o_orderkey", "o_orderdate"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(part.select("p_partkey", "p_brand")),
+              li.l_partkey == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand"),
+            (12 * F.year("o_orderdate") + F.month("o_orderdate") - 1)
+            .alias("mons"))
+        .agg(F.sum(F.when(F.col("l_returnflag").isin("R", "A"), cents))
+             .cast("bigint").alias("web_cents"),
+             F.sum(F.when(F.col("l_returnflag") == "N", cents))
+             .cast("bigint").alias("store_cents"))
+    )
+    w = (Window.partitionBy("p_brand").orderBy("mons")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    y = (agg
+         .withColumn("web_cume", F.sum("web_cents").over(w).cast("bigint"))
+         .withColumn("store_cume",
+                     F.sum("store_cents").over(w).cast("bigint")))
+    return (y.filter(F.col("web_cume") > F.col("store_cume"))
+            .select("p_brand", "mons", "web_cume", "store_cume"))
+
+
+_CHAN = """CASE WHEN l_suppkey % 3 = 0 THEN 'air'
+         WHEN l_suppkey % 3 = 1 THEN 'post'
+         ELSE 'ground' END"""
+
+
+@q("ds_return_ratio_ranks", f"""
+WITH g AS (
+  SELECT {_CHAN} AS channel, l_partkey AS item,
+         CAST(sum(CASE WHEN l_returnflag = 'R'
+                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS ret_qty,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS tot_qty,
+         CAST(sum(CASE WHEN l_returnflag = 'R'
+                  THEN CAST(l_extendedprice::DECIMAL(18,2) * 100
+                            AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS ret_cents,
+         CAST(sum(CAST(l_extendedprice::DECIMAL(18,2) * 100 AS BIGINT))
+              AS BIGINT) AS tot_cents
+  FROM lineitem
+  GROUP BY 1, 2
+), r AS (
+  SELECT channel, item,
+         (2 * ret_qty * 1000000 + tot_qty) // (2 * tot_qty) AS qr_micro,
+         (2 * ret_cents * 1000000 + tot_cents) // (2 * tot_cents)
+           AS ar_micro
+  FROM g
+), ranked AS (
+  SELECT channel, item, qr_micro, ar_micro,
+         CAST(rank() OVER (PARTITION BY channel
+              ORDER BY qr_micro DESC, item ASC) AS BIGINT) AS rk_qty,
+         CAST(rank() OVER (PARTITION BY channel
+              ORDER BY ar_micro DESC, item ASC) AS BIGINT) AS rk_amt
+  FROM (SELECT * FROM r WHERE channel = 'air') ra
+  UNION ALL
+  SELECT channel, item, qr_micro, ar_micro,
+         CAST(rank() OVER (PARTITION BY channel
+              ORDER BY qr_micro DESC, item ASC) AS BIGINT) AS rk_qty,
+         CAST(rank() OVER (PARTITION BY channel
+              ORDER BY ar_micro DESC, item ASC) AS BIGINT) AS rk_amt
+  FROM (SELECT * FROM r WHERE channel = 'post') rp
+  UNION ALL
+  SELECT channel, item, qr_micro, ar_micro,
+         CAST(rank() OVER (PARTITION BY channel
+              ORDER BY qr_micro DESC, item ASC) AS BIGINT) AS rk_qty,
+         CAST(rank() OVER (PARTITION BY channel
+              ORDER BY ar_micro DESC, item ASC) AS BIGINT) AS rk_amt
+  FROM (SELECT * FROM r WHERE channel = 'ground') rg
+)
+SELECT channel, item,
+       qr_micro / 1000000.0 AS return_qty_ratio,
+       ar_micro / 1000000.0 AS return_amt_ratio,
+       rk_qty, rk_amt
+FROM ranked
+WHERE rk_qty <= 10 OR rk_amt <= 10
+""")
+def ds_return_ratio_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q49 shape (queries/q49.sql): per-channel "worst return
+    ratios" — for each item, the returned-to-sold ratio in quantity
+    AND in currency, ranked per channel by each ratio, keeping items
+    in a top band of either ranking, all channels unioned. The
+    textbook form is a three-branch UNION ALL, each branch scanning
+    the fact with its own channel predicate — three full scans and
+    three aggregate shuffles. The Spark side derives the channel as a
+    column and scans ONCE: one (channel, item) aggregate, then the
+    two rank windows partitioned BY CHANNEL (same partition key, so
+    Catalyst plans one exchange + two sorts, both over aggregate rows
+    only). The ORACLE spells the literal three-branch union; the hash
+    proves the rewrite. Both ratios are exact half-up integer
+    micro-quotients, so rank order (and its item tiebreak) is
+    engine-identical at every boundary."""
+    li = t(spark, sf_dir, "lineitem")
+    chan = (F.when(F.col("l_suppkey") % 3 == 0, "air")
+            .when(F.col("l_suppkey") % 3 == 1, "post")
+            .otherwise("ground"))
+    qty = F.col("l_quantity").cast("bigint")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    ret = F.col("l_returnflag") == "R"
+    g = (li.groupBy(chan.alias("channel"), F.col("l_partkey").alias("item"))
+         .agg(F.sum(F.when(ret, qty).otherwise(F.lit(0)))
+              .cast("bigint").alias("ret_qty"),
+              F.sum(qty).cast("bigint").alias("tot_qty"),
+              F.sum(F.when(ret, cents).otherwise(F.lit(0)))
+              .cast("bigint").alias("ret_cents"),
+              F.sum(cents).cast("bigint").alias("tot_cents")))
+
+    def micro(num, den):
+        return F.call_function(
+            "div", F.lit(2) * num * F.lit(1_000_000) + den, F.lit(2) * den)
+
+    r = g.select(
+        "channel", "item",
+        micro(F.col("ret_qty"), F.col("tot_qty")).alias("qr_micro"),
+        micro(F.col("ret_cents"), F.col("tot_cents")).alias("ar_micro"))
+    w_q = Window.partitionBy("channel").orderBy(
+        F.col("qr_micro").desc(), F.col("item").asc())
+    w_a = Window.partitionBy("channel").orderBy(
+        F.col("ar_micro").desc(), F.col("item").asc())
+    ranked = (r.withColumn("rk_qty", F.rank().over(w_q).cast("bigint"))
+              .withColumn("rk_amt", F.rank().over(w_a).cast("bigint")))
+    return (ranked.filter((F.col("rk_qty") <= 10) | (F.col("rk_amt") <= 10))
+            .select("channel", "item",
+                    (F.col("qr_micro") / 1_000_000.0)
+                    .alias("return_qty_ratio"),
+                    (F.col("ar_micro") / 1_000_000.0)
+                    .alias("return_amt_ratio"),
+                    "rk_qty", "rk_amt"))

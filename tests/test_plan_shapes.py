@@ -580,3 +580,55 @@ def test_ds_channel_intersect_single_scan_no_intersect(spark):
     assert plan.count("lineitem.parquet") == 1
     assert "LeftSemi" not in plan  # Spark plans INTERSECT as semi joins
     assert "EvalPython" not in plan
+
+
+def test_ds_monthly_deviation_single_scan_one_window_exchange(spark):
+    """ds_monthly_deviation_neighbors (q47/q57 shape): the lag/lead
+    rewrite must scan the fact ONCE (the textbook form instantiates
+    the CTE three times) and both window passes must share ONE
+    shuffle — the lag/lead exchange on (brand, store) already
+    co-locates the yearly-total window's (brand, store, yr) groups."""
+    plan = _plan(entrymod.queries()["ds_monthly_deviation_neighbors"](
+        spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1, \
+        "fact table scanned more than once"
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 2, \
+        f"expected agg + one shared window shuffle, got {shuffles}"
+    assert plan.count("Window") == 2
+    assert "SortMergeJoin" not in plan, \
+        "rn-offset self-join leaked into the plan"
+    assert "EvalPython" not in plan
+
+
+def test_ds_cumulative_channel_max_single_scan_no_full_outer(spark):
+    """ds_cumulative_channel_max (q51 shape): the conditional-sum
+    rewrite must scan the fact ONCE and never materialize q51's FULL
+    OUTER join of the two windowed channel CTEs; one window pass
+    computes both running totals."""
+    plan = _plan(entrymod.queries()["ds_cumulative_channel_max"](
+        spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1, \
+        "fact table scanned more than once"
+    assert "FullOuter" not in plan and "full_outer" not in plan
+    assert plan.count("Window") == 1, \
+        "both running sums must ride one window pass"
+    assert "EvalPython" not in plan
+
+
+def test_ds_return_ratio_ranks_single_scan_shared_exchange(spark):
+    """ds_return_ratio_ranks (q49 shape): the channel-as-a-column
+    rewrite must scan the fact ONCE (vs the textbook three-branch
+    UNION ALL) and the two rank windows — same partition key,
+    different order keys — must share one exchange (two sorts, no
+    second shuffle)."""
+    plan = _plan(entrymod.queries()["ds_return_ratio_ranks"](
+        spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1, \
+        "fact table scanned more than once"
+    assert "Union" not in plan, "three-branch union leaked into the plan"
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 2, \
+        f"expected agg + one shared rank shuffle, got {shuffles}"
+    assert plan.count("Window") == 2
+    assert "EvalPython" not in plan
