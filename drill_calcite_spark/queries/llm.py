@@ -2027,3 +2027,57 @@ QUERIES["bench_minhash_dedup"] = bench_minhash_dedup
 # same pipeline as dedup_minhash_lsh → same replay oracle
 ORACLES["bench_minhash_dedup"] = _minhash_oracle()
 QUERIES["bench_ann_topk"] = bench_ann_topk
+
+
+@q("split_train_holdout", """
+WITH b AS (
+  SELECT source, n_chars,
+         ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+           ::BIGINT % 1000 AS bkt
+  FROM documents
+), a AS (
+  SELECT source,
+         CASE WHEN bkt < 960 THEN 'train'
+              WHEN bkt < 980 THEN 'val'
+              ELSE 'test' END AS split,
+         n_chars
+  FROM b
+)
+SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM a GROUP BY 1, 2
+""")
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (96/2/2) with a
+    per-source stratification report — the assignment step every
+    training-data pipeline needs before writing shards.
+
+    Scale design: the split is PURE COLUMN ALGEBRA — bucket =
+    md5('split:' || doc_id) mod 1000 — so it is (a) map-only (no
+    shuffle to assign; the only exchange is the small report
+    aggregate), (b) reproducible run-over-run and executor-over-
+    executor, and (c) STABLE UNDER REPARTITIONING AND BACKFILL: a
+    document keeps its split when the corpus is re-partitioned, grows,
+    or is re-processed incrementally. Spark's own
+    ``DataFrame.randomSplit`` guarantees none of that — its sampling
+    is seeded per-partition, so the same row can change split when the
+    upstream partitioning changes, which silently leaks held-out
+    documents into training at the 100 TB backfill. The salt prefix
+    ('split:') decorrelates this hash from every other md5(doc_id)
+    keyspace in the pipeline (dedup clusters, fingerprints), so
+    holdout membership is independent of dedup-bucket membership. The
+    oracle replays the identical bucketing in DuckDB, pinning the
+    exact per-source split sizes and char totals."""
+    docs = t(spark, sf_dir, "documents")
+    bkt = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit("split:"),
+                           F.col("doc_id").cast("string"))), 1, 15),
+            16, 10).cast("bigint") % 1000)
+    split = (F.when(bkt < 960, "train")
+             .when(bkt < 980, "val")
+             .otherwise("test"))
+    return (docs
+            .groupBy(F.col("source"), split.alias("split"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("sum_chars")))

@@ -632,3 +632,15 @@ def test_ds_return_ratio_ranks_single_scan_shared_exchange(spark):
         f"expected agg + one shared rank shuffle, got {shuffles}"
     assert plan.count("Window") == 2
     assert "EvalPython" not in plan
+
+
+def test_split_train_holdout_map_only_assignment(spark):
+    """split_train_holdout: the hash-split assignment must be pure
+    column algebra on the scan side — the ONLY exchange is the small
+    per-(source, split) report aggregate; no Python eval, no second
+    pass over the corpus."""
+    plan = _plan(entrymod.queries()["split_train_holdout"](spark, SF_DIR))
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 1, f"split assignment shuffled the corpus: {shuffles}"
+    assert "EvalPython" not in plan
+    assert plan.count("documents.parquet") == 1
