@@ -529,6 +529,62 @@ def _rewrite_interval_products(text: str, lits: "list[str]") -> str:
         pos = m.start() + len(repl)
 
 
+_PERIOD_CTOR = re.compile(r"\bperiod\s*\(", re.I)
+_PERIOD_IVL = re.compile(
+    rf"^\s*interval\s+(-)?\s*'{_LIT_SENTINEL}(\d+){_LIT_SENTINEL}'\s+"
+    r"(year|month|day|hour|minute|second)s?\s*$", re.I)
+_PERIOD_MS = {"day": 86_400_000, "hour": 3_600_000, "minute": 60_000,
+              "second": 1_000}
+
+
+def _rewrite_period_ctor(text: str, lits: "list[str]") -> str:
+    """CALCITE-715's PERIOD(a, b) constructor is literally ROW(a, b)
+    (Parser.jj:4139-4153 PeriodConstructor → SqlStdOperatorTable.ROW)
+    and Enumerable rows render their INTERNAL component values — a
+    DATE prints as days since epoch, a year-month interval as months,
+    a day-time interval as milliseconds (misc.iq:623's ``{0, 12}`` /
+    ``{null, 12}`` expected table). Reproduced as a struct of the same
+    internals in pure column algebra: a DATE argument becomes its
+    datediff day count, an interval literal its internal unit count.
+    Periods CONSUMED by the CONTAINS/OVERLAPS operator family take the
+    (start, end) pair path instead (queries/funcs.py period ops) —
+    this rewrite covers only the bare constructor's rendering
+    contract, which is all Calcite itself implements."""
+    while True:
+        m = _PERIOD_CTOR.search(text)
+        if not m:
+            return text
+        depth, i, comma = 1, m.end(), None
+        while i < len(text) and depth:
+            c = text[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 1:
+                comma = i
+            i += 1
+        if depth or comma is None:
+            return text
+
+        def comp(a: str) -> str:
+            im = _PERIOD_IVL.match(a)
+            if im:
+                body = lits[int(im.group(2))].strip()
+                n = int(body.lstrip("-"))
+                neg = bool(im.group(1)) != body.startswith("-")
+                unit = im.group(3).lower()
+                v = (n * 12 if unit == "year" else n
+                     if unit == "month" else n * _PERIOD_MS[unit])
+                return str(-v if neg else v)
+            return (f"cast(datediff(cast(({a}) as date), "
+                    f"date '1970-01-01') as int)")
+
+        repl = (f"struct({comp(text[m.end():comma].strip())}, "
+                f"{comp(text[comma + 1:i - 1].strip())})")
+        text = text[:m.start()] + repl + text[i:]
+
+
 _JSON_EXISTS = re.compile(r"\bjson_exists\s*\(", re.I)
 
 
@@ -1946,6 +2002,8 @@ def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
         text = _rewrite_json_exists(text, _lits)
     if re.search(r"\*\s*interval\b", text, re.I):
         text = _rewrite_interval_products(text, _lits)
+    if _PERIOD_CTOR.search(text):
+        text = _rewrite_period_ctor(text, _lits)
     if _SEQ_REF.search(text):
         text = _rewrite_sequences(text)
     if re.search(r"\bgroup(ing)?_?", text, re.I):
