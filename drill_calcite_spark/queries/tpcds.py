@@ -1961,3 +1961,96 @@ def ds_return_ratio_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("ar_micro") / 1_000_000.0)
                     .alias("return_amt_ratio"),
                     "rk_qty", "rk_amt"))
+
+
+@q("ds_top_states_rollup_rank", """
+WITH f AS (
+  SELECT n_name AS state, s_suppkey % 20 AS county,
+         CAST(l_extendedprice::DECIMAL(18,2) * 100 AS BIGINT) AS cents
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+), top5 AS (
+  SELECT state FROM (
+    SELECT state, rank() OVER (ORDER BY st_total DESC, state ASC) AS rnk
+    FROM (SELECT state, sum(cents) AS st_total FROM f GROUP BY state) s
+  ) t WHERE rnk <= 5
+), r AS (
+  SELECT state, county,
+         CAST(GROUPING(state) AS BIGINT) AS g_state,
+         CAST(GROUPING(county) AS BIGINT) AS g_county,
+         CAST(sum(cents) AS BIGINT) AS total
+  FROM f WHERE state IN (SELECT state FROM top5)
+  GROUP BY ROLLUP (state, county)
+)
+SELECT state, county, g_state, g_county, total,
+       g_state + g_county AS lochierarchy,
+       CAST(rank() OVER (
+         PARTITION BY g_state + g_county,
+                      CASE WHEN g_county = 0 THEN state END
+         ORDER BY total DESC, state ASC NULLS FIRST,
+                  county ASC NULLS FIRST) AS BIGINT) AS rk
+FROM r
+""")
+def ds_top_states_rollup_rank(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """TPC-DS q70 shape (queries/q70.sql): sales ROLLUP(state, county)
+    restricted to the TOP-5 STATES — where "top 5" is itself a ranked
+    aggregate subquery over the same fact — ranked within each
+    grouping level (q70's lochierarchy partition, as in the q36
+    shape). The textbook form scans the fact TWICE: once inside the
+    `s_state IN (SELECT ... rank() <= 5)` subquery and once for the
+    main rollup. The Spark side scans ONCE: a (state, county)
+    pre-aggregate, a per-state total attached by window, and top-5
+    membership decided by DENSE_RANK over the pre-aggregate rows —
+    states cannot tie on (st_total DESC, state ASC), so a row's dense
+    rank IS its state's rank among states, with no self-join at all
+    (a semi-join formulation gets split by PushDownLeftSemiAntiJoin
+    into a SECOND fact scan — measured; exactly the trap this rewrite
+    removes). The surviving rows feed the ROLLUP, which is
+    sum-of-sums ≡ rollup-over-fact by associativity. The ORACLE
+    spells the literal two-scan form; the driver hash proves the
+    rewrite. The ranking window is deliberately unpartitioned: its
+    input is the (state, county) aggregate (≤ |state|·|county| rows),
+    already collapsed, so the one-task window is dimension-sized at
+    any fact scale. Sales are exact cents BIGINTs and every rank
+    carries explicit NULLS FIRST tiebreaks, so rank ties are
+    engine-identical."""
+    li = t(spark, sf_dir, "lineitem")
+    sup = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    f = (
+        li.join(F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+                li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nat.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("state"),
+            (F.col("s_suppkey") % 20).alias("county"),
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint").alias("cents"))
+    )
+    pre = (f.groupBy("state", "county")
+           .agg(F.sum("cents").cast("bigint").alias("sc")))
+    w_state = Window.partitionBy("state")
+    w_rank = Window.orderBy(F.col("st_total").desc(),
+                            F.col("state").asc())
+    kept = (pre
+            .withColumn("st_total", F.sum("sc").over(w_state))
+            .withColumn("rnk", F.dense_rank().over(w_rank))
+            .filter(F.col("rnk") <= 5)
+            .select("state", "county", "sc"))
+    r = (kept.rollup("state", "county")
+         .agg(F.sum("sc").cast("bigint").alias("total"),
+              F.grouping("state").cast("bigint").alias("g_state"),
+              F.grouping("county").cast("bigint").alias("g_county")))
+    w = Window.partitionBy(
+        F.col("g_state") + F.col("g_county"),
+        F.when(F.col("g_county") == 0, F.col("state"))).orderBy(
+        F.col("total").desc(),
+        F.col("state").asc_nulls_first(),
+        F.col("county").asc_nulls_first())
+    return r.select(
+        "state", "county", "g_state", "g_county", "total",
+        (F.col("g_state") + F.col("g_county")).alias("lochierarchy"),
+        F.rank().over(w).cast("bigint").alias("rk"))

@@ -644,3 +644,19 @@ def test_split_train_holdout_map_only_assignment(spark):
     assert shuffles == 1, f"split assignment shuffled the corpus: {shuffles}"
     assert "EvalPython" not in plan
     assert plan.count("documents.parquet") == 1
+
+
+def test_ds_top_states_rollup_rank_single_scan(spark):
+    """ds_top_states_rollup_rank (q70 shape): the top-5-states
+    subquery must be served from the (state, county) pre-aggregate by
+    a dense-rank window — ONE fact scan total (the textbook IN-rank
+    form scans twice; a semi-join formulation gets split by
+    PushDownLeftSemiAntiJoin into a second scan) and NO join of any
+    kind above the dimension broadcasts."""
+    plan = _plan(entrymod.queries()["ds_top_states_rollup_rank"](
+        spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1, \
+        "fact table scanned more than once"
+    assert "LeftSemi" not in plan and "SortMergeJoin" not in plan
+    assert "Expand" in plan, "rollup did not plan as Expand"
+    assert "EvalPython" not in plan
