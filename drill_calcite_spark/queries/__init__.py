@@ -85,6 +85,8 @@ _DRIVER_PRIORITY = [
     # repartition-stable alternative to randomSplit), per-source report
     "ds_top_states_rollup_rank",  # NEW r10: TPC-DS q70 shape (top-5
     # states by dense-rank over the pre-aggregate — no second fact scan)
+    "ds_quarter_growth_compare",  # NEW r10: TPC-DS q31 shape (six CTE
+    # instances -> one scan + lag windows; exact decimal cross-products)
     "multimodal_features", "multimodal_resize",  # ORACLE-BACKED in r10
     # (were rows-only r9 — the r9 slots recorded bare no_oracle markers)
     "sketch_qsketch_signed",  # NEW r10: two-sided DDSketch layout
@@ -104,7 +106,7 @@ _DRIVER_PRIORITY = [
     "func_datetime_arith", "func_datetime_extract",
     "func_datetime_overlaps", "func_decimal_fidelity",
     "func_greatest_null", "func_json", "func_json_type", "func_math",
-    "func_multiset_ops",
+    # func_multiset_ops /
     # func_strings_advanced / func_strings_search / func_struct_row /
     # func_time_arith / func_time_emulation /
     # is_distinct_from / islands_increasing_runs / join_salted_skew /

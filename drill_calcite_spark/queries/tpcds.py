@@ -2054,3 +2054,101 @@ def ds_top_states_rollup_rank(spark: SparkSession,
         "state", "county", "g_state", "g_county", "total",
         (F.col("g_state") + F.col("g_county")).alias("lochierarchy"),
         F.rank().over(w).cast("bigint").alias("rk"))
+
+
+@q("ds_quarter_growth_compare", """
+WITH f AS (
+  SELECT o_custkey % 25 AS county,
+         4 * extract(year FROM o_orderdate)
+           + (CAST(extract(month FROM o_orderdate) AS INT) - 1) // 3
+           AS qtr,
+         o_orderpriority IN ('1-URGENT', '2-HIGH') AS web,
+         CAST(l_extendedprice::DECIMAL(18,2) * 100 AS BIGINT) AS cents
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+), ss AS (
+  SELECT county, qtr, CAST(sum(cents) AS BIGINT) AS total
+  FROM f WHERE NOT web GROUP BY 1, 2
+), ws AS (
+  SELECT county, qtr, CAST(sum(cents) AS BIGINT) AS total
+  FROM f WHERE web GROUP BY 1, 2
+)
+SELECT ss1.county, ss1.qtr AS qtr1,
+       ws1.total AS web1, ws2.total AS web2, ws3.total AS web3,
+       ss1.total AS store1, ss2.total AS store2, ss3.total AS store3
+FROM ss ss1
+JOIN ss ss2 ON ss2.county = ss1.county AND ss2.qtr = ss1.qtr + 1
+JOIN ss ss3 ON ss3.county = ss1.county AND ss3.qtr = ss1.qtr + 2
+JOIN ws ws1 ON ws1.county = ss1.county AND ws1.qtr = ss1.qtr
+JOIN ws ws2 ON ws2.county = ss1.county AND ws2.qtr = ss1.qtr + 1
+JOIN ws ws3 ON ws3.county = ss1.county AND ws3.qtr = ss1.qtr + 2
+WHERE ws1.total > 0 AND ss1.total > 0 AND ws2.total > 0
+  AND ss2.total > 0
+  AND CAST(ws2.total AS DECIMAL(18,0)) * ss1.total
+      > CAST(ss2.total AS DECIMAL(18,0)) * ws1.total
+  AND CAST(ws3.total AS DECIMAL(18,0)) * ss2.total
+      > CAST(ss3.total AS DECIMAL(18,0)) * ws2.total
+""")
+def ds_quarter_growth_compare(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """TPC-DS q31 shape (queries/q31.sql): counties where the WEB
+    channel's quarter-over-quarter growth beat the STORE channel's,
+    two quarters running. The textbook form instantiates the
+    per-channel quarterly aggregate SIX times (ss1..ss3, ws1..ws3)
+    and chains five equi-joins — six fact scans at 100 TB. The Spark
+    side scans ONCE: conditional per-channel sums in a single
+    (county, quarter) aggregate, then lag() windows recover the
+    three-quarter sequences; explicit lag(qtr, k) = qtr - k guards
+    reproduce the joins' per-quarter existence semantics across
+    calendar gaps (a quarter with neither channel's sales is absent
+    from the frame exactly as it is absent from both CTEs, and a
+    one-channel quarter carries a NULL for the other channel exactly
+    where the join would find no row). Growth is compared by EXACT
+    DECIMAL(18,0) cross-multiplication — web2·store1 > store2·web1 —
+    no division anywhere, so no engine rounding can flip a boundary
+    county (and the 37-digit product headroom holds to petabyte-scale
+    cent sums). The ORACLE spells the literal six-instance form; the
+    driver hash proves the rewrite."""
+    li = t(spark, sf_dir, "lineitem")
+    ords = t(spark, sf_dir, "orders")
+    f = (
+        li.join(ords.select("o_orderkey", "o_custkey", "o_orderdate",
+                            "o_orderpriority"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") % 25).alias("county"),
+            (4 * F.year("o_orderdate")
+             + F.call_function("div", F.month("o_orderdate") - 1,
+                               F.lit(3))).alias("qtr"),
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            .alias("web"),
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint").alias("cents"))
+    )
+    agg = (f.groupBy("county", "qtr")
+           .agg(F.sum(F.when(F.col("web"), F.col("cents")))
+                .cast("bigint").alias("w"),
+                F.sum(F.when(~F.col("web"), F.col("cents")))
+                .cast("bigint").alias("s")))
+    lw = Window.partitionBy("county").orderBy("qtr")
+    d = lambda c: c.cast("decimal(18,0)")  # noqa: E731
+    seq = (agg
+           .withColumn("qtr_1", F.lag("qtr", 1).over(lw))
+           .withColumn("qtr_2", F.lag("qtr", 2).over(lw))
+           .withColumn("web1", F.lag("w", 2).over(lw))
+           .withColumn("web2", F.lag("w", 1).over(lw))
+           .withColumn("store1", F.lag("s", 2).over(lw))
+           .withColumn("store2", F.lag("s", 1).over(lw)))
+    out = seq.filter(
+        (F.col("qtr_1") == F.col("qtr") - 1)
+        & (F.col("qtr_2") == F.col("qtr") - 2)
+        & F.col("w").isNotNull() & F.col("s").isNotNull()
+        & (F.col("web1") > 0) & (F.col("store1") > 0)
+        & (F.col("web2") > 0) & (F.col("store2") > 0)
+        & (d(F.col("web2")) * F.col("store1")
+           > d(F.col("store2")) * F.col("web1"))
+        & (d(F.col("w")) * F.col("store2")
+           > d(F.col("s")) * F.col("web2")))
+    return out.select(
+        "county", (F.col("qtr") - 2).alias("qtr1"),
+        "web1", "web2", F.col("w").alias("web3"),
+        "store1", "store2", F.col("s").alias("store3"))

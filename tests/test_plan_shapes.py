@@ -660,3 +660,21 @@ def test_ds_top_states_rollup_rank_single_scan(spark):
     assert "LeftSemi" not in plan and "SortMergeJoin" not in plan
     assert "Expand" in plan, "rollup did not plan as Expand"
     assert "EvalPython" not in plan
+
+
+def test_ds_quarter_growth_compare_single_scan_no_self_join(spark):
+    """ds_quarter_growth_compare (q31 shape): the lag-window rewrite
+    must scan the fact ONCE (the textbook form instantiates the
+    quarterly aggregate six times and chains five joins) — one
+    aggregate shuffle + one window shuffle, no join above the
+    dimension broadcasts."""
+    plan = _plan(entrymod.queries()["ds_quarter_growth_compare"](
+        spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1, \
+        "fact table scanned more than once"
+    assert "SortMergeJoin" not in plan, \
+        "quarter-offset self-join leaked into the plan"
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 2, f"extra shuffles: {shuffles}"
+    assert plan.count("Window") == 1
+    assert "EvalPython" not in plan
