@@ -1,4 +1,5 @@
-from drill_calcite_spark.operators.match_recognize import match_recognize
+from drill_calcite_spark.operators.match_recognize import (StatefulDef,
+    match_recognize)
 from drill_calcite_spark.operators.repeat_union import repeat_union
 from drill_calcite_spark.operators.asof import asof_join
 from drill_calcite_spark.operators.snapshot import snapshot
@@ -36,7 +37,7 @@ from drill_calcite_spark.operators.sketch import (
 )
 
 __all__ = [
-    "match_recognize", "repeat_union", "asof_join", "snapshot",
+    "match_recognize", "StatefulDef", "repeat_union", "asof_join", "snapshot",
     "exact_dedup", "minhash_lsh_dedup", "ngram_jaccard_pairs",
     "simhash_signature",
     "cosine_topk", "embedding_near_dup_pairs", "lsh_ann_topk",

@@ -42,6 +42,8 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -423,6 +425,315 @@ _WITHIN = re.compile(
 _UNIT_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
 
 
+# ------------------------------------------------- stateful DEFINE (aggs)
+
+_DEF_AGG = re.compile(r"\b(sum|count|min|max|avg)\s*\(", re.I)
+
+_DEF_TOK = re.compile(
+    r"\s*(?:(\d+\.\d+|\d+)|('(?:[^']|'')*')|([A-Za-z_]\w*)"
+    r"|(\|\||<=|>=|<>|[+\-*/%().,<>=]))")
+
+
+def _tokenize_def(cond: str):
+    cond = cond.strip()
+    toks, i = [], 0
+    while i < len(cond):
+        m = _DEF_TOK.match(cond, i)
+        if not m or m.end() == i:
+            raise MatchRecognizeUnsupported(
+                f"cannot tokenize DEFINE condition at {cond[i:i + 20]!r}")
+        i = m.end()
+        if m.group(1) is not None:
+            txt = m.group(1)
+            toks.append(("num", float(txt) if "." in txt else int(txt)))
+        elif m.group(2) is not None:
+            toks.append(("str", m.group(2)[1:-1].replace("''", "'")))
+        elif m.group(3) is not None:
+            toks.append(("id", m.group(3)))
+        else:
+            toks.append(("op", m.group(4)))
+    return toks
+
+
+def _null(v):
+    """pandas NA/NaN → None (SQL NULL)."""
+    return None if v is None or (not isinstance(v, str) and pd.isna(v)) \
+        else v
+
+
+def _cell(ctx, r, col):
+    return _null(ctx["pdf"][col].iloc[r])
+
+
+_DEF_CMP = {
+    "=": lambda a, b: a == b, "<>": lambda a, b: a != b,
+    "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+}
+
+
+class _StatefulDefParser:
+    """Recursive-descent compiler for DEFINE conditions containing
+    RUNNING AGGREGATES (SQL:2016 aggregates-in-DEFINE — the construct
+    the reference DISABLES at match.iq:57-82: its Enumerable NFA
+    evaluates DEFINE as static per-row predicates). Produces closures
+    over ``ctx = {pdf, rows, j, rowvar, rowidx}`` — NO eval() anywhere,
+    so untrusted corpus SQL can only ever drive this fixed grammar:
+    numeric/string literals, column and var.col references, ``||``
+    concat, + - * / % arithmetic, CHAR_LENGTH, SUM/COUNT/MIN/MAX/AVG
+    over a single pattern variable, comparisons, AND/OR/NOT (Kleene
+    3VL; None = UNKNOWN, which never matches).
+
+    Reference semantics: inside an aggregate, ``var.col`` iterates the
+    rows mapped to ``var`` so far (candidate row included — the
+    operator's StatefulDef contract); outside, ``var.col`` is the LAST
+    row mapped to ``var`` (running LAST), and a bare column is the
+    candidate row."""
+
+    AGGS = {"sum", "count", "min", "max", "avg"}
+
+    def __init__(self, toks, columns):
+        self.toks, self.i, self.columns = toks, 0, columns
+        self._varrefs: "list[set]" = []
+
+    # --- token plumbing
+    def _peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) \
+            else (None, None)
+
+    def _take(self):
+        t = self._peek()
+        self.i += 1
+        return t
+
+    def _expect(self, val):
+        k, v = self._take()
+        if v != val:
+            raise MatchRecognizeUnsupported(
+                f"expected {val!r} in DEFINE, got {v!r}")
+
+    # --- grammar
+    def parse(self):
+        fn = self._or()
+        if self._peek() != (None, None):
+            raise MatchRecognizeUnsupported(
+                f"trailing tokens in DEFINE: {self.toks[self.i:]!r}")
+        return fn
+
+    def _or(self):
+        left = self._and()
+        while (self._peek()[0] == "id"
+               and self._peek()[1].lower() == "or"):
+            self._take()
+            right = self._and()
+
+            def f(ctx, a=left, b=right):
+                va, vb = a(ctx), b(ctx)
+                if va is True or vb is True:
+                    return True
+                if va is None or vb is None:
+                    return None
+                return False
+            left = f
+        return left
+
+    def _and(self):
+        left = self._not()
+        while (self._peek()[0] == "id"
+               and self._peek()[1].lower() == "and"):
+            self._take()
+            right = self._not()
+
+            def f(ctx, a=left, b=right):
+                va, vb = a(ctx), b(ctx)
+                if va is False or vb is False:
+                    return False
+                if va is None or vb is None:
+                    return None
+                return True
+            left = f
+        return left
+
+    def _not(self):
+        if self._peek()[0] == "id" and self._peek()[1].lower() == "not":
+            self._take()
+            inner = self._not()
+
+            def f(ctx, a=inner):
+                v = a(ctx)
+                return None if v is None else (not v)
+            return f
+        return self._cmp()
+
+    def _cmp(self):
+        left = self._add()
+        k, v = self._peek()
+        if k == "op" and v in _DEF_CMP:
+            self._take()
+            right = self._add()
+            cmp_fn = _DEF_CMP[v]
+
+            def f(ctx, a=left, b=right, c=cmp_fn):
+                va, vb = a(ctx), b(ctx)
+                if va is None or vb is None:
+                    return None
+                return bool(c(va, vb))
+            return f
+        return left
+
+    def _add(self):
+        left = self._mul()
+        while True:
+            k, v = self._peek()
+            if k == "op" and v in ("+", "-", "||"):
+                self._take()
+                right = self._mul()
+
+                def f(ctx, a=left, b=right, op=v):
+                    va, vb = a(ctx), b(ctx)
+                    if va is None or vb is None:
+                        return None
+                    if op == "||":
+                        return str(va) + str(vb)
+                    return va + vb if op == "+" else va - vb
+                left = f
+            else:
+                return left
+
+    def _mul(self):
+        left = self._unary()
+        while True:
+            k, v = self._peek()
+            if k == "op" and v in ("*", "/", "%"):
+                self._take()
+                right = self._unary()
+
+                def f(ctx, a=left, b=right, op=v):
+                    va, vb = a(ctx), b(ctx)
+                    if va is None or vb is None:
+                        return None
+                    if op == "*":
+                        return va * vb
+                    if op == "%":
+                        return None if vb == 0 else va % vb
+                    return None if vb == 0 else va / vb
+                left = f
+            else:
+                return left
+
+    def _unary(self):
+        k, v = self._peek()
+        if k == "op" and v in ("+", "-"):
+            self._take()
+            inner = self._unary()
+            if v == "-":
+                return lambda ctx, a=inner: (
+                    None if a(ctx) is None else -a(ctx))
+            return inner
+        return self._primary()
+
+    def _primary(self):
+        k, v = self._take()
+        if k in ("num", "str"):
+            return lambda ctx, c=v: c
+        if k == "op" and v == "(":
+            fn = self._or()
+            self._expect(")")
+            return fn
+        if k != "id":
+            raise MatchRecognizeUnsupported(
+                f"unexpected token in DEFINE: {v!r}")
+        low = v.lower()
+        nk, nv = self._peek()
+        if (nk, nv) == ("op", "("):
+            self._take()
+            if low in ("char_length", "character_length"):
+                arg = self._add()
+                self._expect(")")
+
+                def f(ctx, a=arg):
+                    s = a(ctx)
+                    return None if s is None else len(str(s))
+                return f
+            if low in self.AGGS:
+                return self._aggregate(low)
+            raise MatchRecognizeUnsupported(
+                f"unsupported function in DEFINE: {v!r}")
+        if (nk, nv) == ("op", "."):
+            self._take()
+            ck, col = self._take()
+            if ck != "id" or col not in self.columns:
+                raise MatchRecognizeUnsupported(
+                    f"unknown column {col!r} in DEFINE")
+            var = v.upper()
+            if self._varrefs:
+                self._varrefs[-1].add(var)
+
+            def f(ctx, _var=var, _col=col):
+                if ctx["rowidx"] is not None and _var == ctx["rowvar"]:
+                    return _cell(ctx, ctx["rowidx"], _col)
+                mapped = ctx["rows"].get(_var)
+                if not mapped:
+                    return None
+                return _cell(ctx, mapped[-1], _col)
+            return f
+        if v in self.columns:
+            return lambda ctx, _col=v: _cell(ctx, ctx["j"], _col)
+        raise MatchRecognizeUnsupported(
+            f"unknown identifier in DEFINE: {v!r}")
+
+    def _aggregate(self, agg: str):
+        if agg == "count" and self._peek() == ("op", "*"):
+            self._take()
+            self._expect(")")
+            return lambda ctx: len(ctx["rows"].get("*", ())) or sum(
+                len(r) for r in ctx["rows"].values())
+        self._varrefs.append(set())
+        inner = self._add()
+        used = self._varrefs.pop()
+        self._expect(")")
+        if len(used) != 1:
+            raise MatchRecognizeUnsupported(
+                f"aggregate in DEFINE must reference exactly one "
+                f"pattern variable, saw {sorted(used)!r}")
+        var = next(iter(used))
+
+        def f(ctx, _var=var, _inner=inner, _agg=agg):
+            vals = []
+            for r in ctx["rows"].get(_var, ()):
+                sub = dict(ctx)
+                sub["rowvar"], sub["rowidx"] = _var, r
+                x = _inner(sub)
+                if x is not None:
+                    vals.append(x)
+            if _agg == "count":
+                return len(vals)
+            if not vals:
+                return None
+            if _agg == "sum":
+                return sum(vals)
+            if _agg == "min":
+                return min(vals)
+            if _agg == "max":
+                return max(vals)
+            return sum(vals) / len(vals)  # avg
+        return f
+
+
+def _compile_stateful_define(cond: str, columns: "set[str]"):
+    """SQL DEFINE condition with running aggregates → StatefulDef."""
+    from drill_calcite_spark.operators.match_recognize import StatefulDef
+
+    parser = _StatefulDefParser(_tokenize_def(cond), columns)
+    expr = parser.parse()
+
+    def fn(pdf, j, rows):
+        ctx = {"pdf": pdf, "rows": rows, "j": j,
+               "rowvar": None, "rowidx": None}
+        return expr(ctx) is True
+    return StatefulDef(fn)
+
+
 def translate_match_recognize(spark: SparkSession, text: str) -> DataFrame:
     """Execute a statement containing ``<table> MATCH_RECOGNIZE (...)``:
     run the pattern clause through the distributed operator, then the
@@ -513,8 +824,14 @@ def translate_match_recognize(spark: SparkSession, text: str) -> DataFrame:
         dm = re.match(r"^(\w+)\s+as\s+(.*)$", item.strip(), re.I | re.S)
         if not dm:
             raise MatchRecognizeUnsupported(f"bad DEFINE item: {item!r}")
-        define[dm.group(1).upper()] = _compile_define(
-            dm.group(2).strip(), set(types))
+        cond = dm.group(2).strip()
+        if _DEF_AGG.search(cond):
+            # running aggregates: match-state-dependent, compiled to a
+            # StatefulDef evaluated inside the backtracking matcher
+            define[dm.group(1).upper()] = _compile_stateful_define(
+                cond, set(types))
+        else:
+            define[dm.group(1).upper()] = _compile_define(cond, set(types))
 
     # MEASURES — (alias, python body, spark type)
     meas = []

@@ -1304,3 +1304,49 @@ def test_bloom_no_false_negatives_and_prunes(spark):
     joined = sorted(map(tuple, pruned.join(small, "k").collect()))
     plain = sorted(map(tuple, big.join(small, "k").collect()))
     assert joined == plain
+
+
+def test_match_recognize_running_aggregate_define_packing(spark):
+    """The SECOND query the reference disables in match.iq (:57-82) —
+    Oracle's canonical name-packing sessionization: B extends while
+    CHAR_LENGTH(S.ename) + SUM(CHAR_LENGTH(b.ename || ';')) +
+    CHAR_LENGTH(';') <= 15, a RUNNING AGGREGATE in DEFINE that a
+    static per-row predicate cannot express (exactly why Calcite's
+    Enumerable NFA has the block disabled). StatefulDef evaluates the
+    condition inside the backtracking matcher against the rows matched
+    so far; the expected 12 rows are the disabled block's own Oracle
+    expected table (deptno/empno/MNO/CLASSIFIER), transcribed."""
+    from drill_calcite_spark.operators.match_recognize import (
+        StatefulDef, match_recognize,
+    )
+    from drill_calcite_spark.sources.test_schemas import register_scott
+
+    register_scott(spark)
+    emp = spark.table("scott_emp")
+
+    def b_cond(pdf, j, m):
+        s_len = len(pdf["ename"].iloc[m["S"][0]])
+        b_sum = sum(len(pdf["ename"].iloc[r]) + 1 for r in m["B"])
+        return s_len + b_sum + 1 <= 15
+
+    out = match_recognize(
+        emp, ["deptno"], ["empno"],
+        pattern="S B+",
+        define={"B": StatefulDef(b_cond)},
+        measures={},
+        output_schema=("deptno int, empno int, match_no int, "
+                       "classifier string, ename string"),
+        after_match="skip_past_last_row",
+        rows_per_match="all",
+    )
+    rows = sorted((r.deptno, r.empno, r.match_no, r.classifier, r.ename)
+                  for r in out.collect())
+    # match.iq:61-76 expected table (the disabled block's Oracle output)
+    assert rows == [
+        (10, 7782, 1, "S", "CLARK"), (10, 7839, 1, "B", "KING"),
+        (20, 7369, 1, "S", "SMITH"), (20, 7566, 1, "B", "JONES"),
+        (20, 7788, 2, "S", "SCOTT"), (20, 7876, 2, "B", "ADAMS"),
+        (30, 7499, 1, "S", "ALLEN"), (30, 7521, 1, "B", "WARD"),
+        (30, 7654, 2, "S", "MARTIN"), (30, 7698, 2, "B", "BLAKE"),
+        (30, 7844, 3, "S", "TURNER"), (30, 7900, 3, "B", "JAMES"),
+    ]

@@ -239,3 +239,58 @@ def test_define_string_literals_shielded():
     fn2 = _compile_define("A.job <> 'it''s'", {"job"})
     p2 = pd.DataFrame({"job": ["it's", "x"]})
     assert list(fn2(p2)) == [False, True]
+
+
+def test_packing_query_running_aggregate_define_as_verbatim_sql_text(spark):
+    """The SECOND query the reference disables (match.iq:57-82) —
+    Oracle's canonical name-packing query with a RUNNING AGGREGATE in
+    DEFINE — executed as verbatim SQL text (modulo the quidem runner's
+    '"scott".' -> scott_ catalog rewrite). The DEFINE compiler routes
+    the aggregate-bearing condition to the no-eval stateful parser;
+    expected rows are the disabled block's own Oracle expected table."""
+    from drill_calcite_spark.sources.test_schemas import register_scott
+
+    register_scott(spark)
+    sql = """SELECT * FROM scott_emp MATCH_RECOGNIZE(
+  PARTITION BY deptno ORDER BY empno
+  MEASURES
+    match_number() AS mno,
+    classifier() as pattern_vrb
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (S B+)
+  DEFINE B AS CHAR_LENGTH(S.ename) + SUM(CHAR_LENGTH(b.ename || ';')) \
++ CHAR_LENGTH(';') <= 15)"""
+    from drill_calcite_spark.sql_match import translate_match_recognize
+
+    df = translate_match_recognize(spark, sql)
+    rows = sorted((r.deptno, r.empno, r.mno, r.pattern_vrb, r.ename)
+                  for r in df.collect())
+    assert rows == [
+        (10, 7782, 1, "S", "CLARK"), (10, 7839, 1, "B", "KING"),
+        (20, 7369, 1, "S", "SMITH"), (20, 7566, 1, "B", "JONES"),
+        (20, 7788, 2, "S", "SCOTT"), (20, 7876, 2, "B", "ADAMS"),
+        (30, 7499, 1, "S", "ALLEN"), (30, 7521, 1, "B", "WARD"),
+        (30, 7654, 2, "S", "MARTIN"), (30, 7698, 2, "B", "BLAKE"),
+        (30, 7844, 3, "S", "TURNER"), (30, 7900, 3, "B", "JAMES"),
+    ]
+
+
+def test_stateful_define_rejects_arbitrary_code(spark):
+    """The stateful DEFINE path must hold the same security bar as the
+    vectorized one: no identifier outside the grammar compiles, so
+    corpus-driven SQL cannot reach eval (there IS no eval on this
+    path)."""
+    import pytest
+
+    from drill_calcite_spark.sql_match import (
+        MatchRecognizeUnsupported, _compile_stateful_define,
+    )
+
+    for hostile in [
+        "SUM(__import__('os').system('x')) > 0",
+        "SUM(b.v) > 0 OR open('/etc/passwd')",
+        "count(exec.x) > foo(1)",
+    ]:
+        with pytest.raises(MatchRecognizeUnsupported):
+            _compile_stateful_define(hostile, {"v"})
