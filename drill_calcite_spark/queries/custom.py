@@ -399,3 +399,72 @@ def sql_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_tables(spark, sf_dir)
     return calcite_sql(spark, _MR_SQL_TEXT)
+
+
+@q("match_packing_capacity", """
+WITH RECURSIVE numbered AS (
+  SELECT user_id, event_id, (event_id % 7 + 1) AS sz,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), packed AS (
+  SELECT user_id, event_id, rn, sz,
+         CAST(1 AS BIGINT) AS match_no, sz AS acc
+  FROM numbered WHERE rn = 1
+  UNION ALL
+  SELECT n.user_id, n.event_id, n.rn, n.sz,
+         CASE WHEN p.acc + n.sz <= 12 THEN p.match_no
+              ELSE p.match_no + 1 END,
+         CASE WHEN p.acc + n.sz <= 12 THEN p.acc + n.sz ELSE n.sz END
+  FROM packed p JOIN numbered n
+    ON n.user_id = p.user_id AND n.rn = p.rn + 1
+)
+SELECT user_id, event_id, CAST(match_no AS BIGINT) AS match_no,
+       CASE WHEN acc = sz THEN 'A' ELSE 'B' END AS classifier
+FROM packed
+""")
+def match_packing_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE with a RUNNING AGGREGATE in DEFINE (SQL:2016
+    aggregates-in-DEFINE — the construct behind the reference's
+    DISABLED match.iq:57-82 packing query; the engine's StatefulDef
+    predicates close it): capacitated sequence packing. Per user,
+    events are packed greedily into bins of capacity 12 where an
+    event's size is (event_id % 7 + 1) — PATTERN (A B*) with
+    ``B AS size(A) + SUM(size(B)) <= 12``, evaluated against the rows
+    matched SO FAR inside the backtracking matcher. Greedy + SKIP PAST
+    LAST ROW reduces exactly to first-fit sequential bin packing, which
+    the ORACLE replays with an INDEPENDENT algorithm — a recursive-CTE
+    running-capacity scan — so the driver hash cross-proves the
+    stateful matcher against per-row recursion. (This is also the
+    training-pipeline "pack sequences to a token budget" shape driven
+    through the MR front, complementing pack_token_chunks' window
+    formulation.)
+
+    Scale: one applyInPandas exchange on user_id (the partition-by
+    key), pattern state bounded per partition — identical distribution
+    to every other MR query; the stateful predicate is O(match length)
+    per candidate row."""
+    from drill_calcite_spark.operators.match_recognize import StatefulDef
+
+    ev = (t(spark, sf_dir, "events")
+          .select("user_id", "event_id", "ts",
+                  (F.col("event_id") % 7 + 1).alias("sz")))
+
+    def pack_cond(pdf, j, m):
+        a = m.get("A")
+        if not a:
+            return False
+        tot = int(pdf["sz"].iloc[a[0]]) + sum(
+            int(pdf["sz"].iloc[r]) for r in m["B"])
+        return tot <= 12
+
+    return match_recognize(
+        ev, ["user_id"], ["ts", "event_id"],
+        pattern="A B*",
+        define={"B": StatefulDef(pack_cond)},
+        measures={},
+        output_schema=("user_id long, event_id long, match_no long, "
+                       "classifier string"),
+        after_match="skip_past_last_row",
+        rows_per_match="all",
+    )
