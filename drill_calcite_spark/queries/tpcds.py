@@ -2152,3 +2152,57 @@ def ds_quarter_growth_compare(spark: SparkSession,
         "county", (F.col("qtr") - 2).alias("qtr1"),
         "web1", "web2", F.col("w").alias("web3"),
         "store1", "store2", F.col("s").alias("store3"))
+
+
+@q("ds_channel_presence_demographics", """
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CAST(c_acctbal::DECIMAL(18,2) * 100 AS BIGINT))
+            AS BIGINT) AS bal_cents,
+       CAST(min(CAST(c_acctbal::DECIMAL(18,2) * 100 AS BIGINT))
+            AS BIGINT) AS min_cents,
+       CAST(max(CAST(c_acctbal::DECIMAL(18,2) * 100 AS BIGINT))
+            AS BIGINT) AS max_cents
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+  AND (EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+               AND o.o_orderpriority = '3-MEDIUM')
+       OR EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')))
+GROUP BY 1, 2
+""")
+def ds_channel_presence_demographics(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """TPC-DS q35/q69 shape (queries/q35.sql, q69.sql): customers with
+    a STORE purchase AND a purchase in at least one OTHER channel —
+    ``EXISTS(store) AND (EXISTS(web) OR EXISTS(catalog))`` — rolled up
+    by demographic group. The textbook form scans the sales facts
+    THREE times (one correlated EXISTS per channel), and the OR of two
+    EXISTS forces existence-join plans that cannot be collapsed into
+    semi joins. The Spark side scans orders ONCE: per-customer channel
+    presence flags from conditional max() in a single aggregate, one
+    equi join to customer, and the AND/OR as a plain row filter over
+    the flags — the q97/q38 presence-flag discipline applied to
+    correlated-EXISTS composition. The ORACLE spells the literal
+    three-EXISTS form; the driver hash proves the rewrite. Balances
+    aggregate as exact cents BIGINTs."""
+    cust = t(spark, sf_dir, "customer")
+    ords = t(spark, sf_dir, "orders")
+    pr = F.col("o_orderpriority")
+    flags = (ords.groupBy("o_custkey")
+             .agg(F.max(F.when(pr.isin("1-URGENT", "2-HIGH"), 1)
+                        .otherwise(0)).alias("st"),
+                  F.max(F.when(pr == "3-MEDIUM", 1)
+                        .otherwise(0)).alias("wb"),
+                  F.max(F.when(pr.isin("4-NOT SPECIFIED", "5-LOW"), 1)
+                        .otherwise(0)).alias("ct")))
+    kept = (cust.join(flags, cust.c_custkey == F.col("o_custkey"))
+            .filter((F.col("st") == 1)
+                    & ((F.col("wb") == 1) | (F.col("ct") == 1))))
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint")
+    return (kept.groupBy("c_nationkey", "c_mktsegment")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                 F.sum(cents).cast("bigint").alias("bal_cents"),
+                 F.min(cents).cast("bigint").alias("min_cents"),
+                 F.max(cents).cast("bigint").alias("max_cents")))

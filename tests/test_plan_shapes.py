@@ -678,3 +678,17 @@ def test_ds_quarter_growth_compare_single_scan_no_self_join(spark):
     assert shuffles <= 2, f"extra shuffles: {shuffles}"
     assert plan.count("Window") == 1
     assert "EvalPython" not in plan
+
+
+def test_ds_channel_presence_single_scan_no_existence_joins(spark):
+    """ds_channel_presence_demographics (q35/q69 shape): the
+    presence-flag rewrite must scan orders ONCE (the textbook form
+    runs three correlated EXISTS, and the OR of two EXISTS forces
+    existence joins) — one flags aggregate, one equi join to customer,
+    zero semi/existence joins."""
+    plan = _plan(entrymod.queries()["ds_channel_presence_demographics"](
+        spark, SF_DIR))
+    assert plan.count("orders.parquet") == 1, \
+        "orders scanned more than once"
+    assert "LeftSemi" not in plan and "ExistenceJoin" not in plan
+    assert "EvalPython" not in plan
