@@ -28,9 +28,10 @@ Supported subset (documented, tested):
 - ALL ROWS PER MATCH (``rows_per_match="all"``): one output row per matched
   input row, with the implicit MATCH_NUMBER() (``match_no``, 1-based per
   partition) and CLASSIFIER() (``classifier``, the symbol that matched the
-  row) columns plus input-column passthrough; measures are evaluated with
-  FINAL semantics (per-match scalars repeated on every row) — RUNNING
-  measures are not supported.
+  row) columns plus input-column passthrough; measures default to FINAL
+  semantics (per-match scalars repeated on every row); wrap a measure in
+  ``RunningMeasure`` for SQL:2016 RUNNING evaluation (cumulative view of
+  the match at each output row).
 - SUBSET name = (members…) (rel/core/Match.java:60: ``subsets``): union
   symbols usable in measures — ``match_rows[name]`` is the sorted union of
   the member symbols' row lists.
@@ -68,6 +69,25 @@ class StatefulDef:
     rule for running DEFINE aggregates."""
 
     def __init__(self, fn: Callable[[pd.DataFrame, int, dict], bool]):
+        self.fn = fn
+
+
+class RunningMeasure:
+    """ALL ROWS PER MATCH measure with RUNNING semantics (SQL:2016:
+    the measure sees only the match rows up to and including the
+    current output row — cumulative aggregates, running LAST). The
+    engine's ALL-ROWS default is FINAL (per-match scalars repeated on
+    every row; the driver-oracle rows pin that contract), and Calcite's
+    parser exposes the choice as the FINAL/RUNNING prefix operators
+    (SqlStdOperatorTable FINAL/RUNNING) — wrap a measure in this class
+    (or spell RUNNING in the SQL front door) to select running
+    evaluation. The wrapped callable keeps the (pdf, match_rows)
+    signature; the matcher hands it the PREFIX view of match_rows at
+    each output row (every symbol list, '*', and SUBSET truncated to
+    rows <= current). In ONE ROW mode running == final at the last row,
+    so the wrapper is transparent there."""
+
+    def __init__(self, fn: "Measure"):
         self.fn = fn
 
 
@@ -408,18 +428,26 @@ def match_recognize(
             for name, members in subsets.items():
                 m[name] = sorted({j for s in members for j in m.get(s, [])})
             if rows_per_match == "one":
-                out_rows.append({k: fn(pdf, m) for k, fn in meas_items})
+                out_rows.append({
+                    k: (fn.fn if isinstance(fn, RunningMeasure) else fn)(
+                        pdf, m) for k, fn in meas_items})
                 continue
             # CLASSIFIER() names the PATTERN variable (SQL:2016) —
             # including undefined (universal) symbols like the packing
             # query's S; subset/'*'/'-' keys are not pattern variables
             classifier = {j: sym for sym, rows_ in m.items()
                           if sym in pattern_syms for j in rows_}
-            final = {k: fn(pdf, m) for k, fn in meas_items}
+            final = {k: fn(pdf, m) for k, fn in meas_items
+                     if not isinstance(fn, RunningMeasure)}
+            running = {k: fn.fn for k, fn in meas_items
+                       if isinstance(fn, RunningMeasure)}
             withheld = set(m.get("-", ()))
             for j in m["*"]:
                 if j in withheld:  # {- … -} exclusion
                     continue
+                if running:
+                    pref = {k2: [r for r in rows_ if r <= j]
+                            for k2, rows_ in m.items()}
                 row = {}
                 for col in out_cols:
                     if col == "match_no":
@@ -428,6 +456,8 @@ def match_recognize(
                         row[col] = classifier.get(j)
                     elif col in final:
                         row[col] = final[col]
+                    elif col in running:
+                        row[col] = running[col](pdf, pref)
                     else:
                         row[col] = pdf[col].iloc[j]
                 out_rows.append(row)

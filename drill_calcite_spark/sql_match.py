@@ -386,9 +386,13 @@ def _measure_body(expr: str, types: "dict[str, str]"):
         sel = f'p["{col}"].iloc[m["{sym}"]]'
         if fn == "count":
             return (f"{sel}.count()", "long")
+        # SQL aggregates over an EMPTY set are NULL, not pandas'
+        # identity (sum() -> 0) — reachable under RUNNING semantics
+        # before the symbol's first row
+        guard = f'None if not m["{sym}"] else '
         if fn == "avg":
-            return (f"{sel}.mean()", "double")
-        return (f"{sel}.{fn}()", types[col])
+            return (f"{guard}{sel}.mean()", "double")
+        return (f"{guard}{sel}.{fn}()", types[col])
     q = _QREF.match(e)
     if q:
         sym, col = q.group(1).upper(), q.group(2)
@@ -842,31 +846,54 @@ def translate_match_recognize(spark: SparkSession, text: str) -> DataFrame:
                 raise MatchRecognizeUnsupported(
                     f"MEASURES items need AS aliases: {item!r}")
             body_txt, alias = mm.group(1).strip(), mm.group(2)
+            # SQL:2016 FINAL/RUNNING prefix operators (Calcite
+            # SqlStdOperatorTable FINAL/RUNNING): RUNNING selects the
+            # cumulative per-row view in ALL ROWS mode; FINAL (and the
+            # engine's documented default) the per-match value
+            is_running = False
+            km = re.match(r"^(running|final)\b(.*)$", body_txt,
+                          re.I | re.S)
+            if km:
+                is_running = km.group(1).lower() == "running"
+                body_txt = km.group(2).strip()
             py, dt = _measure_body(body_txt, types)
-            meas.append((alias, py, dt))
+            meas.append((alias, py, dt, is_running))
 
     measures = {}
     schema_parts = []
     renames: "dict[str, str]" = {}
     if rows_all:
         # operator resolves the RESERVED names match_no / classifier
-        for alias, py, dt in meas:
+        for alias, py, dt, is_running in meas:
             if py == "__MATCH_NO__":
                 renames[alias] = "match_no"
             elif py == "__CLASSIFIER__":
                 renames[alias] = "classifier"
             else:
-                measures[alias] = eval(f"lambda p, m: ({py})")  # noqa: S307
+                fn = eval(f"lambda p, m: ({py})")  # noqa: S307
+                if is_running:
+                    from drill_calcite_spark.operators.match_recognize \
+                        import RunningMeasure
+
+                    def _guard(p, m, _f=fn):
+                        # RUNNING over an empty prefix (no row of the
+                        # navigated symbol yet) is NULL, not an error
+                        try:
+                            return _f(p, m)
+                        except IndexError:
+                            return None
+                    fn = RunningMeasure(_guard)
+                measures[alias] = fn
         out_cols = []
         for c in df_in.columns:
             out_cols.append((c, types[c]))
-        for alias, py, dt in meas:
+        for alias, py, dt, _run in meas:
             name = renames.get(alias, alias)
             if name not in [c for c, _ in out_cols]:
                 out_cols.append((name, dt))
         schema_parts = [f"{c} {dt}" for c, dt in out_cols]
     else:
-        for alias, py, dt in meas:
+        for alias, py, dt, _run in meas:
             if py in ("__MATCH_NO__", "__CLASSIFIER__"):
                 raise MatchRecognizeUnsupported(
                     "MATCH_NUMBER()/CLASSIFIER() need ALL ROWS PER MATCH "
@@ -877,7 +904,8 @@ def translate_match_recognize(spark: SparkSession, text: str) -> DataFrame:
             measures[c] = eval(  # noqa: S307
                 f'lambda p, m: p["{c}"].iloc[0]')
             schema_parts.append(f"{c} {types[c]}")
-        for alias, py, dt in meas:
+        for alias, py, dt, _run in meas:
+            # ONE ROW mode: RUNNING == FINAL at the match's last row
             measures[alias] = eval(f"lambda p, m: ({py})")  # noqa: S307
             schema_parts.append(f"{alias} {dt}")
 

@@ -178,7 +178,10 @@ def test_bool_and_measure_compilation():
     assert _sql_ops_to_pandas("NOT (a <= 4 OR NOT b < 2)") == \
         "((a > 4) & (b < 2))"
     body, dt = _measure_body("SUM(UP.value)", {"value": "double"})
-    assert body == 'p["value"].iloc[m["UP"]].sum()' and dt == "double"
+    # the None-guard makes RUNNING aggregates NULL before the symbol's
+    # first row (SQL empty-set semantics), a no-op under FINAL
+    assert body == ('None if not m["UP"] else '
+                    'p["value"].iloc[m["UP"]].sum()') and dt == "double"
     body, dt = _measure_body("COUNT(*)", {"value": "double"})
     assert body == 'len(m["*"])' and dt == "long"
     body, dt = _measure_body("STRT.price", {"price": "double"})
@@ -294,3 +297,44 @@ def test_stateful_define_rejects_arbitrary_code(spark):
     ]:
         with pytest.raises(MatchRecognizeUnsupported):
             _compile_stateful_define(hostile, {"v"})
+
+
+def test_running_measures_all_rows(spark):
+    """SQL:2016 RUNNING measures in ALL ROWS mode: the RUNNING prefix
+    selects the cumulative per-row view (cumulative SUM over a SUBSET,
+    running LAST that is NULL before the symbol's first row), checked
+    against hand-derived goldens on the TICKER fixture; the unprefixed
+    FINAL twin repeats the per-match value on every row."""
+    from drill_calcite_spark.sources.test_schemas import register_post
+    from drill_calcite_spark.sql_match import translate_match_recognize
+
+    register_post(spark)
+    sql = """SELECT symbol, tstamp, price, rsum, rlast, flast, match_no
+    FROM ticker MATCH_RECOGNIZE(
+      PARTITION BY symbol ORDER BY tstamp
+      MEASURES MATCH_NUMBER() AS match_no,
+               RUNNING SUM(U.price) AS rsum,
+               RUNNING LAST(DOWN.tstamp) AS rlast,
+               LAST(DOWN.tstamp) AS flast
+      ALL ROWS PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (STRT DOWN+ UP+)
+      SUBSET U = (DOWN, UP)
+      DEFINE DOWN AS DOWN.price < PREV(DOWN.price),
+             UP AS UP.price > PREV(UP.price))"""
+    rows = sorted(
+        ((r.symbol, str(r.tstamp), r.price, r.rsum,
+          str(r.rlast), str(r.flast), r.match_no)
+         for r in translate_match_recognize(spark, sql).collect()))
+    # match 1: STRT 12-05(25), DOWN 12-06(12), UP 12-07..12-10
+    assert rows[:6] == [
+        ("ACME", "2017-12-05", 25, None, "None", "2017-12-06", 1),
+        ("ACME", "2017-12-06", 12, 12, "2017-12-06", "2017-12-06", 1),
+        ("ACME", "2017-12-07", 15, 27, "2017-12-06", "2017-12-06", 1),
+        ("ACME", "2017-12-08", 20, 47, "2017-12-06", "2017-12-06", 1),
+        ("ACME", "2017-12-09", 24, 71, "2017-12-06", "2017-12-06", 1),
+        ("ACME", "2017-12-10", 25, 96, "2017-12-06", "2017-12-06", 1),
+    ]
+    # RUNNING LAST is NULL on every match's STRT row (prefix empty)
+    strt_rows = [r for r in rows if r[3] is None]
+    assert all(r[4] == "None" for r in strt_rows)
