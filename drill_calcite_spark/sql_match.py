@@ -355,6 +355,15 @@ def _measure_body(expr: str, types: "dict[str, str]"):
         return ("__MATCH_NO__", "long")
     if low == "classifier()":
         return ("__CLASSIFIER__", "string")
+    # literal measures — ``MEASURES 1 AS m1`` (the shape of the
+    # reference's first disabled match.iq block, :44-52)
+    if re.fullmatch(r"-?\d+", e):
+        return (e, "long")
+    if re.fullmatch(r"-?\d+\.\d+", e):
+        return (e, "double")
+    lm = re.fullmatch(r"'((?:[^']|'')*)'", e)
+    if lm:
+        return (repr(lm.group(1).replace("''", "'")), "string")
     m = _FL.match(e)
     if m:
         fn, sym, col, n = (m.group(1).lower(), m.group(2).upper(),

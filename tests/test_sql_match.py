@@ -338,3 +338,25 @@ def test_running_measures_all_rows(spark):
     # RUNNING LAST is NULL on every match's STRT row (prefix empty)
     strt_rows = [r for r in rows if r[3] is None]
     assert all(r[4] == "None" for r in strt_rows)
+
+
+def test_literal_measures_first_disabled_block_shape(spark):
+    """Literal MEASURES (``MEASURES 1 AS m1, 2.5 AS m2, 'x' AS m3``) —
+    the shape of the reference's FIRST disabled match.iq block
+    (:44-52, which carries no expected table). The block's own
+    hiredate-only ordering has a 1981-12-03 tie (JAMES/FORD), so this
+    golden pins a deterministic (hiredate, empno) ordering: each
+    (s up) match is one strict deptno drop between adjacent rows — 7
+    matches on the Scott fixture."""
+    from drill_calcite_spark.sources.test_schemas import register_scott
+    from drill_calcite_spark.sql_match import translate_match_recognize
+
+    register_scott(spark)
+    sql = """SELECT * FROM scott_emp MATCH_RECOGNIZE(
+      ORDER BY hiredate, empno
+      MEASURES 1 AS m1, 2.5 AS m2, 'x' AS m3
+      PATTERN (s up)
+      DEFINE up AS up.deptno < prev(up.deptno))"""
+    rows = translate_match_recognize(spark, sql).collect()
+    assert all((r.m1, r.m2, r.m3) == (1, 2.5, "x") for r in rows)
+    assert len(rows) == 7
