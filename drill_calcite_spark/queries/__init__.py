@@ -91,6 +91,8 @@ _DRIVER_PRIORITY = [
     # (StatefulDef) vs an independent recursive-CTE greedy-packing oracle
     "ds_channel_presence_demographics",  # NEW r10: TPC-DS q35/q69 shape
     # (EXISTS AND (EXISTS OR EXISTS) -> one-scan presence flags)
+    "ds_warehouse_monthly_pivot",  # NEW r10: TPC-DS q66 shape (two-
+    # branch UNION ALL -> one-scan 12-column conditional-sum pivot)
     "multimodal_features", "multimodal_resize",  # ORACLE-BACKED in r10
     # (were rows-only r9 — the r9 slots recorded bare no_oracle markers)
     "sketch_qsketch_signed",  # NEW r10: two-sided DDSketch layout
@@ -109,8 +111,8 @@ _DRIVER_PRIORITY = [
     "func_array_hof", "func_array_ops", "func_bitwise",
     "func_datetime_arith", "func_datetime_extract",
     "func_datetime_overlaps", "func_decimal_fidelity",
-    "func_greatest_null", "func_json",
-    # func_json_type / func_math / func_multiset_ops /
+    "func_greatest_null",
+    # func_json / func_json_type / func_math / func_multiset_ops /
     # func_strings_advanced / func_strings_search / func_struct_row /
     # func_time_arith / func_time_emulation /
     # is_distinct_from / islands_increasing_runs / join_salted_skew /

@@ -2206,3 +2206,114 @@ def ds_channel_presence_demographics(spark: SparkSession,
                  F.sum(cents).cast("bigint").alias("bal_cents"),
                  F.min(cents).cast("bigint").alias("min_cents"),
                  F.max(cents).cast("bigint").alias("max_cents")))
+
+
+@q("ds_warehouse_monthly_pivot", """
+WITH u AS (
+  SELECT l_suppkey % 8 AS wh, extract(year FROM o_orderdate) AS yr,
+         CAST(extract(month FROM o_orderdate) AS INT) AS mo,
+         CAST(l_extendedprice::DECIMAL(18,2) * 100 AS BIGINT) AS cents
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_returnflag = 'R'
+  UNION ALL
+  SELECT l_suppkey % 8 AS wh, extract(year FROM o_orderdate) AS yr,
+         CAST(extract(month FROM o_orderdate) AS INT) AS mo,
+         CAST(l_extendedprice::DECIMAL(18,2) * 100 AS BIGINT) AS cents
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_returnflag <> 'R'
+)
+SELECT wh, yr,
+       CAST(sum(CASE WHEN mo = 1 THEN cents ELSE 0 END) AS BIGINT)
+         AS m1_cents,
+       CAST(sum(CASE WHEN mo = 2 THEN cents ELSE 0 END) AS BIGINT)
+         AS m2_cents,
+       CAST(sum(CASE WHEN mo = 3 THEN cents ELSE 0 END) AS BIGINT)
+         AS m3_cents,
+       CAST(sum(CASE WHEN mo = 4 THEN cents ELSE 0 END) AS BIGINT)
+         AS m4_cents,
+       CAST(sum(CASE WHEN mo = 5 THEN cents ELSE 0 END) AS BIGINT)
+         AS m5_cents,
+       CAST(sum(CASE WHEN mo = 6 THEN cents ELSE 0 END) AS BIGINT)
+         AS m6_cents,
+       CAST(sum(CASE WHEN mo = 7 THEN cents ELSE 0 END) AS BIGINT)
+         AS m7_cents,
+       CAST(sum(CASE WHEN mo = 8 THEN cents ELSE 0 END) AS BIGINT)
+         AS m8_cents,
+       CAST(sum(CASE WHEN mo = 9 THEN cents ELSE 0 END) AS BIGINT)
+         AS m9_cents,
+       CAST(sum(CASE WHEN mo = 10 THEN cents ELSE 0 END) AS BIGINT)
+         AS m10_cents,
+       CAST(sum(CASE WHEN mo = 11 THEN cents ELSE 0 END) AS BIGINT)
+         AS m11_cents,
+       CAST(sum(CASE WHEN mo = 12 THEN cents ELSE 0 END) AS BIGINT)
+         AS m12_cents,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM u GROUP BY 1, 2
+""")
+def ds_warehouse_monthly_pivot(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TPC-DS q66 shape (queries/q66.sql): the wide warehouse shipping
+    report — per (warehouse, year), TWELVE monthly sales columns. The
+    textbook form computes the 12-column block once per channel CTE,
+    UNION ALLs the branches, and re-aggregates the union — every fact
+    partition flows through the exchange twice-wide. The Spark side
+    scans ONCE and computes all 12 conditional sums in a single
+    two-phase aggregate: channels partition the fact rows, so
+    sum-over-union ≡ one-scan conditional sums by associativity, and
+    the map-side partial collapses each task to one row per
+    (warehouse, year) BEFORE the exchange regardless of column width.
+    The ORACLE spells the literal two-branch UNION ALL; the driver hash
+    proves the rewrite across all 13 sum columns at once."""
+    li = t(spark, sf_dir, "lineitem")
+    ords = t(spark, sf_dir, "orders")
+    f = (
+        li.join(ords.select("o_orderkey", "o_orderdate"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .select(
+            (F.col("l_suppkey") % 8).alias("wh"),
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint").alias("cents"))
+    )
+    return (
+        f.groupBy("wh", "yr")
+        .agg(
+            F.sum(F.when(F.col("mo") == 1, F.col("cents"))
+                  .otherwise(F.lit(0))).cast("bigint")
+            .alias("m1_cents"),
+            F.sum(F.when(F.col("mo") == 2, F.col("cents"))
+                  .otherwise(F.lit(0))).cast("bigint")
+            .alias("m2_cents"),
+            F.sum(F.when(F.col("mo") == 3, F.col("cents"))
+                  .otherwise(F.lit(0))).cast("bigint")
+            .alias("m3_cents"),
+            F.sum(F.when(F.col("mo") == 4, F.col("cents"))
+                  .otherwise(F.lit(0))).cast("bigint")
+            .alias("m4_cents"),
+            F.sum(F.when(F.col("mo") == 5, F.col("cents"))
+                  .otherwise(F.lit(0))).cast("bigint")
+            .alias("m5_cents"),
+            F.sum(F.when(F.col("mo") == 6, F.col("cents"))
+                  .otherwise(F.lit(0))).cast("bigint")
+            .alias("m6_cents"),
+            F.sum(F.when(F.col("mo") == 7, F.col("cents"))
+                  .otherwise(F.lit(0))).cast("bigint")
+            .alias("m7_cents"),
+            F.sum(F.when(F.col("mo") == 8, F.col("cents"))
+                  .otherwise(F.lit(0))).cast("bigint")
+            .alias("m8_cents"),
+            F.sum(F.when(F.col("mo") == 9, F.col("cents"))
+                  .otherwise(F.lit(0))).cast("bigint")
+            .alias("m9_cents"),
+            F.sum(F.when(F.col("mo") == 10, F.col("cents"))
+                  .otherwise(F.lit(0))).cast("bigint")
+            .alias("m10_cents"),
+            F.sum(F.when(F.col("mo") == 11, F.col("cents"))
+                  .otherwise(F.lit(0))).cast("bigint")
+            .alias("m11_cents"),
+            F.sum(F.when(F.col("mo") == 12, F.col("cents"))
+                  .otherwise(F.lit(0))).cast("bigint")
+            .alias("m12_cents"),
+            F.sum("cents").cast("bigint").alias("total_cents"))
+    )

@@ -692,3 +692,19 @@ def test_ds_channel_presence_single_scan_no_existence_joins(spark):
         "orders scanned more than once"
     assert "LeftSemi" not in plan and "ExistenceJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_ds_warehouse_monthly_pivot_single_scan_one_exchange(spark):
+    """ds_warehouse_monthly_pivot (q66 shape): all 12 monthly columns
+    plus the total ride ONE two-phase aggregate over ONE fact scan (the
+    textbook form unions two per-channel 12-column blocks and
+    re-aggregates) — no Union node, a single shuffle, partial
+    aggregation before it."""
+    plan = _plan(entrymod.queries()["ds_warehouse_monthly_pivot"](
+        spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1
+    assert "Union" not in plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 1, f"wide aggregate split into {shuffles} shuffles"
+    assert plan.count("HashAggregate") >= 2, "no map-side partial"
+    assert "EvalPython" not in plan
