@@ -260,7 +260,10 @@ def test_lsh_plan_size_bounded_at_high_dim(spark):
     # the unrolled form produced plans in the tens of MB at this shape
     assert len(plan) < 500_000, len(plan)
     assert len(plan_multi) < 2_000_000, len(plan_multi)
-    assert elapsed < 30, elapsed
+    # the unrolled pathology took MINUTES; 90 s keeps the guard
+    # meaningful without flaking when the suite shares the box with
+    # other Spark sessions (observed 31.7 s under full-core contention)
+    assert elapsed < 90, elapsed
     # and it still computes: both rows bucketed, 16 sign bits
     rows = b.select("id", "__bucket").collect()
     assert all(len(r["__bucket"]) == planes for r in rows)
