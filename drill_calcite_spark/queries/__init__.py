@@ -118,8 +118,8 @@ _DRIVER_PRIORITY = [
     # is_distinct_from / islands_increasing_runs / join_salted_skew /
     # modify_snapshot_versions / modify_update_where /
     # pivot_conditional / pivot_dynamic / sort_nulls_direction (r5 rows
-    # still green) gave up their slots to the eleven new/upgraded r10
-    # names — rotate them in r11.
+    # still green) gave up their slots to the TWENTY new/upgraded r10
+    # names above — rotate the displaced r5 cohort in r11.
 ]
 
 
