@@ -93,6 +93,8 @@ _DRIVER_PRIORITY = [
     # (EXISTS AND (EXISTS OR EXISTS) -> one-scan presence flags)
     "ds_warehouse_monthly_pivot",  # NEW r10: TPC-DS q66 shape (two-
     # branch UNION ALL -> one-scan 12-column conditional-sum pivot)
+    "stream_live_dedup",  # CHANGED r10: dropDuplicatesWithinWatermark
+    # (bounded dedup state — plain dropDuplicates never expires keys)
     "multimodal_features", "multimodal_resize",  # ORACLE-BACKED in r10
     # (were rows-only r9 — the r9 slots recorded bare no_oracle markers)
     "sketch_qsketch_signed",  # NEW r10: two-sided DDSketch layout
@@ -111,7 +113,7 @@ _DRIVER_PRIORITY = [
     "func_array_hof", "func_array_ops", "func_bitwise",
     "func_datetime_arith", "func_datetime_extract",
     "func_datetime_overlaps", "func_decimal_fidelity",
-    "func_greatest_null",
+    # func_greatest_null /
     # func_json / func_json_type / func_math / func_multiset_ops /
     # func_strings_advanced / func_strings_search / func_struct_row /
     # func_time_arith / func_time_emulation /

@@ -160,10 +160,18 @@ FROM events GROUP BY event_type
 """)
 def stream_live_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once dedup: readStream → watermark →
-    dropDuplicates(event_id) → count by type, drained via AvailableNow.
-    Watermark bounds the dedup state window at scale."""
+    dropDuplicatesWithinWatermark(event_id) → count by type, drained
+    via AvailableNow. WithinWatermark matters at scale: plain
+    ``dropDuplicates(["event_id"])`` keeps every key's state FOREVER
+    when the event-time column is not part of the dedup key — the
+    watermark never expires it and a 100 TB stream OOMs the state
+    store. The WithinWatermark variant evicts each key once it falls
+    behind the watermark, bounding state to the 1-day window while
+    keeping exactly-once semantics for duplicates arriving inside it
+    (duplicates separated by more than the watermark delay are beyond
+    any bounded-state contract)."""
     sdf = stream_table(spark, sf_dir, "events").withWatermark("ts", "1 day")
-    deduped = sdf.dropDuplicates(["event_id"])
+    deduped = sdf.dropDuplicatesWithinWatermark(["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
     return run_available_now(agg, spark, output_mode="complete")
 
