@@ -105,22 +105,39 @@ def test_front_door_equals_direct_operator(spark, seed):
     skip_sql, skip_op = rng.choice(SKIPS)
     a_sql, a_fn = _gen_cond(rng, "A")
     b_sql, b_fn = _gen_cond(rng, "B")
-    if rng.random() < 0.4:  # ALL ROWS mode
-        sql = f"""SELECT sym, ts, value, classifier, match_no
+    if rng.random() < 0.4:  # ALL ROWS mode — half the cases also carry
+        # a RUNNING SUM measure; its twin is a RunningMeasure whose
+        # hand-written body sums the PREFIX the matcher hands it (B rows
+        # can be empty before B's first row -> SQL NULL, not pandas 0)
+        from drill_calcite_spark.operators.match_recognize import (
+            RunningMeasure,
+        )
+        with_running = rng.random() < 0.5
+        run_meas = {}
+        run_sql = run_col = ""
+        if with_running:
+            run_sql = ", RUNNING SUM(B.value) AS rs"
+            run_col = ", rs"
+            run_meas = {"rs": RunningMeasure(
+                lambda p, m: (float(p["value"].iloc[m["B"]].sum())
+                              if m["B"] else None))}
+        sql = f"""SELECT sym, ts, value, classifier, match_no{run_col}
         FROM fuzzticker MATCH_RECOGNIZE (
           PARTITION BY sym ORDER BY ts
-          MEASURES MATCH_NUMBER() AS match_no, CLASSIFIER() AS classifier
+          MEASURES MATCH_NUMBER() AS match_no, CLASSIFIER() AS classifier{run_sql}
           ALL ROWS PER MATCH
           AFTER MATCH {skip_sql}
           PATTERN ({pattern})
           DEFINE A AS {a_sql}, B AS {b_sql})"""
         direct = match_recognize(
             df, ["sym"], ["ts"], pattern,
-            define={"A": a_fn, "B": b_fn}, measures={},
+            define={"A": a_fn, "B": b_fn}, measures=run_meas,
             output_schema="sym string, ts bigint, value double, "
-                          "classifier string, match_no long",
+                          "classifier string, match_no long"
+                          + (", rs double" if with_running else ""),
             after_match=skip_op, rows_per_match="all")
-        cols = ["sym", "ts", "value", "classifier", "match_no"]
+        cols = (["sym", "ts", "value", "classifier", "match_no"]
+                + (["rs"] if with_running else []))
     else:  # ONE ROW mode with three random measures (sometimes a SUBSET)
         ms = rng.sample(MEASURES, 3)
         subset_sql = subset_op = None
