@@ -200,6 +200,7 @@ def lsh_ann_topk(
 def ivf_ann_topk(
     df: DataFrame, id_col: str, vec_col: str, *,
     k: int = 5, nlist: int = 16, nprobe: int = 4, seed: int = 42,
+    centers: "list[list[float]] | None" = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate self-similarity top-k — the
     k-means-quantizer ANN family (FAISS IVFFlat's shape), complementing
@@ -222,22 +223,19 @@ def ivf_ann_topk(
 
     Output: (query_id, neighbor_id, rank, cos).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    fv = df.select(
-        F.col(id_col), F.col(vec_col).alias("__v"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__fv"),
-    )
-    model = KMeans(k=nlist, seed=seed, featuresCol="__fv",
-                   predictionCol="__cell").fit(fv)
-    inverted = model.transform(fv).select(
-        F.col(id_col).alias("neighbor_id"), F.col("__v").alias("__vc"),
-        F.col("__cell").alias("cell"),
-    )
     import numpy as np
 
-    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    fv = df.select(F.col(id_col), F.col(vec_col).alias("__v"))
+    if centers is None:
+        # k-means coarse quantizer (FAISS IVFFlat's default shape)
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        kfv = fv.withColumn(
+            "__fv", array_to_vector(F.col("__v").cast("array<double>")))
+        model = KMeans(k=nlist, seed=seed, featuresCol="__fv",
+                       predictionCol="__cell").fit(kfv)
+        centers = [list(map(float, c)) for c in model.clusterCenters()]
     cdim = len(centers[0])
     # rank cells per query: ||v-c||² = ||v||² − 2·v·c + ||c||²; ||v||² is
     # constant per query so −2·v·c + ||c||² orders cells identically.
@@ -254,6 +252,15 @@ def ivf_ann_topk(
              * -2.0 + F.element_at(norms_lit, i + 1)).alias("d"),
             i.alias("cell"),
         ),
+    )
+    # the inverted file: every vector assigned to its nearest cell
+    # (same scorer, probe depth 1) — works for ANY center set, k-means
+    # or a fixed deterministic quantizer sample
+    inverted = (
+        fv.select(F.col(id_col).alias("neighbor_id"),
+                  F.col("__v").alias("__vc"),
+                  F.element_at(F.array_sort(cell_scores), 1)
+                  .getField("cell").alias("cell"))
     )
     probes = (
         fv.select(F.col(id_col).alias("query_id"), F.col("__v"),

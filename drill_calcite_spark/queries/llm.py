@@ -2081,3 +2081,73 @@ def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("source"), split.alias("split"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                  F.sum("n_chars").cast("bigint").alias("sum_chars")))
+
+
+def _ivf_fixed_oracle(stride: int = 31, nprobe: int = 4, k: int = 5) -> str:
+    """Replays the FIXED-quantizer IVF end to end: centroid sample, cell
+    scoring (−2·v·c + ‖c‖², the same ordered double fold), assignment,
+    nprobe probing, and the exact cosine rerank — every float in the
+    same IEEE operation order as the Spark side."""
+    d_vc = _SQL_DOT.format(a="e.v", b="cents.c")
+    d_cc = _SQL_DOT.format(a="cents.c", b="cents.c")
+    d_qn = _SQL_DOT.format(a="p.vq", b="a.vc")
+    d_qq = _SQL_DOT.format(a="p.vq", b="p.vq")
+    d_nn = _SQL_DOT.format(a="a.vc", b="a.vc")
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
+           FROM embeddings),
+cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+          FROM e WHERE vec_id % {stride} = 0),
+scored AS (SELECT e.vec_id, e.v, cents.cell,
+                  -2 * ({d_vc}) + ({d_cc}) AS d
+           FROM e CROSS JOIN cents),
+ranked AS (SELECT vec_id, v, cell,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d, cell) AS rn
+           FROM scored),
+assign AS (SELECT vec_id, v AS vc, cell FROM ranked WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, v AS vq, cell
+           FROM ranked WHERE rn <= {nprobe}),
+cands AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ({d_qn}) / (sqrt({d_qq}) * sqrt({d_nn})) AS c
+  FROM probes p JOIN assign a USING (cell)
+  WHERE p.query_id <> a.vec_id
+),
+topk AS (
+  SELECT query_id, neighbor_id, c,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, neighbor_id) AS rank
+  FROM cands
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(c, 6) AS cos
+FROM topk WHERE rank <= {k}
+"""
+
+
+@q("ann_ivf_fixed_topk", _ivf_fixed_oracle())
+def ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a FIXED deterministic coarse quantizer — the
+    ORACLE-BACKED twin of ann_ivf_topk (whose k-means training is
+    iterative and rows-only by necessity). The quantizer is the corpus
+    sample vec_id % 31 = 0 (every IVF needs SOME coarse quantizer; a
+    corpus stride sample is a standard cheap one), so the ENTIRE scale
+    path — cell scoring via the flat literal centroid matrix, inverted-
+    file assignment, nprobe=4 probing, candidate join keyed on cell,
+    exact cosine rerank — is SQL-replayable and the driver hash pins
+    every float (the ordered-fold arithmetic is bit-identical across
+    engines, functions/vector.py). Centroids ride through ONE bounded
+    driver collect of ~|corpus|/stride vectors — the same O(nlist)
+    materialization k-means itself performs. This upgrades the IVF
+    family from rows-only to hash-proven; recall-vs-exact remains
+    asserted for the k-means variant in tests/test_llm.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    centers = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") % 31 == 0)
+        .orderBy("vec_id").select("embedding").collect()
+    ]
+    out = ivf_ann_topk(emb, "vec_id", "embedding", k=5,
+                       nprobe=4, centers=centers)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
