@@ -2151,3 +2151,66 @@ def ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ivf_ann_topk(emb, "vec_id", "embedding", k=5,
                        nprobe=4, centers=centers)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@q("pairs_negative_sampling", """
+WITH n AS (SELECT count(*) AS nn FROM documents),
+q AS (SELECT doc_id AS query_id FROM documents WHERE doc_id % 5 = 0),
+slots AS (SELECT query_id, s.slot
+          FROM q CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS slot) s),
+neg AS (SELECT query_id, slot,
+               ('0x' || substr(md5('neg:' || CAST(query_id AS VARCHAR)
+                                   || ':' || CAST(slot AS VARCHAR)),
+                               1, 15))::BIGINT
+                 % (SELECT nn FROM n) AS neg_id
+        FROM slots)
+SELECT query_id, CAST(slot AS BIGINT) AS slot, neg_id,
+       d.n_chars AS neg_chars, d.source AS neg_source
+FROM neg JOIN documents d ON d.doc_id = neg.neg_id
+WHERE neg_id <> query_id
+""")
+def pairs_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive-pair training:
+    each query document draws k=4 pseudo-random corpus negatives by
+    salted hash — ``md5('neg:' || doc_id || ':' || slot) mod N`` over
+    the contiguous id space — with accidental self-draws filtered and
+    each negative's features attached by join.
+
+    Scale design: the draw is PURE COLUMN ALGEBRA (no RNG state), so
+    pairs are reproducible run-over-run and stable under repartition/
+    backfill — the same property argued for [[split_train_holdout]];
+    the corpus size N enters as a broadcast ONE-ROW aggregate (the q11
+    global-scalar pattern), never a driver-side count action; the only
+    real shuffle is the feature-attach join on neg_id, which is the
+    workload's irreducible data motion. The salt decorrelates draw
+    membership from the split/dedup/fingerprint md5 keyspaces. The
+    oracle replays the identical hash draw, so the driver pins the
+    exact pair set."""
+    docs = t(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    slots = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(F.col("doc_id").alias("query_id"))
+        .crossJoin(F.broadcast(n))
+        .select("query_id", "__n",
+                F.explode(F.sequence(F.lit(1), F.lit(4))).alias("slot"))
+    )
+    neg = (
+        slots.withColumn(
+            "neg_id",
+            F.conv(F.substring(
+                F.md5(F.concat(F.lit("neg:"),
+                               F.col("query_id").cast("string"),
+                               F.lit(":"),
+                               F.col("slot").cast("string"))), 1, 15),
+                16, 10).cast("bigint") % F.col("__n"))
+        .filter(F.col("neg_id") != F.col("query_id"))
+    )
+    return (
+        neg.join(docs.select(F.col("doc_id").alias("neg_id"),
+                             F.col("n_chars").alias("neg_chars"),
+                             F.col("source").alias("neg_source")),
+                 "neg_id")
+        .select("query_id", F.col("slot").cast("bigint").alias("slot"),
+                "neg_id", "neg_chars", "neg_source")
+    )
