@@ -2178,7 +2178,7 @@ def pairs_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design: the draw is PURE COLUMN ALGEBRA (no RNG state), so
     pairs are reproducible run-over-run and stable under repartition/
-    backfill — the same property argued for [[split_train_holdout]];
+    backfill — the same property argued for split_train_holdout;
     the corpus size N enters as a broadcast ONE-ROW aggregate (the q11
     global-scalar pattern), never a driver-side count action; the only
     real shuffle is the feature-attach join on neg_id, which is the
