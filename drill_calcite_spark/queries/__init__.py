@@ -99,6 +99,8 @@ _DRIVER_PRIORITY = [
     # (fixed deterministic quantizer; every float hash-pinned)
     "pairs_negative_sampling",  # NEW r10: deterministic contrastive
     # negatives (salted-hash draw + broadcast-scalar N, no RNG state)
+    "ds_revenue_band_histogram",  # NEW r10: TPC-DS q54 shape (the
+    # aggregate-of-aggregate segmentation histogram, exact cent bands)
     "multimodal_features", "multimodal_resize",  # ORACLE-BACKED in r10
     # (were rows-only r9 — the r9 slots recorded bare no_oracle markers)
     "sketch_qsketch_signed",  # NEW r10: two-sided DDSketch layout
@@ -115,8 +117,9 @@ _DRIVER_PRIORITY = [
     "agg_approx_distinct", "agg_approx_quantile", "bench_minhash_dedup",
     "dedup_embedding_cosine", "dedup_exact", "doc_fingerprint",
     "func_array_hof", "func_array_ops", "func_bitwise",
-    "func_datetime_arith", "func_datetime_extract",
-    # func_datetime_overlaps / func_decimal_fidelity /
+    "func_datetime_arith",
+    # func_datetime_extract / func_datetime_overlaps /
+    # func_decimal_fidelity /
     # func_greatest_null /
     # func_json / func_json_type / func_math / func_multiset_ops /
     # func_strings_advanced / func_strings_search / func_struct_row /

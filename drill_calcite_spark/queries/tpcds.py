@@ -2317,3 +2317,48 @@ def ds_warehouse_monthly_pivot(spark: SparkSession,
             .alias("m12_cents"),
             F.sum("cents").cast("bigint").alias("total_cents"))
     )
+
+
+@q("ds_revenue_band_histogram", """
+WITH rev AS (
+  SELECT o_custkey AS cust,
+         CAST(sum(CAST(l_extendedprice::DECIMAL(18,2) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  GROUP BY 1
+)
+SELECT cents // 50000000 AS band,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS band_cents
+FROM rev GROUP BY 1
+""")
+def ds_revenue_band_histogram(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """TPC-DS q54 shape (queries/q54.sql): the customer revenue
+    SEGMENTATION HISTOGRAM — per-customer revenue bucketed into fixed
+    bands ($500 increments here, exact integer division on cents), then
+    customers counted per band: the aggregate-OF-an-aggregate shape.
+    Scale: the first aggregate shuffles on the customer key (the
+    workload's irreducible motion); the second consumes |customers|
+    pre-aggregated rows and its band keyspace is tiny, so AQE coalesces
+    it to near-free. Band edges are exact integer quotients of exact
+    cent sums — no float crosses a band boundary differently between
+    engines. The oracle replays both levels; the hash pins every band
+    count and total."""
+    li = t(spark, sf_dir, "lineitem")
+    ords = t(spark, sf_dir, "orders")
+    rev = (
+        li.join(ords.select("o_orderkey", "o_custkey", "o_orderpriority"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(F.sum((F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+                   .cast("bigint")).cast("bigint").alias("cents"))
+    )
+    return (
+        rev.groupBy(F.call_function("div", F.col("cents"),
+                                    F.lit(50_000_000)).alias("band"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+             F.sum("cents").cast("bigint").alias("band_cents"))
+    )
