@@ -101,6 +101,8 @@ _DRIVER_PRIORITY = [
     # negatives (salted-hash draw + broadcast-scalar N, no RNG state)
     "ds_revenue_band_histogram",  # NEW r10: TPC-DS q54 shape (the
     # aggregate-of-aggregate segmentation histogram, exact cent bands)
+    "ds_excess_discount",  # NEW r10: TPC-DS q32/q92 shape (correlated
+    # avg decorrelated to a window; one shuffle, plan-pinned)
     "multimodal_features", "multimodal_resize",  # ORACLE-BACKED in r10
     # (were rows-only r9 — the r9 slots recorded bare no_oracle markers)
     "sketch_qsketch_signed",  # NEW r10: two-sided DDSketch layout
@@ -117,7 +119,7 @@ _DRIVER_PRIORITY = [
     "agg_approx_distinct", "agg_approx_quantile", "bench_minhash_dedup",
     "dedup_embedding_cosine", "dedup_exact", "doc_fingerprint",
     "func_array_hof", "func_array_ops", "func_bitwise",
-    "func_datetime_arith",
+    # func_datetime_arith /
     # func_datetime_extract / func_datetime_overlaps /
     # func_decimal_fidelity /
     # func_greatest_null /

@@ -2362,3 +2362,51 @@ def ds_revenue_band_histogram(spark: SparkSession,
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
              F.sum("cents").cast("bigint").alias("band_cents"))
     )
+
+
+@q("ds_excess_discount", """
+WITH d AS (
+  SELECT l_partkey,
+         CAST(l_discount::DECIMAL(4,2) * 100 AS BIGINT) AS bps,
+         CAST(l_extendedprice::DECIMAL(18,2) * 100 AS BIGINT) AS cents
+  FROM lineitem
+)
+SELECT l_partkey,
+       CAST(sum(cents) AS BIGINT) AS excess_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM d d1
+WHERE 10 * d1.bps * (SELECT count(*) FROM d d2
+                     WHERE d2.l_partkey = d1.l_partkey)
+      > 13 * (SELECT sum(bps) FROM d d2
+              WHERE d2.l_partkey = d1.l_partkey)
+GROUP BY 1
+""")
+def ds_excess_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q32/q92 shape (queries/q32.sql, q92.sql): "excess
+    discount" — revenue from rows whose discount exceeds 1.3× the
+    item's average discount, where the average comes from a CORRELATED
+    scalar subquery over the same fact. The textbook form re-scans the
+    fact once per correlated aggregate; the Spark side decorrelates to
+    per-item WINDOW totals on ONE scan, and the post-filter per-item
+    aggregate REUSES the window's hash partitioning (ClusteredDistribution
+    on the same key — no second exchange). The 1.3× test is EXACT
+    integer cross-multiplication on discount basis points
+    (10·bps·n > 13·Σbps ⇔ bps > 1.3·avg), so no engine rounding flips a
+    boundary row. The ORACLE spells the literal correlated form; the
+    driver hash proves the decorrelation."""
+    li = t(spark, sf_dir, "lineitem")
+    d = li.select(
+        "l_partkey",
+        (F.col("l_discount").cast("decimal(4,2)") * 100)
+        .cast("bigint").alias("bps"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents"))
+    w = Window.partitionBy("l_partkey")
+    dd = (d.withColumn("n", F.count(F.lit(1)).over(w))
+          .withColumn("sum_bps", F.sum("bps").over(w)))
+    return (
+        dd.filter(10 * F.col("bps") * F.col("n") > 13 * F.col("sum_bps"))
+        .groupBy("l_partkey")
+        .agg(F.sum("cents").cast("bigint").alias("excess_cents"),
+             F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )

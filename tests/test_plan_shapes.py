@@ -708,3 +708,16 @@ def test_ds_warehouse_monthly_pivot_single_scan_one_exchange(spark):
     assert shuffles == 1, f"wide aggregate split into {shuffles} shuffles"
     assert plan.count("HashAggregate") >= 2, "no map-side partial"
     assert "EvalPython" not in plan
+
+
+def test_ds_excess_discount_one_scan_shared_partitioning(spark):
+    """ds_excess_discount (q32/q92 shape): the correlated-average
+    decorrelation must scan the fact ONCE, and the post-filter per-item
+    aggregate must REUSE the window's hash partitioning on l_partkey —
+    exactly one shuffle in the whole plan, no join."""
+    plan = _plan(entrymod.queries()["ds_excess_discount"](spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 1, f"decorrelation added shuffles: {shuffles}"
+    assert "Join" not in plan, "correlated subquery planned as a join"
+    assert "EvalPython" not in plan
