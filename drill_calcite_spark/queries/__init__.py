@@ -57,9 +57,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _ROWS_ONLY_FIRST_EVIDENCE = [
     # multimodal_features / multimodal_resize left this list in r10:
     # their deterministic stub dataflows gained full DuckDB oracles
-    # (ASCII payloads make byte slicing / byte histograms SQL-replayable)
+    # (ASCII payloads make byte slicing / byte histograms SQL-replayable).
+    # match_vshape left LATE r10: the catch-all-STRT greedy-skip chain
+    # reduces to a sequential island walk, replayed by a RECURSIVE CTE
+    # carrying the skip state — now fully oracle-backed.
     "sample_bernoulli", "sample_system", "exchange_repartition",
-    "match_vshape", "ann_ivf_topk", "bench_ann_topk",
+    "ann_ivf_topk", "bench_ann_topk",
 ]
 
 _DRIVER_PRIORITY = [
@@ -103,6 +106,8 @@ _DRIVER_PRIORITY = [
     # aggregate-of-aggregate segmentation histogram, exact cent bands)
     "ds_excess_discount",  # NEW r10: TPC-DS q32/q92 shape (correlated
     # avg decorrelated to a window; one shuffle, plan-pinned)
+    "match_vshape",  # ORACLE-BACKED late r10 (was rows-only r4-r9):
+    # recursive-CTE island walk replays the greedy-skip NFA chain
     "multimodal_features", "multimodal_resize",  # ORACLE-BACKED in r10
     # (were rows-only r9 — the r9 slots recorded bare no_oracle markers)
     "sketch_qsketch_signed",  # NEW r10: two-sided DDSketch layout
@@ -118,8 +123,8 @@ _DRIVER_PRIORITY = [
     # (c) oldest round-5-vintage names
     "agg_approx_distinct", "agg_approx_quantile", "bench_minhash_dedup",
     "dedup_embedding_cosine", "dedup_exact", "doc_fingerprint",
-    "func_array_hof", "func_array_ops", "func_bitwise",
-    # func_datetime_arith /
+    "func_array_hof", "func_array_ops",
+    # func_bitwise / func_datetime_arith /
     # func_datetime_extract / func_datetime_overlaps /
     # func_decimal_fidelity /
     # func_greatest_null /

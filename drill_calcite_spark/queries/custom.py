@@ -108,11 +108,74 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+_MATCH_VSHAPE_ORACLE = """
+WITH RECURSIVE ordered AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         lag(value) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS pv
+  FROM events
+), cls AS (
+  SELECT *, CASE WHEN pv IS NULL THEN 'F'
+                 WHEN value < pv THEN 'D'
+                 WHEN value > pv THEN 'U' ELSE 'F' END AS dir
+  FROM ordered
+), isl AS (
+  SELECT *, rn - row_number() OVER (PARTITION BY user_id, dir
+                                    ORDER BY rn) AS grp
+  FROM cls
+), islands AS (
+  SELECT user_id, dir, grp, min(rn) AS srn, max(rn) AS ern
+  FROM isl GROUP BY 1, 2, 3
+), pairs AS (
+  SELECT d.user_id, d.srn AS d_srn, d.ern AS d_ern, u.ern AS u_ern,
+         row_number() OVER (PARTITION BY d.user_id
+                            ORDER BY d.srn) AS pno
+  FROM islands d JOIN islands u
+    ON u.user_id = d.user_id AND u.srn = d.ern + 1
+  WHERE d.dir = 'D' AND u.dir = 'U'
+), walk AS (
+  SELECT user_id, 0 AS pno, 0 AS d_srn, 0 AS d_ern, 0 AS u_ern,
+         0 AS start_rn, FALSE AS emitted, 0 AS prev_end
+  FROM (SELECT DISTINCT user_id FROM pairs) seeds
+  UNION ALL
+  SELECT p.user_id, p.pno, p.d_srn, p.d_ern, p.u_ern,
+         greatest(p.d_srn - 1, w.prev_end + 1) AS start_rn,
+         greatest(p.d_srn - 1, w.prev_end + 1) <= p.d_ern - 1 AS emitted,
+         CASE WHEN greatest(p.d_srn - 1, w.prev_end + 1) <= p.d_ern - 1
+              THEN p.u_ern ELSE w.prev_end END AS prev_end
+  FROM walk w JOIN pairs p
+    ON p.user_id = w.user_id AND p.pno = w.pno + 1
+)
+SELECT w.user_id,
+       s.event_id AS start_event,
+       b.value AS bottom_value,
+       e.event_id AS end_event,
+       CAST(w.u_ern - w.start_rn + 1 AS BIGINT) AS match_len
+FROM walk w
+JOIN cls s ON s.user_id = w.user_id AND s.rn = w.start_rn
+JOIN cls b ON b.user_id = w.user_id AND b.rn = w.d_ern
+JOIN cls e ON e.user_id = w.user_id AND e.rn = w.u_ern
+WHERE w.emitted
+"""
+
+
 # ------------------------------------------------------------ match_recognize
+@q("match_vshape", _MATCH_VSHAPE_ORACLE)
 def match_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATCH_RECOGNIZE (rel/core/Match.java:57): V-shape in per-user event
-    values — STRT DOWN+ UP+, AFTER MATCH SKIP PAST LAST ROW. Rows-only check
-    (greedy NFA + skip semantics are not single-query SQL-expressible)."""
+    values — STRT DOWN+ UP+, AFTER MATCH SKIP PAST LAST ROW. ORACLE-BACKED
+    since late r10 (rows-only r4-r9): the catch-all STRT makes greedy +
+    leftmost + SKIP PAST LAST ROW reduce to a SEQUENTIAL walk over
+    (down-island, up-island) pairs — the match starts at
+    max(island_start − 1, prev_match_end + 1), needs at least one DOWN row
+    after the start, and consumes through the up island's end — and the
+    oracle replays that walk with a RECURSIVE CTE carrying the skip state
+    (the same per-row-recursion discipline as match_packing_capacity), so
+    the NFA's greedy-skip chain itself is hash-checked."""
     ev = t(spark, sf_dir, "events")
     return match_recognize(
         ev.select("user_id", "event_id", "ts", "value"),
@@ -136,9 +199,6 @@ def match_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
             "end_event long, match_len long"
         ),
     )
-
-
-QUERIES["match_vshape"] = match_vshape
 
 
 @q("match_vshape_all_rows", """
