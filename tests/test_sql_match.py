@@ -315,7 +315,7 @@ def test_running_measures_all_rows(spark):
       MEASURES MATCH_NUMBER() AS match_no,
                RUNNING SUM(U.price) AS rsum,
                RUNNING LAST(DOWN.tstamp) AS rlast,
-               LAST(DOWN.tstamp) AS flast
+               FINAL LAST(DOWN.tstamp) AS flast
       ALL ROWS PER MATCH
       AFTER MATCH SKIP PAST LAST ROW
       PATTERN (STRT DOWN+ UP+)
