@@ -108,6 +108,10 @@ _DRIVER_PRIORITY = [
     # avg decorrelated to a window; one shuffle, plan-pinned)
     "match_vshape",  # ORACLE-BACKED late r10 (was rows-only r4-r9):
     # recursive-CTE island walk replays the greedy-skip NFA chain
+    "ds_below_average_items",  # NEW r10: TPC-DS q65 shape (two-instance
+    # CTE join -> window over the pre-aggregate, one scan)
+    "stream_sink_upsert",  # NEW r10: CDC-style MERGE upsert sink
+    # (foreachBatch, both merge branches exercised, idempotent per key)
     "multimodal_features", "multimodal_resize",  # ORACLE-BACKED in r10
     # (were rows-only r9 — the r9 slots recorded bare no_oracle markers)
     "sketch_qsketch_signed",  # NEW r10: two-sided DDSketch layout
@@ -123,7 +127,7 @@ _DRIVER_PRIORITY = [
     # (c) oldest round-5-vintage names
     "agg_approx_distinct", "agg_approx_quantile", "bench_minhash_dedup",
     "dedup_embedding_cosine", "dedup_exact", "doc_fingerprint",
-    "func_array_hof", "func_array_ops",
+    # func_array_hof / func_array_ops /
     # func_bitwise / func_datetime_arith /
     # func_datetime_extract / func_datetime_overlaps /
     # func_decimal_fidelity /

@@ -13,7 +13,7 @@ hash identical integers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from drill_calcite_spark.queries.common import t
@@ -277,3 +277,82 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = stream_table(spark, sf_dir, "events")
     counted = stateful_event_counter(sdf, "user_id")
     return run_available_now(counted, spark, output_mode="update")
+
+
+@q("stream_sink_upsert", """
+SELECT user_id, event_id AS last_event, event_type AS last_type
+FROM (SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events) t
+WHERE rn = 1
+""")
+def stream_sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC-style UPSERT sink: readStream → foreachBatch →
+    MERGE INTO a versioned table keyed on user_id ("latest event wins").
+    The target is pre-seeded with the FIRST event of half the users, so
+    the drain exercises BOTH merge branches: WHEN MATCHED UPDATE
+    overwrites the seeded rows, WHEN NOT MATCHED INSERT lands the rest.
+    Each batch first collapses to one row per key (window max by
+    event_id) — MERGE's unique-source-key contract, and the reason
+    upserts stay idempotent under batch replay (foreachBatch's
+    exactly-once story). The final table must equal the batch
+    latest-per-user, which the oracle states directly."""
+    import os as _os
+    import shutil
+    import uuid as _uuid
+
+    from drill_calcite_spark.queries.sources import _fixture_dir
+    from drill_calcite_spark.sources.modify import (
+        create_table,
+        merge_into,
+        read_versioned,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    w_first = W.partitionBy("user_id").orderBy(F.col("event_id").asc())
+    seed = (
+        ev.withColumn("__rn", F.row_number().over(w_first))
+        .filter((F.col("__rn") == 1) & (F.col("user_id") % 2 == 0))
+        .select("user_id", F.col("event_id").alias("last_event"),
+                F.col("event_type").alias("last_type"))
+    )
+    path = _os.path.join(_fixture_dir(sf_dir), "stream_upsert_tbl")
+    shutil.rmtree(path, ignore_errors=True)
+    create_table(spark, path, seed)
+
+    sdf = (stream_table(spark, sf_dir, "events")
+           .select("user_id", "event_id", "event_type"))
+
+    def sink(batch_df, batch_id):
+        w_last = W.partitionBy("user_id").orderBy(F.col("event_id").desc())
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w_last))
+            .filter(F.col("__rn") == 1)
+            .select("user_id", F.col("event_id").alias("last_event"),
+                    F.col("event_type").alias("last_type"))
+        )
+        merge_into(
+            spark, path, latest, on=["user_id"],
+            when_matched_update={
+                "last_event": F.col("__src.last_event"),
+                "last_type": F.col("__src.last_type"),
+            },
+            when_not_matched_insert=True,
+        )
+
+    ckpt = f"/tmp/spark_graft_ckpt_{_uuid.uuid4().hex[:12]}"
+    q_ = (
+        sdf.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q_.awaitTermination(300):
+            raise TimeoutError("stream upsert drain exceeded 300s")
+    finally:
+        if q_.isActive:
+            q_.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return read_versioned(spark, path)

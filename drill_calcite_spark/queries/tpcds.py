@@ -2410,3 +2410,44 @@ def ds_excess_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cents").cast("bigint").alias("excess_cents"),
              F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     )
+
+
+@q("ds_below_average_items", """
+WITH sa AS (
+  SELECT l_suppkey % 10 AS store, l_partkey AS item,
+         CAST(sum(CAST(l_extendedprice::DECIMAL(18,2) * 100 AS BIGINT))
+              AS BIGINT) AS rev
+  FROM lineitem GROUP BY 1, 2
+), sb AS (
+  SELECT store, CAST(sum(rev) AS BIGINT) AS sum_rev,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM sa GROUP BY 1
+)
+SELECT sa.store, sa.item, sa.rev, sb.sum_rev, sb.n_items
+FROM sa JOIN sb ON sb.store = sa.store
+WHERE 10 * sa.rev * sb.n_items <= sb.sum_rev
+""")
+def ds_below_average_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q65 shape (queries/q65.sql): items selling at or below
+    10% of their store's average item revenue. The textbook form
+    instantiates the (store, item) revenue CTE TWICE — once for the
+    item rows, once re-aggregated for the store averages — and joins
+    them, re-evaluating the fact aggregate at 100 TB. The Spark side
+    builds the pre-aggregate ONCE and attaches the store totals by
+    WINDOW over it (sum/count partitioned by store), reusing the
+    aggregate's rows in place — the q32 decorrelation discipline
+    applied at the aggregate level. The 10% test is exact integer
+    cross-multiplication (10·rev·n ≤ Σrev ⇔ rev ≤ 0.1·avg). The ORACLE
+    spells the literal two-instance join; the driver hash proves the
+    rewrite."""
+    li = t(spark, sf_dir, "lineitem")
+    sa = (li.groupBy((F.col("l_suppkey") % 10).alias("store"),
+                     F.col("l_partkey").alias("item"))
+          .agg(F.sum((F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+                     .cast("bigint")).cast("bigint").alias("rev")))
+    w = Window.partitionBy("store")
+    sb = (sa.withColumn("sum_rev", F.sum("rev").over(w).cast("bigint"))
+          .withColumn("n_items", F.count(F.lit(1)).over(w).cast("bigint")))
+    return (sb.filter(10 * F.col("rev") * F.col("n_items")
+                      <= F.col("sum_rev"))
+            .select("store", "item", "rev", "sum_rev", "n_items"))
