@@ -67,6 +67,12 @@ _ROWS_ONLY_FIRST_EVIDENCE = [
 
 _DRIVER_PRIORITY = [
     # (a) changed in round 10 — must lead the slate
+    "ds_bucket_stats",  # NEW r10: TPC-DS q28 shape (six scalar-subquery
+    # buckets -> ONE-scan conditional aggregation incl. shared-Expand
+    # multi-distinct; exact half-up cent averages)
+    "ds_best_worst_items",  # NEW r10: TPC-DS q44 shape (best/worst dual
+    # rank over ONE pre-aggregate; conditional-explode rank pairing, no
+    # ranked-list self-join)
     "func_geo_setop_rings",  # NEW r10: union/diff/symdiff RINGS (signed
     # areas from the generalized Greiner-Hormann tracer vs the
     # independent fan-algebra inclusion-exclusion oracle)
@@ -126,7 +132,10 @@ _DRIVER_PRIORITY = [
     "window_ignore_nulls",
     # (c) oldest round-5-vintage names
     "agg_approx_distinct", "agg_approx_quantile", "bench_minhash_dedup",
-    "dedup_embedding_cosine", "dedup_exact", "doc_fingerprint",
+    "dedup_embedding_cosine",
+    # dedup_exact / doc_fingerprint gave their slots to ds_bucket_stats /
+    # ds_best_worst_items (brand-new names need their FIRST driver row;
+    # both displaced names hold committed r5 green rows) — rotate in r11.
     # func_array_hof / func_array_ops /
     # func_bitwise / func_datetime_arith /
     # func_datetime_extract / func_datetime_overlaps /

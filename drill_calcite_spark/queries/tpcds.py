@@ -2451,3 +2451,141 @@ def ds_below_average_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (sb.filter(10 * F.col("rev") * F.col("n_items")
                       <= F.col("sum_rev"))
             .select("store", "item", "rev", "sum_rev", "n_items"))
+
+
+_Q28_BANDS = [(1, 8), (9, 16), (17, 24), (25, 32), (33, 40), (41, 50)]
+
+
+def _q28_oracle() -> str:
+    ctes, cols = [], []
+    for i, (lo, hi) in enumerate(_Q28_BANDS, 1):
+        ctes.append(f"""b{i} AS (
+  SELECT ((2 * sum(cents) + count(*)) // nullif(2 * count(*), 0))::BIGINT
+           AS b{i}_avg_cents,
+         count(*)::BIGINT AS b{i}_cnt,
+         count(DISTINCT cents)::BIGINT AS b{i}_dist
+  FROM (SELECT (l_extendedprice::DECIMAL(18,2) * 100)::BIGINT AS cents
+        FROM lineitem WHERE l_quantity BETWEEN {lo} AND {hi}))""")
+        cols += [f"b{i}_avg_cents", f"b{i}_cnt", f"b{i}_dist"]
+    return ("WITH " + ",\n".join(ctes) + "\nSELECT " + ", ".join(cols)
+            + "\nFROM " + ", ".join(f"b{i}" for i in
+                                    range(1, len(_Q28_BANDS) + 1)))
+
+
+@q("ds_bucket_stats", _q28_oracle())
+def ds_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q28 shape (queries/q28.sql): six disjoint quantity-band
+    buckets, each reporting average price, row count, and DISTINCT
+    price count, presented as ONE wide row. The textbook form runs SIX
+    independent scalar subqueries — six full fact scans — and CROSS
+    JOINs their one-row results; at 100 TB that is six passes over the
+    dominant table. The Spark side computes all 18 measures in ONE
+    scan: each bucket's sum/count are conditional aggregates over a
+    CASE-gated cents column, and the six COUNT(DISTINCT CASE ...) share
+    one Expand (Catalyst's multi-distinct rewrite — still a single
+    pass, one exchange). Averages are exact integer half-up cent
+    quotients ((2·s + n) div 2n), so no engine rounding can diverge.
+    The ORACLE spells the literal six-subquery CROSS JOIN; the driver
+    hash proves the one-scan rewrite."""
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "cents",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint"))
+    aggs = []
+    for i, (lo, hi) in enumerate(_Q28_BANDS, 1):
+        c = F.when(F.col("l_quantity").between(lo, hi), F.col("cents"))
+        s, n = F.sum(c), F.count(c)
+        aggs += [
+            F.call_function(
+                "div", 2 * s + n,
+                F.nullif(2 * n, F.lit(0))).cast("bigint")
+            .alias(f"b{i}_avg_cents"),
+            n.cast("bigint").alias(f"b{i}_cnt"),
+            F.count_distinct(c).cast("bigint").alias(f"b{i}_dist"),
+        ]
+    return li.agg(*aggs)
+
+
+@q("ds_best_worst_items", """
+WITH sa1 AS (
+  SELECT l_partkey AS item,
+         CAST(sum((l_extendedprice::DECIMAL(18,2) * 100)::BIGINT)
+              AS BIGINT) AS act
+  FROM lineitem GROUP BY 1
+), sa2 AS (
+  SELECT l_partkey AS item,
+         CAST(sum((l_extendedprice::DECIMAL(18,2) * 100)::BIGINT)
+              AS BIGINT) AS act
+  FROM lineitem GROUP BY 1
+), best AS (
+  SELECT item, act,
+         CAST(rank() OVER (ORDER BY act DESC, item ASC) AS BIGINT) AS rk
+  FROM sa1
+), worst AS (
+  SELECT item, act,
+         CAST(rank() OVER (ORDER BY act ASC, item ASC) AS BIGINT) AS rk
+  FROM sa2
+)
+SELECT b.rk, b.item AS best_item, b.act AS best_rev,
+       pb.p_name AS best_name,
+       w.item AS worst_item, w.act AS worst_rev, pw.p_name AS worst_name
+FROM best b
+JOIN worst w ON w.rk = b.rk
+JOIN part pb ON pb.p_partkey = b.item
+JOIN part pw ON pw.p_partkey = w.item
+WHERE b.rk <= 10
+""")
+def ds_best_worst_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q44 shape (queries/q44.sql): the ten BEST and ten WORST
+    performing items side by side. The textbook form builds the
+    per-item aggregate TWICE (two correlated subqueries over the fact,
+    one ranked ascending, one descending) and joins the two ranked
+    lists positionally. The Spark side aggregates ONCE and evaluates
+    BOTH rank windows over the same pre-aggregate rows (total tiebreak
+    ⇒ ranks are unique), then pairs rank positions WITHOUT a self-join:
+    rows carrying either rank ≤ 10 are folded by a tiny groupBy(rk)
+    with conditional MAXes, so the fact is scanned once and the only
+    post-aggregate shuffle moves ≤ 20 rows. The global windows run over
+    |items| pre-aggregated rows (dim-sized), never the fact. Item names
+    attach via two BROADCAST joins on the part dim. The ORACLE spells
+    the literal two-instance ranked join."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    sa = (li.groupBy(F.col("l_partkey").alias("item"))
+          .agg(F.sum((F.col("l_extendedprice").cast("decimal(18,2)")
+                      * 100).cast("bigint")).cast("bigint").alias("act")))
+    wd = Window.orderBy(F.col("act").desc(), F.col("item").asc())
+    wa = Window.orderBy(F.col("act").asc(), F.col("item").asc())
+    r = sa.select(
+        "item", "act",
+        F.rank().over(wd).cast("bigint").alias("rk_best"),
+        F.rank().over(wa).cast("bigint").alias("rk_worst"))
+    flat = r.filter((F.col("rk_best") <= 10) | (F.col("rk_worst") <= 10))
+    nul = F.lit(None).cast("bigint")
+    entries = F.array(
+        F.when(F.col("rk_best") <= 10, F.struct(
+            F.col("rk_best").alias("rk"),
+            F.col("item").alias("best_item"),
+            F.col("act").alias("best_rev"),
+            nul.alias("worst_item"), nul.alias("worst_rev"))),
+        F.when(F.col("rk_worst") <= 10, F.struct(
+            F.col("rk_worst").alias("rk"),
+            nul.alias("best_item"), nul.alias("best_rev"),
+            F.col("item").alias("worst_item"),
+            F.col("act").alias("worst_rev"))))
+    paired = (
+        flat.select(F.explode(
+            F.filter(entries, lambda x: x.isNotNull())).alias("s"))
+        .select("s.*")
+        .groupBy("rk")
+        .agg(F.max("best_item").alias("best_item"),
+             F.max("best_rev").alias("best_rev"),
+             F.max("worst_item").alias("worst_item"),
+             F.max("worst_rev").alias("worst_rev")))
+    pb = F.broadcast(part.select(F.col("p_partkey").alias("best_item"),
+                                 F.col("p_name").alias("best_name")))
+    pw = F.broadcast(part.select(F.col("p_partkey").alias("worst_item"),
+                                 F.col("p_name").alias("worst_name")))
+    return (paired.join(pb, "best_item").join(pw, "worst_item")
+            .select("rk", "best_item", "best_rev", "best_name",
+                    "worst_item", "worst_rev", "worst_name"))

@@ -721,3 +721,26 @@ def test_ds_excess_discount_one_scan_shared_partitioning(spark):
     assert shuffles == 1, f"decorrelation added shuffles: {shuffles}"
     assert "Join" not in plan, "correlated subquery planned as a join"
     assert "EvalPython" not in plan
+
+
+def test_ds_bucket_stats_one_scan_no_join(spark):
+    """ds_bucket_stats (q28 shape): the six-subquery CROSS JOIN must be
+    rewritten to ONE fact scan — all 18 measures (incl. the six distinct
+    counts sharing one Expand) come from a single pass, no join."""
+    plan = _plan(entrymod.queries()["ds_bucket_stats"](spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1, "textbook six-scan form"
+    assert "Join" not in plan, "bucket subqueries planned as joins"
+    assert "EvalPython" not in plan
+
+
+def test_ds_best_worst_items_one_scan_broadcast_names(spark):
+    """ds_best_worst_items (q44 shape): the per-item aggregate is built
+    ONCE (one fact scan feeds both rank windows), rank pairing is the
+    tiny conditional-explode groupBy (no self-join of ranked lists), and
+    the two part-name lookups broadcast."""
+    plan = _plan(entrymod.queries()["ds_best_worst_items"](spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1, \
+        "textbook two-instance aggregate"
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2, "part lookups not broadcast"
+    assert "EvalPython" not in plan
