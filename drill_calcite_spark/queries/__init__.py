@@ -73,6 +73,14 @@ _DRIVER_PRIORITY = [
     "ds_best_worst_items",  # NEW r10: TPC-DS q44 shape (best/worst dual
     # rank over ONE pre-aggregate; conditional-explode rank pairing, no
     # ranked-list self-join)
+    "ds_channel_except",  # NEW r10: TPC-DS q87 shape (EXCEPT chain ->
+    # one-scan presence flags, the q38-INTERSECT sibling)
+    "ds_returns_adjusted_yoy",  # NEW r10: TPC-DS q75 shape (channel
+    # union fold + YoY self-join -> lag window over the aggregate)
+    "ds_promo_ratio",  # NEW r10: TPC-DS q61/q90 shape (two-CTE ratio ->
+    # one-scan conditional sums, exact integer micro-quotient)
+    "ds_bucket_case_select",  # NEW r10: TPC-DS q9 shape (15 scalar
+    # subqueries -> one-scan conditional aggregates + CASE ladder)
     "func_geo_setop_rings",  # NEW r10: union/diff/symdiff RINGS (signed
     # areas from the generalized Greiner-Hormann tracer vs the
     # independent fan-algebra inclusion-exclusion oracle)
@@ -131,11 +139,11 @@ _DRIVER_PRIORITY = [
     "stream_sink_cow", "table_function_series", "text_lang_id",
     "window_ignore_nulls",
     # (c) oldest round-5-vintage names
-    "agg_approx_distinct", "agg_approx_quantile", "bench_minhash_dedup",
-    "dedup_embedding_cosine",
-    # dedup_exact / doc_fingerprint gave their slots to ds_bucket_stats /
-    # ds_best_worst_items (brand-new names need their FIRST driver row;
-    # both displaced names hold committed r5 green rows) — rotate in r11.
+    # The r5-vintage cohort (agg_approx_distinct, agg_approx_quantile,
+    # bench_minhash_dedup, dedup_embedding_cosine, dedup_exact,
+    # doc_fingerprint) gave its six slots to the six brand-new TPC-DS
+    # shapes above (new names need their FIRST driver row; every
+    # displaced name holds a committed r5 green row) — rotate in r11.
     # func_array_hof / func_array_ops /
     # func_bitwise / func_datetime_arith /
     # func_datetime_extract / func_datetime_overlaps /

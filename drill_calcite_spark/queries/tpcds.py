@@ -2589,3 +2589,245 @@ def ds_best_worst_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (paired.join(pb, "best_item").join(pw, "worst_item")
             .select("rk", "best_item", "best_rev", "best_name",
                     "worst_item", "worst_rev", "worst_name"))
+
+
+@q("ds_channel_except", """
+WITH s AS (
+  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+), m AS (
+  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderpriority = '3-MEDIUM'
+), l AS (
+  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+)
+SELECT CAST(count(*) AS BIGINT) AS exclusive_pairs
+FROM ((SELECT c, p FROM s EXCEPT SELECT c, p FROM m)
+      EXCEPT SELECT c, p FROM l) x
+""")
+def ds_channel_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q87 shape (queries/q87.sql): customers counted by the
+    EXCEPT chain — present in the store channel but in NEITHER catalog
+    nor web ((store EXCEPT catalog) EXCEPT web). The EXCEPT sibling of
+    q38's INTERSECT (ds_channel_intersect): the textbook form runs
+    three DISTINCTs (three shuffles of the fact) plus two EXCEPT
+    set-difference shuffles; the Spark side derives all three presence
+    flags from ONE scan with a single groupBy on the pair key (max of
+    channel indicators), then filters s AND NOT m AND NOT l — one
+    shuffle total. The ORACLE spells the literal EXCEPT chain; the
+    driver hash proves the rewrite."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    pri = F.col("o_orderpriority")
+    pairs = (li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+             .groupBy(F.col("o_custkey").alias("c"),
+                      F.col("l_partkey").alias("p"))
+             .agg(F.max(pri.isin("1-URGENT", "2-HIGH").cast("int"))
+                  .alias("in_s"),
+                  F.max((pri == "3-MEDIUM").cast("int")).alias("in_m"),
+                  F.max(pri.isin("4-NOT SPECIFIED", "5-LOW").cast("int"))
+                  .alias("in_l")))
+    return (pairs.filter((F.col("in_s") == 1) & (F.col("in_m") == 0)
+                         & (F.col("in_l") == 0))
+            .agg(F.count(F.lit(1)).cast("bigint")
+                 .alias("exclusive_pairs")))
+
+
+_Q75_BRANCH = """
+  SELECT extract(year FROM o_orderdate) AS yr, p_brand AS brand,
+         CASE WHEN l_returnflag = 'R' THEN 0
+              ELSE CAST(l_quantity AS BIGINT) END AS net_qty,
+         CASE WHEN l_returnflag = 'R' THEN 0
+              ELSE (l_extendedprice::DECIMAL(18,2) * 100)::BIGINT
+         END AS net_cents
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN part ON p_partkey = l_partkey
+  WHERE o_orderpriority IN ({pri})
+"""
+
+
+@q("ds_returns_adjusted_yoy", """
+WITH all_sales AS (
+""" + _Q75_BRANCH.format(pri="'1-URGENT', '2-HIGH'") + """
+  UNION ALL
+""" + _Q75_BRANCH.format(pri="'3-MEDIUM'") + """
+  UNION ALL
+""" + _Q75_BRANCH.format(pri="'4-NOT SPECIFIED', '5-LOW'") + """
+), agg AS (
+  SELECT yr, brand, CAST(sum(net_qty) AS BIGINT) AS qty,
+         CAST(sum(net_cents) AS BIGINT) AS cents
+  FROM all_sales GROUP BY 1, 2
+)
+SELECT c.brand, CAST(p.yr AS BIGINT) AS prev_yr,
+       CAST(c.yr AS BIGINT) AS curr_yr,
+       p.qty AS prev_qty, c.qty AS curr_qty,
+       c.qty - p.qty AS qty_delta, c.cents - p.cents AS cents_delta
+FROM agg c JOIN agg p ON p.brand = c.brand AND p.yr = c.yr - 1
+WHERE c.qty < p.qty
+""")
+def ds_returns_adjusted_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q75 shape (queries/q75.sql): year-over-year decline in
+    RETURNS-ADJUSTED sales per brand (returns zero out their sale row —
+    the LEFT JOIN wrinkle itself is exercised by ds_multichannel_rollup
+    / q5; this synthetic fact has no unique line key, so a 1:1 returns
+    join would be data-fragile). The textbook form (a) UNION ALLs three
+    channel branches over the same star and (b) joins the yearly
+    aggregate to ITSELF at a one-year offset. Hash-proven rewrites:
+    (a) the branches partition the fact by priority, so the union folds
+    to ONE unfiltered scan; (b) the prior-year self-join becomes a LAG
+    window over the (year, brand) AGGREGATE (dim-sized), with the lag
+    row kept only when it is exactly year-1 (≡ the oracle's equi-join
+    on yr - 1 when a year is missing). All measures are exact integers
+    (quantities, cents)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    part = t(spark, sf_dir, "part")
+    ret = F.col("l_returnflag") == "R"
+    src = (li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+           .join(F.broadcast(part),
+                 F.col("p_partkey") == F.col("l_partkey"))
+           .select(F.year("o_orderdate").cast("bigint").alias("yr"),
+                   F.col("p_brand").alias("brand"),
+                   F.when(ret, F.lit(0)).otherwise(
+                       F.col("l_quantity").cast("bigint"))
+                   .alias("net_qty"),
+                   F.when(ret, F.lit(0)).otherwise(
+                       (F.col("l_extendedprice").cast("decimal(18,2)")
+                        * 100).cast("bigint")).alias("net_cents")))
+    agg = (src.groupBy("yr", "brand")
+           .agg(F.sum("net_qty").cast("bigint").alias("qty"),
+                F.sum("net_cents").cast("bigint").alias("cents")))
+    w = Window.partitionBy("brand").orderBy("yr")
+    lagged = (agg.withColumn("prev_yr", F.lag("yr").over(w))
+              .withColumn("prev_qty", F.lag("qty").over(w))
+              .withColumn("prev_cents", F.lag("cents").over(w)))
+    return (lagged
+            .filter((F.col("prev_yr") == F.col("yr") - 1)
+                    & (F.col("qty") < F.col("prev_qty")))
+            .select("brand", "prev_yr", F.col("yr").alias("curr_yr"),
+                    "prev_qty", F.col("qty").alias("curr_qty"),
+                    (F.col("qty") - F.col("prev_qty")).alias("qty_delta"),
+                    (F.col("cents") - F.col("prev_cents"))
+                    .alias("cents_delta")))
+
+
+@q("ds_promo_ratio", """
+WITH promotional AS (
+  SELECT CAST(sum((l_extendedprice::DECIMAL(18,2) * 100)::BIGINT)
+              AS BIGINT) AS p
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  WHERE c_mktsegment = 'BUILDING' AND l_discount >= 0.05
+), total AS (
+  SELECT CAST(sum((l_extendedprice::DECIMAL(18,2) * 100)::BIGINT)
+              AS BIGINT) AS t
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  WHERE c_mktsegment = 'BUILDING'
+)
+SELECT p AS promo_cents, t AS total_cents,
+       CAST((2 * p::HUGEINT * 1000000 + t) // (2 * t) AS BIGINT)
+         AS ratio_micro
+FROM promotional, total
+""")
+def ds_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q61/q90 shape (queries/q61.sql, q90.sql): the ratio of a
+    restricted slice's revenue to the whole segment's (q61: promotional
+    vs total sales; q90: AM vs PM web counts). The textbook form runs
+    TWO full star-join CTEs over the same fact — identical scans
+    differing by one predicate — and CROSS JOINs their one-row results.
+    The Spark side computes both measures in ONE scan as conditional
+    sums (the slice predicate moves into a CASE), and the ratio is an
+    exact integer half-up micro-quotient, so no engine float division
+    can diverge. The ORACLE spells the literal two-CTE CROSS JOIN."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    seg = (li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+           .join(cust.filter(F.col("c_mktsegment") == "BUILDING"),
+                 F.col("c_custkey") == F.col("o_custkey")))
+    one = seg.agg(
+        F.sum(F.when(F.col("l_discount") >= 0.05, cents))
+        .cast("bigint").alias("p"),
+        F.sum(cents).cast("bigint").alias("t"))
+    return one.select(
+        F.col("p").alias("promo_cents"), F.col("t").alias("total_cents"),
+        F.call_function("div", 2 * F.col("p") * 1000000 + F.col("t"),
+                        2 * F.col("t")).cast("bigint")
+        .alias("ratio_micro"))
+
+
+_Q9_BANDS = [(1, 10), (11, 20), (21, 30), (31, 40), (41, 50)]
+
+
+def _q9_oracle() -> str:
+    cols = []
+    for i, (lo, hi) in enumerate(_Q9_BANDS, 1):
+        band = f"l_quantity BETWEEN {lo} AND {hi}"
+        cnt = f"(SELECT count(*) FROM lineitem WHERE {band})"
+        avg_cents = (f"(SELECT ((2 * sum((l_extendedprice::DECIMAL(18,2)"
+                     f" * 100)::BIGINT) + count(*)) // (2 * count(*)))"
+                     f"::BIGINT FROM lineitem WHERE {band})")
+        avg_bps = (f"(SELECT ((2 * sum((l_discount::DECIMAL(4,2)"
+                   f" * 100)::BIGINT) + count(*)) // (2 * count(*)))"
+                   f"::BIGINT FROM lineitem WHERE {band})")
+        cols.append(
+            f"CASE WHEN 5 * {cnt} > (SELECT count(*) FROM lineitem) "
+            f"THEN {avg_cents} ELSE {avg_bps} END AS b{i}_chosen")
+        cols.append(
+            f"CAST(5 * {cnt} > (SELECT count(*) FROM lineitem) "
+            f"AS BOOLEAN) AS b{i}_used_price")
+    return "SELECT " + ", ".join(cols)
+
+
+@q("ds_bucket_case_select", _q9_oracle())
+def ds_bucket_case_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q9 shape (queries/q9.sql): a CASE ladder whose every arm
+    is its own SCALAR SUBQUERY — per quantity band, if the band's row
+    count exceeds a threshold report its average price, else its
+    average discount. The textbook form is FIFTEEN independent scalar
+    subqueries (three per band) plus the threshold counts — every one a
+    full fact scan at 100 TB. The Spark side computes all band
+    sum/count pairs in ONE scan as conditional aggregates and evaluates
+    the CASE ladder over that single row. The threshold is
+    scale-relative (band bigger than a fifth of the fact: 5·cnt >
+    total) and all averages are exact integer half-up quotients, so
+    branch selection and displayed values are engine-identical. The
+    ORACLE spells the literal scalar-subquery ladder."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_quantity",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents"),
+        (F.col("l_discount").cast("decimal(4,2)") * 100)
+        .cast("bigint").alias("bps"))
+    aggs = [F.count(F.lit(1)).alias("total")]
+    for i, (lo, hi) in enumerate(_Q9_BANDS, 1):
+        in_band = F.col("l_quantity").between(lo, hi)
+        aggs += [
+            F.count(F.when(in_band, F.lit(1))).alias(f"cnt{i}"),
+            F.sum(F.when(in_band, F.col("cents"))).alias(f"s_cents{i}"),
+            F.sum(F.when(in_band, F.col("bps"))).alias(f"s_bps{i}"),
+        ]
+    one = li.agg(*aggs)
+
+    def half_up(s, n):
+        return F.call_function("div", 2 * F.col(s) + F.col(n),
+                               2 * F.col(n)).cast("bigint")
+
+    cols = []
+    for i in range(1, len(_Q9_BANDS) + 1):
+        used = 5 * F.col(f"cnt{i}") > F.col("total")
+        cols.append(F.when(used, half_up(f"s_cents{i}", f"cnt{i}"))
+                    .otherwise(half_up(f"s_bps{i}", f"cnt{i}"))
+                    .alias(f"b{i}_chosen"))
+        cols.append(used.alias(f"b{i}_used_price"))
+    return one.select(*cols)

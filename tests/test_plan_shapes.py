@@ -744,3 +744,47 @@ def test_ds_best_worst_items_one_scan_broadcast_names(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 2, "part lookups not broadcast"
     assert "EvalPython" not in plan
+
+
+def test_ds_channel_except_single_scan_no_except(spark):
+    """ds_channel_except (q87 shape): three DISTINCTs + two EXCEPTs must
+    fold to ONE scan with presence flags — no set-op nodes, one
+    fact-side aggregation on the pair key."""
+    plan = _plan(entrymod.queries()["ds_channel_except"](spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1, "textbook three-scan form"
+    for marker in ("Except", "SortMergeJoin"):
+        assert marker not in plan, f"set-op survived as {marker}"
+    assert "EvalPython" not in plan
+
+
+def test_ds_returns_adjusted_yoy_single_scan_lag_window(spark):
+    """ds_returns_adjusted_yoy (q75 shape): the channel-union branches
+    fold to ONE fact scan, the returns adjustment is a map-side CASE,
+    and the prior-year comparison is a LAG window over the aggregate —
+    no self-join of the yearly aggregate."""
+    plan = _plan(entrymod.queries()["ds_returns_adjusted_yoy"](
+        spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1, "branch union re-scanned"
+    assert plan.count("Window") >= 1, "lag window missing"
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+    assert "EvalPython" not in plan
+
+
+def test_ds_promo_ratio_one_scan_conditional_sums(spark):
+    """ds_promo_ratio (q61/q90 shape): the two star-join CTEs must fold
+    to ONE scan with a conditional sum — no CROSS JOIN of one-row
+    aggregates, no second pass."""
+    plan = _plan(entrymod.queries()["ds_promo_ratio"](spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1, "textbook two-scan form"
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_ds_bucket_case_select_one_scan_no_subqueries(spark):
+    """ds_bucket_case_select (q9 shape): fifteen scalar subqueries must
+    collapse to ONE scan of conditional aggregates — a single pass, no
+    joins, the CASE ladder evaluated over one aggregated row."""
+    plan = _plan(entrymod.queries()["ds_bucket_case_select"](spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1, "scalar subqueries re-scan"
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
