@@ -81,6 +81,12 @@ _DRIVER_PRIORITY = [
     # one-scan conditional sums, exact integer micro-quotient)
     "ds_bucket_case_select",  # NEW r10: TPC-DS q9 shape (15 scalar
     # subqueries -> one-scan conditional aggregates + CASE ladder)
+    "ds_disjunctive_semijoin",  # NEW r10: TPC-DS q45 shape (OR of
+    # IN-list and IN-subquery -> distinct-reduced presence-flag join)
+    "ds_item_attr_exists",  # NEW r10: TPC-DS q41 shape (correlated dim
+    # count -> window decorrelation, one dim scan)
+    "ds_pricey_state_customers",  # NEW r10: TPC-DS q6 shape (1.2x
+    # category-average price filter -> exact integer window test)
     "func_geo_setop_rings",  # NEW r10: union/diff/symdiff RINGS (signed
     # areas from the generalized Greiner-Hormann tracer vs the
     # independent fan-algebra inclusion-exclusion oracle)
@@ -133,8 +139,10 @@ _DRIVER_PRIORITY = [
     "sql_match_recognize", "sql_calcite_dialect", "subquery_in",
     "subquery_quantified_some", "subquery_quantified_all",
     "sort_limit_offset", "agg_grouping_id",
-    # (b) the complete round-4-vintage cohort
-    "collect_nested", "dedup_ngram_capped", "func_char_pad",
+    # (b) the round-4-vintage cohort (collect_nested, dedup_ngram_capped
+    # and func_char_pad gave their slots to the q45/q41/q6 shapes — new
+    # names need their FIRST driver row; the displaced names hold
+    # committed r4 green rows — rotate in r11)
     "recursive_numbers", "source_csv_scan", "source_partition_pruning",
     "stream_sink_cow", "table_function_series", "text_lang_id",
     "window_ignore_nulls",

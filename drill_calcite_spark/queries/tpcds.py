@@ -2831,3 +2831,136 @@ def ds_bucket_case_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias(f"b{i}_chosen"))
         cols.append(used.alias(f"b{i}_used_price"))
     return one.select(*cols)
+
+
+@q("ds_disjunctive_semijoin", """
+SELECT c_nationkey,
+       CAST(sum((l_extendedprice::DECIMAL(18,2) * 100)::BIGINT)
+            AS BIGINT) AS rev_cents,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+   OR c_custkey IN (SELECT o_custkey FROM orders
+                    WHERE o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+""")
+def ds_disjunctive_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q45 shape (queries/q45.sql): a DISJUNCTION of a plain
+    IN-list predicate and an IN-SUBQUERY (``zip IN (...) OR item IN
+    (SELECT ...)``). An OR'd IN-subquery cannot run as a semi-join (a
+    semi-join FILTERS; under OR the other branch must still pass), so
+    engines fall back to an existence flag — Calcite plans it as an
+    inner join to a grouped subquery, Spark as an ExistenceJoin. The
+    Spark side makes the scale-shape explicit: the subquery side is
+    DISTINCT-reduced FIRST (map-side combine to |customers| rows), then
+    LEFT-joined as a presence flag, and the disjunction becomes a plain
+    boolean over (flag IS NOT NULL) — no fallback to a nested loop. The
+    ORACLE spells the literal OR-of-IN form."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    urgent = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select(F.col("o_custkey").alias("u_custkey")).distinct())
+    flagged = cust.join(urgent,
+                        F.col("u_custkey") == F.col("c_custkey"), "left")
+    keep = (F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+            | F.col("u_custkey").isNotNull())
+    return (li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(flagged.filter(keep),
+                  F.col("c_custkey") == F.col("o_custkey"))
+            .groupBy("c_nationkey")
+            .agg(F.sum((F.col("l_extendedprice").cast("decimal(18,2)")
+                        * 100).cast("bigint")).cast("bigint")
+                 .alias("rev_cents"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_lines")))
+
+
+@q("ds_item_attr_exists", """
+SELECT DISTINCT i1.p_name
+FROM part i1
+WHERE i1.p_size BETWEEN 10 AND 40
+  AND (SELECT count(*) FROM part i2
+       WHERE i2.p_brand = i1.p_brand
+         AND ((i2.p_type LIKE '%PROMO%' AND i2.p_size BETWEEN 1 AND 15)
+              OR (i2.p_type LIKE '%ECONOMY%'
+                  AND i2.p_size BETWEEN 25 AND 50))) > 0
+ORDER BY p_name
+LIMIT 100
+""")
+def ds_item_attr_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q41 shape (queries/q41.sql): item names whose MANUFACTURER
+    also makes an item in one of several OR'd attribute bands — a
+    correlated COUNT subquery over the SAME dimension it filters
+    (``(SELECT count(*) FROM item WHERE i_manufact = i1.i_manufact AND
+    <OR bands>) > 0``). The textbook form re-scans the dim per outer
+    row; the Spark side decorrelates to a WINDOW count of the band
+    indicator partitioned by the correlation key (one scan, one
+    dim-sized shuffle), then applies the outer band filter and DISTINCT.
+    A dim-only query, but at 100 TB the item dim is itself millions of
+    rows — the window form is the one that survives. ORDER BY + LIMIT
+    carry a total order (names are DISTINCT ⇒ unique)."""
+    part = t(spark, sf_dir, "part")
+    band = ((F.col("p_type").like("%PROMO%")
+             & F.col("p_size").between(1, 15))
+            | (F.col("p_type").like("%ECONOMY%")
+               & F.col("p_size").between(25, 50)))
+    w = Window.partitionBy("p_brand")
+    flagged = part.withColumn("n_band",
+                              F.sum(band.cast("bigint")).over(w))
+    return (flagged
+            .filter(F.col("p_size").between(10, 40)
+                    & (F.col("n_band") > 0))
+            .select("p_name").distinct()
+            .orderBy("p_name").limit(100))
+
+
+@q("ds_pricey_state_customers", """
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS cnt
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN part i ON i.p_partkey = l_partkey
+WHERE i.p_retailprice > 1.03 * (
+    SELECT avg(j.p_retailprice) FROM part j WHERE j.p_type = i.p_type)
+GROUP BY c_nationkey
+HAVING count(*) >= 10
+""")
+def ds_pricey_state_customers(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """TPC-DS q6 shape (queries/q6.sql): customers per state buying
+    items priced above 1.03× their CATEGORY's average price (q6 uses
+    1.2×; this synthetic price column is uniform, so the band is
+    tightened to keep the result non-vacuous) — the
+    correlated average lives on the item DIM, not the fact. The
+    textbook form re-aggregates the dim once per item row; the Spark
+    side decorrelates to per-category WINDOW totals over the dim (dim
+    scanned once), keeps the 1.03× test EXACT by integer
+    cross-multiplication on cents (100·price·n > 103·Σprice — no float
+    average is ever materialized), and only then broadcasts the reduced
+    dim into the fact star. The ORACLE spells the literal correlated
+    form (its float ``1.03 * avg`` is safe there: DuckDB evaluates it
+    only on its side of an inequality the integer form decides
+    identically — asserted by the hash across ALL rows)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    part = t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type")
+    pr = (F.col("p_retailprice").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    pricey = (part.select("p_partkey", "p_type",
+                          pr.alias("price_cents"))
+              .withColumn("n", F.count(F.lit(1)).over(w))
+              .withColumn("sum_cents", F.sum("price_cents").over(w))
+              .filter(100 * F.col("price_cents") * F.col("n")
+                      > 103 * F.col("sum_cents"))
+              .select("p_partkey"))
+    return (li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+            .join(F.broadcast(pricey),
+                  F.col("p_partkey") == F.col("l_partkey"))
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .filter(F.col("cnt") >= 10))

@@ -788,3 +788,37 @@ def test_ds_bucket_case_select_one_scan_no_subqueries(spark):
     assert plan.count("lineitem.parquet") == 1, "scalar subqueries re-scan"
     assert "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_ds_disjunctive_semijoin_distinct_reduced_flag(spark):
+    """ds_disjunctive_semijoin (q45 shape): the OR'd IN-subquery must
+    run as a presence-flag join over the DISTINCT-reduced subquery side
+    — never a nested loop / cartesian fallback."""
+    plan = _plan(entrymod.queries()["ds_disjunctive_semijoin"](
+        spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan, "subquery side not distinct-reduced"
+    assert "EvalPython" not in plan
+
+
+def test_ds_item_attr_exists_window_not_self_join(spark):
+    """ds_item_attr_exists (q41 shape): the correlated dim count must
+    decorrelate to ONE dim scan with a window — no dim self-join."""
+    plan = _plan(entrymod.queries()["ds_item_attr_exists"](spark, SF_DIR))
+    assert plan.count("part.parquet") == 1, "correlated count re-scans dim"
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+    assert "EvalPython" not in plan
+
+
+def test_ds_pricey_state_customers_dim_window_broadcast(spark):
+    """ds_pricey_state_customers (q6 shape): the category-average
+    decorrelation scans the item dim ONCE (window, not self-join), and
+    the reduced dim enters the fact star as a BROADCAST."""
+    plan = _plan(entrymod.queries()["ds_pricey_state_customers"](
+        spark, SF_DIR))
+    assert plan.count("part.parquet") == 1, "correlated avg re-scans dim"
+    assert plan.count("Window") == 1
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "EvalPython" not in plan
