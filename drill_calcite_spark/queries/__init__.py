@@ -85,8 +85,12 @@ _DRIVER_PRIORITY = [
     # IN-list and IN-subquery -> distinct-reduced presence-flag join)
     "ds_item_attr_exists",  # NEW r10: TPC-DS q41 shape (correlated dim
     # count -> window decorrelation, one dim scan)
-    "ds_pricey_state_customers",  # NEW r10: TPC-DS q6 shape (1.2x
+    "ds_pricey_state_customers",  # NEW r10: TPC-DS q6 shape (1.03x
     # category-average price filter -> exact integer window test)
+    "embed_random_projection",  # NEW r10: JL dim reduction (map-only
+    # md5-matrix fold, O(1) plan size; every float hash-pinned)
+    "shuffle_epoch_order",  # NEW r10: deterministic per-epoch shuffle
+    # (salted-hash position, sharded window — no global sort/RNG)
     "func_geo_setop_rings",  # NEW r10: union/diff/symdiff RINGS (signed
     # areas from the generalized Greiner-Hormann tracer vs the
     # independent fan-algebra inclusion-exclusion oracle)
@@ -143,7 +147,9 @@ _DRIVER_PRIORITY = [
     # and func_char_pad gave their slots to the q45/q41/q6 shapes — new
     # names need their FIRST driver row; the displaced names hold
     # committed r4 green rows — rotate in r11)
-    "recursive_numbers", "source_csv_scan", "source_partition_pruning",
+    # (recursive_numbers and source_csv_scan also displaced, to the two
+    # new LLM-pipeline ops — committed r4 green rows; rotate in r11)
+    "source_partition_pruning",
     "stream_sink_cow", "table_function_series", "text_lang_id",
     "window_ignore_nulls",
     # (c) oldest round-5-vintage names

@@ -2214,3 +2214,91 @@ def pairs_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("slot").cast("bigint").alias("slot"),
                 "neg_id", "neg_chars", "neg_source")
     )
+
+
+def _jl_oracle(k: int = 8, dim: int = 64, table: int = 97) -> str:
+    """Replays the md5-hyperplane projection in SQL: each output
+    dimension is the same ordered left-fold dot product the Spark side
+    folds (weights are x.5 values — exact in binary — so every partial
+    sum matches bit-for-bit; see functions/vector.py)."""
+    from drill_calcite_spark.operators.similarity import hyperplanes
+
+    def proj(w):
+        lits = ", ".join(repr(x) for x in w)
+        return _SQL_DOT.format(a="v", b=f"[{lits}]::DOUBLE[]")
+
+    cols = ", ".join(
+        f"round({proj(w)}, 6) AS d{i}"
+        for i, w in enumerate(hyperplanes(k, dim, table)))
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) v
+           FROM embeddings)
+SELECT vec_id, {cols} FROM e
+"""
+
+
+@q("embed_random_projection", _jl_oracle())
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: reduce the embedding
+    column from 64 to 8 dimensions with a FIXED pseudo-random projection
+    matrix — the standard cheap pre-step before clustering / coarse ANN /
+    near-dup at corpus scale (JL lemma: pairwise distances survive to
+    within ε with k = O(log n / ε²) output dims).
+
+    Scale design: the matrix is derived from md5 (operators/
+    similarity.hyperplanes — no RNG state to ship), rides the plan as
+    ONE flat array literal (O(1) plan size in dims — the r5 plan-
+    explosion lesson), and each output dim is a JVM-side ordered-fold
+    dot product (functions/vector.dot) — the whole operator is MAP-ONLY:
+    no shuffle, no Python, no collect, embarrassingly parallel over any
+    partitioning at 100 TB. The oracle replays the identical fold, so
+    every projected float is hash-pinned bit-for-bit."""
+    from drill_calcite_spark.functions.vector import dot
+    from drill_calcite_spark.operators.similarity import _planes_flat_lit
+
+    k, dim, table = 8, 64, 97
+    emb = t(spark, sf_dir, "embeddings")
+    flat = _planes_flat_lit([table], k, dim)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    cols = [F.round(dot(v, F.slice(flat, i * dim + 1, dim)), 6)
+            .alias(f"d{i}") for i in range(k)]
+    return emb.select("vec_id", *cols)
+
+
+@q("shuffle_epoch_order", """
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('epoch7:' || CAST(doc_id AS VARCHAR)), 1, 15))
+           ::BIGINT AS pos
+  FROM documents
+)
+SELECT doc_id, CAST(pos % 32 AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY pos % 32
+                               ORDER BY pos, doc_id) AS BIGINT) AS rk
+FROM h
+""")
+def shuffle_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EPOCH SHUFFLE: assign every document a pseudo-random
+    position for training epoch 7 — shard = hash mod 32, rank within
+    shard — the global-order shuffle a training-data pipeline runs once
+    per epoch before writing shards.
+
+    Scale design: the position is pure column algebra (salted md5 of
+    the doc id — a new salt per epoch gives a fresh permutation with
+    zero RNG state), so assignment is MAP-ONLY and reproducible across
+    runs, executors, and repartitioning — unlike ``orderBy(rand())``,
+    which is neither reproducible nor resumable and plans a GLOBAL sort.
+    Ordering happens only WITHIN each of the 32 shards (one hash
+    exchange + per-shard sort — at 100 TB set shards ≈ output-file
+    count; no single-task global window anywhere). The oracle replays
+    the identical hash, so shard membership and every in-shard rank are
+    hash-pinned."""
+    docs = t(spark, sf_dir, "documents")
+    pos = F.conv(F.substring(
+        F.md5(F.concat(F.lit("epoch7:"), F.col("doc_id").cast("string"))),
+        1, 15), 16, 10).cast("bigint")
+    h = docs.select("doc_id", pos.alias("pos"),
+                    (pos % 32).alias("shard"))
+    w = Window.partitionBy("shard").orderBy("pos", "doc_id")
+    return h.select("doc_id", F.col("shard").cast("bigint").alias("shard"),
+                    F.row_number().over(w).cast("bigint").alias("rk"))

@@ -822,3 +822,23 @@ def test_ds_pricey_state_customers_dim_window_broadcast(spark):
     assert plan.count("Window") == 1
     assert plan.count("BroadcastHashJoin") >= 1
     assert "EvalPython" not in plan
+
+
+def test_embed_random_projection_map_only_flat_literal(spark):
+    """embed_random_projection: the JL projection must be map-only —
+    no exchange of any kind, no Python, and the projection matrix rides
+    as data (not 512 Literal nodes — plan stays small)."""
+    plan = _plan(entrymod.queries()["embed_random_projection"](
+        spark, SF_DIR))
+    assert "Exchange" not in plan, "projection is not map-only"
+    assert "EvalPython" not in plan
+    assert len(plan) < 20000, "plan exploded with per-weight literals"
+
+
+def test_shuffle_epoch_order_sharded_window_not_global(spark):
+    """shuffle_epoch_order: ranking must be windowed PER SHARD (hash
+    partitioned), never a global single-task sort/window."""
+    plan = _plan(entrymod.queries()["shuffle_epoch_order"](spark, SF_DIR))
+    assert "hashpartitioning(shard" in plan, "window not sharded"
+    assert "SinglePartition" not in plan, "global single-task window"
+    assert "EvalPython" not in plan
