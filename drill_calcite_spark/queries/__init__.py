@@ -91,6 +91,9 @@ _DRIVER_PRIORITY = [
     # md5-matrix fold, O(1) plan size; every float hash-pinned)
     "shuffle_epoch_order",  # NEW r10: deterministic per-epoch shuffle
     # (salted-hash position, sharded window — no global sort/RNG)
+    "stream_late_data_drop",  # NEW r10: watermark late-data semantics
+    # ORACLE-BACKED (multi-micro-batch drain; the oracle replays the
+    # two-watermark algorithm in integer micros — drop/emit/withhold)
     "func_geo_setop_rings",  # NEW r10: union/diff/symdiff RINGS (signed
     # areas from the generalized Greiner-Hormann tracer vs the
     # independent fan-algebra inclusion-exclusion oracle)
@@ -148,9 +151,10 @@ _DRIVER_PRIORITY = [
     # names need their FIRST driver row; the displaced names hold
     # committed r4 green rows — rotate in r11)
     # (recursive_numbers and source_csv_scan also displaced, to the two
-    # new LLM-pipeline ops — committed r4 green rows; rotate in r11)
+    # new LLM-pipeline ops, and table_function_series to the watermark
+    # battery — committed r4 green rows; rotate in r11)
     "source_partition_pruning",
-    "stream_sink_cow", "table_function_series", "text_lang_id",
+    "stream_sink_cow", "text_lang_id",
     "window_ignore_nulls",
     # (c) oldest round-5-vintage names
     # The r5-vintage cohort (agg_approx_distinct, agg_approx_quantile,

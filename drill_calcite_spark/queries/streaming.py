@@ -356,3 +356,126 @@ def stream_sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
     return read_versioned(spark, path)
+
+
+# Batch-file layout for the watermark LATE-DATA battery: four files in
+# event-time order (one micro-batch each via maxFilesPerTrigger=1), with
+# events in calendar week w shipped in batch w EXCEPT the deterministic
+# 1-in-13 stragglers (event_id % 13 = 0), which arrive TWO batches late.
+_WM_DELAY_US = 2 * 86_400_000_000  # 2 days
+_WM_DAY_US = 86_400_000_000
+
+
+@q("stream_late_data_drop", f"""
+WITH e AS (
+  SELECT epoch_us(ts) AS us, value,
+         least(CAST(floor(date_diff('day', DATE '2024-01-01', ts) / 7)
+                    AS BIGINT), 3) AS wk,
+         event_id
+  FROM events
+), b AS (
+  SELECT us, value,
+         CASE WHEN event_id % 13 = 0 THEN least(wk + 2, 3) ELSE wk END
+           AS batch
+  FROM e
+), mx AS (
+  SELECT batch, max(us) AS mx_us FROM b GROUP BY 1
+), wm AS (
+  -- Spark keeps TWO watermarks per micro-batch: state EVICTION uses
+  -- max event time through batch j-1, but the LATE-INPUT filter uses
+  -- the PREVIOUS batch's value (max through batch j-2) so re-executed
+  -- batches are deterministic. The filter watermark is what decides
+  -- which rows are dropped.
+  SELECT b2.batch,
+         (SELECT max(mx_us) FROM mx WHERE mx.batch < b2.batch - 1)
+           - {_WM_DELAY_US} AS wm_late
+  FROM (SELECT DISTINCT batch FROM b) b2
+), survived AS (
+  SELECT b.us, b.value
+  FROM b JOIN wm ON wm.batch = b.batch
+  WHERE wm.wm_late IS NULL
+     OR (b.us // {_WM_DAY_US}) * {_WM_DAY_US} + {_WM_DAY_US} > wm.wm_late
+), fin AS (SELECT max(us) - {_WM_DELAY_US} AS wm_final FROM b)
+SELECT CAST((us // {_WM_DAY_US}) * 86400 AS BIGINT) AS win_start,
+       CAST(count(*) AS BIGINT) AS n,
+       sum(value::DECIMAL(18,6))::DOUBLE AS total_value
+FROM survived, fin
+WHERE (us // {_WM_DAY_US}) * {_WM_DAY_US} + {_WM_DAY_US} <= fin.wm_final
+GROUP BY 1
+""")
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK LATE-DATA SEMANTICS, oracle-backed end to end: a real
+    multi-micro-batch readStream (four files, one per trigger via
+    maxFilesPerTrigger=1, mtime-ordered) with ``withWatermark('ts', '2
+    days')`` over TUMBLE(1 day) counts in APPEND mode — late stragglers
+    (1-in-13 rows shipped two batches late) are dropped by the
+    watermark, finalized windows are emitted exactly once, and trailing
+    windows the final watermark never passes are withheld.
+
+    The DuckDB oracle replays Spark's micro-batch watermark algorithm
+    EXACTLY, in integer microseconds: the eviction watermark of batch j
+    is max-event-time through batch j-1 minus the delay, while the
+    LATE-INPUT filter uses the value one batch older (max through
+    j-2) — Spark's WatermarkTracker keeps the filter watermark one
+    batch behind eviction so retried batches stay deterministic. A row
+    survives iff its window END clears its batch's filter watermark; a
+    window is emitted iff its end ≤ the final eviction watermark. Every
+    count and decimal-exact sum is hash-pinned, so the driver row
+    proves drop, emit, AND withhold behavior — not just that the stream
+    ran.
+
+    Scale notes: the fixture build collects events once to lay out
+    batch files (test plumbing, not the operator); the streaming query
+    itself is the production shape — file source, per-batch watermark
+    update, partitioned window aggregation, bounded state (windows ≤
+    delay behind the front are evicted every batch)."""
+    import os as _os
+    import shutil
+    import uuid as _uuid
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from drill_calcite_spark.queries.sources import _fixture_dir
+
+    ev = t(spark, sf_dir, "events")
+    week = F.least(
+        F.floor(F.datediff(F.col("ts"), F.lit("2024-01-01")) / 7),
+        F.lit(3))
+    batch = (F.when(F.col("event_id") % 13 == 0,
+                    F.least(week + 2, F.lit(3)))
+             .otherwise(week)).cast("int")
+    pdf = (ev.select("event_id", "ts", "user_id", "event_type", "value",
+                     batch.alias("batch"))
+           .toPandas())
+
+    base = _os.path.join(_fixture_dir(sf_dir),
+                         f"wm_batches_{_uuid.uuid4().hex[:12]}")
+    _os.makedirs(base)
+    try:
+        for bno in range(4):
+            part = pdf[pdf.batch == bno].drop(columns=["batch"])
+            path = f"{base}/batch_{bno:03d}.parquet"
+            _pq.write_table(
+                _pa.Table.from_pandas(part, preserve_index=False), path,
+                coerce_timestamps="us", allow_truncated_timestamps=True)
+            _os.utime(path, (1_700_000_000 + bno * 1000,) * 2)
+
+        schema = spark.read.parquet(base).schema
+        agg = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(base)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "2 days")
+            .groupBy(tumble("ts", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,6)"))
+                 .cast("double").alias("total_value"))
+            .select(F.unix_timestamp(F.col("w.start")).cast("bigint")
+                    .alias("win_start"), "n", "total_value"))
+        out = run_available_now(agg, spark, output_mode="append")
+        # materialize before the source dir is removed
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
