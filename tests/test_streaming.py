@@ -136,3 +136,35 @@ def test_kafka_connector_unavailable_error(spark):
 
     with pytest.raises(KafkaConnectorUnavailable, match="spark-sql-kafka"):
         kafka_stream(spark, "localhost:9092", "events")
+
+
+def test_late_data_drop_is_not_vacuous(spark):
+    """stream_late_data_drop must actually DROP and WITHHOLD — the oracle
+    parity alone would also pass on a stream that dropped nothing (if no
+    row were late) or emitted everything (if the watermark never held a
+    window back). Pin both effects against the batch ground truth."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    res = {r.win_start: r.n
+           for r in entrymod.queries()["stream_late_data_drop"](
+               spark, SF_DIR).collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ts = dict(ev.dtypes)["ts"]
+    if ts == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else:
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    full = {r.d: r.n for r in ev.groupBy(
+        F.unix_timestamp(F.date_trunc("day", "ts")).cast("bigint")
+        .alias("d")).count().withColumnRenamed("count", "n").collect()}
+    # (a) emitted windows exist and at least one lost late rows
+    assert res, "nothing emitted"
+    dropped = [w for w, n in res.items() if n < full[w]]
+    assert dropped, "no window lost a late row — drop path untested"
+    # (b) the trailing windows (inside the 2-day delay) are withheld
+    withheld = set(full) - set(res)
+    assert withheld, "no window withheld — append finalization untested"
+    assert max(withheld) == max(full), "the newest window must be withheld"
+    # (c) emitted counts never exceed ground truth
+    assert all(res[w] <= full[w] for w in res)
