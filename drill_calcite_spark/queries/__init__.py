@@ -94,6 +94,10 @@ _DRIVER_PRIORITY = [
     "stream_late_data_drop",  # NEW r10: watermark late-data semantics
     # ORACLE-BACKED (multi-micro-batch drain; the oracle replays the
     # two-watermark algorithm in integer micros — drop/emit/withhold)
+    "ds_manufacturer_channel_total",  # NEW r10: TPC-DS q33/q56/q60
+    # shape (three channel CTEs + re-group -> one scan, one aggregation)
+    "ds_ship_lag_buckets",  # NEW r10: TPC-DS q62/q50 shape (delay-band
+    # pivot via map-side conditional counts; exact datediff parity)
     "func_geo_setop_rings",  # NEW r10: union/diff/symdiff RINGS (signed
     # areas from the generalized Greiner-Hormann tracer vs the
     # independent fan-algebra inclusion-exclusion oracle)
@@ -153,9 +157,10 @@ _DRIVER_PRIORITY = [
     # (recursive_numbers and source_csv_scan also displaced, to the two
     # new LLM-pipeline ops, and table_function_series to the watermark
     # battery — committed r4 green rows; rotate in r11)
+    # (text_lang_id and window_ignore_nulls also displaced, to the
+    # q33-family and q62 shapes — committed r4 green rows; rotate r11)
     "source_partition_pruning",
-    "stream_sink_cow", "text_lang_id",
-    "window_ignore_nulls",
+    "stream_sink_cow",
     # (c) oldest round-5-vintage names
     # The r5-vintage cohort (agg_approx_distinct, agg_approx_quantile,
     # bench_minhash_dedup, dedup_embedding_cosine, dedup_exact,

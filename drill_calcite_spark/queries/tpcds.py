@@ -2964,3 +2964,90 @@ def ds_pricey_state_customers(spark: SparkSession,
             .groupBy("c_nationkey")
             .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
             .filter(F.col("cnt") >= 10))
+
+
+_Q33_BRANCH = """
+  SELECT p_brand AS brand,
+         CAST(sum((l_extendedprice::DECIMAL(18,2) * 100)::BIGINT)
+              AS BIGINT) AS rev
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_type LIKE '%ECONOMY%' AND o_orderpriority IN ({pri})
+  GROUP BY 1
+"""
+
+
+@q("ds_manufacturer_channel_total", """
+WITH ch AS (
+""" + _Q33_BRANCH.format(pri="'1-URGENT', '2-HIGH'") + """
+  UNION ALL
+""" + _Q33_BRANCH.format(pri="'3-MEDIUM'") + """
+  UNION ALL
+""" + _Q33_BRANCH.format(pri="'4-NOT SPECIFIED', '5-LOW'") + """
+)
+SELECT brand, CAST(sum(rev) AS BIGINT) AS total_rev
+FROM ch GROUP BY 1
+""")
+def ds_manufacturer_channel_total(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """TPC-DS q33/q56/q60 shape (queries/q33.sql …): per-manufacturer
+    revenue for one item category, summed across three channel CTEs —
+    each channel aggregates its own star join, then the union is
+    re-grouped for the grand total. The textbook form scans the fact
+    three times and shuffles three partial aggregates; the Spark side
+    folds the channels (they partition the fact by priority) into ONE
+    scan whose single aggregation IS the total — the union and the
+    outer re-group vanish. The ORACLE spells the literal three-branch
+    UNION ALL + re-aggregation; the driver hash proves the fold."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    part = t(spark, sf_dir, "part")
+    return (li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(F.broadcast(part.filter(
+                F.col("p_type").like("%ECONOMY%"))),
+                F.col("p_partkey") == F.col("l_partkey"))
+            .groupBy(F.col("p_brand").alias("brand"))
+            .agg(F.sum((F.col("l_extendedprice").cast("decimal(18,2)")
+                        * 100).cast("bigint")).cast("bigint")
+                 .alias("total_rev")))
+
+
+@q("ds_ship_lag_buckets", """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN lag_days <= 7  THEN 1 ELSE 0 END) AS BIGINT)
+         AS d7,
+       CAST(sum(CASE WHEN lag_days > 7  AND lag_days <= 30
+                THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+       CAST(sum(CASE WHEN lag_days > 30 AND lag_days <= 60
+                THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+       CAST(sum(CASE WHEN lag_days > 60 AND lag_days <= 90
+                THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+       CAST(sum(CASE WHEN lag_days > 90 THEN 1 ELSE 0 END) AS BIGINT)
+         AS d_over
+FROM (SELECT o_orderpriority,
+             date_diff('day', o_orderdate, l_shipdate) AS lag_days
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey) x
+GROUP BY 1
+""")
+def ds_ship_lag_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q62/q50 shape (queries/q62.sql, q50.sql): the
+    shipping-lag report — counts of lines per fulfillment-delay band
+    (≤7 / 30 / 60 / 90 / 90+), one column per band, grouped by the
+    order dimension. One scan, map-side conditional counts, a
+    dim-cardinality shuffle; the band pivot never explodes rows. The
+    oracle spells the identical CASE pivot, so this row pins the date
+    arithmetic (datediff ≡ date_diff, exact integer days) rather than a
+    rewrite."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    src = (li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+           .select("o_orderpriority", lag.alias("lag_days")))
+    d = F.col("lag_days")
+    bands = [("d7", d <= 7), ("d30", (d > 7) & (d <= 30)),
+             ("d60", (d > 30) & (d <= 60)), ("d90", (d > 60) & (d <= 90)),
+             ("d_over", d > 90)]
+    return (src.groupBy("o_orderpriority")
+            .agg(*[F.sum(F.when(c, 1).otherwise(0)).cast("bigint")
+                   .alias(n) for n, c in bands]))

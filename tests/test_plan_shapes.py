@@ -842,3 +842,25 @@ def test_shuffle_epoch_order_sharded_window_not_global(spark):
     assert "hashpartitioning(shard" in plan, "window not sharded"
     assert "SinglePartition" not in plan, "global single-task window"
     assert "EvalPython" not in plan
+
+
+def test_ds_manufacturer_channel_total_one_scan_one_agg(spark):
+    """ds_manufacturer_channel_total (q33/q56/q60 shape): three channel
+    CTEs + re-aggregation must fold to ONE scan and ONE aggregation —
+    no Union node, part broadcast."""
+    plan = _plan(entrymod.queries()["ds_manufacturer_channel_total"](
+        spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1, "textbook three-scan form"
+    assert "Union" not in plan, "channel union survived"
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "EvalPython" not in plan
+
+
+def test_ds_ship_lag_buckets_single_scan_no_explode(spark):
+    """ds_ship_lag_buckets (q62/q50 shape): the band pivot is map-side
+    conditional counting — one fact scan, no Generate/Expand row
+    explosion."""
+    plan = _plan(entrymod.queries()["ds_ship_lag_buckets"](spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1
+    assert "Generate" not in plan and "Expand" not in plan
+    assert "EvalPython" not in plan
