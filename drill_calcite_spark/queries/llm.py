@@ -2302,3 +2302,80 @@ def shuffle_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("shard").orderBy("pos", "doc_id")
     return h.select("doc_id", F.col("shard").cast("bigint").alias("shard"),
                     F.row_number().over(w).cast("bigint").alias("rk"))
+
+
+_BPE_APPLY = [("e r", "er"), ("i n", "in"), ("o w", "ow"),
+              ("s t", "st"), ("er g", "erg")]
+
+
+def _bpe_encode_oracle() -> str:
+    """Replays the merge chain per word: the same padded double-space
+    LITERAL replace the Spark side runs (text_bpe_merges discipline —
+    left-to-right non-overlapping fusion, no regex)."""
+    expr = "' ' || replace(trim(regexp_replace(w, '(.)', '\\1 ', 'g')), " \
+           "' ', '  ') || ' '"
+    for pat, rep in _BPE_APPLY:
+        pad_pat = f"' {pat.replace(' ', '  ')} '"
+        pad_rep = f"' {rep} '"
+        expr = (f"replace(replace({expr}, {pad_pat}, {pad_rep}), "
+                f"'  ', ' ')")
+        expr = f"' ' || replace(trim({expr}), ' ', '  ') || ' '"
+    seq = f"trim({expr})"
+    return f"""
+WITH w AS (
+  SELECT doc_id, n_chars,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents
+), enc AS (
+  SELECT doc_id, n_chars,
+         length({seq}) - length(replace({seq}, ' ', '')) + 1 AS n_sym
+  FROM w
+)
+SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_tokens,
+       CAST(min(n_chars) AS BIGINT) AS n_chars
+FROM enc GROUP BY 1
+"""
+
+
+@q("text_bpe_encode", _bpe_encode_oracle())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TOKENIZER APPLICATION — the other half of ``text_bpe_merges``:
+    given a SHIPPED merge table (five merges here, incl. one
+    second-order merge 'er g'→'erg' that only exists after the first
+    fires), encode every document and report its post-merge token
+    count — the pass a training pipeline runs over the full corpus to
+    cost out a tokenization before committing to it.
+
+    Each word becomes a spaced symbol sequence; each merge is the same
+    padded double-space LITERAL replace the induction loop uses
+    (left-to-right, non-overlapping, regex-free — RE2∩Java
+    discipline), applied in merge-table order; the doc's token count is
+    the sum of per-word symbol counts. Everything is higher-order
+    column algebra over the words array — the per-doc sum is an IN-ROW
+    fold, so the whole operator is MAP-ONLY (zero shuffles at any
+    corpus size), no Python, merge table inlined as
+    five literal replaces exactly as a production tokenizer would
+    broadcast its merge ranks. The oracle replays the identical
+    replace chain, so every per-document count is hash-pinned."""
+    docs = t(spark, sf_dir, "documents")
+    sp = F.lit(" ")
+
+    def encode(word):
+        seq = F.concat(
+            sp, F.replace(F.trim(F.regexp_replace(word, "(.)", "$1 ")),
+                          sp, F.lit("  ")), sp)
+        for pat, rep in _BPE_APPLY:
+            pad_pat = F.lit(f" {pat.replace(' ', '  ')} ")
+            pad_rep = F.lit(f" {rep} ")
+            seq = F.replace(F.replace(seq, pad_pat, pad_rep),
+                            F.lit("  "), sp)
+            seq = F.concat(sp, F.replace(F.trim(seq), sp, F.lit("  ")), sp)
+        seq = F.trim(seq)
+        return (F.length(seq)
+                - F.length(F.replace(seq, sp, F.lit("")))) + 1
+
+    n_tok = F.aggregate(
+        F.transform(tokens(F.col("text")), encode),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    return (docs.select("doc_id", n_tok.alias("n_tokens"),
+                        F.col("n_chars").cast("bigint").alias("n_chars")))

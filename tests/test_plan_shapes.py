@@ -864,3 +864,13 @@ def test_ds_ship_lag_buckets_single_scan_no_explode(spark):
     assert plan.count("lineitem.parquet") == 1
     assert "Generate" not in plan and "Expand" not in plan
     assert "EvalPython" not in plan
+
+
+def test_text_bpe_encode_map_only_no_explode(spark):
+    """text_bpe_encode: tokenizer application must be MAP-ONLY — the
+    per-doc token count folds in-row, so there is no Generate, no
+    exchange of any kind, and no Python."""
+    plan = _plan(entrymod.queries()["text_bpe_encode"](spark, SF_DIR))
+    assert "Exchange" not in plan, "encode is not map-only"
+    assert "Generate" not in plan, "words exploded to rows"
+    assert "EvalPython" not in plan
