@@ -100,6 +100,8 @@ _DRIVER_PRIORITY = [
     # pivot via map-side conditional counts; exact datediff parity)
     "text_bpe_encode",  # NEW r10: BPE tokenizer APPLICATION (merge
     # chain as literal replaces, in-row fold — zero-shuffle map-only)
+    "stream_dedup_expiry",  # NEW r10: dropDuplicatesWithinWatermark
+    # state EXPIRY + re-admittance oracle-backed across micro-batches
     "func_geo_setop_rings",  # NEW r10: union/diff/symdiff RINGS (signed
     # areas from the generalized Greiner-Hormann tracer vs the
     # independent fan-algebra inclusion-exclusion oracle)
@@ -159,10 +161,10 @@ _DRIVER_PRIORITY = [
     # (recursive_numbers and source_csv_scan also displaced, to the two
     # new LLM-pipeline ops, and table_function_series to the watermark
     # battery — committed r4 green rows; rotate in r11)
-    # (text_lang_id, window_ignore_nulls and stream_sink_cow also
-    # displaced, to the q33-family/q62 shapes and text_bpe_encode —
-    # committed r4 green rows; rotate r11)
-    "source_partition_pruning",
+    # (text_lang_id, window_ignore_nulls, stream_sink_cow and
+    # source_partition_pruning also displaced, to the q33-family/q62
+    # shapes, text_bpe_encode and stream_dedup_expiry — committed r4
+    # green rows; rotate r11)
     # (c) oldest round-5-vintage names
     # The r5-vintage cohort (agg_approx_distinct, agg_approx_quantile,
     # bench_minhash_dedup, dedup_embedding_cosine, dedup_exact,

@@ -479,3 +479,107 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+_DD_DELAY_US = 12 * 3_600_000_000  # 12 hours
+
+
+@q("stream_dedup_expiry", f"""
+WITH b AS (
+  SELECT user_id,
+         least(CAST(floor(date_diff('day', DATE '2024-01-01', ts) / 7)
+                    AS BIGINT), 3) AS batch,
+         min(epoch_us(ts)) AS us
+  FROM events GROUP BY 1, 2
+), mx AS (SELECT batch, max(us) AS m FROM b GROUP BY 1),
+w AS (
+  -- W_j = eviction watermark OPERATING during batch j: max event time
+  -- over batches <= j-1, minus the delay. State entering batch j was
+  -- last cleaned with W_(j-1).
+  SELECT b2.batch,
+         coalesce((SELECT max(m) FROM mx WHERE mx.batch <= b2.batch - 1)
+                  - {_DD_DELAY_US}, 0) AS wm
+  FROM (SELECT DISTINCT batch FROM b) b2),
+a0 AS (SELECT user_id, us FROM b WHERE batch = 0),
+a1 AS (SELECT b.user_id, b.us FROM b
+       WHERE batch = 1 AND EXISTS (
+         SELECT 1 FROM a0 WHERE a0.user_id = b.user_id
+           AND a0.us + {_DD_DELAY_US}
+               <= (SELECT wm FROM w WHERE batch = 0))),
+s1 AS (SELECT user_id, us FROM a0 UNION ALL SELECT user_id, us FROM a1),
+l1 AS (SELECT user_id, max(us) AS us FROM s1 GROUP BY 1),
+a2 AS (SELECT b.user_id, b.us FROM b JOIN l1 ON l1.user_id = b.user_id
+       WHERE batch = 2 AND l1.us + {_DD_DELAY_US}
+             <= (SELECT wm FROM w WHERE batch = 1)),
+s2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM a2),
+l2 AS (SELECT user_id, max(us) AS us FROM s2 GROUP BY 1),
+a3 AS (SELECT b.user_id, b.us FROM b JOIN l2 ON l2.user_id = b.user_id
+       WHERE batch = 3 AND l2.us + {_DD_DELAY_US}
+             <= (SELECT wm FROM w WHERE batch = 2)),
+adm AS (SELECT * FROM s2 UNION ALL SELECT * FROM a3)
+SELECT user_id, CAST(us // 1000000 AS BIGINT) AS tse FROM adm
+""")
+def stream_dedup_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` STATE-EXPIRY semantics,
+    oracle-backed across micro-batches: four mtime-ordered batch files
+    (one per trigger; each holds at most ONE row per user — the
+    per-user week minimum — so intra-batch admission order cannot
+    matter), a 12-hour watermark, and a key that re-appears every week.
+    The battery pins all three behaviors: first arrival EMITS, a
+    duplicate while the key's state is live is SUPPRESSED, and a
+    duplicate arriving after the watermark expired the state is
+    RE-ADMITTED as a fresh row (at sf0.01: 130 of 150 users re-admit in
+    batch 2, the late-minimum 20 in batch 3 — the expiry boundary cuts through
+    the user population, so the row is sensitive to the exact rule).
+
+    The DuckDB oracle unrolls the four batches and replays the rule in
+    integer microseconds: state admitted with timestamp t expires when
+    t + delay ≤ W, where W is the eviction watermark that last cleaned
+    state BEFORE the batch (max event time through batch j-2, minus
+    delay — one batch behind, exactly as stream_late_data_drop pins for
+    the aggregation path; calibrated empirically: the current-batch
+    watermark would re-admit all 150 users one batch early and hash
+    red). stream_live_dedup covers the single-batch dedup path; THIS
+    row is the cross-batch state lifecycle."""
+    import os as _os
+    import shutil
+    import uuid as _uuid
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from drill_calcite_spark.queries.sources import _fixture_dir
+
+    ev = t(spark, sf_dir, "events")
+    wk = F.least(F.floor(F.datediff(F.col("ts"), F.lit("2024-01-01")) / 7),
+                 F.lit(3)).cast("int")
+    pdf = (ev.withColumn("batch", wk).groupBy("user_id", "batch")
+           .agg(F.min("ts").alias("ts")).toPandas())
+
+    base = _os.path.join(_fixture_dir(sf_dir),
+                         f"dd_batches_{_uuid.uuid4().hex[:12]}")
+    _os.makedirs(base)
+    try:
+        for bno in range(4):
+            part = (pdf[pdf.batch == bno].drop(columns=["batch"])
+                    .sort_values("user_id"))
+            path = f"{base}/batch_{bno:03d}.parquet"
+            _pq.write_table(
+                _pa.Table.from_pandas(part, preserve_index=False), path,
+                coerce_timestamps="us", allow_truncated_timestamps=True)
+            _os.utime(path, (1_700_000_000 + bno * 1000,) * 2)
+
+        schema = spark.read.parquet(base).schema
+        ded = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(base)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "12 hours")
+            .dropDuplicatesWithinWatermark(["user_id"])
+            .select("user_id",
+                    F.unix_timestamp("ts").cast("bigint").alias("tse")))
+        out = run_available_now(ded, spark, output_mode="append")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
