@@ -102,6 +102,8 @@ _DRIVER_PRIORITY = [
     # chain as literal replaces, in-row fold — zero-shuffle map-only)
     "stream_dedup_expiry",  # NEW r10: dropDuplicatesWithinWatermark
     # state EXPIRY + re-admittance oracle-backed across micro-batches
+    "stream_join_state_expiry",  # NEW r10: stream-stream join buffer
+    # lifecycle oracle-backed (per-side eviction horizons + late filter)
     "func_geo_setop_rings",  # NEW r10: union/diff/symdiff RINGS (signed
     # areas from the generalized Greiner-Hormann tracer vs the
     # independent fan-algebra inclusion-exclusion oracle)
@@ -153,7 +155,10 @@ _DRIVER_PRIORITY = [
     "agg_grouping_having", "sketch_qsketch_quantiles",
     "sql_match_recognize", "sql_calcite_dialect", "subquery_in",
     "subquery_quantified_some", "subquery_quantified_all",
-    "sort_limit_offset", "agg_grouping_id",
+    # sort_limit_offset displaced to stream_join_state_expiry (it holds
+    # a committed r9 green row and its r10 DISTINCT-orderby hardening
+    # is corpus- and fuzzer-pinned; rotate in r11)
+    "agg_grouping_id",
     # (b) the round-4-vintage cohort (collect_nested, dedup_ngram_capped
     # and func_char_pad gave their slots to the q45/q41/q6 shapes — new
     # names need their FIRST driver row; the displaced names hold

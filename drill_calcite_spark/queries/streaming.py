@@ -583,3 +583,134 @@ def stream_dedup_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+_SSJ_DELAY_US = 86_400_000_000   # 1 day watermark
+_SSJ_IV_US = 2 * 3_600_000_000   # 2 hour join interval
+
+
+@q("stream_join_state_expiry", f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+         least(CAST(floor(date_diff('day', DATE '2024-01-01', ts) / 7)
+                    AS BIGINT), 3) AS wk
+  FROM events WHERE event_type IN ('view', 'click')
+), b AS (
+  SELECT event_id, user_id, event_type, us,
+         CASE WHEN (event_type = 'click' AND event_id % 13 = 0)
+                OR (event_type = 'view' AND event_id % 17 = 0)
+              THEN least(wk + 2, 3) ELSE wk END AS batch
+  FROM e
+), mx AS (SELECT batch, max(us) AS m FROM b GROUP BY 1),
+w AS (
+  -- W_j = eviction watermark operating during batch j
+  SELECT b2.batch,
+         coalesce((SELECT max(m) FROM mx WHERE mx.batch <= b2.batch - 1)
+                  - {_SSJ_DELAY_US}, -4611686018427387904) AS wm
+  FROM (SELECT DISTINCT batch FROM b) b2),
+f AS (
+  -- late-input filter of batch j = W_(j-1), one batch behind eviction
+  SELECT batch,
+         coalesce((SELECT wm FROM w w2 WHERE w2.batch = w3.batch - 1),
+                  -4611686018427387904) AS fwm
+  FROM (SELECT DISTINCT batch FROM b) w3),
+av AS (SELECT event_id AS a_id, user_id AS a_user, us AS a_us,
+              batch AS a_b FROM b WHERE event_type = 'view'),
+cl AS (SELECT event_id AS b_id, user_id AS b_user, us AS b_us,
+              batch AS b_b FROM b WHERE event_type = 'click'),
+p AS (
+  SELECT a_id, b_id, a_us, b_us, a_b, b_b
+  FROM av JOIN cl ON a_user = b_user
+   AND b_us >= a_us AND b_us <= a_us + {_SSJ_IV_US}
+)
+SELECT a_id, b_id FROM p
+WHERE a_us >= (SELECT fwm FROM f WHERE batch = a_b)
+  AND b_us >= (SELECT fwm FROM f WHERE batch = b_b)
+  AND (a_b >= b_b
+       OR a_us + {_SSJ_IV_US} > (SELECT wm FROM w WHERE batch = b_b - 1))
+  AND (b_b >= a_b
+       OR b_us > (SELECT wm FROM w WHERE batch = a_b - 1))
+""")
+def stream_join_state_expiry(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """STREAM-STREAM JOIN state semantics, oracle-backed across
+    micro-batches — the third panel of the streaming-state trilogy
+    (stream_late_data_drop pins windowed-aggregation state,
+    stream_dedup_expiry pins dedup state; this pins JOIN buffers): a
+    views×clicks interval join (click within 2 h of the view, same
+    user) over four mtime-ordered batch files with BOTH sides' 1-in-k
+    stragglers shipped two batches late, watermarked 1 day.
+
+    The DuckDB oracle replays the buffer lifecycle exactly, in integer
+    microseconds: each batch's LATE-INPUT filter is the one-batch-
+    lagged watermark W_(j-1) (the WatermarkTracker rule both sibling
+    batteries pin); a buffered VIEW can still meet a later click iff
+    its match horizon clears the watermark that last swept state
+    (a_us + 2h > W_(j-1)); a buffered CLICK survives for a later view
+    iff b_us > W_(i-1) — the horizon the join condition itself implies
+    (the latest matching view has a_ts = b_ts, so Spark derives a
+    tighter eviction bound for the click buffer). Cross-batch pairs on
+    BOTH sides of each boundary exist by construction, so a wrong
+    eviction rule in either buffer hashes red (calibration found every
+    raw candidate category split by the boundary). Same-batch pairs,
+    buffered-view pairs, buffered-click pairs, and late-dropped inputs
+    are all represented in the emitted set."""
+    import os as _os
+    import shutil
+    import uuid as _uuid
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from drill_calcite_spark.queries.sources import _fixture_dir
+
+    ev = (t(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin("view", "click")))
+    wk = F.least(F.floor(F.datediff(F.col("ts"), F.lit("2024-01-01")) / 7),
+                 F.lit(3))
+    late = (((F.col("event_type") == "click")
+             & (F.col("event_id") % 13 == 0))
+            | ((F.col("event_type") == "view")
+               & (F.col("event_id") % 17 == 0)))
+    batch = (F.when(late, F.least(wk + 2, F.lit(3)))
+             .otherwise(wk)).cast("int")
+    pdf = (ev.select("event_id", "ts", "user_id", "event_type",
+                     batch.alias("batch")).toPandas())
+
+    base = _os.path.join(_fixture_dir(sf_dir),
+                         f"ssj_batches_{_uuid.uuid4().hex[:12]}")
+    _os.makedirs(base)
+    try:
+        for bno in range(4):
+            part = (pdf[pdf.batch == bno].drop(columns=["batch"])
+                    .sort_values("event_id"))
+            path = f"{base}/batch_{bno:03d}.parquet"
+            _pq.write_table(
+                _pa.Table.from_pandas(part, preserve_index=False), path,
+                coerce_timestamps="us", allow_truncated_timestamps=True)
+            _os.utime(path, (1_700_000_000 + bno * 1000,) * 2)
+
+        schema = spark.read.parquet(base).schema
+
+        def side(tp: str, pre: str) -> DataFrame:
+            return (spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 1).parquet(base)
+                    .filter(F.col("event_type") == tp)
+                    .select(F.col("event_id").alias(f"{pre}_id"),
+                            F.col("user_id").alias(f"{pre}_user"),
+                            F.col("ts").cast("timestamp")
+                            .alias(f"{pre}_ts"))
+                    .withWatermark(f"{pre}_ts", "1 day"))
+
+        joined = side("view", "a").join(
+            side("click", "b"),
+            (F.col("a_user") == F.col("b_user"))
+            & (F.col("b_ts") >= F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts")
+               + F.expr("INTERVAL 2 HOURS")))
+        out = run_available_now(joined.select("a_id", "b_id"), spark,
+                                output_mode="append")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
