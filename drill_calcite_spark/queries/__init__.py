@@ -104,6 +104,8 @@ _DRIVER_PRIORITY = [
     # state EXPIRY + re-admittance oracle-backed across micro-batches
     "stream_join_state_expiry",  # NEW r10: stream-stream join buffer
     # lifecycle oracle-backed (per-side eviction horizons + late filter)
+    "stream_stateful_timeout",  # NEW r10: GroupState EVENT-TIME timeout
+    # lifecycle oracle-backed (preemption, re-arm, terminal flush)
     "func_geo_setop_rings",  # NEW r10: union/diff/symdiff RINGS (signed
     # areas from the generalized Greiner-Hormann tracer vs the
     # independent fan-algebra inclusion-exclusion oracle)
@@ -154,7 +156,10 @@ _DRIVER_PRIORITY = [
     "sketch_qsketch_signed",  # NEW r10: two-sided DDSketch layout
     "agg_grouping_having", "sketch_qsketch_quantiles",
     "sql_match_recognize", "sql_calcite_dialect", "subquery_in",
-    "subquery_quantified_some", "subquery_quantified_all",
+    "subquery_quantified_some",
+    # subquery_quantified_all displaced to stream_stateful_timeout (it
+    # holds committed green rows and _some stays as the family
+    # representative; rotate in r11)
     # sort_limit_offset displaced to stream_join_state_expiry (it holds
     # a committed r9 green row and its r10 DISTINCT-orderby hardening
     # is corpus- and fuzzer-pinned; rotate in r11)

@@ -387,15 +387,16 @@ WITH e AS (
   -- batches are deterministic. The filter watermark is what decides
   -- which rows are dropped.
   SELECT b2.batch,
-         (SELECT max(mx_us) FROM mx WHERE mx.batch < b2.batch - 1)
-           - {_WM_DELAY_US} AS wm_late
+         ((SELECT max(mx_us) FROM mx WHERE mx.batch < b2.batch - 1)
+          // 1000 - {_WM_DELAY_US // 1000}) * 1000 AS wm_late
   FROM (SELECT DISTINCT batch FROM b) b2
 ), survived AS (
   SELECT b.us, b.value
   FROM b JOIN wm ON wm.batch = b.batch
   WHERE wm.wm_late IS NULL
      OR (b.us // {_WM_DAY_US}) * {_WM_DAY_US} + {_WM_DAY_US} > wm.wm_late
-), fin AS (SELECT max(us) - {_WM_DELAY_US} AS wm_final FROM b)
+), fin AS (SELECT (max(us) // 1000 - {_WM_DELAY_US // 1000}) * 1000
+             AS wm_final FROM b)
 SELECT CAST((us // {_WM_DAY_US}) * 86400 AS BIGINT) AS win_start,
        CAST(count(*) AS BIGINT) AS n,
        sum(value::DECIMAL(18,6))::DOUBLE AS total_value
@@ -497,8 +498,8 @@ w AS (
   -- over batches <= j-1, minus the delay. State entering batch j was
   -- last cleaned with W_(j-1).
   SELECT b2.batch,
-         coalesce((SELECT max(m) FROM mx WHERE mx.batch <= b2.batch - 1)
-                  - {_DD_DELAY_US}, 0) AS wm
+         coalesce(((SELECT max(m) FROM mx WHERE mx.batch <= b2.batch - 1)
+                   // 1000 - {_DD_DELAY_US // 1000}) * 1000, 0) AS wm
   FROM (SELECT DISTINCT batch FROM b) b2),
 a0 AS (SELECT user_id, us FROM b WHERE batch = 0),
 a1 AS (SELECT b.user_id, b.us FROM b
@@ -605,8 +606,9 @@ WITH e AS (
 w AS (
   -- W_j = eviction watermark operating during batch j
   SELECT b2.batch,
-         coalesce((SELECT max(m) FROM mx WHERE mx.batch <= b2.batch - 1)
-                  - {_SSJ_DELAY_US}, -4611686018427387904) AS wm
+         coalesce(((SELECT max(m) FROM mx WHERE mx.batch <= b2.batch - 1)
+                   // 1000 - {_SSJ_DELAY_US // 1000}) * 1000,
+                  -4611686018427387904) AS wm
   FROM (SELECT DISTINCT batch FROM b) b2),
 f AS (
   -- late-input filter of batch j = W_(j-1), one batch behind eviction
@@ -710,6 +712,176 @@ def stream_join_state_expiry(spark: SparkSession,
                + F.expr("INTERVAL 2 HOURS")))
         out = run_available_now(joined.select("a_id", "b_id"), spark,
                                 output_mode="append")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_STO_DELAY_MS = 86_400_000   # 1 day watermark
+_STO_T_MS = 86_400_000       # 1 day inactivity timeout
+
+
+def _sto_merge(prev: str, batch_no: int, fired: str) -> str:
+    """One state-walk step: merge batch ``batch_no`` rows into surviving
+    state (FULL JOIN — state may not exist yet, the user may be absent)."""
+    return f"""
+  SELECT coalesce(s.user_id, p.user_id) AS user_id,
+         coalesce(s.n, 0) + coalesce(p.n, 0) AS n,
+         greatest(coalesce(s.l, 0), coalesce(p.l, 0)) AS l
+  FROM {prev} s
+  FULL JOIN (SELECT * FROM pb WHERE batch = {batch_no}) p
+    ON p.user_id = s.user_id
+  WHERE p.user_id IS NOT NULL
+     OR s.user_id NOT IN (SELECT user_id FROM {fired})"""
+
+
+def _sto_fire(prev: str, batch_no: int) -> str:
+    """Timeout check entering batch ``batch_no``: fires only for users
+    with NO new rows in it (new data always preempts a pending
+    timeout)."""
+    absent = ("" if batch_no == 4 else
+              f"""NOT EXISTS (SELECT 1 FROM pb
+           WHERE pb.user_id = s.user_id AND pb.batch = {batch_no})
+         AND """)
+    return f"""
+  SELECT s.user_id, s.n, s.l FROM {prev} s
+  WHERE {absent}s.l // 1000 + {_STO_T_MS}
+            < (SELECT wm_ms FROM w WHERE batch = {batch_no})"""
+
+
+@q("stream_stateful_timeout", f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         least(CAST(floor(date_diff('day', DATE '2024-01-01', ts) / 7)
+                    AS BIGINT), 3) AS batch
+  FROM events
+), b AS (
+  SELECT * FROM e
+  WHERE (user_id % 3 = 0 AND batch IN (0, 3))
+     OR (user_id % 3 = 2 AND batch IN (0, 1, 3))
+     OR (user_id % 3 = 1)
+), pb AS (
+  SELECT user_id, batch, count(*) AS n, max(us) AS l
+  FROM b GROUP BY 1, 2
+), mx AS (SELECT batch, max(us) AS m FROM b GROUP BY 1),
+w AS (
+  SELECT j.batch,
+         coalesce((SELECT max(m) // 1000 FROM mx
+                   WHERE mx.batch <= j.batch - 1) - {_STO_DELAY_MS},
+                  -4611686018427387) AS wm_ms
+  FROM (SELECT DISTINCT batch FROM pb UNION ALL SELECT 4) j),
+s0 AS (SELECT user_id, n, l FROM pb WHERE batch = 0),
+f1 AS ({_sto_fire('s0', 1)}),
+s1 AS ({_sto_merge('s0', 1, 'f1')}),
+f2 AS ({_sto_fire('s1', 2)}),
+s2 AS ({_sto_merge('s1', 2, 'f2')}),
+f3 AS ({_sto_fire('s2', 3)}),
+s3 AS ({_sto_merge('s2', 3, 'f3')}),
+f4 AS ({_sto_fire('s3', 4)}),
+fires AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+          UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       CAST(l // 1000000 AS BIGINT) AS last_epoch
+FROM fires
+""")
+def stream_stateful_timeout(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """EVENT-TIME TIMEOUT in the custom stateful operator
+    (applyInPandasWithState + GroupStateTimeout.EventTimeTimeout) —
+    the fourth panel of the streaming-state series: a per-user session
+    summarizer that emits (count, last-seen) ONLY when the user has
+    been inactive past a 1-day event-time timeout, over four weekly
+    micro-batches where a third of users skip weeks 1-2 and another
+    third skips week 2 (plus whatever natural absences the data has).
+
+    The DuckDB oracle replays the state walk batch by batch in integer
+    MILLISECONDS (Spark tracks watermarks and timeout timestamps in
+    ms): a pending timeout fires entering batch j iff the user has NO
+    new rows in it (new data always preempts the timeout and re-arms
+    it at last-seen + T) and last_ms + T < W_j, the batch's operating
+    watermark; fired state is removed and re-created at the user's
+    next active batch (a user can legitimately emit twice); the final
+    empty micro-batch fires whatever pending timeouts the terminal
+    watermark passes. Every (user, count, last-seen) cell is
+    hash-pinned, so the row proves preemption, boundary-split firing,
+    re-arming, AND terminal flush — the full GroupState timeout
+    lifecycle the reference's streaming model has no analogue for."""
+    import os as _os
+    import shutil
+    import uuid as _uuid
+
+    import pandas as _pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from collections.abc import Iterator as _Iterator
+
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from drill_calcite_spark.queries.sources import _fixture_dir
+
+    ev = t(spark, sf_dir, "events")
+    wk = F.least(F.floor(F.datediff(F.col("ts"), F.lit("2024-01-01")) / 7),
+                 F.lit(3)).cast("int")
+    ev = ev.withColumn("batch", wk)
+    keep = (((F.col("user_id") % 3 == 0) & F.col("batch").isin(0, 3))
+            | ((F.col("user_id") % 3 == 2) & F.col("batch").isin(0, 1, 3))
+            | (F.col("user_id") % 3 == 1))
+    pdf = (ev.filter(keep)
+           .select("event_id", "ts", "user_id", "batch").toPandas())
+
+    base = _os.path.join(_fixture_dir(sf_dir),
+                         f"sto_batches_{_uuid.uuid4().hex[:12]}")
+    _os.makedirs(base)
+    try:
+        for bno in range(4):
+            part = (pdf[pdf.batch == bno].drop(columns=["batch"])
+                    .sort_values("event_id"))
+            path = f"{base}/batch_{bno:03d}.parquet"
+            _pq.write_table(
+                _pa.Table.from_pandas(part, preserve_index=False), path,
+                coerce_timestamps="us", allow_truncated_timestamps=True)
+            _os.utime(path, (1_700_000_000 + bno * 1000,) * 2)
+
+        t_ms = _STO_T_MS
+
+        def fn(key, pdfs: _Iterator[_pd.DataFrame], state: GroupState):
+            if state.hasTimedOut:
+                n, last_us = state.get
+                state.remove()
+                yield _pd.DataFrame({
+                    "user_id": [key[0]], "n_events": [n],
+                    "last_epoch": [last_us // 1_000_000]})
+                return
+            n, last_us = state.get if state.exists else (0, 0)
+            for p in pdfs:
+                n += len(p)
+                last_us = max(last_us,
+                              int(p["ts"].astype("int64").max()) // 1000)
+            state.update((n, last_us))
+            state.setTimeoutTimestamp(last_us // 1000 + t_ms)
+            return
+            yield  # generator form required by the API
+
+        schema = spark.read.parquet(base).schema
+        summarized = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(base)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 day")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                fn,
+                outputStructType=("user_id long, n_events long, "
+                                  "last_epoch long"),
+                stateStructType="n long, last_us long",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
+        out = run_available_now(summarized, spark, output_mode="update")
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:
