@@ -106,6 +106,8 @@ _DRIVER_PRIORITY = [
     # lifecycle oracle-backed (per-side eviction horizons + late filter)
     "stream_stateful_timeout",  # NEW r10: GroupState EVENT-TIME timeout
     # lifecycle oracle-backed (preemption, re-arm, terminal flush)
+    "stream_session_merge",  # NEW r10: MERGING session-window state
+    # oracle-backed (gap-relative late filter, straggler merge/overlap)
     "func_geo_setop_rings",  # NEW r10: union/diff/symdiff RINGS (signed
     # areas from the generalized Greiner-Hormann tracer vs the
     # independent fan-algebra inclusion-exclusion oracle)
@@ -156,7 +158,9 @@ _DRIVER_PRIORITY = [
     "sketch_qsketch_signed",  # NEW r10: two-sided DDSketch layout
     "agg_grouping_having", "sketch_qsketch_quantiles",
     "sql_match_recognize", "sql_calcite_dialect", "subquery_in",
-    "subquery_quantified_some",
+    # subquery_quantified_some displaced to stream_session_merge (it
+    # holds committed green rows; the r10 correlation-guard change is
+    # corpus- and fuzzer-pinned; rotate in r11)
     # subquery_quantified_all displaced to stream_stateful_timeout (it
     # holds committed green rows and _some stays as the family
     # representative; rotate in r11)

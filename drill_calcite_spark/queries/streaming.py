@@ -886,3 +886,162 @@ def stream_stateful_timeout(spark: SparkSession,
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+_SW_GAP_US = 30 * 60 * 1_000_000   # 30 minute session gap
+_SW_DELAY_MS = 86_400_000          # 1 day watermark
+
+
+def _sw_level(j: int, prev_rem: str) -> str:
+    """One session-state step: merge batch ``j``'s admitted rows into the
+    surviving pool, re-derive islands, emit sessions the operating
+    watermark W_j passes, keep the rest."""
+    pool = (f"adm WHERE batch = 0" if j == 0
+            else f"{prev_rem} UNION ALL SELECT user_id, us FROM adm "
+                 f"WHERE batch = {j}")
+    return f"""
+p{j} AS (SELECT user_id, us FROM {pool}),
+k{j} AS (
+  SELECT user_id, us,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                   > {_SW_GAP_US} THEN 1 ELSE 0 END AS brk
+  FROM p{j}),
+i{j} AS (
+  SELECT user_id, us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM k{j}),
+g{j} AS (SELECT user_id, sid, min(us) AS s, max(us) + {_SW_GAP_US} AS e,
+                count(*) AS n
+         FROM i{j} GROUP BY 1, 2),
+f{j} AS (SELECT user_id, s, e, n FROM g{j}
+         WHERE e <= (SELECT wm FROM w WHERE batch = {j})),
+r{j} AS (SELECT i.user_id, i.us
+         FROM i{j} i JOIN g{j} g ON g.user_id = i.user_id
+                                AND g.sid = i.sid
+         WHERE g.e > (SELECT wm FROM w WHERE batch = {j}))"""
+
+
+@q("stream_session_merge", f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         least(CAST(floor(date_diff('day', DATE '2024-01-01', ts) / 7)
+                    AS BIGINT), 3) AS wk
+  FROM events
+), b AS (
+  SELECT user_id, us,
+         CASE WHEN event_id % 13 = 0 THEN least(wk + 2, 3) ELSE wk END
+           AS batch
+  FROM e
+), mx AS (SELECT batch, max(us) AS m FROM b GROUP BY 1),
+w AS (
+  SELECT j.batch,
+         coalesce(((SELECT max(m) FROM mx WHERE mx.batch <= j.batch - 1)
+                   // 1000 - {_SW_DELAY_MS}) * 1000,
+                  -4611686018427387904) AS wm
+  FROM (SELECT DISTINCT batch FROM b UNION ALL SELECT 4) j),
+adm AS (
+  -- session-window late filter: the row's OWN session end (ts + gap)
+  -- must clear the lagged filter watermark W_(j-1)
+  SELECT user_id, us, batch FROM b
+  WHERE us + {_SW_GAP_US}
+        >= (SELECT wm FROM w w2 WHERE w2.batch = b.batch - 1)
+     OR batch = 0
+),{_sw_level(0, '')},{_sw_level(1, 'r0')},{_sw_level(2, 'r1')},{_sw_level(3, 'r2')},
+p4 AS (SELECT user_id, us FROM r3),
+k4 AS (
+  SELECT user_id, us,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                   > {_SW_GAP_US} THEN 1 ELSE 0 END AS brk
+  FROM p4),
+i4 AS (
+  SELECT user_id, us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM k4),
+g4 AS (SELECT user_id, sid, min(us) AS s, max(us) + {_SW_GAP_US} AS e,
+              count(*) AS n
+       FROM i4 GROUP BY 1, 2),
+f4 AS (SELECT user_id, s, e, n FROM g4
+       WHERE e <= (SELECT wm FROM w WHERE batch = 4)),
+fires AS (SELECT * FROM f0 UNION ALL SELECT * FROM f1
+          UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3
+          UNION ALL SELECT * FROM f4)
+SELECT user_id, CAST(s // 1000000 AS BIGINT) AS sess_start,
+       CAST(e // 1000000 AS BIGINT) AS sess_end,
+       CAST(n AS BIGINT) AS n
+FROM fires
+""")
+def stream_session_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-WINDOW state semantics, oracle-backed across
+    micro-batches — the fifth and final panel of the streaming-state
+    series (tumbling aggregation, dedup, join buffers, GroupState
+    timeouts, and now MERGING session state): per-user 30-minute
+    session windows in APPEND mode over four weekly batch files with
+    1-in-13 stragglers arriving two batches late, watermarked 1 day.
+
+    Session state MERGES (a straggler landing within the gap of a
+    still-live session extends it across batches), finalizes when the
+    batch's operating watermark passes the session end, and a straggler
+    whose original session was already emitted starts a legitimate NEW
+    overlapping session. The DuckDB oracle replays the full lifecycle —
+    five unrolled state-walk levels, each re-deriving gaps-and-islands
+    over the surviving event pool and emitting what W_j passes — in
+    integer microseconds with ms-exact watermarks. Calibration findings
+    the oracle encodes: the late filter tests the row's OWN session end
+    (ts + gap) against the lagged filter watermark W_(j-1) — a row up
+    to one gap older than the watermark is still admitted (observed:
+    27.6 min late admitted, 82.7 min dropped, gap 30 min) — and
+    eviction uses the batch's OPERATING watermark (the once-updated
+    value would split straggler merges one batch early and hash red).
+    Every (user, start, end, count) cell is hash-pinned."""
+    import os as _os
+    import shutil
+    import uuid as _uuid
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from drill_calcite_spark.queries.sources import _fixture_dir
+
+    ev = t(spark, sf_dir, "events")
+    wk = F.least(F.floor(F.datediff(F.col("ts"), F.lit("2024-01-01")) / 7),
+                 F.lit(3))
+    batch = (F.when(F.col("event_id") % 13 == 0,
+                    F.least(wk + 2, F.lit(3)))
+             .otherwise(wk)).cast("int")
+    pdf = (ev.select("event_id", "ts", "user_id", batch.alias("batch"))
+           .toPandas())
+
+    base = _os.path.join(_fixture_dir(sf_dir),
+                         f"sw_batches_{_uuid.uuid4().hex[:12]}")
+    _os.makedirs(base)
+    try:
+        for bno in range(4):
+            part = (pdf[pdf.batch == bno].drop(columns=["batch"])
+                    .sort_values("event_id"))
+            path = f"{base}/batch_{bno:03d}.parquet"
+            _pq.write_table(
+                _pa.Table.from_pandas(part, preserve_index=False), path,
+                coerce_timestamps="us", allow_truncated_timestamps=True)
+            _os.utime(path, (1_700_000_000 + bno * 1000,) * 2)
+
+        schema = spark.read.parquet(base).schema
+        agg = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(base)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 day")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                     "user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .select("user_id",
+                    F.unix_timestamp(F.col("w.start")).cast("bigint")
+                    .alias("sess_start"),
+                    F.unix_timestamp(F.col("w.end")).cast("bigint")
+                    .alias("sess_end"), "n"))
+        out = run_available_now(agg, spark, output_mode="append")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
