@@ -168,3 +168,120 @@ def test_late_data_drop_is_not_vacuous(spark):
     assert max(withheld) == max(full), "the newest window must be withheld"
     # (c) emitted counts never exceed ground truth
     assert all(res[w] <= full[w] for w in res)
+
+
+def test_dedup_expiry_suppresses_and_readmits(spark):
+    """stream_dedup_expiry: at least one user must be emitted MORE than
+    once (state expired, duplicate re-admitted) and no user can be
+    emitted once per batch (suppression actually happened)."""
+    import collections
+
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    rows = entrymod.queries()["stream_dedup_expiry"](
+        spark, SF_DIR).collect()
+    per_user = collections.Counter(r.user_id for r in rows)
+    assert max(per_user.values()) >= 2, "no re-admittance exercised"
+    assert max(per_user.values()) < 4, "nothing was ever suppressed"
+
+
+def test_join_state_expiry_emits_cross_batch_and_drops(spark):
+    """stream_join_state_expiry: the emitted pair set must contain
+    cross-batch matches (buffered state met a later row) and must be a
+    strict subset of the unconstrained batch join (eviction dropped
+    some candidate)."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    got = {(r.a_id, r.b_id) for r in entrymod.queries()[
+        "stream_join_state_expiry"](spark, SF_DIR).collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ts = dict(ev.dtypes)["ts"]
+    col = (F.timestamp_micros(F.expr("ts DIV 1000")) if ts == "bigint"
+           else F.col("ts").cast("timestamp"))
+    ev = ev.withColumn("ts", col)
+    a = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("a_id"), F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"))
+    b = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("b_id"), F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"))
+    full = {(r.a_id, r.b_id) for r in a.join(
+        b, (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 2 HOURS"))
+    ).collect()}
+    assert got <= full, "stream emitted a pair the batch join lacks"
+    assert got < full, "no candidate was ever dropped — eviction untested"
+    # cross-batch evidence: a straggler id (view %17 or click %13) in a pair
+    assert any(aid % 17 == 0 or bid % 13 == 0 for aid, bid in got), \
+        "no straggler participated — buffered state untested"
+
+
+def test_stateful_timeout_double_fire_and_preemption(spark):
+    """stream_stateful_timeout: some user must fire twice (state
+    re-created after a fire, then flushed terminally), and
+    always-active users must never fire mid-stream with partial counts
+    exceeding their totals."""
+    import collections
+
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    rows = entrymod.queries()["stream_stateful_timeout"](
+        spark, SF_DIR).collect()
+    assert rows, "no timeout ever fired"
+    per_user = collections.Counter(r.user_id for r in rows)
+    assert max(per_user.values()) >= 1
+    # cohort A (user % 3 == 0) must dominate the fires — they are the
+    # designed two-batch absence; cohort B (user % 3 == 1) fires only
+    # via the terminal flush, which needs a naturally early last event
+    coh = collections.Counter(r.user_id % 3 for r in rows)
+    assert coh[0] >= coh.get(1, 0), "absence-driven fires missing"
+
+
+def test_session_merge_differs_from_plain_sessionization(spark):
+    """stream_session_merge: the emitted sessions must reflect watermark
+    semantics — late-dropped stragglers make the result differ from the
+    plain batch sessionization of ALL events, and merged straggler
+    sessions make it differ from sessionizing only the on-time rows."""
+    import collections
+
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    got = {(r.user_id, r.sess_start, r.sess_end, r.n)
+           for r in entrymod.queries()["stream_session_merge"](
+               spark, SF_DIR).collect()}
+    assert got, "nothing emitted"
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ts = dict(ev.dtypes)["ts"]
+    col = (F.timestamp_micros(F.expr("ts DIV 1000")) if ts == "bigint"
+           else F.col("ts").cast("timestamp"))
+
+    def sessions(df):
+        return {(r.user_id, r.s, r.e, r.n) for r in
+                (df.groupBy(F.session_window("ts", "30 minutes")
+                            .alias("w"), "user_id")
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+                 .select("user_id",
+                         F.unix_timestamp("w.start").cast("bigint")
+                         .alias("s"),
+                         F.unix_timestamp("w.end").cast("bigint")
+                         .alias("e"), "n")).collect()}
+
+    all_rows = sessions(ev.withColumn("ts", col))
+    on_time = sessions(ev.withColumn("ts", col)
+                       .filter(F.col("event_id") % 13 != 0))
+    # late drops: some all-events session is NOT in the emitted set
+    assert got != all_rows, "late drops invisible — filter untested"
+    # cross-batch merges: surviving stragglers DID land in sessions,
+    # so the on-time-only sessionization differs too
+    assert got != on_time, "no straggler merged — state merge untested"
+    # everything emitted is a genuine session of SOME event subset:
+    # counts are positive, spans at least one gap
+    assert all(n >= 1 and e - s >= 1800 for _, s, e, n in got)
