@@ -107,7 +107,9 @@ _DRIVER_PRIORITY = [
     "stream_stateful_timeout",  # NEW r10: GroupState EVENT-TIME timeout
     # lifecycle oracle-backed (preemption, re-arm, terminal flush)
     "stream_session_merge",  # NEW r10: MERGING session-window state
-    # oracle-backed (gap-relative late filter, straggler merge/overlap)
+    # oracle-backed (gap-relative late filter, straggler merges)
+    "ds_cross_nation_orders",  # NEW r10: TPC-DS q46/q68 shape (order-
+    # grain composite-key agg + dim-attribute mismatch residual)
     "func_geo_setop_rings",  # NEW r10: union/diff/symdiff RINGS (signed
     # areas from the generalized Greiner-Hormann tracer vs the
     # independent fan-algebra inclusion-exclusion oracle)
@@ -157,7 +159,10 @@ _DRIVER_PRIORITY = [
     # (were rows-only r9 — the r9 slots recorded bare no_oracle markers)
     "sketch_qsketch_signed",  # NEW r10: two-sided DDSketch layout
     "agg_grouping_having", "sketch_qsketch_quantiles",
-    "sql_match_recognize", "sql_calcite_dialect", "subquery_in",
+    "sql_match_recognize", "sql_calcite_dialect",
+    # subquery_in displaced to ds_cross_nation_orders (committed green
+    # rows; the r10 correlation guard is corpus- and fuzzer-pinned;
+    # rotate in r11)
     # subquery_quantified_some displaced to stream_session_merge (it
     # holds committed green rows; the r10 correlation-guard change is
     # corpus- and fuzzer-pinned; rotate in r11)

@@ -3051,3 +3051,50 @@ def ds_ship_lag_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (src.groupBy("o_orderpriority")
             .agg(*[F.sum(F.when(c, 1).otherwise(0)).cast("bigint")
                    .alias(n) for n, c in bands]))
+
+
+@q("ds_cross_nation_orders", """
+SELECT c_name, o_orderkey, s_nationkey AS bought_nation,
+       c_nationkey AS home_nation,
+       CAST(sum((l_extendedprice::DECIMAL(18,2) * 100)::BIGINT)
+            AS BIGINT) AS amt_cents,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN customer ON c_custkey = o_custkey
+WHERE c_nationkey <> s_nationkey
+GROUP BY 1, 2, 3, 4
+HAVING count(*) >= 3
+""")
+def ds_cross_nation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q46/q68 shape (queries/q46.sql, q68.sql): per-order
+    aggregates grouped WITH a dimension attribute in the key (q46
+    groups by (ticket, bought-city)), joined to the customer dim and
+    kept only where the purchase attribute MISMATCHES the customer's
+    home attribute (bought_city <> current_city; here supplier nation
+    vs customer nation). Scale shape: the supplier and customer dims
+    BROADCAST, the single fact shuffle is the composite-key
+    aggregation, and the inequality is a residual filter on the
+    already-joined row — never a join condition that would force a
+    nested loop. The oracle spells the identical star; this row pins
+    exact cent sums and the HAVING band across engines."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    sup = t(spark, sf_dir, "supplier")
+    cust = t(spark, sf_dir, "customer")
+    return (li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(F.broadcast(sup),
+                  F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(F.broadcast(cust.select("c_custkey", "c_name",
+                                          "c_nationkey")),
+                  F.col("c_custkey") == F.col("o_custkey"))
+            .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+            .groupBy("c_name", "o_orderkey",
+                     F.col("s_nationkey").alias("bought_nation"),
+                     F.col("c_nationkey").alias("home_nation"))
+            .agg(F.sum((F.col("l_extendedprice").cast("decimal(18,2)")
+                        * 100).cast("bigint")).cast("bigint")
+                 .alias("amt_cents"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+            .filter(F.col("n_lines") >= 3))

@@ -874,3 +874,15 @@ def test_text_bpe_encode_map_only_no_explode(spark):
     assert "Exchange" not in plan, "encode is not map-only"
     assert "Generate" not in plan, "words exploded to rows"
     assert "EvalPython" not in plan
+
+
+def test_ds_cross_nation_orders_broadcast_dims_one_shuffle(spark):
+    """ds_cross_nation_orders (q46/q68 shape): both dims broadcast, the
+    inequality is a residual filter (no nested loop), and the fact
+    shuffles once for the composite-key aggregation."""
+    plan = _plan(entrymod.queries()["ds_cross_nation_orders"](
+        spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
