@@ -110,6 +110,9 @@ _DRIVER_PRIORITY = [
     # oracle-backed (gap-relative late filter, straggler merges)
     "ds_cross_nation_orders",  # NEW r10: TPC-DS q46/q68 shape (order-
     # grain composite-key agg + dim-attribute mismatch residual)
+    "stream_checkpoint_resume",  # NEW r10: stop/resume across one
+    # checkpoint ORACLE-BACKED (restored watermark+state; the resume
+    # tightens the file-2 late filter by one slot — encoded exactly)
     "func_geo_setop_rings",  # NEW r10: union/diff/symdiff RINGS (signed
     # areas from the generalized Greiner-Hormann tracer vs the
     # independent fan-algebra inclusion-exclusion oracle)
@@ -159,7 +162,10 @@ _DRIVER_PRIORITY = [
     # (were rows-only r9 — the r9 slots recorded bare no_oracle markers)
     "sketch_qsketch_signed",  # NEW r10: two-sided DDSketch layout
     "agg_grouping_having", "sketch_qsketch_quantiles",
-    "sql_match_recognize", "sql_calcite_dialect",
+    "sql_match_recognize",
+    # sql_calcite_dialect displaced to stream_checkpoint_resume (it
+    # holds a committed r9 green row; every r10 front-door change is
+    # corpus-pinned across 734 verbatim cases; rotate in r11)
     # subquery_in displaced to ds_cross_nation_orders (committed green
     # rows; the r10 correlation guard is corpus- and fuzzer-pinned;
     # rotate in r11)

@@ -1045,3 +1045,143 @@ def stream_session_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@q("stream_checkpoint_resume", f"""
+WITH e AS (
+  SELECT epoch_us(ts) AS us, value,
+         least(CAST(floor(date_diff('day', DATE '2024-01-01', ts) / 7)
+                    AS BIGINT), 3) AS wk,
+         event_id
+  FROM events
+), b AS (
+  SELECT us, value,
+         CASE WHEN event_id % 13 = 0 THEN least(wk + 2, 3) ELSE wk END
+           AS batch
+  FROM e
+), mx AS (SELECT batch, max(us) AS m FROM b GROUP BY 1),
+wms AS (
+  SELECT j AS batch,
+         coalesce(((SELECT max(m) FROM mx WHERE mx.batch <= j - 1)
+                   // 1000 - {_WM_DELAY_US // 1000}) * 1000,
+                  -4611686018427387904) AS wm
+  FROM (VALUES (0), (1), (2), (3), (4)) v(j)),
+filt AS (
+  -- RESUME semantics: phase 1 (files 0-1) ends with an empty
+  -- trailing batch that advances the lagged filter one extra slot, so
+  -- the file-2 batch filters with W_2 — one batch TIGHTER than the
+  -- uninterrupted run's W_1. Files 0/1/3 filter exactly as the
+  -- single-run battery (W_(j-1)).
+  SELECT 0 AS batch, -4611686018427387904 AS fwm UNION ALL
+  SELECT 1, -4611686018427387904 UNION ALL
+  SELECT 2, (SELECT wm FROM wms WHERE batch = 2) UNION ALL
+  SELECT 3, (SELECT wm FROM wms WHERE batch = 2)),
+survived AS (
+  SELECT b.us, b.value
+  FROM b JOIN filt ON filt.batch = b.batch
+  WHERE (b.us // {_WM_DAY_US}) * {_WM_DAY_US} + {_WM_DAY_US} > filt.fwm
+), fin AS (SELECT wm AS wm_final FROM wms WHERE batch = 4)
+SELECT CAST((us // {_WM_DAY_US}) * 86400 AS BIGINT) AS win_start,
+       CAST(count(*) AS BIGINT) AS n,
+       sum(value::DECIMAL(18,6))::DOUBLE AS total_value
+FROM survived, fin
+WHERE (us // {_WM_DAY_US}) * {_WM_DAY_US} + {_WM_DAY_US} <= fin.wm_final
+GROUP BY 1
+""")
+def stream_checkpoint_resume(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """CHECKPOINT STOP/RESUME, oracle-backed: the stream_late_data_drop
+    pipeline run as TWO separate streaming queries sharing one
+    checkpoint — phase 1 drains files 0-1 and STOPS; files 2-3 land;
+    phase 2 starts a NEW query from the same checkpoint and drains the
+    rest into the same idempotent foreachBatch parquet sink. The final
+    table must equal one exactly-once run: restored watermark, restored
+    window state, no duplicated and no lost emission.
+
+    The oracle is NOT simply the single-run answer: stopping after the
+    data inserts a trailing empty batch that advances the lagged
+    late-input filter one extra slot, so the first post-resume batch
+    filters stragglers with W_2 where the uninterrupted run used W_1 —
+    the oracle encodes exactly that (calibrated: the single-run filter
+    admits (W_1, W_2] stragglers and hashes red here). Everything else
+    — watermark restoration across queries, state content, terminal
+    emission — must land bit-identically for the hash to pass, which is
+    the restart-correctness contract a 1000-executor deployment relies
+    on every time it upgrades or rebalances."""
+    import os as _os
+    import shutil
+    import uuid as _uuid
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from drill_calcite_spark.queries.sources import _fixture_dir
+
+    ev = t(spark, sf_dir, "events")
+    wk = F.least(F.floor(F.datediff(F.col("ts"), F.lit("2024-01-01")) / 7),
+                 F.lit(3))
+    batch = (F.when(F.col("event_id") % 13 == 0,
+                    F.least(wk + 2, F.lit(3)))
+             .otherwise(wk)).cast("int")
+    pdf = (ev.select("event_id", "ts", "user_id", "event_type", "value",
+                     batch.alias("batch")).toPandas())
+
+    tag = _uuid.uuid4().hex[:12]
+    base = _os.path.join(_fixture_dir(sf_dir), f"ck_src_{tag}")
+    sink = _os.path.join(_fixture_dir(sf_dir), f"ck_sink_{tag}")
+    ckpt = _os.path.join(_fixture_dir(sf_dir), f"ck_ckpt_{tag}")
+    _os.makedirs(base)
+
+    def _write(bno: int) -> None:
+        part = pdf[pdf.batch == bno].drop(columns=["batch"])
+        path = f"{base}/batch_{bno:03d}.parquet"
+        _pq.write_table(
+            _pa.Table.from_pandas(part, preserve_index=False), path,
+            coerce_timestamps="us", allow_truncated_timestamps=True)
+        _os.utime(path, (1_700_000_000 + bno * 1000,) * 2)
+
+    def _drain() -> None:
+        schema = spark.read.parquet(base).schema
+        agg = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(base)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "2 days")
+            .groupBy(tumble("ts", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,6)"))
+                 .cast("double").alias("total_value"))
+            .select(F.unix_timestamp(F.col("w.start")).cast("bigint")
+                    .alias("win_start"), "n", "total_value"))
+
+        def snk(bdf, bid):
+            bdf.write.mode("append").parquet(sink)
+
+        q_ = (agg.writeStream.foreachBatch(snk).outputMode("append")
+              .option("checkpointLocation", ckpt)
+              .trigger(availableNow=True).start())
+        try:
+            if not q_.awaitTermination(300):
+                raise TimeoutError("checkpoint drain exceeded 300s")
+        finally:
+            if q_.isActive:
+                q_.stop()
+
+    try:
+        _write(0)
+        _write(1)
+        _drain()
+        _write(2)
+        _write(3)
+        _drain()
+        rows = spark.read.parquet(sink).collect()
+        from pyspark.sql.types import (LongType, DoubleType, StructField,
+                                       StructType)
+        schema_out = StructType([
+            StructField("win_start", LongType()),
+            StructField("n", LongType()),
+            StructField("total_value", DoubleType())])
+        return spark.createDataFrame(rows, schema_out)
+    finally:
+        for d in (base, sink, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
