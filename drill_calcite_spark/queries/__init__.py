@@ -113,6 +113,8 @@ _DRIVER_PRIORITY = [
     "stream_checkpoint_resume",  # NEW r10: stop/resume across one
     # checkpoint ORACLE-BACKED (restored watermark+state; the resume
     # tightens the file-2 late filter by one slot — encoded exactly)
+    "modify_version_diff",  # NEW r10: CDC read between table versions
+    # (updates surface as delete+insert pairs; multiset-exact)
     "func_geo_setop_rings",  # NEW r10: union/diff/symdiff RINGS (signed
     # areas from the generalized Greiner-Hormann tracer vs the
     # independent fan-algebra inclusion-exclusion oracle)
@@ -162,7 +164,9 @@ _DRIVER_PRIORITY = [
     # (were rows-only r9 — the r9 slots recorded bare no_oracle markers)
     "sketch_qsketch_signed",  # NEW r10: two-sided DDSketch layout
     "agg_grouping_having", "sketch_qsketch_quantiles",
-    "sql_match_recognize",
+    # sql_match_recognize displaced to modify_version_diff (committed
+    # r9 green row; the r10 DEFINE-compiler changes are pinned by the
+    # MR property fuzzer + corpus; rotate in r11)
     # sql_calcite_dialect displaced to stream_checkpoint_resume (it
     # holds a committed r9 green row; every r10 front-door change is
     # corpus-pinned across 734 verbatim cases; rotate in r11)

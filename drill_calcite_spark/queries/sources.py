@@ -468,3 +468,64 @@ def source_dynamic_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_value"),
         F.count(F.col("event_type")).alias("n_typed"),
     )
+
+
+@q("modify_version_diff", """
+WITH v0 AS (
+  SELECT o_orderkey, o_orderstatus,
+         (o_totalprice::DECIMAL(18,2) * 100)::BIGINT AS cents
+  FROM orders
+), v1 AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 10 = 3 THEN cents + 500 ELSE cents END
+           AS cents
+  FROM v0
+  UNION ALL
+  SELECT 900000001, 'O', 100 UNION ALL
+  SELECT 900000002, 'F', 200 UNION ALL
+  SELECT 900000003, 'P', 300
+), ins AS (
+  SELECT *, 'insert' AS _change FROM (
+    SELECT * FROM v1 EXCEPT ALL SELECT * FROM v0)
+), dels AS (
+  SELECT *, 'delete' AS _change FROM (
+    SELECT * FROM v0 EXCEPT ALL SELECT * FROM v1)
+)
+SELECT * FROM ins UNION ALL SELECT * FROM dels
+""")
+def modify_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE-DATA READ between table versions (sources/modify.py
+    version_diff): v0 = an orders projection; ONE MERGE produces v1
+    (matched keys get +500 cents, three brand-new keys insert); the
+    version diff must surface every insert once and every update as a
+    delete+insert PAIR — multiset-exact (exceptAll), fully distributed,
+    never a driver-side diff. The oracle spells the two EXCEPT ALLs
+    literally over the same deterministic version derivation."""
+    import uuid as _uuid
+
+    from drill_calcite_spark.sources.modify import merge_into, version_diff
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents"))
+    path = os.path.join(_fixture_dir(sf_dir),
+                        f"orders_cdc_{_uuid.uuid4().hex[:12]}")
+    try:
+        create_table(spark, path, orders)
+        upd = orders.filter(F.col("o_orderkey") % 10 == 3)
+        new = spark.createDataFrame(
+            [(900000001, "O", 100), (900000002, "F", 200),
+             (900000003, "P", 300)],
+            "o_orderkey long, o_orderstatus string, cents long")
+        merge_into(
+            spark, path, upd.unionByName(new), on=["o_orderkey"],
+            when_matched_update={
+                "cents": F.col("__tgt.cents") + F.lit(500)},
+            when_not_matched_insert=True)
+        diff = version_diff(spark, path, 0, 1)
+        rows = diff.collect()
+        return spark.createDataFrame(rows, diff.schema)
+    finally:
+        import shutil as _shutil
+        _shutil.rmtree(path, ignore_errors=True)

@@ -155,3 +155,19 @@ def merge_into(
                 )
         updated = updated.unionByName(inserts.select(*cur.columns))
     _rewrite(spark, path, updated)
+
+
+def version_diff(spark: SparkSession, path: str, v_old: int,
+                 v_new: int) -> DataFrame:
+    """CDC read between two retained versions: the multiset difference in
+    both directions, tagged ``_change`` ('insert' rows exist only in
+    v_new, 'delete' rows only in v_old; an update surfaces as a
+    delete+insert pair — the standard change-data-feed convention; the
+    reference's TableModify has no change-read at all). exceptAll keeps
+    duplicate multiplicity and runs as a distributed anti-join-shaped
+    aggregate — no driver-side diffing."""
+    old = read_versioned(spark, path, v_old)
+    new = read_versioned(spark, path, v_new)
+    ins = new.exceptAll(old).withColumn("_change", F.lit("insert"))
+    dels = old.exceptAll(new).withColumn("_change", F.lit("delete"))
+    return ins.unionByName(dels)
