@@ -115,6 +115,8 @@ _DRIVER_PRIORITY = [
     # tightens the file-2 late filter by one slot — encoded exactly)
     "modify_version_diff",  # NEW r10: CDC read between table versions
     # (updates surface as delete+insert pairs; multiset-exact)
+    "source_schema_merge",  # NEW r10: parquet mergeSchema evolution
+    # (union row type, NULL for absent columns, footer-merged)
     "func_geo_setop_rings",  # NEW r10: union/diff/symdiff RINGS (signed
     # areas from the generalized Greiner-Hormann tracer vs the
     # independent fan-algebra inclusion-exclusion oracle)
@@ -163,7 +165,10 @@ _DRIVER_PRIORITY = [
     "multimodal_features", "multimodal_resize",  # ORACLE-BACKED in r10
     # (were rows-only r9 — the r9 slots recorded bare no_oracle markers)
     "sketch_qsketch_signed",  # NEW r10: two-sided DDSketch layout
-    "agg_grouping_having", "sketch_qsketch_quantiles",
+    "agg_grouping_having",
+    # sketch_qsketch_quantiles displaced to source_schema_merge (its
+    # r10 schema change is pinned by sketch_qsketch_signed's fresh row
+    # + the merge/error property tests; rotate in r11)
     # sql_match_recognize displaced to modify_version_diff (committed
     # r9 green row; the r10 DEFINE-compiler changes are pinned by the
     # MR property fuzzer + corpus; rotate in r11)

@@ -529,3 +529,60 @@ def modify_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         import shutil as _shutil
         _shutil.rmtree(path, ignore_errors=True)
+
+
+@q("source_schema_merge", """
+WITH a AS (
+  SELECT o_orderkey, (o_totalprice::DECIMAL(18,2) * 100)::BIGINT AS cents,
+         NULL::VARCHAR AS o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+), b AS (
+  SELECT o_orderkey, NULL::BIGINT AS cents, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1
+), u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(cents) AS BIGINT) AS n_cents,
+       CAST(count(o_orderpriority) AS BIGINT) AS n_pri,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM u
+""")
+def source_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARQUET SCHEMA EVOLUTION on read (``mergeSchema``): two files in
+    one directory carry DIFFERENT column sets (old writer: key+cents;
+    new writer: key+priority); the merged scan must expose the union
+    row type with NULL for each file's absent columns — the
+    schema-on-read half of the DYNAMIC_STAR story
+    (`source_dynamic_star`) on the columnar path, where the footer
+    schemas are merged at planning time instead of per-record
+    discovery. The oracle rebuilds both projections and their
+    NULL-padded union; counts per column prove absence surfaced as
+    NULL, not dropped rows or errors."""
+    import uuid as _uuid
+
+    orders = t(spark, sf_dir, "orders")
+    base = os.path.join(_fixture_dir(sf_dir),
+                        f"schema_merge_{_uuid.uuid4().hex[:12]}")
+    os.makedirs(base)
+    try:
+        (orders.filter(F.col("o_orderkey") % 2 == 0)
+         .select("o_orderkey",
+                 (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                 .cast("bigint").alias("cents"))
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(base, "gen=old")))
+        (orders.filter(F.col("o_orderkey") % 2 == 1)
+         .select("o_orderkey", "o_orderpriority")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(base, "gen=new")))
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(base, "gen=old"), os.path.join(base, "gen=new"))
+        out = merged.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count("cents").cast("bigint").alias("n_cents"),
+            F.count("o_orderpriority").cast("bigint").alias("n_pri"),
+            F.sum("cents").cast("bigint").alias("sum_cents"))
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        import shutil as _shutil
+        _shutil.rmtree(base, ignore_errors=True)
