@@ -117,6 +117,8 @@ _DRIVER_PRIORITY = [
     # (updates surface as delete+insert pairs; multiset-exact)
     "source_schema_merge",  # NEW r10: parquet mergeSchema evolution
     # (union row type, NULL for absent columns, footer-merged)
+    "modify_compact",  # NEW r10: small-file compaction as a snapshot
+    # commit (content hash-pinned, file count pinned via inputFiles)
     "func_geo_setop_rings",  # NEW r10: union/diff/symdiff RINGS (signed
     # areas from the generalized Greiner-Hormann tracer vs the
     # independent fan-algebra inclusion-exclusion oracle)
@@ -187,7 +189,8 @@ _DRIVER_PRIORITY = [
     # sort_limit_offset displaced to stream_join_state_expiry (it holds
     # a committed r9 green row and its r10 DISTINCT-orderby hardening
     # is corpus- and fuzzer-pinned; rotate in r11)
-    "agg_grouping_id",
+    # agg_grouping_id displaced to modify_compact (committed r9 green
+    # row; the r10 grouping rewrites are corpus-pinned; rotate in r11)
     # (b) the round-4-vintage cohort (collect_nested, dedup_ngram_capped
     # and func_char_pad gave their slots to the q45/q41/q6 shapes — new
     # names need their FIRST driver row; the displaced names hold

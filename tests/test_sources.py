@@ -156,3 +156,37 @@ def test_html_table_roundtrip_escapes_markup(spark, tmp_path):
     back = read_html_table(spark, path, ["id", "s"])
     got = sorted((int(r.id), r.s) for r in back.collect())
     assert got == [(1, "a < b & c > d"), (2, "<td>nested</td>"), (3, "plain")]
+
+
+def test_version_diff_roundtrip_reconstructs(spark, tmp_path):
+    """Applying the change feed to the old version must reconstruct the
+    new one exactly (multiset): v0 − deletes + inserts ≡ v1 — the
+    invariant that makes a CDC feed usable by downstream consumers."""
+    from pyspark.sql import functions as F
+
+    from drill_calcite_spark.sources.modify import (
+        create_table,
+        delete_where,
+        insert_into,
+        read_versioned,
+        version_diff,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 3, f"v{i % 5}") for i in range(50)] + [(7, 1, "v2")],
+        "k int, g int, s string")  # includes a duplicate row (k=7)
+    path = str(tmp_path / "cdc_tbl")
+    create_table(spark, path, df)
+    delete_where(spark, path, F.col("g") == 1)
+    insert_into(spark, path, spark.createDataFrame(
+        [(100, 9, "new"), (100, 9, "new")], "k int, g int, s string"))
+    diff = version_diff(spark, path, 1, 2)
+    v1 = read_versioned(spark, path, 1)
+    v2 = read_versioned(spark, path, 2)
+    ins = diff.filter(F.col("_change") == "insert").drop("_change")
+    dels = diff.filter(F.col("_change") == "delete").drop("_change")
+    rebuilt = v1.exceptAll(dels).unionByName(ins)
+    assert rebuilt.exceptAll(v2).count() == 0
+    assert v2.exceptAll(rebuilt).count() == 0
+    # the duplicate insert must appear twice in the feed (multiset)
+    assert ins.filter(F.col("k") == 100).count() == 2
