@@ -119,6 +119,8 @@ _DRIVER_PRIORITY = [
     # (union row type, NULL for absent columns, footer-merged)
     "modify_compact",  # NEW r10: small-file compaction as a snapshot
     # commit (content hash-pinned, file count pinned via inputFiles)
+    "source_partition_overwrite",  # NEW r10: dynamic partition
+    # overwrite (one-partition restatement, others untouched)
     "func_geo_setop_rings",  # NEW r10: union/diff/symdiff RINGS (signed
     # areas from the generalized Greiner-Hormann tracer vs the
     # independent fan-algebra inclusion-exclusion oracle)
@@ -148,8 +150,9 @@ _DRIVER_PRIORITY = [
     # (EXISTS AND (EXISTS OR EXISTS) -> one-scan presence flags)
     "ds_warehouse_monthly_pivot",  # NEW r10: TPC-DS q66 shape (two-
     # branch UNION ALL -> one-scan 12-column conditional-sum pivot)
-    "stream_live_dedup",  # CHANGED r10: dropDuplicatesWithinWatermark
-    # (bounded dedup state — plain dropDuplicates never expires keys)
+    # stream_live_dedup displaced to source_partition_overwrite (its
+    # r10 dropDuplicatesWithinWatermark change is now covered by the
+    # deeper stream_dedup_expiry battery above + pytest; rotate r11)
     "ann_ivf_fixed_topk",  # NEW r10: the IVF scale path ORACLE-BACKED
     # (fixed deterministic quantizer; every float hash-pinned)
     "pairs_negative_sampling",  # NEW r10: deterministic contrastive

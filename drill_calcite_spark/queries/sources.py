@@ -630,3 +630,61 @@ def modify_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         import shutil as _shutil
         _shutil.rmtree(path, ignore_errors=True)
+
+
+@q("source_partition_overwrite", """
+WITH cur AS (
+  SELECT extract(year FROM o_orderdate)::BIGINT AS o_year,
+         o_orderkey,
+         CASE WHEN extract(year FROM o_orderdate) = 1996
+              THEN (o_totalprice::DECIMAL(18,2) * 100)::BIGINT + 1
+              ELSE (o_totalprice::DECIMAL(18,2) * 100)::BIGINT
+         END AS cents
+  FROM orders
+)
+SELECT o_year, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM cur GROUP BY 1
+""")
+def source_partition_overwrite(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION OVERWRITE (partitionOverwriteMode=dynamic):
+    a year-partitioned table gets ONE partition's data rewritten
+    (the 1996 restatement adds a cent per order); the write must
+    replace ONLY the partitions present in the incoming frame and
+    leave every other year's files untouched — the INSERT OVERWRITE
+    PARTITION contract a backfill relies on (static mode would wipe
+    the whole table). The oracle recomputes the post-restatement
+    totals; untouched years hash identically, so collateral damage or
+    a missed replacement both go red."""
+    import uuid as _uuid
+
+    orders = t(spark, sf_dir, "orders")
+    base = os.path.join(_fixture_dir(sf_dir),
+                        f"part_ovw_{_uuid.uuid4().hex[:12]}")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    tbl = orders.select(F.year("o_orderdate").cast("bigint")
+                        .alias("o_year"), "o_orderkey",
+                        cents.alias("cents"))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "STATIC")
+    try:
+        tbl.write.partitionBy("o_year").mode("overwrite").parquet(base)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
+        restated = (spark.read.parquet(base)
+                    .filter(F.col("o_year") == 1996)
+                    .withColumn("cents", F.col("cents") + 1))
+        (restated.select("o_orderkey", "cents", "o_year")
+         .write.partitionBy("o_year").mode("overwrite").parquet(base))
+        out = (spark.read.parquet(base)
+               .groupBy("o_year")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                    F.sum("cents").cast("bigint").alias("sum_cents")))
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        import shutil as _shutil
+        _shutil.rmtree(base, ignore_errors=True)
