@@ -30,30 +30,25 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # tests/test_registry_evidence.py (added r8 after func_geo_srid slipped
 # through round 7 unslated).
 #
-# ROUND-10 ROTATION, in order:
-# (a) names whose CODE, ORACLE, or feeding rewrites changed in round 10:
-#     agg_grouping_having (NEW — GROUPING arithmetic in HAVING through
-#     the front door's subquery lift), sketch_qsketch_quantiles (output
-#     now keyed by the exact (num, den) rational — schema changed, the
-#     r9 row covers the old shape), sql_match_recognize (the DEFINE
-#     compiler gained the AST whitelist + letter-anchored symbol refs),
-#     sql_calcite_dialect (front door gained the grouping lifts,
-#     row-IN NULL expansion, json_exists, JDBC escapes, caseSensitive
-#     toggle, hardened DISTINCT-orderby + correlation guard),
-#     subquery_in / subquery_quantified_some / subquery_quantified_all
-#     (the correlation guard touches their rewrite paths),
-#     sort_limit_offset (DISTINCT ORDER-BY rewrite hardening),
-#     agg_grouping_id (grouping rewrite family);
-# (b) the complete round-4-vintage cohort (oldest evidence after r9's
-#     r2-cohort refresh, 11 names);
-# (c) the oldest round-5-vintage names with the remaining slots (the
-#     rest of the r5 cohort — source_json_scan, sql_text_entry, the
-#     stream_* family, text_trigram_stats, unnest_map_entries,
-#     unnest_multi_zip, window_range_frame, subquery_exists_correlated
-#     — rotate in r11).
-# The r9 rows-only slate (sample_bernoulli/system, exchange_repartition,
-# match_vshape, ann_ivf_topk, multimodal_features/resize, bench_ann_topk)
-# holds its r9 marker rows and rotates out as planned.
+# ROUND-10 ROTATION (final, session 2), in order:
+# (a) the session-2 additions lead — every name is brand-NEW this round
+#     (first driver row needed): eleven TPC-DS shapes (q28, q44, q87,
+#     q75, q61/q90, q9, q45, q41, q6, q33/q56/q60, q62/q50, q46/q68),
+#     three training-pipeline ops (JL projection, epoch shuffle, BPE
+#     encode), the STREAMING-STATE batteries (late-data drop, dedup
+#     expiry, join buffer expiry, GroupState timeout, session merge,
+#     checkpoint resume), and the lakehouse quartet (version-diff CDC,
+#     compaction, schema merge, partition overwrite);
+# (b) the session-1 additions follow (also r10-new — set-op rings, the
+#     earlier TPC-DS shapes, match/stream/ann upgrades);
+# (c) r10-CHANGED names with committed green rows were displaced one by
+#     one as (a) grew — each displacement is annotated inline with why
+#     its change is already pinned (corpus cases, fuzzers, plan tests,
+#     or a sibling battery) and is marked "rotate in r11". The r11
+#     slate should lead with: agg_grouping_id, sql_calcite_dialect,
+#     sql_match_recognize, sort_limit_offset, sketch_qsketch_quantiles,
+#     stream_live_dedup, subquery_in, subquery_quantified_some/_all,
+#     then the displaced r4/r5-vintage cohorts named below.
 _ROWS_ONLY_FIRST_EVIDENCE = [
     # multimodal_features / multimodal_resize left this list in r10:
     # their deterministic stub dataflows gained full DuckDB oracles
