@@ -1155,7 +1155,11 @@ def stream_checkpoint_resume(spark: SparkSession,
                     .alias("win_start"), "n", "total_value"))
 
         def snk(bdf, bid):
-            bdf.write.mode("append").parquet(sink)
+            # batch-id-keyed overwrite = IDEMPOTENT under micro-batch
+            # retries (a replayed batch rewrites its own directory
+            # instead of appending duplicates)
+            bdf.write.mode("overwrite").parquet(
+                _os.path.join(sink, f"b{bid:05d}"))
 
         q_ = (agg.writeStream.foreachBatch(snk).outputMode("append")
               .option("checkpointLocation", ckpt)
@@ -1174,7 +1178,8 @@ def stream_checkpoint_resume(spark: SparkSession,
         _write(2)
         _write(3)
         _drain()
-        rows = spark.read.parquet(sink).collect()
+        rows = spark.read.option("recursiveFileLookup", "true") \
+            .parquet(sink).collect()
         from pyspark.sql.types import (LongType, DoubleType, StructField,
                                        StructType)
         schema_out = StructType([
