@@ -2379,3 +2379,69 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"), lambda acc, x: acc + x)
     return (docs.select("doc_id", n_tok.alias("n_tokens"),
                         F.col("n_chars").cast("bigint").alias("n_chars")))
+
+
+def _sketch_gate_oracle() -> str:
+    from drill_calcite_spark.operators.qsketch import sql_qsketch_bucket
+
+    return f"""
+WITH v AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v FROM documents
+),
+s AS (
+  SELECT {sql_qsketch_bucket('v')} AS bucket_lo,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM v GROUP BY 1
+),
+c AS (
+  SELECT bucket_lo,
+         sum(cnt) OVER (ORDER BY bucket_lo) AS cum,
+         sum(cnt) OVER () AS n
+  FROM s
+),
+thr AS (
+  SELECT min(bucket_lo) AS lo FROM c
+  WHERE cum >= (1 * n + 4 - 1) // 4
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(v) AS BIGINT) AS sum_chars
+FROM v, thr WHERE v.v >= thr.lo
+GROUP BY 1
+"""
+
+
+@q("pipeline_quality_sketch_gate", _sketch_gate_oracle())
+def pipeline_quality_sketch_gate(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """SKETCH-DRIVEN QUALITY GATE — the operators COMPOSING: build the
+    mergeable quantile sketch over a per-document score (length here;
+    any integer quality score slots in), read the corpus-wide p25 lower
+    bound FROM THE SKETCH, broadcast that one-row threshold, and keep
+    only documents at or above it — the "drop the bottom quartile"
+    pass a data pipeline runs before training, sized so the threshold
+    never requires a global sort or exact percentile over the corpus.
+
+    Scale shape: the sketch collapses map-side to ≤ 2048 cells before
+    its exchange; the quantile window runs over the SKETCH; the
+    threshold joins back as a BROADCAST scalar; the gate itself is a
+    map-side filter. Cost is two light passes — never an exact
+    median/ntile over 100 TB. The oracle rebuilds the sketch
+    cell-for-cell and applies the identical rank rule, so the
+    threshold (a conservative bucket lower bound, the sketch's
+    documented 2^-5 relative-error contract) and every surviving
+    per-source total are hash-pinned."""
+    from drill_calcite_spark.operators.qsketch import (
+        qsketch_build,
+        qsketch_quantiles,
+    )
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("v"))
+    sk = qsketch_build(docs, "v")
+    thr = (qsketch_quantiles(sk, [(1, 4)])
+           .select(F.col("lo").alias("thr")))
+    return (docs.crossJoin(F.broadcast(thr))
+            .filter(F.col("v") >= F.col("thr"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("v").cast("bigint").alias("sum_chars")))

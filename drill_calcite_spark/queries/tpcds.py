@@ -3098,3 +3098,101 @@ def ds_cross_nation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("amt_cents"),
                  F.count(F.lit(1)).cast("bigint").alias("n_lines"))
             .filter(F.col("n_lines") >= 3))
+
+
+_Q85_BANDS = [("BUILDING", 0, 3_000_000), ("MACHINERY", 3_000_000,
+              6_000_000), ("HOUSEHOLD", 6_000_000, 100_000_000_000)]
+
+
+def _q85_oracle() -> str:
+    bands = " OR ".join(
+        f"(c_mktsegment = '{seg}' AND cents >= {lo} AND cents < {hi})"
+        for seg, lo, hi in _Q85_BANDS)
+    return f"""
+WITH j AS (
+  SELECT o_orderpriority, c_mktsegment,
+         (l_extendedprice::DECIMAL(18,2) * 100)::BIGINT AS cents,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST((2 * sum(qty) + count(*)) // (2 * count(*)) AS BIGINT)
+         AS avg_qty,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM j WHERE {bands}
+GROUP BY 1
+"""
+
+
+@q("ds_band_reason_averages", _q85_oracle())
+def ds_band_reason_averages(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """TPC-DS q85/q48/q13 shape: the OR-OF-BANDS residual — each
+    disjunct couples an attribute from ONE join side with a measure
+    range from the OTHER ((marital AND education AND price-band-1) OR
+    ...), so no single band can push below the join; the disjunction
+    must evaluate as a residual ON the joined row, and the join itself
+    must stay a hash join (a planner that folds the bands into the join
+    condition degenerates to a nested loop). Averages are exact
+    half-up integer quotients. The oracle spells the identical
+    band disjunction; the plan test pins hash-join + residual."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    j = (li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+         .select("o_orderpriority", "c_mktsegment",
+                 cents.alias("cents"),
+                 F.col("l_quantity").cast("bigint").alias("qty")))
+    band = None
+    for seg, lo, hi in _Q85_BANDS:
+        c = ((F.col("c_mktsegment") == seg)
+             & (F.col("cents") >= lo) & (F.col("cents") < hi))
+        band = c if band is None else (band | c)
+    g = j.filter(band).groupBy("o_orderpriority")
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.call_function(
+            "div", 2 * F.sum("qty") + F.count(F.lit(1)),
+            2 * F.count(F.lit(1))).cast("bigint").alias("avg_qty"),
+        F.sum("cents").cast("bigint").alias("sum_cents"))
+
+
+@q("ds_price_band_stock", """
+SELECT p.p_brand, p.p_type, p.p_retailprice
+FROM part p
+WHERE p.p_retailprice BETWEEN 930 AND 960
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_partkey = p.p_partkey
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01')
+GROUP BY 1, 2, 3
+ORDER BY p_brand, p_type, p_retailprice
+LIMIT 100
+""")
+def ds_price_band_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q82/q37 shape (queries/q82.sql, q37.sql): items in a
+    retail-price band that actually MOVED in a date window — a
+    price-band dim filter plus an EXISTS against the fact, reported as
+    the DISTINCT attribute tuples. Scale shape: the dim filter prunes
+    FIRST (PushedFilters on the part scan), the existence test runs as
+    a LEFT SEMI join with the date filter pushed to the fact scan, and
+    the DISTINCT runs over dim-sized survivors. Ordered LIMIT carries a
+    total tiebreak (the full grouped tuple). The oracle spells the
+    correlated EXISTS literally."""
+    part = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem")
+    moved = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    return (part.filter(F.col("p_retailprice").between(930, 960))
+            .join(moved, F.col("l_partkey") == F.col("p_partkey"),
+                  "left_semi")
+            .select("p_brand", "p_type", "p_retailprice").distinct()
+            .orderBy("p_brand", "p_type", "p_retailprice").limit(100))

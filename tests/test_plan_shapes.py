@@ -886,3 +886,37 @@ def test_ds_cross_nation_orders_broadcast_dims_one_shuffle(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_ds_band_reason_averages_residual_hash_join(spark):
+    """ds_band_reason_averages (q85/q48 shape): the OR-of-bands must be
+    a residual on hash joins — never a nested-loop fallback."""
+    plan = _plan(entrymod.queries()["ds_band_reason_averages"](
+        spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_ds_price_band_stock_pushdown_semi(spark):
+    """ds_price_band_stock (q82/q37 shape): the price band reaches the
+    part scan (PushedFilters) and the existence test is a semi join."""
+    plan = _plan(entrymod.queries()["ds_price_band_stock"](spark, SF_DIR))
+    assert "LeftSemi" in plan, "EXISTS not planned as a semi join"
+    pushed = plan.split("PushedFilters:")
+    assert any("p_retailprice" in seg[:300] for seg in pushed[1:]), \
+        "price band did not reach the scan"
+    assert "EvalPython" not in plan
+
+
+def test_sketch_gate_broadcast_threshold_no_global_sort(spark):
+    """pipeline_quality_sketch_gate: the threshold must come from the
+    sketch (quantile window over ≤2048 cells) and join back as a
+    BROADCAST scalar — no global sort or exact percentile of the
+    corpus anywhere."""
+    plan = _plan(entrymod.queries()["pipeline_quality_sketch_gate"](
+        spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "rangepartitioning" not in plan.lower().replace(
+        "rangepartitioning(bucket_lo", ""), "corpus-wide sort leaked"
+    assert "EvalPython" not in plan

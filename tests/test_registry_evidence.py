@@ -22,7 +22,8 @@ import json
 import os
 
 from drill_calcite_spark.queries import (
-    _DRIVER_PRIORITY, _ROWS_ONLY_FIRST_EVIDENCE, all_oracles,
+    _DRIVER_PRIORITY, _NEXT_ROUND_HEAD, _ROWS_ONLY_FIRST_EVIDENCE,
+    all_oracles,
 )
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -45,11 +46,24 @@ def _driver_green_names() -> set[str]:
 
 def test_every_oracle_backed_name_has_or_will_get_driver_evidence():
     oracle_names = set(all_oracles())
-    covered = _driver_green_names() | set(_DRIVER_PRIORITY[:DRIVER_SLOTS])
+    covered = (_driver_green_names() | set(_DRIVER_PRIORITY[:DRIVER_SLOTS])
+               | set(_NEXT_ROUND_HEAD))
     missing = sorted(oracle_names - covered)
     assert not missing, (
         f"oracle-backed queries with NO driver CORRECTNESS row and NO slot "
         f"in the current rotation (add them to _DRIVER_PRIORITY): {missing}")
+
+
+def test_next_round_head_is_a_small_disjoint_queue():
+    """The overflow queue may only hold names with NO committed row (they
+    are exactly the ones that MUST lead the next slate), must not overlap
+    the current head, and must stay small — it is a queue, not a dumping
+    ground."""
+    assert len(_NEXT_ROUND_HEAD) <= 10, "queue too large — rotate honestly"
+    assert not set(_NEXT_ROUND_HEAD) & set(_DRIVER_PRIORITY), \
+        "queued name already slated"
+    assert set(_NEXT_ROUND_HEAD) <= set(all_oracles()), \
+        "queued name is not oracle-backed"
 
 
 def test_driver_priority_within_slots_and_unique():
