@@ -70,6 +70,8 @@ _NEXT_ROUND_HEAD = [
     "ds_band_reason_averages",  # NEW r10: q85/q48 OR-of-bands residual
     "ds_price_band_stock",      # NEW r10: q82/q37 price-band semi-join
     "pipeline_quality_sketch_gate",  # NEW r10: sketch-driven p25 gate
+    "dedup_keep_best",  # NEW r10: quality-aware duplicate resolution
+    # (argmax within LSH clusters; kept/dropped byte accounting)
 ]
 
 _DRIVER_PRIORITY = [

@@ -2445,3 +2445,82 @@ def pipeline_quality_sketch_gate(spark: SparkSession,
             .groupBy("source")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                  F.sum("v").cast("bigint").alias("sum_chars")))
+
+
+def _keep_best_oracle() -> str:
+    pairs = _minhash_oracle().strip()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT doc_i AS a, doc_j AS b FROM pairs
+  UNION SELECT doc_j, doc_i FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+  FROM reach GROUP BY a
+),
+m AS (
+  SELECT c.cluster_id, c.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY n_chars DESC, doc_id ASC) AS r
+  FROM m
+)
+SELECT m.cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(min(CASE WHEN rk.r = 1 THEN rk.doc_id END) AS BIGINT)
+         AS kept_doc,
+       CAST(min(CASE WHEN rk.r = 1 THEN rk.n_chars END) AS BIGINT)
+         AS kept_chars,
+       CAST(sum(m.n_chars)
+            - min(CASE WHEN rk.r = 1 THEN rk.n_chars END) AS BIGINT)
+         AS dropped_chars
+FROM m JOIN rk ON rk.cluster_id = m.cluster_id AND rk.doc_id = m.doc_id
+GROUP BY m.cluster_id
+"""
+
+
+@q("dedup_keep_best", _keep_best_oracle())
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-AWARE duplicate resolution — the pipeline ACTION after
+    cluster formation: within each near-duplicate cluster keep the
+    BEST document (highest quality score; length here, any score slots
+    in; deterministic doc_id tiebreak) and account for what gets
+    dropped — `dedup_clusters`' min-id canonical is the graph
+    convention, but a production pipeline keeps the best COPY, not the
+    smallest id.
+
+    Scale shape: clusters come from the LSH candidate pairs (never
+    all-pairs), scores attach by one equi-join on doc_id, and the
+    argmax is a window over CLUSTER-sized partitions (near-dup clusters
+    are small by construction). The oracle replays pair generation, the
+    recursive-CTE closure, AND the argmax — kept/dropped identity and
+    byte accounting are all hash-pinned."""
+    from drill_calcite_spark.operators.graph import connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    comp = connected_components(pairs, src="doc_i", dst="doc_j")
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
+    m = (comp.select(F.col("node").alias("doc_id"),
+                     F.col("component").alias("cluster_id"))
+         .join(docs, "doc_id"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc())
+    rk = m.withColumn("r", F.row_number().over(w))
+    return (rk.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"),
+                 F.min(F.when(F.col("r") == 1, F.col("doc_id")))
+                 .cast("bigint").alias("kept_doc"),
+                 F.min(F.when(F.col("r") == 1, F.col("n_chars")))
+                 .cast("bigint").alias("kept_chars"),
+                 (F.sum("n_chars")
+                  - F.min(F.when(F.col("r") == 1, F.col("n_chars"))))
+                 .cast("bigint").alias("dropped_chars")))
