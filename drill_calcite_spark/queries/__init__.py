@@ -72,6 +72,8 @@ _NEXT_ROUND_HEAD = [
     "pipeline_quality_sketch_gate",  # NEW r10: sketch-driven p25 gate
     "dedup_keep_best",  # NEW r10: quality-aware duplicate resolution
     # (argmax within LSH clusters; kept/dropped byte accounting)
+    "text_boilerplate_mask",  # NEW r10: per-source template-phrase
+    # stripping report (top-K DF shingles, hash-only shuffles)
 ]
 
 _DRIVER_PRIORITY = [

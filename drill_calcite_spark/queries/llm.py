@@ -2524,3 +2524,81 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.sum("n_chars")
                   - F.min(F.when(F.col("r") == 1, F.col("n_chars"))))
                  .cast("bigint").alias("dropped_chars")))
+
+
+@q("text_boilerplate_mask", """
+WITH d AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), c AS (
+  SELECT doc_id, source, md5(p) AS h FROM (
+    SELECT doc_id, source, unnest(list_transform(
+      generate_series(1, len(w) // 2),
+      i -> array_to_string(w[(i-1)*2+1:(i-1)*2+2], ' '))) AS p
+    FROM d) u
+), freq AS (
+  SELECT source, h, count(DISTINCT doc_id) AS nd
+  FROM c GROUP BY 1, 2
+), boiler AS (
+  SELECT source AS bsource, h AS bh FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY nd DESC, h ASC) AS rk
+    FROM freq) r
+  WHERE rk <= 20
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(count(b.bh) AS BIGINT) AS n_boiler,
+       CAST(2 * (count(*) - count(b.bh)) AS BIGINT) AS clean_tokens
+FROM c LEFT JOIN boiler b ON b.bsource = c.source AND b.bh = c.h
+GROUP BY 1
+""")
+def text_boilerplate_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOILERPLATE DETECTION per source — the header/footer/template
+    removal pass (CCNet/RefinedWeb strip lines shared across a site's
+    pages; this corpus has no line structure, so the unit is the
+    non-overlapping 2-word window): each source's TOP-20 shingles by
+    document frequency (deterministic total tiebreak: DF desc, hash
+    asc — a percentage threshold would be data-fragile, going vacuous
+    when source sizes grow) are its template phrases, and each document
+    reports how many of its windows are template and the token count
+    that survives stripping.
+
+    Scale shape: only md5 hashes cross the wire (passage-dedup
+    discipline); the top-K ranking windows over per-source (hash, DF)
+    pairs — never document text; the K·|sources| boilerplate set joins
+    back broadcast-small. The oracle replays windows, hashes,
+    frequencies, and the ranked cut, pinning every per-document
+    count."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = t(spark, sf_dir, "documents").repartition(n, F.col("doc_id"))
+    w = F.col("w")
+    wins = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1),
+                       F.call_function("div", F.size(w), F.lit(2))),
+            lambda i: F.concat_ws(" ", F.slice(w, (i - 1) * 2 + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    c = (docs.select("doc_id", "source", tokens(F.col("text")).alias("w"))
+         .select("doc_id", "source", F.explode(wins).alias("p"))
+         .select("doc_id", "source", F.md5(F.col("p")).alias("h")))
+    freq = c.groupBy("source", "h").agg(
+        F.countDistinct("doc_id").alias("nd"))
+    rk = Window.partitionBy("source").orderBy(
+        F.col("nd").desc(), F.col("h").asc())
+    boiler = (freq.withColumn("rk", F.row_number().over(rk))
+              .filter(F.col("rk") <= 20)
+              .select(F.col("source").alias("bsource"),
+                      F.col("h").alias("bh")))
+    joined = c.join(F.broadcast(boiler),
+                    (F.col("bsource") == F.col("source"))
+                    & (F.col("bh") == F.col("h")), "left")
+    return (joined.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+                 F.count("bh").cast("bigint").alias("n_boiler"),
+                 (2 * (F.count(F.lit(1)) - F.count("bh")))
+                 .cast("bigint").alias("clean_tokens")))
