@@ -2567,11 +2567,20 @@ def text_boilerplate_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     that survives stripping.
 
     Scale shape: only md5 hashes cross the wire (passage-dedup
-    discipline); the top-K ranking windows over per-source (hash, DF)
-    pairs — never document text; the K·|sources| boilerplate set joins
-    back broadcast-small. The oracle replays windows, hashes,
-    frequencies, and the ranked cut, pinning every per-document
-    count."""
+    discipline), and the top-K ranking is TWO-STAGE so no single task
+    ever sorts a source's full shingle population: stage 1 ranks
+    within each (source, shuffle-partition) slice and keeps 20 — exact
+    because any member of a source's true top-20 is necessarily in the
+    top-20 of whatever slice holds it — so stage 2's per-source window
+    merges at most 20·P candidate rows instead of every distinct
+    shingle of a 100 TB source. (A plain `nd >= 2` pre-filter — "top
+    template shingles repeat by definition" — is NOT applied
+    unconditionally: a source with fewer than 20 repeated shingles
+    legitimately ranks nd=1 hashes, and the partial top-K already
+    bounds the sort without that data-dependence.) The K·|sources|
+    boilerplate set joins back broadcast-small. The oracle replays
+    windows, hashes, frequencies, and the ranked cut, pinning every
+    per-document count."""
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     docs = t(spark, sf_dir, "documents").repartition(n, F.col("doc_id"))
     w = F.col("w")
@@ -2588,9 +2597,18 @@ def text_boilerplate_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("doc_id", "source", F.md5(F.col("p")).alias("h")))
     freq = c.groupBy("source", "h").agg(
         F.countDistinct("doc_id").alias("nd"))
+    # Stage 1: partial top-20 per (source, shuffle-partition) slice —
+    # the per-task sort is bounded by the slice, never the source.
+    part = Window.partitionBy("source", "__pid").orderBy(
+        F.col("nd").desc(), F.col("h").asc())
+    cand = (freq.withColumn("__pid", F.spark_partition_id())
+            .withColumn("__prk", F.row_number().over(part))
+            .filter(F.col("__prk") <= 20)
+            .drop("__pid", "__prk"))
+    # Stage 2: the per-source merge window sees ≤ 20·P candidates.
     rk = Window.partitionBy("source").orderBy(
         F.col("nd").desc(), F.col("h").asc())
-    boiler = (freq.withColumn("rk", F.row_number().over(rk))
+    boiler = (cand.withColumn("rk", F.row_number().over(rk))
               .filter(F.col("rk") <= 20)
               .select(F.col("source").alias("bsource"),
                       F.col("h").alias("bh")))

@@ -651,3 +651,77 @@ def test_qsketch_signed_two_sided(spark):
         else:  # negative cell: key is the value-space UPPER bound
             assert x_q <= lo, (num, den, lo, x_q)
             assert x_q > lo * (1 + rel) - 1, (num, den, lo, x_q)
+
+
+# ------------------------------------------- r11 non-vacuousness (VERDICT #5)
+def test_dedup_keep_best_nonvacuous(spark):
+    """The r10 verdict: parity green alone can be vacuous. Pin that at
+    the driver SF the resolver actually RESOLVES something — at least
+    one multi-member cluster exists, its dropped_chars accounting is
+    positive, and kept_chars never exceeds the cluster total."""
+    import __spark_entry__ as em
+    from tests.conftest import SF_DIR
+
+    rows = em.queries()["dedup_keep_best"](spark, SF_DIR).collect()
+    assert rows, "no clusters at all"
+    multi = [r for r in rows if r.n_members > 1]
+    assert multi, "no multi-member cluster resolved — vacuous"
+    assert any(r.dropped_chars > 0 for r in multi), \
+        "nothing was ever dropped — vacuous"
+    for r in rows:
+        assert r.kept_chars + r.dropped_chars >= r.kept_chars
+        assert (r.n_members == 1) == (r.dropped_chars == 0) or \
+            r.n_members > 1, r
+
+
+def test_boilerplate_mask_nonvacuous(spark):
+    """Boiler hits must actually occur (> 0 somewhere) and the clean
+    token arithmetic must hold row-by-row."""
+    import __spark_entry__ as em
+    from tests.conftest import SF_DIR
+
+    rows = em.queries()["text_boilerplate_mask"](spark, SF_DIR).collect()
+    assert rows
+    assert sum(r.n_boiler for r in rows) > 0, "zero boiler hits — vacuous"
+    for r in rows:
+        assert 0 <= r.n_boiler <= r.n_windows
+        assert r.clean_tokens == 2 * (r.n_windows - r.n_boiler)
+
+
+def test_boilerplate_mask_zero_window_doc_excluded(spark, tmp_path):
+    """A document too short to form one 2-word window contributes no
+    rows (both engines drop it at the explode/unnest): pin that on a
+    hand-built corpus where doc 99 is a single token and docs 1-3
+    share a template phrase, against the same DuckDB oracle."""
+    import duckdb
+    import __spark_entry__ as em
+
+    fix = str(tmp_path / "sf_fixture")
+    docs = spark.createDataFrame(
+        [(1, "breaking news today copyright acme corp", "en", "web", 40),
+         (2, "weather report sunny copyright acme corp", "en", "web", 41),
+         (3, "sports final scores copyright acme corp", "en", "web", 40),
+         (99, "singleton", "en", "web", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        f"{fix}/documents.parquet")
+
+    out = {r.doc_id: r for r in
+           em.queries()["text_boilerplate_mask"](spark, fix).collect()}
+    assert 99 not in out, "zero-window doc must vanish at the explode"
+    assert set(out) == {1, 2, 3}
+    assert sum(r.n_boiler for r in out.values()) > 0
+    # every 2-window doc here is fully template or half template; the
+    # shared tail 'copyright acme corp' guarantees at least one hit in
+    # each doc (top-20 covers every distinct shingle of this corpus)
+    assert all(r.n_boiler >= 1 for r in out.values())
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{fix}/documents.parquet/*.parquet')")
+    oracle = {r[0]: r for r in con.execute(
+        em.oracle_sql()["text_boilerplate_mask"]).fetchall()}
+    con.close()
+    assert set(oracle) == set(out)
+    for k, r in out.items():
+        assert (r.n_windows, r.n_boiler, r.clean_tokens) == oracle[k][1:4]

@@ -920,3 +920,30 @@ def test_sketch_gate_broadcast_threshold_no_global_sort(spark):
     assert "rangepartitioning" not in plan.lower().replace(
         "rangepartitioning(bucket_lo", ""), "corpus-wide sort leaked"
     assert "EvalPython" not in plan
+
+
+def test_text_boilerplate_mask_two_stage_topk(spark):
+    """text_boilerplate_mask: the per-source top-20 ranking must be
+    TWO-STAGE — a partial top-K windowed over (source, shuffle
+    partition) feeding a merge window — so no single task ever sorts
+    a source's full distinct-shingle population (the r10 verdict's
+    scale-killer). The stage-1 partition key (`__pid`) and BOTH window
+    nodes must appear; the boilerplate set must join back broadcast."""
+    plan = _plan(entrymod.queries()["text_boilerplate_mask"](
+        spark, SF_DIR))
+    assert "__pid" in plan, "stage-1 partial top-K missing (no __pid key)"
+    assert plan.count("Window") >= 2, "two-stage ranking collapsed"
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, \
+        "boilerplate set not broadcast back"
+    assert "EvalPython" not in plan
+
+
+def test_dedup_keep_best_no_cartesian_bounded_window(spark):
+    """dedup_keep_best: candidates must come from LSH banding (no
+    cartesian product anywhere) and the argmax window partitions by
+    cluster_id — cluster-sized partitions, never a global sort."""
+    plan = _plan(entrymod.queries()["dedup_keep_best"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(cluster_id" in plan, \
+        "argmax window not partitioned by cluster"
+    assert "SinglePartition" not in plan, "global single-task stage leaked"
