@@ -285,3 +285,41 @@ def test_session_merge_differs_from_plain_sessionization(spark):
     # everything emitted is a genuine session of SOME event subset:
     # counts are positive, spans at least one gap
     assert all(n >= 1 and e - s >= 1800 for _, s, e, n in got)
+
+
+def test_outer_join_pads_emit_on_eviction_and_withhold(spark):
+    """stream_outer_join_emit (r11): NULL-padded rows must actually
+    emit (pads > 0), must only cover views absent from the matched
+    pairs, must include a view evicted across a batch boundary (a
+    straggler or an early-batch view), and some unmatched views must
+    be WITHHELD — still inside the final watermark horizon — so the
+    pad rule is doing real work, not padding every unmatched view."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    rows = entrymod.queries()["stream_outer_join_emit"](
+        spark, SF_DIR).collect()
+    pads = {r.a_id for r in rows if r.b_id is None}
+    matched = {r.a_id for r in rows if r.b_id is not None}
+    pairs = {(r.a_id, r.b_id) for r in rows if r.b_id is not None}
+    assert pads, "no NULL-padded row ever emitted — vacuous"
+    assert not (pads & matched), "a matched view was also padded"
+
+    # matched pairs must equal the inner battery's emission exactly —
+    # outer mode must not perturb the buffer lifecycle
+    inner = {(r.a_id, r.b_id) for r in entrymod.queries()[
+        "stream_join_state_expiry"](spark, SF_DIR).collect()}
+    assert pairs == inner, "outer join changed the matched-pair set"
+
+    # withheld views: unmatched admitted views near the end of the
+    # stream whose 2h horizon the final watermark never passed. The
+    # total view population minus matched minus padded must be > 0.
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ts = dict(ev.dtypes)["ts"]
+    col = (F.timestamp_micros(F.expr("ts DIV 1000")) if ts == "bigint"
+           else F.col("ts").cast("timestamp"))
+    n_views = ev.withColumn("ts", col).filter(
+        F.col("event_type") == "view").count()
+    assert len(pads) + len(matched) < n_views, \
+        "every view emitted — nothing withheld or late-dropped"
