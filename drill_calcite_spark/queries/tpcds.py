@@ -3196,3 +3196,264 @@ def ds_price_band_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "left_semi")
             .select("p_brand", "p_type", "p_retailprice").distinct()
             .orderBy("p_brand", "p_type", "p_retailprice").limit(100))
+
+
+@q("ds_cross_sales_yoy", """
+WITH cs AS (
+  SELECT p_brand AS product, l_suppkey % 5 AS store,
+         extract(year FROM o_orderdate) AS yr,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(CAST(l_extendedprice::DECIMAL(18,2) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN part ON p_partkey = l_partkey
+  GROUP BY 1, 2, 3
+)
+SELECT cs1.product, cs1.store,
+       cs1.cnt AS cnt_prev, cs1.cents AS cents_prev,
+       cs2.cnt AS cnt_cur, cs2.cents AS cents_cur
+FROM cs cs1 JOIN cs cs2
+  ON cs1.product = cs2.product AND cs1.store = cs2.store
+WHERE cs1.yr = 1996 AND cs2.yr = 1997 AND cs2.cnt <= cs1.cnt
+""")
+def ds_cross_sales_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q64 shape (TpcdsTest.java:62-69; queries/q64.sql): the
+    two-instance ``cross_sales`` CTE — per-(product, store, year) sales
+    aggregates self-joined across consecutive years on the same
+    (product, store), keeping pairs whose current-year count did not
+    grow (cs2.cnt <= cs1.cnt). The hardest plan in the suite because
+    the textbook instantiates the giant CTE TWICE with different year
+    predicates.
+
+    Spark-first rewrite: the two instances differ only in the pushed
+    year filter, so ReuseExchange can NOT deduplicate them (unlike
+    q59's identical instances) — instead both years fold into ONE scan
+    (year IN (1996, 1997) pushed to the fact) and the self-join
+    disappears entirely into conditional per-year aggregates over
+    (product, store): cnt/cents per year as sum(CASE), the join
+    predicate becoming a filter on the grouped row. One fact scan and
+    ONE exchange replace two scans plus a join of two aggregates —
+    at 100 TB the difference is the dominant cost twice over. Exact
+    BIGINT cent arithmetic; the ORACLE spells the literal two-instance
+    CTE self-join, so the hash proves the rewrite."""
+    li = t(spark, sf_dir, "lineitem")
+    ords = t(spark, sf_dir, "orders")
+    part = t(spark, sf_dir, "part")
+    yr = F.year(F.col("o_orderdate"))
+    f = (li.join(ords.select("o_orderkey", "o_orderdate"),
+                 li.l_orderkey == F.col("o_orderkey"))
+         .join(F.broadcast(part.select("p_partkey", "p_brand")),
+               li.l_partkey == F.col("p_partkey"))
+         .filter(yr.isin(1996, 1997))
+         .select(F.col("p_brand").alias("product"),
+                 (F.col("l_suppkey") % 5).alias("store"),
+                 yr.alias("yr"),
+                 (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+                 .cast("bigint").alias("cents")))
+    g = (f.groupBy("product", "store")
+         .agg(F.sum(F.when(F.col("yr") == 1996, 1).otherwise(0))
+              .cast("bigint").alias("cnt_prev"),
+              F.sum(F.when(F.col("yr") == 1996, F.col("cents"))
+                    .otherwise(F.lit(0))).cast("bigint")
+              .alias("cents_prev"),
+              F.sum(F.when(F.col("yr") == 1997, 1).otherwise(0))
+              .cast("bigint").alias("cnt_cur"),
+              F.sum(F.when(F.col("yr") == 1997, F.col("cents"))
+                    .otherwise(F.lit(0))).cast("bigint")
+              .alias("cents_cur")))
+    return (g.filter((F.col("cnt_prev") > 0) & (F.col("cnt_cur") > 0)
+                     & (F.col("cnt_cur") <= F.col("cnt_prev")))
+            .select("product", "store", "cnt_prev", "cents_prev",
+                    "cnt_cur", "cents_cur"))
+
+
+_Q14_BASE = """
+  SELECT l_partkey, CASE WHEN o_orderpriority = '1-URGENT' THEN 'hot'
+              WHEN o_orderpriority = '3-MEDIUM' THEN 'mid'
+              ELSE 'low' END AS channel,
+         CAST(l_extendedprice::DECIMAL(18,2) * 100 AS BIGINT) AS cents
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE extract(year FROM o_orderdate) BETWEEN 1996 AND 1997
+    AND o_orderpriority IN ('1-URGENT', '3-MEDIUM', '5-LOW')
+"""
+
+
+@q("ds_iceberg_cross_channel", f"""
+WITH f AS ({_Q14_BASE}),
+cross_items AS (
+  SELECT l_partkey FROM f WHERE channel = 'hot'
+  INTERSECT
+  SELECT l_partkey FROM f WHERE channel = 'mid'
+  INTERSECT
+  SELECT l_partkey FROM f WHERE channel = 'low'
+),
+avg_sales AS (SELECT sum(cents) AS tc, count(*) AS tn FROM f),
+y AS (
+  SELECT 'hot' AS channel, l_partkey, sum(cents) AS s, count(*) AS n
+  FROM f WHERE channel = 'hot'
+    AND l_partkey IN (SELECT l_partkey FROM cross_items)
+  GROUP BY 2
+  HAVING sum(cents) * (SELECT tn FROM avg_sales)
+           > (SELECT tc FROM avg_sales) * count(*)
+  UNION ALL
+  SELECT 'mid', l_partkey, sum(cents), count(*)
+  FROM f WHERE channel = 'mid'
+    AND l_partkey IN (SELECT l_partkey FROM cross_items)
+  GROUP BY 2
+  HAVING sum(cents) * (SELECT tn FROM avg_sales)
+           > (SELECT tc FROM avg_sales) * count(*)
+  UNION ALL
+  SELECT 'low', l_partkey, sum(cents), count(*)
+  FROM f WHERE channel = 'low'
+    AND l_partkey IN (SELECT l_partkey FROM cross_items)
+  GROUP BY 2
+  HAVING sum(cents) * (SELECT tn FROM avg_sales)
+           > (SELECT tc FROM avg_sales) * count(*)
+)
+SELECT channel, l_partkey AS item,
+       CAST(GROUPING(channel) AS BIGINT) AS g_channel,
+       CAST(GROUPING(l_partkey) AS BIGINT) AS g_item,
+       CAST(sum(s) AS BIGINT) AS sum_cents,
+       CAST(sum(n) AS BIGINT) AS n_sales
+FROM y GROUP BY ROLLUP (channel, l_partkey)
+""")
+def ds_iceberg_cross_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q14 shape (queries/q14.sql): the iceberg query — items
+    sold in ALL THREE channels (a three-way INTERSECT), per-channel
+    per-item sales of those items kept only when they beat the
+    corpus-wide average (a scalar subquery threshold), then ROLLUP over
+    (channel, item). Composes the q38 presence-flag INTERSECT rewrite
+    with the q5 rollup and a broadcast scalar gate. Channels are single
+    order priorities inside a two-year window so the INTERSECT actually
+    bites (about 4 in 10 items fail it at every SF).
+
+    Spark-first rewrite: ONE fact scan groups by (item, channel); the
+    three-way INTERSECT folds into a count of distinct channels per
+    item — a window over the per-item aggregate rows (at most 3 per
+    item), never a second scan; the average threshold is computed from
+    the SAME aggregate and broadcast as one row; the iceberg HAVING is
+    an exact integer cross-multiply (no division); the final ROLLUP
+    expands aggregate-sized rows. One shuffle on the grouped key where
+    the textbook moves the fact five times (three DISTINCTs + two
+    INTERSECTs) plus three channel branches. The ORACLE spells that
+    literal form."""
+    li = t(spark, sf_dir, "lineitem")
+    ords = t(spark, sf_dir, "orders")
+    pr = F.col("o_orderpriority")
+    yr = F.year(F.col("o_orderdate"))
+    f = (li.join(ords.select("o_orderkey", "o_orderdate",
+                             "o_orderpriority"),
+                 li.l_orderkey == F.col("o_orderkey"))
+         .filter(yr.between(1996, 1997)
+                 & pr.isin("1-URGENT", "3-MEDIUM", "5-LOW"))
+         .select("l_partkey",
+                 F.when(pr == "1-URGENT", "hot")
+                 .when(pr == "3-MEDIUM", "mid")
+                 .otherwise("low").alias("channel"),
+                 (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+                 .cast("bigint").alias("cents")))
+    # the per-(item, channel) aggregate feeds BOTH the presence window
+    # and the scalar threshold — persist it (items×3 rows, aggregate-
+    # sized) so the fact is scanned exactly once, not once per consumer
+    g = (f.groupBy("l_partkey", "channel")
+         .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n"))
+         .persist())
+    nc = Window.partitionBy("l_partkey")
+    g2 = g.withColumn("nch", F.count(F.lit(1)).over(nc))
+    tot = g.agg(F.sum("s").alias("tc"), F.sum("n").alias("tn"))
+    kept = (g2.crossJoin(F.broadcast(tot))
+            .filter((F.col("nch") == 3)
+                    & (F.col("s") * F.col("tn")
+                       > F.col("tc") * F.col("n"))))
+    return (kept.withColumnRenamed("l_partkey", "item")
+            .rollup("channel", "item")
+            .agg(F.grouping("channel").cast("bigint").alias("g_channel"),
+                 F.grouping("item").cast("bigint").alias("g_item"),
+                 F.sum("s").cast("bigint").alias("sum_cents"),
+                 F.sum("n").cast("bigint").alias("n_sales")))
+
+
+@q("ds_frequent_best_sales", """
+WITH frequent_items AS (
+  SELECT DISTINCT l_partkey FROM (
+    SELECT l_partkey, o_orderdate
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY 1, 2 HAVING count(*) >= 2)
+),
+cust_total AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(l_extendedprice::DECIMAL(18,2) * 100 AS BIGINT))
+              AS BIGINT) AS tot
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY 1
+),
+best_customers AS (
+  SELECT o_custkey FROM cust_total
+  WHERE 2 * tot >= (SELECT max(tot) FROM cust_total)
+),
+y AS (
+  SELECT CAST(l_extendedprice::DECIMAL(18,2) * 100 AS BIGINT) AS cents
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE extract(year FROM o_orderdate) = 1997
+    AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    AND l_partkey IN (SELECT l_partkey FROM frequent_items)
+    AND o_custkey IN (SELECT o_custkey FROM best_customers)
+  UNION ALL
+  SELECT CAST(l_extendedprice::DECIMAL(18,2) * 100 AS BIGINT)
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE extract(year FROM o_orderdate) = 1997
+    AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+    AND l_partkey IN (SELECT l_partkey FROM frequent_items)
+    AND o_custkey IN (SELECT o_custkey FROM best_customers)
+)
+SELECT CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(count(*) AS BIGINT) AS n_sales
+FROM y
+""")
+def ds_frequent_best_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q23 shape (queries/q23.sql): the frequent-item multi-CTE —
+    items bought repeatedly on a single day (HAVING over (item, date)),
+    the best customers (total spend within 50% of the maximum customer,
+    a scalar-subquery threshold), then the target-year sales restricted
+    to both sets, two channel branches UNION ALLed into one total.
+
+    Spark-first: the frequent-item and best-customer sets are
+    aggregate-sized, so both attach to the final fact pass as BROADCAST
+    semi-joins (never a shuffle of the fact on a filter key); the max
+    customer total is a one-row broadcast scalar against the customer
+    aggregate (integer cross-multiply, exact); the two textbook UNION
+    branches differ only in a disjoint priority predicate, so they fold
+    into ONE final scan whose filter is the union of the two (the
+    branches partition the priority space). Three fact passes total —
+    each aggregation needs a different key, which is irreducible — and
+    every inter-stage edge is broadcast-sized. The ORACLE spells the
+    literal CTE chain with IN-subqueries and the UNION ALL."""
+    li = t(spark, sf_dir, "lineitem")
+    ords = t(spark, sf_dir, "orders")
+
+    fact = li.join(ords.select("o_orderkey", "o_orderdate", "o_custkey",
+                               "o_orderpriority"),
+                   li.l_orderkey == F.col("o_orderkey"))
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100
+             ).cast("bigint")
+
+    freq = (fact.groupBy("l_partkey", "o_orderdate")
+            .agg(F.count(F.lit(1)).alias("k"))
+            .filter(F.col("k") >= 2)
+            .select("l_partkey").distinct())
+    # the customer aggregate feeds BOTH the max scalar and the filter —
+    # persist it (customer-sized) so the fact isn't scanned twice for it
+    ctot = (fact.groupBy("o_custkey")
+            .agg(F.sum(cents).cast("bigint").alias("tot"))
+            .persist())
+    mx = ctot.agg(F.max("tot").alias("mx"))
+    best = (ctot.crossJoin(F.broadcast(mx))
+            .filter(2 * F.col("tot") >= F.col("mx"))
+            .select("o_custkey"))
+
+    target = (fact.filter(F.year(F.col("o_orderdate")) == 1997)
+              .join(F.broadcast(freq), "l_partkey", "left_semi")
+              .join(F.broadcast(best), "o_custkey", "left_semi"))
+    return target.agg(F.sum(cents).cast("bigint").alias("total_cents"),
+                      F.count(F.lit(1)).cast("bigint").alias("n_sales"))

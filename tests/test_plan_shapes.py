@@ -947,3 +947,57 @@ def test_dedup_keep_best_no_cartesian_bounded_window(spark):
     assert "hashpartitioning(cluster_id" in plan, \
         "argmax window not partitioned by cluster"
     assert "SinglePartition" not in plan, "global single-task stage leaked"
+
+
+def test_ds_cross_sales_yoy_one_scan_no_self_join(spark):
+    """ds_cross_sales_yoy (q64 shape): the textbook two-instance CTE
+    self-join must fold to ONE fact scan with conditional per-year
+    aggregates — no join of two aggregates, a single exchange on the
+    grouped key."""
+    plan = _plan(entrymod.queries()["ds_cross_sales_yoy"](spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1, "CTE instantiated twice"
+    assert "SortMergeJoin" not in plan, "self-join of aggregates leaked"
+    assert "EvalPython" not in plan
+
+
+def test_ds_iceberg_cross_channel_one_scan_flags_broadcast(spark):
+    """ds_iceberg_cross_channel (q14 shape): the three-way INTERSECT +
+    three channel branches must fold to ONE fact scan; the channel-
+    presence count is a window over per-item aggregate rows; the
+    average threshold joins back as a one-row BROADCAST; the ROLLUP
+    expands aggregate-sized rows (Expand node present)."""
+    plan = _plan(entrymod.queries()["ds_iceberg_cross_channel"](
+        spark, SF_DIR))
+    # the per-(item, channel) aggregate is persisted and BOTH consumers
+    # (presence window + scalar threshold) read the cache — every
+    # lineitem mention in the plan sits inside an InMemoryRelation
+    # definition, none is a live re-scan
+    assert plan.count("InMemoryTableScan") == 2, "aggregate not reused"
+    assert plan.count("lineitem.parquet") == plan.count(
+        "InMemoryRelation"), "a consumer re-scans the fact"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Expand" in plan, "ROLLUP lost its Expand"
+    assert "EvalPython" not in plan
+
+
+def test_ds_frequent_best_sales_broadcast_semi_joins(spark):
+    """ds_frequent_best_sales (q23 shape): the frequent-item and
+    best-customer sets must attach to the final pass as BROADCAST semi
+    joins (never a shuffle of the fact on a filter key), and the two
+    textbook UNION branches must fold into one final scan — three fact
+    passes total, one per distinct aggregation key."""
+    plan = _plan(entrymod.queries()["ds_frequent_best_sales"](
+        spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, "semi joins not broadcast"
+    assert plan.count("LeftSemi") >= 2, "IN-subqueries not semi joins"
+    # the persisted customer aggregate serves both its consumers (max
+    # scalar + threshold filter): two live fact scans remain (frequent-
+    # item aggregation and the target-year pass); the other lineitem
+    # mentions sit inside InMemoryRelation definitions
+    assert plan.count("InMemoryTableScan") == 2, \
+        "customer aggregate not reused"
+    assert plan.count("lineitem.parquet") - plan.count(
+        "InMemoryRelation") == 2, \
+        "UNION branches did not fold (or an aggregation re-scans)"
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
