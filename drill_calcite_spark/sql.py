@@ -1326,8 +1326,16 @@ def _quant_lhs_span(text: str, op_start: int) -> "tuple[int, int] | None":
 _PROJ_IN_PAT = re.compile(r"\b(not\s+)?in\s*\(\s*(?=select\b|with\b)", re.I)
 _CTX_KW = re.compile(r"\b(select|where|having|qualify|on|when)\b", re.I)
 
+# The alias group must NOT consume a following keyword: `from t join u`
+# used to capture "join" as t's alias (discarded as a keyword, but the
+# characters were consumed, so `u` was never registered and every u.col
+# looked like an outer ref — a conservative misfire found by the r11
+# correlation-guard fuzzer, tests/test_correlation_guard.py seed 1104
+# case 37).
 _FROM_ITEM = re.compile(
     r"\b(?:from|join)\s+([A-Za-z_][\w.]*)(?:\s+(?:as\s+)?"
+    r"(?!(?:join|on|where|group|order|having|left|right|inner|full|"
+    r"cross|union|intersect|except|limit|offset|qualify|when|then)\b)"
     r"([A-Za-z_]\w*))?", re.I)
 _DERIVED_ALIAS = re.compile(r"\)\s*(?:as\s+)?([A-Za-z_]\w*)", re.I)
 _QUAL_REF = re.compile(r"\b([A-Za-z_]\w*)\s*\.\s*[A-Za-z_]\w*", re.I)
