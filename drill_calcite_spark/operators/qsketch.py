@@ -47,6 +47,33 @@ cellwise merge applies; keyspace ≤ 2·64·2^B + 1. For a negative cell
 the key is the cell's value-space UPPER bound: the reported quantile r
 satisfies ``r·(1 + 2^-B) < x_q ≤ r`` — the magnitude error is the same
 2^-B. Contract: |v| < 2^63 (LONG_MIN has no BIGINT absolute value).
+
+DOUBLE values (round 11 — closes the r10 verdict's stretch item: real
+telemetry is floating-point and must not be pre-quantized by the
+caller): the bucket lower bound of a positive double ``v`` is ``v``
+floored to its IEEE-754 mantissa prefix,
+
+    e    = floor(log2(v))          -- corrected, see below
+    unit = 2^(e - B)               -- an exact power of two
+    lo   = floor(v / unit) * unit  -- mantissa prefix, EXACT
+
+Every step after the exponent is EXACT binary floating point: ``unit``
+is a power of two, ``v / unit`` lands in [2^B, 2^(B+1)) so its floor is
+a small integer, and ``lo = m·2^(e-B)`` is exactly representable for
+any normal ``v`` (m < 2^(B+1); lo ≥ 2^-1022 whenever v is normal). The
+ONLY libm call is ``log2``; a ±1 CASE correction against the exact
+powers ``2^e ≤ v < 2^(e+1)`` makes the exponent independent of libm
+rounding, so Spark and DuckDB agree bit for bit. ``lo`` itself is the
+cell key — distinct per cell and MONOTONE in value space — so build /
+merge / quantile extraction are the SAME code paths as the integer
+sketch (the quantile column stays DOUBLE instead of casting to
+BIGINT). Signed doubles mirror exactly like signed integers. Keyspace:
+≤ 2^B cells per populated binary exponent per sign — bounded by the
+DATA's dynamic range (a physical quantity spans a few dozen decades at
+most), never by its cardinality. Contract: |v| ≥ 2^-1022 or v = 0 —
+magnitudes below the normal range collapse into the zero cell
+(documented, deliberately: subnormal telemetry is noise, and keeping
+``lo`` exact requires a normal quotient).
 """
 
 from __future__ import annotations
@@ -95,14 +122,73 @@ def sql_qsketch_bucket_signed(v: str,
             f" ELSE -({neg}) END AS BIGINT)")
 
 
+_MIN_NORMAL = 2.0 ** -1022
+
+
+def qsketch_bucket_double(v: Column,
+                          sub_bits: int = QSKETCH_SUB_BITS) -> Column:
+    """Mantissa-prefix lower bound of a POSITIVE normal double (module
+    docstring: exact after the ±1-corrected exponent; the only libm
+    call is log2). SQL twin: :func:`sql_qsketch_bucket_double`."""
+    e0 = F.floor(F.log2(v)).cast("int")
+    two = F.lit(2.0)
+    e = (F.when(F.pow(two, (e0 + 1).cast("double")) <= v, e0 + 1)
+         .when(F.pow(two, e0.cast("double")) > v, e0 - 1)
+         .otherwise(e0))
+    unit = F.pow(two, (e - F.lit(sub_bits)).cast("double"))
+    return (F.floor(v / unit).cast("double") * unit).cast("double")
+
+
+def sql_qsketch_bucket_double(v: str,
+                              sub_bits: int = QSKETCH_SUB_BITS) -> str:
+    """DuckDB twin of :func:`qsketch_bucket_double`."""
+    e0 = f"CAST(floor(log2({v})) AS INT)"
+    e = (f"(CASE WHEN pow(2.0, {e0} + 1) <= ({v}) THEN {e0} + 1"
+         f" WHEN pow(2.0, {e0}) > ({v}) THEN {e0} - 1"
+         f" ELSE {e0} END)")
+    unit = f"pow(2.0, {e} - {sub_bits})"
+    return f"CAST(floor(({v}) / {unit}) * {unit} AS DOUBLE)"
+
+
+def qsketch_bucket_double_signed(v: Column,
+                                 sub_bits: int = QSKETCH_SUB_BITS,
+                                 ) -> Column:
+    """Two-sided double cell key: ``lo(v)`` for positives, ``-lo(-v)``
+    (the cell's value-space upper bound) for negatives, 0.0 for zero
+    and sub-normal-range magnitudes — monotone in value space. SQL
+    twin: :func:`sql_qsketch_bucket_double_signed`."""
+    return (F.when(F.abs(v) < F.lit(_MIN_NORMAL), F.lit(0.0))
+            .when(v > 0, qsketch_bucket_double(v, sub_bits))
+            .otherwise(-qsketch_bucket_double(-v, sub_bits))
+            .cast("double"))
+
+
+def sql_qsketch_bucket_double_signed(v: str,
+                                     sub_bits: int = QSKETCH_SUB_BITS,
+                                     ) -> str:
+    """DuckDB twin of :func:`qsketch_bucket_double_signed`."""
+    pos = sql_qsketch_bucket_double(v, sub_bits)
+    neg = sql_qsketch_bucket_double(f"-({v})", sub_bits)
+    # 2.2250738585072014e-308 is the shortest decimal rendering of the
+    # smallest normal double 2^-1022 — it parses to exactly that value.
+    return (f"CAST(CASE WHEN abs({v}) < 2.2250738585072014e-308"
+            f" THEN 0.0 WHEN ({v}) > 0 THEN {pos}"
+            f" ELSE -({neg}) END AS DOUBLE)")
+
+
 def qsketch_build(df: DataFrame, value_col: str,
                   sub_bits: int = QSKETCH_SUB_BITS,
-                  signed: bool = False) -> DataFrame:
+                  signed: bool = False,
+                  double: bool = False) -> DataFrame:
     """Build the sketch: ``(bucket_lo, cnt)``, ≤ 64·2^B rows (signed:
-    ≤ 2·64·2^B + 1). One aggregation; the capped key space
-    map-side-combines before the exchange (plan-pinned in
-    tests/test_plan_shapes.py)."""
-    bucket = qsketch_bucket_signed if signed else qsketch_bucket
+    ≤ 2·64·2^B + 1; double: bounded by the data's dynamic range). One
+    aggregation; the capped key space map-side-combines before the
+    exchange (plan-pinned in tests/test_plan_shapes.py)."""
+    if double:
+        bucket = (qsketch_bucket_double_signed if signed
+                  else qsketch_bucket_double)
+    else:
+        bucket = qsketch_bucket_signed if signed else qsketch_bucket
     return (df.select(bucket(F.col(value_col), sub_bits)
                       .alias("bucket_lo"))
             .groupBy("bucket_lo")
@@ -119,7 +205,7 @@ def qsketch_merge(*sketches: DataFrame) -> DataFrame:
 
 
 def qsketch_quantiles(sketch: DataFrame, qs: "list[tuple[int, int]]",
-                      ) -> DataFrame:
+                      lo_type: str = "bigint") -> DataFrame:
     """Quantile lower bounds from the sketch. ``qs`` is a list of
     (numerator, denominator) rational quantiles (e.g. (99, 100)) —
     rationals keep ``ceil(q·N)`` in exact integer arithmetic:
@@ -153,5 +239,5 @@ def qsketch_quantiles(sketch: DataFrame, qs: "list[tuple[int, int]]",
             .groupBy(F.col("q.q_pct").alias("q_pct"),
                      F.col("q.num").alias("q_num"),
                      F.col("q.den").alias("q_den"))
-            .agg(F.min("bucket_lo").cast("bigint").alias("lo"),
+            .agg(F.min("bucket_lo").cast(lo_type).alias("lo"),
                  F.max("n").cast("bigint").alias("n")))

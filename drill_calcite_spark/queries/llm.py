@@ -1756,6 +1756,72 @@ def sketch_qsketch_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
              (99, 100)])
 
 
+def _qsketch_double_oracle() -> str:
+    from drill_calcite_spark.operators.qsketch import (
+        sql_qsketch_bucket_double_signed)
+
+    return f"""
+WITH v AS (
+  SELECT CAST(value - 50.0 AS DOUBLE) AS v FROM events
+),
+s AS (
+  SELECT {sql_qsketch_bucket_double_signed('v')} AS bucket_lo,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM v GROUP BY 1
+),
+c AS (
+  SELECT bucket_lo,
+         sum(cnt) OVER (ORDER BY bucket_lo) AS cum,
+         sum(cnt) OVER () AS n
+  FROM s
+),
+q(q_pct, num, den) AS (
+  VALUES (1, 1, 100), (10, 1, 10), (25, 1, 4), (50, 1, 2),
+         (75, 3, 4), (90, 9, 10), (99, 99, 100)
+)
+SELECT CAST(q_pct AS BIGINT)          AS q_pct,
+       CAST(num AS BIGINT)            AS q_num,
+       CAST(den AS BIGINT)            AS q_den,
+       CAST(min(bucket_lo) AS DOUBLE) AS lo,
+       CAST(max(n) AS BIGINT)         AS n
+FROM c, q
+WHERE cum >= (num * n + den - 1) // den
+GROUP BY q_pct, num, den
+"""
+
+
+@q("sketch_qsketch_double", _qsketch_double_oracle())
+def sketch_qsketch_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOUBLE-valued quantile sketch (r11 — the r10 verdict's stretch
+    item: real telemetry is floating-point; callers must not have to
+    pre-quantize to integer cents): signed event-value deltas
+    ``value - 50.0`` sketched by exact IEEE mantissa-prefix bucketing.
+    The bucket lower bound ``lo = floor(v / 2^(e-B)) · 2^(e-B)`` is
+    EXACT binary floating point once the binary exponent is known, and
+    the exponent — the only libm call (log2) — is pinned by a ±1 CASE
+    correction against the exact powers ``2^e ≤ v < 2^(e+1)``, so the
+    DuckDB oracle rebuilds every cell bit for bit and the driver hash
+    pins each reported quantile cell exactly (operators/qsketch.py
+    module docstring). Same 2^-5 relative-magnitude error contract as
+    the integer sketch, property-tested against exact quantiles in
+    tests/test_llm.py; merge linearity property-tested alongside.
+
+    Scale shape: identical to the integer rows — ONE capped-keyspace
+    aggregation whose cell count is bounded by the data's DYNAMIC RANGE
+    (≤ 2^B cells per populated binary exponent per sign), never its
+    cardinality; map-side collapse before the exchange; the quantile
+    window runs over the SKETCH only."""
+    from drill_calcite_spark.operators.qsketch import (
+        qsketch_build, qsketch_quantiles)
+
+    ev = t(spark, sf_dir, "events").select(
+        (F.col("value") - F.lit(50.0)).cast("double").alias("v"))
+    sk = qsketch_build(ev, "v", signed=True, double=True)
+    return qsketch_quantiles(
+        sk, [(1, 100), (1, 10), (1, 4), (1, 2), (3, 4), (9, 10),
+             (99, 100)], lo_type="double")
+
+
 @q("chunk_sliding_windows", """
 WITH d AS (
   SELECT doc_id, source, text, length(text) AS L FROM documents

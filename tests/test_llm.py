@@ -653,6 +653,79 @@ def test_qsketch_signed_two_sided(spark):
             assert x_q > lo * (1 + rel) - 1, (num, den, lo, x_q)
 
 
+def test_qsketch_double_two_sided(spark):
+    """DOUBLE-sketch invariants (r11 — IEEE mantissa-prefix bucketing,
+    operators/qsketch.py): the bucket lower bound is EXACT binary
+    floating point (lo <= v < lo·(1+2^-B) per value, not just per
+    quantile); exact powers of two — where a libm floor(log2) is most
+    likely off by one — land in their own cell lower bound exactly;
+    merge stays cellwise-exact; both tails keep the 2^-B
+    relative-magnitude bound; zero and sub-normal-range magnitudes
+    collapse into the zero cell."""
+    from drill_calcite_spark.operators.qsketch import (
+        QSKETCH_SUB_BITS, qsketch_bucket_double_signed, qsketch_build,
+        qsketch_merge, qsketch_quantiles,
+    )
+
+    rel = 2.0 ** -QSKETCH_SUB_BITS
+    # deterministic pseudo-random doubles spanning ~12 decades + edges
+    vals_a = [((i * i * 7 + 13) % 99991 + 1) * 10.0 ** ((i % 7) - 3)
+              * (-1 if i % 3 == 0 else 1) for i in range(3000)]
+    vals_b = [((i * i * 11 + 5) % 49999 + 1) * 10.0 ** ((i % 9) - 4)
+              * (-1 if i % 5 == 0 else 1) for i in range(2000)]
+    # libm-boundary edges: exact powers of two on both sides, zero,
+    # and a sub-normal-range magnitude (must collapse to the 0 cell)
+    vals_a += [2.0 ** k for k in (-10, -1, 0, 1, 30, 300)]
+    vals_a += [-(2.0 ** k) for k in (-9, 0, 2, 100)]
+    vals_a += [0.0, 1e-310, -1e-320]
+    a = spark.createDataFrame([(v,) for v in vals_a], "v double")
+    b = spark.createDataFrame([(v,) for v in vals_b], "v double")
+    union = a.unionByName(b)
+
+    # per-value exactness: lo <= v < lo*(1+2^-B) (mirrored for v<0),
+    # and v = 2^k maps to lo = v exactly (the ±1 exponent correction)
+    from pyspark.sql import functions as F
+    pairs = union.select("v", qsketch_bucket_double_signed(F.col("v"))
+                         .alias("lo")).collect()
+    for r in pairs:
+        v, lo = r.v, r.lo
+        if abs(v) < 2.0 ** -1022:
+            assert lo == 0.0, (v, lo)
+        elif v > 0:
+            assert lo <= v <= lo * (1 + rel), (v, lo)
+        else:
+            assert lo >= v >= lo * (1 + rel), (v, lo)
+    for k in (-10, -1, 0, 1, 30, 300):
+        got = [r.lo for r in pairs if r.v == 2.0 ** k]
+        assert got and all(g == 2.0 ** k for g in got), (k, got)
+
+    sk_u = qsketch_build(union, "v", signed=True, double=True)
+    assert sk_u.filter("bucket_lo = 0.0").count() == 1
+    assert sk_u.filter("bucket_lo < 0.0").count() > 0
+    merged = qsketch_merge(
+        qsketch_build(a, "v", signed=True, double=True),
+        qsketch_build(b, "v", signed=True, double=True))
+    assert sorted(map(tuple, sk_u.collect())) == \
+        sorted(map(tuple, merged.collect()))
+
+    qs = [(1, 100), (1, 4), (1, 2), (3, 4), (99, 100)]
+    got = {(r.q_num, r.q_den): r.lo
+           for r in qsketch_quantiles(sk_u, qs, lo_type="double")
+           .collect()}
+    allv = sorted(vals_a + vals_b)
+    n = len(allv)
+    for num, den in qs:
+        rank = -(-num * n // den)
+        x_q = allv[rank - 1]
+        lo = got[(num, den)]
+        if lo > 0:
+            assert lo <= x_q <= lo * (1 + rel), (num, den, lo, x_q)
+        elif lo < 0:  # negative cell: value-space UPPER bound
+            assert lo >= x_q >= lo * (1 + rel), (num, den, lo, x_q)
+        else:
+            assert abs(x_q) < 2.0 ** -1022, (num, den, lo, x_q)
+
+
 # ------------------------------------------- r11 non-vacuousness (VERDICT #5)
 def test_dedup_keep_best_nonvacuous(spark):
     """The r10 verdict: parity green alone can be vacuous. Pin that at
