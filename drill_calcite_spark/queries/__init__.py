@@ -106,13 +106,15 @@ _DRIVER_PRIORITY = [
     "func_datetime_overlaps", "func_decimal_fidelity",
     "func_greatest_null", "func_json", "func_json_type", "func_math",
     "func_multiset_ops", "func_strings_advanced", "func_strings_search",
-    "func_struct_row",
     # (e) r11-NEW names — zero evidence, displace r5 re-proofs 1:1:
     "sketch_qsketch_double",  # NEW r11: IEEE mantissa-prefix bucketing
     # over a real DOUBLE telemetry column (displaced func_time_arith —
     # committed r5 row; rotate r12)
+    "stream_full_outer_join_emit",  # NEW r11: FULL OUTER stream-stream
+    # interval join — both sides' pad horizons (displaced
+    # func_struct_row — committed r5 row; rotate r12)
     # r5 names still waiting (committed r5 rows; rotate r12):
-    # func_time_arith,
+    # func_struct_row, func_time_arith,
     # func_time_emulation, is_distinct_from, islands_increasing_runs,
     # join_salted_skew, modify_snapshot_versions, modify_update_where,
     # pivot_conditional, pivot_dynamic, sort_nulls_direction,

@@ -323,3 +323,39 @@ def test_outer_join_pads_emit_on_eviction_and_withhold(spark):
         F.col("event_type") == "view").count()
     assert len(pads) + len(matched) < n_views, \
         "every view emitted — nothing withheld or late-dropped"
+
+
+def test_full_outer_join_pads_both_sides(spark):
+    """stream_full_outer_join_emit (r11): pads must actually emit on
+    BOTH sides (the click side is the FULL addition), each side's pads
+    must be disjoint from its matched ids, the matched-pair set must be
+    bit-identical to the INNER battery's, and the two sides' pad
+    horizons must do real work — some admitted-but-unmatched rows on
+    each side stay WITHHELD (view horizon a_us+2h still open) or
+    late-dropped, so neither side pads its full unmatched population."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    rows = entrymod.queries()["stream_full_outer_join_emit"](
+        spark, SF_DIR).collect()
+    view_pads = {r.a_id for r in rows if r.b_id is None}
+    click_pads = {r.b_id for r in rows if r.a_id is None}
+    pairs = {(r.a_id, r.b_id) for r in rows
+             if r.a_id is not None and r.b_id is not None}
+    matched_a = {a for a, _ in pairs}
+    matched_b = {b for _, b in pairs}
+    assert view_pads, "no view-side pad — LEFT half vacuous"
+    assert click_pads, "no click-side pad — the FULL addition vacuous"
+    assert not (view_pads & matched_a), "a matched view was padded"
+    assert not (click_pads & matched_b), "a matched click was padded"
+
+    inner = {(r.a_id, r.b_id) for r in entrymod.queries()[
+        "stream_join_state_expiry"](spark, SF_DIR).collect()}
+    assert pairs == inner, "full outer changed the matched-pair set"
+
+    # view pads must equal the LEFT battery's pad set exactly — adding
+    # the right side must not perturb the left side's pad rule
+    left = entrymod.queries()["stream_outer_join_emit"](
+        spark, SF_DIR).collect()
+    left_pads = {r.a_id for r in left if r.b_id is None}
+    assert view_pads == left_pads, "view pads differ from LEFT battery"
