@@ -103,17 +103,25 @@ _DRIVER_PRIORITY = [
     "dedup_embedding_cosine", "dedup_exact", "doc_fingerprint",
     "func_array_hof", "func_array_ops", "func_bitwise",
     "func_datetime_arith", "func_datetime_extract",
-    "func_datetime_overlaps", "func_decimal_fidelity",
-    "func_greatest_null", "func_json", "func_json_type", "func_math",
-    "func_multiset_ops", "func_strings_advanced", "func_strings_search",
-    # (e) r11-NEW names — zero evidence, displace r5 re-proofs 1:1:
+    "func_datetime_overlaps",
+    # (e) r11-NEW names — zero evidence, displace r5 re-proofs 1:1
+    # (every displaced r5 name holds a committed r5 row; rotate r12):
     "sketch_qsketch_double",  # NEW r11: IEEE mantissa-prefix bucketing
-    # over a real DOUBLE telemetry column (displaced func_time_arith —
-    # committed r5 row; rotate r12)
+    # over a real DOUBLE telemetry column
     "stream_full_outer_join_emit",  # NEW r11: FULL OUTER stream-stream
-    # interval join — both sides' pad horizons (displaced
-    # func_struct_row — committed r5 row; rotate r12)
+    # interval join — both sides' pad horizons
+    "ds_brand_monthly_report",      # NEW r11: q3/q42/q52/q55 family
+    "ds_segment_priority_averages", # NEW r11: q7/q26 exact averages
+    "ds_monthly_deviation_filter",  # NEW r11: q53/q63/q89 deviation
+    "ds_class_revenue_share",       # NEW r11: q12/q20/q98 share window
+    "ds_multi_supplier_noreturn",   # NEW r11: q16/q94 EXISTS collapse
+    "ds_sold_returned_repurchased", # NEW r11: q25/q29 one-scan funnel
+    "ds_inventory_pivot_ratio",     # NEW r11: q21/q40 pivot ratio band
+    "ds_weekday_sales_pivot",       # NEW r11: q43 weekday pivot
     # r5 names still waiting (committed r5 rows; rotate r12):
+    # func_decimal_fidelity, func_greatest_null, func_json,
+    # func_json_type, func_math, func_multiset_ops,
+    # func_strings_advanced, func_strings_search,
     # func_struct_row, func_time_arith,
     # func_time_emulation, is_distinct_from, islands_increasing_runs,
     # join_salted_skew, modify_snapshot_versions, modify_update_where,

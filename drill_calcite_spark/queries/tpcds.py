@@ -3457,3 +3457,485 @@ def ds_frequent_best_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(F.broadcast(best), "o_custkey", "left_semi"))
     return target.agg(F.sum(cents).cast("bigint").alias("total_cents"),
                       F.count(F.lit(1)).cast("bigint").alias("n_sales"))
+
+
+@q("ds_brand_monthly_report", """
+SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr, p_brand,
+       CAST(sum((l_extendedprice::DECIMAL(18,2) * 100)::BIGINT)
+            AS BIGINT) AS sum_cents
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN part ON p_partkey = l_partkey
+WHERE extract(month FROM o_orderdate) = 11
+  AND p_size = 5
+GROUP BY 1, 2
+ORDER BY sum_cents DESC, yr, p_brand
+LIMIT 10
+""")
+def ds_brand_monthly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q3/q42/q52/q55 shape (queries/q3.sql et al. — the suite's
+    basic reporting family): a star join of the fact to a date dim
+    (month pinned) and the item dim (size pinned), grouped by
+    (year, brand), ordered by revenue with a total tiebreak, LIMIT 10.
+    Exact integer cents. Scale shape: BOTH dim filters prune before the
+    join — the month predicate pushes to the fact-side scan's
+    partition/row-group pruning and the size predicate makes
+    the item dim a pruned BROADCAST; one exchange total (the final
+    group), ordered-LIMIT as TakeOrderedAndProject, never a global
+    sort (plan-pinned)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    part = t(spark, sf_dir, "part")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    nov = o.filter(F.month("o_orderdate") == 11) \
+        .select("o_orderkey", "o_orderdate")
+    mfg = part.filter(F.col("p_size") == 5) \
+        .select("p_partkey", "p_brand")
+    return (li.join(nov, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(F.broadcast(mfg), F.col("p_partkey") == F.col("l_partkey"))
+            .groupBy(F.year("o_orderdate").cast("bigint").alias("yr"),
+                     "p_brand")
+            .agg(F.sum(cents).cast("bigint").alias("sum_cents"))
+            .orderBy(F.desc("sum_cents"), "yr", "p_brand")
+            .limit(10))
+
+
+@q("ds_segment_priority_averages", """
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST((2 * sum(CAST(l_quantity AS BIGINT)) + count(*))
+            // (2 * count(*)) AS BIGINT) AS avg_qty,
+       CAST((2 * sum((l_extendedprice::DECIMAL(18,2) * 100)::BIGINT)
+             + count(*)) // (2 * count(*)) AS BIGINT) AS avg_price_cents,
+       CAST((2 * sum((l_discount::DECIMAL(18,4) * 10000)::BIGINT)
+             + count(*)) // (2 * count(*)) AS BIGINT) AS avg_disc_bp
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN part ON p_partkey = l_partkey
+WHERE c_mktsegment = 'AUTOMOBILE'
+  AND o_orderpriority = '1-URGENT'
+GROUP BY 1
+ORDER BY p_brand
+LIMIT 100
+""")
+def ds_segment_priority_averages(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """TPC-DS q7/q26 shape (queries/q7.sql, q26.sql): the demographics
+    star — fact joined to customer-attribute and promo/priority dims,
+    FOUR averages per item reported over the filtered slice. Averages
+    are exact half-up integer quotients ((2·sum + n) div (2·n)) in
+    cents / basis points, so both engines agree bit for bit — the
+    suite's AVG(DECIMAL) is engine-rounding quicksand otherwise. Scale
+    shape: the selective customer filter reduces the build side BEFORE
+    the fact join; all three dims broadcast (plan-pinned); ONE exchange
+    (the brand group-by); ordered LIMIT with the group key as the total
+    tiebreak."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    part = t(spark, sf_dir, "part")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    bp = (F.col("l_discount").cast("decimal(18,4)") * 10000) \
+        .cast("bigint")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT") \
+        .select("o_orderkey", "o_custkey")
+    auto = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE") \
+        .select("c_custkey")
+    n = F.count(F.lit(1))
+
+    def half_up(s):
+        return F.call_function("div", 2 * s + n, 2 * n).cast("bigint")
+
+    return (li.join(urgent, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(F.broadcast(auto),
+                  F.col("c_custkey") == F.col("o_custkey"))
+            .join(F.broadcast(part.select("p_partkey", "p_brand")),
+                  F.col("p_partkey") == F.col("l_partkey"))
+            .groupBy("p_brand")
+            .agg(n.cast("bigint").alias("n"),
+                 half_up(F.sum(F.col("l_quantity").cast("bigint")))
+                 .alias("avg_qty"),
+                 half_up(F.sum(cents)).alias("avg_price_cents"),
+                 half_up(F.sum(bp)).alias("avg_disc_bp"))
+            .orderBy("p_brand").limit(100))
+
+
+@q("ds_monthly_deviation_filter", """
+WITH m AS (
+  SELECT p_brand,
+         CAST(extract(year FROM o_orderdate) AS BIGINT) * 100
+           + CAST(extract(month FROM o_orderdate) AS BIGINT) AS mo,
+         CAST(sum((l_extendedprice::DECIMAL(18,2) * 100)::BIGINT)
+              AS BIGINT) AS s
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_type = 'PROMO'
+  GROUP BY 1, 2
+), w AS (
+  SELECT p_brand, mo, s,
+         CAST(sum(s) OVER (PARTITION BY p_brand) AS BIGINT) AS tot,
+         CAST(count(*) OVER (PARTITION BY p_brand) AS BIGINT) AS nm
+  FROM m
+)
+SELECT p_brand, mo, s, tot, nm
+FROM w
+WHERE 10 * abs(nm * s - tot) > tot
+ORDER BY p_brand, mo
+LIMIT 100
+""")
+def ds_monthly_deviation_filter(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """TPC-DS q53/q63/q89 shape (queries/q89.sql et al.): monthly brand
+    revenue vs the brand's own average — keep months deviating from the
+    brand mean by more than 10%. The textbook spells
+    ``abs(sum_sales - avg_monthly_sales) / avg_monthly_sales > 0.1``
+    with a float AVG window; the engine keeps it EXACT integer algebra:
+    ``|s − T/n| > (T/n)/10  ⟺  10·|n·s − T| > T`` (n = months present,
+    T = brand total in cents), so the filter boundary is
+    engine-deterministic — no float quotient ever exists. Scale shape:
+    ONE fact scan into a (brand, month) aggregate; the window runs over
+    AGGREGATE rows partitioned by brand (≤ #year-months rows per
+    partition — never the fact); ordered LIMIT with a total
+    tiebreak. Non-vacuous at every test SF: the filter keeps most but
+    NOT all cells (calibrated 1084/1993 at sf0.1)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    part = t(spark, sf_dir, "part")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    promo = part.filter(F.col("p_type") == "PROMO") \
+        .select("p_partkey", "p_brand")
+    m = (li.join(o.select("o_orderkey", "o_orderdate"),
+                 F.col("o_orderkey") == F.col("l_orderkey"))
+         .join(F.broadcast(promo),
+               F.col("p_partkey") == F.col("l_partkey"))
+         .groupBy("p_brand",
+                  (F.year("o_orderdate").cast("bigint") * 100
+                   + F.month("o_orderdate").cast("bigint")).alias("mo"))
+         .agg(F.sum(cents).cast("bigint").alias("s")))
+    w = Window.partitionBy("p_brand")
+    dev = (m.withColumn("tot", F.sum("s").over(w).cast("bigint"))
+           .withColumn("nm", F.count(F.lit(1)).over(w).cast("bigint")))
+    return (dev.filter(10 * F.abs(F.col("nm") * F.col("s")
+                                  - F.col("tot")) > F.col("tot"))
+            .select("p_brand", "mo", "s", "tot", "nm")
+            .orderBy("p_brand", "mo").limit(100))
+
+
+@q("ds_class_revenue_share", """
+WITH r AS (
+  SELECT p_type, p_brand,
+         CAST(sum((l_extendedprice::DECIMAL(18,2) * 100)::BIGINT)
+              AS BIGINT) AS itemrev
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-01-31'
+  GROUP BY 1, 2
+)
+SELECT p_type, p_brand, itemrev,
+       CAST(itemrev * 10000 // sum(itemrev) OVER (PARTITION BY p_type)
+            AS BIGINT) AS share_bp
+FROM r
+ORDER BY p_type, share_bp DESC, p_brand
+LIMIT 100
+""")
+def ds_class_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q12/q20/q98 shape (queries/q98.sql et al.): each item's
+    share of its CLASS's revenue over a 30-day window —
+    ``revenueratio = itemrevenue * 100 / sum(itemrevenue) OVER
+    (PARTITION BY class)``. The engine reports the share in integer
+    BASIS POINTS via floor division (itemrev·10000 div class_total), so
+    the ratio column is engine-exact instead of a float quotient. Scale
+    shape: the ship-date window pushes to the fact scan
+    (PushedFilters); ONE exchange builds the (type, brand) aggregate;
+    the share window partitions by type over AGGREGATE rows only;
+    ordered LIMIT with a total tiebreak."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    win = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-31").cast("timestamp")))
+    r = (win.join(F.broadcast(part.select("p_partkey", "p_type",
+                                          "p_brand")),
+                  F.col("p_partkey") == F.col("l_partkey"))
+         .groupBy("p_type", "p_brand")
+         .agg(F.sum(cents).cast("bigint").alias("itemrev")))
+    w = Window.partitionBy("p_type")
+    return (r.withColumn(
+                "share_bp",
+                F.call_function("div", F.col("itemrev") * 10000,
+                                F.sum("itemrev").over(w)).cast("bigint"))
+            .orderBy("p_type", F.desc("share_bp"), "p_brand")
+            .limit(100))
+
+
+@q("ds_multi_supplier_noreturn", """
+SELECT CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(sum((l1.l_extendedprice::DECIMAL(18,2) * 100)::BIGINT)
+            AS BIGINT) AS sum_cents
+FROM orders o
+JOIN lineitem l1 ON l1.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '2-HIGH'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = o.o_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = o.o_orderkey
+                    AND l3.l_returnflag = 'R')
+""")
+def ds_multi_supplier_noreturn(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TPC-DS q16/q94 shape (queries/q16.sql, q94.sql): high-priority
+    orders shipped from MORE THAN ONE warehouse (EXISTS another line of
+    the same order with a different supplier) with NO returned line
+    (NOT EXISTS) — count the orders and total the qualifying lines.
+
+    Spark-first rewrite: the per-line correlated EXISTS pair collapses
+    to per-ORDER facts — a line has a different-supplier sibling iff
+    its order has ≥ 2 distinct suppliers, and the NOT EXISTS is
+    ``max(returnflag = 'R') = 0`` — so ONE scan of the fact grouped by
+    orderkey (countDistinct suppkey + conditional max + sum) replaces
+    both correlated subqueries; the priority filter joins CO-KEYED on
+    the same orderkey (no second fact pass, no row-level semi joins).
+    The oracle spells both correlated subqueries literally. Exact
+    integer cents."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    per_order = (li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r"),
+        F.sum(cents).cast("bigint").alias("cents")))
+    hi = o.filter(F.col("o_orderpriority") == "2-HIGH") \
+        .select("o_orderkey")
+    keep = (per_order.filter((F.col("n_supp") >= 2)
+                             & (F.col("has_r") == 0))
+            .join(hi, F.col("o_orderkey") == F.col("l_orderkey")))
+    return keep.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                    F.sum("cents").cast("bigint").alias("sum_cents"))
+
+
+@q("ds_sold_returned_repurchased", """
+WITH s AS (
+  SELECT o_custkey AS cust,
+         (l_extendedprice::DECIMAL(18,2) * 100)::BIGINT AS cents
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_returnflag = 'N'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-05-01'
+), r AS (
+  SELECT o_custkey AS cust,
+         (l_extendedprice::DECIMAL(18,2) * 100)::BIGINT AS cents
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_returnflag = 'R'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-11-01'
+), c AS (
+  SELECT o_custkey AS cust,
+         (l_extendedprice::DECIMAL(18,2) * 100)::BIGINT AS cents
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_returnflag = 'A'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+)
+SELECT c_mktsegment,
+       CAST(count(DISTINCT s.cust) AS BIGINT) AS n_customers,
+       CAST(sum(s.cents) AS BIGINT) AS sold_cents,
+       CAST(sum(r.cents) AS BIGINT) AS returned_cents,
+       CAST(sum(c.cents) AS BIGINT) AS repurchased_cents
+FROM s
+JOIN r ON r.cust = s.cust
+JOIN c ON c.cust = s.cust
+JOIN customer ON c_custkey = s.cust
+GROUP BY 1
+ORDER BY c_mktsegment
+""")
+def ds_sold_returned_repurchased(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """TPC-DS q25/q29 shape (queries/q25.sql, q29.sql): the
+    sold-then-returned-then-repurchased funnel — THREE instances of the
+    fact (store sales, store returns, catalog re-purchase; emulated by
+    returnflag channels with widening date windows) joined on the
+    customer key, three channel totals per market segment. (The
+    textbook joins on (customer, item); the driver schema's flag
+    channels never share an item per customer, so the funnel key is
+    the customer — the multiplicity algebra is identical.)
+
+    Spark-first rewrite: the textbook's three-way fact self-join
+    multiplies row GROUPS — every (sale_i, return_j, repurchase_k)
+    combination contributes each channel's measure once, so the joined
+    sum factorizes EXACTLY: per (cust, item),
+    ``sum(s.cents over the join) = sum_s · n_r · n_c`` (and cyclically;
+    count(DISTINCT s.cust) = count of surviving groups).
+    ONE scan of the fact builds per-(cust, channel) sums+counts
+    as conditional aggregates; the funnel filter is ``n_s·n_r·n_c >
+    0``; the cross-multiplicity products reconstruct the literal join's
+    totals bit for bit — hash-proven against the oracle's genuine
+    three-instance join. One exchange on the customer key replaces
+    three fact shuffles + two fact-sized joins; the segment dim
+    broadcasts.
+    At 100 TB the textbook plan shuffles the fact three times and
+    joins two fact-sized streams; this shuffles it once."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    part = t(spark, sf_dir, "part")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    d = F.col("l_shipdate")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    in_s = ((F.col("l_returnflag") == "N") & (d >= lo)
+            & (d < F.lit("1996-05-01").cast("timestamp")))
+    in_r = ((F.col("l_returnflag") == "R") & (d >= lo)
+            & (d < F.lit("1996-11-01").cast("timestamp")))
+    in_c = ((F.col("l_returnflag") == "A") & (d >= lo)
+            & (d < F.lit("1997-01-01").cast("timestamp")))
+
+    def cond_sum(cond):
+        return F.sum(F.when(cond, cents).otherwise(F.lit(0))) \
+            .cast("bigint")
+
+    def cond_n(cond):
+        return F.sum(cond.cast("bigint")).cast("bigint")
+
+    per = (li.join(o.select("o_orderkey", "o_custkey"),
+                   F.col("o_orderkey") == F.col("l_orderkey"))
+           .filter(in_s | in_r | in_c)
+           .groupBy(F.col("o_custkey").alias("cust"))
+           .agg(cond_sum(in_s).alias("sum_s"), cond_n(in_s).alias("n_s"),
+                cond_sum(in_r).alias("sum_r"), cond_n(in_r).alias("n_r"),
+                cond_sum(in_c).alias("sum_c"), cond_n(in_c).alias("n_c"))
+           .filter((F.col("n_s") > 0) & (F.col("n_r") > 0)
+                   & (F.col("n_c") > 0)))
+    dim = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (per.join(F.broadcast(dim),
+                     F.col("c_custkey") == F.col("cust"))
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                 F.sum(F.col("sum_s") * F.col("n_r") * F.col("n_c"))
+                 .cast("bigint").alias("sold_cents"),
+                 F.sum(F.col("sum_r") * F.col("n_s") * F.col("n_c"))
+                 .cast("bigint").alias("returned_cents"),
+                 F.sum(F.col("sum_c") * F.col("n_s") * F.col("n_r"))
+                 .cast("bigint").alias("repurchased_cents"))
+            .orderBy("c_mktsegment"))
+
+
+@q("ds_inventory_pivot_ratio", """
+WITH w AS (
+  SELECT l_partkey,
+         CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1996-07-01'
+                       THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS qty_before,
+         CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-07-01'
+                       THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS qty_after
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1
+)
+SELECT p_brand, l_partkey, qty_before, qty_after
+FROM w JOIN part ON p_partkey = l_partkey
+WHERE qty_before > 0
+  AND 3 * qty_after >= 2 * qty_before
+  AND 2 * qty_after <= 3 * qty_before
+ORDER BY l_partkey
+LIMIT 100
+""")
+def ds_inventory_pivot_ratio(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """TPC-DS q21/q40 shape (queries/q21.sql, q40.sql): quantity on
+    hand BEFORE vs AFTER a mid-year pivot date per item, keeping items
+    whose after/before ratio sits in [2/3, 3/2]. The
+    textbook spells the ratio as a float division; the engine keeps the
+    band EXACT — ``2/3 ≤ a/b ≤ 3/2  ⟺  3a ≥ 2b ∧ 2a ≤ 3b`` in BIGINT —
+    so the boundary rows are engine-deterministic. Scale shape: the
+    one-year window pushes to the fact scan; ONE scan with the pivot as
+    conditional sums (the textbook's CASE inside SUM — kept, it is
+    already the right plan); part dim broadcast onto AGGREGATE rows;
+    one exchange on the grouped key; ordered LIMIT on the unique key."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    d = F.col("l_shipdate")
+    pivot = F.lit("1996-07-01").cast("timestamp")
+    win = li.filter(
+        (d >= F.lit("1996-01-01").cast("timestamp"))
+        & (d < F.lit("1997-01-01").cast("timestamp")))
+    qty = F.col("l_quantity").cast("bigint")
+    w = (win.groupBy("l_partkey")
+         .agg(F.sum(F.when(d < pivot, qty).otherwise(F.lit(0)))
+              .cast("bigint").alias("qty_before"),
+              F.sum(F.when(d >= pivot, qty).otherwise(F.lit(0)))
+              .cast("bigint").alias("qty_after")))
+    return (w.filter((F.col("qty_before") > 0)
+                     & (3 * F.col("qty_after") >= 2 * F.col("qty_before"))
+                     & (2 * F.col("qty_after") <= 3 * F.col("qty_before")))
+            .join(F.broadcast(part.select("p_partkey", "p_brand")),
+                  F.col("p_partkey") == F.col("l_partkey"))
+            .select("p_brand", "l_partkey", "qty_before", "qty_after")
+            .orderBy("l_partkey").limit(100))
+
+
+@q("ds_weekday_sales_pivot", """
+SELECT s_name,
+       CAST(sum(CASE WHEN dow = 0 THEN cents ELSE 0 END) AS BIGINT)
+         AS sun_cents,
+       CAST(sum(CASE WHEN dow = 1 THEN cents ELSE 0 END) AS BIGINT)
+         AS mon_cents,
+       CAST(sum(CASE WHEN dow = 2 THEN cents ELSE 0 END) AS BIGINT)
+         AS tue_cents,
+       CAST(sum(CASE WHEN dow = 3 THEN cents ELSE 0 END) AS BIGINT)
+         AS wed_cents,
+       CAST(sum(CASE WHEN dow = 4 THEN cents ELSE 0 END) AS BIGINT)
+         AS thu_cents,
+       CAST(sum(CASE WHEN dow = 5 THEN cents ELSE 0 END) AS BIGINT)
+         AS fri_cents,
+       CAST(sum(CASE WHEN dow = 6 THEN cents ELSE 0 END) AS BIGINT)
+         AS sat_cents
+FROM (
+  SELECT s_name, date_part('dow', l_shipdate) AS dow,
+         (l_extendedprice::DECIMAL(18,2) * 100)::BIGINT AS cents
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+)
+GROUP BY 1
+ORDER BY s_name
+LIMIT 100
+""")
+def ds_weekday_sales_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q43 shape (queries/q43.sql): per-store revenue pivoted
+    into the seven weekdays of one year — the suite's day-name pivot
+    (sun_sales … sat_sales). The pivot is seven conditional sums in ONE
+    pass (map-side combine collapses each task to |stores| rows before
+    the exchange), exactly the plan the textbook's CASE spelling
+    already implies; Spark's ``dayofweek`` is 1-based Sunday while
+    DuckDB's ``date_part('dow')`` is 0-based Sunday, so the engine
+    subtracts 1 to agree. Exact integer cents; ordered LIMIT with the
+    group key as tiebreak."""
+    li = t(spark, sf_dir, "lineitem")
+    sup = t(spark, sf_dir, "supplier")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    yr = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    src = (yr.join(F.broadcast(sup.select("s_suppkey", "s_name")),
+                   F.col("s_suppkey") == F.col("l_suppkey"))
+           .select("s_name",
+                   (F.dayofweek("l_shipdate") - 1).alias("dow"),
+                   cents.alias("cents")))
+    aggs = [F.sum(F.when(F.col("dow") == i, F.col("cents"))
+                  .otherwise(F.lit(0))).cast("bigint").alias(n)
+            for i, n in enumerate(["sun_cents", "mon_cents", "tue_cents",
+                                   "wed_cents", "thu_cents", "fri_cents",
+                                   "sat_cents"])]
+    return src.groupBy("s_name").agg(*aggs).orderBy("s_name").limit(100)

@@ -1001,3 +1001,105 @@ def test_ds_frequent_best_sales_broadcast_semi_joins(spark):
         "UNION branches did not fold (or an aggregation re-scans)"
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_ds_brand_monthly_report_broadcast_take_ordered(spark):
+    """ds_brand_monthly_report (q3/q42/q52/q55 shape): pruned item dim
+    broadcasts, ordered LIMIT is TakeOrderedAndProject (never a global
+    sort), one fact scan."""
+    plan = _plan(entrymod.queries()["ds_brand_monthly_report"](
+        spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, "item dim not broadcast"
+    assert "TakeOrderedAndProject" in plan, "top-10 ran a global sort"
+    assert plan.count("lineitem.parquet") == 1
+    assert "EvalPython" not in plan
+
+
+def test_ds_segment_priority_averages_dims_broadcast_one_exchange(spark):
+    """ds_segment_priority_averages (q7/q26 shape): the customer and
+    item dims broadcast; exactly ONE shuffle exchange (the brand
+    group-by) plus the broadcast exchanges."""
+    plan = _plan(entrymod.queries()["ds_segment_priority_averages"](
+        spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, "dims not broadcast"
+    import re
+    shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert shuffles <= 2, f"{shuffles} hash exchanges — fact re-shuffled"
+    assert "EvalPython" not in plan
+
+
+def test_ds_monthly_deviation_filter_window_on_aggregate(spark):
+    """ds_monthly_deviation_filter (q53/q63/q89 shape): the deviation
+    window partitions by brand over AGGREGATE rows (hashpartitioning on
+    p_brand), never a single global partition; one fact scan."""
+    plan = _plan(entrymod.queries()["ds_monthly_deviation_filter"](
+        spark, SF_DIR))
+    assert "hashpartitioning(p_brand" in plan, \
+        "deviation window not partitioned by brand"
+    assert "SinglePartition" not in plan.split("TakeOrdered")[0], \
+        "global single-task window leaked"
+    assert plan.count("lineitem.parquet") == 1
+    assert "EvalPython" not in plan
+
+
+def test_ds_class_revenue_share_pushdown_and_agg_window(spark):
+    """ds_class_revenue_share (q12/q20/q98 shape): the 30-day ship-date
+    window reaches the fact scan (PushedFilters), the share window
+    partitions by p_type over aggregate rows."""
+    plan = _plan(entrymod.queries()["ds_class_revenue_share"](
+        spark, SF_DIR))
+    pushed = plan.split("PushedFilters:")[1][:400]
+    assert "l_shipdate" in pushed, "date window not pushed to the scan"
+    assert "hashpartitioning(p_type" in plan, \
+        "share window not partitioned by class"
+    assert plan.count("lineitem.parquet") == 1
+    assert "EvalPython" not in plan
+
+
+def test_ds_multi_supplier_noreturn_one_scan_no_semi_joins(spark):
+    """ds_multi_supplier_noreturn (q16/q94 shape): both correlated
+    EXISTS collapse into the per-order aggregate — ONE fact scan, no
+    row-level semi/anti join of the fact against itself."""
+    plan = _plan(entrymod.queries()["ds_multi_supplier_noreturn"](
+        spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1, "EXISTS re-scanned fact"
+    assert "LeftAnti" not in plan, "NOT EXISTS ran as an anti join"
+    assert "EvalPython" not in plan
+
+
+def test_ds_sold_returned_repurchased_one_scan_no_self_join(spark):
+    """ds_sold_returned_repurchased (q25/q29 shape): the textbook
+    three-instance fact self-join must fold to ONE fact scan of
+    conditional per-channel aggregates — no join between fact-derived
+    streams; the segment dim broadcasts."""
+    plan = _plan(entrymod.queries()["ds_sold_returned_repurchased"](
+        spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1, "fact scanned per channel"
+    assert "SortMergeJoin" not in plan, "fact-sized self-join leaked"
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_ds_inventory_pivot_ratio_pushdown_one_scan(spark):
+    """ds_inventory_pivot_ratio (q21/q40 shape): the one-year window
+    reaches the fact scan; the before/after pivot is conditional sums
+    in ONE pass; the part dim broadcasts onto aggregate rows."""
+    plan = _plan(entrymod.queries()["ds_inventory_pivot_ratio"](
+        spark, SF_DIR))
+    pushed = plan.split("PushedFilters:")[1][:400]
+    assert "l_shipdate" in pushed, "year window not pushed"
+    assert plan.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_ds_weekday_sales_pivot_single_pass(spark):
+    """ds_weekday_sales_pivot (q43 shape): seven weekday buckets from
+    ONE fact pass (conditional sums, two-phase aggregate), supplier dim
+    broadcast, ordered LIMIT via TakeOrderedAndProject."""
+    plan = _plan(entrymod.queries()["ds_weekday_sales_pivot"](
+        spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1, "a bucket re-scanned"
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
