@@ -101,9 +101,7 @@ _DRIVER_PRIORITY = [
     # rest keep their committed r5 rows and rotate in r12):
     "agg_approx_distinct", "agg_approx_quantile", "bench_minhash_dedup",
     "dedup_embedding_cosine", "dedup_exact", "doc_fingerprint",
-    "func_array_hof", "func_array_ops", "func_bitwise",
-    "func_datetime_arith", "func_datetime_extract",
-    "func_datetime_overlaps",
+    "func_array_hof", "func_array_ops",
     # (e) r11-NEW names — zero evidence, displace r5 re-proofs 1:1
     # (every displaced r5 name holds a committed r5 row; rotate r12):
     "sketch_qsketch_double",  # NEW r11: IEEE mantissa-prefix bucketing
@@ -118,7 +116,13 @@ _DRIVER_PRIORITY = [
     "ds_sold_returned_repurchased", # NEW r11: q25/q29 one-scan funnel
     "ds_inventory_pivot_ratio",     # NEW r11: q21/q40 pivot ratio band
     "ds_weekday_sales_pivot",       # NEW r11: q43 weekday pivot
+    "ds_return_ratio_vs_state",     # NEW r11: q30/q81 state-avg window
+    "ds_rollup_level_averages",     # NEW r11: q18/q22/q27 rollup avgs
+    "ds_hour_band_user_counts",     # NEW r11: q96 time-band counts
+    "ds_acctbal_band_geography",    # NEW r11: q84/q8/q15 chained dims
     # r5 names still waiting (committed r5 rows; rotate r12):
+    # func_bitwise, func_datetime_arith, func_datetime_extract,
+    # func_datetime_overlaps,
     # func_decimal_fidelity, func_greatest_null, func_json,
     # func_json_type, func_math, func_multiset_ops,
     # func_strings_advanced, func_strings_search,

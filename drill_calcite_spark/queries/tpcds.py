@@ -3939,3 +3939,198 @@ def ds_weekday_sales_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    "wed_cents", "thu_cents", "fri_cents",
                                    "sat_cents"])]
     return src.groupBy("s_name").agg(*aggs).orderBy("s_name").limit(100)
+
+
+@q("ds_return_ratio_vs_state", """
+WITH cr AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CAST(sum(CASE WHEN l_returnflag = 'R'
+                       THEN (l_extendedprice::DECIMAL(18,2) * 100)::BIGINT
+                       ELSE 0 END) AS BIGINT) AS ret_cents
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  GROUP BY 1, 2, 3
+)
+SELECT c_custkey, c_name, n_name, ret_cents
+FROM cr JOIN nation ON n_nationkey = c_nationkey
+WHERE 10 * (SELECT count(*) FROM cr c2
+            WHERE c2.c_nationkey = cr.c_nationkey) * ret_cents
+      > 12 * (SELECT sum(ret_cents) FROM cr c2
+              WHERE c2.c_nationkey = cr.c_nationkey)
+ORDER BY c_custkey
+LIMIT 100
+""")
+def ds_return_ratio_vs_state(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """TPC-DS q30/q81 shape (queries/q30.sql, q81.sql): customers whose
+    total returns exceed 1.2× their STATE's average customer return
+    total — the suite's correlated-aggregate-vs-group-average pattern,
+    spelled in the textbook as a correlated scalar subquery over the
+    same derived table. Spark-first rewrite: the correlated average
+    DECORRELATES to window aggregates over the per-customer rollup
+    (sum/count OVER (PARTITION BY nation)), and the 1.2× test stays
+    EXACT integer algebra — ``ret > 1.2·(T/n) ⟺ 10·n·ret > 12·T`` —
+    so the boundary is engine-deterministic (float never exists). Scale
+    shape: ONE fact scan into the per-customer aggregate, the window
+    runs over customer-grain rows partitioned by nation, the nation dim
+    broadcasts; the textbook replays the derived table TWICE per
+    correlated subquery. Ordered LIMIT on the unique customer key."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    cr = (li.join(o.select("o_orderkey", "o_custkey"),
+                  F.col("o_orderkey") == F.col("l_orderkey"))
+          .join(cust.select("c_custkey", "c_name", "c_nationkey"),
+                F.col("c_custkey") == F.col("o_custkey"))
+          .groupBy("c_custkey", "c_name", "c_nationkey")
+          .agg(F.sum(F.when(F.col("l_returnflag") == "R", cents)
+                     .otherwise(F.lit(0))).cast("bigint")
+               .alias("ret_cents")))
+    w = Window.partitionBy("c_nationkey")
+    flt = (cr.withColumn("tot", F.sum("ret_cents").over(w))
+           .withColumn("nn", F.count(F.lit(1)).over(w))
+           .filter(10 * F.col("nn") * F.col("ret_cents")
+                   > 12 * F.col("tot")))
+    return (flt.join(F.broadcast(nat.select("n_nationkey", "n_name")),
+                     F.col("n_nationkey") == F.col("c_nationkey"))
+            .select("c_custkey", "c_name", "n_name", "ret_cents")
+            .orderBy("c_custkey").limit(100))
+
+
+@q("ds_rollup_level_averages", """
+SELECT n_name, p_brand,
+       CAST(GROUPING(n_name) AS BIGINT)  AS g_nation,
+       CAST(GROUPING(p_brand) AS BIGINT) AS g_brand,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST((2 * sum(CAST(l_quantity AS BIGINT)) + count(*))
+            // (2 * count(*)) AS BIGINT) AS avg_qty,
+       CAST((2 * sum((l_extendedprice::DECIMAL(18,2) * 100)::BIGINT)
+             + count(*)) // (2 * count(*)) AS BIGINT) AS avg_cents
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN part ON p_partkey = l_partkey
+WHERE p_size <= 20
+GROUP BY ROLLUP (n_name, p_brand)
+ORDER BY g_nation, g_brand, n_name NULLS FIRST, p_brand NULLS FIRST
+LIMIT 200
+""")
+def ds_rollup_level_averages(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """TPC-DS q18/q22/q27 shape (queries/q18.sql, q22.sql, q27.sql):
+    AVERAGES at every level of a ROLLUP — the suite's
+    ``avg(qoh) … group by rollup(i_product_name, i_brand, …)`` family.
+    The existing rollup shapes pin SUM/rank at rollup levels; this one
+    pins the harder column: AVG recomputed per grouping set (a rollup
+    average is NOT the average of child averages), kept EXACT as the
+    half-up integer quotient (2·sum + n) div (2·n) at every level, so
+    both engines agree bit for bit where a float AVG would drift per
+    grouping set. Scale shape: Spark's Expand emits grouping-set rows
+    BEFORE the exchange with map-side partial aggregation (sums and
+    counts are both decomposable — the quotient is computed AFTER the
+    final aggregate); dims broadcast; ordered LIMIT with grouping ids
+    + explicit NULLS FIRST as the total tiebreak."""
+    li = t(spark, sf_dir, "lineitem")
+    sup = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    part = t(spark, sf_dir, "part")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    n = F.count(F.lit(1))
+
+    def half_up(s):
+        return F.call_function("div", 2 * s + n, 2 * n).cast("bigint")
+
+    j = (li.join(F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+                 F.col("s_suppkey") == F.col("l_suppkey"))
+         .join(F.broadcast(nat.select("n_nationkey", "n_name")),
+               F.col("n_nationkey") == F.col("s_nationkey"))
+         .join(F.broadcast(part.filter(F.col("p_size") <= 20)
+                           .select("p_partkey", "p_brand")),
+               F.col("p_partkey") == F.col("l_partkey")))
+    agg = (j.rollup("n_name", "p_brand")
+           .agg(F.grouping("n_name").cast("bigint").alias("g_nation"),
+                F.grouping("p_brand").cast("bigint").alias("g_brand"),
+                n.cast("bigint").alias("n"),
+                half_up(F.sum(F.col("l_quantity").cast("bigint")))
+                .alias("avg_qty"),
+                half_up(F.sum(cents)).alias("avg_cents")))
+    return agg.orderBy("g_nation", "g_brand",
+                       F.asc_nulls_first("n_name"),
+                       F.asc_nulls_first("p_brand")).limit(200)
+
+
+@q("ds_hour_band_user_counts", """
+SELECT CAST(extract(hour FROM ts) // 4 AS BIGINT) AS hour_band,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE user_id % 5 = 2
+GROUP BY 1, 2
+ORDER BY hour_band, event_type
+""")
+def ds_hour_band_user_counts(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """TPC-DS q96 shape (queries/q96.sql): event counts inside
+    time-of-day bands for one demographic slice — the suite's
+    ``count(*) … where time_dim.t_hour = 20 and household_demographics
+    …`` pattern, generalized to all six 4-hour bands of the EVENTS
+    fact (a different fact table than the sales shapes — time-of-day
+    only exists here). Scale shape: the demographic filter is a
+    map-side residual on the fact scan; one exchange (the band
+    group-by, ≤ 6·|event types| cells via map-side combine plus the
+    distinct-user expansion keyed on the same band)."""
+    ev = t(spark, sf_dir, "events")
+    return (ev.filter(F.col("user_id") % 5 == 2)
+            .groupBy(F.floor(F.hour("ts") / 4).cast("bigint")
+                     .alias("hour_band"),
+                     "event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.countDistinct("user_id").cast("bigint")
+                 .alias("n_users"))
+            .orderBy("hour_band", "event_type"))
+
+
+@q("ds_acctbal_band_geography", """
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum((c_acctbal::DECIMAL(18,2) * 100)::BIGINT) AS BIGINT)
+         AS sum_bal_cents
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE r_name = 'ASIA'
+  AND c_acctbal BETWEEN 1000 AND 3000
+GROUP BY 1
+ORDER BY n_name
+""")
+def ds_acctbal_band_geography(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """TPC-DS q84/q8/q15 shape (queries/q84.sql et al.): the chained
+    dimension lookup — customer → geography chain (nation → region,
+    standing in for q84's household_demographics → income_band chain)
+    with a value band on the leaf attribute and a selective geography
+    pin, reported per intermediate dim value. Scale shape: NO fact
+    table at all — the whole query is dim-sized; the region pin prunes
+    nations BEFORE the customer join; both lookups broadcast; the band
+    filter is a scan residual on customer. Exact integer cents."""
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region")
+    bal_cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    asia = (nat.join(F.broadcast(reg.filter(F.col("r_name") == "ASIA")
+                                 .select("r_regionkey")),
+                     F.col("r_regionkey") == F.col("n_regionkey"))
+            .select("n_nationkey", "n_name"))
+    return (cust.filter(F.col("c_acctbal").between(1000, 3000))
+            .join(F.broadcast(asia),
+                  F.col("n_nationkey") == F.col("c_nationkey"))
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                 F.sum(bal_cents).cast("bigint").alias("sum_bal_cents"))
+            .orderBy("n_name"))

@@ -1103,3 +1103,55 @@ def test_ds_weekday_sales_pivot_single_pass(spark):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "EvalPython" not in plan
+
+
+def test_ds_return_ratio_vs_state_window_not_replay(spark):
+    """ds_return_ratio_vs_state (q30/q81 shape): the correlated state
+    average decorrelates to a window partitioned by nation over
+    customer-grain rows — ONE fact scan (the textbook replays the
+    derived table per correlated subquery), no SinglePartition."""
+    plan = _plan(entrymod.queries()["ds_return_ratio_vs_state"](
+        spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1, "derived table replayed"
+    assert "hashpartitioning(c_nationkey" in plan, \
+        "state average not a nation-partitioned window"
+    assert "EvalPython" not in plan
+
+
+def test_ds_rollup_level_averages_expand_partial_agg(spark):
+    """ds_rollup_level_averages (q18/q22/q27 shape): the ROLLUP runs
+    through Expand with map-side partial aggregation (sums+counts
+    decompose; the quotient is post-aggregate); all dims broadcast."""
+    plan = _plan(entrymod.queries()["ds_rollup_level_averages"](
+        spark, SF_DIR))
+    assert "Expand" in plan, "ROLLUP lost its Expand"
+    assert "partial_" in plan.lower() or "HashAggregate" in plan
+    assert plan.count("BroadcastHashJoin") >= 3, "a dim was shuffled"
+    assert plan.count("lineitem.parquet") == 1
+    assert "EvalPython" not in plan
+
+
+def test_ds_hour_band_user_counts_map_side_residual(spark):
+    """ds_hour_band_user_counts (q96 shape): the demographic filter is
+    a scan residual (no join to produce it), the band aggregate is
+    two-phase over the events fact."""
+    plan = _plan(entrymod.queries()["ds_hour_band_user_counts"](
+        spark, SF_DIR))
+    assert plan.count("events.parquet") == 1
+    assert "HashAggregate" in plan
+    assert "Join" not in plan, "a join crept into a single-fact count"
+    assert "EvalPython" not in plan
+
+
+def test_ds_acctbal_band_geography_dim_only_broadcast(spark):
+    """ds_acctbal_band_geography (q84/q8/q15 shape): a dim-only chained
+    lookup — the region pin prunes nations before the customer join,
+    both lookups broadcast, the acctbal band pushes to the customer
+    scan."""
+    plan = _plan(entrymod.queries()["ds_acctbal_band_geography"](
+        spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, "lookup not broadcast"
+    pushed = plan.split("PushedFilters:")[1][:400]
+    assert "c_acctbal" in pushed, "band filter not pushed"
+    assert "lineitem" not in plan, "a fact scan in a dim-only query"
+    assert "EvalPython" not in plan
