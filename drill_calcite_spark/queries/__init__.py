@@ -99,8 +99,7 @@ _DRIVER_PRIORITY = [
     "window_ignore_nulls",
     # (d) r5-vintage cohort, as many as fit the remaining slots (the
     # rest keep their committed r5 rows and rotate in r12):
-    "agg_approx_distinct", "agg_approx_quantile", "bench_minhash_dedup",
-    "dedup_embedding_cosine", "dedup_exact", "doc_fingerprint",
+    "doc_fingerprint",
     # (e) r11-NEW names — zero evidence, displace r5 re-proofs 1:1
     # (every displaced r5 name holds a committed r5 row; rotate r12):
     "sketch_qsketch_double",  # NEW r11: IEEE mantissa-prefix bucketing
@@ -121,7 +120,15 @@ _DRIVER_PRIORITY = [
     "ds_acctbal_band_geography",    # NEW r11: q84/q8/q15 chained dims
     "ds_customer_best_order",       # NEW r11: q79 windowed argmax
     "ds_net_of_returns",            # NEW r11: q93/q80 returns netting
-    # r5 names still waiting (committed r5 rows; rotate r12):
+    "ds_weekly_dow_ratio_yoy",      # NEW r11: q2 weekday yoy ratio
+    "ds_paid_above_global_avg",     # NEW r11: q24 broadcast scalar
+    "ds_channel_missing_attr_counts",  # NEW r11: q76 NULL-attr audit
+    "ds_returns_window_overlap",    # NEW r11: q83 three-window fold
+    "ds_segment_priority_loss",     # NEW r11: q91 demographic loss
+    # r5 names still waiting (committed r5 rows; rotate r12 — the r12
+    # slate MUST lead with this cohort, it has waited three rounds):
+    # agg_approx_distinct, agg_approx_quantile, bench_minhash_dedup,
+    # dedup_embedding_cosine, dedup_exact,
     # func_array_hof, func_array_ops,
     # func_bitwise, func_datetime_arith, func_datetime_extract,
     # func_datetime_overlaps,

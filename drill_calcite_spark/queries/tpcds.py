@@ -2178,7 +2178,9 @@ GROUP BY 1, 2
 """)
 def ds_channel_presence_demographics(spark: SparkSession,
                                      sf_dir: str) -> DataFrame:
-    """TPC-DS q35/q69 shape (queries/q35.sql, q69.sql): customers with
+    """TPC-DS q35/q69/q10 shape (q10 is the same
+    EXISTS AND (EXISTS OR EXISTS) presence pattern over the county
+    dim instead of demographics) (queries/q35.sql, q69.sql): customers with
     a STORE purchase AND a purchase in at least one OTHER channel —
     ``EXISTS(store) AND (EXISTS(web) OR EXISTS(catalog))`` — rolled up
     by demographic group. The textbook form scans the sales facts
@@ -2995,7 +2997,9 @@ FROM ch GROUP BY 1
 """)
 def ds_manufacturer_channel_total(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
-    """TPC-DS q33/q56/q60 shape (queries/q33.sql …): per-manufacturer
+    """TPC-DS q33/q56/q60/q71 shape (q71 re-groups the same
+    three-channel union by brand and time band — the identical
+    one-scan fold) (queries/q33.sql …): per-manufacturer
     revenue for one item category, summed across three channel CTEs —
     each channel aggregates its own star join, then the union is
     re-grouped for the grand total. The textbook form scans the fact
@@ -4266,3 +4270,266 @@ def ds_net_of_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("_netted"))
             .filter(F.col("_netted") > 0).drop("_netted")
             .orderBy("o_custkey"))
+
+
+@q("ds_weekly_dow_ratio_yoy", """
+WITH w AS (
+  SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(date_part('dow', o_orderdate) AS BIGINT) AS dow,
+         CAST(sum((o_totalprice::DECIMAL(18,2) * 100)::BIGINT)
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT w2.yr, w2.dow, w2.cents,
+       w1.cents AS prev_cents,
+       CAST(w2.cents * 10000 // w1.cents AS BIGINT) AS ratio_bp
+FROM w w1 JOIN w w2 ON w2.dow = w1.dow AND w2.yr = w1.yr + 1
+ORDER BY w2.yr, w2.dow
+""")
+def ds_weekly_dow_ratio_yoy(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """TPC-DS q2 shape (queries/q2.sql): per-weekday sales compared
+    against the SAME weekday one year earlier — the suite's
+    ``round(sun_sales1/sun_sales2, 2)`` report. The textbook self-joins
+    the weekly aggregate across years; the Spark side computes the same
+    pairs with a LAG window partitioned by weekday and ordered by year
+    (guarded on strict year adjacency), and reports the ratio in exact
+    integer BASIS POINTS (cur·10000 div prev) instead of a float
+    quotient. Scale shape: ONE scan of orders into a ≤ |years|·7-row
+    aggregate; the window and the ratio run over those aggregate rows
+    only — the textbook's second instantiation of the aggregate never
+    exists."""
+    o = t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    w = (o.groupBy(F.year("o_orderdate").cast("bigint").alias("yr"),
+                   (F.dayofweek("o_orderdate") - 1).cast("bigint")
+                   .alias("dow"))
+         .agg(F.sum(cents).cast("bigint").alias("cents")))
+    win = Window.partitionBy("dow").orderBy("yr")
+    return (w.withColumn("prev_cents", F.lag("cents").over(win))
+            .withColumn("prev_yr", F.lag("yr").over(win))
+            .filter(F.col("prev_cents").isNotNull()
+                    & (F.col("prev_yr") == F.col("yr") - 1))
+            .withColumn("ratio_bp",
+                        F.call_function("div", F.col("cents") * 10000,
+                                        F.col("prev_cents"))
+                        .cast("bigint"))
+            .select("yr", "dow", "cents", "prev_cents", "ratio_bp")
+            .orderBy("yr", "dow"))
+
+
+@q("ds_paid_above_global_avg", """
+WITH ss AS (
+  SELECT o_custkey, l_partkey,
+         CAST(sum((l_extendedprice::DECIMAL(18,2) * 100)::BIGINT)
+              AS BIGINT) AS paid_cents
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_returnflag = 'N'
+  GROUP BY 1, 2
+)
+SELECT c_name, l_partkey, paid_cents
+FROM ss JOIN customer ON c_custkey = o_custkey
+WHERE 20 * (SELECT count(*) FROM ss) * paid_cents
+      > (SELECT sum(paid_cents) FROM ss)
+ORDER BY paid_cents DESC, c_name, l_partkey
+LIMIT 100
+""")
+def ds_paid_above_global_avg(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """TPC-DS q24 shape (queries/q24.sql): (customer, item) totals kept
+    only when they exceed 5% of the AVERAGE group total over the whole
+    derived table — ``having sum(netpaid) > (select 0.05*avg(netpaid)
+    from ssales)``. Exact integer form: ``paid > T/(20·N)  ⟺
+    20·N·paid > T`` (T = grand total, N = group count), so the
+    threshold boundary never touches a float. Scale shape: ONE fact
+    scan builds the (customer, item) aggregate; the global (N, T)
+    scalar reduces from those aggregate rows and attaches as a one-row
+    BROADCAST (the textbook re-aggregates the derived table in a
+    correlated scalar); customer dim broadcasts onto the survivors;
+    ordered LIMIT with a total tiebreak."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    ss = (li.filter(F.col("l_returnflag") == "N")
+          .join(o.select("o_orderkey", "o_custkey"),
+                F.col("o_orderkey") == F.col("l_orderkey"))
+          .groupBy("o_custkey", "l_partkey")
+          .agg(F.sum(cents).cast("bigint").alias("paid_cents")))
+    ss = ss.persist()
+    scalar = ss.agg(F.count(F.lit(1)).cast("bigint").alias("nn"),
+                    F.sum("paid_cents").cast("bigint").alias("tt"))
+    return (ss.crossJoin(F.broadcast(scalar))
+            .filter(20 * F.col("nn") * F.col("paid_cents") > F.col("tt"))
+            .join(F.broadcast(cust.select("c_custkey", "c_name")),
+                  F.col("c_custkey") == F.col("o_custkey"))
+            .select("c_name", "l_partkey", "paid_cents")
+            .orderBy(F.desc("paid_cents"), "c_name", "l_partkey")
+            .limit(100))
+
+
+@q("ds_channel_missing_attr_counts", """
+WITH pruned AS (
+  SELECT p_partkey, p_brand FROM part WHERE p_retailprice > 1500
+), u AS (
+  SELECT 'N' AS channel, l.l_partkey, p.p_brand,
+         CAST(extract(year FROM l.l_shipdate) AS BIGINT) AS yr
+  FROM lineitem l LEFT JOIN pruned p ON p.p_partkey = l.l_partkey
+  WHERE l.l_returnflag = 'N'
+  UNION ALL
+  SELECT 'R', l.l_partkey, p.p_brand,
+         CAST(extract(year FROM l.l_shipdate) AS BIGINT)
+  FROM lineitem l LEFT JOIN pruned p ON p.p_partkey = l.l_partkey
+  WHERE l.l_returnflag = 'R'
+  UNION ALL
+  SELECT 'A', l.l_partkey, p.p_brand,
+         CAST(extract(year FROM l.l_shipdate) AS BIGINT)
+  FROM lineitem l LEFT JOIN pruned p ON p.p_partkey = l.l_partkey
+  WHERE l.l_returnflag = 'A'
+)
+SELECT channel, yr,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN p_brand IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing
+FROM u
+GROUP BY 1, 2
+ORDER BY channel, yr
+""")
+def ds_channel_missing_attr_counts(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """TPC-DS q76 shape (queries/q76.sql): counts of fact rows whose
+    dimension attribute is MISSING, per channel per year — the suite's
+    NULL-surrogate-key audit over a three-channel UNION ALL. The driver
+    schema has no NULL keys, so the missing attribute arises the way it
+    does in a real lakehouse audit: a LEFT join against a PRUNED dim
+    (premium items only) returns NULL for everything else, and the
+    query counts the misses. Spark-first rewrite: the textbook's three
+    UNION branches scan the fact three times; here the channel IS a
+    fact column (returnflag), so ONE scan grouped by (channel, year)
+    with a conditional NULL count replaces the whole union — hash-
+    proven against the literal three-branch UNION ALL oracle. The
+    pruned dim broadcasts."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    pruned = part.filter(F.col("p_retailprice") > 1500) \
+        .select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(pruned),
+                F.col("p_partkey") == F.col("l_partkey"), "left")
+    return (j.groupBy(F.col("l_returnflag").alias("channel"),
+                      F.year("l_shipdate").cast("bigint").alias("yr"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.sum(F.col("p_brand").isNull().cast("bigint"))
+                 .cast("bigint").alias("n_missing"))
+            .orderBy("channel", "yr"))
+
+
+@q("ds_returns_window_overlap", """
+WITH r1 AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n1
+  FROM lineitem WHERE l_returnflag = 'R'
+    AND l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1996-01-01'
+  GROUP BY 1
+), r2 AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n2
+  FROM lineitem WHERE l_returnflag = 'R'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1
+), r3 AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n3
+  FROM lineitem WHERE l_returnflag = 'R'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1
+)
+SELECT r1.l_partkey, n1, n2, n3,
+       CAST(n1 * 10000 // (n1 + n2 + n3) AS BIGINT) AS share1_bp
+FROM r1 JOIN r2 ON r2.l_partkey = r1.l_partkey
+        JOIN r3 ON r3.l_partkey = r1.l_partkey
+ORDER BY r1.l_partkey
+""")
+def ds_returns_window_overlap(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """TPC-DS q83 shape (queries/q83.sql): items returned in ALL THREE
+    of three disjoint date windows — the textbook joins three
+    derived-table aggregates of the returns fact on the item key and
+    reports each window's share of the item's total. Spark-first
+    rewrite: the three instances fold to ONE scan of the returns slice
+    with three conditional counts per item; the all-three-present
+    filter is ``n1·n2·n3 > 0``; the share is exact integer basis
+    points. Hash-proven against the literal three-instance join. Scale
+    shape: one fact scan, one exchange on the item key (the textbook
+    shuffles the returns fact three times and joins twice).
+    Non-vacuous at every test SF (year-wide windows; the
+    two-month windows matched zero items at sf0.001)."""
+    li = t(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate")
+
+    def win(lo, hi):
+        return ((d >= F.lit(lo).cast("timestamp"))
+                & (d < F.lit(hi).cast("timestamp")))
+
+    w1 = win("1995-01-01", "1996-01-01")
+    w2 = win("1996-01-01", "1997-01-01")
+    w3 = win("1997-01-01", "1998-01-01")
+    r = (li.filter((F.col("l_returnflag") == "R") & (w1 | w2 | w3))
+         .groupBy("l_partkey")
+         .agg(F.sum(w1.cast("bigint")).cast("bigint").alias("n1"),
+              F.sum(w2.cast("bigint")).cast("bigint").alias("n2"),
+              F.sum(w3.cast("bigint")).cast("bigint").alias("n3")))
+    return (r.filter((F.col("n1") > 0) & (F.col("n2") > 0)
+                     & (F.col("n3") > 0))
+            .withColumn("share1_bp",
+                        F.call_function(
+                            "div", F.col("n1") * 10000,
+                            F.col("n1") + F.col("n2") + F.col("n3"))
+                        .cast("bigint"))
+            .orderBy("l_partkey"))
+
+
+@q("ds_segment_priority_loss", """
+SELECT c_mktsegment, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_returns,
+       CAST(sum((l_extendedprice::DECIMAL(18,2) * 100)::BIGINT)
+            AS BIGINT) AS loss_cents
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+WHERE l_returnflag = 'R'
+  AND l_shipdate >= TIMESTAMP '1996-06-01'
+  AND l_shipdate < TIMESTAMP '1996-07-01'
+GROUP BY 1, 2
+ORDER BY loss_cents DESC, c_mktsegment, o_orderpriority
+""")
+def ds_segment_priority_loss(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """TPC-DS q91 shape (queries/q91.sql): returned-order losses for
+    ONE month broken down by customer demographic buckets — the call
+    center return report (loss = returned amount, grouped by the
+    demographic pair, ordered by loss). Scale shape: the month window
+    and return flag both push to the fact scan (PushedFilters); the
+    two dims broadcast; one exchange (the 2-attribute group-by, tiny
+    cardinality via map-side combine); ordered output with a total
+    tiebreak. Exact integer cents."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    rets = li.filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_shipdate") >= F.lit("1996-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp")))
+    return (rets.join(o.select("o_orderkey", "o_custkey",
+                               "o_orderpriority"),
+                      F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+                  F.col("c_custkey") == F.col("o_custkey"))
+            .groupBy("c_mktsegment", "o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_returns"),
+                 F.sum(cents).cast("bigint").alias("loss_cents"))
+            .orderBy(F.desc("loss_cents"), "c_mktsegment",
+                     "o_orderpriority"))

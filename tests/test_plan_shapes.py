@@ -1182,3 +1182,67 @@ def test_ds_net_of_returns_one_scan_both_sides(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_ds_weekly_dow_ratio_yoy_lag_window_one_scan(spark):
+    """ds_weekly_dow_ratio_yoy (q2 shape): the year-over-year pairing is
+    a lag window over the (year, weekday) aggregate — the textbook's
+    second aggregate instance must not exist (one orders scan), and no
+    self-join of aggregates appears."""
+    plan = _plan(entrymod.queries()["ds_weekly_dow_ratio_yoy"](
+        spark, SF_DIR))
+    assert plan.count("orders.parquet") == 1, "aggregate instantiated twice"
+    assert "SortMergeJoin" not in plan, "self-join of aggregates leaked"
+    assert "EvalPython" not in plan
+
+
+def test_ds_paid_above_global_avg_broadcast_scalar(spark):
+    """ds_paid_above_global_avg (q24 shape): the global (N, total)
+    threshold reduces from the persisted aggregate and attaches as a
+    one-row broadcast (BroadcastNestedLoopJoin or BroadcastExchange) —
+    the fact is scanned once; the aggregate feeds both consumers
+    through InMemoryRelation."""
+    plan = _plan(entrymod.queries()["ds_paid_above_global_avg"](
+        spark, SF_DIR))
+    assert "InMemoryTableScan" in plan, "aggregate not reused"
+    assert ("BroadcastNestedLoopJoin" in plan
+            or "BroadcastExchange" in plan)
+    # every lineitem mention must sit inside an InMemoryRelation
+    # DEFINITION (the cache both consumers read), never a live re-scan
+    assert plan.count("lineitem.parquet") == plan.count(
+        "InMemoryRelation"), "a consumer re-scans the fact"
+    assert "EvalPython" not in plan
+
+
+def test_ds_channel_missing_attr_counts_one_scan_left_broadcast(spark):
+    """ds_channel_missing_attr_counts (q76 shape): the three-branch
+    UNION folds to ONE fact scan (channel is a column); the pruned dim
+    attaches as a broadcast LEFT join."""
+    plan = _plan(entrymod.queries()["ds_channel_missing_attr_counts"](
+        spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1, "union re-scanned fact"
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert "EvalPython" not in plan
+
+
+def test_ds_returns_window_overlap_one_scan_conditional(spark):
+    """ds_returns_window_overlap (q83 shape): the three derived-table
+    instances fold to one scan of conditional counts — no join between
+    fact-derived streams."""
+    plan = _plan(entrymod.queries()["ds_returns_window_overlap"](
+        spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1, "fact scanned per window"
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_ds_segment_priority_loss_pushdown_broadcast(spark):
+    """ds_segment_priority_loss (q91 shape): month window + return flag
+    push to the fact scan; the customer dim broadcasts."""
+    plan = _plan(entrymod.queries()["ds_segment_priority_loss"](
+        spark, SF_DIR))
+    pushed = plan.split("PushedFilters:")[1][:400]
+    assert "l_returnflag" in pushed or "l_shipdate" in pushed
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert "EvalPython" not in plan
