@@ -60,7 +60,11 @@ _ROWS_ONLY_FIRST_EVIDENCE = [
 # the start of r11: all five r10-queued names are promoted into the
 # slate below. r11-new names displace r5-vintage tail entries instead
 # (zero-evidence beats re-proof) until the tail runs out, then queue here.
-_NEXT_ROUND_HEAD: list[str] = []
+_NEXT_ROUND_HEAD: list[str] = [
+    "dedup_edit_verify",  # NEW r11 (late): edit-distance verification
+    # of LSH candidate pairs — the slate was already full with 21
+    # r11-new names; 3-SF parity + plan test committed this round
+]
 
 _DRIVER_PRIORITY = [
     # (a) NEVER-GREEN: zero driver evidence anywhere — first rows needed.

@@ -1246,3 +1246,24 @@ def test_ds_segment_priority_loss_pushdown_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert plan.count("lineitem.parquet") == 1
     assert "EvalPython" not in plan
+
+
+def test_sketch_qsketch_double_capped_map_side(spark):
+    """sketch_qsketch_double: the double-bucket build must map-side
+    combine to the capped cell space before the exchange (two-phase
+    HashAggregate), stay fully JVM-side, and window only the sketch."""
+    plan = _plan(entrymod.queries()["sketch_qsketch_double"](
+        spark, SF_DIR))
+    assert "HashAggregate" in plan
+    assert "EvalPython" not in plan, "bucket math fell out of codegen"
+    assert plan.count("events.parquet") == 1
+
+
+def test_dedup_edit_verify_lsh_only_no_python(spark):
+    """dedup_edit_verify: the O(L^2) verifier must run ONLY on LSH
+    candidate pairs — no cartesian/nested-loop anywhere — and the
+    Levenshtein kernel stays JVM-side (no Python evaluation)."""
+    plan = _plan(entrymod.queries()["dedup_edit_verify"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan, "verifier fell out of codegen"
