@@ -64,6 +64,9 @@ _NEXT_ROUND_HEAD: list[str] = [
     "dedup_edit_verify",  # NEW r11 (late): edit-distance verification
     # of LSH candidate pairs — the slate was already full with 21
     # r11-new names; 3-SF parity + plan test committed this round
+    "stream_static_enrich_agg",  # NEW r11 (late): stream-static
+    # broadcast-join enrichment before a watermarked window aggregate —
+    # same overflow reason; 3-SF parity committed this round
 ]
 
 _DRIVER_PRIORITY = [

@@ -482,6 +482,110 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+@q("stream_static_enrich_agg", f"""
+WITH e AS (
+  SELECT epoch_us(ts) AS us, user_id,
+         least(CAST(floor(date_diff('day', DATE '2024-01-01', ts) / 7)
+                    AS BIGINT), 3) AS wk,
+         event_id
+  FROM events
+), b AS (
+  SELECT us, user_id,
+         CASE WHEN event_id % 13 = 0 THEN least(wk + 2, 3) ELSE wk END
+           AS batch
+  FROM e
+), mx AS (
+  SELECT batch, max(us) AS mx_us FROM b GROUP BY 1
+), wm AS (
+  SELECT b2.batch,
+         ((SELECT max(mx_us) FROM mx WHERE mx.batch < b2.batch - 1)
+          // 1000 - {_WM_DELAY_US // 1000}) * 1000 AS wm_late
+  FROM (SELECT DISTINCT batch FROM b) b2
+), survived AS (
+  SELECT b.us, b.user_id
+  FROM b JOIN wm ON wm.batch = b.batch
+  WHERE wm.wm_late IS NULL
+     OR (b.us // {_WM_DAY_US}) * {_WM_DAY_US} + {_WM_DAY_US} > wm.wm_late
+), fin AS (SELECT (max(us) // 1000 - {_WM_DELAY_US // 1000}) * 1000
+             AS wm_final FROM b)
+SELECT CAST((us // {_WM_DAY_US}) * 86400 AS BIGINT) AS win_start,
+       c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n
+FROM survived
+JOIN customer ON c_custkey = user_id, fin
+WHERE (us // {_WM_DAY_US}) * {_WM_DAY_US} + {_WM_DAY_US} <= fin.wm_final
+GROUP BY 1, 2
+""")
+def stream_static_enrich_agg(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """STREAM-STATIC JOIN enrichment — the most common production
+    streaming pattern (a streaming fact broadcast-joined to a static
+    dimension BEFORE a watermarked window aggregate), proven with the
+    same 4-file drain discipline as the state batteries: the static
+    join must be STATELESS (no watermark interaction, no buffer — the
+    dim rows are available to every micro-batch) and must preserve the
+    event-time column intact, so the downstream TUMBLE(1 day) per
+    market segment drops/emits/withholds EXACTLY as the un-enriched
+    ``stream_late_data_drop`` battery does. The DuckDB oracle replays
+    the one-batch-lagged late filter and final-watermark emission rule
+    in integer microseconds, then applies the dim join — a replay that
+    (wrongly) watermarked the dim side or re-filtered after the join
+    would change segment counts and hash red.
+
+    Scale shape: the dim is a BROADCAST inner join per micro-batch
+    (static side re-used, never shuffled); state is the windowed
+    aggregate only, bounded by the watermark delay."""
+    import os as _os
+    import shutil
+    import uuid as _uuid
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from drill_calcite_spark.queries.sources import _fixture_dir
+
+    ev = t(spark, sf_dir, "events")
+    week = F.least(
+        F.floor(F.datediff(F.col("ts"), F.lit("2024-01-01")) / 7),
+        F.lit(3))
+    batch = (F.when(F.col("event_id") % 13 == 0,
+                    F.least(week + 2, F.lit(3)))
+             .otherwise(week)).cast("int")
+    pdf = (ev.select("event_id", "ts", "user_id",
+                     batch.alias("batch")).toPandas())
+
+    base = _os.path.join(_fixture_dir(sf_dir),
+                         f"sse_batches_{_uuid.uuid4().hex[:12]}")
+    _os.makedirs(base)
+    try:
+        for bno in range(4):
+            part = pdf[pdf.batch == bno].drop(columns=["batch"])
+            path = f"{base}/batch_{bno:03d}.parquet"
+            _pq.write_table(
+                _pa.Table.from_pandas(part, preserve_index=False), path,
+                coerce_timestamps="us", allow_truncated_timestamps=True)
+            _os.utime(path, (1_700_000_000 + bno * 1000,) * 2)
+
+        schema = spark.read.parquet(base).schema
+        dim = F.broadcast(t(spark, sf_dir, "customer")
+                          .select("c_custkey", "c_mktsegment"))
+        agg = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(base)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "2 days")
+            .join(dim, F.col("c_custkey") == F.col("user_id"))
+            .groupBy(tumble("ts", "1 day").alias("w"), "c_mktsegment")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .select(F.unix_timestamp(F.col("w.start")).cast("bigint")
+                    .alias("win_start"), "c_mktsegment", "n"))
+        out = run_available_now(agg, spark, output_mode="append")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 _DD_DELAY_US = 12 * 3_600_000_000  # 12 hours
 
 
