@@ -195,6 +195,61 @@ def qsketch_build(df: DataFrame, value_col: str,
             .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
 
 
+def qsketch_build_grouped(df: DataFrame, keys: "list[str]",
+                          value_col: str,
+                          sub_bits: int = QSKETCH_SUB_BITS,
+                          signed: bool = False,
+                          double: bool = False) -> DataFrame:
+    """Per-GROUP sketch: ``(keys..., bucket_lo, cnt)`` — one sketch per
+    key combination in ONE aggregation (the per-tenant / per-source /
+    per-metric telemetry pattern). The keyspace cap applies per group;
+    map-side combine still collapses each task before the exchange."""
+    if double:
+        bucket = (qsketch_bucket_double_signed if signed
+                  else qsketch_bucket_double)
+    else:
+        bucket = qsketch_bucket_signed if signed else qsketch_bucket
+    return (df.select(*keys, bucket(F.col(value_col), sub_bits)
+                      .alias("bucket_lo"))
+            .groupBy(*keys, "bucket_lo")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+
+
+def qsketch_quantiles_grouped(sketch: DataFrame, keys: "list[str]",
+                              qs: "list[tuple[int, int]]",
+                              lo_type: str = "bigint") -> DataFrame:
+    """Per-group quantiles from a grouped sketch — the same exact
+    rank rule as :func:`qsketch_quantiles`, with every window
+    PARTITIONED BY the group keys so each partition is one group's
+    ≤ capped-cell sketch (never the data, never a global sort)."""
+    wc = Window.partitionBy(*keys).orderBy("bucket_lo").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    wn = Window.partitionBy(*keys).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = sketch.select(
+        *keys, "bucket_lo",
+        F.sum("cnt").over(wc).cast("bigint").alias("cum"),
+        F.sum("cnt").over(wn).cast("bigint").alias("n"),
+    )
+    qarr = F.array(*[
+        F.struct(F.lit(100 * num // den).cast("bigint").alias("q_pct"),
+                 F.lit(num).cast("bigint").alias("num"),
+                 F.lit(den).cast("bigint").alias("den"))
+        for num, den in qs])
+    expanded = cum.select(*keys, "bucket_lo", "cum", "n",
+                          F.explode(qarr).alias("q"))
+    rank = F.call_function(
+        "div", F.col("q.num") * F.col("n") + F.col("q.den") - 1,
+        F.col("q.den"))
+    return (expanded.filter(F.col("cum") >= rank)
+            .groupBy(*keys,
+                     F.col("q.q_pct").alias("q_pct"),
+                     F.col("q.num").alias("q_num"),
+                     F.col("q.den").alias("q_den"))
+            .agg(F.min("bucket_lo").cast(lo_type).alias("lo"),
+                 F.max("n").cast("bigint").alias("n")))
+
+
 def qsketch_merge(*sketches: DataFrame) -> DataFrame:
     """Cellwise merge — counts are linear, so union + re-aggregate."""
     out = sketches[0]

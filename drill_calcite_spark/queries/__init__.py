@@ -67,6 +67,9 @@ _NEXT_ROUND_HEAD: list[str] = [
     "stream_static_enrich_agg",  # NEW r11 (late): stream-static
     # broadcast-join enrichment before a watermarked window aggregate —
     # same overflow reason; 3-SF parity committed this round
+    "sketch_qsketch_grouped",  # NEW r11 (late): per-group signed-double
+    # sketches, group-partitioned quantile windows — same overflow
+    # reason; 3-SF parity committed this round
 ]
 
 _DRIVER_PRIORITY = [

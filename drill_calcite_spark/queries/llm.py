@@ -2768,3 +2768,61 @@ def dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("max_len", ml)
             .filter(10 * F.col("edit_dist") <= 3 * F.col("max_len"))
             .select("doc_i", "doc_j", "edit_dist", "max_len"))
+
+
+def _qsketch_grouped_oracle() -> str:
+    from drill_calcite_spark.operators.qsketch import (
+        sql_qsketch_bucket_double_signed)
+
+    return f"""
+WITH v AS (
+  SELECT event_type, CAST(value - 50.0 AS DOUBLE) AS v FROM events
+),
+s AS (
+  SELECT event_type, {sql_qsketch_bucket_double_signed('v')} AS bucket_lo,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM v GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, bucket_lo,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket_lo) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM s
+),
+q(q_pct, num, den) AS (VALUES (25, 1, 4), (50, 1, 2), (99, 99, 100))
+SELECT event_type,
+       CAST(q_pct AS BIGINT)          AS q_pct,
+       CAST(num AS BIGINT)            AS q_num,
+       CAST(den AS BIGINT)            AS q_den,
+       CAST(min(bucket_lo) AS DOUBLE) AS lo,
+       CAST(max(n) AS BIGINT)         AS n
+FROM c, q
+WHERE cum >= (num * n + den - 1) // den
+GROUP BY event_type, q_pct, num, den
+"""
+
+
+@q("sketch_qsketch_grouped", _qsketch_grouped_oracle())
+def sketch_qsketch_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP quantile sketches (r11) — the per-tenant / per-source /
+    per-metric telemetry pattern: one signed DOUBLE sketch per event
+    type in ONE aggregation (operators/qsketch.py
+    qsketch_build_grouped), quantiles extracted by the SAME exact
+    integer rank rule with every window PARTITIONED BY the group key —
+    each partition is one group's ≤ capped-cell sketch, so the quantile
+    stage is group-count-parallel and size-independent of the corpus.
+    Completes the sketch family: global (r9) → signed (r10) → double
+    (r11) → grouped (r11). Every reported cell is bit-exact vs the
+    DuckDB replay (the double bucketing is exact IEEE mantissa-prefix
+    arithmetic; see sketch_qsketch_double)."""
+    from drill_calcite_spark.operators.qsketch import (
+        qsketch_build_grouped, qsketch_quantiles_grouped)
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value") - F.lit(50.0)).cast("double").alias("v"))
+    sk = qsketch_build_grouped(ev, ["event_type"], "v",
+                               signed=True, double=True)
+    return qsketch_quantiles_grouped(
+        sk, ["event_type"], [(1, 4), (1, 2), (99, 100)],
+        lo_type="double")
