@@ -3829,11 +3829,18 @@ def ds_sold_returned_repurchased(spark: SparkSession,
                      F.col("c_custkey") == F.col("cust"))
             .groupBy("c_mktsegment")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-                 F.sum(F.col("sum_s") * F.col("n_r") * F.col("n_c"))
+                 # DECIMAL(38,0) products: Spark BIGINT multiplication
+                 # wraps silently with ANSI off while DuckDB promotes to
+                 # HUGEINT — at whale-customer multiplicities the BIGINT
+                 # form would diverge; decimal38 holds ~1e38 exactly
+                 F.sum(F.col("sum_s").cast("decimal(38,0)")
+                       * F.col("n_r") * F.col("n_c"))
                  .cast("bigint").alias("sold_cents"),
-                 F.sum(F.col("sum_r") * F.col("n_s") * F.col("n_c"))
+                 F.sum(F.col("sum_r").cast("decimal(38,0)")
+                       * F.col("n_s") * F.col("n_c"))
                  .cast("bigint").alias("returned_cents"),
-                 F.sum(F.col("sum_c") * F.col("n_s") * F.col("n_r"))
+                 F.sum(F.col("sum_c").cast("decimal(38,0)")
+                       * F.col("n_s") * F.col("n_r"))
                  .cast("bigint").alias("repurchased_cents"))
             .orderBy("c_mktsegment"))
 
@@ -4362,7 +4369,10 @@ def ds_paid_above_global_avg(spark: SparkSession,
     scalar = ss.agg(F.count(F.lit(1)).cast("bigint").alias("nn"),
                     F.sum("paid_cents").cast("bigint").alias("tt"))
     return (ss.crossJoin(F.broadcast(scalar))
-            .filter(20 * F.col("nn") * F.col("paid_cents") > F.col("tt"))
+            # decimal38 product: 20*N*paid overflows BIGINT at ~1e10
+            # groups x 1e8-cent totals; DuckDB computes it in HUGEINT
+            .filter(F.lit(20).cast("decimal(38,0)") * F.col("nn")
+                    * F.col("paid_cents") > F.col("tt"))
             .join(F.broadcast(cust.select("c_custkey", "c_name")),
                   F.col("c_custkey") == F.col("o_custkey"))
             .select("c_name", "l_partkey", "paid_cents")
