@@ -3984,13 +3984,15 @@ def ds_return_ratio_vs_state(spark: SparkSession,
     total — the suite's correlated-aggregate-vs-group-average pattern,
     spelled in the textbook as a correlated scalar subquery over the
     same derived table. Spark-first rewrite: the correlated average
-    DECORRELATES to window aggregates over the per-customer rollup
-    (sum/count OVER (PARTITION BY nation)), and the 1.2× test stays
-    EXACT integer algebra — ``ret > 1.2·(T/n) ⟺ 10·n·ret > 12·T`` —
+    DECORRELATES to per-nation (sum, count) built by a GROUP BY and
+    broadcast-joined back — NOT a window partitioned by nation, which
+    would funnel one nation's whole customer population (1e8 rows at
+    100 TB) through a single window task. The 1.2× test stays EXACT
+    integer algebra — ``ret > 1.2·(T/n) ⟺ 10·n·ret > 12·T`` (products
+    in DECIMAL(38,0); Spark BIGINT would wrap where DuckDB promotes) —
     so the boundary is engine-deterministic (float never exists). Scale
-    shape: ONE fact scan into the per-customer aggregate, the window
-    runs over customer-grain rows partitioned by nation, the nation dim
-    broadcasts; the textbook replays the derived table TWICE per
+    shape: ONE fact scan into the per-customer aggregate, one tiny
+    broadcast back; the textbook replays the derived table TWICE per
     correlated subquery. Ordered LIMIT on the unique customer key."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
@@ -4006,11 +4008,17 @@ def ds_return_ratio_vs_state(spark: SparkSession,
           .agg(F.sum(F.when(F.col("l_returnflag") == "R", cents)
                      .otherwise(F.lit(0))).cast("bigint")
                .alias("ret_cents")))
-    w = Window.partitionBy("c_nationkey")
-    flt = (cr.withColumn("tot", F.sum("ret_cents").over(w))
-           .withColumn("nn", F.count(F.lit(1)).over(w))
-           .filter(10 * F.col("nn") * F.col("ret_cents")
-                   > 12 * F.col("tot")))
+    # nation stats via groupBy + broadcast join back, NOT a window:
+    # a window partitioned by nation puts one nation's whole customer
+    # population (1e8 rows at 100 TB) in ONE task; the aggregate is
+    # |nations| rows and broadcasts for free
+    stats = (cr.groupBy(F.col("c_nationkey").alias("sk"))
+             .agg(F.sum("ret_cents").cast("decimal(38,0)").alias("tot"),
+                  F.count(F.lit(1)).cast("bigint").alias("nn")))
+    flt = (cr.join(F.broadcast(stats),
+                   F.col("sk") == F.col("c_nationkey"))
+           .filter(F.lit(10).cast("decimal(38,0)") * F.col("nn")
+                   * F.col("ret_cents") > 12 * F.col("tot")))
     return (flt.join(F.broadcast(nat.select("n_nationkey", "n_name")),
                      F.col("n_nationkey") == F.col("c_nationkey"))
             .select("c_custkey", "c_name", "n_name", "ret_cents")

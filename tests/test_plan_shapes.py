@@ -1105,16 +1105,18 @@ def test_ds_weekday_sales_pivot_single_pass(spark):
     assert "EvalPython" not in plan
 
 
-def test_ds_return_ratio_vs_state_window_not_replay(spark):
+def test_ds_return_ratio_vs_state_broadcast_not_window(spark):
     """ds_return_ratio_vs_state (q30/q81 shape): the correlated state
-    average decorrelates to a window partitioned by nation over
-    customer-grain rows — ONE fact scan (the textbook replays the
-    derived table per correlated subquery), no SinglePartition."""
+    average decorrelates to per-nation stats broadcast-joined BACK to
+    the customer rollup — ONE fact scan (the textbook replays the
+    derived table per correlated subquery), and NO window partitioned
+    by nation (one nation's whole customer population in a single task
+    at 100 TB)."""
     plan = _plan(entrymod.queries()["ds_return_ratio_vs_state"](
         spark, SF_DIR))
     assert plan.count("lineitem.parquet") == 1, "derived table replayed"
-    assert "hashpartitioning(c_nationkey" in plan, \
-        "state average not a nation-partitioned window"
+    assert "BroadcastHashJoin" in plan, "nation stats not broadcast"
+    assert "Window" not in plan, "nation-partitioned window leaked"
     assert "EvalPython" not in plan
 
 
