@@ -4008,6 +4008,9 @@ def ds_return_ratio_vs_state(spark: SparkSession,
           .agg(F.sum(F.when(F.col("l_returnflag") == "R", cents)
                      .otherwise(F.lit(0))).cast("bigint")
                .alias("ret_cents")))
+    # customer-grain rollup feeds BOTH consumers (stats + filter) —
+    # persist so the fact isn't scanned twice
+    cr = cr.persist()
     # nation stats via groupBy + broadcast join back, NOT a window:
     # a window partitioned by nation puts one nation's whole customer
     # population (1e8 rows at 100 TB) in ONE task; the aggregate is

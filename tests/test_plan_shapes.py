@@ -1114,7 +1114,11 @@ def test_ds_return_ratio_vs_state_broadcast_not_window(spark):
     at 100 TB)."""
     plan = _plan(entrymod.queries()["ds_return_ratio_vs_state"](
         spark, SF_DIR))
-    assert plan.count("lineitem.parquet") == 1, "derived table replayed"
+    # the persisted customer rollup serves both consumers: every
+    # lineitem mention sits inside an InMemoryRelation definition
+    assert plan.count("lineitem.parquet") == plan.count(
+        "InMemoryRelation"), "a consumer re-scans the fact"
+    assert "InMemoryTableScan" in plan, "customer rollup not reused"
     assert "BroadcastHashJoin" in plan, "nation stats not broadcast"
     assert "Window" not in plan, "nation-partitioned window leaked"
     assert "EvalPython" not in plan
