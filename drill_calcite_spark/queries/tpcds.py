@@ -4256,9 +4256,10 @@ def ds_net_of_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     key-unique on both sides — the literal row-level join would
     duplicate sold lines against multiple return rows, which q93 rules
     out by joining on the unique ticket identity. Scale shape: ONE
-    fact scan feeds BOTH sides (the returnflag split is two conditional
-    aggregates over the same shuffle), the join and the order
-    dimension attach co-keyed on orderkey, and the final exchange is
+    fact scan, ONE exchange — the returnflag split is conditional
+    aggregates inside a single (order, part) group-by (a key with zero
+    R-lines reproduces the join's NULL case exactly), the order
+    dimension attaches co-keyed on orderkey, and the final exchange is
     customer-grain. Non-vacuous by calibration: 24/28/33 netted keys
     at the three test SFs."""
     li = t(spark, sf_dir, "lineitem")
@@ -4266,25 +4267,30 @@ def ds_net_of_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
         .cast("bigint")
     qty = F.col("l_quantity").cast("bigint")
-    s = (li.filter(F.col("l_returnflag") != "R")
-         .groupBy("l_orderkey", "l_partkey")
-         .agg(F.sum(qty).cast("bigint").alias("qty_s"),
-              F.sum(cents).cast("bigint").alias("cents_s")))
-    r = (li.filter(F.col("l_returnflag") == "R")
-         .groupBy(F.col("l_orderkey").alias("r_orderkey"),
-                  F.col("l_partkey").alias("r_partkey"))
-         .agg(F.sum(qty).cast("bigint").alias("qty_r")))
-    j = (s.join(r, (F.col("r_orderkey") == F.col("l_orderkey"))
-                & (F.col("r_partkey") == F.col("l_partkey")), "left")
-         .join(o.select("o_orderkey", "o_custkey"),
-               F.col("o_orderkey") == F.col("l_orderkey")))
+    is_r = F.col("l_returnflag") == "R"
+    # ONE scan: both sides of the textbook LEFT join are conditional
+    # aggregates of the same (order, part) group — a key with zero
+    # R-lines has n_r = 0, exactly the join's NULL case (coalesce -> 0,
+    # not-NULL test -> n_r > 0), and keys with only R-lines (the LEFT
+    # join's absent s-side) drop via n_sold > 0
+    g = (li.groupBy("l_orderkey", "l_partkey")
+         .agg(F.sum(F.when(~is_r, qty).otherwise(F.lit(0)))
+              .cast("bigint").alias("qty_s"),
+              F.sum(F.when(~is_r, cents).otherwise(F.lit(0)))
+              .cast("bigint").alias("cents_s"),
+              F.sum((~is_r).cast("bigint")).alias("n_sold"),
+              F.sum(F.when(is_r, qty).otherwise(F.lit(0)))
+              .cast("bigint").alias("qty_r"),
+              F.sum(is_r.cast("bigint")).alias("n_r"))
+         .filter(F.col("n_sold") > 0))
+    j = g.join(o.select("o_orderkey", "o_custkey"),
+               F.col("o_orderkey") == F.col("l_orderkey"))
     return (j.groupBy("o_custkey")
-            .agg(F.sum(F.col("qty_s")
-                       - F.coalesce(F.col("qty_r"), F.lit(0)))
+            .agg(F.sum(F.col("qty_s") - F.col("qty_r"))
                  .cast("bigint").alias("net_qty"),
                  F.sum("cents_s").cast("bigint").alias("gross_cents"),
                  F.count(F.lit(1)).cast("bigint").alias("n_keys"),
-                 F.sum(F.col("qty_r").isNotNull().cast("bigint"))
+                 F.sum((F.col("n_r") > 0).cast("bigint"))
                  .alias("_netted"))
             .filter(F.col("_netted") > 0).drop("_netted")
             .orderBy("o_custkey"))

@@ -1178,13 +1178,12 @@ def test_ds_customer_best_order_window_argmax_one_scan(spark):
 
 
 def test_ds_net_of_returns_one_scan_both_sides(spark):
-    """ds_net_of_returns (q93/q80 netting shape): the sold and returned
-    sides both pre-aggregate to the line-identity grain; Spark may read
-    the fact once per conditional side but must never row-level
-    self-join the raw fact (both join inputs are aggregates), and no
-    nested loop appears."""
+    """ds_net_of_returns (q93/q80 netting shape): the textbook
+    sold-LEFT-JOIN-returns folds to conditional aggregates inside ONE
+    (order, part) group-by — one fact scan, no self-join of
+    fact-derived streams, no nested loop."""
     plan = _plan(entrymod.queries()["ds_net_of_returns"](spark, SF_DIR))
-    assert plan.count("lineitem.parquet") <= 2
+    assert plan.count("lineitem.parquet") == 1, "fact scanned per side"
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
