@@ -70,6 +70,8 @@ _NEXT_ROUND_HEAD: list[str] = [
     "sketch_qsketch_grouped",  # NEW r11 (late): per-group signed-double
     # sketches, group-partitioned quantile windows — same overflow
     # reason; 3-SF parity committed this round
+    "pipeline_source_quality_gate",  # NEW r11 (late): stratified
+    # per-source p25 gate from grouped sketches — same overflow reason
 ]
 
 _DRIVER_PRIORITY = [

@@ -2826,3 +2826,70 @@ def sketch_qsketch_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qsketch_quantiles_grouped(
         sk, ["event_type"], [(1, 4), (1, 2), (99, 100)],
         lo_type="double")
+
+
+def _source_gate_oracle() -> str:
+    from drill_calcite_spark.operators.qsketch import sql_qsketch_bucket
+
+    return f"""
+WITH v AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v FROM documents
+),
+s AS (
+  SELECT source, {sql_qsketch_bucket('v')} AS bucket_lo,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM v GROUP BY 1, 2
+),
+c AS (
+  SELECT source, bucket_lo,
+         sum(cnt) OVER (PARTITION BY source ORDER BY bucket_lo) AS cum,
+         sum(cnt) OVER (PARTITION BY source) AS n
+  FROM s
+),
+thr AS (
+  SELECT source, min(bucket_lo) AS lo FROM c
+  WHERE cum >= (1 * n + 4 - 1) // 4
+  GROUP BY source
+)
+SELECT v.source,
+       CAST(thr.lo AS BIGINT)       AS thr,
+       CAST(count(*) AS BIGINT)     AS n_kept,
+       CAST(sum(v.v) AS BIGINT)     AS sum_chars
+FROM v JOIN thr ON thr.source = v.source
+WHERE v.v >= thr.lo
+GROUP BY v.source, thr.lo
+"""
+
+
+@q("pipeline_source_quality_gate", _source_gate_oracle())
+def pipeline_source_quality_gate(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """PER-SOURCE quality gate (r11) — the stratified variant of
+    ``pipeline_quality_sketch_gate``: real pipelines gate each source
+    against ITS OWN score distribution (a corpus-wide threshold would
+    gut a low-scoring-but-wanted source and pass everything from a
+    high-scoring one). One GROUPED sketch per source
+    (qsketch_build_grouped — single aggregation, per-group capped
+    cells), per-source p25 lower bounds extracted by the group-
+    partitioned rank rule, thresholds joined back as a |sources|-row
+    BROADCAST, gate as a map-side filter. The oracle rebuilds every
+    per-source sketch cell-for-cell; thresholds and surviving totals
+    are hash-pinned. Scale: never an exact per-group percentile or a
+    data-sized window — the only corpus-sized operations are the
+    sketch build's map-side collapse and the final filtered
+    aggregation."""
+    from drill_calcite_spark.operators.qsketch import (
+        qsketch_build_grouped, qsketch_quantiles_grouped)
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("v"))
+    sk = qsketch_build_grouped(docs, ["source"], "v")
+    thr = (qsketch_quantiles_grouped(sk, ["source"], [(1, 4)])
+           .select(F.col("source").alias("t_source"),
+                   F.col("lo").alias("thr")))
+    return (docs.join(F.broadcast(thr),
+                      F.col("t_source") == F.col("source"))
+            .filter(F.col("v") >= F.col("thr"))
+            .groupBy("source", "thr")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+                 F.sum("v").cast("bigint").alias("sum_chars")))
