@@ -72,6 +72,8 @@ _NEXT_ROUND_HEAD: list[str] = [
     # reason; 3-SF parity committed this round
     "pipeline_source_quality_gate",  # NEW r11 (late): stratified
     # per-source p25 gate from grouped sketches — same overflow reason
+    "stream_update_mode_emissions",  # NEW r11 (late): UPDATE output
+    # mode per-trigger re-emission multiset — same overflow reason
 ]
 
 _DRIVER_PRIORITY = [

@@ -586,6 +586,106 @@ def stream_static_enrich_agg(spark: SparkSession,
         shutil.rmtree(base, ignore_errors=True)
 
 
+@q("stream_update_mode_emissions", f"""
+WITH e AS (
+  SELECT epoch_us(ts) AS us,
+         least(CAST(floor(date_diff('day', DATE '2024-01-01', ts) / 7)
+                    AS BIGINT), 3) AS wk,
+         event_id
+  FROM events
+), b AS (
+  SELECT us,
+         CASE WHEN event_id % 13 = 0 THEN least(wk + 2, 3) ELSE wk END
+           AS batch
+  FROM e
+), mx AS (
+  SELECT batch, max(us) AS mx_us FROM b GROUP BY 1
+), wm AS (
+  SELECT b2.batch,
+         ((SELECT max(mx_us) FROM mx WHERE mx.batch < b2.batch - 1)
+          // 1000 - {_WM_DELAY_US // 1000}) * 1000 AS wm_late
+  FROM (SELECT DISTINCT batch FROM b) b2
+), survived AS (
+  SELECT b.us, b.batch
+  FROM b JOIN wm ON wm.batch = b.batch
+  WHERE wm.wm_late IS NULL
+     OR (b.us // {_WM_DAY_US}) * {_WM_DAY_US} + {_WM_DAY_US} > wm.wm_late
+), per AS (
+  SELECT (us // {_WM_DAY_US}) * {_WM_DAY_US} AS win_us, batch,
+         count(*) AS cnt
+  FROM survived GROUP BY 1, 2
+)
+SELECT CAST(win_us // 1000000 AS BIGINT) AS win_start,
+       CAST(sum(cnt) OVER (PARTITION BY win_us ORDER BY batch)
+            AS BIGINT) AS n
+FROM per
+""")
+def stream_update_mode_emissions(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """UPDATE output mode emission semantics — the one emission class
+    the append-mode batteries can't see: every micro-batch re-emits the
+    CURRENT running aggregate of each window it updated (no
+    finalization, no withholding), so the drained memory table is the
+    union of per-trigger emissions — a window touched in three batches
+    appears three times with strictly increasing counts. The DuckDB
+    oracle replays it exactly: per batch, the surviving rows (the same
+    one-batch-lagged late filter the append batteries pin) update their
+    window; every (window, batch) with ≥ 1 surviving row emits the
+    cumulative survivor count through that batch. The one-batch LAG
+    between the filter and eviction watermarks makes post-eviction
+    re-creation IMPOSSIBLE (a row passing batch j's filter has
+    window_end > evict_wm(j-1) ≥ any earlier eviction threshold), so
+    the cumulative replay needs no reset branch — that provable
+    simplification is itself the semantics being pinned. Emissions
+    are distinct rows (counts strictly increase per window), so the
+    multiset compare is exact."""
+    import os as _os
+    import shutil
+    import uuid as _uuid
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from drill_calcite_spark.queries.sources import _fixture_dir
+
+    ev = t(spark, sf_dir, "events")
+    week = F.least(
+        F.floor(F.datediff(F.col("ts"), F.lit("2024-01-01")) / 7),
+        F.lit(3))
+    batch = (F.when(F.col("event_id") % 13 == 0,
+                    F.least(week + 2, F.lit(3)))
+             .otherwise(week)).cast("int")
+    pdf = (ev.select("event_id", "ts", batch.alias("batch")).toPandas())
+
+    base = _os.path.join(_fixture_dir(sf_dir),
+                         f"upd_batches_{_uuid.uuid4().hex[:12]}")
+    _os.makedirs(base)
+    try:
+        for bno in range(4):
+            part = pdf[pdf.batch == bno].drop(columns=["batch"])
+            path = f"{base}/batch_{bno:03d}.parquet"
+            _pq.write_table(
+                _pa.Table.from_pandas(part, preserve_index=False), path,
+                coerce_timestamps="us", allow_truncated_timestamps=True)
+            _os.utime(path, (1_700_000_000 + bno * 1000,) * 2)
+
+        schema = spark.read.parquet(base).schema
+        agg = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(base)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "2 days")
+            .groupBy(tumble("ts", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .select(F.unix_timestamp(F.col("w.start")).cast("bigint")
+                    .alias("win_start"), "n"))
+        out = run_available_now(agg, spark, output_mode="update")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 _DD_DELAY_US = 12 * 3_600_000_000  # 12 hours
 
 

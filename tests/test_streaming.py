@@ -359,3 +359,31 @@ def test_full_outer_join_pads_both_sides(spark):
         spark, SF_DIR).collect()
     left_pads = {r.a_id for r in left if r.b_id is None}
     assert view_pads == left_pads, "view pads differ from LEFT battery"
+
+
+def test_update_mode_reemits_growing_counts(spark):
+    """stream_update_mode_emissions (r11): the update-mode signature —
+    at least one window must appear in MULTIPLE trigger emissions with
+    strictly increasing counts (append mode can never produce this),
+    and unfinalized trailing windows must be present (update mode
+    withholds nothing)."""
+    import __spark_entry__ as entrymod
+    from collections import defaultdict
+    from tests.conftest import SF_DIR
+
+    rows = entrymod.queries()["stream_update_mode_emissions"](
+        spark, SF_DIR).collect()
+    by_win = defaultdict(list)
+    for r in rows:
+        by_win[r.win_start].append(r.n)
+    multi = {w: sorted(ns) for w, ns in by_win.items() if len(ns) > 1}
+    assert multi, "no window re-emitted — update semantics vacuous"
+    for w, ns in multi.items():
+        assert len(set(ns)) == len(ns), f"window {w} re-emitted same count"
+    # append-mode result (finalized windows only) must be a strict
+    # subset of the windows seen here — update withholds nothing
+    append_rows = entrymod.queries()["stream_late_data_drop"](
+        spark, SF_DIR).collect()
+    append_wins = {r.win_start for r in append_rows}
+    assert append_wins < set(by_win), \
+        "update mode emitted no extra (unfinalized) windows"
