@@ -74,6 +74,10 @@ _NEXT_ROUND_HEAD: list[str] = [
     # per-source p25 gate from grouped sketches — same overflow reason
     "stream_update_mode_emissions",  # NEW r11 (late): UPDATE output
     # mode per-trigger re-emission multiset — same overflow reason
+    "ds_brand_nation_mismatch",      # NEW r11 (late): q19 own row
+    "ds_warehouse_mode_lag_buckets", # NEW r11 (late): q99 own row
+    "ds_rollup_level_rank",          # NEW r11 (late): q86 own row
+    "ds_brand_hourband_channels",    # NEW r11 (late): q71 own row
 ]
 
 _DRIVER_PRIORITY = [

@@ -1080,8 +1080,8 @@ FROM (
 WHERE rk <= 3
 """)
 def ds_margin_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-DS q36/q86 shape (q86 is the web-sales rollup ranked within
-    the same lochierarchy partition, minus the ratio): a RATIO measure
+    """TPC-DS q36 shape (q86 has its own plain-SUM row:
+    ds_rollup_level_rank): a RATIO measure
     (discount margin = Σ disc_amt /
     Σ gross) over a ROLLUP(p_type, p_brand), ranked WITHIN EACH GROUPING
     LEVEL — q36's `lochierarchy` (= grouping(cat)+grouping(class))
@@ -2997,9 +2997,8 @@ FROM ch GROUP BY 1
 """)
 def ds_manufacturer_channel_total(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
-    """TPC-DS q33/q56/q60/q71 shape (q71 re-groups the same
-    three-channel union by brand and time band — the identical
-    one-scan fold) (queries/q33.sql …): per-manufacturer
+    """TPC-DS q33/q56/q60 shape (q71 has its own brand×time-band row:
+    ds_brand_hourband_channels) (queries/q33.sql …): per-manufacturer
     revenue for one item category, summed across three channel CTEs —
     each channel aggregates its own star join, then the union is
     re-grouped for the grand total. The textbook form scans the fact
@@ -3039,8 +3038,8 @@ FROM (SELECT o_orderpriority,
 GROUP BY 1
 """)
 def ds_ship_lag_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-DS q62/q50/q99 shape (q99 is the catalog-order variant of
-    the same delay-band pivot): the
+    """TPC-DS q62/q50 shape (q99 has its own two-dim row:
+    ds_warehouse_mode_lag_buckets): the
     shipping-lag report — counts of lines per fulfillment-delay band
     (≤7 / 30 / 60 / 90 / 90+), one column per band, grouped by the
     order dimension. One scan, map-side conditional counts, a
@@ -3077,8 +3076,7 @@ GROUP BY 1, 2, 3, 4
 HAVING count(*) >= 3
 """)
 def ds_cross_nation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-DS q46/q68/q19 shape (q19 keys the same mismatch residual
-    on zip instead of city): per-order
+    """TPC-DS q46/q68 shape (q19 has its own row: ds_brand_nation_mismatch): per-order
     aggregates grouped WITH a dimension attribute in the key (q46
     groups by (ticket, bought-city)), joined to the customer dim and
     kept only where the purchase attribute MISMATCHES the customer's
@@ -4560,3 +4558,221 @@ def ds_segment_priority_loss(spark: SparkSession,
                  F.sum(cents).cast("bigint").alias("loss_cents"))
             .orderBy(F.desc("loss_cents"), "c_mktsegment",
                      "o_orderpriority"))
+
+
+@q("ds_brand_nation_mismatch", """
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum((l_extendedprice::DECIMAL(18,2) * 100)::BIGINT)
+            AS BIGINT) AS sum_cents
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN part ON p_partkey = l_partkey
+WHERE s_nationkey <> c_nationkey
+  AND p_size BETWEEN 10 AND 20
+GROUP BY 1
+ORDER BY p_brand
+LIMIT 100
+""")
+def ds_brand_nation_mismatch(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """TPC-DS q19 shape (queries/q19.sql): brand-level revenue
+    restricted to purchases where the CUSTOMER's geography differs from
+    the STORE's (q19's `substr(ca_zip,1,5) <> substr(s_zip,1,5)`;
+    supplier vs customer nation here) — the mismatch inequality couples
+    attributes from two different dims THROUGH the fact, so it can only
+    evaluate as a residual on the joined row, never a join condition.
+    Upgrades the q46/q68 sibling credit to its own hash-proven row at
+    q19's brand grain. Scale shape: all four dims broadcast; ONE fact
+    exchange (the brand group-by); the mismatch is a map-side residual;
+    ordered LIMIT on the group key."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    sup = t(spark, sf_dir, "supplier")
+    part = t(spark, sf_dir, "part")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    return (li.join(o.select("o_orderkey", "o_custkey"),
+                    F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+                  F.col("c_custkey") == F.col("o_custkey"))
+            .join(F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+                  F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(F.broadcast(part.filter(F.col("p_size").between(10, 20))
+                              .select("p_partkey", "p_brand")),
+                  F.col("p_partkey") == F.col("l_partkey"))
+            .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+            .groupBy("p_brand")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+                 F.sum(cents).cast("bigint").alias("sum_cents"))
+            .orderBy("p_brand").limit(100))
+
+
+@q("ds_warehouse_mode_lag_buckets", """
+SELECT s_name, o_orderpriority,
+       CAST(sum(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS d30,
+       CAST(sum(CASE WHEN lag_days > 30 AND lag_days <= 60
+                     THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+       CAST(sum(CASE WHEN lag_days > 60 AND lag_days <= 90
+                     THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+       CAST(sum(CASE WHEN lag_days > 90 THEN 1 ELSE 0 END) AS BIGINT)
+         AS d90plus
+FROM (
+  SELECT s_name, o_orderpriority,
+         date_diff('day', o_orderdate, l_shipdate) AS lag_days
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN supplier ON s_suppkey = l_suppkey
+)
+GROUP BY 1, 2
+ORDER BY s_name, o_orderpriority
+LIMIT 200
+""")
+def ds_warehouse_mode_lag_buckets(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """TPC-DS q99 shape (queries/q99.sql): the catalog-order
+    fulfillment-lag report at q99's OWN grain — delay bands counted per
+    (warehouse, ship mode) pair (supplier × order priority here; the
+    q62/q50 sibling `ds_ship_lag_buckets` pins the one-dim variant).
+    Exact integer day arithmetic (datediff ≡ date_diff); band pivot as
+    map-side conditional counts; ONE scan, one dim-pair-cardinality
+    exchange; ordered LIMIT with the full composite key."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    sup = t(spark, sf_dir, "supplier")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    src = (li.join(o.select("o_orderkey", "o_orderdate",
+                            "o_orderpriority"),
+                   F.col("o_orderkey") == F.col("l_orderkey"))
+           .join(F.broadcast(sup.select("s_suppkey", "s_name")),
+                 F.col("s_suppkey") == F.col("l_suppkey"))
+           .select("s_name", "o_orderpriority", lag.alias("lag_days")))
+    d = F.col("lag_days")
+    return (src.groupBy("s_name", "o_orderpriority")
+            .agg(F.sum((d <= 30).cast("bigint")).cast("bigint")
+                 .alias("d30"),
+                 F.sum(((d > 30) & (d <= 60)).cast("bigint"))
+                 .cast("bigint").alias("d60"),
+                 F.sum(((d > 60) & (d <= 90)).cast("bigint"))
+                 .cast("bigint").alias("d90"),
+                 F.sum((d > 90).cast("bigint")).cast("bigint")
+                 .alias("d90plus"))
+            .orderBy("s_name", "o_orderpriority").limit(200))
+
+
+@q("ds_rollup_level_rank", """
+WITH agg AS (
+  SELECT n_name, p_brand,
+         CAST(GROUPING(n_name) + GROUPING(p_brand) AS BIGINT)
+           AS lochierarchy,
+         CAST(sum((l_extendedprice::DECIMAL(18,2) * 100)::BIGINT)
+              AS BIGINT) AS sum_cents
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_size <= 15
+  GROUP BY ROLLUP (n_name, p_brand)
+)
+SELECT n_name, p_brand, lochierarchy, sum_cents,
+       CAST(rank() OVER (
+         PARTITION BY lochierarchy,
+                      CASE WHEN lochierarchy = 0 THEN n_name END
+         ORDER BY sum_cents DESC, n_name NULLS FIRST,
+                  p_brand NULLS FIRST) AS BIGINT) AS rk
+FROM agg
+ORDER BY lochierarchy DESC, rk, n_name NULLS FIRST, p_brand NULLS FIRST
+LIMIT 100
+""")
+def ds_rollup_level_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q86 shape (queries/q86.sql): the rollup ranked WITHIN
+    each grouping level — q86's exact `rank() over (partition by
+    lochierarchy, case when lochierarchy = 0 then category end order by
+    total desc)` on plain SUMs (the q36 sibling pins the ratio-measure
+    variant; this is q86's own measure). The rank ordering carries a
+    total tiebreak with explicit NULLS FIRST so ranks are
+    engine-deterministic. Scale shape: one fact scan; ROLLUP through
+    Expand with map-side partials; the rank window sees only rollup
+    rows (≤ |nations|·|brands|); ordered LIMIT with the full key."""
+    li = t(spark, sf_dir, "lineitem")
+    sup = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    part = t(spark, sf_dir, "part")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    j = (li.join(F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+                 F.col("s_suppkey") == F.col("l_suppkey"))
+         .join(F.broadcast(nat.select("n_nationkey", "n_name")),
+               F.col("n_nationkey") == F.col("s_nationkey"))
+         .join(F.broadcast(part.filter(F.col("p_size") <= 15)
+                           .select("p_partkey", "p_brand")),
+               F.col("p_partkey") == F.col("l_partkey")))
+    agg = (j.rollup("n_name", "p_brand")
+           .agg((F.grouping("n_name") + F.grouping("p_brand"))
+                .cast("bigint").alias("lochierarchy"),
+                F.sum(cents).cast("bigint").alias("sum_cents")))
+    w = Window.partitionBy(
+        "lochierarchy",
+        F.when(F.col("lochierarchy") == 0, F.col("n_name"))
+    ).orderBy(F.desc("sum_cents"), F.asc_nulls_first("n_name"),
+              F.asc_nulls_first("p_brand"))
+    return (agg.withColumn("rk", F.rank().over(w).cast("bigint"))
+            .orderBy(F.desc("lochierarchy"), "rk",
+                     F.asc_nulls_first("n_name"),
+                     F.asc_nulls_first("p_brand"))
+            .limit(100))
+
+
+@q("ds_brand_hourband_channels", """
+WITH u AS (
+  SELECT 'N' AS channel, l_partkey, l_orderkey,
+         (l_extendedprice::DECIMAL(18,2) * 100)::BIGINT AS cents
+  FROM lineitem WHERE l_returnflag = 'N'
+  UNION ALL
+  SELECT 'R', l_partkey, l_orderkey,
+         (l_extendedprice::DECIMAL(18,2) * 100)::BIGINT
+  FROM lineitem WHERE l_returnflag = 'R'
+  UNION ALL
+  SELECT 'A', l_partkey, l_orderkey,
+         (l_extendedprice::DECIMAL(18,2) * 100)::BIGINT
+  FROM lineitem WHERE l_returnflag = 'A'
+)
+SELECT p_brand, CAST(l_orderkey % 24 AS BIGINT) AS hour_band,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM u JOIN part ON p_partkey = l_partkey
+WHERE p_size <= 10
+GROUP BY 1, 2
+ORDER BY sum_cents DESC, p_brand, hour_band
+LIMIT 100
+""")
+def ds_brand_hourband_channels(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TPC-DS q71 shape (queries/q71.sql): brand × time-band revenue
+    summed ACROSS a three-channel UNION ALL (q71 unions web/catalog/
+    store against time_dim's meal hours; the driver schema derives the
+    time band the same way its other shapes derive synthetic dims, e.g.
+    ds_cross_sales_yoy's `l_suppkey % 5` store). Spark-first rewrite:
+    the channel is a fact COLUMN, so the three union branches fold to
+    ONE scan with the flag filter as a residual — hash-proven against
+    the literal three-branch UNION ALL oracle. Item dim pruned +
+    broadcast; one exchange; ordered LIMIT with a total tiebreak."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    return (li.filter(F.col("l_returnflag").isin("N", "R", "A"))
+            .join(F.broadcast(part.filter(F.col("p_size") <= 10)
+                              .select("p_partkey", "p_brand")),
+                  F.col("p_partkey") == F.col("l_partkey"))
+            .groupBy("p_brand",
+                     (F.col("l_orderkey") % 24).cast("bigint")
+                     .alias("hour_band"))
+            .agg(F.sum(cents).cast("bigint").alias("sum_cents"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+            .orderBy(F.desc("sum_cents"), "p_brand", "hour_band")
+            .limit(100))

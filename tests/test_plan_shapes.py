@@ -1272,3 +1272,53 @@ def test_dedup_edit_verify_lsh_only_no_python(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan, "verifier fell out of codegen"
+
+
+def test_ds_brand_nation_mismatch_residual_broadcast(spark):
+    """ds_brand_nation_mismatch (q19 shape): the cross-dim inequality is
+    a residual on the joined row (hash joins only, no nested loop); all
+    dims broadcast; one fact scan."""
+    plan = _plan(entrymod.queries()["ds_brand_nation_mismatch"](
+        spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3, "dims not broadcast"
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert "EvalPython" not in plan
+
+
+def test_ds_warehouse_mode_lag_buckets_one_scan(spark):
+    """ds_warehouse_mode_lag_buckets (q99 shape): the four delay bands
+    are conditional counts in ONE pass (no per-band re-scan, no
+    explode), supplier dim broadcast."""
+    plan = _plan(entrymod.queries()["ds_warehouse_mode_lag_buckets"](
+        spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1, "a band re-scanned"
+    assert "Generate" not in plan, "band pivot exploded rows"
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_ds_rollup_level_rank_window_on_rollup_rows(spark):
+    """ds_rollup_level_rank (q86 shape): ROLLUP through Expand; the
+    lochierarchy rank window runs over rollup rows only (partition keys
+    include the grouping level, never the fact)."""
+    plan = _plan(entrymod.queries()["ds_rollup_level_rank"](
+        spark, SF_DIR))
+    assert "Expand" in plan, "ROLLUP lost its Expand"
+    assert "hashpartitioning(lochierarchy" in plan, \
+        "rank window not partitioned by grouping level"
+    assert plan.count("lineitem.parquet") == 1
+    assert "EvalPython" not in plan
+
+
+def test_ds_brand_hourband_channels_union_folds(spark):
+    """ds_brand_hourband_channels (q71 shape): the three-branch UNION
+    ALL folds to ONE fact scan (channel is a column); pruned item dim
+    broadcast; ordered LIMIT via TakeOrderedAndProject."""
+    plan = _plan(entrymod.queries()["ds_brand_hourband_channels"](
+        spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1, "union re-scanned fact"
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
