@@ -966,6 +966,10 @@ def test_ds_iceberg_cross_channel_one_scan_flags_broadcast(spark):
     presence count is a window over per-item aggregate rows; the
     average threshold joins back as a one-row BROADCAST; the ROLLUP
     expands aggregate-sized rows (Expand node present)."""
+    # a prior lane's .persist() of ANY equal subplan gets
+    # substituted into this plan by the cache manager and
+    # shifts the InMemoryRelation counts — start clean
+    spark.catalog.clearCache()
     plan = _plan(entrymod.queries()["ds_iceberg_cross_channel"](
         spark, SF_DIR))
     # the per-(item, channel) aggregate is persisted and BOTH consumers
@@ -986,6 +990,10 @@ def test_ds_frequent_best_sales_broadcast_semi_joins(spark):
     joins (never a shuffle of the fact on a filter key), and the two
     textbook UNION branches must fold into one final scan — three fact
     passes total, one per distinct aggregation key."""
+    # a prior lane's .persist() of ANY equal subplan gets
+    # substituted into this plan by the cache manager and
+    # shifts the InMemoryRelation counts — start clean
+    spark.catalog.clearCache()
     plan = _plan(entrymod.queries()["ds_frequent_best_sales"](
         spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 2, "semi joins not broadcast"
@@ -1112,6 +1120,10 @@ def test_ds_return_ratio_vs_state_broadcast_not_window(spark):
     derived table per correlated subquery), and NO window partitioned
     by nation (one nation's whole customer population in a single task
     at 100 TB)."""
+    # a prior lane's .persist() of ANY equal subplan gets
+    # substituted into this plan by the cache manager and
+    # shifts the InMemoryRelation counts — start clean
+    spark.catalog.clearCache()
     plan = _plan(entrymod.queries()["ds_return_ratio_vs_state"](
         spark, SF_DIR))
     # the persisted customer rollup serves both consumers: every
@@ -1207,6 +1219,10 @@ def test_ds_paid_above_global_avg_broadcast_scalar(spark):
     one-row broadcast (BroadcastNestedLoopJoin or BroadcastExchange) —
     the fact is scanned once; the aggregate feeds both consumers
     through InMemoryRelation."""
+    # a prior lane's .persist() of ANY equal subplan gets
+    # substituted into this plan by the cache manager and
+    # shifts the InMemoryRelation counts — start clean
+    spark.catalog.clearCache()
     plan = _plan(entrymod.queries()["ds_paid_above_global_avg"](
         spark, SF_DIR))
     assert "InMemoryTableScan" in plan, "aggregate not reused"
