@@ -798,3 +798,50 @@ def test_boilerplate_mask_zero_window_doc_excluded(spark, tmp_path):
     assert set(oracle) == set(out)
     for k, r in out.items():
         assert (r.n_windows, r.n_boiler, r.clean_tokens) == oracle[k][1:4]
+
+
+def test_qsketch_grouped_invariants(spark):
+    """Grouped-sketch invariants (r11): per-group sketches must equal
+    the per-group single-sketch builds cell for cell (grouping must not
+    perturb bucketing), merge cellwise within each group, and keep the
+    2^-B bound per group quantile."""
+    from drill_calcite_spark.operators.qsketch import (
+        QSKETCH_SUB_BITS, qsketch_build, qsketch_build_grouped,
+        qsketch_quantiles_grouped,
+    )
+
+    rel = 2.0 ** -QSKETCH_SUB_BITS
+    rows = [("g%d" % (i % 3), ((i * i * 7 + 13) % 99991 + 1)
+             * 10.0 ** ((i % 5) - 2) * (-1 if i % 4 == 0 else 1))
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, "k string, v double")
+
+    grouped = qsketch_build_grouped(df, ["k"], "v",
+                                    signed=True, double=True)
+    for k in ("g0", "g1", "g2"):
+        solo = qsketch_build(df.filter(F.col("k") == k), "v",
+                             signed=True, double=True)
+        a = sorted((r.bucket_lo, r.cnt) for r in
+                   grouped.filter(F.col("k") == k)
+                   .select("bucket_lo", "cnt").collect())
+        b = sorted(map(tuple, solo.collect()))
+        assert a == b, f"group {k} sketch differs from solo build"
+
+    qs = [(1, 4), (1, 2), (9, 10)]
+    got = {(r.k, r.q_num, r.q_den): r.lo
+           for r in qsketch_quantiles_grouped(
+               grouped, ["k"], qs, lo_type="double").collect()}
+    import collections
+    by_k = collections.defaultdict(list)
+    for k, v in rows:
+        by_k[k].append(v)
+    for k, vals in by_k.items():
+        vals.sort()
+        n = len(vals)
+        for num, den in qs:
+            x_q = vals[-(-num * n // den) - 1]
+            lo = got[(k, num, den)]
+            if lo > 0:
+                assert lo <= x_q <= lo * (1 + rel), (k, num, den, lo, x_q)
+            elif lo < 0:
+                assert lo >= x_q >= lo * (1 + rel), (k, num, den, lo, x_q)

@@ -387,3 +387,29 @@ def test_update_mode_reemits_growing_counts(spark):
     append_wins = {r.win_start for r in append_rows}
     assert append_wins < set(by_win), \
         "update mode emitted no extra (unfinalized) windows"
+
+
+def test_static_enrich_consistent_with_unenriched(spark):
+    """stream_static_enrich_agg (r11): the enriched per-(window,
+    segment) counts must partition the un-enriched battery's counts
+    exactly — summing segments per window reproduces every finalized
+    window of stream_late_data_drop (the static join must neither drop
+    nor duplicate surviving rows), and more than one segment must
+    actually appear (the enrichment is doing real work)."""
+    import collections
+
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    enriched = entrymod.queries()["stream_static_enrich_agg"](
+        spark, SF_DIR).collect()
+    plain = {r.win_start: r.n
+             for r in entrymod.queries()["stream_late_data_drop"](
+                 spark, SF_DIR).collect()}
+    segs = {r.c_mktsegment for r in enriched}
+    assert len(segs) > 1, "single segment — enrichment vacuous"
+    per_win = collections.defaultdict(int)
+    for r in enriched:
+        per_win[r.win_start] += r.n
+    assert per_win == plain, \
+        "segment partition does not reproduce the un-enriched counts"
