@@ -121,6 +121,48 @@ def hll_registers(df: DataFrame, key_col: str) -> DataFrame:
     )
 
 
+def hll_registers_grouped(df: DataFrame, keys: "list[str]",
+                          key_col: str) -> DataFrame:
+    """Per-GROUP register tables ``(keys..., bucket, m)`` — one m=64 HLL
+    per key combination in ONE aggregation (the per-tenant distinct-
+    count telemetry pattern, the HLL twin of qsketch_build_grouped).
+    Keyspace ≤ m cells per group; map-side collapse before the
+    exchange; per-group sketches still merge by per-bucket max."""
+    hv = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
+               16, 10).cast("bigint")
+    )
+    p = F.shiftright(hv, 6)
+    rank = F.when(p == 0, F.lit(55)).otherwise(
+        F.lit(55) - F.length(F.bin(p))).cast("int")
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*keys, (hv % HLL_BUCKETS).alias("bucket"),
+                rank.alias("r"))
+        .groupBy(*keys, "bucket").agg(F.max("r").alias("m"))
+    )
+
+
+def hll_summary_grouped(registers: DataFrame,
+                        keys: "list[str]") -> DataFrame:
+    """Per-group ``(keys..., n_buckets, nonzero_regs,
+    harmonic_sum_scaled, est_raw)`` — the same exact dyadic harmonic
+    sum as :func:`hll_summary`, grouped (the aggregation runs over
+    ≤ m register rows per group, never the data)."""
+    m = HLL_BUCKETS
+    return registers.groupBy(*keys).agg(
+        F.lit(m).cast("int").alias("n_buckets"),
+        F.count(F.lit(1)).cast("int").alias("nonzero_regs"),
+        (F.sum(F.expr("shiftleft(cast(1 as bigint), 55 - m)"))
+         + (F.lit(m) - F.count(F.lit(1))).cast("bigint")
+         * F.lit(1 << 55).cast("bigint")).alias("harmonic_sum_scaled"),
+    ).select(
+        *keys, "n_buckets", "nonzero_regs", "harmonic_sum_scaled",
+        (F.lit(HLL_NUMERATOR)
+         / F.col("harmonic_sum_scaled").cast("double")).alias("est_raw"),
+    )
+
+
 def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Registers merge by per-bucket MAX — like the CMS cellwise sum,
     this is what makes the sketch distributable: per-partition/per-day

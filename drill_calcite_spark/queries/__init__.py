@@ -78,6 +78,8 @@ _NEXT_ROUND_HEAD: list[str] = [
     "ds_warehouse_mode_lag_buckets", # NEW r11 (late): q99 own row
     "ds_rollup_level_rank",          # NEW r11 (late): q86 own row
     "ds_brand_hourband_channels",    # NEW r11 (late): q71 own row
+    "sketch_hll_grouped",            # NEW r11 (late): per-group HLL
+    # distinct sketches — the grouped twin of sketch_qsketch_grouped
 ]
 
 _DRIVER_PRIORITY = [

@@ -2893,3 +2893,68 @@ def pipeline_source_quality_gate(spark: SparkSession,
             .groupBy("source", "thr")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"),
                  F.sum("v").cast("bigint").alias("sum_chars")))
+
+
+def _hll_grouped_oracle() -> str:
+    from drill_calcite_spark.operators.sketch import HLL_NUMERATOR
+
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           AS hv
+  FROM events WHERE user_id IS NOT NULL
+),
+r AS (
+  SELECT event_type, hv % 64 AS bucket,
+         CASE WHEN hv // 64 = 0 THEN 55
+              ELSE 55 - length(bin(hv // 64)) END AS rank
+  FROM h
+),
+regs AS (SELECT event_type, bucket, max(rank) AS m
+         FROM r GROUP BY 1, 2),
+summ AS (
+  SELECT event_type,
+         CAST(64 AS INT) AS n_buckets,
+         CAST(count(*) AS INT) AS nonzero_regs,
+         CAST(sum(CAST(1 AS BIGINT) << (55 - m))
+              + (64 - count(*)) * (CAST(1 AS BIGINT) << 55) AS BIGINT)
+           AS harmonic_sum_scaled
+  FROM regs GROUP BY 1
+),
+tr AS (SELECT event_type,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS true_n
+       FROM events GROUP BY 1)
+SELECT summ.event_type, n_buckets, nonzero_regs, harmonic_sum_scaled,
+       {HLL_NUMERATOR!r} / CAST(harmonic_sum_scaled AS DOUBLE)
+         AS est_raw,
+       true_n
+FROM summ JOIN tr ON tr.event_type = summ.event_type
+"""
+
+
+@q("sketch_hll_grouped", _hll_grouped_oracle())
+def sketch_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP HLL distinct sketches (r11) — distinct users per event
+    type from one m=64 register table per group built in a SINGLE
+    aggregation (operators/sketch.py hll_registers_grouped), the HLL
+    twin of the grouped quantile sketch: the per-tenant distinct-count
+    telemetry pattern, with the exact dyadic harmonic sum keeping
+    est_raw bit-reproducible in DuckDB per group (the sketch STATE is
+    the contract — Spark's own approx_count_distinct is HLL++ with
+    opaque internals). True per-group distinct counts ride alongside to
+    grade the estimates. Scale shape: ONE capped-keyspace aggregation
+    (≤ 64 cells per group, map-side collapse); the summary groups over
+    register rows, never the data."""
+    from drill_calcite_spark.operators.sketch import (
+        hll_registers_grouped, hll_summary_grouped)
+
+    ev = t(spark, sf_dir, "events")
+    summ = hll_summary_grouped(
+        hll_registers_grouped(ev, ["event_type"], "user_id"),
+        ["event_type"])
+    true_n = ev.groupBy(F.col("event_type").alias("t_et")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("true_n"))
+    return (summ.join(F.broadcast(true_n),
+                      F.col("t_et") == F.col("event_type"))
+            .drop("t_et"))
