@@ -349,3 +349,22 @@ def test_front_door_row_in_null_tuples(spark, duck, fuzz_tables, seed):
     assert s == d, (
         f"row-IN expansion diverged (seed {seed}): {pred!r} "
         f"spark={len(s)} duck={len(d)} rows")
+
+
+def test_half_up_integer_average_identity_fuzz():
+    """The half-up average identity used across the TPC-DS shapes —
+    ``avg = (2·s + n) div (2·n)`` — must equal ROUND_HALF_UP(s/n)
+    computed in exact rational arithmetic, for any non-negative sum and
+    positive count (including exact .5 boundaries, where float AVG is
+    engine quicksand)."""
+    from fractions import Fraction
+
+    cases = [(s, n) for s in range(0, 2000, 7) for n in (1, 2, 3, 8, 10)]
+    cases += [(10**17 + k, 3) for k in range(9)]  # far beyond float53
+    cases += [(5, 2), (15, 2), (25, 2), (1, 3), (2, 3)]  # .5 and thirds
+    for s, n in cases:
+        got = (2 * s + n) // (2 * n)
+        q = Fraction(s, n)
+        frac = q - int(q)
+        exp = int(q) + (1 if frac >= Fraction(1, 2) else 0)
+        assert got == exp, (s, n, got, exp)
