@@ -119,7 +119,6 @@ _DRIVER_PRIORITY = [
     "window_ignore_nulls",
     # (d) r5-vintage cohort, as many as fit the remaining slots (the
     # rest keep their committed r5 rows and rotate in r12):
-    "doc_fingerprint",
     # (e) r11-NEW names — zero evidence, displace r5 re-proofs 1:1
     # (every displaced r5 name holds a committed r5 row; rotate r12):
     "sketch_qsketch_double",  # NEW r11: IEEE mantissa-prefix bucketing
@@ -145,10 +144,12 @@ _DRIVER_PRIORITY = [
     "ds_channel_missing_attr_counts",  # NEW r11: q76 NULL-attr audit
     "ds_returns_window_overlap",    # NEW r11: q83 three-window fold
     "ds_segment_priority_loss",     # NEW r11: q91 demographic loss
+    "ds_customer_channel_growth",   # NEW r11: q74 own row (displaced
+    # doc_fingerprint — committed r5 row; rotate r12)
     # r5 names still waiting (committed r5 rows; rotate r12 — the r12
     # slate MUST lead with this cohort, it has waited three rounds):
     # agg_approx_distinct, agg_approx_quantile, bench_minhash_dedup,
-    # dedup_embedding_cosine, dedup_exact,
+    # dedup_embedding_cosine, dedup_exact, doc_fingerprint,
     # func_array_hof, func_array_ops,
     # func_bitwise, func_datetime_arith, func_datetime_extract,
     # func_datetime_overlaps,

@@ -837,9 +837,8 @@ WHERE prev.ch_a > 0 AND prev.ch_b > 0
       * CAST(CAST(prev.ch_a AS DECIMAL(38,6)) * 1000000 AS HUGEINT)
 """)
 def ds_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-DS q4/q11/q74 shape (q74 is this pattern reduced to two
-    channels and a plain ratio rank — same aggregate self-join, same
-    rewrite): per
+    """TPC-DS q4/q11 shape (q74 has its own four-instance-fold row:
+    ds_customer_channel_growth): per
     customer-year totals along two channels, self-joined on
     (customer, year → year+1), keeping customers whose channel-A
     year-over-year growth EXCEEDS channel-B growth. q4 spells this
@@ -4776,3 +4775,91 @@ def ds_brand_hourband_channels(spark: SparkSession,
                  F.count(F.lit(1)).cast("bigint").alias("n_lines"))
             .orderBy(F.desc("sum_cents"), "p_brand", "hour_band")
             .limit(100))
+
+
+@q("ds_customer_channel_growth", """
+WITH yt AS (
+  SELECT o_custkey, CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+         l_returnflag AS ch,
+         CAST(sum((l_extendedprice::DECIMAL(18,2) * 100)::BIGINT)
+              AS BIGINT) AS cents
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_returnflag IN ('N', 'A')
+    AND extract(year FROM o_orderdate) IN (1996, 1997)
+  GROUP BY 1, 2, 3
+)
+SELECT c_custkey, c_name,
+       s_prev.cents AS store_prev, s_cur.cents AS store_cur,
+       w_prev.cents AS web_prev,   w_cur.cents AS web_cur
+FROM yt s_prev
+JOIN yt s_cur  ON s_cur.o_custkey = s_prev.o_custkey
+JOIN yt w_prev ON w_prev.o_custkey = s_prev.o_custkey
+JOIN yt w_cur  ON w_cur.o_custkey = s_prev.o_custkey
+JOIN customer  ON c_custkey = s_prev.o_custkey
+WHERE s_prev.ch = 'N' AND s_prev.yr = 1996
+  AND s_cur.ch  = 'N' AND s_cur.yr  = 1997
+  AND w_prev.ch = 'A' AND w_prev.yr = 1996
+  AND w_cur.ch  = 'A' AND w_cur.yr  = 1997
+  AND s_prev.cents > 0 AND w_prev.cents > 0
+  AND w_cur.cents * s_prev.cents > s_cur.cents * w_prev.cents
+ORDER BY c_custkey
+LIMIT 100
+""")
+def ds_customer_channel_growth(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TPC-DS q74 shape (queries/q74.sql) as its OWN row — the
+    year_total CTE instantiated FOUR times (store/web × prev/cur year),
+    self-joined on the customer, keeping customers whose web-channel
+    year-over-year ratio exceeds the store-channel ratio. The q4/q11
+    sibling pins the lag-window rewrite of the same family; this row
+    pins q74's own four-instance join folded to ONE scan of FOUR
+    conditional sums per customer (channel and year are fact columns,
+    so the four CTE instances are four `CASE WHEN` aggregates over a
+    single exchange), with the ratio comparison as the exact
+    cross-multiplication ``w_cur·s_prev > s_cur·w_prev`` in
+    DECIMAL(38,0) — no division, no float, and the BIGINT product wrap
+    Spark would otherwise hit at whale-customer totals can't happen.
+    Hash-proven against the literal four-instance join. Scale: the
+    textbook shuffles the fact four times and joins three times at
+    customer grain; this shuffles it once."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    yr = F.year("o_orderdate")
+    j = (li.filter(F.col("l_returnflag").isin("N", "A"))
+         .join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
+               F.col("o_orderkey") == F.col("l_orderkey"))
+         .filter(yr.isin(1996, 1997)))
+
+    def cell(ch, y):
+        return F.sum(F.when((F.col("l_returnflag") == ch) & (yr == y),
+                            cents).otherwise(F.lit(0))).cast("bigint")
+
+    def n_cell(ch, y):
+        return F.sum(((F.col("l_returnflag") == ch) & (yr == y))
+                     .cast("bigint"))
+
+    per = (j.groupBy("o_custkey")
+           .agg(cell("N", 1996).alias("store_prev"),
+                cell("N", 1997).alias("store_cur"),
+                cell("A", 1996).alias("web_prev"),
+                cell("A", 1997).alias("web_cur"),
+                n_cell("N", 1996).alias("_nsp"),
+                n_cell("N", 1997).alias("_nsc"),
+                n_cell("A", 1996).alias("_nwp"),
+                n_cell("A", 1997).alias("_nwc")))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    flt = (per.filter((F.col("_nsp") > 0) & (F.col("_nsc") > 0)
+                      & (F.col("_nwp") > 0) & (F.col("_nwc") > 0)
+                      & (F.col("store_prev") > 0)
+                      & (F.col("web_prev") > 0)
+                      & (dec("web_cur") * dec("store_prev")
+                         > dec("store_cur") * dec("web_prev")))
+           .drop("_nsp", "_nsc", "_nwp", "_nwc"))
+    return (flt.join(F.broadcast(cust.select("c_custkey", "c_name")),
+                     F.col("c_custkey") == F.col("o_custkey"))
+            .select("c_custkey", "c_name", "store_prev", "store_cur",
+                    "web_prev", "web_cur")
+            .orderBy("c_custkey").limit(100))

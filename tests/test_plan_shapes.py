@@ -1338,3 +1338,16 @@ def test_ds_brand_hourband_channels_union_folds(spark):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "EvalPython" not in plan
+
+
+def test_ds_customer_channel_growth_one_scan_four_cells(spark):
+    """ds_customer_channel_growth (q74 shape): the four year_total CTE
+    instances fold to ONE fact scan of conditional sums — no self-join
+    of aggregates, a single customer-grain exchange, customer dim
+    broadcast."""
+    plan = _plan(entrymod.queries()["ds_customer_channel_growth"](
+        spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1, "CTE instantiated again"
+    assert "SortMergeJoin" not in plan, "aggregate self-join leaked"
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
