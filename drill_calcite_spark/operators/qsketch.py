@@ -85,6 +85,20 @@ from pyspark.sql.window import Window
 QSKETCH_SUB_BITS = 5  # relative error 2^-5 = 3.125%; <= 2048 buckets
 
 
+def _assert_keys_clear(keys: "list[str]", reserved: "set[str]",
+                       fn: str) -> None:
+    """Grouped builders select internal working columns UNQUALIFIED
+    (bucket_lo/cnt/cum/n/…); a caller whose group key reuses one would
+    get an ambiguous-column error or a silently wrong quantile. Fail
+    loud at the API boundary instead."""
+    clash = sorted(set(keys) & reserved)
+    if clash:
+        raise ValueError(
+            f"{fn}: group key(s) {clash} collide with internal column "
+            f"names {sorted(reserved)}; rename the key column(s) "
+            "before sketching")
+
+
 def qsketch_bucket(v: Column, sub_bits: int = QSKETCH_SUB_BITS) -> Column:
     """Bucket lower bound: ``v`` floored to 2^(e-B) granularity.
     SQL twin: :func:`sql_qsketch_bucket` (identical formula text)."""
@@ -204,6 +218,8 @@ def qsketch_build_grouped(df: DataFrame, keys: "list[str]",
     key combination in ONE aggregation (the per-tenant / per-source /
     per-metric telemetry pattern). The keyspace cap applies per group;
     map-side combine still collapses each task before the exchange."""
+    _assert_keys_clear(keys, {"bucket_lo", "cnt"},
+                       "qsketch_build_grouped")
     if double:
         bucket = (qsketch_bucket_double_signed if signed
                   else qsketch_bucket_double)
@@ -222,6 +238,9 @@ def qsketch_quantiles_grouped(sketch: DataFrame, keys: "list[str]",
     rank rule as :func:`qsketch_quantiles`, with every window
     PARTITIONED BY the group keys so each partition is one group's
     ≤ capped-cell sketch (never the data, never a global sort)."""
+    _assert_keys_clear(
+        keys, {"bucket_lo", "cnt", "cum", "n", "q", "q_pct", "q_num",
+               "q_den", "lo"}, "qsketch_quantiles_grouped")
     wc = Window.partitionBy(*keys).orderBy("bucket_lo").rowsBetween(
         Window.unboundedPreceding, Window.currentRow)
     wn = Window.partitionBy(*keys).rowsBetween(

@@ -43,6 +43,20 @@ CMS_DEPTH = 3
 CMS_WIDTH = 64
 
 
+def _assert_keys_clear(keys: "list[str]", reserved: "set[str]",
+                       fn: str) -> None:
+    """Grouped builders select internal working columns UNQUALIFIED
+    (bucket/m/r, n_buckets/…); a caller whose group key reuses one
+    would get an ambiguous-column error or a silently wrong aggregate.
+    Fail loud at the API boundary instead."""
+    clash = sorted(set(keys) & reserved)
+    if clash:
+        raise ValueError(
+            f"{fn}: group key(s) {clash} collide with internal column "
+            f"names {sorted(reserved)}; rename the key column(s) "
+            "before sketching")
+
+
 def cms_bucket(key: Column, depth_j: Column | int) -> Column:
     """``h_j(key) mod w`` — deterministic, engine-portable."""
     j = F.lit(depth_j) if isinstance(depth_j, int) else depth_j
@@ -128,6 +142,8 @@ def hll_registers_grouped(df: DataFrame, keys: "list[str]",
     count telemetry pattern, the HLL twin of qsketch_build_grouped).
     Keyspace ≤ m cells per group; map-side collapse before the
     exchange; per-group sketches still merge by per-bucket max."""
+    _assert_keys_clear(keys, {"bucket", "m", "r"},
+                       "hll_registers_grouped")
     hv = (
         F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
                16, 10).cast("bigint")
@@ -149,6 +165,9 @@ def hll_summary_grouped(registers: DataFrame,
     harmonic_sum_scaled, est_raw)`` — the same exact dyadic harmonic
     sum as :func:`hll_summary`, grouped (the aggregation runs over
     ≤ m register rows per group, never the data)."""
+    _assert_keys_clear(
+        keys, {"bucket", "m", "n_buckets", "nonzero_regs",
+               "harmonic_sum_scaled", "est_raw"}, "hll_summary_grouped")
     m = HLL_BUCKETS
     return registers.groupBy(*keys).agg(
         F.lit(m).cast("int").alias("n_buckets"),

@@ -3827,9 +3827,11 @@ def ds_sold_returned_repurchased(spark: SparkSession,
             .groupBy("c_mktsegment")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
                  # DECIMAL(38,0) products: Spark BIGINT multiplication
-                 # wraps silently with ANSI off while DuckDB promotes to
-                 # HUGEINT — at whale-customer multiplicities the BIGINT
-                 # form would diverge; decimal38 holds ~1e38 exactly
+                 # wraps silently with ANSI off (a raw BIGINT product
+                 # overflow in DuckDB raises Out of Range rather than
+                 # promoting; only its SUM aggregate widens to HUGEINT)
+                 # — at whale-customer multiplicities the BIGINT form
+                 # would diverge; decimal38 holds ~1e38 exactly
                  F.sum(F.col("sum_s").cast("decimal(38,0)")
                        * F.col("n_r") * F.col("n_c"))
                  .cast("bigint").alias("sold_cents"),
@@ -3968,9 +3970,10 @@ WITH cr AS (
 SELECT c_custkey, c_name, n_name, ret_cents
 FROM cr JOIN nation ON n_nationkey = c_nationkey
 WHERE 10 * (SELECT count(*) FROM cr c2
-            WHERE c2.c_nationkey = cr.c_nationkey) * ret_cents
+            WHERE c2.c_nationkey = cr.c_nationkey)::HUGEINT
+         * ret_cents::HUGEINT
       > 12 * (SELECT sum(ret_cents) FROM cr c2
-              WHERE c2.c_nationkey = cr.c_nationkey)
+              WHERE c2.c_nationkey = cr.c_nationkey)::HUGEINT
 ORDER BY c_custkey
 LIMIT 100
 """)
@@ -3986,7 +3989,9 @@ def ds_return_ratio_vs_state(spark: SparkSession,
     would funnel one nation's whole customer population (1e8 rows at
     100 TB) through a single window task. The 1.2× test stays EXACT
     integer algebra — ``ret > 1.2·(T/n) ⟺ 10·n·ret > 12·T`` (products
-    in DECIMAL(38,0); Spark BIGINT would wrap where DuckDB promotes) —
+    in DECIMAL(38,0) on the Spark side, explicit ::HUGEINT casts on the
+    oracle side — Spark BIGINT would wrap silently and a raw DuckDB
+    BIGINT product would raise Out of Range at whale magnitudes) —
     so the boundary is engine-deterministic (float never exists). Scale
     shape: ONE fact scan into the per-customer aggregate, one tiny
     broadcast back; the textbook replays the derived table TWICE per
@@ -4351,8 +4356,8 @@ WITH ss AS (
 )
 SELECT c_name, l_partkey, paid_cents
 FROM ss JOIN customer ON c_custkey = o_custkey
-WHERE 20 * (SELECT count(*) FROM ss) * paid_cents
-      > (SELECT sum(paid_cents) FROM ss)
+WHERE 20 * (SELECT count(*) FROM ss)::HUGEINT * paid_cents::HUGEINT
+      > (SELECT sum(paid_cents) FROM ss)::HUGEINT
 ORDER BY paid_cents DESC, c_name, l_partkey
 LIMIT 100
 """)
@@ -4801,7 +4806,8 @@ WHERE s_prev.ch = 'N' AND s_prev.yr = 1996
   AND w_prev.ch = 'A' AND w_prev.yr = 1996
   AND w_cur.ch  = 'A' AND w_cur.yr  = 1997
   AND s_prev.cents > 0 AND w_prev.cents > 0
-  AND w_cur.cents * s_prev.cents > s_cur.cents * w_prev.cents
+  AND w_cur.cents::HUGEINT * s_prev.cents::HUGEINT
+      > s_cur.cents::HUGEINT * w_prev.cents::HUGEINT
 ORDER BY c_custkey
 LIMIT 100
 """)
@@ -4817,8 +4823,10 @@ def ds_customer_channel_growth(spark: SparkSession,
     so the four CTE instances are four `CASE WHEN` aggregates over a
     single exchange), with the ratio comparison as the exact
     cross-multiplication ``w_cur·s_prev > s_cur·w_prev`` in
-    DECIMAL(38,0) — no division, no float, and the BIGINT product wrap
-    Spark would otherwise hit at whale-customer totals can't happen.
+    DECIMAL(38,0) (oracle side: explicit ::HUGEINT casts — a raw DuckDB
+    BIGINT product raises Out of Range rather than promoting) — no
+    division, no float, and the BIGINT product wrap Spark would
+    otherwise hit at whale-customer totals can't happen.
     Hash-proven against the literal four-instance join. Scale: the
     textbook shuffles the fact four times and joins three times at
     customer grain; this shuffles it once."""

@@ -845,3 +845,36 @@ def test_qsketch_grouped_invariants(spark):
                 assert lo <= x_q <= lo * (1 + rel), (k, num, den, lo, x_q)
             elif lo < 0:
                 assert lo >= x_q >= lo * (1 + rel), (k, num, den, lo, x_q)
+
+
+def test_grouped_sketch_reserved_key_guard(spark):
+    """r12 (ADVICE): grouped builders select internal working columns
+    unqualified — a group key named like one (e.g. ``bucket_lo``,
+    ``m``) must fail LOUD at the API boundary, not produce an
+    ambiguous-column error or a silently wrong aggregate downstream."""
+    import pytest
+    from drill_calcite_spark.operators.qsketch import (
+        qsketch_build_grouped, qsketch_quantiles_grouped,
+    )
+    from drill_calcite_spark.operators.sketch import (
+        hll_registers_grouped, hll_summary_grouped,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "bucket_lo string, v long")
+    with pytest.raises(ValueError, match="bucket_lo"):
+        qsketch_build_grouped(df, ["bucket_lo"], "v")
+    with pytest.raises(ValueError, match="cum"):
+        qsketch_quantiles_grouped(df, ["cum"], [(1, 2)])
+    df2 = spark.createDataFrame([("a", "x")], "m string, tok string")
+    with pytest.raises(ValueError, match="'m'"):
+        hll_registers_grouped(df2, ["m"], "tok")
+    with pytest.raises(ValueError, match="est_raw"):
+        hll_summary_grouped(df2, ["est_raw", "m"])
+    # clean keys still build
+    ok = spark.createDataFrame([("a", 1), ("a", 9), ("b", 3)],
+                               "src string, v long")
+    assert qsketch_build_grouped(ok, ["src"], "v").count() > 0
+    assert hll_registers_grouped(
+        ok.selectExpr("src", "cast(v as string) tok"),
+        ["src"], "tok").count() > 0
