@@ -13,15 +13,45 @@ still timing real end-to-end execution. Sub-2s queries get extra runs
 output carries a per-query ``noise`` field (spread/best) so a
 contention-skewed run is self-identifying — the r4 and r7 driver benches
 were both host-noise artifacts that needed a judge re-run to diagnose.
+
+Self-calibration (r12): a fixed NON-Spark CPU reference kernel — a
+pinned-iteration sha256 loop over a constant buffer — is timed with the
+same clock before, between, and after the query loop. Its cost depends
+only on host CPU availability, never on this repo's code, so the
+committed artifact separates "host was slow" from "engine got slower"
+without a judge re-run: if ``calib_sec`` drifts with the query totals
+(as in the r9→r11 6.898→7.659→9.65 s drift, all three adjudicated as
+machine load), the round's numbers are host noise; if queries drift
+while ``calib_sec`` holds, the engine regressed. ``calib_noise`` is the
+same spread/best statistic as the per-query ``noise`` field.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# ~0.5 s on a quiet host (measured r12); long enough to average over
+# scheduler jitter, short enough to sample three times per bench run.
+CALIB_ITERS = 10_000
+
+
+def calib_kernel() -> float:
+    """Seconds to sha256 a constant 64 KiB buffer CALIB_ITERS times —
+    single-threaded, allocation-free, independent of Spark and of this
+    repo's code. The digest is consumed so the loop cannot be elided."""
+    buf = b"\x5a" * 65536
+    h = hashlib.sha256()
+    start = time.perf_counter()
+    for _ in range(CALIB_ITERS):
+        h.update(buf)
+    elapsed = time.perf_counter() - start
+    assert h.hexdigest()  # keep the work observable
+    return elapsed
 
 # Headline set: the operator spine + one of each heavy shape (scan-agg, multi
 # join, window, dedup, similarity). Kept deliberately small so bench time
@@ -64,9 +94,12 @@ def main() -> None:
     qs[names[0]](spark, SF_DIR).limit(1).collect()
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    calib_samples = [calib_kernel()]
     timings: dict[str, float] = {}
     noise: dict[str, float] = {}
     for name in names:
+        if len(timings) == len(names) // 2:
+            calib_samples.append(calib_kernel())
         samples: list[float] = []
         while True:
             start = time.perf_counter()
@@ -84,6 +117,8 @@ def main() -> None:
         # spread/best: ~0 on a quiet host; >0.5 flags contention
         noise[name] = round((max(samples) - best) / best, 3) if best else 0.0
 
+    calib_samples.append(calib_kernel())
+    calib_best = min(calib_samples)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -92,6 +127,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "noise": noise,
+        "calib_sec": round(calib_best, 3),
+        "calib_noise": round((max(calib_samples) - calib_best)
+                             / calib_best, 3) if calib_best else 0.0,
+        "calib_iters": CALIB_ITERS,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
