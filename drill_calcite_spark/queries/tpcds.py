@@ -4871,3 +4871,90 @@ def ds_customer_channel_growth(spark: SparkSession,
             .select("c_custkey", "c_name", "store_prev", "store_cur",
                     "web_prev", "web_cur")
             .orderBy("c_custkey").limit(100))
+
+
+@q("ds_county_active_profile", """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt1,
+       CASE WHEN CAST(c_acctbal::DECIMAL(18,2) * 100 AS BIGINT) < 0
+            THEN -1
+            ELSE CAST(c_acctbal::DECIMAL(18,2) * 100 AS BIGINT)
+                 // 100000 END AS bal_band,
+       CAST(count(*) AS BIGINT) AS cnt2,
+       n_name, CAST(count(*) AS BIGINT) AS cnt3
+FROM customer c JOIN nation ON n_nationkey = c_nationkey
+WHERE n_name IN ('NATION_0', 'NATION_3', 'NATION_7',
+                 'NATION_12', 'NATION_19')
+  AND EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o.o_orderdate <  TIMESTAMP '1996-05-01')
+  AND (EXISTS (SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_orderpriority = '3-MEDIUM'
+                 AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                 AND o.o_orderdate <  TIMESTAMP '1996-05-01')
+       OR EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority IN ('4-NOT SPECIFIED',
+                                              '5-LOW')
+                    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                    AND o.o_orderdate <  TIMESTAMP '1996-05-01'))
+GROUP BY c_mktsegment, bal_band, n_name
+ORDER BY c_mktsegment, bal_band, n_name
+LIMIT 100
+""")
+def ds_county_active_profile(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """TPC-DS q10 as its OWN hash-proven row (queries/q10.sql) — the
+    last of the 99 numbers previously carried by a same-family credit
+    (the q35/q69 shape, ds_channel_presence_demographics). q10's three
+    distinctives, all present here and absent from the sibling shape:
+    (a) the address-dim IN-list gate (``ca_county IN (5 counties)`` →
+    nation names), (b) a DATE-BOUNDED window inside each EXISTS
+    (``d_year = 2002 AND d_moy BETWEEN 1 AND 4`` → a four-month
+    o_orderdate slice), and (c) the repeated-count demographic output
+    (cnt1/cnt2/cnt3 all COUNT(*), one per profile attribute, exactly
+    as the textbook spells it). Spark-first rewrite: the orders fact is
+    scanned ONCE with the date window pushed to the parquet scan;
+    per-customer channel presence flags come from conditional max() in
+    a single aggregate; the ``EXISTS AND (EXISTS OR EXISTS)`` becomes a
+    row filter over the flags; the 5-nation gate attaches as a
+    BROADCAST dim join (the textbook pays three correlated fact scans
+    and an un-collapsible OR-of-existence join). The purchase-estimate
+    band is exact integer cents (negative balances pinned to band -1 —
+    DuckDB ``//`` floors while Spark ``div`` truncates, so the negative
+    range is kept out of the division entirely). Scale: one fact
+    shuffle at customer grain, dims broadcast; ordered LIMIT on the
+    grouped (segment, band, nation) profile."""
+    cust = t(spark, sf_dir, "customer")
+    ords = t(spark, sf_dir, "orders")
+    nat = t(spark, sf_dir, "nation")
+    pr = F.col("o_orderpriority")
+    win = (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")) \
+        & (F.col("o_orderdate") < F.lit("1996-05-01").cast("timestamp"))
+    flags = (ords.filter(win)
+             .groupBy("o_custkey")
+             .agg(F.max(F.when(pr.isin("1-URGENT", "2-HIGH"), 1)
+                        .otherwise(0)).alias("st"),
+                  F.max(F.when(pr == "3-MEDIUM", 1)
+                        .otherwise(0)).alias("wb"),
+                  F.max(F.when(pr.isin("4-NOT SPECIFIED", "5-LOW"), 1)
+                        .otherwise(0)).alias("ct")))
+    counties = nat.filter(F.col("n_name").isin(
+        "NATION_0", "NATION_3", "NATION_7", "NATION_12", "NATION_19"))
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    band = F.when(cents < 0, F.lit(-1).cast("bigint")) \
+        .otherwise(F.floor(cents / 100000).cast("bigint"))
+    kept = (cust.join(flags, cust.c_custkey == F.col("o_custkey"))
+            .filter((F.col("st") == 1)
+                    & ((F.col("wb") == 1) | (F.col("ct") == 1)))
+            .join(F.broadcast(counties.select("n_nationkey", "n_name")),
+                  F.col("n_nationkey") == F.col("c_nationkey")))
+    n = F.count(F.lit(1)).cast("bigint")
+    return (kept.groupBy("c_mktsegment", band.alias("bal_band"), "n_name")
+            .agg(n.alias("cnt1"), n.alias("cnt2"), n.alias("cnt3"))
+            .select("c_mktsegment", "cnt1", "bal_band", "cnt2",
+                    "n_name", "cnt3")
+            .orderBy("c_mktsegment", "bal_band", "n_name").limit(100))

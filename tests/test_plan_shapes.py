@@ -1351,3 +1351,19 @@ def test_ds_customer_channel_growth_one_scan_four_cells(spark):
     assert "SortMergeJoin" not in plan, "aggregate self-join leaked"
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_ds_county_active_profile_one_fact_scan_window_pushed(spark):
+    """ds_county_active_profile (q10 own row): the textbook's THREE
+    correlated EXISTS fact scans must fold to ONE orders scan with the
+    four-month date window pushed to parquet; the 5-nation county gate
+    attaches as a broadcast dim join."""
+    plan = _plan(entrymod.queries()["ds_county_active_profile"](
+        spark, SF_DIR))
+    assert plan.count("orders.parquet") == 1, \
+        "EXISTS trio re-scanned the fact"
+    pushed = plan.split("PushedFilters:")
+    assert any("o_orderdate" in seg[:400] for seg in pushed[1:]), \
+        "date window did not reach the orders scan"
+    assert "BroadcastHashJoin" in plan, "nation gate not broadcast"
+    assert "EvalPython" not in plan
