@@ -1696,3 +1696,118 @@ def stream_checkpoint_resume(spark: SparkSession,
     finally:
         for d in (base, sink, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+@q("stream_complete_mode_emit", f"""
+WITH e AS (
+  SELECT epoch_us(ts) AS us,
+         least(CAST(floor(date_diff('day', DATE '2024-01-01', ts) / 7)
+                    AS BIGINT), 3) AS wk,
+         event_id
+  FROM events
+), b AS (
+  SELECT us,
+         CASE WHEN event_id % 13 = 0 THEN least(wk + 2, 3) ELSE wk END
+           AS batch
+  FROM e
+), per AS (
+  SELECT (us // {_WM_DAY_US}) * {_WM_DAY_US} AS win_us, batch,
+         count(*) AS cnt
+  FROM b GROUP BY 1, 2
+), trig AS (
+  SELECT batch,
+         CAST(dense_rank() OVER (ORDER BY batch) - 1 AS BIGINT) AS trig
+  FROM (SELECT DISTINCT batch FROM b)
+)
+SELECT t.trig AS trig,
+       CAST(p.win_us // 1000000 AS BIGINT) AS win_start,
+       CAST(sum(p.cnt) AS BIGINT) AS n
+FROM trig t JOIN per p ON p.batch <= t.batch
+GROUP BY 1, 2
+""")
+def stream_complete_mode_emit(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """COMPLETE output mode emission semantics — the third and last
+    deterministic output mode, completing the append (pentalogy + outer
+    joins) / update (stream_update_mode_emissions) battery. Every
+    trigger re-emits the ENTIRE result table: all windows seen so far,
+    at their current cumulative counts — including windows the trigger
+    did not touch (the distinctive vs UPDATE mode, which emits only
+    changed windows) — and nothing is ever finalized or evicted, so
+    there is NO watermark in the pipeline (Spark cannot drop complete-
+    mode state; a watermark would be a no-op and its absence is itself
+    the semantics under test). The drain is the same 4-file
+    maxFilesPerTrigger=1 mtime-ordered discipline as the append/update
+    batteries; per-trigger snapshots are captured with foreachBatch
+    (in complete mode the batch DataFrame IS the full current table —
+    a memory sink would overwrite per trigger and show only the last).
+    The DuckDB oracle replays it exactly: for trigger t, every window
+    whose first contributing batch ≤ t appears with the cumulative
+    survivor count through batch t; dense_rank aligns batch numbers to
+    trigger indices. Late-jittered rows (event_id % 13) land in a
+    LATER batch than their window's week, proving old windows keep
+    updating; untouched windows re-emit with unchanged counts. Scale:
+    complete mode is for bounded dashboards — the re-emitted table is
+    the AGGREGATE (≤ |windows| rows), never the data; the per-trigger
+    collect here is that bounded table."""
+    import os as _os
+    import shutil
+    import uuid as _uuid
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from drill_calcite_spark.queries.sources import _fixture_dir
+
+    ev = t(spark, sf_dir, "events")
+    week = F.least(
+        F.floor(F.datediff(F.col("ts"), F.lit("2024-01-01")) / 7),
+        F.lit(3))
+    batch = (F.when(F.col("event_id") % 13 == 0,
+                    F.least(week + 2, F.lit(3)))
+             .otherwise(week)).cast("int")
+    pdf = (ev.select("event_id", "ts", batch.alias("batch")).toPandas())
+
+    base = _os.path.join(_fixture_dir(sf_dir),
+                         f"complete_batches_{_uuid.uuid4().hex[:12]}")
+    _os.makedirs(base)
+    try:
+        for bno in range(4):
+            part = pdf[pdf.batch == bno].drop(columns=["batch"])
+            path = f"{base}/batch_{bno:03d}.parquet"
+            _pq.write_table(
+                _pa.Table.from_pandas(part, preserve_index=False), path,
+                coerce_timestamps="us", allow_truncated_timestamps=True)
+            _os.utime(path, (1_700_000_000 + bno * 1000,) * 2)
+
+        schema = spark.read.parquet(base).schema
+        agg = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(base)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .groupBy(tumble("ts", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .select(F.unix_timestamp(F.col("w.start")).cast("bigint")
+                    .alias("win_start"), "n"))
+
+        snaps: list[tuple[int, list]] = []
+
+        def sink(bdf: DataFrame, bid: int) -> None:
+            snaps.append((bid, bdf.collect()))
+
+        sq = (agg.writeStream.foreachBatch(sink)
+              .outputMode("complete")
+              .trigger(availableNow=True).start())
+        try:
+            if not sq.awaitTermination(300):
+                raise TimeoutError("complete-mode drain exceeded 300s")
+        finally:
+            if sq.isActive:
+                sq.stop()
+
+        rows = [(int(bid), int(r.win_start), int(r.n))
+                for bid, batch_rows in snaps for r in batch_rows]
+        return spark.createDataFrame(
+            rows, "trig bigint, win_start bigint, n bigint")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -413,3 +413,40 @@ def test_static_enrich_consistent_with_unenriched(spark):
         per_win[r.win_start] += r.n
     assert per_win == plain, \
         "segment partition does not reproduce the un-enriched counts"
+
+
+def test_complete_mode_reemission_not_vacuous(spark):
+    """stream_complete_mode_emit (r12): the COMPLETE-mode drain must
+    actually exhibit both re-emission classes the mode is defined by —
+    (a) some window re-emitted in a later trigger with an UNCHANGED
+    count (untouched state still re-emitted; UPDATE mode would omit
+    it), and (b) some window whose count strictly INCREASES across
+    triggers (the late-jittered rows updating an old window, never
+    dropped because complete mode has no watermark). Also pins that
+    every trigger's snapshot contains every previously-seen window
+    (monotone table growth) and that there were ≥ 3 triggers."""
+    import collections
+
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    rows = entrymod.queries()["stream_complete_mode_emit"](
+        spark, SF_DIR).collect()
+    by_trig = collections.defaultdict(dict)
+    for r in rows:
+        by_trig[r.trig][r.win_start] = r.n
+    trigs = sorted(by_trig)
+    assert len(trigs) >= 3, f"expected >=3 triggers, got {trigs}"
+    unchanged = increased = False
+    for a, b in zip(trigs, trigs[1:]):
+        prev, cur = by_trig[a], by_trig[b]
+        assert set(prev) <= set(cur), \
+            "a previously-seen window vanished from a later snapshot"
+        for w, n in prev.items():
+            assert cur[w] >= n, "a window's cumulative count decreased"
+            if cur[w] == n:
+                unchanged = True
+            else:
+                increased = True
+    assert unchanged, "no untouched window was re-emitted (vacuous)"
+    assert increased, "no window was updated across triggers (vacuous)"
