@@ -4958,3 +4958,59 @@ def ds_county_active_profile(spark: SparkSession,
             .select("c_mktsegment", "cnt1", "bal_band", "cnt2",
                     "n_name", "cnt3")
             .orderBy("c_mktsegment", "bal_band", "n_name").limit(100))
+
+
+@q("ds_nation_revenue_salted", """
+SELECT n_name, extract(year FROM o_orderdate) AS yr,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum((l_extendedprice::DECIMAL(18,2) * 100)::BIGINT)
+            AS BIGINT) AS rev_cents
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+""")
+def ds_nation_revenue_salted(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Second REAL-QUERY proof for the skew-salting operator
+    (operators/skew.py — driver-proven only on planted modulo skew
+    since r5): the q5-family geography revenue rollup, with the one
+    genuinely skew-prone join — the fact at (order-line × customer)
+    grain against the 25-row nation dim, every key hot by construction
+    (|keys| « |reducers| at 100 TB) — routed through ``salted_join``.
+    The oracle runs the PLAIN unsalted SQL join: the driver hash proves
+    salting only routes rows, on a real multi-join aggregate rather
+    than a planted ``% 25`` fixture. The build side carries an explicit
+    ``shuffle_hash`` hint: left to itself AQE would broadcast 25 rows
+    and the salt would never touch a shuffle — the hint pins the
+    exercised regime, a SHUFFLED join on (key, salt), which is exactly
+    salting's domain at scale (build side too big to broadcast, small
+    enough to replicate; a broadcast-able dim needs no salt). Scale:
+    the orderkey/custkey joins shuffle on high-cardinality keys
+    (AQE-safe); the salted leg splits each nation across 8 reducers
+    instead of one; the final aggregate is map-side-combined on
+    (nation, year)."""
+    from drill_calcite_spark.operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), "n_name")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    fact = (li.select("l_orderkey", cents.alias("cents"))
+            .join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
+                  F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(cust.select("c_custkey", "c_nationkey"),
+                  F.col("c_custkey") == F.col("o_custkey"))
+            .select(F.col("c_nationkey").alias("nk"), "cents",
+                    F.year("o_orderdate").alias("yr")))
+    joined = salted_join(fact, nat.hint("shuffle_hash"), ["nk"],
+                         salts=8)
+    return (joined.groupBy("n_name", "yr")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                 F.sum("cents").cast("bigint").alias("rev_cents"))
+            .select("n_name", "yr", "n_items", "rev_cents")
+            .orderBy("n_name", "yr"))

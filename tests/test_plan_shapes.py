@@ -1367,3 +1367,20 @@ def test_ds_county_active_profile_one_fact_scan_window_pushed(spark):
         "date window did not reach the orders scan"
     assert "BroadcastHashJoin" in plan, "nation gate not broadcast"
     assert "EvalPython" not in plan
+
+
+def test_ds_nation_revenue_salted_salt_in_shuffle_keys(spark):
+    """ds_nation_revenue_salted: the nation leg must be a SHUFFLED hash
+    join whose partitioning keys include the salt (each nation split
+    across 8 reducers), with the 25-row build side replicated via
+    explode — not broadcast (which would make the salt a no-op)."""
+    plan = _plan(entrymod.queries()["ds_nation_revenue_salted"](
+        spark, SF_DIR))
+    assert "__salt" in plan, "salt column missing from the plan"
+    assert "hashpartitioning(nk" in plan and "__salt" in \
+        plan[plan.index("hashpartitioning(nk"):], \
+        "salt not part of the join shuffle keys"
+    assert "ShuffledHashJoin" in plan, \
+        "salted leg not planned as a shuffled hash join"
+    assert "explode" in plan, "build-side salt replication missing"
+    assert "EvalPython" not in plan
