@@ -278,6 +278,24 @@ def qsketch_merge(*sketches: DataFrame) -> DataFrame:
                                         .alias("cnt"))
 
 
+def qsketch_merge_grouped(keys: "list[str]",
+                          *sketches: DataFrame) -> DataFrame:
+    """Per-group cellwise merge: grouped sketches built over disjoint
+    epochs/partitions combine into the grouped sketch of the union —
+    ``merge(build(A), build(B)) ≡ build(A ∪ B)`` cell for cell, per
+    group — because counts are linear and grouping never perturbs
+    bucketing. This is what makes per-tenant telemetry incremental at
+    100 TB: each day/epoch ships its own ≤ capped-cell sketch per
+    group and historical data is never re-read."""
+    _assert_keys_clear(keys, {"bucket_lo", "cnt"},
+                       "qsketch_merge_grouped")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*keys, "bucket_lo").agg(
+        F.sum("cnt").cast("bigint").alias("cnt"))
+
+
 def qsketch_quantiles(sketch: DataFrame, qs: "list[tuple[int, int]]",
                       lo_type: str = "bigint") -> DataFrame:
     """Quantile lower bounds from the sketch. ``qs`` is a list of

@@ -2958,3 +2958,41 @@ def sketch_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (summ.join(F.broadcast(true_n),
                       F.col("t_et") == F.col("event_type"))
             .drop("t_et"))
+
+
+@q("sketch_qsketch_grouped_merge", _qsketch_grouped_oracle())
+def sketch_qsketch_grouped_merge(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """GROUPED-SKETCH MERGE battery (r12) — the mergeability claim
+    exercised END TO END with an oracle row, not just a property test:
+    the events corpus is split into two disjoint epochs (even/odd
+    event_id — the daily-build pattern), a per-event-type signed
+    DOUBLE sketch is built over EACH epoch separately
+    (qsketch_build_grouped twice), the two grouped sketches merge
+    cellwise (qsketch_merge_grouped), and quantiles are extracted from
+    the MERGED sketch. The oracle is the single-build replay over the
+    full corpus — the same SQL that backs sketch_qsketch_grouped — so
+    the driver hash proves ``merge(build(A), build(B)) ≡ build(A∪B)``
+    per group, bit for bit through the double mantissa-prefix
+    bucketing. Non-vacuousness (both epochs non-empty, sketches
+    actually differ) is pinned in tests/test_llm.py. Scale: this IS
+    the incremental telemetry path — each epoch's build collapses
+    map-side to ≤ capped cells per group, the merge aggregates
+    sketch-sized inputs, and history is never re-read."""
+    from drill_calcite_spark.operators.qsketch import (
+        qsketch_build_grouped, qsketch_merge_grouped,
+        qsketch_quantiles_grouped)
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        (F.col("value") - F.lit(50.0)).cast("double").alias("v"))
+    epoch_a = ev.filter(F.col("event_id") % 2 == 0)
+    epoch_b = ev.filter(F.col("event_id") % 2 == 1)
+    sk_a = qsketch_build_grouped(epoch_a, ["event_type"], "v",
+                                 signed=True, double=True)
+    sk_b = qsketch_build_grouped(epoch_b, ["event_type"], "v",
+                                 signed=True, double=True)
+    merged = qsketch_merge_grouped(["event_type"], sk_a, sk_b)
+    return qsketch_quantiles_grouped(
+        merged, ["event_type"], [(1, 4), (1, 2), (99, 100)],
+        lo_type="double")

@@ -878,3 +878,43 @@ def test_grouped_sketch_reserved_key_guard(spark):
     assert hll_registers_grouped(
         ok.selectExpr("src", "cast(v as string) tok"),
         ["src"], "tok").count() > 0
+
+
+def test_grouped_merge_epochs_non_vacuous(spark):
+    """sketch_qsketch_grouped_merge (r12): the merge must combine two
+    genuinely different non-empty epoch sketches — if either epoch
+    were empty or the sketches identical, the merge identity the
+    driver row hash-proves would be vacuous. Also asserts the merged
+    sketch differs from each input (counts strictly grew somewhere)."""
+    from drill_calcite_spark.operators.qsketch import (
+        qsketch_build_grouped, qsketch_merge_grouped,
+    )
+    from drill_calcite_spark.queries.common import t
+    from tests.conftest import SF_DIR
+
+    ev = t(spark, SF_DIR, "events").select(
+        "event_id", "event_type",
+        (F.col("value") - F.lit(50.0)).cast("double").alias("v"))
+    cells = {}
+    for tag, pred in (("a", F.col("event_id") % 2 == 0),
+                      ("b", F.col("event_id") % 2 == 1)):
+        sk = qsketch_build_grouped(ev.filter(pred), ["event_type"], "v",
+                                   signed=True, double=True)
+        cells[tag] = {(r.event_type, r.bucket_lo): r.cnt
+                      for r in sk.collect()}
+        assert cells[tag], f"epoch {tag} sketch is empty"
+    assert cells["a"] != cells["b"], "epoch sketches identical"
+    sk_a = qsketch_build_grouped(
+        ev.filter(F.col("event_id") % 2 == 0), ["event_type"], "v",
+        signed=True, double=True)
+    sk_b = qsketch_build_grouped(
+        ev.filter(F.col("event_id") % 2 == 1), ["event_type"], "v",
+        signed=True, double=True)
+    merged = {(r.event_type, r.bucket_lo): r.cnt
+              for r in qsketch_merge_grouped(
+                  ["event_type"], sk_a, sk_b).collect()}
+    for tag in ("a", "b"):
+        assert merged != cells[tag], f"merge equals epoch {tag} alone"
+    for k, n in merged.items():
+        assert n == cells["a"].get(k, 0) + cells["b"].get(k, 0), \
+            f"cell {k} not the sum of its epoch cells"
