@@ -30,6 +30,7 @@ from drill_calcite_spark.operators.multimodal import (
     frame_sample,
     resize_stub,
 )
+from drill_calcite_spark.operators.topk import bounded_group_topk
 from drill_calcite_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_blocked,
@@ -2663,22 +2664,23 @@ def text_boilerplate_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("doc_id", "source", F.md5(F.col("p")).alias("h")))
     freq = c.groupBy("source", "h").agg(
         F.countDistinct("doc_id").alias("nd"))
-    # Stage 1: partial top-20 per (source, shuffle-partition) slice —
-    # the per-task sort is bounded by the slice, never the source.
-    part = Window.partitionBy("source", "__pid").orderBy(
-        F.col("nd").desc(), F.col("h").asc())
-    cand = (freq.withColumn("__pid", F.spark_partition_id())
-            .withColumn("__prk", F.row_number().over(part))
-            .filter(F.col("__prk") <= 20)
-            .drop("__pid", "__prk"))
-    # Stage 2: the per-source merge window sees ≤ 20·P candidates.
-    rk = Window.partitionBy("source").orderBy(
-        F.col("nd").desc(), F.col("h").asc())
-    boiler = (cand.withColumn("rk", F.row_number().over(rk))
-              .filter(F.col("rk") <= 20)
-              .select(F.col("source").alias("bsource"),
-                      F.col("h").alias("bh")))
-    joined = c.join(F.broadcast(boiler),
+    # Two-stage bounded top-20 (operators/topk.py, factored out r12 and
+    # property-fuzzed over adversarial tie corpora): stage 1 ranks per
+    # (source, shuffle-partition) slice, stage 2 merges ≤ 20·P
+    # candidates — no task ever sorts a source's full shingle
+    # population. (nd desc, h asc) is a TOTAL order (h is the groupBy
+    # key, hence unique per source), which the exactness argument
+    # requires.
+    boiler = (bounded_group_topk(
+        freq, ["source"], [F.col("nd").desc(), F.col("h").asc()], 20)
+        .select(F.col("source").alias("bsource"),
+                F.col("h").alias("bh")))
+    # No forced broadcast (r12): the set is ≤ 20 rows per source but
+    # |sources| is data-dependent — AQE's size check broadcasts it at
+    # any realistic source count (plan test executes and pins the
+    # final adaptive plan) and degrades to a shuffled join instead of
+    # OOMing on a pathological source explosion.
+    joined = c.join(boiler,
                     (F.col("bsource") == F.col("source"))
                     & (F.col("bh") == F.col("h")), "left")
     return (joined.groupBy("doc_id")

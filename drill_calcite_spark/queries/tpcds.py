@@ -3426,15 +3426,20 @@ def ds_frequent_best_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     to both sets, two channel branches UNION ALLed into one total.
 
     Spark-first: the frequent-item and best-customer sets are
-    aggregate-sized, so both attach to the final fact pass as BROADCAST
-    semi-joins (never a shuffle of the fact on a filter key); the max
-    customer total is a one-row broadcast scalar against the customer
-    aggregate (integer cross-multiply, exact); the two textbook UNION
-    branches differ only in a disjoint priority predicate, so they fold
-    into ONE final scan whose filter is the union of the two (the
-    branches partition the priority space). Three fact passes total —
-    each aggregation needs a different key, which is irreducible — and
-    every inter-stage edge is broadcast-sized. The ORACLE spells the
+    aggregate-sized and attach to the final fact pass as semi-joins
+    with NO forced broadcast hint (r12, after the r11 verdict): both
+    sets are data-dependent — ``freq`` is plausibly item-dimension-
+    sized at 100 TB — so the broadcast decision is left to AQE's
+    runtime size check, which broadcasts them at every tested SF (the
+    plan test executes and pins the final adaptive plan) and falls
+    back to a shuffled join instead of OOMing if a set ever outgrows
+    ``spark.sql.autoBroadcastJoinThreshold``. The max customer total
+    IS still a forced one-row broadcast (its size is provable, not
+    data-dependent). The two textbook UNION branches differ only in a
+    disjoint priority predicate, so they fold into ONE final scan
+    whose filter is the union of the two (the branches partition the
+    priority space). Three fact passes total — each aggregation needs
+    a different key, which is irreducible. The ORACLE spells the
     literal CTE chain with IN-subqueries and the UNION ALL."""
     li = t(spark, sf_dir, "lineitem")
     ords = t(spark, sf_dir, "orders")
@@ -3460,8 +3465,8 @@ def ds_frequent_best_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_custkey"))
 
     target = (fact.filter(F.year(F.col("o_orderdate")) == 1997)
-              .join(F.broadcast(freq), "l_partkey", "left_semi")
-              .join(F.broadcast(best), "o_custkey", "left_semi"))
+              .join(freq, "l_partkey", "left_semi")
+              .join(best, "o_custkey", "left_semi"))
     return target.agg(F.sum(cents).cast("bigint").alias("total_cents"),
                       F.count(F.lit(1)).cast("bigint").alias("n_sales"))
 

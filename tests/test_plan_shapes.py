@@ -929,8 +929,12 @@ def test_text_boilerplate_mask_two_stage_topk(spark):
     a source's full distinct-shingle population (the r10 verdict's
     scale-killer). The stage-1 partition key (`__pid`) and BOTH window
     nodes must appear; the boilerplate set must join back broadcast."""
-    plan = _plan(entrymod.queries()["text_boilerplate_mask"](
-        spark, SF_DIR))
+    df = entrymod.queries()["text_boilerplate_mask"](spark, SF_DIR)
+    # r12: the join-back is no longer hint-forced (the set is ≤ 20
+    # rows/source but |sources| is data-dependent) — execute and pin
+    # that AQE still chooses broadcast at test SFs
+    df.collect()
+    plan = _plan(df).split("== Initial Plan ==")[0]
     assert "__pid" in plan, "stage-1 partial top-K missing (no __pid key)"
     assert plan.count("Window") >= 2, "two-stage ranking collapsed"
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, \
@@ -989,21 +993,35 @@ def test_ds_frequent_best_sales_broadcast_semi_joins(spark):
     best-customer sets must attach to the final pass as BROADCAST semi
     joins (never a shuffle of the fact on a filter key), and the two
     textbook UNION branches must fold into one final scan — three fact
-    passes total, one per distinct aggregation key."""
+    passes total, one per distinct aggregation key.
+
+    r12: the broadcasts are no longer FORCED (the sets are data-
+    dependent; AQE's runtime size check decides and falls back to a
+    shuffled join instead of OOMing at a pathological scale), so this
+    test EXECUTES the query and pins the final adaptive plan — AQE
+    must still choose broadcast at test SFs."""
     # a prior lane's .persist() of ANY equal subplan gets
     # substituted into this plan by the cache manager and
     # shifts the InMemoryRelation counts — start clean
     spark.catalog.clearCache()
-    plan = _plan(entrymod.queries()["ds_frequent_best_sales"](
-        spark, SF_DIR))
+    df = entrymod.queries()["ds_frequent_best_sales"](spark, SF_DIR)
+    df.collect()  # drive AQE to its final plan
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan, "adaptive plan did not finalize"
+    # the adaptive toString carries BOTH the final and the initial
+    # plan — count only the final section
+    plan = plan.split("== Initial Plan ==")[0]
     assert plan.count("BroadcastHashJoin") >= 2, "semi joins not broadcast"
     assert plan.count("LeftSemi") >= 2, "IN-subqueries not semi joins"
     # the persisted customer aggregate serves both its consumers (max
-    # scalar + threshold filter): two live fact scans remain (frequent-
-    # item aggregation and the target-year pass); the other lineitem
-    # mentions sit inside InMemoryRelation definitions
-    assert plan.count("InMemoryTableScan") == 2, \
+    # scalar + threshold filter): the final adaptive plan reads it via
+    # cache stages (materialized stages print as references, so exact
+    # occurrence counts are format-dependent — presence is the signal)
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, \
         "customer aggregate not reused"
+    # two live fact scans remain (frequent-item aggregation and the
+    # target-year pass); the other lineitem mentions sit inside
+    # InMemoryRelation definitions
     assert plan.count("lineitem.parquet") - plan.count(
         "InMemoryRelation") == 2, \
         "UNION branches did not fold (or an aggregation re-scans)"
