@@ -189,6 +189,22 @@ def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.unionByName(b).groupBy("bucket").agg(F.max("m").alias("m"))
 
 
+def hll_merge_grouped(keys: "list[str]",
+                      *registers: DataFrame) -> DataFrame:
+    """Per-group register merge: grouped HLLs built over disjoint
+    epochs combine by per-(group, bucket) MAX into exactly the grouped
+    registers of the union — max is idempotent/commutative and
+    grouping never perturbs the hash routing, so
+    ``merge(build(A), build(B)) ≡ build(A ∪ B)`` register for
+    register. The incremental per-tenant distinct-count path: each
+    epoch ships ≤ m rows per group, history is never re-read."""
+    _assert_keys_clear(keys, {"bucket", "m"}, "hll_merge_grouped")
+    out = registers[0]
+    for r in registers[1:]:
+        out = out.unionByName(r)
+    return out.groupBy(*keys, "bucket").agg(F.max("m").alias("m"))
+
+
 def hll_summary(registers: DataFrame) -> DataFrame:
     """One row: (n_buckets, nonzero_regs, harmonic_sum_scaled, est_raw).
 

@@ -2998,3 +2998,39 @@ def sketch_qsketch_grouped_merge(spark: SparkSession,
     return qsketch_quantiles_grouped(
         merged, ["event_type"], [(1, 4), (1, 2), (99, 100)],
         lo_type="double")
+
+
+@q("sketch_hll_grouped_merge", _hll_grouped_oracle())
+def sketch_hll_grouped_merge(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """GROUPED-HLL MERGE battery (r12) — the register-max mergeability
+    claim exercised end to end, the HLL twin of
+    sketch_qsketch_grouped_merge: per-event-type register tables are
+    built over two disjoint epochs (even/odd event_id) SEPARATELY
+    (hll_registers_grouped twice), merged by per-(group, bucket) MAX
+    (hll_merge_grouped), and summarized. The oracle is the single-build
+    replay over the full corpus (the same SQL backing
+    sketch_hll_grouped), so the driver hash proves
+    ``merge(build(A), build(B)) ≡ build(A∪B)`` register for register —
+    including est_raw bit-for-bit through the exact dyadic harmonic
+    sum. True per-group distinct counts ride alongside. Scale: the
+    incremental distinct-count path — each epoch ships ≤ 64 rows per
+    group; the merge and summary aggregate sketch-sized inputs only."""
+    from drill_calcite_spark.operators.sketch import (
+        hll_merge_grouped, hll_registers_grouped, hll_summary_grouped)
+
+    ev = t(spark, sf_dir, "events")
+    regs_a = hll_registers_grouped(
+        ev.filter(F.col("event_id") % 2 == 0), ["event_type"],
+        "user_id")
+    regs_b = hll_registers_grouped(
+        ev.filter(F.col("event_id") % 2 == 1), ["event_type"],
+        "user_id")
+    summ = hll_summary_grouped(
+        hll_merge_grouped(["event_type"], regs_a, regs_b),
+        ["event_type"])
+    true_n = ev.groupBy(F.col("event_type").alias("t_et")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("true_n"))
+    return (summ.join(F.broadcast(true_n),
+                      F.col("t_et") == F.col("event_type"))
+            .drop("t_et"))

@@ -918,3 +918,36 @@ def test_grouped_merge_epochs_non_vacuous(spark):
     for k, n in merged.items():
         assert n == cells["a"].get(k, 0) + cells["b"].get(k, 0), \
             f"cell {k} not the sum of its epoch cells"
+
+
+def test_hll_grouped_merge_epochs_non_vacuous(spark):
+    """sketch_hll_grouped_merge (r12): both epoch register tables must
+    be non-empty and differ, and every merged register must equal the
+    MAX of its epoch registers (absent = 0) — otherwise the driver
+    row's merge identity would be vacuous."""
+    from drill_calcite_spark.operators.sketch import (
+        hll_merge_grouped, hll_registers_grouped,
+    )
+    from drill_calcite_spark.queries.common import t
+    from tests.conftest import SF_DIR
+
+    ev = t(spark, SF_DIR, "events")
+    regs = {}
+    for tag, pred in (("a", F.col("event_id") % 2 == 0),
+                      ("b", F.col("event_id") % 2 == 1)):
+        r = hll_registers_grouped(ev.filter(pred), ["event_type"],
+                                  "user_id")
+        regs[tag] = {(x.event_type, x.bucket): x.m for x in r.collect()}
+        assert regs[tag], f"epoch {tag} registers empty"
+    assert regs["a"] != regs["b"], "epoch registers identical"
+    ra = hll_registers_grouped(ev.filter(F.col("event_id") % 2 == 0),
+                               ["event_type"], "user_id")
+    rb = hll_registers_grouped(ev.filter(F.col("event_id") % 2 == 1),
+                               ["event_type"], "user_id")
+    merged = {(x.event_type, x.bucket): x.m
+              for x in hll_merge_grouped(["event_type"], ra, rb)
+              .collect()}
+    assert set(merged) == set(regs["a"]) | set(regs["b"])
+    for k, m in merged.items():
+        assert m == max(regs["a"].get(k, 0), regs["b"].get(k, 0)), \
+            f"register {k} is not the epoch max"
