@@ -2889,7 +2889,11 @@ def pipeline_source_quality_gate(spark: SparkSession,
     thr = (qsketch_quantiles_grouped(sk, ["source"], [(1, 4)])
            .select(F.col("source").alias("t_source"),
                    F.col("lo").alias("thr")))
-    return (docs.join(F.broadcast(thr),
+    # No forced broadcast (r12 audit): the threshold table is one row
+    # per source, but |sources| is data-dependent — AQE's size check
+    # broadcasts it at any realistic source count and degrades to a
+    # shuffled join instead of OOMing on a pathological one.
+    return (docs.join(thr,
                       F.col("t_source") == F.col("source"))
             .filter(F.col("v") >= F.col("thr"))
             .groupBy("source", "thr")
