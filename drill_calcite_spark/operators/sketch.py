@@ -91,6 +91,66 @@ def cms_sketch(df: DataFrame, key_col: str, weight_col: str | None = None,
     )
 
 
+def cms_sketch_grouped(df: DataFrame, keys: "list[str]", key_col: str,
+                       weight_col: str | None = None) -> DataFrame:
+    """Per-GROUP counter matrices ``(keys..., j, bucket, cnt)`` — one
+    d×w CMS per key combination in ONE aggregation (the per-source /
+    per-tenant frequency telemetry pattern, completing the grouped
+    sketch triad with qsketch_build_grouped and
+    hll_registers_grouped). Keyspace ≤ d×w cells per group; map-side
+    collapse before the exchange; per-group sketches still merge by
+    cellwise addition."""
+    _assert_keys_clear(keys, {"j", "bucket", "cnt", "cell", "w"},
+                       "cms_sketch_grouped")
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    cells = df.select(
+        *keys,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(CMS_DEPTH)),
+                lambda j: F.struct(
+                    j.cast("int").alias("j"),
+                    cms_bucket(F.col(key_col), j).alias("bucket"),
+                ),
+            )
+        ).alias("cell"),
+        w.cast("bigint").alias("w"),
+    )
+    return (
+        cells.select(*keys, "cell.j", "cell.bucket", "w")
+        .groupBy(*keys, "j", "bucket")
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def cms_estimate_grouped(sketch: DataFrame, keys: "list[str]",
+                         probes: DataFrame, key_col: str) -> DataFrame:
+    """``min_j C_g[j][h_j(key)]`` per (group, candidate key) — the
+    grouped twin of :func:`cms_estimate`. ``probes`` must carry the
+    group columns; the sketch side is ≤ d×w rows per group but
+    |groups| is data-dependent, so the join is NOT hint-forced — AQE's
+    size check broadcasts it at any realistic group count."""
+    _assert_keys_clear(keys, {"j", "bucket", "cnt", "cell", "est_n"},
+                       "cms_estimate_grouped")
+    cells = probes.select(
+        *keys, key_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(CMS_DEPTH)),
+                lambda j: F.struct(
+                    j.cast("int").alias("j"),
+                    cms_bucket(F.col(key_col), j).alias("bucket"),
+                ),
+            )
+        ).alias("cell"),
+    ).select(*keys, key_col, "cell.j", "cell.bucket")
+    return (
+        cells.join(sketch, [*keys, "j", "bucket"], "left")
+        .groupBy(*keys, key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_n"))
+    )
+
+
 def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Cellwise addition — sketches are linear, so sketch(A ∪ B) =
     merge(sketch(A), sketch(B)); absent cells count 0."""

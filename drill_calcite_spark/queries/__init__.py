@@ -30,19 +30,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # tests/test_registry_evidence.py (added r8 after func_geo_srid slipped
 # through round 7 unslated).
 #
-# ROUND-11 ROTATION, in order:
-# (a) the NEVER-GREEN names lead — the five r10 `_NEXT_ROUND_HEAD`
-#     overflow names (the only oracle-backed queries with zero driver
-#     evidence, promoted exactly as the r10 verdict demands) plus the
-#     four r11-new names (q64/q14/q23 shapes + the stream-stream LEFT
-#     OUTER battery);
-# (b) the nine r10-CHANGED names displaced from the r10 slate with
-#     "rotate in r11" annotations — each holds an older committed green
-#     row but its latest change had only corpus/fuzzer/plan-test cover;
-# (c) the r4-vintage cohort (oldest committed evidence in the repo),
-#     then as much of the r5-vintage cohort as the remaining slots fit.
-#     The r5 names that don't fit keep their committed r5 green rows
-#     (the invariant only requires SOME committed row) and rotate r12.
+# The ROUND-12 rotation is documented inline in _DRIVER_PRIORITY below:
+# (a) never-green leads (the ten r11 queue names), (b) r12-new names,
+# (c) r12-changed names, (d) 31 of the 43 r5-vintage names (the 12
+# deferred hold committed r5 rows and must lead r13).
 _ROWS_ONLY_FIRST_EVIDENCE = [
     # multimodal_features / multimodal_resize left this list in r10:
     # their deterministic stub dataflows gained full DuckDB oracles
@@ -66,6 +57,9 @@ _NEXT_ROUND_HEAD: list[str] = [
     # sketch_qsketch_grouped_merge) — the slate was already spoken for
     # (10 queued + 4 new + 5 changed + 31 r5-vintage); 3-SF parity +
     # non-vacuousness test committed this round
+    "sketch_cms_grouped",  # NEW r12 (late): per-source CMS frequency
+    # sketches — completes the grouped triad (quantile/HLL/CMS); same
+    # overflow reason; 3-SF parity committed this round
 ]
 
 _DRIVER_PRIORITY = [

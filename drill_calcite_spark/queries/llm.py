@@ -3038,3 +3038,70 @@ def sketch_hll_grouped_merge(spark: SparkSession,
     return (summ.join(F.broadcast(true_n),
                       F.col("t_et") == F.col("event_type"))
             .drop("t_et"))
+
+
+@q("sketch_cms_grouped", f"""
+WITH wf AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT source,
+           unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS w
+    FROM documents) t
+  GROUP BY source, w
+),
+cells AS (
+  SELECT source, j, {_CMS_HASH} AS bucket, freq
+  FROM wf, range(1, 4) t(j)
+),
+sk AS (
+  SELECT source, j, bucket, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM cells GROUP BY 1, 2, 3
+),
+top AS (
+  SELECT source, w, freq FROM (
+    SELECT source, w, freq,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY freq DESC, w ASC) AS rk
+    FROM wf) ranked WHERE rk <= 5
+),
+probes AS (
+  SELECT source, w, freq, j, {_CMS_HASH} AS bucket
+  FROM top, range(1, 4) t(j)
+)
+SELECT source, w AS token, freq AS true_n,
+       CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_n
+FROM probes LEFT JOIN sk USING (source, j, bucket)
+GROUP BY source, w, freq
+""")
+def sketch_cms_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP CMS frequency sketches (r12) — completes the grouped
+    sketch triad (quantile r11, HLL r11, CMS r12): one 3×64 counter
+    matrix per SOURCE built in a single aggregation
+    (operators/sketch.py cms_sketch_grouped), graded on each source's
+    top-5 true heavy hitters with the estimates — including collision
+    overestimates — hash-pinned cell for cell by the DuckDB replay.
+    The candidate stage is the two-stage bounded top-K
+    (operators/topk.py), so even picking the grading tokens never
+    sorts a source's full vocabulary in one task. Scale shape: the
+    sketch build's keyspace is ≤ 192 cells per source with map-side
+    collapse; estimation explodes only 5 candidates per source; the
+    probe-sketch join is per-(source, j, bucket) and NOT hint-forced —
+    AQE broadcasts the cell table at any realistic source count."""
+    from drill_calcite_spark.operators.sketch import (
+        cms_estimate_grouped, cms_sketch_grouped)
+
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = t(spark, sf_dir, "documents").repartition(n, F.col("doc_id"))
+    wf = (docs.select("source",
+                      F.explode(tokens(F.col("text"))).alias("w"))
+          .groupBy("source", "w")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("freq")))
+    sk = cms_sketch_grouped(wf, ["source"], "w", "freq")
+    top = bounded_group_topk(
+        wf, ["source"], [F.col("freq").desc(), F.col("w").asc()], 5)
+    est = cms_estimate_grouped(sk, ["source"],
+                               top.select("source", "w"), "w")
+    return (top.join(est, ["source", "w"])
+            .select("source", F.col("w").alias("token"),
+                    F.col("freq").alias("true_n"),
+                    F.col("est_n").cast("bigint").alias("est_n")))
