@@ -1402,3 +1402,21 @@ def test_ds_nation_revenue_salted_salt_in_shuffle_keys(spark):
         "salted leg not planned as a shuffled hash join"
     assert "explode" in plan, "build-side salt replication missing"
     assert "EvalPython" not in plan
+
+
+def test_pipeline_source_quality_gate_aqe_broadcast_no_global_sort(spark):
+    """pipeline_source_quality_gate: per-source thresholds must come
+    from the grouped sketch (group-partitioned windows over ≤ capped
+    cells) and join back WITHOUT a forced hint — executed here so AQE's
+    size check is what chooses broadcast at test SFs (r12 un-hinting);
+    no corpus-wide sort anywhere."""
+    df = entrymod.queries()["pipeline_source_quality_gate"](
+        spark, SF_DIR)
+    df.collect()
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in _plan(df), "adaptive plan did not finalize"
+    assert "BroadcastHashJoin" in plan, \
+        "AQE did not broadcast the threshold table"
+    assert "rangepartitioning" not in plan.lower().replace(
+        "rangepartitioning(bucket_lo", ""), "corpus-wide sort leaked"
+    assert "EvalPython" not in plan
