@@ -151,6 +151,20 @@ def cms_estimate_grouped(sketch: DataFrame, keys: "list[str]",
     )
 
 
+def cms_merge_grouped(keys: "list[str]",
+                      *sketches: DataFrame) -> DataFrame:
+    """Per-group cellwise addition — the grouped twin of
+    :func:`cms_merge`: counters are linear per (group, j, bucket), so
+    epoch builds combine into the union's build without re-reading
+    data (property-tested in tests/test_llm.py)."""
+    _assert_keys_clear(keys, {"j", "bucket", "cnt"}, "cms_merge_grouped")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return (out.groupBy(*keys, "j", "bucket")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
 def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Cellwise addition — sketches are linear, so sketch(A ∪ B) =
     merge(sketch(A), sketch(B)); absent cells count 0."""

@@ -951,3 +951,34 @@ def test_hll_grouped_merge_epochs_non_vacuous(spark):
     for k, m in merged.items():
         assert m == max(regs["a"].get(k, 0), regs["b"].get(k, 0)), \
             f"register {k} is not the epoch max"
+
+
+def test_cms_grouped_merge_property(spark):
+    """cms_merge_grouped (r12): per-group epoch builds must combine
+    cellwise into exactly the union's build — merge(build(A), build(B))
+    == build(A|B) per (group, j, bucket) — with both epochs non-empty
+    and distinct."""
+    from drill_calcite_spark.operators.sketch import (
+        cms_merge_grouped, cms_sketch_grouped,
+    )
+    from drill_calcite_spark.queries.common import t
+    from tests.conftest import SF_DIR
+
+    ev = t(spark, SF_DIR, "events").select(
+        "event_id", "event_type",
+        F.col("user_id").cast("string").alias("u"))
+    full = {(r.event_type, r.j, r.bucket): r.cnt
+            for r in cms_sketch_grouped(ev, ["event_type"], "u")
+            .collect()}
+    parts = {}
+    for tag, pred in (("a", F.col("event_id") % 2 == 0),
+                      ("b", F.col("event_id") % 2 == 1)):
+        parts[tag] = cms_sketch_grouped(ev.filter(pred),
+                                        ["event_type"], "u")
+        cells = {(r.event_type, r.j, r.bucket): r.cnt
+                 for r in parts[tag].collect()}
+        assert cells and cells != full, f"epoch {tag} vacuous"
+    merged = {(r.event_type, r.j, r.bucket): r.cnt
+              for r in cms_merge_grouped(["event_type"], parts["a"],
+                                         parts["b"]).collect()}
+    assert merged == full, "grouped CMS merge != union build"
