@@ -1420,3 +1420,18 @@ def test_pipeline_source_quality_gate_aqe_broadcast_no_global_sort(spark):
     assert "rangepartitioning" not in plan.lower().replace(
         "rangepartitioning(bucket_lo", ""), "corpus-wide sort leaked"
     assert "EvalPython" not in plan
+
+
+def test_sketch_cms_grouped_capped_map_side_one_scan(spark):
+    """sketch_cms_grouped: the per-source counter build must map-side
+    combine to the ≤ 192-cells-per-source space before the exchange
+    (two-phase HashAggregate), stay fully JVM-side, read the documents
+    fact ONCE live (the candidate picker reuses the same word-frequency
+    aggregate), and use the two-stage bounded ranking (__pid) rather
+    than a per-source full-vocabulary sort."""
+    plan = _plan(entrymod.queries()["sketch_cms_grouped"](
+        spark, SF_DIR))
+    assert "HashAggregate" in plan
+    assert "EvalPython" not in plan, "hash math fell out of codegen"
+    assert "__pid" in plan, "candidate picker not two-stage bounded"
+    assert "CartesianProduct" not in plan
