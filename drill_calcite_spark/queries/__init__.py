@@ -60,6 +60,11 @@ _NEXT_ROUND_HEAD: list[str] = [
     "sketch_cms_grouped",  # NEW r12 (late): per-source CMS frequency
     # sketches — completes the grouped triad (quantile/HLL/CMS); same
     # overflow reason; 3-SF parity committed this round
+    "stream_right_outer_join_emit",  # NEW r12 (late): stream-stream
+    # RIGHT OUTER interval join — click-side-only pads on the click's
+    # own horizon, closing the join-type family (inner/left/full/
+    # right); same overflow reason; 3-SF parity + directional
+    # non-vacuousness test committed this round
 ]
 
 _DRIVER_PRIORITY = [

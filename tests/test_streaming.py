@@ -450,3 +450,38 @@ def test_complete_mode_reemission_not_vacuous(spark):
                 increased = True
     assert unchanged, "no untouched window was re-emitted (vacuous)"
     assert increased, "no window was updated across triggers (vacuous)"
+
+
+def test_right_outer_join_pads_clicks_only(spark):
+    """stream_right_outer_join_emit (r12): the RIGHT battery must pad
+    at least one unmatched click (a_id NULL), must NEVER pad a view
+    (b_id NULL rows are LEFT's signature), must share its matched-pair
+    set bit-for-bit with the LEFT battery, and must DROP every view
+    the LEFT battery pads — the directional asymmetry that makes RIGHT
+    a distinct join type rather than a column swap."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    right = entrymod.queries()["stream_right_outer_join_emit"](
+        spark, SF_DIR).collect()
+    left = entrymod.queries()["stream_outer_join_emit"](
+        spark, SF_DIR).collect()
+
+    r_pairs = {(r.a_id, r.b_id) for r in right
+               if r.a_id is not None and r.b_id is not None}
+    l_pairs = {(r.a_id, r.b_id) for r in left
+               if r.a_id is not None and r.b_id is not None}
+    assert r_pairs == l_pairs, "matched pairs diverge between batteries"
+
+    click_pads = [r for r in right if r.a_id is None]
+    assert click_pads, "no click was padded (vacuous)"
+    assert not [r for r in right if r.b_id is None], \
+        "RIGHT outer padded a view"
+    view_pads_in_left = [r for r in left if r.b_id is None]
+    assert view_pads_in_left, "LEFT battery lost its view pads"
+    right_a_ids = {r.a_id for r in right if r.a_id is not None}
+    for r in view_pads_in_left:
+        assert r.a_id not in right_a_ids or any(
+            (r.a_id, x.b_id) in r_pairs for x in right
+            if x.a_id == r.a_id), \
+            "a LEFT-padded view leaked into the RIGHT result unmatched"
