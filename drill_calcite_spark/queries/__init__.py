@@ -65,6 +65,10 @@ _NEXT_ROUND_HEAD: list[str] = [
     # own horizon, closing the join-type family (inner/left/full/
     # right); same overflow reason; 3-SF parity + directional
     # non-vacuousness test committed this round
+    "stream_semi_join_emit",  # NEW r12 (late): stream-stream LEFT
+    # SEMI interval join — once-per-view existence emission (the last
+    # stream-stream join type Spark supports); same overflow reason;
+    # 3-SF parity + distinct-vs-LEFT test committed this round
 ]
 
 _DRIVER_PRIORITY = [

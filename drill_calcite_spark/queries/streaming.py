@@ -1952,3 +1952,131 @@ def stream_right_outer_join_emit(spark: SparkSession,
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@q("stream_semi_join_emit", f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+         least(CAST(floor(date_diff('day', DATE '2024-01-01', ts) / 7)
+                    AS BIGINT), 3) AS wk
+  FROM events WHERE event_type IN ('view', 'click')
+), b AS (
+  SELECT event_id, user_id, event_type, us,
+         CASE WHEN (event_type = 'click' AND event_id % 13 = 0)
+                OR (event_type = 'view' AND event_id % 17 = 0)
+              THEN least(wk + 2, 3) ELSE wk END AS batch
+  FROM e
+),
+mxv AS (SELECT batch, max(us) AS m FROM b
+        WHERE event_type = 'view' GROUP BY 1),
+mxc AS (SELECT batch, max(us) AS m FROM b
+        WHERE event_type = 'click' GROUP BY 1),
+w AS (
+  SELECT b2.batch,
+         CASE WHEN v.m IS NULL OR c.m IS NULL THEN {_NEG_US}
+              ELSE (least(v.m, c.m) // 1000
+                    - {_SSJ_DELAY_US // 1000}) * 1000 END AS wm
+  FROM (SELECT DISTINCT batch FROM b UNION SELECT 4) b2
+  LEFT JOIN LATERAL (SELECT max(m) AS m FROM mxv
+                     WHERE mxv.batch <= b2.batch - 1) v ON true
+  LEFT JOIN LATERAL (SELECT max(m) AS m FROM mxc
+                     WHERE mxc.batch <= b2.batch - 1) c ON true
+),
+f AS (
+  SELECT w3.batch,
+         coalesce((SELECT wm FROM w w2 WHERE w2.batch = w3.batch - 1),
+                  {_NEG_US}) AS fwm
+  FROM (SELECT DISTINCT batch FROM b) w3),
+av AS (SELECT event_id AS a_id, user_id AS a_user, us AS a_us,
+              batch AS a_b FROM b
+       WHERE event_type = 'view'
+         AND us >= (SELECT fwm FROM f WHERE f.batch = b.batch)),
+cl AS (SELECT event_id AS b_id, user_id AS b_user, us AS b_us,
+              batch AS b_b FROM b
+       WHERE event_type = 'click'
+         AND us >= (SELECT fwm FROM f WHERE f.batch = b.batch)),
+p AS (
+  SELECT a_id, b_id FROM av JOIN cl ON a_user = b_user
+   AND b_us >= a_us AND b_us <= a_us + {_SSJ_IV_US}
+  WHERE (a_b >= b_b
+         OR a_us + {_SSJ_IV_US} > (SELECT wm FROM w WHERE batch = b_b - 1))
+    AND (b_b >= a_b
+         OR b_us > (SELECT wm FROM w WHERE batch = a_b - 1))
+)
+SELECT DISTINCT a_id FROM p
+""")
+def stream_semi_join_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT SEMI interval join — the existence-only
+    member of the stream join family (inner r10 / left r11 / full r11
+    / right r12 / semi r12, the complete set Structured Streaming
+    supports — stream-stream LEFT ANTI is not a Spark join type): each
+    admitted view emits EXACTLY ONCE if any admitted click lands in
+    its 2-hour window under the pair buffer horizons, and never
+    otherwise — no duplication for multi-click views (the INNER
+    battery emits one row per pair; the DISTINCT projection of its
+    oracle pair set IS the semi oracle), no NULL pads, and unmatched
+    views evaporate silently when the watermark closes them. Same
+    four mtime-ordered batch files, stragglers, 1-day watermark, and
+    min-policy global watermark as the siblings. Non-vacuousness
+    (multi-click views exist, so DISTINCT is doing real work) is
+    pinned in tests/test_streaming.py."""
+    import os as _os
+    import shutil
+    import uuid as _uuid
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from drill_calcite_spark.queries.sources import _fixture_dir
+
+    ev = (t(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin("view", "click")))
+    wk = F.least(F.floor(F.datediff(F.col("ts"), F.lit("2024-01-01")) / 7),
+                 F.lit(3))
+    late = (((F.col("event_type") == "click")
+             & (F.col("event_id") % 13 == 0))
+            | ((F.col("event_type") == "view")
+               & (F.col("event_id") % 17 == 0)))
+    batch = (F.when(late, F.least(wk + 2, F.lit(3)))
+             .otherwise(wk)).cast("int")
+    pdf = (ev.select("event_id", "ts", "user_id", "event_type",
+                     batch.alias("batch")).toPandas())
+
+    base = _os.path.join(_fixture_dir(sf_dir),
+                         f"ssemi_batches_{_uuid.uuid4().hex[:12]}")
+    _os.makedirs(base)
+    try:
+        for bno in range(4):
+            part = (pdf[pdf.batch == bno].drop(columns=["batch"])
+                    .sort_values("event_id"))
+            path = f"{base}/batch_{bno:03d}.parquet"
+            _pq.write_table(
+                _pa.Table.from_pandas(part, preserve_index=False), path,
+                coerce_timestamps="us", allow_truncated_timestamps=True)
+            _os.utime(path, (1_700_000_000 + bno * 1000,) * 2)
+
+        schema = spark.read.parquet(base).schema
+
+        def side(tp: str, pre: str) -> DataFrame:
+            return (spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 1).parquet(base)
+                    .filter(F.col("event_type") == tp)
+                    .select(F.col("event_id").alias(f"{pre}_id"),
+                            F.col("user_id").alias(f"{pre}_user"),
+                            F.col("ts").cast("timestamp")
+                            .alias(f"{pre}_ts"))
+                    .withWatermark(f"{pre}_ts", "1 day"))
+
+        joined = side("view", "a").join(
+            side("click", "b"),
+            (F.col("a_user") == F.col("b_user"))
+            & (F.col("b_ts") >= F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts")
+               + F.expr("INTERVAL 2 HOURS")),
+            "left_semi")
+        out = run_available_now(joined.select("a_id"), spark,
+                                output_mode="append")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

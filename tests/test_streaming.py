@@ -485,3 +485,27 @@ def test_right_outer_join_pads_clicks_only(spark):
             (r.a_id, x.b_id) in r_pairs for x in right
             if x.a_id == r.a_id), \
             "a LEFT-padded view leaked into the RIGHT result unmatched"
+
+
+def test_semi_join_distinct_existence_vs_left(spark):
+    """stream_semi_join_emit (r12): the semi result must be EXACTLY the
+    distinct matched-view set of the LEFT battery (no pads, no
+    duplicates), and at least one view must own ≥ 2 matched pairs —
+    otherwise the once-per-view emission contract (the thing that
+    distinguishes semi from a projected inner join) is vacuous."""
+    import collections
+
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    semi = [r.a_id for r in entrymod.queries()["stream_semi_join_emit"](
+        spark, SF_DIR).collect()]
+    left = entrymod.queries()["stream_outer_join_emit"](
+        spark, SF_DIR).collect()
+    assert len(semi) == len(set(semi)), "semi emitted a view twice"
+    matched = [r.a_id for r in left if r.b_id is not None]
+    assert set(semi) == set(matched), \
+        "semi set diverges from the LEFT battery's matched views"
+    pair_counts = collections.Counter(matched)
+    assert max(pair_counts.values()) >= 2, \
+        "no multi-click view — DISTINCT semantics untested (vacuous)"
