@@ -47,6 +47,11 @@ def bounded_group_topk(
     slice-local ranking could otherwise keep a different k-subset than
     the global ranking. Returns the input columns unchanged.
     """
+    clash = {"__pid", "__prk", "__rk"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"bounded_group_topk: input column(s) {sorted(clash)} "
+            "collide with internal working columns; rename them first")
     part = Window.partitionBy(*group_cols, "__pid").orderBy(*order_cols)
     cand = (df.withColumn("__pid", F.spark_partition_id())
             .withColumn("__prk", F.row_number().over(part))

@@ -76,3 +76,15 @@ def test_two_stage_topk_tie_pileup_at_cut(spark):
               .withColumn("__prk", F.row_number().over(part))
               .filter(F.col("__prk") <= k).count())
     assert cand_n <= k * nparts, "stage-1 candidate bound violated"
+
+
+def test_topk_reserved_column_guard(spark):
+    """Input columns named like the internal working columns must fail
+    loud at the API boundary (same discipline as the grouped-sketch
+    builders)."""
+    import pytest
+
+    df = spark.createDataFrame([("g", 1, "x")],
+                               "g string, __pid int, h string")
+    with pytest.raises(ValueError, match="__pid"):
+        bounded_group_topk(df, ["g"], [F.col("h").asc()], 3)
