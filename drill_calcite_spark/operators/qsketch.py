@@ -82,21 +82,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from drill_calcite_spark.operators.guards import (
+    assert_cols_clear as _assert_keys_clear,
+    assert_nonempty as _assert_nonempty,
+)
+
 QSKETCH_SUB_BITS = 5  # relative error 2^-5 = 3.125%; <= 2048 buckets
-
-
-def _assert_keys_clear(keys: "list[str]", reserved: "set[str]",
-                       fn: str) -> None:
-    """Grouped builders select internal working columns UNQUALIFIED
-    (bucket_lo/cnt/cum/n/…); a caller whose group key reuses one would
-    get an ambiguous-column error or a silently wrong quantile. Fail
-    loud at the API boundary instead."""
-    clash = sorted(set(keys) & reserved)
-    if clash:
-        raise ValueError(
-            f"{fn}: group key(s) {clash} collide with internal column "
-            f"names {sorted(reserved)}; rename the key column(s) "
-            "before sketching")
 
 
 def qsketch_bucket(v: Column, sub_bits: int = QSKETCH_SUB_BITS) -> Column:
@@ -220,6 +211,8 @@ def qsketch_build_grouped(df: DataFrame, keys: "list[str]",
     map-side combine still collapses each task before the exchange."""
     _assert_keys_clear(keys, {"bucket_lo", "cnt"},
                        "qsketch_build_grouped")
+    _assert_keys_clear([value_col], {"bucket_lo", "cnt"},
+                       "qsketch_build_grouped", what="value")
     if double:
         bucket = (qsketch_bucket_double_signed if signed
                   else qsketch_bucket_double)
@@ -289,6 +282,7 @@ def qsketch_merge_grouped(keys: "list[str]",
     group and historical data is never re-read."""
     _assert_keys_clear(keys, {"bucket_lo", "cnt"},
                        "qsketch_merge_grouped")
+    _assert_nonempty(sketches, "qsketch_merge_grouped", "sketch")
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)

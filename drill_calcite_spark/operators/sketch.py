@@ -39,22 +39,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from drill_calcite_spark.operators.guards import (
+    assert_cols_clear as _assert_keys_clear,
+    assert_nonempty as _assert_nonempty,
+)
+
 CMS_DEPTH = 3
 CMS_WIDTH = 64
-
-
-def _assert_keys_clear(keys: "list[str]", reserved: "set[str]",
-                       fn: str) -> None:
-    """Grouped builders select internal working columns UNQUALIFIED
-    (bucket/m/r, n_buckets/…); a caller whose group key reuses one
-    would get an ambiguous-column error or a silently wrong aggregate.
-    Fail loud at the API boundary instead."""
-    clash = sorted(set(keys) & reserved)
-    if clash:
-        raise ValueError(
-            f"{fn}: group key(s) {clash} collide with internal column "
-            f"names {sorted(reserved)}; rename the key column(s) "
-            "before sketching")
 
 
 def cms_bucket(key: Column, depth_j: Column | int) -> Column:
@@ -102,6 +93,8 @@ def cms_sketch_grouped(df: DataFrame, keys: "list[str]", key_col: str,
     cellwise addition."""
     _assert_keys_clear(keys, {"j", "bucket", "cnt", "cell", "w"},
                        "cms_sketch_grouped")
+    _assert_keys_clear([key_col], {"j", "bucket", "cnt", "cell", "w"},
+                       "cms_sketch_grouped", what="key")
     w = F.col(weight_col) if weight_col else F.lit(1)
     cells = df.select(
         *keys,
@@ -132,6 +125,8 @@ def cms_estimate_grouped(sketch: DataFrame, keys: "list[str]",
     size check broadcasts it at any realistic group count."""
     _assert_keys_clear(keys, {"j", "bucket", "cnt", "cell", "est_n"},
                        "cms_estimate_grouped")
+    _assert_keys_clear([key_col], {"j", "bucket", "cnt", "cell", "est_n"},
+                       "cms_estimate_grouped", what="key")
     cells = probes.select(
         *keys, key_col,
         F.explode(
@@ -158,6 +153,7 @@ def cms_merge_grouped(keys: "list[str]",
     epoch builds combine into the union's build without re-reading
     data (property-tested in tests/test_llm.py)."""
     _assert_keys_clear(keys, {"j", "bucket", "cnt"}, "cms_merge_grouped")
+    _assert_nonempty(sketches, "cms_merge_grouped", "sketch")
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
@@ -218,6 +214,8 @@ def hll_registers_grouped(df: DataFrame, keys: "list[str]",
     exchange; per-group sketches still merge by per-bucket max."""
     _assert_keys_clear(keys, {"bucket", "m", "r"},
                        "hll_registers_grouped")
+    _assert_keys_clear([key_col], {"bucket", "m", "r"},
+                       "hll_registers_grouped", what="key")
     hv = (
         F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
                16, 10).cast("bigint")
@@ -273,6 +271,7 @@ def hll_merge_grouped(keys: "list[str]",
     register. The incremental per-tenant distinct-count path: each
     epoch ships ≤ m rows per group, history is never re-read."""
     _assert_keys_clear(keys, {"bucket", "m"}, "hll_merge_grouped")
+    _assert_nonempty(registers, "hll_merge_grouped", "register table")
     out = registers[0]
     for r in registers[1:]:
         out = out.unionByName(r)

@@ -3092,16 +3092,18 @@ def sketch_cms_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     docs = t(spark, sf_dir, "documents").repartition(n, F.col("doc_id"))
+    # the token column is named `tok`, NOT `w` — `w` is the builder's
+    # internal weight alias and the API guard rejects it (r12 review)
     wf = (docs.select("source",
-                      F.explode(tokens(F.col("text"))).alias("w"))
-          .groupBy("source", "w")
+                      F.explode(tokens(F.col("text"))).alias("tok"))
+          .groupBy("source", "tok")
           .agg(F.count(F.lit(1)).cast("bigint").alias("freq")))
-    sk = cms_sketch_grouped(wf, ["source"], "w", "freq")
+    sk = cms_sketch_grouped(wf, ["source"], "tok", "freq")
     top = bounded_group_topk(
-        wf, ["source"], [F.col("freq").desc(), F.col("w").asc()], 5)
+        wf, ["source"], [F.col("freq").desc(), F.col("tok").asc()], 5)
     est = cms_estimate_grouped(sk, ["source"],
-                               top.select("source", "w"), "w")
-    return (top.join(est, ["source", "w"])
-            .select("source", F.col("w").alias("token"),
+                               top.select("source", "tok"), "tok")
+    return (top.join(est, ["source", "tok"])
+            .select("source", F.col("tok").alias("token"),
                     F.col("freq").alias("true_n"),
                     F.col("est_n").cast("bigint").alias("est_n")))

@@ -1701,8 +1701,9 @@ def stream_checkpoint_resume(spark: SparkSession,
 @q("stream_complete_mode_emit", f"""
 WITH e AS (
   SELECT epoch_us(ts) AS us,
-         least(CAST(floor(date_diff('day', DATE '2024-01-01', ts) / 7)
-                    AS BIGINT), 3) AS wk,
+         greatest(least(CAST(floor(date_diff('day', DATE '2024-01-01',
+                                             ts) / 7)
+                    AS BIGINT), 3), 0) AS wk,
          event_id
   FROM events
 ), b AS (
@@ -1736,9 +1737,13 @@ def stream_complete_mode_emit(spark: SparkSession,
     changed windows) — and nothing is ever finalized or evicted, so
     there is NO watermark in the pipeline (Spark cannot drop complete-
     mode state; a watermark would be a no-op and its absence is itself
-    the semantics under test). The drain is the same 4-file
-    maxFilesPerTrigger=1 mtime-ordered discipline as the append/update
-    batteries; per-trigger snapshots are captured with foreachBatch
+    the semantics under test). The drain is the append/update
+    batteries' maxFilesPerTrigger=1 mtime-ordered discipline over up
+    to 4 batch files — EMPTY batches are not written, because an empty
+    trigger in complete mode re-emits the whole table, a snapshot an
+    oracle enumerating batches from the data cannot see (non-empty at
+    every tested SF, but the contract must not depend on that);
+    per-trigger snapshots are captured with foreachBatch
     (in complete mode the batch DataFrame IS the full current table —
     a memory sink would overwrite per trigger and show only the last).
     The DuckDB oracle replays it exactly: for trigger t, every window
@@ -1760,9 +1765,12 @@ def stream_complete_mode_emit(spark: SparkSession,
     from drill_calcite_spark.queries.sources import _fixture_dir
 
     ev = t(spark, sf_dir, "events")
-    week = F.least(
+    # Clamp the week bucket on BOTH ends (the oracle mirrors this): a
+    # pre-epoch timestamp would otherwise land in a negative batch no
+    # file carries while still being counted by the oracle.
+    week = F.greatest(F.least(
         F.floor(F.datediff(F.col("ts"), F.lit("2024-01-01")) / 7),
-        F.lit(3))
+        F.lit(3)), F.lit(0))
     batch = (F.when(F.col("event_id") % 13 == 0,
                     F.least(week + 2, F.lit(3)))
              .otherwise(week)).cast("int")
@@ -1774,6 +1782,16 @@ def stream_complete_mode_emit(spark: SparkSession,
     try:
         for bno in range(4):
             part = pdf[pdf.batch == bno].drop(columns=["batch"])
+            if part.empty:
+                # an EMPTY file would still fire a trigger, and in
+                # COMPLETE mode that trigger re-emits the whole table —
+                # a snapshot the oracle (which enumerates batches from
+                # the DATA) cannot see. Skipping the file keeps Spark's
+                # trigger indices == dense_rank of non-empty batches,
+                # exactly the oracle's numbering. (append/update
+                # siblings are immune: their empty triggers emit
+                # nothing.)
+                continue
             path = f"{base}/batch_{bno:03d}.parquet"
             _pq.write_table(
                 _pa.Table.from_pandas(part, preserve_index=False), path,

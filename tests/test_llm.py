@@ -895,24 +895,19 @@ def test_grouped_merge_epochs_non_vacuous(spark):
     ev = t(spark, SF_DIR, "events").select(
         "event_id", "event_type",
         (F.col("value") - F.lit(50.0)).cast("double").alias("v"))
-    cells = {}
+    cells, sks = {}, {}
     for tag, pred in (("a", F.col("event_id") % 2 == 0),
                       ("b", F.col("event_id") % 2 == 1)):
-        sk = qsketch_build_grouped(ev.filter(pred), ["event_type"], "v",
-                                   signed=True, double=True)
+        sks[tag] = qsketch_build_grouped(
+            ev.filter(pred), ["event_type"], "v",
+            signed=True, double=True)
         cells[tag] = {(r.event_type, r.bucket_lo): r.cnt
-                      for r in sk.collect()}
+                      for r in sks[tag].collect()}
         assert cells[tag], f"epoch {tag} sketch is empty"
     assert cells["a"] != cells["b"], "epoch sketches identical"
-    sk_a = qsketch_build_grouped(
-        ev.filter(F.col("event_id") % 2 == 0), ["event_type"], "v",
-        signed=True, double=True)
-    sk_b = qsketch_build_grouped(
-        ev.filter(F.col("event_id") % 2 == 1), ["event_type"], "v",
-        signed=True, double=True)
     merged = {(r.event_type, r.bucket_lo): r.cnt
               for r in qsketch_merge_grouped(
-                  ["event_type"], sk_a, sk_b).collect()}
+                  ["event_type"], sks["a"], sks["b"]).collect()}
     for tag in ("a", "b"):
         assert merged != cells[tag], f"merge equals epoch {tag} alone"
     for k, n in merged.items():

@@ -477,14 +477,14 @@ def test_right_outer_join_pads_clicks_only(spark):
     assert click_pads, "no click was padded (vacuous)"
     assert not [r for r in right if r.b_id is None], \
         "RIGHT outer padded a view"
-    view_pads_in_left = [r for r in left if r.b_id is None]
+    # the dropped-view asymmetry: every a_id in the RIGHT result is a
+    # matched pair (no b_id-NULL rows above), so LEFT's padded views —
+    # which must exist — appear nowhere in RIGHT
+    view_pads_in_left = {r.a_id for r in left if r.b_id is None}
     assert view_pads_in_left, "LEFT battery lost its view pads"
     right_a_ids = {r.a_id for r in right if r.a_id is not None}
-    for r in view_pads_in_left:
-        assert r.a_id not in right_a_ids or any(
-            (r.a_id, x.b_id) in r_pairs for x in right
-            if x.a_id == r.a_id), \
-            "a LEFT-padded view leaked into the RIGHT result unmatched"
+    assert not (view_pads_in_left & right_a_ids), \
+        "a LEFT-padded (unmatched) view leaked into the RIGHT result"
 
 
 def test_semi_join_distinct_existence_vs_left(spark):
