@@ -790,6 +790,125 @@ def stream_dedup_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+@q("stream_chained_dedup_agg", f"""
+WITH b AS (
+  SELECT user_id,
+         least(CAST(floor(date_diff('day', DATE '2024-01-01', ts) / 7)
+                    AS BIGINT), 3) AS batch,
+         min(epoch_us(ts)) AS us
+  FROM events GROUP BY 1, 2
+), mx AS (SELECT batch, max(us) AS m FROM b GROUP BY 1),
+w AS (
+  SELECT b2.batch,
+         coalesce(((SELECT max(m) FROM mx WHERE mx.batch <= b2.batch - 1)
+                   // 1000 - {_DD_DELAY_US // 1000}) * 1000, 0) AS wm
+  FROM (SELECT DISTINCT batch FROM b) b2),
+a0 AS (SELECT user_id, us FROM b WHERE batch = 0),
+a1 AS (SELECT b.user_id, b.us FROM b
+       WHERE batch = 1 AND EXISTS (
+         SELECT 1 FROM a0 WHERE a0.user_id = b.user_id
+           AND a0.us + {_DD_DELAY_US}
+               <= (SELECT wm FROM w WHERE batch = 0))),
+s1 AS (SELECT user_id, us FROM a0 UNION ALL SELECT user_id, us FROM a1),
+l1 AS (SELECT user_id, max(us) AS us FROM s1 GROUP BY 1),
+a2 AS (SELECT b.user_id, b.us FROM b JOIN l1 ON l1.user_id = b.user_id
+       WHERE batch = 2 AND l1.us + {_DD_DELAY_US}
+             <= (SELECT wm FROM w WHERE batch = 1)),
+s2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM a2),
+l2 AS (SELECT user_id, max(us) AS us FROM s2 GROUP BY 1),
+a3 AS (SELECT b.user_id, b.us FROM b JOIN l2 ON l2.user_id = b.user_id
+       WHERE batch = 3 AND l2.us + {_DD_DELAY_US}
+             <= (SELECT wm FROM w WHERE batch = 2)),
+adm AS (SELECT * FROM s2 UNION ALL SELECT * FROM a3),
+fin AS (SELECT (max(us) // 1000 - {_DD_DELAY_US // 1000}) * 1000
+          AS wm_final FROM b)
+SELECT CAST((us // {_WM_DAY_US}) * 86400 AS BIGINT) AS win_start,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM adm, fin
+WHERE (us // {_WM_DAY_US}) * {_WM_DAY_US} + {_WM_DAY_US} <= fin.wm_final
+GROUP BY 1
+""")
+def stream_chained_dedup_agg(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """CHAINED MULTI-STATEFUL streaming — ``dropDuplicatesWithinWatermark``
+    feeding a TUMBLE(1 day) aggregate in ONE append-mode query, the
+    dedup-then-aggregate composition every production pipeline reaches
+    for first (Spark 4 allows stacked stateful operators in append mode;
+    the reference plans the same stacking of Delta through Aggregate,
+    rel/stream/StreamRules.java:123).
+
+    Oracle: the hash-proven per-batch admission replay of
+    ``stream_dedup_expiry`` (state expires when its admitted timestamp +
+    delay clears the one-batch-lagged eviction watermark) composed into
+    the append-mode window emission rule of ``stream_late_data_drop``
+    (a day window emits its final count iff its end clears the final
+    eviction watermark — max input event time over ALL rows, suppressed
+    duplicates included, minus the delay, in truncated milliseconds).
+    Two replay simplifications are BY CONSTRUCTION of the fixture, not
+    assumptions: (a) the aggregate's late-input filter never binds —
+    batch j carries only week-j (or later) rows while its filter
+    watermark trails at week j-2's maximum minus the delay, so no
+    admitted row's window end can sit below it; (b) every day window
+    receives all of its admitted rows in exactly ONE micro-batch (a
+    week's rows ship in that week's batch), so no window is emitted
+    twice and no post-eviction re-creation is possible. The battery is
+    non-vacuous in both stateful stages: week-1 windows are ABSENT from
+    the output (all 150 batch-1 duplicates are suppressed by live dedup
+    state — an un-deduped aggregate emits them), week-2 windows carry
+    only the users whose state EXPIRED (130 of 150 at sf0.01), and the
+    trailing windows past the final watermark are withheld (the
+    aggregate stage doing its own job on the dedup survivors).
+
+    Scale shape: both operators keep watermark-bounded state (dedup
+    keys ≤ delay behind the front, windows ≤ delay behind the front);
+    the chain adds NO extra shuffle beyond the two stateful exchanges
+    Spark already requires (keys, then windows)."""
+    import os as _os
+    import shutil
+    import uuid as _uuid
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from drill_calcite_spark.queries.sources import _fixture_dir
+
+    ev = t(spark, sf_dir, "events")
+    wk = F.least(F.floor(F.datediff(F.col("ts"), F.lit("2024-01-01")) / 7),
+                 F.lit(3)).cast("int")
+    pdf = (ev.withColumn("batch", wk).groupBy("user_id", "batch")
+           .agg(F.min("ts").alias("ts")).toPandas())
+
+    base = _os.path.join(_fixture_dir(sf_dir),
+                         f"cda_batches_{_uuid.uuid4().hex[:12]}")
+    _os.makedirs(base)
+    try:
+        for bno in range(4):
+            part = (pdf[pdf.batch == bno].drop(columns=["batch"])
+                    .sort_values("user_id"))
+            path = f"{base}/batch_{bno:03d}.parquet"
+            _pq.write_table(
+                _pa.Table.from_pandas(part, preserve_index=False), path,
+                coerce_timestamps="us", allow_truncated_timestamps=True)
+            _os.utime(path, (1_700_000_000 + bno * 1000,) * 2)
+
+        schema = spark.read.parquet(base).schema
+        chained = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(base)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "12 hours")
+            .dropDuplicatesWithinWatermark(["user_id"])
+            .groupBy(tumble("ts", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+            .select(F.unix_timestamp(F.col("w.start")).cast("bigint")
+                    .alias("win_start"), "n_users"))
+        out = run_available_now(chained, spark, output_mode="append")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 _SSJ_DELAY_US = 86_400_000_000   # 1 day watermark
 _SSJ_IV_US = 2 * 3_600_000_000   # 2 hour join interval
 
