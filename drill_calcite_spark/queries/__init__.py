@@ -51,7 +51,12 @@ _ROWS_ONLY_FIRST_EVIDENCE = [
 # the start of r13: all four r12-queued names are promoted into the
 # slate below. r13-new names queue here as they land (the r13 slate is
 # fully spoken for by the vintage debt).
-_NEXT_ROUND_HEAD: list[str] = []
+_NEXT_ROUND_HEAD: list[str] = [
+    "stream_chained_dedup_agg",  # NEW r13: chained multi-stateful
+    # append-mode query (dropDuplicatesWithinWatermark into a TUMBLE
+    # day aggregate) — the r13 slate is fully spoken for by the
+    # vintage debt; 3-SF parity + non-vacuousness test committed
+]
 
 _DRIVER_PRIORITY = [
     # ROUND-13 ROTATION, in order (the slate math: 4 queued + 12

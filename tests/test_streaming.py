@@ -509,3 +509,59 @@ def test_semi_join_distinct_existence_vs_left(spark):
     pair_counts = collections.Counter(matched)
     assert max(pair_counts.values()) >= 2, \
         "no multi-click view — DISTINCT semantics untested (vacuous)"
+
+
+def test_chained_dedup_agg_dedups_before_aggregate(spark):
+    """stream_chained_dedup_agg (r13): both stateful stages must do real
+    work. (a) cross-batch SUPPRESSION reaches the aggregate: batch-1
+    rows (week-1 minima, duplicates of live batch-0 state) contribute
+    NOTHING — every week-1 day window present in the un-deduped
+    ground-truth aggregate is ABSENT from the chained result; (b)
+    EXPIRY re-admission reaches the aggregate: week-2 windows are
+    emitted, but with strictly fewer total rows than the un-deduped
+    aggregate (only expired-state users re-admit); (c) the aggregate
+    stage still finalizes: the newest ground-truth window is withheld;
+    (d) week-0 windows (all first arrivals admitted) match the
+    ground truth exactly."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    res = {r.win_start: r.n_users
+           for r in entrymod.queries()["stream_chained_dedup_agg"](
+               spark, SF_DIR).collect()}
+    assert res, "nothing emitted"
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ts = dict(ev.dtypes)["ts"]
+    col = (F.timestamp_micros(F.expr("ts DIV 1000")) if ts == "bigint"
+           else F.col("ts").cast("timestamp"))
+    wk = F.least(F.floor(F.datediff(F.col("ts"), F.lit("2024-01-01")) / 7),
+                 F.lit(3)).cast("int")
+    fixture = (ev.withColumn("ts", col)
+               .groupBy("user_id", wk.alias("batch"))
+               .agg(F.min("ts").alias("ts"))
+               .withColumn("d", F.unix_timestamp(
+                   F.date_trunc("day", "ts")).cast("bigint")))
+    per_day = {(r.batch, r.d): r.n for r in
+               fixture.groupBy("batch", "d").agg(
+                   F.count("*").alias("n")).collect()}
+    days = {b: {d for (bb, d) in per_day if bb == b} for b in range(4)}
+
+    # (a) batch-1 duplicates all suppressed before the aggregate
+    assert days[1], "fixture has no week-1 rows"
+    leaked = days[1] & set(res)
+    assert not leaked, f"suppressed week-1 rows reached the agg: {leaked}"
+    # (b) re-admitted rows DID reach the aggregate, but fewer than raw
+    emitted_w2 = days[2] & set(res)
+    assert emitted_w2, "no re-admitted window emitted"
+    got_w2 = sum(res[d] for d in emitted_w2)
+    raw_w2 = sum(per_day[(2, d)] for d in emitted_w2)
+    assert 0 < got_w2 < raw_w2, (
+        "week-2 counts must be a strict subset of the raw aggregate "
+        f"(got {got_w2}, raw {raw_w2}) — expiry boundary untested")
+    # (c) append finalization: the newest window is withheld
+    all_days = set().union(*days.values())
+    assert max(all_days) not in res, "newest window must be withheld"
+    # (d) week-0 first-arrivals flow through 1:1 where emitted
+    for d in days[0] & set(res):
+        assert res[d] == per_day[(0, d)], f"week-0 window {d} diverged"
