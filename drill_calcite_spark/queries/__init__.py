@@ -56,6 +56,10 @@ _NEXT_ROUND_HEAD: list[str] = [
     # append-mode query (dropDuplicatesWithinWatermark into a TUMBLE
     # day aggregate) — the r13 slate is fully spoken for by the
     # vintage debt; 3-SF parity + non-vacuousness test committed
+    "stream_static_left_enrich",  # NEW r13: stream-static LEFT OUTER
+    # enrich — NULL-padded no-match rows flow into the watermark
+    # window aggregate, join stays stateless; same overflow reason;
+    # 3-SF parity + pad-survival test committed
 ]
 
 _DRIVER_PRIORITY = [

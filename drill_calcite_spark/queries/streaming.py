@@ -586,6 +586,121 @@ def stream_static_enrich_agg(spark: SparkSession,
         shutil.rmtree(base, ignore_errors=True)
 
 
+@q("stream_static_left_enrich", f"""
+WITH e AS (
+  SELECT epoch_us(ts) AS us, user_id,
+         least(CAST(floor(date_diff('day', DATE '2024-01-01', ts) / 7)
+                    AS BIGINT), 3) AS wk,
+         event_id
+  FROM events
+), b AS (
+  SELECT us, user_id,
+         CASE WHEN event_id % 13 = 0 THEN least(wk + 2, 3) ELSE wk END
+           AS batch
+  FROM e
+), mx AS (
+  SELECT batch, max(us) AS mx_us FROM b GROUP BY 1
+), wm AS (
+  SELECT b2.batch,
+         ((SELECT max(mx_us) FROM mx WHERE mx.batch < b2.batch - 1)
+          // 1000 - {_WM_DELAY_US // 1000}) * 1000 AS wm_late
+  FROM (SELECT DISTINCT batch FROM b) b2
+), survived AS (
+  SELECT b.us, b.user_id
+  FROM b JOIN wm ON wm.batch = b.batch
+  WHERE wm.wm_late IS NULL
+     OR (b.us // {_WM_DAY_US}) * {_WM_DAY_US} + {_WM_DAY_US} > wm.wm_late
+), fin AS (SELECT (max(us) // 1000 - {_WM_DELAY_US // 1000}) * 1000
+             AS wm_final FROM b)
+SELECT CAST((us // {_WM_DAY_US}) * 86400 AS BIGINT) AS win_start,
+       coalesce(c_mktsegment, 'UNMATCHED') AS segment,
+       CAST(count(*) AS BIGINT) AS n
+FROM survived
+LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer
+           WHERE c_custkey % 3 <> 0) dim
+       ON dim.c_custkey = user_id, fin
+WHERE (us // {_WM_DAY_US}) * {_WM_DAY_US} + {_WM_DAY_US} <= fin.wm_final
+GROUP BY 1, 2
+""")
+def stream_static_left_enrich(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """STREAM-STATIC **LEFT OUTER** enrichment — the other enrich shape
+    users reach for daily: stream rows with NO dimension match pad
+    NULL and STILL flow into the watermark window aggregate, and the
+    join stays STATELESS (outer padding needs no buffering when the
+    static side is available in full to every micro-batch — unlike the
+    stream-stream outer batteries, no pad waits for an eviction).
+    ``stream_static_enrich_agg`` proves the inner variant; this row
+    pins that LEFT padding neither drops the row, perturbs its event
+    time, nor interacts with the watermark: the per-window TOTAL across
+    segments (pads included) equals the un-enriched
+    ``stream_late_data_drop`` counts exactly.
+
+    The dim is deliberately restricted (c_custkey % 3 <> 0) so ~1/3 of
+    users genuinely miss — the padded rows surface as a real
+    'UNMATCHED' segment with hash-pinned counts at every SF, not an
+    empty branch. The DuckDB oracle replays the one-batch-lagged late
+    filter and final-watermark emission in integer microseconds, then
+    applies the same LEFT join + coalesce.
+
+    Scale shape: identical to the inner battery — a broadcast of the
+    static dim per micro-batch, no shuffle of the stream beyond the
+    windowed aggregate's own exchange, state bounded by the watermark."""
+    import os as _os
+    import shutil
+    import uuid as _uuid
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from drill_calcite_spark.queries.sources import _fixture_dir
+
+    ev = t(spark, sf_dir, "events")
+    week = F.least(
+        F.floor(F.datediff(F.col("ts"), F.lit("2024-01-01")) / 7),
+        F.lit(3))
+    batch = (F.when(F.col("event_id") % 13 == 0,
+                    F.least(week + 2, F.lit(3)))
+             .otherwise(week)).cast("int")
+    pdf = (ev.select("event_id", "ts", "user_id",
+                     batch.alias("batch")).toPandas())
+
+    base = _os.path.join(_fixture_dir(sf_dir),
+                         f"sle_batches_{_uuid.uuid4().hex[:12]}")
+    _os.makedirs(base)
+    try:
+        for bno in range(4):
+            part = pdf[pdf.batch == bno].drop(columns=["batch"])
+            path = f"{base}/batch_{bno:03d}.parquet"
+            _pq.write_table(
+                _pa.Table.from_pandas(part, preserve_index=False), path,
+                coerce_timestamps="us", allow_truncated_timestamps=True)
+            _os.utime(path, (1_700_000_000 + bno * 1000,) * 2)
+
+        schema = spark.read.parquet(base).schema
+        dim = F.broadcast(
+            t(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") % 3 != 0)
+            .select("c_custkey", "c_mktsegment"))
+        agg = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(base)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "2 days")
+            .join(dim, F.col("c_custkey") == F.col("user_id"), "left")
+            .withColumn("segment",
+                        F.coalesce("c_mktsegment", F.lit("UNMATCHED")))
+            .groupBy(tumble("ts", "1 day").alias("w"), "segment")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .select(F.unix_timestamp(F.col("w.start")).cast("bigint")
+                    .alias("win_start"), "segment", "n"))
+        out = run_available_now(agg, spark, output_mode="append")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 @q("stream_update_mode_emissions", f"""
 WITH e AS (
   SELECT epoch_us(ts) AS us,

@@ -565,3 +565,32 @@ def test_chained_dedup_agg_dedups_before_aggregate(spark):
     # (d) week-0 first-arrivals flow through 1:1 where emitted
     for d in days[0] & set(res):
         assert res[d] == per_day[(0, d)], f"week-0 window {d} diverged"
+
+
+def test_static_left_enrich_pads_survive_to_aggregate(spark):
+    """stream_static_left_enrich (r13): real NULL-padded rows must
+    survive to the aggregate — the 'UNMATCHED' segment exists with
+    nonzero counts and is exactly the dim-missing users' share — and
+    LEFT padding must be lossless: per-window totals across segments
+    equal the un-enriched stream_late_data_drop battery's counts."""
+    import collections
+
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    rows = entrymod.queries()["stream_static_left_enrich"](
+        spark, SF_DIR).collect()
+    assert rows, "nothing emitted"
+    pads = [r for r in rows if r.segment == "UNMATCHED"]
+    assert pads and all(r.n > 0 for r in pads), \
+        "no NULL-padded row reached the aggregate (vacuous LEFT join)"
+
+    totals = collections.Counter()
+    for r in rows:
+        totals[r.win_start] += r.n
+    base = {r.win_start: r.n
+            for r in entrymod.queries()["stream_late_data_drop"](
+                spark, SF_DIR).collect()}
+    assert dict(totals) == base, \
+        "LEFT enrich dropped or duplicated stream rows vs the " \
+        "un-enriched battery"
