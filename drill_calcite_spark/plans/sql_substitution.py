@@ -1,0 +1,175 @@
+"""Transparent materialized-view substitution for the SQL front door.
+
+Reference parity: Calcite consults every registered materialization
+during planning and unifies a query's aggregate onto a matching view —
+the six AbstractMaterializedViewRule instances wired in
+plan/RelOptRules.java:189-197, driven by the unification engine in
+plan/SubstitutionVisitor.java:120. The user's SQL never names the view;
+the planner proves the view subsumes the query and swaps the scan.
+Spark/Catalyst has no such rule, so this module ports the DECIDABLE
+subset our tile registry already rewrites through the builder API
+(plans/materialized.py): single-table GROUP-BY aggregates over a
+conjunction of simple comparison atoms.
+
+The parser is deliberately closed-world: any construct outside the
+shape below makes ``try_substitute`` return None and the statement
+falls through to ``spark.sql`` untouched. Substitution therefore can
+only ever replace a plan it can PROVE equivalent — the same soundness
+posture as ``_implies`` (False means "cannot prove", never "wrong").
+
+Supported statement shape (whitespace-insensitive, case-insensitive):
+
+    SELECT item [, item ...]
+    FROM <single table identifier>
+    [WHERE atom [AND atom ...]]
+    GROUP BY col [, col ...]
+
+    item ::= col [AS alias]
+           | sum|count|min|max|avg ( col | * ) AS alias
+    atom ::= col (= | < | <= | > | >=) literal
+    literal ::= number | 'string' | DATE 'lit' | TIMESTAMP 'lit'
+
+Serving: ``MaterializedViews.find_tile`` decides (dims ⊇ query dims,
+measures stored, tile predicate implied by the query predicate);
+residual atoms are re-applied on the tile and the rollup re-aggregation
+algebra produces the SELECT list in its original order and names.
+
+Scale notes: the substituted plan scans ONLY the tile parquet —
+typically 10^3-10^6× smaller than the fact table — and its rollup
+shuffles tile rows, not base rows. The probe itself is O(#tiles)
+driver-side string work per statement.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from drill_calcite_spark.plans.materialized import (
+    Atom,
+    MaterializedViews,
+    _conj,
+)
+
+_AGG_OPS = ("sum", "count", "min", "max", "avg")
+
+_SHAPE = re.compile(
+    r"^\s*select\s+(?P<select>.+?)\s+from\s+(?P<table>[a-z_]\w*)"
+    r"(?:\s+where\s+(?P<where>.+?))?"
+    r"\s+group\s+by\s+(?P<group>[\w\s,.]+?)\s*;?\s*$",
+    re.I | re.S)
+
+_AGG_ITEM = re.compile(
+    rf"^({'|'.join(_AGG_OPS)})\s*\(\s*(\*|[a-z_]\w*)\s*\)"
+    r"\s+as\s+([a-z_]\w*)$", re.I)
+
+_DIM_ITEM = re.compile(r"^([a-z_]\w*)(?:\s+as\s+([a-z_]\w*))?$", re.I)
+
+_ATOM = re.compile(
+    r"^([a-z_]\w*)\s*(<=|>=|=|<|>)\s*"
+    r"(?:(?:date|timestamp)\s+)?('(?:[^']|'')*'|-?\d+(?:\.\d+)?)$", re.I)
+
+# constructs that disqualify a statement outright (sub-queries, joins,
+# set ops, post-aggregate clauses) — probed before the shape match so a
+# HAVING/ORDER BY can never be silently swallowed into the GROUP BY list
+_DISQUALIFY = re.compile(
+    r"\(\s*select\b|\bjoin\b|\bunion\b|\bintersect\b|\bexcept\b|"
+    r"\bhaving\b|\border\s+by\b|\blimit\b|\bdistinct\b|\bover\s*\(|"
+    r"\bor\b", re.I)
+
+
+def _split_commas(s: str) -> list[str]:
+    """Split on commas outside parentheses/quotes."""
+    out, depth, start, in_q = [], 0, 0, False
+    for i, ch in enumerate(s):
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                out.append(s[start:i])
+                start = i + 1
+    out.append(s[start:])
+    return [p.strip() for p in out]
+
+
+def _parse_literal(tok: str) -> object:
+    if tok.startswith("'"):
+        return tok[1:-1].replace("''", "'")
+    return float(tok) if "." in tok else int(tok)
+
+
+def _parse(text: str):
+    """Parse the supported aggregate shape; None on anything else."""
+    if _DISQUALIFY.search(text):
+        return None
+    m = _SHAPE.match(text)
+    if not m:
+        return None
+    table = m.group("table").lower()
+    group_cols = []
+    for g in _split_commas(m.group("group")):
+        gm = re.match(r"^[a-z_]\w*$", g, re.I)
+        if not gm:
+            return None
+        group_cols.append(g)
+    items: list[tuple] = []       # ("dim", col, out) | ("agg", op, col, out)
+    measures: list[tuple[str, str, str]] = []
+    for item in _split_commas(m.group("select")):
+        am = _AGG_ITEM.match(item)
+        if am:
+            op, col, out = (am.group(1).lower(), am.group(2),
+                            am.group(3))
+            if col == "*" and op != "count":
+                return None
+            measures.append((out, op, col))
+            items.append(("agg", op, col, out))
+            continue
+        dm = _DIM_ITEM.match(item)
+        if dm and dm.group(1).lower() not in ("null", "true", "false"):
+            col, alias = dm.group(1), dm.group(2) or dm.group(1)
+            if col not in group_cols:
+                return None
+            items.append(("dim", col, alias))
+            continue
+        return None
+    if not measures:
+        return None
+    atoms: list[Atom] = []
+    if m.group("where"):
+        for part in re.split(r"\band\b", m.group("where"), flags=re.I):
+            am = _ATOM.match(part.strip())
+            if not am:
+                return None
+            atoms.append((am.group(1), am.group(2),
+                          _parse_literal(am.group(3))))
+    return table, group_cols, measures, atoms, items
+
+
+def try_substitute(spark: SparkSession, text: str,
+                   mvs: "MaterializedViews") -> "DataFrame | None":
+    """Rewrite ``text`` onto a registered tile when one provably serves
+    it; None when the statement is out of shape or no tile matches (the
+    caller then runs the statement unmodified)."""
+    parsed = _parse(text)
+    if parsed is None:
+        return None
+    table, group_cols, measures, atoms, items = parsed
+    hit = mvs.find_tile(table, group_cols, measures, atoms)
+    if hit is None:
+        return None
+    tile, residual = hit
+    tdf = spark.read.parquet(tile.path)
+    if residual:
+        tdf = tdf.filter(_conj(residual))
+    aggs = [MaterializedViews._rollup_agg(op, col).alias(out)
+            for out, op, col in measures]
+    rolled = tdf.groupBy(*group_cols).agg(*aggs)
+    final = [F.col(it[1]).alias(it[2]) if it[0] == "dim"
+             else F.col(it[3]) for it in items]
+    return rolled.select(*final)

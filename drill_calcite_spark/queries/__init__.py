@@ -60,6 +60,10 @@ _NEXT_ROUND_HEAD: list[str] = [
     # enrich — NULL-padded no-match rows flow into the watermark
     # window aggregate, join stays stateless; same overflow reason;
     # 3-SF parity + pad-survival test committed
+    "mv_sql_substitution",  # NEW r13: transparent MV substitution
+    # through the SQL front door — calcite_sql consults find_tile and
+    # serves a base-table aggregate from the tile (SQL never names
+    # it); same overflow reason; 3-SF parity + plan pin committed
 ]
 
 _DRIVER_PRIORITY = [

@@ -1708,6 +1708,63 @@ def mv_filter_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("mv_sql_substitution", """
+SELECT o_orderstatus,
+       count(*) AS n,
+       sum(o_custkey)::BIGINT AS ck,
+       min(o_totalprice) AS mn,
+       max(o_totalprice) AS mx
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus
+""")
+def mv_sql_substitution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSPARENT MV substitution through the SQL FRONT DOOR (the §4.1
+    half the builder-API rows left open): the user's SQL names ONLY the
+    base table — never the tile — and ``calcite_sql`` consults the
+    registered materializations exactly as Calcite's planner does
+    (AbstractMaterializedViewRule ×6 wired in
+    plan/RelOptRules.java:189-197, unification in
+    plan/SubstitutionVisitor.java:120; our decidable-subset port is
+    plans/sql_substitution.py). The (status, priority) tile subsumes
+    the status-level query; the priority atom is re-applied on the tile
+    as a residual, and the inputFiles assertion proves the fact table
+    is never scanned. All measures are order-independent (count, exact
+    BIGINT sum, min/max) so the tile-served result hashes identically
+    to the base-table oracle."""
+    import os as _os
+
+    from drill_calcite_spark.catalog import register_tables
+    from drill_calcite_spark.plans.materialized import MaterializedViews
+    from drill_calcite_spark.sql import calcite_sql
+
+    register_tables(spark, sf_dir)
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/spark_graft_fixtures/{tag}/mv_sql_tile"
+    ords = t(spark, sf_dir, "orders")
+    mvs = MaterializedViews(spark)
+    mvs.create(
+        "orders_by_status_prio_sql", "orders", ords,
+        dims=["o_orderstatus", "o_orderpriority"],
+        measures=[("sum", "o_custkey"), ("min", "o_totalprice"),
+                  ("max", "o_totalprice")],
+        path=path,
+    )
+    out = calcite_sql(spark, """
+        SELECT o_orderstatus,
+               count(*) AS n,
+               sum(o_custkey) AS ck,
+               min(o_totalprice) AS mn,
+               max(o_totalprice) AS mx
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_orderstatus
+    """, materializations=mvs)
+    assert all("mv_sql_tile" in f for f in out.inputFiles()), \
+        "front-door MV substitution fell back to the base scan"
+    return out
+
+
 @q("mv_incremental_refresh", """
 SELECT o_orderpriority,
        sum(o_totalprice::DECIMAL(18,6))::DOUBLE AS total,

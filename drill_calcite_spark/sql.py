@@ -2207,14 +2207,24 @@ def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
 
 def calcite_sql(spark: SparkSession, text: str, *,
                 schema_views: "dict[str, str] | None" = None,
-                nulls_high: bool = True) -> DataFrame:
+                nulls_high: bool = True,
+                materializations=None) -> DataFrame:
     """The engine's SQL entry: Calcite-dialect text in, DataFrame out.
 
     Runs with ``spark.sql.groupByOrdinal=false`` for the duration of the
     parse: Calcite's default conformance does NOT read GROUP BY integers
     as ordinals (SqlConformance.isGroupByOrdinal() = false — ``GROUP BY
     1`` groups by the constant), while ORDER BY ordinals stay on
-    (isSortByOrdinal() = true), matching Spark's separate conf."""
+    (isSortByOrdinal() = true), matching Spark's separate conf.
+
+    When ``materializations`` (a plans.materialized.MaterializedViews
+    registry) is provided, the statement is first offered to the
+    transparent MV substitution layer (plans/sql_substitution.py — the
+    front-door port of Calcite's AbstractMaterializedViewRule wiring,
+    plan/RelOptRules.java:189-197): a single-table GROUP-BY aggregate
+    that a registered tile provably subsumes is served by rolling the
+    tile up, never scanning the base table; anything the closed-world
+    prover can't handle falls through to ``spark.sql`` unchanged."""
     from drill_calcite_spark.sql_match import (
         has_match_recognize, translate_match_recognize)
 
@@ -2242,8 +2252,15 @@ def calcite_sql(spark: SparkSession, text: str, *,
     if case_collide:
         spark.conf.set("spark.sql.caseSensitive", "true")
     try:
-        df = spark.sql(rewrite(text, schema_views=schema_views,
-                               nulls_high=nulls_high))
+        stext = rewrite(text, schema_views=schema_views,
+                        nulls_high=nulls_high)
+        df = None
+        if materializations is not None:
+            from drill_calcite_spark.plans.sql_substitution import (
+                try_substitute)
+            df = try_substitute(spark, stext, materializations)
+        if df is None:
+            df = spark.sql(stext)
     finally:
         spark.conf.set("spark.sql.groupByOrdinal", prev)
         if case_collide:

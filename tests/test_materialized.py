@@ -245,3 +245,96 @@ def test_incremental_refresh_respects_tile_predicate(spark, tmp_path):
     tdf = spark.read.parquet(mvs.tiles[0].path)
     got = {r.k: r["__sum_v"] for r in tdf.collect()}
     assert got == {"a": 14.0, "b": 1.0}  # 0.5 excluded by the predicate
+
+
+# ------------------------------------------- SQL front-door substitution
+
+def _sql(spark, mvs, text):
+    from drill_calcite_spark.sql import calcite_sql
+    return calcite_sql(spark, text, materializations=mvs)
+
+
+def test_sql_substitution_serves_tile_not_base(spark, tmp_path):
+    """The user's SQL names only the base table; the plan must scan the
+    tile parquet and NEVER the base — and values must equal spark.sql
+    over the base view."""
+    mvs = _mvs(spark, tmp_path)
+    _base(spark).createOrReplaceTempView("t")
+    text = ("SELECT k, count(*) AS n, sum(v) AS s, avg(v) AS m "
+            "FROM t GROUP BY k")
+    out = _sql(spark, mvs, text)
+    files = out.inputFiles()
+    assert files and all("tile" in f for f in files), \
+        "substitution fell back to the base scan"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "tile" in plan
+    base = {tuple(r) for r in spark.sql(text).collect()}
+    assert {tuple(r) for r in out.collect()} == base
+
+
+def test_sql_substitution_residual_atom_on_dim(spark, tmp_path):
+    """A WHERE atom on a tile dim is re-applied on the tile; results
+    match the base plan exactly."""
+    mvs = _mvs(spark, tmp_path)
+    _base(spark).createOrReplaceTempView("t")
+    text = ("SELECT k, min(v) AS lo, max(v) AS hi FROM t "
+            "WHERE sub = 'x' GROUP BY k")
+    out = _sql(spark, mvs, text)
+    assert all("tile" in f for f in out.inputFiles())
+    assert {tuple(r) for r in out.collect()} \
+        == {tuple(r) for r in spark.sql(text).collect()}
+
+
+def test_sql_substitution_falls_through_out_of_shape(spark, tmp_path):
+    """Joins, HAVING, OR predicates, expressions and unknown measures
+    must all fall through to spark.sql (base scan) — the closed-world
+    prover never guesses."""
+    from drill_calcite_spark.plans.sql_substitution import try_substitute
+
+    mvs = _mvs(spark, tmp_path)
+    _base(spark).createOrReplaceTempView("t")
+    for text in (
+        "SELECT t.k AS k, count(*) AS n FROM t JOIN t t2 ON t.k = t2.k "
+        "GROUP BY t.k",
+        "SELECT k, count(*) AS n FROM t GROUP BY k HAVING count(*) > 1",
+        "SELECT k, count(*) AS n FROM t WHERE sub = 'x' OR sub = 'y' GROUP BY k",
+        "SELECT k, sum(v + 1) AS s FROM t GROUP BY k",
+        "SELECT k, stddev(v) AS s FROM t GROUP BY k",
+        "SELECT upper(k) AS k2, count(*) AS n FROM t GROUP BY k2",
+        "SELECT k, count(*) AS n FROM t GROUP BY k ORDER BY n",
+        "SELECT DISTINCT k FROM t GROUP BY k",
+    ):
+        assert try_substitute(spark, text, mvs) is None, text
+        out = _sql(spark, mvs, text)  # still executes via spark.sql
+        assert not any("tile" in f for f in out.inputFiles()), text
+
+
+def test_sql_substitution_no_matching_tile_falls_through(spark, tmp_path):
+    """In-shape but unservable (dim not in tile / measure not stored /
+    predicate not subsumed on a filtered tile) → spark.sql path."""
+    from drill_calcite_spark.plans.materialized import MaterializedViews
+    from drill_calcite_spark.plans.sql_substitution import try_substitute
+
+    mvs = _mvs(spark, tmp_path)
+    _base(spark).createOrReplaceTempView("t")
+    assert try_substitute(
+        spark, "SELECT v, count(*) AS n FROM t GROUP BY v", mvs) is None
+    assert try_substitute(
+        spark, "SELECT k, sum(k) AS s FROM t GROUP BY k", mvs) is None
+    filt = MaterializedViews(spark)
+    filt.create("ftile", "t", _base(spark), ["k"], [("sum", "v")],
+                str(tmp_path / "ftile"), where=[("v", ">=", 2.0)])
+    assert try_substitute(
+        spark, "SELECT k, sum(v) AS s FROM t GROUP BY k", filt) is None
+    # a residual atom on a MEASURE column is undecidable on the tile
+    # (the pre-agg column no longer exists) — must fall through too
+    assert try_substitute(
+        spark,
+        "SELECT k, sum(v) AS s FROM t WHERE v >= 3 GROUP BY k",
+        filt) is None
+    # the exactly-enforced predicate (v >= 2 ≡ the tile's own atom) is
+    # absorbed — served with no residual
+    out = try_substitute(
+        spark,
+        "SELECT k, sum(v) AS s FROM t WHERE v >= 2 GROUP BY k", filt)
+    assert out is not None and all("ftile" in f for f in out.inputFiles())

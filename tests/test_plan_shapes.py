@@ -1435,3 +1435,15 @@ def test_sketch_cms_grouped_capped_map_side_one_scan(spark):
     assert "EvalPython" not in plan, "hash math fell out of codegen"
     assert "__pid" in plan, "candidate picker not two-stage bounded"
     assert "CartesianProduct" not in plan
+
+
+def test_mv_sql_substitution_scans_tile_never_fact(spark):
+    """Front-door MV substitution (r13): the executed plan of the
+    SQL-served query must scan ONLY the tile parquet — the fact table
+    (orders.parquet) must be completely absent, the exact plan shape
+    Calcite's AbstractMaterializedViewRule produces."""
+    df = entrymod.queries()["mv_sql_substitution"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "mv_sql_tile" in plan, "tile scan missing from the plan"
+    assert "orders.parquet" not in plan, \
+        "fact table scanned despite MV substitution"
