@@ -64,6 +64,10 @@ _NEXT_ROUND_HEAD: list[str] = [
     # through the SQL front door — calcite_sql consults find_tile and
     # serves a base-table aggregate from the tile (SQL never names
     # it); same overflow reason; 3-SF parity + plan pin committed
+    "sql_date_range_rewrite",  # NEW r13: DateRangeRules port —
+    # EXTRACT(YEAR ...)/FLOOR(ts TO unit) comparisons become sargable
+    # date ranges in the front door (PushedFilters plan pin); same
+    # overflow reason; 3-SF parity committed
 ]
 
 _DRIVER_PRIORITY = [

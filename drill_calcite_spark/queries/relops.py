@@ -1199,6 +1199,41 @@ def sql_text_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+@q("sql_date_range_rewrite", """
+SELECT o_orderstatus,
+       count(*) AS n,
+       sum(o_custkey)::BIGINT AS ck
+FROM orders
+WHERE extract(year FROM o_orderdate) = 1996
+GROUP BY o_orderstatus
+""")
+def sql_date_range_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATE-PART → RANGE-FILTER rewrite through the SQL front door
+    (DateRangeRules, rel/rules/DateRangeRules.java, wired
+    plan/RelOptRules.java:160): ``EXTRACT(YEAR FROM o_orderdate) =
+    1996`` is an opaque function predicate Spark evaluates POST-scan;
+    the front door rewrites it to ``o_orderdate >= DATE '1996-01-01'
+    AND o_orderdate < DATE '1997-01-01'`` so it lands in the parquet
+    scan's PushedFilters, engages row-group min/max skipping, and
+    prunes date partitions — at 100 TB the difference between reading
+    one year and reading the whole fact table. The plan pin lives in
+    tests/test_plan_shapes.py (range in PushedFilters); the DuckDB
+    oracle runs the UN-rewritten extract form, so the hash proves the
+    rewrite is semantically lossless."""
+    from drill_calcite_spark.catalog import register_tables
+    from drill_calcite_spark.sql import calcite_sql
+
+    register_tables(spark, sf_dir)
+    return calcite_sql(spark, """
+        SELECT o_orderstatus,
+               count(*) AS n,
+               sum(o_custkey) AS ck
+        FROM orders
+        WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+        GROUP BY o_orderstatus
+    """)
+
+
 @q("join_strategy_hints", """
 SELECT s_nationkey, count(*) AS n_supp,
        round(sum(s_acctbal::DECIMAL(18,6)), 2)::DOUBLE AS bal

@@ -134,6 +134,151 @@ _CEIL_STEP = {
 }
 
 
+# ---------------------------------------------------------------------
+# Date-part predicate → sargable range rewrite (DateRangeRules,
+# core/src/main/java/org/apache/calcite/rel/rules/DateRangeRules.java,
+# wired in plan/RelOptRules.java:160): `EXTRACT(YEAR FROM d) = 1996`
+# stays an opaque function predicate in Spark — it filters post-scan —
+# while the equivalent `d >= DATE '1996-01-01' AND d < DATE
+# '1997-01-01'` reaches the parquet scan's PushedFilters, engages
+# row-group min/max skipping, and prunes date partitions. The rewrite
+# below ports the decidable core: EXTRACT(YEAR ...) (and the year()
+# shorthand) under any comparison, and FLOOR(ts TO unit) compared to a
+# unit-ALIGNED date/timestamp literal. Anything else (month-without-
+# year combos, unaligned literals, <>) is left untouched — the
+# original predicate is still correct, just not sargable, matching the
+# rule's conservative posture.
+
+_DR_CMP = r"(=|<=|>=|<|>)"
+_DR_FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "="}
+
+_DR_EXTRACT = re.compile(
+    rf"\b(?:extract\s*\(\s*year\s+from\s+([\w.]+)\s*\)|year\s*\(\s*([\w.]+)\s*\))"
+    rf"\s*{_DR_CMP}\s*(\d{{1,4}})(?![\w.])", re.I)
+_DR_EXTRACT_FLIP = re.compile(
+    rf"(?<![\w.])(\d{{1,4}})\s*{_DR_CMP}\s*"
+    r"(?:extract\s*\(\s*year\s+from\s+([\w.]+)\s*\)"
+    r"|year\s*\(\s*([\w.]+)\s*\))", re.I)
+
+_DR_UNIT_NEXT = {
+    "year": lambda d: d.replace(year=d.year + 1),
+    "quarter": lambda d: d.replace(
+        year=d.year + (d.month + 2) // 12,
+        month=(d.month + 2) % 12 + 1),
+    "month": lambda d: d.replace(
+        year=d.year + d.month // 12, month=d.month % 12 + 1),
+    "day": None,   # fixed-width: timedelta below
+    "hour": None,
+}
+
+
+def _dr_year_range(col: str, op: str, year: int,
+                   lits: "list[str]") -> "str | None":
+    if not 1 <= year <= 9998:
+        return None
+
+    def lit(y: int) -> str:
+        lits.append(f"{y:04d}-01-01")
+        return f"date '{_LIT_SENTINEL}{len(lits) - 1}{_LIT_SENTINEL}'"
+
+    if op == "=":
+        return f"({col} >= {lit(year)} and {col} < {lit(year + 1)})"
+    if op == ">=":
+        return f"{col} >= {lit(year)}"
+    if op == ">":
+        return f"{col} >= {lit(year + 1)}"
+    if op == "<":
+        return f"{col} < {lit(year)}"
+    if op == "<=":
+        return f"{col} < {lit(year + 1)}"
+    return None
+
+
+_DR_FLOOR = re.compile(
+    rf"\bfloor\s*\(\s*([\w.]+)\s+to\s+(year|quarter|month|day|hour)\s*\)"
+    rf"\s*{_DR_CMP}\s*(date|timestamp)\s+"
+    f"'{_LIT_SENTINEL}(\\d+){_LIT_SENTINEL}'", re.I)
+_DR_FLOOR_FLIP = re.compile(
+    rf"\b(date|timestamp)\s+'{_LIT_SENTINEL}(\d+){_LIT_SENTINEL}'"
+    rf"\s*{_DR_CMP}\s*"
+    r"floor\s*\(\s*([\w.]+)\s+to\s+(year|quarter|month|day|hour)\s*\)",
+    re.I)
+
+
+def _dr_floor_range(col: str, unit: str, op: str, kw: str, raw: str,
+                    lits: "list[str]") -> "str | None":
+    import datetime as _dt
+
+    try:
+        val = _dt.datetime.fromisoformat(raw.strip())
+    except ValueError:
+        return None
+    trunc = {"year": val.replace(month=1, day=1, hour=0, minute=0,
+                                 second=0, microsecond=0),
+             "quarter": val.replace(month=val.month - (val.month - 1) % 3,
+                                    day=1, hour=0, minute=0, second=0,
+                                    microsecond=0),
+             "month": val.replace(day=1, hour=0, minute=0, second=0,
+                                  microsecond=0),
+             "day": val.replace(hour=0, minute=0, second=0, microsecond=0),
+             "hour": val.replace(minute=0, second=0, microsecond=0),
+             }[unit]
+    if trunc != val:
+        return None  # unaligned literal: leave the FLOOR form alone
+    nxt = _DR_UNIT_NEXT[unit]
+    upper = (nxt(val) if nxt
+             else val + _dt.timedelta(**{f"{unit}s": 1}))
+    fmt = "%Y-%m-%d" if kw.lower() == "date" else "%Y-%m-%d %H:%M:%S"
+    if kw.lower() == "date" and unit == "hour":
+        return None  # an hour bound is not representable as DATE
+
+    def lit(d: "_dt.datetime") -> str:
+        lits.append(d.strftime(fmt))
+        return f"{kw} '{_LIT_SENTINEL}{len(lits) - 1}{_LIT_SENTINEL}'"
+
+    if op == "=":
+        return f"({col} >= {lit(val)} and {col} < {lit(upper)})"
+    if op == ">=":
+        return f"{col} >= {lit(val)}"
+    if op == ">":
+        return f"{col} >= {lit(upper)}"
+    if op == "<":
+        return f"{col} < {lit(val)}"
+    if op == "<=":
+        return f"{col} < {lit(upper)}"
+    return None
+
+
+def _rewrite_date_ranges(text: str, lits: "list[str]") -> str:
+    def ext(m: "re.Match[str]") -> str:
+        col = m.group(1) or m.group(2)
+        out = _dr_year_range(col, m.group(3), int(m.group(4)), lits)
+        return out if out is not None else m.group(0)
+
+    def ext_flip(m: "re.Match[str]") -> str:
+        col = m.group(3) or m.group(4)
+        out = _dr_year_range(col, _DR_FLIP[m.group(2)],
+                             int(m.group(1)), lits)
+        return out if out is not None else m.group(0)
+
+    def flo(m: "re.Match[str]") -> str:
+        out = _dr_floor_range(
+            m.group(1), m.group(2).lower(), m.group(3),
+            m.group(4), lits[int(m.group(5))], lits)
+        return out if out is not None else m.group(0)
+
+    def flo_flip(m: "re.Match[str]") -> str:
+        out = _dr_floor_range(
+            m.group(4), m.group(5).lower(), _DR_FLIP[m.group(3)],
+            m.group(1), lits[int(m.group(2))], lits)
+        return out if out is not None else m.group(0)
+
+    text = _DR_EXTRACT.sub(ext, text)
+    text = _DR_EXTRACT_FLIP.sub(ext_flip, text)
+    text = _DR_FLOOR.sub(flo, text)
+    return _DR_FLOOR_FLIP.sub(flo_flip, text)
+
+
 def _rewrite_floor_to(text: str) -> str:
     """FLOOR(x TO unit) → date_trunc('UNIT', x);
     CEIL(x TO unit) → already-aligned guard + one interval step:
@@ -2049,6 +2194,11 @@ def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
     # Anchored to a CLOSING paren, so EXTRACT(second FROM …) and
     # `AS second` aliases never match.
     text = re.sub(r"\)\s+second\b(?!\s*\()", ")", text, flags=re.I)
+    # date-part predicates → sargable ranges BEFORE the generic
+    # FLOOR-to-unit rewrite consumes the FLOOR comparison forms
+    if re.search(r"\bextract\s*\(\s*year\b|\byear\s*\(|\bfloor\s*\(",
+                 text, re.I):
+        text = _rewrite_date_ranges(text, _lits)
     text = _rewrite_floor_to(text)
     if re.search(r"\btumble", text, re.I):
         text = _rewrite_tumble(text, _lits)

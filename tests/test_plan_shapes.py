@@ -1447,3 +1447,18 @@ def test_mv_sql_substitution_scans_tile_never_fact(spark):
     assert "mv_sql_tile" in plan, "tile scan missing from the plan"
     assert "orders.parquet" not in plan, \
         "fact table scanned despite MV substitution"
+
+
+def test_sql_date_range_rewrite_pushes_to_scan(spark):
+    """DateRangeRules port (r13): the rewritten EXTRACT(YEAR)=1996
+    predicate must reach the parquet scan as a pushed half-open range
+    on o_orderdate — the whole point of the rewrite (row-group min/max
+    skipping + partition pruning at scale)."""
+    df = entrymod.queries()["sql_date_range_rewrite"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters:")[1][:400]
+    assert "GreaterThanOrEqual(o_orderdate" in pushed, \
+        "range lower bound did not reach the scan"
+    assert "LessThan(o_orderdate" in pushed, \
+        "range upper bound did not reach the scan"

@@ -529,3 +529,60 @@ def test_interval_product_rendering():
     # a plain interval literal (no product) is untouched
     q = "select interval '2' day from d"
     assert rewrite(q, nulls_high=False) == q
+
+
+def test_date_range_rewrite_extract_year():
+    """DateRangeRules port (r13): every comparison direction of
+    EXTRACT(YEAR ...) / year() becomes a sargable half-open range;
+    non-rewritable forms survive verbatim."""
+    out = rewrite("select * from o where extract(year from d) = 1996")
+    assert out == ("select * from o where (d >= date '1996-01-01' "
+                   "and d < date '1997-01-01')")
+    assert rewrite("select * from o where extract(year from d) > 1996") \
+        .endswith("d >= date '1997-01-01'")
+    assert rewrite("select * from o where extract(year from d) <= 1996") \
+        .endswith("d < date '1997-01-01'")
+    assert rewrite("select * from o where year(d) < 1996") \
+        .endswith("d < date '1996-01-01'")
+    # literal on the left flips the comparison
+    assert rewrite("select * from o where 1996 <= extract(year from d)") \
+        .endswith("d >= date '1996-01-01'")
+    # projection (no comparison), MONTH, <>, huge years: untouched
+    q = "select extract(year from d) as y from o"
+    assert rewrite(q) == q
+    q = "select * from o where extract(month from d) = 3"
+    assert rewrite(q) == q
+    q = "select * from o where extract(year from d) <> 1996"
+    assert rewrite(q) == q
+    q = "select * from o where extract(year from d) = 9999"
+    assert rewrite(q) == q
+    # inside a string literal: untouched
+    q = "select * from o where s = 'extract(year from d) = 1996'"
+    assert rewrite(q) == q
+
+
+def test_date_range_rewrite_floor_aligned():
+    """FLOOR(ts TO unit) vs an ALIGNED literal becomes a range; an
+    unaligned literal falls back to the date_trunc rewrite."""
+    out = rewrite("select * from t where floor(ts to month) = "
+                  "timestamp '1996-03-01 00:00:00'")
+    assert out == ("select * from t where (ts >= timestamp "
+                   "'1996-03-01 00:00:00' and ts < timestamp "
+                   "'1996-04-01 00:00:00')")
+    out = rewrite(
+        "select * from t where floor(ts to day) > date '1996-02-28'")
+    assert out.endswith("ts >= date '1996-02-29'")  # 1996 is a leap year
+    out = rewrite(
+        "select * from t where date '1996-03-02' <= floor(ts to day)")
+    assert out.endswith("ts >= date '1996-03-02'")
+    out = rewrite("select * from t where floor(ts to quarter) >= "
+                  "timestamp '1996-10-01 00:00:00'")
+    assert out.endswith("ts >= timestamp '1996-10-01 00:00:00'")
+    # unaligned → conservative date_trunc comparison, not a range
+    out = rewrite("select * from t where floor(ts to month) = "
+                  "timestamp '1996-03-02 00:00:00'")
+    assert "date_trunc('MONTH', ts)" in out and ">=" not in out
+    # a FLOOR with no comparison still date_truncs
+    out = rewrite("select floor(ts to day) as d from t group by "
+                  "floor(ts to day)")
+    assert out.count("date_trunc('DAY', ts)") == 2
