@@ -76,6 +76,18 @@ HEADLINE = [
     # so round-over-round totals compare on the shared queries only.
     "q9_product_type_profit",
     "q21_suppliers_kept_waiting",
+    # round 13: the three heaviest PLAN-REWRITE shapes get tracked perf
+    # rows — each exists because a textbook multi-scan form was folded
+    # to one fact pass (cross_sales_yoy: self-join YoY → one scan +
+    # window lag; iceberg_cross_channel: channel INTERSECT → one
+    # grouped scan of presence flags; county_active_profile: three
+    # correlated EXISTS → one windowed orders scan). A regression in
+    # any of these rewrites now shows as a bench drift instead of
+    # hiding behind a still-green hash. NEW in BENCH_r13: totals
+    # compare round-over-round on the shared queries only.
+    "ds_cross_sales_yoy",
+    "ds_iceberg_cross_channel",
+    "ds_county_active_profile",
 ]
 
 

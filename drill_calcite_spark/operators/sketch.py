@@ -95,6 +95,12 @@ def cms_sketch_grouped(df: DataFrame, keys: "list[str]", key_col: str,
                        "cms_sketch_grouped")
     _assert_keys_clear([key_col], {"j", "bucket", "cnt", "cell", "w"},
                        "cms_sketch_grouped", what="key")
+    if weight_col is not None:
+        # r12 advice: the fail-loud contract must cover the weight too —
+        # a weight named 'w'/'cell' only resolves today by accident of
+        # select ordering
+        _assert_keys_clear([weight_col], {"j", "bucket", "cnt", "cell", "w"},
+                           "cms_sketch_grouped", what="weight")
     w = F.col(weight_col) if weight_col else F.lit(1)
     cells = df.select(
         *keys,

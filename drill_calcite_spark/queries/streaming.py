@@ -1988,7 +1988,10 @@ def stream_complete_mode_emit(spark: SparkSession,
     updating; untouched windows re-emit with unchanged counts. Scale:
     complete mode is for bounded dashboards — the re-emitted table is
     the AGGREGATE (≤ |windows| rows), never the data; the per-trigger
-    collect here is that bounded table."""
+    collect here is that bounded table. The scale CONTRACT: complete
+    mode cannot evict (no watermark BY SEMANTICS), so it is only safe
+    on a BOUNDED key domain — on an unbounded domain at 100 TB the
+    state store grows without limit and OOMs; use update mode there."""
     import os as _os
     import shutil
     import uuid as _uuid

@@ -1395,8 +1395,10 @@ def test_ds_nation_revenue_salted_salt_in_shuffle_keys(spark):
     plan = _plan(entrymod.queries()["ds_nation_revenue_salted"](
         spark, SF_DIR))
     assert "__salt" in plan, "salt column missing from the plan"
-    assert "hashpartitioning(nk" in plan and "__salt" in \
-        plan[plan.index("hashpartitioning(nk"):], \
+    # the salt must be a co-key of the SAME exchange clause (r12 advice:
+    # a trailing "__salt" elsewhere in the plan must not satisfy this)
+    import re as _re
+    assert _re.search(r"hashpartitioning\(nk[^)]*__salt", plan), \
         "salt not part of the join shuffle keys"
     assert "ShuffledHashJoin" in plan, \
         "salted leg not planned as a shuffled hash join"
