@@ -68,6 +68,10 @@ _NEXT_ROUND_HEAD: list[str] = [
     # EXTRACT(YEAR ...)/FLOOR(ts TO unit) comparisons become sargable
     # date ranges in the front door (PushedFilters plan pin); same
     # overflow reason; 3-SF parity committed
+    "stream_chained_window_rollup",  # NEW r13: chained windowed
+    # aggregates (TUMBLE 1d rolled into TUMBLE 7d via window_time) in
+    # one append-mode query; same overflow reason; 3-SF parity +
+    # day-vs-week consistency test committed
 ]
 
 _DRIVER_PRIORITY = [

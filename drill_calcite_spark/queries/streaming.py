@@ -586,6 +586,118 @@ def stream_static_enrich_agg(spark: SparkSession,
         shutil.rmtree(base, ignore_errors=True)
 
 
+@q("stream_chained_window_rollup", f"""
+WITH e AS (
+  SELECT epoch_us(ts) AS us, value,
+         least(CAST(floor(date_diff('day', DATE '2024-01-01', ts) / 7)
+                    AS BIGINT), 3) AS wk,
+         event_id
+  FROM events
+), b AS (
+  SELECT us, value,
+         CASE WHEN event_id % 13 = 0 THEN least(wk + 2, 3) ELSE wk END
+           AS batch
+  FROM e
+), mx AS (
+  SELECT batch, max(us) AS mx_us FROM b GROUP BY 1
+), wm AS (
+  SELECT b2.batch,
+         ((SELECT max(mx_us) FROM mx WHERE mx.batch < b2.batch - 1)
+          // 1000 - {_WM_DELAY_US // 1000}) * 1000 AS wm_late
+  FROM (SELECT DISTINCT batch FROM b) b2
+), survived AS (
+  SELECT b.us, b.value
+  FROM b JOIN wm ON wm.batch = b.batch
+  WHERE wm.wm_late IS NULL
+     OR (b.us // {_WM_DAY_US}) * {_WM_DAY_US} + {_WM_DAY_US} > wm.wm_late
+), fin AS (SELECT (max(us) // 1000 - {_WM_DELAY_US // 1000}) * 1000
+             AS wm_final FROM b)
+SELECT CAST((us // {7 * _WM_DAY_US}) * 604800 AS BIGINT) AS week_start,
+       CAST(count(*) AS BIGINT) AS n,
+       sum(value::DECIMAL(18,6))::DOUBLE AS total_value
+FROM survived, fin
+WHERE (us // {7 * _WM_DAY_US}) * {7 * _WM_DAY_US} + {7 * _WM_DAY_US}
+        <= fin.wm_final
+GROUP BY 1
+""")
+def stream_chained_window_rollup(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """CHAINED WINDOWED AGGREGATES — TUMBLE(1 day) rolled up into
+    TUMBLE(7 days) in ONE append-mode query via ``window_time()``
+    (Spark 4's stacked-stateful support; the multi-grain rollup every
+    metrics pipeline runs as two jobs collapses into one). The second
+    aggregate consumes the FINALIZED day windows the first emits, so
+    correctness hinges on per-operator watermark propagation: a day
+    window finalizes with window_time < the global watermark — under
+    single-watermark late filtering it would be dropped as late, which
+    is exactly what Spark's per-operator input/output watermark
+    bookkeeping prevents. The replay that hashes green pins the
+    composition end to end: survived rows (the one-batch-lagged late
+    filter of the day stage) grouped straight into 7-day buckets, a
+    week emitted iff its end clears the final eviction watermark —
+    valid because every day window inside a week ends no later than
+    the week itself, so by the batch a week finalizes ALL its day
+    inputs have arrived and been re-aggregated (counts AND
+    decimal-exact value sums are both pinned).
+
+    Scale shape: two watermark-bounded stateful exchanges (day grain,
+    then ~1/7th the rows at week grain); no extra scan, no join — the
+    rollup input is the first aggregate's in-flight output."""
+    import os as _os
+    import shutil
+    import uuid as _uuid
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from drill_calcite_spark.queries.sources import _fixture_dir
+
+    ev = t(spark, sf_dir, "events")
+    week = F.least(
+        F.floor(F.datediff(F.col("ts"), F.lit("2024-01-01")) / 7),
+        F.lit(3))
+    batch = (F.when(F.col("event_id") % 13 == 0,
+                    F.least(week + 2, F.lit(3)))
+             .otherwise(week)).cast("int")
+    pdf = (ev.select("event_id", "ts", "value",
+                     batch.alias("batch")).toPandas())
+
+    base = _os.path.join(_fixture_dir(sf_dir),
+                         f"cwr_batches_{_uuid.uuid4().hex[:12]}")
+    _os.makedirs(base)
+    try:
+        for bno in range(4):
+            part = pdf[pdf.batch == bno].drop(columns=["batch"])
+            path = f"{base}/batch_{bno:03d}.parquet"
+            _pq.write_table(
+                _pa.Table.from_pandas(part, preserve_index=False), path,
+                coerce_timestamps="us", allow_truncated_timestamps=True)
+            _os.utime(path, (1_700_000_000 + bno * 1000,) * 2)
+
+        schema = spark.read.parquet(base).schema
+        daily = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(base)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "2 days")
+            .groupBy(tumble("ts", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_day"),
+                 F.sum(F.col("value").cast("decimal(18,6)"))
+                 .alias("v_day")))
+        weekly = (
+            daily
+            .groupBy(F.window(F.window_time("w"), "7 days").alias("ww"))
+            .agg(F.sum("n_day").cast("bigint").alias("n"),
+                 F.sum("v_day").cast("double").alias("total_value"))
+            .select(F.unix_timestamp(F.col("ww.start")).cast("bigint")
+                    .alias("week_start"), "n", "total_value"))
+        out = run_available_now(weekly, spark, output_mode="append")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 @q("stream_static_left_enrich", f"""
 WITH e AS (
   SELECT epoch_us(ts) AS us, user_id,

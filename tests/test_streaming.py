@@ -594,3 +594,36 @@ def test_static_left_enrich_pads_survive_to_aggregate(spark):
     assert dict(totals) == base, \
         "LEFT enrich dropped or duplicated stream rows vs the " \
         "un-enriched battery"
+
+
+def test_chained_window_rollup_consistent_with_day_battery(spark):
+    """stream_chained_window_rollup (r13): every emitted week's count
+    must equal the sum of the day battery's counts over its days (the
+    rollup loses nothing the day stage emitted), and finalization must
+    bite at BOTH grains — at least one day window emitted by the day
+    battery belongs to a week the rollup withholds (week ends lag day
+    ends), and the newest week is withheld."""
+    import collections
+
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    weeks = {r.week_start: r.n
+             for r in entrymod.queries()["stream_chained_window_rollup"](
+                 spark, SF_DIR).collect()}
+    days = {r.win_start: r.n
+            for r in entrymod.queries()["stream_late_data_drop"](
+                spark, SF_DIR).collect()}
+    assert weeks and days, "nothing emitted"
+
+    day_by_week = collections.Counter()
+    for d, n in days.items():
+        day_by_week[(d // 604800) * 604800] += n
+    for w, n in weeks.items():
+        assert day_by_week[w] == n, \
+            f"week {w} rolled up {n} but its days sum to {day_by_week[w]}"
+    orphan_weeks = set(day_by_week) - set(weeks)
+    assert orphan_weeks, \
+        "no emitted day belongs to a withheld week — week-grain " \
+        "finalization untested"
+    assert max(orphan_weeks) > max(weeks), "newest week must be withheld"
