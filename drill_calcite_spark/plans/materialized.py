@@ -274,7 +274,10 @@ class MaterializedViews:
         (SubstitutionVisitor.java:120), without a RexNode equivalence
         engine."""
         ts = "⋈".join(sorted(tables))
-        ks = ",".join(sorted(f"{a}={b}" for a, b in on))
+        # within-pair sort: `a = b` and `b = a` are the same equi-join
+        # predicate, so both spellings must produce the same signature
+        # (the SQL front door sees whichever way the user wrote it)
+        ks = ",".join(sorted("=".join(sorted((a, b))) for a, b in on))
         return f"{ts}[{ks}]"
 
     def create_join(

@@ -20,7 +20,7 @@ posture as ``_implies`` (False means "cannot prove", never "wrong").
 Supported statement shape (whitespace-insensitive, case-insensitive):
 
     SELECT item [, item ...]
-    FROM <single table identifier>
+    FROM table [JOIN table ON col = col [AND col = col ...] ...]
     [WHERE atom [AND atom ...]]
     GROUP BY col [, col ...]
 
@@ -28,6 +28,12 @@ Supported statement shape (whitespace-insensitive, case-insensitive):
            | sum|count|min|max|avg ( col | * ) AS alias
     atom ::= col (= | < | <= | > | >=) literal
     literal ::= number | 'string' | DATE 'lit' | TIMESTAMP 'lit'
+
+An INNER equi-join chain is looked up by its canonical join signature
+(sorted tables + sorted key pairs, key qualifiers stripped) — the same
+identity ``create_join`` registers, so a query spelling the join
+either way round unifies with the join-MV and never re-executes the
+join. Aliased, outer, or non-equi joins fall through.
 
 Serving: ``MaterializedViews.find_tile`` decides (dims ⊇ query dims,
 measures stored, tile predicate implied by the query predicate);
@@ -55,11 +61,23 @@ from drill_calcite_spark.plans.materialized import (
 
 _AGG_OPS = ("sum", "count", "min", "max", "avg")
 
+# FROM clause: one table, optionally INNER-joined to more via a chain
+# of `JOIN t ON a = b [AND c = d ...]` (the join-MV signature shape;
+# outer joins, aliases and non-equi conditions fall out of the match)
+_FROM_CHAIN = (
+    r"[a-z_]\w*(?:\s+join\s+[a-z_]\w*\s+on\s+[\w.]+\s*=\s*[\w.]+"
+    r"(?:\s+and\s+[\w.]+\s*=\s*[\w.]+)*)*")
+
 _SHAPE = re.compile(
-    r"^\s*select\s+(?P<select>.+?)\s+from\s+(?P<table>[a-z_]\w*)"
+    rf"^\s*select\s+(?P<select>.+?)\s+from\s+(?P<from>{_FROM_CHAIN})"
     r"(?:\s+where\s+(?P<where>.+?))?"
     r"\s+group\s+by\s+(?P<group>[\w\s,.]+?)\s*;?\s*$",
     re.I | re.S)
+
+_JOIN_STEP = re.compile(
+    r"\s+join\s+([a-z_]\w*)\s+on\s+(.+?)(?=\s+join\s+|\s*$)",
+    re.I | re.S)
+_ON_PAIR = re.compile(r"^([\w.]+)\s*=\s*([\w.]+)$")
 
 _AGG_ITEM = re.compile(
     rf"^({'|'.join(_AGG_OPS)})\s*\(\s*(\*|[a-z_]\w*)\s*\)"
@@ -71,12 +89,14 @@ _ATOM = re.compile(
     r"^([a-z_]\w*)\s*(<=|>=|=|<|>)\s*"
     r"(?:(?:date|timestamp)\s+)?('(?:[^']|'')*'|-?\d+(?:\.\d+)?)$", re.I)
 
-# constructs that disqualify a statement outright (sub-queries, joins,
-# set ops, post-aggregate clauses) — probed before the shape match so a
-# HAVING/ORDER BY can never be silently swallowed into the GROUP BY list
+# constructs that disqualify a statement outright (sub-queries, set
+# ops, post-aggregate clauses, outer joins) — probed before the shape
+# match so a HAVING/ORDER BY can never be silently swallowed into the
+# GROUP BY list
 _DISQUALIFY = re.compile(
-    r"\(\s*select\b|\bjoin\b|\bunion\b|\bintersect\b|\bexcept\b|"
+    r"\(\s*select\b|\bunion\b|\bintersect\b|\bexcept\b|"
     r"\bhaving\b|\border\s+by\b|\blimit\b|\bdistinct\b|\bover\s*\(|"
+    r"\b(?:left|right|full|cross|outer|semi|anti)\s+join\b|"
     r"\bor\b", re.I)
 
 
@@ -104,6 +124,31 @@ def _parse_literal(tok: str) -> object:
     return float(tok) if "." in tok else int(tok)
 
 
+def _strip_qual(col: str) -> str:
+    return col.rsplit(".", 1)[-1]
+
+
+def _parse_from(clause: str):
+    """FROM chain → (table_key, None) for a single table, or
+    (join_signature, tables) for an equi-join chain."""
+    head = re.match(r"^([a-z_]\w*)", clause, re.I)
+    tables = [head.group(1).lower()]
+    pairs: list[tuple[str, str]] = []
+    for jm in _JOIN_STEP.finditer(clause):
+        tables.append(jm.group(1).lower())
+        for cond in re.split(r"\band\b", jm.group(2), flags=re.I):
+            pm = _ON_PAIR.match(cond.strip())
+            if not pm:
+                return None
+            pairs.append((_strip_qual(pm.group(1)),
+                          _strip_qual(pm.group(2))))
+    if len(tables) == 1:
+        return tables[0], None
+    if len(set(tables)) != len(tables):
+        return None  # self-join needs aliases, which we don't parse
+    return MaterializedViews.join_signature(tables, pairs), tables
+
+
 def _parse(text: str):
     """Parse the supported aggregate shape; None on anything else."""
     if _DISQUALIFY.search(text):
@@ -111,7 +156,10 @@ def _parse(text: str):
     m = _SHAPE.match(text)
     if not m:
         return None
-    table = m.group("table").lower()
+    parsed_from = _parse_from(m.group("from"))
+    if parsed_from is None:
+        return None
+    table = parsed_from[0]
     group_cols = []
     for g in _split_commas(m.group("group")):
         gm = re.match(r"^[a-z_]\w*$", g, re.I)

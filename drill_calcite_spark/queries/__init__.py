@@ -72,6 +72,11 @@ _NEXT_ROUND_HEAD: list[str] = [
     # aggregates (TUMBLE 1d rolled into TUMBLE 7d via window_time) in
     # one append-mode query; same overflow reason; 3-SF parity +
     # day-vs-week consistency test committed
+    "mv_sql_join_substitution",  # NEW r13: join-MV unification through
+    # the SQL front door — a literal equi-join aggregate (keys written
+    # the reversed way round) unifies with the registered join tile by
+    # canonical signature; same overflow reason; 3-SF parity + plan
+    # pin committed
 ]
 
 _DRIVER_PRIORITY = [

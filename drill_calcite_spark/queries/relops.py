@@ -1800,6 +1800,58 @@ def mv_sql_substitution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@q("mv_sql_join_substitution", """
+SELECT c_mktsegment,
+       count(*) AS n,
+       sum(o_custkey)::BIGINT AS ck,
+       max(o_totalprice) AS mx
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""")
+def mv_sql_join_substitution(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """JOIN-MV substitution through the SQL FRONT DOOR: the user's SQL
+    spells the orders⋈customer join out LITERALLY — and writes the key
+    equality the OPPOSITE way round from the registration — yet the
+    engine unifies it with the registered join tile by canonical join
+    signature (sorted tables + within-pair-sorted keys, the decidable
+    core of SubstitutionVisitor.java:120's join unification) and
+    serves the rollup from the tile: the plan re-executes neither the
+    join NOR either base scan (inputFiles assertion; plan pin in
+    tests/test_plan_shapes.py). Measures are order-independent
+    (count/exact BIGINT sum/max) so the tile-served result hashes
+    identically to the base-join oracle."""
+    import os as _os
+
+    from drill_calcite_spark.catalog import register_tables
+    from drill_calcite_spark.plans.materialized import MaterializedViews
+    from drill_calcite_spark.sql import calcite_sql
+
+    register_tables(spark, sf_dir)
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/spark_graft_fixtures/{tag}/mv_sql_join_tile"
+    tables = {"orders": t(spark, sf_dir, "orders"),
+              "customer": t(spark, sf_dir, "customer")}
+    mvs = MaterializedViews(spark)
+    mvs.create_join(
+        "orders_customer_seg_sql", tables, [("o_custkey", "c_custkey")],
+        dims=["c_mktsegment", "o_orderstatus"],
+        measures=[("sum", "o_custkey"), ("max", "o_totalprice")],
+        path=path,
+    )
+    out = calcite_sql(spark, """
+        SELECT c_mktsegment,
+               count(*) AS n,
+               sum(o_custkey) AS ck,
+               max(o_totalprice) AS mx
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+    """, materializations=mvs)
+    assert all("mv_sql_join_tile" in f for f in out.inputFiles()), \
+        "front-door join-MV substitution re-executed the join"
+    return out
+
+
 @q("mv_incremental_refresh", """
 SELECT o_orderpriority,
        sum(o_totalprice::DECIMAL(18,6))::DOUBLE AS total,

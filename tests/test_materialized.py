@@ -338,3 +338,42 @@ def test_sql_substitution_no_matching_tile_falls_through(spark, tmp_path):
         spark,
         "SELECT k, sum(v) AS s FROM t WHERE v >= 2 GROUP BY k", filt)
     assert out is not None and all("ftile" in f for f in out.inputFiles())
+
+
+def test_sql_join_substitution_unifies_reversed_keys(spark, tmp_path):
+    """A literal SQL join unifies with a join-MV even when the key
+    equality is written the other way round; aliased/outer joins and a
+    different key pair fall through."""
+    from drill_calcite_spark.plans.materialized import MaterializedViews
+    from drill_calcite_spark.plans.sql_substitution import try_substitute
+
+    left = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "b", 3.0), (3, "a", 5.0)],
+        "id bigint, k string, v double")
+    right = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "x")], "rid bigint, grp string")
+    left.createOrReplaceTempView("lt")
+    right.createOrReplaceTempView("rt")
+    mvs = MaterializedViews(spark)
+    mvs.create_join("j", {"lt": left, "rt": right}, [("id", "rid")],
+                    ["grp", "k"], [("sum", "v")], str(tmp_path / "jtile"))
+
+    text = ("SELECT grp, sum(v) AS s, count(*) AS n FROM lt "
+            "JOIN rt ON rid = id GROUP BY grp")
+    out = try_substitute(spark, text, mvs)
+    assert out is not None and all(
+        "jtile" in f for f in out.inputFiles()), "reversed keys failed"
+    assert {tuple(r) for r in out.collect()} \
+        == {tuple(r) for r in spark.sql(text).collect()}
+    # different key pair → different signature → fall through
+    assert try_substitute(
+        spark, "SELECT grp, sum(v) AS s FROM lt JOIN rt ON id = rid "
+               "AND k = grp GROUP BY grp", mvs) is None
+    # outer join → fall through
+    assert try_substitute(
+        spark, "SELECT grp, sum(v) AS s FROM lt LEFT JOIN rt "
+               "ON id = rid GROUP BY grp", mvs) is None
+    # aliased self-join → fall through
+    assert try_substitute(
+        spark, "SELECT grp, sum(v) AS s FROM lt JOIN lt l2 "
+               "ON id = rid GROUP BY grp", mvs) is None

@@ -1464,3 +1464,15 @@ def test_sql_date_range_rewrite_pushes_to_scan(spark):
         "range lower bound did not reach the scan"
     assert "LessThan(o_orderdate" in pushed, \
         "range upper bound did not reach the scan"
+
+
+def test_mv_sql_join_substitution_never_reexecutes_join(spark):
+    """Front-door join-MV substitution (r13): the executed plan must
+    scan only the join tile — neither base table appears and no join
+    operator of the two base relations exists in the plan."""
+    df = entrymod.queries()["mv_sql_join_substitution"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "mv_sql_join_tile" in plan, "join tile scan missing"
+    assert "orders.parquet" not in plan and \
+        "customer.parquet" not in plan, \
+        "base table scanned despite join-MV substitution"
