@@ -249,7 +249,56 @@ def _dr_floor_range(col: str, unit: str, op: str, kw: str, raw: str,
     return None
 
 
+# adjacent YEAR = y AND MONTH = m conjunction on the SAME column (both
+# orders) → one month-wide range; Calcite's DateRangeRules composes
+# these through its floorCeil context — the adjacent-conjunct subset is
+# the decidable shape a text rewrite can prove. A non-adjacent month
+# conjunct simply stays behind as a residual predicate on top of the
+# year range (correct, and the scan still gets the year bounds).
+_DR_YM = re.compile(
+    r"\bextract\s*\(\s*year\s+from\s+([\w.]+)\s*\)\s*=\s*(\d{1,4})"
+    r"\s+and\s+"
+    r"extract\s*\(\s*month\s+from\s+([\w.]+)\s*\)\s*=\s*(\d{1,2})"
+    r"(?![\w.])", re.I)
+_DR_MY = re.compile(
+    r"\bextract\s*\(\s*month\s+from\s+([\w.]+)\s*\)\s*=\s*(\d{1,2})"
+    r"\s+and\s+"
+    r"extract\s*\(\s*year\s+from\s+([\w.]+)\s*\)\s*=\s*(\d{1,4})"
+    r"(?![\w.])", re.I)
+
+
+def _dr_month_range(col: str, year: int, month: int,
+                    lits: "list[str]") -> "str | None":
+    if not (1 <= year <= 9998 and 1 <= month <= 12):
+        return None
+
+    def lit(y: int, mo: int) -> str:
+        lits.append(f"{y:04d}-{mo:02d}-01")
+        return f"date '{_LIT_SENTINEL}{len(lits) - 1}{_LIT_SENTINEL}'"
+
+    ny, nm = (year + 1, 1) if month == 12 else (year, month + 1)
+    return (f"({col} >= {lit(year, month)} "
+            f"and {col} < {lit(ny, nm)})")
+
+
 def _rewrite_date_ranges(text: str, lits: "list[str]") -> str:
+    def ym(m: "re.Match[str]") -> str:
+        if m.group(1).lower() != m.group(3).lower():
+            return m.group(0)  # different columns: not one range
+        out = _dr_month_range(m.group(1), int(m.group(2)),
+                              int(m.group(4)), lits)
+        return out if out is not None else m.group(0)
+
+    def my(m: "re.Match[str]") -> str:
+        if m.group(1).lower() != m.group(3).lower():
+            return m.group(0)
+        out = _dr_month_range(m.group(1), int(m.group(4)),
+                              int(m.group(2)), lits)
+        return out if out is not None else m.group(0)
+
+    text = _DR_YM.sub(ym, text)
+    text = _DR_MY.sub(my, text)
+
     def ext(m: "re.Match[str]") -> str:
         col = m.group(1) or m.group(2)
         out = _dr_year_range(col, m.group(3), int(m.group(4)), lits)

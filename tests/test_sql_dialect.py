@@ -586,3 +586,30 @@ def test_date_range_rewrite_floor_aligned():
     out = rewrite("select floor(ts to day) as d from t group by "
                   "floor(ts to day)")
     assert out.count("date_trunc('DAY', ts)") == 2
+
+
+def test_date_range_rewrite_year_month_conjunction():
+    """Adjacent YEAR = y AND MONTH = m on the same column folds to ONE
+    month-wide range (both orders, December wraps the year); different
+    columns or invalid months keep the residual month predicate on top
+    of the year range."""
+    out = rewrite("select * from o where extract(year from d) = 1996 "
+                  "and extract(month from d) = 12")
+    assert out.endswith("(d >= date '1996-12-01' and d < date '1997-01-01')")
+    out = rewrite("select * from o where extract(month from d) = 3 "
+                  "and extract(year from d) = 1996")
+    assert out.endswith("(d >= date '1996-03-01' and d < date '1996-04-01')")
+    # different columns: year range + month residual
+    out = rewrite("select * from o where extract(year from d) = 1996 "
+                  "and extract(month from x) = 3")
+    assert "d >= date '1996-01-01'" in out \
+        and "extract(month from x) = 3" in out
+    # invalid month: year range still lands, month stays residual
+    out = rewrite("select * from o where extract(month from d) = 13 "
+                  "and extract(year from d) = 1996")
+    assert "extract(month from d) = 13" in out \
+        and "d >= date '1996-01-01'" in out
+    # trailing conjuncts survive
+    out = rewrite("select * from o where extract(year from d) = 1996 "
+                  "and extract(month from d) = 3 and k = 1")
+    assert out.endswith("and k = 1") and "'1996-03-01'" in out
