@@ -195,18 +195,32 @@ def _dr_year_range(col: str, op: str, year: int,
 
 
 _DR_FLOOR = re.compile(
-    rf"\bfloor\s*\(\s*([\w.]+)\s+to\s+(year|quarter|month|day|hour)\s*\)"
+    rf"\b(floor|ceil|ceiling)\s*\(\s*([\w.]+)\s+to\s+"
+    rf"(year|quarter|month|day|hour)\s*\)"
     rf"\s*{_DR_CMP}\s*(date|timestamp)\s+"
     f"'{_LIT_SENTINEL}(\\d+){_LIT_SENTINEL}'", re.I)
 _DR_FLOOR_FLIP = re.compile(
     rf"\b(date|timestamp)\s+'{_LIT_SENTINEL}(\d+){_LIT_SENTINEL}'"
     rf"\s*{_DR_CMP}\s*"
-    r"floor\s*\(\s*([\w.]+)\s+to\s+(year|quarter|month|day|hour)\s*\)",
+    r"(floor|ceil|ceiling)\s*\(\s*([\w.]+)\s+to\s+"
+    r"(year|quarter|month|day|hour)\s*\)",
     re.I)
 
+_DR_UNIT_PREV = {
+    "year": lambda d: d.replace(year=d.year - 1),
+    "quarter": lambda d: d.replace(
+        year=d.year - (1 if d.month <= 3 else 0),
+        month=(d.month - 4) % 12 + 1),
+    "month": lambda d: d.replace(
+        year=d.year - (1 if d.month == 1 else 0),
+        month=(d.month - 2) % 12 + 1),
+    "day": None,
+    "hour": None,
+}
 
-def _dr_floor_range(col: str, unit: str, op: str, kw: str, raw: str,
-                    lits: "list[str]") -> "str | None":
+
+def _dr_floor_range(fn: str, col: str, unit: str, op: str, kw: str,
+                    raw: str, lits: "list[str]") -> "str | None":
     import datetime as _dt
 
     try:
@@ -224,10 +238,12 @@ def _dr_floor_range(col: str, unit: str, op: str, kw: str, raw: str,
              "hour": val.replace(minute=0, second=0, microsecond=0),
              }[unit]
     if trunc != val:
-        return None  # unaligned literal: leave the FLOOR form alone
-    nxt = _DR_UNIT_NEXT[unit]
+        return None  # unaligned literal: leave the FLOOR/CEIL form alone
+    nxt, prv = _DR_UNIT_NEXT[unit], _DR_UNIT_PREV[unit]
     upper = (nxt(val) if nxt
              else val + _dt.timedelta(**{f"{unit}s": 1}))
+    lower = (prv(val) if prv
+             else val - _dt.timedelta(**{f"{unit}s": 1}))
     fmt = "%Y-%m-%d" if kw.lower() == "date" else "%Y-%m-%d %H:%M:%S"
     if kw.lower() == "date" and unit == "hour":
         return None  # an hour bound is not representable as DATE
@@ -236,16 +252,30 @@ def _dr_floor_range(col: str, unit: str, op: str, kw: str, raw: str,
         lits.append(d.strftime(fmt))
         return f"{kw} '{_LIT_SENTINEL}{len(lits) - 1}{_LIT_SENTINEL}'"
 
+    if fn == "floor":
+        if op == "=":
+            return f"({col} >= {lit(val)} and {col} < {lit(upper)})"
+        if op == ">=":
+            return f"{col} >= {lit(val)}"
+        if op == ">":
+            return f"{col} >= {lit(upper)}"
+        if op == "<":
+            return f"{col} < {lit(val)}"
+        if op == "<=":
+            return f"{col} < {lit(upper)}"
+        return None
+    # CEIL: a value already on the boundary is its own ceiling
+    # (SqlStdOperatorTable.java:1773-1778), so ceil(x)=L ⟺ L-u < x ≤ L
     if op == "=":
-        return f"({col} >= {lit(val)} and {col} < {lit(upper)})"
+        return f"({col} > {lit(lower)} and {col} <= {lit(val)})"
     if op == ">=":
-        return f"{col} >= {lit(val)}"
+        return f"{col} > {lit(lower)}"
     if op == ">":
-        return f"{col} >= {lit(upper)}"
+        return f"{col} > {lit(val)}"
     if op == "<":
-        return f"{col} < {lit(val)}"
+        return f"{col} <= {lit(lower)}"
     if op == "<=":
-        return f"{col} < {lit(upper)}"
+        return f"{col} <= {lit(val)}"
     return None
 
 
@@ -311,14 +341,16 @@ def _rewrite_date_ranges(text: str, lits: "list[str]") -> str:
         return out if out is not None else m.group(0)
 
     def flo(m: "re.Match[str]") -> str:
+        fn = "floor" if m.group(1).lower() == "floor" else "ceil"
         out = _dr_floor_range(
-            m.group(1), m.group(2).lower(), m.group(3),
-            m.group(4), lits[int(m.group(5))], lits)
+            fn, m.group(2), m.group(3).lower(), m.group(4),
+            m.group(5), lits[int(m.group(6))], lits)
         return out if out is not None else m.group(0)
 
     def flo_flip(m: "re.Match[str]") -> str:
+        fn = "floor" if m.group(4).lower() == "floor" else "ceil"
         out = _dr_floor_range(
-            m.group(4), m.group(5).lower(), _DR_FLIP[m.group(3)],
+            fn, m.group(5), m.group(6).lower(), _DR_FLIP[m.group(3)],
             m.group(1), lits[int(m.group(2))], lits)
         return out if out is not None else m.group(0)
 
@@ -2245,8 +2277,8 @@ def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
     text = re.sub(r"\)\s+second\b(?!\s*\()", ")", text, flags=re.I)
     # date-part predicates → sargable ranges BEFORE the generic
     # FLOOR-to-unit rewrite consumes the FLOOR comparison forms
-    if re.search(r"\bextract\s*\(\s*year\b|\byear\s*\(|\bfloor\s*\(",
-                 text, re.I):
+    if re.search(r"\bextract\s*\(\s*(year|month)\b|\byear\s*\("
+                 r"|\b(floor|ceil|ceiling)\s*\(", text, re.I):
         text = _rewrite_date_ranges(text, _lits)
     text = _rewrite_floor_to(text)
     if re.search(r"\btumble", text, re.I):

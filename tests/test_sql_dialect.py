@@ -613,3 +613,65 @@ def test_date_range_rewrite_year_month_conjunction():
     out = rewrite("select * from o where extract(year from d) = 1996 "
                   "and extract(month from d) = 3 and k = 1")
     assert out.endswith("and k = 1") and "'1996-03-01'" in out
+
+
+def test_date_range_rewrite_ceil_aligned():
+    """CEIL(ts TO unit) vs an ALIGNED literal becomes a half-open range
+    from the other side (a value on the boundary is its own ceiling,
+    SqlStdOperatorTable.java:1773-1778); unaligned falls back to the
+    already-aligned-guard CASE form."""
+    out = rewrite("select * from t where ceil(ts to month) = "
+                  "timestamp '1996-03-01 00:00:00'")
+    assert out.endswith("(ts > timestamp '1996-02-01 00:00:00' "
+                        "and ts <= timestamp '1996-03-01 00:00:00')")
+    assert rewrite("select * from t where ceil(ts to day) >= "
+                   "date '1996-03-02'").endswith("ts > date '1996-03-01'")
+    assert rewrite("select * from t where date '1996-03-02' > "
+                   "ceiling(ts to day)").endswith("ts <= date '1996-03-01'")
+    # January wraps the previous year for the lower bound
+    out = rewrite("select * from t where ceil(ts to month) = "
+                  "timestamp '1996-01-01 00:00:00'")
+    assert "'1995-12-01 00:00:00'" in out
+    # unaligned / projection / numeric ceil: untouched by the range pass
+    out = rewrite("select * from t where ceil(ts to month) = "
+                  "timestamp '1996-03-02 00:00:00'")
+    assert "case when" in out
+    q = "select * from t where ceil(x) = 5"
+    assert rewrite(q) == q
+
+
+def test_date_range_rewrite_semantics_on_data(spark):
+    """The sargable ranges must return EXACTLY the rows the original
+    date-part predicates return, on real data, for every rewritten
+    comparison shape (the rewrite is a semantics-preserving rule, not
+    just a plan improvement)."""
+    from drill_calcite_spark.catalog import register_tables
+    from drill_calcite_spark.sql import calcite_sql
+    from tests.conftest import SMALL_SF_DIR
+
+    register_tables(spark, SMALL_SF_DIR)
+    pairs = [
+        ("extract(year from o_orderdate) = 1996",
+         "year(o_orderdate) = 1996"),
+        ("extract(year from o_orderdate) <= 1996",
+         "year(o_orderdate) <= 1996"),
+        ("1997 < extract(year from o_orderdate)",
+         "year(o_orderdate) > 1997"),
+        ("extract(year from o_orderdate) = 1996 "
+         "and extract(month from o_orderdate) = 12",
+         "year(o_orderdate) = 1996 and month(o_orderdate) = 12"),
+        ("floor(o_orderdate to month) = timestamp '1996-03-01 00:00:00'",
+         "date_trunc('MONTH', o_orderdate) = "
+         "timestamp '1996-03-01 00:00:00'"),
+        ("ceil(o_orderdate to month) = timestamp '1996-03-01 00:00:00'",
+         "(o_orderdate > timestamp '1996-02-01' and "
+         "o_orderdate <= timestamp '1996-03-01')"),
+    ]
+    for calcite_pred, spark_pred in pairs:
+        got = calcite_sql(
+            spark, f"select count(*) as n from orders "
+                   f"where {calcite_pred}").collect()[0].n
+        want = spark.sql(
+            f"select count(*) as n from orders "
+            f"where {spark_pred}").collect()[0].n
+        assert got == want and want > 0, (calcite_pred, got, want)
