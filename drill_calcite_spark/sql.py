@@ -311,7 +311,46 @@ def _dr_month_range(col: str, year: int, month: int,
             f"and {col} < {lit(ny, nm)})")
 
 
+_DR_BETWEEN = re.compile(
+    r"\b(?:extract\s*\(\s*year\s+from\s+([\w.]+)\s*\)|year\s*\(\s*([\w.]+)\s*\))"
+    r"\s+between\s+(\d{1,4})\s+and\s+(\d{1,4})(?![\w.])", re.I)
+_DR_IN = re.compile(
+    r"\b(?:extract\s*\(\s*year\s+from\s+([\w.]+)\s*\)|year\s*\(\s*([\w.]+)\s*\))"
+    r"\s+in\s*\(\s*(\d{1,4}(?:\s*,\s*\d{1,4})*)\s*\)", re.I)
+
+
 def _rewrite_date_ranges(text: str, lits: "list[str]") -> str:
+    def between(m: "re.Match[str]") -> str:
+        col, lo, hi = m.group(1) or m.group(2), int(m.group(3)), \
+            int(m.group(4))
+        if not (1 <= lo <= hi <= 9998):
+            return m.group(0)
+        a = _dr_year_range(col, ">=", lo, lits)
+        b = _dr_year_range(col, "<=", hi, lits)
+        return f"({a} and {b})"
+
+    def inlist(m: "re.Match[str]") -> str:
+        col = m.group(1) or m.group(2)
+        years = sorted({int(y) for y in re.split(r"\s*,\s*", m.group(3))})
+        if not all(1 <= y <= 9998 for y in years):
+            return m.group(0)
+        # adjacent years coalesce into one range; disjoint years become
+        # an OR of ranges (parquet pushes Or(And(...), ...) filters)
+        parts, i = [], 0
+        while i < len(years):
+            j = i
+            while j + 1 < len(years) and years[j + 1] == years[j] + 1:
+                j += 1
+            a = _dr_year_range(col, ">=", years[i], lits)
+            b = _dr_year_range(col, "<=", years[j], lits)
+            parts.append(f"({a} and {b})")
+            i = j + 1
+        return parts[0] if len(parts) == 1 else \
+            "(" + " or ".join(parts) + ")"
+
+    text = _DR_BETWEEN.sub(between, text)
+    text = _DR_IN.sub(inlist, text)
+
     def ym(m: "re.Match[str]") -> str:
         if m.group(1).lower() != m.group(3).lower():
             return m.group(0)  # different columns: not one range

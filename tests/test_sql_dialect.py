@@ -666,6 +666,10 @@ def test_date_range_rewrite_semantics_on_data(spark):
         ("ceil(o_orderdate to month) = timestamp '1996-03-01 00:00:00'",
          "(o_orderdate > timestamp '1996-02-01' and "
          "o_orderdate <= timestamp '1996-03-01')"),
+        ("extract(year from o_orderdate) between 1996 and 1997",
+         "year(o_orderdate) between 1996 and 1997"),
+        ("extract(year from o_orderdate) in (1995, 1997)",
+         "year(o_orderdate) in (1995, 1997)"),
     ]
     for calcite_pred, spark_pred in pairs:
         got = calcite_sql(
@@ -675,3 +679,21 @@ def test_date_range_rewrite_semantics_on_data(spark):
             f"select count(*) as n from orders "
             f"where {spark_pred}").collect()[0].n
         assert got == want and want > 0, (calcite_pred, got, want)
+
+
+def test_date_range_rewrite_between_and_in():
+    """BETWEEN folds to one range; IN-lists coalesce adjacent years and
+    become an OR of ranges otherwise (parquet pushes Or(And(...)));
+    NOT forms stay verbatim."""
+    out = rewrite(
+        "select * from o where extract(year from d) between 1996 and 1998")
+    assert out.endswith("(d >= date '1996-01-01' and d < date '1999-01-01')")
+    out = rewrite("select * from o where year(d) in (1996, 1997, 1998)")
+    assert out.endswith("(d >= date '1996-01-01' and d < date '1999-01-01')")
+    out = rewrite(
+        "select * from o where extract(year from d) in (1995, 1997, 2000)")
+    assert out.count(" or ") == 2 and "'1998-01-01'" in out
+    q = "select * from o where extract(year from d) not in (1996, 1997)"
+    assert rewrite(q) == q
+    q = "select * from o where extract(year from d) not between 1996 and 1998"
+    assert rewrite(q) == q
