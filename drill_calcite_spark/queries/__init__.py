@@ -77,6 +77,11 @@ _NEXT_ROUND_HEAD: list[str] = [
     # the reversed way round) unifies with the registered join tile by
     # canonical signature; same overflow reason; 3-SF parity + plan
     # pin committed
+    "sketch_cms_grouped_merge",  # NEW r13: per-source CMS cellwise-sum
+    # merge proven end to end against the single-build oracle,
+    # completing the grouped-merge triad (quantile/HLL/CMS); same
+    # overflow reason; 3-SF parity + document-epoch non-vacuousness
+    # test committed
 ]
 
 _DRIVER_PRIORITY = [

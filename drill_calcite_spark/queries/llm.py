@@ -3040,7 +3040,7 @@ def sketch_hll_grouped_merge(spark: SparkSession,
             .drop("t_et"))
 
 
-@q("sketch_cms_grouped", f"""
+_CMS_GROUPED_ORACLE = f"""
 WITH wf AS (
   SELECT source, w, CAST(count(*) AS BIGINT) AS freq FROM (
     SELECT source,
@@ -3072,7 +3072,10 @@ SELECT source, w AS token, freq AS true_n,
        CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est_n
 FROM probes LEFT JOIN sk USING (source, j, bucket)
 GROUP BY source, w, freq
-""")
+"""
+
+
+@q("sketch_cms_grouped", _CMS_GROUPED_ORACLE)
 def sketch_cms_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PER-GROUP CMS frequency sketches (r12) — completes the grouped
     sketch triad (quantile r11, HLL r11, CMS r12): one 3×64 counter
@@ -3102,6 +3105,53 @@ def sketch_cms_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = bounded_group_topk(
         wf, ["source"], [F.col("freq").desc(), F.col("tok").asc()], 5)
     est = cms_estimate_grouped(sk, ["source"],
+                               top.select("source", "tok"), "tok")
+    return (top.join(est, ["source", "tok"])
+            .select("source", F.col("tok").alias("token"),
+                    F.col("freq").alias("true_n"),
+                    F.col("est_n").cast("bigint").alias("est_n")))
+
+
+@q("sketch_cms_grouped_merge", _CMS_GROUPED_ORACLE)
+def sketch_cms_grouped_merge(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """GROUPED-CMS MERGE battery (r13) — completes the grouped-merge
+    triad (quantile cellwise-sum r12, HLL register-max r12, CMS
+    cellwise-sum now): per-source counter matrices are built over two
+    DISJOINT document epochs (even/odd doc_id — the daily-build
+    pattern) SEPARATELY, merged by per-(source, j, bucket) addition
+    (operators/sketch.py cms_merge_grouped — counters are linear), and
+    the merged sketch is probed with the full corpus's top-5 heavy
+    hitters per source. The oracle is the single-build replay over the
+    whole corpus — the same SQL backing sketch_cms_grouped — so the
+    driver hash proves ``merge(build(A), build(B)) ≡ build(A∪B)`` cell
+    for cell, collision overestimates included. Non-vacuousness (both
+    epochs non-empty, epoch sketches differ) is pinned in
+    tests/test_llm.py. Scale: the incremental frequency-telemetry
+    path — each epoch's build collapses map-side to ≤ d×w cells per
+    source, the merge aggregates sketch-sized inputs, history is never
+    re-read."""
+    from drill_calcite_spark.operators.sketch import (
+        cms_estimate_grouped, cms_merge_grouped, cms_sketch_grouped)
+
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = t(spark, sf_dir, "documents").repartition(n, F.col("doc_id"))
+    wf_all = (docs.select("doc_id", "source",
+                          F.explode(tokens(F.col("text"))).alias("tok")))
+
+    def epoch_sketch(parity: int) -> DataFrame:
+        wf = (wf_all.filter(F.col("doc_id") % 2 == parity)
+              .groupBy("source", "tok")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("freq")))
+        return cms_sketch_grouped(wf, ["source"], "tok", "freq")
+
+    merged = cms_merge_grouped(["source"], epoch_sketch(0),
+                               epoch_sketch(1))
+    full = (wf_all.groupBy("source", "tok")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("freq")))
+    top = bounded_group_topk(
+        full, ["source"], [F.col("freq").desc(), F.col("tok").asc()], 5)
+    est = cms_estimate_grouped(merged, ["source"],
                                top.select("source", "tok"), "tok")
     return (top.join(est, ["source", "tok"])
             .select("source", F.col("tok").alias("token"),

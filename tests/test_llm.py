@@ -977,3 +977,28 @@ def test_cms_grouped_merge_property(spark):
               for r in cms_merge_grouped(["event_type"], parts["a"],
                                          parts["b"]).collect()}
     assert merged == full, "grouped CMS merge != union build"
+
+
+def test_cms_grouped_merge_row_epochs_non_vacuous(spark):
+    """sketch_cms_grouped_merge (r13): the driver row's two DOCUMENT
+    epochs (even/odd doc_id) must both be non-empty and produce
+    different per-source sketches — otherwise its merge ≡ single-build
+    hash identity would be vacuous."""
+    from drill_calcite_spark.operators.sketch import cms_sketch_grouped
+    from drill_calcite_spark.queries.common import t
+    from drill_calcite_spark.queries.llm import tokens
+    from tests.conftest import SF_DIR
+
+    wf_all = (t(spark, SF_DIR, "documents")
+              .select("doc_id", "source",
+                      F.explode(tokens(F.col("text"))).alias("tok")))
+    cells = {}
+    for parity in (0, 1):
+        wf = (wf_all.filter(F.col("doc_id") % 2 == parity)
+              .groupBy("source", "tok")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("freq")))
+        sk = cms_sketch_grouped(wf, ["source"], "tok", "freq")
+        cells[parity] = {(r.source, r.j, r.bucket): r.cnt
+                         for r in sk.collect()}
+        assert cells[parity], f"epoch {parity} sketch empty"
+    assert cells[0] != cells[1], "document epoch sketches identical"
