@@ -8,8 +8,9 @@ plan/SubstitutionVisitor.java:120. The user's SQL never names the view;
 the planner proves the view subsumes the query and swaps the scan.
 Spark/Catalyst has no such rule, so this module ports the DECIDABLE
 subset our tile registry already rewrites through the builder API
-(plans/materialized.py): single-table GROUP-BY aggregates over a
-conjunction of simple comparison atoms.
+(plans/materialized.py): GROUP-BY aggregates over one table or an
+INNER equi-join chain, filtered by a conjunction of simple comparison
+atoms.
 
 The parser is deliberately closed-world: any construct outside the
 shape below makes ``try_substitute`` return None and the statement
