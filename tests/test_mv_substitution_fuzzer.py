@@ -1,0 +1,99 @@
+"""Property fuzzer for the front-door MV substitution layer
+(plans/sql_substitution.py): random (tile, query) pairs where the tile
+provably serves the query — random dim supersets, stored-measure
+subsets (including NULL-bearing avg/count re-aggregation), residual
+atoms on tile dims — must (a) actually substitute (inputFiles = tile
+only) and (b) return EXACTLY what spark.sql returns for the same text
+over the base view. The closed-world parser and the rollup algebra are
+both under test; a silent fall-through counts as a failure because the
+whole point is that a serveable query never pays the base scan."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+_MEASURE_SPACE = [("sum", "v"), ("min", "v"), ("max", "v"),
+                  ("avg", "v"), ("count", "v")]
+
+
+@pytest.fixture(scope="module")
+def _env(spark, tmp_path_factory):
+    # NULLs in v exercise the per-column count re-aggregation; two dims
+    # with skewed cardinality exercise rollup grain changes
+    rows = [(f"g{i % 3}", f"s{i % 5}",
+             None if i % 7 == 0 else float(i % 11) - 3.0)
+            for i in range(60)]
+    base = spark.createDataFrame(rows, "k1 string, k2 string, v double")
+    base.createOrReplaceTempView("mvf")
+    return spark, base, tmp_path_factory.mktemp("mvf_tiles")
+
+
+_TILES: dict = {}
+
+
+def _tile_for(env, dims: tuple, ops: tuple, where: tuple):
+    """One registry per distinct tile config, cached — tile builds are
+    the expensive step, and identical configs must behave identically."""
+    from drill_calcite_spark.plans.materialized import MaterializedViews
+
+    spark, base, root = env
+    key = (dims, ops, where)
+    if key not in _TILES:
+        mvs = MaterializedViews(spark)
+        mvs.create(f"t{len(_TILES)}", "mvf", base, list(dims),
+                   [(op, col) for op, col in ops],
+                   str(root / f"tile{len(_TILES)}"),
+                   where=list(where) or None)
+        _TILES[key] = mvs
+    return _TILES[key]
+
+
+@st.composite
+def _cases(draw):
+    tile_dims = tuple(draw(st.sampled_from(
+        [("k1",), ("k2",), ("k1", "k2")])))
+    q_dims = tuple(d for d in tile_dims
+                   if draw(st.booleans())) or (tile_dims[0],)
+    stored = tuple(sorted(draw(st.sets(
+        st.sampled_from(_MEASURE_SPACE), min_size=1, max_size=4))))
+    # query measures: any stored subset, count(*) always available
+    q_meas = [(op, col) for op, col in stored if draw(st.booleans())]
+    if not q_meas or draw(st.booleans()):
+        q_meas.append(("count", "*"))
+    # optional residual atom on a QUERY-VISIBLE tile dim
+    atom = None
+    if draw(st.booleans()):
+        col = draw(st.sampled_from(sorted(tile_dims)))
+        val = draw(st.sampled_from(
+            ["g0", "g1", "g2"] if col == "k1" else ["s0", "s1", "s4"]))
+        atom = (col, draw(st.sampled_from(["=", "<", ">="])), val)
+    return tile_dims, stored, q_dims, q_meas, atom
+
+
+@settings(max_examples=30, deadline=None)
+@given(case=_cases())
+def test_substitution_equivalence(_env, case):
+    from drill_calcite_spark.plans.sql_substitution import try_substitute
+
+    spark, _base, _root = _env
+    tile_dims, stored, q_dims, q_meas, atom = case
+    mvs = _tile_for(_env, tile_dims, stored, ())
+
+    sel = list(q_dims) + [
+        f"{op}({col}) as m{i}" for i, (op, col) in enumerate(q_meas)]
+    where = ""
+    if atom is not None:
+        col, op, val = atom
+        where = f" where {col} {op} '{val}'"
+    text = (f"select {', '.join(sel)} from mvf{where} "
+            f"group by {', '.join(q_dims)}")
+
+    out = try_substitute(spark, text, mvs)
+    assert out is not None, f"serveable query fell through: {text}"
+    files = out.inputFiles()
+    assert files and all("tile" in f for f in files), \
+        f"substitution paid the base scan: {text}"
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, spark.sql(text).collect()))
+    assert got == want, (text, got, want)
