@@ -3,6 +3,8 @@ fallback, and avg derivation."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from drill_calcite_spark.plans.materialized import MaterializedViews
 
 
@@ -377,3 +379,36 @@ def test_sql_join_substitution_unifies_reversed_keys(spark, tmp_path):
     assert try_substitute(
         spark, "SELECT grp, sum(v) AS s FROM lt JOIN lt l2 "
                "ON id = rid GROUP BY grp", mvs) is None
+
+
+def test_sql_substitution_follows_incremental_refresh(spark, tmp_path):
+    """Front door × incremental refresh: after a delta batch is merged
+    (which REPOINTS the tile to a new versioned snapshot), the same SQL
+    must be served from the NEW tile version and reflect the delta —
+    the registry handle, not a stale path, is what the door consults."""
+    from drill_calcite_spark.plans.materialized import MaterializedViews
+    from drill_calcite_spark.plans.sql_substitution import try_substitute
+
+    base = _base(spark)
+    base.createOrReplaceTempView("t")
+    mvs = MaterializedViews(spark)
+    mvs.create("tile", "t", base, ["k", "sub"],
+               [("sum", "v"), ("min", "v")], str(tmp_path / "tile"))
+    text = "SELECT k, sum(v) AS s, min(v) AS lo FROM t GROUP BY k"
+    before = {r.k: (r.s, r.lo)
+              for r in try_substitute(spark, text, mvs).collect()}
+
+    delta = spark.createDataFrame(
+        [("a", "z", 0.5), ("c", "x", 7.0)], "k string, sub string, v double")
+    mvs.incremental_refresh("tile", delta)
+    out = try_substitute(spark, text, mvs)
+    assert out is not None
+    files = out.inputFiles()
+    assert files and all("__v1" in f for f in files), \
+        "door served a stale tile version"
+    got = {r.k: (r.s, r.lo) for r in out.collect()}
+    assert got != before, "delta invisible through the front door"
+    full = {r.k: (r.s, r.lo) for r in base.unionByName(delta)
+            .groupBy("k").agg(F.sum("v").alias("s"), F.min("v").alias("lo"))
+            .collect()}
+    assert got == full, "refreshed tile diverges from base+delta"
