@@ -149,8 +149,9 @@ _CEIL_STEP = {
 # original predicate is still correct, just not sargable, matching the
 # rule's conservative posture.
 
-_DR_CMP = r"(=|<=|>=|<|>)"
-_DR_FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "="}
+_DR_CMP = r"(<>|!=|<=|>=|=|<|>)"
+_DR_FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "=",
+            "<>": "<>", "!=": "!="}
 
 _DR_EXTRACT = re.compile(
     rf"\b(?:extract\s*\(\s*year\s+from\s+([\w.]+)\s*\)|year\s*\(\s*([\w.]+)\s*\))"
@@ -191,6 +192,11 @@ def _dr_year_range(col: str, op: str, year: int,
         return f"{col} < {lit(year)}"
     if op == "<=":
         return f"{col} < {lit(year + 1)}"
+    if op in ("<>", "!="):
+        # Calcite's Sarg form: the complement of one year is TWO ranges,
+        # and parquet pushes Or(LessThan, GreaterThanOrEqual) fine. 3VL
+        # holds: a NULL column makes both sides NULL, like the extract.
+        return f"({col} < {lit(year)} or {col} >= {lit(year + 1)})"
     return None
 
 
@@ -263,6 +269,8 @@ def _dr_floor_range(fn: str, col: str, unit: str, op: str, kw: str,
             return f"{col} < {lit(val)}"
         if op == "<=":
             return f"{col} < {lit(upper)}"
+        if op in ("<>", "!="):
+            return f"({col} < {lit(val)} or {col} >= {lit(upper)})"
         return None
     # CEIL: a value already on the boundary is its own ceiling
     # (SqlStdOperatorTable.java:1773-1778), so ceil(x)=L ⟺ L-u < x ≤ L
@@ -276,6 +284,8 @@ def _dr_floor_range(fn: str, col: str, unit: str, op: str, kw: str,
         return f"{col} <= {lit(lower)}"
     if op == "<=":
         return f"{col} <= {lit(val)}"
+    if op in ("<>", "!="):
+        return f"({col} <= {lit(lower)} or {col} > {lit(val)})"
     return None
 
 

@@ -31,7 +31,8 @@ _ROWS = sorted(set(_ROWS))
 
 _OPS = {"=": lambda a, b: a == b, "<": lambda a, b: a < b,
         "<=": lambda a, b: a <= b, ">": lambda a, b: a > b,
-        ">=": lambda a, b: a >= b}
+        ">=": lambda a, b: a >= b, "<>": lambda a, b: a != b,
+        "!=": lambda a, b: a != b}
 
 _UNIT_TRUNC = {
     "year": lambda d: d.replace(month=1, day=1, hour=0, minute=0,

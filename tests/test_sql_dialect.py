@@ -552,7 +552,16 @@ def test_date_range_rewrite_extract_year():
     assert rewrite(q) == q
     q = "select * from o where extract(month from d) = 3"
     assert rewrite(q) == q
-    q = "select * from o where extract(year from d) <> 1996"
+    # <> becomes the two-range Sarg complement (r13 late): parquet
+    # pushes Or(LessThan, GreaterThanOrEqual)
+    out = rewrite("select * from o where extract(year from d) <> 1996")
+    assert out.endswith(
+        "(d < date '1996-01-01' or d >= date '1997-01-01')")
+    out = rewrite("select * from t where ceil(ts to month) != "
+                  "timestamp '1996-03-01 00:00:00'")
+    assert out.endswith("(ts <= timestamp '1996-02-01 00:00:00' "
+                        "or ts > timestamp '1996-03-01 00:00:00')")
+    q = "select * from o where a <> b"
     assert rewrite(q) == q
     q = "select * from o where extract(year from d) = 9999"
     assert rewrite(q) == q
