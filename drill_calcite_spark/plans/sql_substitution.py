@@ -24,11 +24,17 @@ Supported statement shape (whitespace-insensitive, case-insensitive):
     FROM table [JOIN table ON col = col [AND col = col ...] ...]
     [WHERE atom [AND atom ...]]
     GROUP BY col [, col ...]
+    [HAVING agg(col|*) cmp number [AND ...]]
 
     item ::= col [AS alias]
            | sum|count|min|max|avg ( col | * ) AS alias
     atom ::= col (= | < | <= | > | >=) literal
     literal ::= number | 'string' | DATE 'lit' | TIMESTAMP 'lit'
+
+HAVING conjuncts must themselves be tile-servable aggregates — they
+join the find_tile measure probe as hidden columns and are applied as
+a filter ABOVE the rollup, exactly where Calcite leaves the HAVING
+when it unifies the aggregate underneath it.
 
 An INNER equi-join chain is looked up by its canonical join signature
 (sorted tables + sorted key pairs, key qualifiers stripped) — the same
@@ -57,6 +63,7 @@ from pyspark.sql import functions as F
 from drill_calcite_spark.plans.materialized import (
     Atom,
     MaterializedViews,
+    _atom_cond,
     _conj,
 )
 
@@ -72,7 +79,8 @@ _FROM_CHAIN = (
 _SHAPE = re.compile(
     rf"^\s*select\s+(?P<select>.+?)\s+from\s+(?P<from>{_FROM_CHAIN})"
     r"(?:\s+where\s+(?P<where>.+?))?"
-    r"\s+group\s+by\s+(?P<group>[\w\s,.]+?)\s*;?\s*$",
+    r"\s+group\s+by\s+(?P<group>[\w\s,.]+?)"
+    r"(?:\s+having\s+(?P<having>.+?))?\s*;?\s*$",
     re.I | re.S)
 
 _JOIN_STEP = re.compile(
@@ -90,13 +98,21 @@ _ATOM = re.compile(
     r"^([a-z_]\w*)\s*(<=|>=|=|<|>)\s*"
     r"(?:(?:date|timestamp)\s+)?('(?:[^']|'')*'|-?\d+(?:\.\d+)?)$", re.I)
 
+# HAVING conjunct: a servable aggregate compared to a numeric literal —
+# Calcite applies HAVING above the rewritten aggregate, so the tile
+# path applies it post-rollup (AggregateFilterTransposeRule territory;
+# the aggregate itself must be computable from stored measures)
+_HAVING_ATOM = re.compile(
+    rf"^({'|'.join(_AGG_OPS)})\s*\(\s*(\*|[a-z_]\w*)\s*\)"
+    r"\s*(<=|>=|=|<|>)\s*(-?\d+(?:\.\d+)?)$", re.I)
+
 # constructs that disqualify a statement outright (sub-queries, set
 # ops, post-aggregate clauses, outer joins) — probed before the shape
 # match so a HAVING/ORDER BY can never be silently swallowed into the
 # GROUP BY list
 _DISQUALIFY = re.compile(
     r"\(\s*select\b|\bunion\b|\bintersect\b|\bexcept\b|"
-    r"\bhaving\b|\border\s+by\b|\blimit\b|\bdistinct\b|\bover\s*\(|"
+    r"\border\s+by\b|\blimit\b|\bdistinct\b|\bover\s*\(|"
     r"\b(?:left|right|full|cross|outer|semi|anti)\s+join\b|"
     r"\bor\b", re.I)
 
@@ -197,7 +213,18 @@ def _parse(text: str):
                 return None
             atoms.append((am.group(1), am.group(2),
                           _parse_literal(am.group(3))))
-    return table, group_cols, measures, atoms, items
+    havings: list[tuple[str, str, str, float]] = []
+    if m.group("having"):
+        for part in re.split(r"\band\b", m.group("having"), flags=re.I):
+            hm = _HAVING_ATOM.match(part.strip())
+            if not hm:
+                return None
+            op, col = hm.group(1).lower(), hm.group(2)
+            if col == "*" and op != "count":
+                return None
+            havings.append((op, col, hm.group(3),
+                            float(hm.group(4))))
+    return table, group_cols, measures, atoms, items, havings
 
 
 def try_substitute(spark: SparkSession, text: str,
@@ -208,8 +235,12 @@ def try_substitute(spark: SparkSession, text: str,
     parsed = _parse(text)
     if parsed is None:
         return None
-    table, group_cols, measures, atoms, items = parsed
-    hit = mvs.find_tile(table, group_cols, measures, atoms)
+    table, group_cols, measures, atoms, items, havings = parsed
+    # HAVING aggregates must also be servable from the tile — probe
+    # find_tile with them included (hidden output columns)
+    hidden = [(f"__h{i}", op, col)
+              for i, (op, col, _cmp, _v) in enumerate(havings)]
+    hit = mvs.find_tile(table, group_cols, measures + hidden, atoms)
     if hit is None:
         return None
     tile, residual = hit
@@ -217,8 +248,10 @@ def try_substitute(spark: SparkSession, text: str,
     if residual:
         tdf = tdf.filter(_conj(residual))
     aggs = [MaterializedViews._rollup_agg(op, col).alias(out)
-            for out, op, col in measures]
+            for out, op, col in measures + hidden]
     rolled = tdf.groupBy(*group_cols).agg(*aggs)
+    for (h, _op, _col), (_o, _c, cmp, val) in zip(hidden, havings):
+        rolled = rolled.filter(_atom_cond((h, cmp, val)))
     final = [F.col(it[1]).alias(it[2]) if it[0] == "dim"
              else F.col(it[3]) for it in items]
     return rolled.select(*final)

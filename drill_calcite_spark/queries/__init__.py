@@ -82,6 +82,11 @@ _NEXT_ROUND_HEAD: list[str] = [
     # completing the grouped-merge triad (quantile/HLL/CMS); same
     # overflow reason; 3-SF parity + document-epoch non-vacuousness
     # test committed
+    "mv_sql_having_substitution",  # NEW r13 (late): HAVING through the
+    # front-door substitution — the gate aggregate rides the tile
+    # probe as a hidden measure and filters above the rollup; same
+    # overflow reason; 3-SF parity + gate-bites-both-ways plan test
+    # committed
 ]
 
 _DRIVER_PRIORITY = [

@@ -1852,6 +1852,63 @@ def mv_sql_join_substitution(spark: SparkSession,
     return out
 
 
+@q("mv_sql_having_substitution", """
+SELECT source,
+       count(*) AS n,
+       sum(length(text))::BIGINT AS total_len
+FROM documents
+GROUP BY source
+HAVING avg(length(text)) > 300.13
+""")
+def mv_sql_having_substitution(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """HAVING through the front-door MV substitution: the per-source
+    document-length tile serves the aggregate AND the HAVING gate —
+    ``avg(len)`` is not in the SELECT list, so it rides the probe as a
+    hidden measure, is derived NULL-aware from the tile's (sum, count)
+    pair, filters the rollup output, and never appears in the result
+    (the placement Calcite leaves a HAVING in when
+    AbstractMaterializedViewRule unifies the aggregate below it). The
+    threshold 300.13 is never exactly representable as an integer
+    length sum over the per-source doc counts, so the comparison can
+    never tie, and the per-source average-length spread straddles it
+    at every SF — the gate provably keeps some sources and cuts others
+    (pinned in tests/test_plan_shapes.py). The sum is exact integer
+    arithmetic in both engines (BIGINT vs HUGEINT::BIGINT), and the
+    avg division is the same exact-sum/count IEEE division on both
+    sides. The inputFiles assertion proves the fact table is never
+    scanned."""
+    import os as _os
+
+    from drill_calcite_spark.plans.materialized import MaterializedViews
+    from drill_calcite_spark.sql import calcite_sql
+
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/spark_graft_fixtures/{tag}/mv_sql_having_tile"
+    docs = (t(spark, sf_dir, "documents")
+            .withColumn("len", F.length("text").cast("bigint")))
+    # the SQL-visible projection view: a user's length column
+    docs.createOrReplaceTempView("docs_len")
+    mvs = MaterializedViews(spark)
+    mvs.create(
+        "docs_len_by_source", "docs_len", docs,
+        dims=["source"],
+        measures=[("sum", "len"), ("avg", "len")],
+        path=path,
+    )
+    out = calcite_sql(spark, """
+        SELECT source,
+               count(*) AS n,
+               sum(len) AS total_len
+        FROM docs_len
+        GROUP BY source
+        HAVING avg(len) > 300.13
+    """, materializations=mvs)
+    assert all("mv_sql_having_tile" in f for f in out.inputFiles()), \
+        "front-door HAVING substitution fell back to the base scan"
+    return out
+
+
 @q("mv_incremental_refresh", """
 SELECT o_orderpriority,
        sum(o_totalprice::DECIMAL(18,6))::DOUBLE AS total,

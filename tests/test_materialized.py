@@ -412,3 +412,40 @@ def test_sql_substitution_follows_incremental_refresh(spark, tmp_path):
             .groupBy("k").agg(F.sum("v").alias("s"), F.min("v").alias("lo"))
             .collect()}
     assert got == full, "refreshed tile diverges from base+delta"
+
+
+def test_sql_substitution_having(spark, tmp_path):
+    """HAVING conjuncts ride the tile probe as hidden measures: a
+    servable HAVING filters the rollup and matches spark.sql exactly;
+    a HAVING whose aggregate the tile does not store, or that is not
+    an aggregate comparison at all, falls through."""
+    from drill_calcite_spark.plans.materialized import MaterializedViews
+    from drill_calcite_spark.plans.sql_substitution import try_substitute
+
+    _base(spark).createOrReplaceTempView("t")
+    mvs = MaterializedViews(spark)
+    mvs.create("htile", "t", _base(spark), ["k", "sub"],
+               [("sum", "v"), ("avg", "v")], str(tmp_path / "htile"))
+
+    text = ("SELECT k, sum(v) AS s FROM t GROUP BY k "
+            "HAVING count(*) > 1 AND avg(v) < 4")
+    out = try_substitute(spark, text, mvs)
+    assert out is not None and all(
+        "htile" in f for f in out.inputFiles())
+    assert {tuple(r) for r in out.collect()} \
+        == {tuple(r) for r in spark.sql(text).collect()}
+    # the hidden HAVING measures must not leak into the output schema
+    assert out.columns == ["k", "s"]
+    # min(v) is not stored → the probe (measures + hidden) must miss
+    assert try_substitute(
+        spark, "SELECT k, sum(v) AS s FROM t GROUP BY k "
+               "HAVING min(v) < 2", mvs) is None
+    # non-aggregate or unsupported HAVING shapes fall through
+    for text in (
+        "SELECT k, sum(v) AS s FROM t GROUP BY k HAVING k = 'a'",
+        "SELECT k, sum(v) AS s FROM t GROUP BY k "
+        "HAVING stddev(v) > 0",
+        "SELECT k, sum(v) AS s FROM t GROUP BY k "
+        "HAVING sum(v) > count(*)",
+    ):
+        assert try_substitute(spark, text, mvs) is None, text

@@ -1476,3 +1476,21 @@ def test_mv_sql_join_substitution_never_reexecutes_join(spark):
     assert "orders.parquet" not in plan and \
         "customer.parquet" not in plan, \
         "base table scanned despite join-MV substitution"
+
+
+def test_mv_sql_having_substitution_gate_bites_both_ways(spark):
+    """Front-door HAVING substitution (r13): the plan scans only the
+    tile, and the HAVING gate is non-vacuous — it keeps SOME sources
+    and cuts OTHERS (a threshold that filtered nothing, or everything,
+    would make the hidden-measure path untested)."""
+    df = entrymod.queries()["mv_sql_having_substitution"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "mv_sql_having_tile" in plan
+    assert "documents.parquet" not in plan, \
+        "fact table scanned despite substitution"
+    kept = {r.source for r in df.collect()}
+    all_sources = {r.source for r in spark.read.parquet(
+        f"{SF_DIR}/documents.parquet").select("source").distinct()
+        .collect()}
+    assert kept and kept < all_sources, \
+        f"HAVING gate vacuous: kept {len(kept)} of {len(all_sources)}"
