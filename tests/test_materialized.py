@@ -298,7 +298,11 @@ def test_sql_substitution_falls_through_out_of_shape(spark, tmp_path):
     for text in (
         "SELECT t.k AS k, count(*) AS n FROM t JOIN t t2 ON t.k = t2.k "
         "GROUP BY t.k",
-        "SELECT k, count(*) AS n FROM t GROUP BY k HAVING count(*) > 1",
+        # a servable HAVING now SUBSTITUTES (r13 late) — only the
+        # non-aggregate-comparison form stays out of shape here; the
+        # positive HAVING path is test_sql_substitution_having
+        "SELECT k, count(*) AS n FROM t GROUP BY k "
+        "HAVING count(*) > sum(v)",
         "SELECT k, count(*) AS n FROM t WHERE sub = 'x' OR sub = 'y' GROUP BY k",
         "SELECT k, sum(v + 1) AS s FROM t GROUP BY k",
         "SELECT k, stddev(v) AS s FROM t GROUP BY k",
