@@ -25,6 +25,7 @@ Supported statement shape (whitespace-insensitive, case-insensitive):
     [WHERE atom [AND atom ...]]
     GROUP BY col [, col ...]
     [HAVING agg(col|*) cmp number [AND ...]]
+    [ORDER BY out_col [ASC|DESC] [, ...]] [LIMIT k]
 
     item ::= col [AS alias]
            | sum|count|min|max|avg ( col | * ) AS alias
@@ -80,8 +81,15 @@ _SHAPE = re.compile(
     rf"^\s*select\s+(?P<select>.+?)\s+from\s+(?P<from>{_FROM_CHAIN})"
     r"(?:\s+where\s+(?P<where>.+?))?"
     r"\s+group\s+by\s+(?P<group>[\w\s,.]+?)"
-    r"(?:\s+having\s+(?P<having>.+?))?\s*;?\s*$",
+    r"(?:\s+having\s+(?P<having>.+?))?"
+    r"(?:\s+order\s+by\s+(?P<order>[\w\s,]+?))?"
+    r"(?:\s+limit\s+(?P<limit>\d+))?\s*;?\s*$",
     re.I | re.S)
+
+# the front door's nulls-high collation rewrite may have annotated the
+# items with explicit NULLS FIRST/LAST before substitution sees them
+_ORDER_ITEM = re.compile(
+    r"^([a-z_]\w*)(?:\s+(asc|desc))?(?:\s+nulls\s+(first|last))?$", re.I)
 
 _JOIN_STEP = re.compile(
     r"\s+join\s+([a-z_]\w*)\s+on\s+(.+?)(?=\s+join\s+|\s*$)",
@@ -112,7 +120,7 @@ _HAVING_ATOM = re.compile(
 # GROUP BY list
 _DISQUALIFY = re.compile(
     r"\(\s*select\b|\bunion\b|\bintersect\b|\bexcept\b|"
-    r"\border\s+by\b|\blimit\b|\bdistinct\b|\bover\s*\(|"
+    r"\bdistinct\b|\bover\s*\(|"
     r"\b(?:left|right|full|cross|outer|semi|anti)\s+join\b|"
     r"\bor\b", re.I)
 
@@ -224,7 +232,22 @@ def _parse(text: str):
                 return None
             havings.append((op, col, hm.group(3),
                             float(hm.group(4))))
-    return table, group_cols, measures, atoms, items, havings
+    # ORDER BY / LIMIT above the aggregate: sort keys must be OUTPUT
+    # columns (dim aliases or measure aliases) — the sort reorders the
+    # rollup result, it never reaches inside the aggregate
+    out_names = {it[2] if it[0] == "dim" else it[3] for it in items}
+    order: list[tuple[str, bool, "str | None"]] = []
+    if m.group("order"):
+        for part in _split_commas(m.group("order")):
+            om = _ORDER_ITEM.match(part.strip())
+            if not om or om.group(1) not in out_names:
+                return None
+            order.append((om.group(1),
+                          (om.group(2) or "asc").lower() == "asc",
+                          om.group(3) and om.group(3).lower()))
+    limit = int(m.group("limit")) if m.group("limit") else None
+    return (table, group_cols, measures, atoms, items, havings,
+            order, limit)
 
 
 def try_substitute(spark: SparkSession, text: str,
@@ -235,7 +258,8 @@ def try_substitute(spark: SparkSession, text: str,
     parsed = _parse(text)
     if parsed is None:
         return None
-    table, group_cols, measures, atoms, items, havings = parsed
+    (table, group_cols, measures, atoms, items, havings,
+     order, limit) = parsed
     # HAVING aggregates must also be servable from the tile — probe
     # find_tile with them included (hidden output columns)
     hidden = [(f"__h{i}", op, col)
@@ -254,4 +278,19 @@ def try_substitute(spark: SparkSession, text: str,
         rolled = rolled.filter(_atom_cond((h, cmp, val)))
     final = [F.col(it[1]).alias(it[2]) if it[0] == "dim"
              else F.col(it[3]) for it in items]
-    return rolled.select(*final)
+    out = rolled.select(*final)
+    if order:
+        def key(c: str, asc: bool, nulls: "str | None"):
+            col = F.col(c)
+            if nulls is None:
+                return col.asc() if asc else col.desc()
+            if asc:
+                return (col.asc_nulls_first() if nulls == "first"
+                        else col.asc_nulls_last())
+            return (col.desc_nulls_first() if nulls == "first"
+                    else col.desc_nulls_last())
+
+        out = out.orderBy(*[key(*o) for o in order])
+    if limit is not None:
+        out = out.limit(limit)
+    return out

@@ -87,6 +87,11 @@ _NEXT_ROUND_HEAD: list[str] = [
     # probe as a hidden measure and filters above the rollup; same
     # overflow reason; 3-SF parity + gate-bites-both-ways plan test
     # committed
+    "mv_sql_topn_substitution",  # NEW r13 (late): ORDER BY output
+    # aliases + LIMIT ride above the tile rollup (the dashboard top-N
+    # shape keeps the substitution; TakeOrderedAndProject over
+    # aggregate-sized rows); same overflow reason; 3-SF parity + plan
+    # pin committed
 ]
 
 _DRIVER_PRIORITY = [

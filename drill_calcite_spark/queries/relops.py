@@ -1909,6 +1909,57 @@ def mv_sql_having_substitution(spark: SparkSession,
     return out
 
 
+@q("mv_sql_topn_substitution", """
+SELECT source,
+       sum(length(text))::BIGINT AS total_len
+FROM documents
+GROUP BY source
+ORDER BY total_len DESC, source
+LIMIT 5
+""")
+def mv_sql_topn_substitution(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """TOP-N through the front-door MV substitution — the dashboard
+    shape (GROUP BY → ORDER BY measure → LIMIT k) keeps the tile
+    rewrite instead of falling back to the fact scan the moment a sort
+    appears: ORDER BY binds to OUTPUT columns above the rollup (where
+    Calcite leaves the Sort when it unifies the aggregate underneath)
+    and the LIMIT makes the returned SET order-dependent, so the
+    driver hash proves ordering AND the cut, not just the aggregate
+    (``source`` is the deterministic tie-break). Catalyst plans the
+    sort+limit over the tile rollup as TakeOrderedAndProject — a top-K
+    heap over aggregate-sized rows, never a global sort of the fact.
+    The inputFiles assertion proves the base table is never scanned."""
+    import os as _os
+
+    from drill_calcite_spark.plans.materialized import MaterializedViews
+    from drill_calcite_spark.sql import calcite_sql
+
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/spark_graft_fixtures/{tag}/mv_sql_topn_tile"
+    docs = (t(spark, sf_dir, "documents")
+            .withColumn("len", F.length("text").cast("bigint")))
+    docs.createOrReplaceTempView("docs_len")
+    mvs = MaterializedViews(spark)
+    mvs.create(
+        "docs_len_topn", "docs_len", docs,
+        dims=["source"],
+        measures=[("sum", "len")],
+        path=path,
+    )
+    out = calcite_sql(spark, """
+        SELECT source,
+               sum(len) AS total_len
+        FROM docs_len
+        GROUP BY source
+        ORDER BY total_len DESC, source
+        LIMIT 5
+    """, materializations=mvs)
+    assert all("mv_sql_topn_tile" in f for f in out.inputFiles()), \
+        "front-door top-N substitution fell back to the base scan"
+    return out
+
+
 @q("mv_incremental_refresh", """
 SELECT o_orderpriority,
        sum(o_totalprice::DECIMAL(18,6))::DOUBLE AS total,

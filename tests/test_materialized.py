@@ -307,7 +307,10 @@ def test_sql_substitution_falls_through_out_of_shape(spark, tmp_path):
         "SELECT k, sum(v + 1) AS s FROM t GROUP BY k",
         "SELECT k, stddev(v) AS s FROM t GROUP BY k",
         "SELECT upper(k) AS k2, count(*) AS n FROM t GROUP BY k2",
-        "SELECT k, count(*) AS n FROM t GROUP BY k ORDER BY n",
+        # ORDER BY an output alias now substitutes (r13 late) — only a
+        # sort key that is NOT an output column name stays out of shape
+        "SELECT k, count(*) AS n FROM t GROUP BY k ORDER BY sum(v)",
+        "SELECT k, count(*) AS n FROM t GROUP BY k ORDER BY max(v) DESC",
         "SELECT DISTINCT k FROM t GROUP BY k",
     ):
         assert try_substitute(spark, text, mvs) is None, text
@@ -453,3 +456,28 @@ def test_sql_substitution_having(spark, tmp_path):
         "HAVING sum(v) > count(*)",
     ):
         assert try_substitute(spark, text, mvs) is None, text
+
+
+def test_sql_substitution_orderby_limit(spark, tmp_path):
+    """ORDER BY output aliases + LIMIT ride above the tile rollup — the
+    dashboard top-N shape keeps the substitution instead of falling
+    back to the fact scan; row ORDER and the LIMIT cut both match
+    spark.sql exactly (deterministic tie-break key included)."""
+    from drill_calcite_spark.plans.sql_substitution import try_substitute
+
+    mvs = _mvs(spark, tmp_path)
+    _base(spark).createOrReplaceTempView("t")
+    text = ("SELECT k, sub, sum(v) AS s FROM t GROUP BY k, sub "
+            "ORDER BY s DESC, k ASC, sub LIMIT 2")
+    out = try_substitute(spark, text, mvs)
+    assert out is not None and all(
+        "tile" in f for f in out.inputFiles())
+    assert [tuple(r) for r in out.collect()] \
+        == [tuple(r) for r in spark.sql(text).collect()]
+    # HAVING + ORDER BY + LIMIT compose
+    text = ("SELECT k, sum(v) AS s FROM t GROUP BY k "
+            "HAVING count(*) > 1 ORDER BY s DESC LIMIT 1")
+    out = try_substitute(spark, text, mvs)
+    assert out is not None
+    assert [tuple(r) for r in out.collect()] \
+        == [tuple(r) for r in spark.sql(text).collect()]

@@ -1494,3 +1494,16 @@ def test_mv_sql_having_substitution_gate_bites_both_ways(spark):
         .collect()}
     assert kept and kept < all_sources, \
         f"HAVING gate vacuous: kept {len(kept)} of {len(all_sources)}"
+
+
+def test_mv_sql_topn_substitution_heap_over_tile(spark):
+    """Front-door top-N substitution (r13): the plan must be a top-K
+    heap (TakeOrderedAndProject) over the TILE rollup — no base scan,
+    no global Sort of anything fact-sized."""
+    df = entrymod.queries()["mv_sql_topn_substitution"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "mv_sql_topn_tile" in plan
+    assert "documents.parquet" not in plan, \
+        "fact table scanned despite substitution"
+    assert "TakeOrderedAndProject" in plan, \
+        "LIMIT+ORDER BY did not plan as a top-K heap"
