@@ -29,8 +29,24 @@ Supported statement shape (whitespace-insensitive, case-insensitive):
 
     item ::= col [AS alias]
            | sum|count|min|max|avg ( col | * ) AS alias
+           | count ( DISTINCT col ) AS alias
     atom ::= col (= | < | <= | > | >=) literal
     literal ::= number | 'string' | DATE 'lit' | TIMESTAMP 'lit'
+
+The WHERE clause may parenthesize groups of conjuncts — OR is
+disqualified up front, so a paren can only group ANDed atoms (the
+shape the front door's DateRangeRules rewrite emits: ``EXTRACT(YEAR
+FROM d) = k`` becomes ``(d >= DATE ... AND d < DATE ...)`` BEFORE the
+substitution probe sees the text) or belong to a function call, whose
+flattened text then fails the atom match and the statement falls
+through untouched.
+
+COUNT(DISTINCT col) is served when ``col`` is a TILE DIM: the tile
+holds one row per (dims) combination, so distinct-counting the dim
+over the rolled group is exactly the base-table distinct count —
+Calcite's AggregateStarTableRule serves COUNT(DISTINCT) from lattice
+tiles the same way (roll up to a grain that still carries the column,
+materialize/Lattice.java:93). Any other DISTINCT form falls through.
 
 HAVING conjuncts must themselves be tile-servable aggregates — they
 join the find_tile measure probe as hidden columns and are applied as
@@ -102,6 +118,13 @@ _AGG_ITEM = re.compile(
 
 _DIM_ITEM = re.compile(r"^([a-z_]\w*)(?:\s+as\s+([a-z_]\w*))?$", re.I)
 
+# COUNT(DISTINCT col) — servable iff col is a tile dim (see module
+# docstring); every other DISTINCT aggregate falls through via the
+# item-parse failure
+_CD_ITEM = re.compile(
+    r"^count\s*\(\s*distinct\s+([a-z_]\w*)\s*\)\s+as\s+([a-z_]\w*)$",
+    re.I)
+
 _ATOM = re.compile(
     r"^([a-z_]\w*)\s*(<=|>=|=|<|>)\s*"
     r"(?:(?:date|timestamp)\s+)?('(?:[^']|'')*'|-?\d+(?:\.\d+)?)$", re.I)
@@ -120,7 +143,7 @@ _HAVING_ATOM = re.compile(
 # GROUP BY list
 _DISQUALIFY = re.compile(
     r"\(\s*select\b|\bunion\b|\bintersect\b|\bexcept\b|"
-    r"\bdistinct\b|\bover\s*\(|"
+    r"\bselect\s+distinct\b|\bover\s*\(|"
     r"\b(?:left|right|full|cross|outer|semi|anti)\s+join\b|"
     r"\bor\b", re.I)
 
@@ -141,6 +164,25 @@ def _split_commas(s: str) -> list[str]:
                 start = i + 1
     out.append(s[start:])
     return [p.strip() for p in out]
+
+
+def _flatten_parens(s: str) -> str:
+    """Blank out parentheses outside string literals. Sound for the
+    supported WHERE shape: OR is disqualified before parsing, so a
+    paren can only (a) group ANDed atoms — removing it preserves the
+    conjunction — or (b) belong to a function call, whose flattened
+    text then fails the _ATOM match and the whole statement falls
+    through (conservative, never misread)."""
+    out, in_q = [], False
+    for ch in s:
+        if ch == "'":
+            in_q = not in_q
+            out.append(ch)
+        elif ch in "()" and not in_q:
+            out.append(" ")
+        else:
+            out.append(ch)
+    return "".join(out)
 
 
 def _parse_literal(tok: str) -> object:
@@ -192,8 +234,13 @@ def _parse(text: str):
             return None
         group_cols.append(g)
     items: list[tuple] = []       # ("dim", col, out) | ("agg", op, col, out)
+    #                             # | ("cd", col, out)  [count(distinct)]
     measures: list[tuple[str, str, str]] = []
     for item in _split_commas(m.group("select")):
+        cm = _CD_ITEM.match(item)
+        if cm:
+            items.append(("cd", cm.group(1), cm.group(2)))
+            continue
         am = _AGG_ITEM.match(item)
         if am:
             op, col, out = (am.group(1).lower(), am.group(2),
@@ -211,11 +258,12 @@ def _parse(text: str):
             items.append(("dim", col, alias))
             continue
         return None
-    if not measures:
+    if not measures and not any(it[0] == "cd" for it in items):
         return None
     atoms: list[Atom] = []
     if m.group("where"):
-        for part in re.split(r"\band\b", m.group("where"), flags=re.I):
+        flat = _flatten_parens(m.group("where"))
+        for part in re.split(r"\band\b", flat, flags=re.I):
             am = _ATOM.match(part.strip())
             if not am:
                 return None
@@ -235,7 +283,7 @@ def _parse(text: str):
     # ORDER BY / LIMIT above the aggregate: sort keys must be OUTPUT
     # columns (dim aliases or measure aliases) — the sort reorders the
     # rollup result, it never reaches inside the aggregate
-    out_names = {it[2] if it[0] == "dim" else it[3] for it in items}
+    out_names = {it[3] if it[0] == "agg" else it[2] for it in items}
     order: list[tuple[str, bool, "str | None"]] = []
     if m.group("order"):
         for part in _split_commas(m.group("order")):
@@ -264,7 +312,13 @@ def try_substitute(spark: SparkSession, text: str,
     # find_tile with them included (hidden output columns)
     hidden = [(f"__h{i}", op, col)
               for i, (op, col, _cmp, _v) in enumerate(havings)]
-    hit = mvs.find_tile(table, group_cols, measures + hidden, atoms)
+    # COUNT(DISTINCT col) needs the column AT TILE GRAIN: probe with it
+    # as an extra dim — the tile's one-row-per-dims layout then makes
+    # countDistinct over the rolled group exact (module docstring)
+    cd_cols = [it[1] for it in items if it[0] == "cd"]
+    probe_dims = group_cols + [c for c in dict.fromkeys(cd_cols)
+                               if c not in group_cols]
+    hit = mvs.find_tile(table, probe_dims, measures + hidden, atoms)
     if hit is None:
         return None
     tile, residual = hit
@@ -273,10 +327,13 @@ def try_substitute(spark: SparkSession, text: str,
         tdf = tdf.filter(_conj(residual))
     aggs = [MaterializedViews._rollup_agg(op, col).alias(out)
             for out, op, col in measures + hidden]
+    aggs += [F.countDistinct(F.col(it[1])).alias(it[2])
+             for it in items if it[0] == "cd"]
     rolled = tdf.groupBy(*group_cols).agg(*aggs)
     for (h, _op, _col), (_o, _c, cmp, val) in zip(hidden, havings):
         rolled = rolled.filter(_atom_cond((h, cmp, val)))
     final = [F.col(it[1]).alias(it[2]) if it[0] == "dim"
+             else F.col(it[2]) if it[0] == "cd"
              else F.col(it[3]) for it in items]
     out = rolled.select(*final)
     if order:

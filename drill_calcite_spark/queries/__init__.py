@@ -92,6 +92,14 @@ _NEXT_ROUND_HEAD: list[str] = [
     # shape keeps the substitution; TakeOrderedAndProject over
     # aggregate-sized rows); same overflow reason; 3-SF parity + plan
     # pin committed
+    "mv_sql_daterange_substitution",  # NEW r13 (late): the two
+    # front-door layers COMPOSING — the YEAR+QUARTER conjunction folds
+    # to one sargable range (QUARTER added to DateRangeRules this
+    # session), the substitution flattens the paren-grouped rewrite
+    # output and serves the aggregate from the tile with the range
+    # pushed into the TILE scan, and COUNT(DISTINCT status) rolls up
+    # from tile grain (the AggregateStarTableRule count-distinct
+    # serve); same overflow reason; 3-SF parity + plan pin committed
 ]
 
 _DRIVER_PRIORITY = [

@@ -1960,6 +1960,83 @@ def mv_sql_topn_substitution(spark: SparkSession,
     return out
 
 
+@q("mv_sql_daterange_substitution", """
+SELECT o_orderpriority,
+       count(*) AS n,
+       count(distinct o_orderstatus) AS statuses,
+       sum(o_custkey)::BIGINT AS ck,
+       max(o_totalprice) AS mx
+FROM orders
+WHERE extract(year FROM o_orderdate) = 1995
+  AND extract(quarter FROM o_orderdate) = 2
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""")
+def mv_sql_daterange_substitution(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The two r13 front-door layers COMPOSING, plus COUNT(DISTINCT)
+    rollup — one statement exercises three rules the way Calcite's
+    planner fires them together:
+
+    1. DateRangeRules (rel/rules/DateRangeRules.java, wired
+       plan/RelOptRules.java:160) folds the adjacent ``EXTRACT(YEAR) =
+       1995 AND EXTRACT(QUARTER) = 2`` conjunction into ONE
+       quarter-wide sargable range — the QUARTER composition its
+       floorCeil context handles and this round adds to the rewrite.
+    2. AbstractMaterializedViewRule (plan/RelOptRules.java:189-197)
+       then unifies the aggregate onto the registered (priority,
+       status, orderdate) tile: the substitution's WHERE parser
+       flattens the paren-grouped conjunction the range rewrite
+       emitted, and the two date atoms re-apply as residuals ON THE
+       TILE — so the range lands in the TILE scan's PushedFilters
+       (plan-pinned) and the fact table is never read (inputFiles
+       assertion).
+    3. COUNT(DISTINCT o_orderstatus) is served from tile GRAIN, not a
+       stored measure: the tile holds one row per dims combination, so
+       distinct-counting the status dim over each rolled group equals
+       the base-table distinct count — the AggregateStarTableRule
+       count-distinct rollup (materialize/Lattice.java:93).
+
+    At 100 TB the composition is the point: the quarter predicate
+    prunes tile row-groups via parquet min/max, the rollup shuffles
+    tile rows (10^3-10^6× smaller than the fact), and the distinct
+    count costs no extra tile storage. The DuckDB oracle runs the
+    UN-rewritten extract form against the base table — the hash proves
+    the whole three-rule pipeline lossless."""
+    import os as _os
+
+    from drill_calcite_spark.catalog import register_tables
+    from drill_calcite_spark.plans.materialized import MaterializedViews
+    from drill_calcite_spark.sql import calcite_sql
+
+    register_tables(spark, sf_dir)
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/spark_graft_fixtures/{tag}/mv_sql_daterange_tile"
+    ords = t(spark, sf_dir, "orders")
+    mvs = MaterializedViews(spark)
+    mvs.create(
+        "orders_by_prio_status_day", "orders", ords,
+        dims=["o_orderpriority", "o_orderstatus", "o_orderdate"],
+        measures=[("sum", "o_custkey"), ("max", "o_totalprice")],
+        path=path,
+    )
+    out = calcite_sql(spark, """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               count(distinct o_orderstatus) AS statuses,
+               sum(o_custkey) AS ck,
+               max(o_totalprice) AS mx
+        FROM orders
+        WHERE extract(year FROM o_orderdate) = 1995
+          AND extract(quarter FROM o_orderdate) = 2
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """, materializations=mvs)
+    assert all("mv_sql_daterange_tile" in f for f in out.inputFiles()), \
+        "date-range + MV substitution fell back to the base scan"
+    return out
+
+
 @q("mv_incremental_refresh", """
 SELECT o_orderpriority,
        sum(o_totalprice::DECIMAL(18,6))::DOUBLE AS total,

@@ -143,7 +143,8 @@ _CEIL_STEP = {
 # '1997-01-01'` reaches the parquet scan's PushedFilters, engages
 # row-group min/max skipping, and prunes date partitions. The rewrite
 # below ports the decidable core: EXTRACT(YEAR ...) (and the year()
-# shorthand) under any comparison, and FLOOR(ts TO unit) compared to a
+# shorthand) under any comparison, adjacent YEAR+MONTH / YEAR+QUARTER
+# equality conjunctions, and FLOOR(ts TO unit) compared to a
 # unit-ALIGNED date/timestamp literal. Anything else (month-without-
 # year combos, unaligned literals, <>) is left untouched — the
 # original predicate is still correct, just not sargable, matching the
@@ -321,6 +322,37 @@ def _dr_month_range(col: str, year: int, month: int,
             f"and {col} < {lit(ny, nm)})")
 
 
+# adjacent YEAR = y AND QUARTER = q conjunction on the SAME column
+# (both orders) → one quarter-wide range — the same floorCeil-context
+# composition DateRangeRules applies to TimeUnitRange.QUARTER
+# (rel/rules/DateRangeRules.java operates over YEAR/QUARTER/MONTH/…).
+_DR_YQ = re.compile(
+    r"\bextract\s*\(\s*year\s+from\s+([\w.]+)\s*\)\s*=\s*(\d{1,4})"
+    r"\s+and\s+"
+    r"extract\s*\(\s*quarter\s+from\s+([\w.]+)\s*\)\s*=\s*(\d)"
+    r"(?![\w.])", re.I)
+_DR_QY = re.compile(
+    r"\bextract\s*\(\s*quarter\s+from\s+([\w.]+)\s*\)\s*=\s*(\d)"
+    r"\s+and\s+"
+    r"extract\s*\(\s*year\s+from\s+([\w.]+)\s*\)\s*=\s*(\d{1,4})"
+    r"(?![\w.])", re.I)
+
+
+def _dr_quarter_range(col: str, year: int, quarter: int,
+                      lits: "list[str]") -> "str | None":
+    if not (1 <= year <= 9998 and 1 <= quarter <= 4):
+        return None
+
+    def lit(y: int, mo: int) -> str:
+        lits.append(f"{y:04d}-{mo:02d}-01")
+        return f"date '{_LIT_SENTINEL}{len(lits) - 1}{_LIT_SENTINEL}'"
+
+    start = 3 * quarter - 2
+    ny, nm = (year + 1, 1) if quarter == 4 else (year, start + 3)
+    return (f"({col} >= {lit(year, start)} "
+            f"and {col} < {lit(ny, nm)})")
+
+
 _DR_BETWEEN = re.compile(
     r"\b(?:extract\s*\(\s*year\s+from\s+([\w.]+)\s*\)|year\s*\(\s*([\w.]+)\s*\))"
     r"\s+between\s+(\d{1,4})\s+and\s+(\d{1,4})(?![\w.])", re.I)
@@ -377,6 +409,23 @@ def _rewrite_date_ranges(text: str, lits: "list[str]") -> str:
 
     text = _DR_YM.sub(ym, text)
     text = _DR_MY.sub(my, text)
+
+    def yq(m: "re.Match[str]") -> str:
+        if m.group(1).lower() != m.group(3).lower():
+            return m.group(0)  # different columns: not one range
+        out = _dr_quarter_range(m.group(1), int(m.group(2)),
+                                int(m.group(4)), lits)
+        return out if out is not None else m.group(0)
+
+    def qy(m: "re.Match[str]") -> str:
+        if m.group(1).lower() != m.group(3).lower():
+            return m.group(0)
+        out = _dr_quarter_range(m.group(1), int(m.group(4)),
+                                int(m.group(2)), lits)
+        return out if out is not None else m.group(0)
+
+    text = _DR_YQ.sub(yq, text)
+    text = _DR_QY.sub(qy, text)
 
     def ext(m: "re.Match[str]") -> str:
         col = m.group(1) or m.group(2)
@@ -2326,7 +2375,7 @@ def rewrite(text: str, *, schema_views: "dict[str, str] | None" = None,
     text = re.sub(r"\)\s+second\b(?!\s*\()", ")", text, flags=re.I)
     # date-part predicates → sargable ranges BEFORE the generic
     # FLOOR-to-unit rewrite consumes the FLOOR comparison forms
-    if re.search(r"\bextract\s*\(\s*(year|month)\b|\byear\s*\("
+    if re.search(r"\bextract\s*\(\s*(year|quarter|month)\b|\byear\s*\("
                  r"|\b(floor|ceil|ceiling)\s*\(", text, re.I):
         text = _rewrite_date_ranges(text, _lits)
     text = _rewrite_floor_to(text)

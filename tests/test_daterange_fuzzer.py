@@ -5,7 +5,8 @@ ranges → Spark), and compared against a pure-Python evaluation of the
 ORIGINAL predicate over a boundary-heavy timestamp corpus. A text
 rewrite is regex-fragile by nature — this lane is the machine check
 that every rewritten shape (all comparison directions, both operand
-orders, BETWEEN/IN, YEAR+MONTH conjunctions, FLOOR/CEIL to unit) stays
+orders, BETWEEN/IN, YEAR+MONTH and YEAR+QUARTER conjunctions,
+FLOOR/CEIL to unit) stays
 row-identical to the date-part semantics, including exactly at unit
 boundaries (Dec 31 23:59:59.999999 vs Jan 1 00:00:00) where an
 off-by-one in a half-open bound would flip rows."""
@@ -80,7 +81,7 @@ def _predicates(draw):
     """(calcite_sql_text, python_eval) pairs."""
     kind = draw(st.sampled_from(
         ["extract_cmp", "year_fn", "flip", "between", "inlist",
-         "year_month", "floor", "ceil"]))
+         "year_month", "year_quarter", "floor", "ceil"]))
     if kind in ("extract_cmp", "year_fn", "flip"):
         op, y = draw(_cmp), draw(_year)
         fn = (f"extract(year from d)" if kind != "year_fn"
@@ -107,6 +108,16 @@ def _predicates(draw):
             text = (f"extract(month from d) = {m} and "
                     f"extract(year from d) = {y}")
         return text, lambda d: d.year == y and d.month == m
+    if kind == "year_quarter":
+        y, qq = draw(_year), draw(st.integers(1, 4))
+        if draw(st.booleans()):
+            text = (f"extract(year from d) = {y} and "
+                    f"extract(quarter from d) = {qq}")
+        else:
+            text = (f"extract(quarter from d) = {qq} and "
+                    f"extract(year from d) = {y}")
+        return text, lambda d: (d.year == y
+                                and (d.month - 1) // 3 + 1 == qq)
     # floor / ceil vs a literal that is ALIGNED half the time
     unit = draw(st.sampled_from(sorted(_UNIT_TRUNC)))
     op = draw(_cmp)

@@ -287,6 +287,42 @@ def test_sql_substitution_residual_atom_on_dim(spark, tmp_path):
         == {tuple(r) for r in spark.sql(text).collect()}
 
 
+def test_sql_substitution_count_distinct_and_paren_where(spark, tmp_path):
+    """COUNT(DISTINCT dim) is served from TILE GRAIN when the column is
+    a tile dim (the AggregateStarTableRule count-distinct rollup,
+    materialize/Lattice.java:93), and a paren-grouped WHERE conjunction
+    — the exact shape the DateRangeRules rewrite emits upstream — is
+    flattened before atom parsing. DISTINCT over a measure column, any
+    other DISTINCT aggregate, and function calls in WHERE fall through."""
+    from drill_calcite_spark.plans.sql_substitution import try_substitute
+
+    mvs = _mvs(spark, tmp_path)
+    _base(spark).createOrReplaceTempView("t")
+    for text in (
+        "SELECT k, count(distinct sub) AS ds, sum(v) AS s FROM t "
+        "WHERE (sub >= 'x' AND sub <= 'y') GROUP BY k",
+        # count-distinct as the ONLY aggregate item
+        "SELECT k, count(distinct sub) AS ds FROM t GROUP BY k",
+    ):
+        out = try_substitute(spark, text, mvs)
+        assert out is not None, f"serveable query fell through: {text}"
+        assert all("tile" in f for f in out.inputFiles()), text
+        assert {tuple(r) for r in out.collect()} \
+            == {tuple(r) for r in spark.sql(text).collect()}, text
+    # v is a measure column, not a tile dim → no tile carries its grain
+    assert try_substitute(
+        spark, "SELECT k, count(distinct v) AS dv FROM t GROUP BY k",
+        mvs) is None
+    # only COUNT may take DISTINCT — sum(distinct) falls through
+    assert try_substitute(
+        spark, "SELECT k, sum(distinct v) AS s FROM t GROUP BY k",
+        mvs) is None
+    # a function call in WHERE flattens into a non-atom → fall through
+    assert try_substitute(
+        spark, "SELECT k, sum(v) AS s FROM t WHERE upper(sub) = 'X' "
+        "GROUP BY k", mvs) is None
+
+
 def test_sql_substitution_falls_through_out_of_shape(spark, tmp_path):
     """Joins, HAVING, OR predicates, expressions and unknown measures
     must all fall through to spark.sql (base scan) — the closed-world

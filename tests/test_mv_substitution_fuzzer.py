@@ -68,7 +68,14 @@ def _cases(draw):
         val = draw(st.sampled_from(
             ["g0", "g1", "g2"] if col == "k1" else ["s0", "s1", "s4"]))
         atom = (col, draw(st.sampled_from(["=", "<", ">="])), val)
-    return tile_dims, stored, q_dims, q_meas, atom
+    # optional COUNT(DISTINCT tile_dim) item — served from tile grain
+    # (r13 late: the AggregateStarTableRule count-distinct serve);
+    # optional paren wrapping of the WHERE conjunction exercises the
+    # flattener the DateRangeRules output shape requires
+    cd_col = (draw(st.sampled_from(sorted(tile_dims)))
+              if draw(st.booleans()) else None)
+    wrap = draw(st.booleans())
+    return tile_dims, stored, q_dims, q_meas, atom, cd_col, wrap
 
 
 @settings(max_examples=30, deadline=None)
@@ -77,15 +84,18 @@ def test_substitution_equivalence(_env, case):
     from drill_calcite_spark.plans.sql_substitution import try_substitute
 
     spark, _base, _root = _env
-    tile_dims, stored, q_dims, q_meas, atom = case
+    tile_dims, stored, q_dims, q_meas, atom, cd_col, wrap = case
     mvs = _tile_for(_env, tile_dims, stored, ())
 
     sel = list(q_dims) + [
         f"{op}({col}) as m{i}" for i, (op, col) in enumerate(q_meas)]
+    if cd_col is not None:
+        sel.append(f"count(distinct {cd_col}) as cd0")
     where = ""
     if atom is not None:
         col, op, val = atom
-        where = f" where {col} {op} '{val}'"
+        cond = f"{col} {op} '{val}'"
+        where = f" where ({cond})" if wrap else f" where {cond}"
     text = (f"select {', '.join(sel)} from mvf{where} "
             f"group by {', '.join(q_dims)}")
 

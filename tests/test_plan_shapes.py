@@ -1496,6 +1496,31 @@ def test_mv_sql_having_substitution_gate_bites_both_ways(spark):
         f"HAVING gate vacuous: kept {len(kept)} of {len(all_sources)}"
 
 
+def test_mv_sql_daterange_substitution_composes(spark):
+    """The two r13 front-door layers composing (r13 late): the
+    YEAR+QUARTER conjunction folds to one sargable range, the
+    substitution serves the aggregate from the tile, and the range
+    atoms land in the TILE scan's PushedFilters — so the tile itself
+    gets row-group min/max skipping. The fact table must be absent,
+    and the distinct count must expand at tile grain (a count(distinct
+    o_orderstatus) over the rolled group, visible as the two-phase
+    distinct aggregate keyed by status below the final rollup)."""
+    df = entrymod.queries()["mv_sql_daterange_substitution"](
+        spark, SF_DIR)
+    plan = _plan(df)
+    assert "mv_sql_daterange_tile" in plan, "tile scan missing"
+    assert "orders.parquet" not in plan, \
+        "fact table scanned despite substitution"
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters:")[1][:400]
+    assert "GreaterThanOrEqual(o_orderdate" in pushed, \
+        "quarter range lower bound did not reach the tile scan"
+    assert "LessThan(o_orderdate" in pushed, \
+        "quarter range upper bound did not reach the tile scan"
+    assert "count(distinct o_orderstatus" in plan, \
+        "distinct count did not roll up from tile grain"
+
+
 def test_mv_sql_topn_substitution_heap_over_tile(spark):
     """Front-door top-N substitution (r13): the plan must be a top-K
     heap (TakeOrderedAndProject) over the TILE rollup — no base scan,
