@@ -323,6 +323,84 @@ def test_sql_substitution_count_distinct_and_paren_where(spark, tmp_path):
         "GROUP BY k", mvs) is None
 
 
+def test_sql_substitution_year_slice_tile_absorption(spark, tmp_path):
+    """A tile REGISTERED with a year-range predicate serves the user's
+    EXTRACT(YEAR)=k query with NO residual: the front door first folds
+    the extract to the half-open range (DateRangeRules), then the
+    substitution's Q ⟹ P check absorbs both atoms as the tile's own
+    predicate (textually enforced — SubstitutionVisitor's filter
+    unification). The adjacent year falls through: its range cannot
+    imply the tile's, so the fall-through path keeps correctness."""
+    from drill_calcite_spark.plans.materialized import MaterializedViews
+
+    import datetime as dt
+
+    rows = [("a" if i % 2 else "b",
+             dt.datetime(1995 + i % 3, 1 + i % 12, 1 + i % 28),
+             float(i % 7)) for i in range(60)]
+    base = spark.createDataFrame(rows, "k string, d timestamp, v double")
+    base.createOrReplaceTempView("t2")
+    mvs = MaterializedViews(spark)
+    mvs.create("t2_1996", "t2", base, ["k"], [("sum", "v")],
+               str(tmp_path / "t2_1996"),
+               where=[("d", ">=", "1996-01-01"), ("d", "<", "1997-01-01")])
+    text = ("SELECT k, sum(v) AS s, count(*) AS n FROM t2 "
+            "WHERE extract(year from d) = 1996 GROUP BY k")
+    out = _sql(spark, mvs, text)
+    assert all("t2_1996" in f for f in out.inputFiles()), \
+        "year-slice tile did not absorb the rewritten range"
+    assert {tuple(r) for r in out.collect()} \
+        == {tuple(r) for r in spark.sql(text).collect()}
+    # 1995 does not imply the 1996 slice → base scan, same values
+    other = ("SELECT k, sum(v) AS s FROM t2 "
+             "WHERE extract(year from d) = 1995 GROUP BY k")
+    out2 = _sql(spark, mvs, other)
+    assert not any("t2_1996" in f for f in out2.inputFiles())
+    assert {tuple(r) for r in out2.collect()} \
+        == {tuple(r) for r in spark.sql(other).collect()}
+
+
+def test_lattice_to_front_door_loop(spark, tmp_path):
+    """The FULL Calcite lattice loop in one pass — LatticeSuggester
+    grows candidates from the workload, TileSuggester picks the tile,
+    the tile is materialized, and the SQL front door then serves each
+    workload query from it transparently (LatticeSuggester.addQuery →
+    TileSuggester → AggregateStarTableRule): every piece is already
+    proven alone; this pins that the suggester's output is directly
+    consumable by create()/try_substitute with no glue."""
+    from drill_calcite_spark.plans.lattice import (
+        WorkloadQuery, suggest_tiles)
+    from drill_calcite_spark.plans.materialized import MaterializedViews
+
+    base = _base(spark)
+    base.createOrReplaceTempView("t")
+    workload = [
+        WorkloadQuery("qA", ("k",), ("sum:v",)),
+        WorkloadQuery("qB", ("k", "sub"), ("sum:v", "count:*")),
+        WorkloadQuery("qC", ("sub",), ("count:*",)),
+    ]
+    picked = suggest_tiles(spark, base, workload, max_tiles=1).collect()
+    assert len(picked) == 1
+    dims = picked[0].tile_dims.split(",")
+    measures = [tuple(m.split(":")) for m in
+                picked[0].tile_measures.split(",") if
+                not m.startswith("count:")]
+    mvs = MaterializedViews(spark)
+    mvs.create("suggested", "t", base, dims, measures,
+               str(tmp_path / "suggested"))
+    texts = [
+        "SELECT k, sum(v) AS s FROM t GROUP BY k",
+        "SELECT k, sub, sum(v) AS s, count(*) AS n FROM t GROUP BY k, sub",
+        "SELECT sub, count(*) AS n FROM t GROUP BY sub",
+    ]
+    for text in texts:
+        out = _sql(spark, mvs, text)
+        assert all("suggested" in f for f in out.inputFiles()), \
+            f"suggested tile did not serve: {text}"
+        assert {tuple(r) for r in out.collect()} \
+            == {tuple(r) for r in spark.sql(text).collect()}, text
+
+
 def test_sql_substitution_falls_through_out_of_shape(spark, tmp_path):
     """Joins, HAVING, OR predicates, expressions and unknown measures
     must all fall through to spark.sql (base scan) — the closed-world
