@@ -6,7 +6,12 @@ atoms on tile dims — must (a) actually substitute (inputFiles = tile
 only) and (b) return EXACTLY what spark.sql returns for the same text
 over the base view. The closed-world parser and the rollup algebra are
 both under test; a silent fall-through counts as a failure because the
-whole point is that a serveable query never pays the base scan."""
+whole point is that a serveable query never pays the base scan.
+
+A second lane fuzzes JOIN-MV unification: the literal SQL join spelled
+with either key order and either table order must all unify with the
+one registered join tile by canonical signature (within-pair key sort
++ sorted tables) and never re-execute the join."""
 
 from __future__ import annotations
 
@@ -104,6 +109,73 @@ def test_substitution_equivalence(_env, case):
     files = out.inputFiles()
     assert files and all("tile" in f for f in files), \
         f"substitution paid the base scan: {text}"
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, spark.sql(text).collect()))
+    assert got == want, (text, got, want)
+
+
+# ---------------------------------------------------------------- join-MVs
+
+@pytest.fixture(scope="module")
+def _jenv(spark, tmp_path_factory):
+    """A fact ⋈ dim pair registered as ONE join-MV; the fuzzer then
+    spells the literal SQL join every way the canonical signature must
+    normalize (key equality reversed, dim subsets, measures)."""
+    from drill_calcite_spark.plans.materialized import MaterializedViews
+
+    fact = spark.createDataFrame(
+        [(f"g{i % 4}", float(i % 9) - 2.0) for i in range(48)],
+        "fk string, v double")
+    dim = spark.createDataFrame(
+        [(f"g{i}", f"seg{i % 2}") for i in range(4)],
+        "dk string, seg string")
+    fact.createOrReplaceTempView("jfact")
+    dim.createOrReplaceTempView("jdim")
+    root = tmp_path_factory.mktemp("mvf_join_tiles")
+    mvs = MaterializedViews(spark)
+    mvs.create_join(
+        "jtile", {"jfact": fact, "jdim": dim}, [("fk", "dk")],
+        dims=["seg", "fk"], measures=[("sum", "v"), ("max", "v")],
+        path=str(root / "jtile"))
+    return spark, mvs
+
+
+@st.composite
+def _join_cases(draw):
+    q_dims = draw(st.sampled_from(
+        [("seg",), ("fk",), ("seg", "fk"), ("fk", "seg")]))
+    q_meas = draw(st.sets(st.sampled_from(
+        [("sum", "v"), ("max", "v"), ("count", "*")]),
+        min_size=1, max_size=3))
+    reversed_on = draw(st.booleans())
+    swap_tables = draw(st.booleans())
+    return q_dims, tuple(sorted(q_meas)), reversed_on, swap_tables
+
+
+@settings(max_examples=20, deadline=None)
+@given(case=_join_cases())
+def test_join_substitution_equivalence(_jenv, case):
+    """Every spelling of the registered equi-join (either key order,
+    either table order) must unify with the join-MV by canonical
+    signature and return exactly what spark.sql computes for the
+    literal join text."""
+    from drill_calcite_spark.plans.sql_substitution import try_substitute
+
+    spark, mvs = _jenv
+    q_dims, q_meas, reversed_on, swap_tables = case
+    on = "dk = fk" if reversed_on else "fk = dk"
+    frm = ("jdim join jfact on " if swap_tables
+           else "jfact join jdim on ") + on
+    sel = list(q_dims) + [
+        f"{op}({col}) as m{i}" for i, (op, col) in enumerate(q_meas)]
+    text = (f"select {', '.join(sel)} from {frm} "
+            f"group by {', '.join(q_dims)}")
+
+    out = try_substitute(spark, text, mvs)
+    assert out is not None, f"serveable join query fell through: {text}"
+    files = out.inputFiles()
+    assert files and all("jtile" in f for f in files), \
+        f"join substitution re-executed the join: {text}"
     got = sorted(map(tuple, out.collect()))
     want = sorted(map(tuple, spark.sql(text).collect()))
     assert got == want, (text, got, want)
