@@ -1136,6 +1136,138 @@ def stream_chained_dedup_agg(spark: SparkSession,
         shutil.rmtree(base, ignore_errors=True)
 
 
+_CJA_IV_US = 26 * 3_600_000_000   # 26 h join interval (see docstring)
+
+# Registry-ready DuckDB replay for stream_chained_join_agg — the @q
+# entry + driver slating LEAD r14: the r13 overflow queue
+# (queries/__init__.py _NEXT_ROUND_HEAD) is at its 10-name cap, so the
+# battery ships this round with the identical comparison run by
+# tests/test_streaming.py instead.
+STREAM_CHAINED_JOIN_AGG_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us
+  FROM events WHERE event_type IN ('view', 'click')
+), mx AS (
+  SELECT max(us) FILTER (event_type = 'view') AS mv,
+         max(us) FILTER (event_type = 'click') AS mc FROM e
+), p AS (
+  SELECT b.us AS b_us
+  FROM (SELECT user_id, us FROM e WHERE event_type = 'view') a
+  JOIN (SELECT user_id, us FROM e WHERE event_type = 'click') b
+    ON a.user_id = b.user_id
+   AND b.us >= a.us AND b.us <= a.us + {_CJA_IV_US}
+), g AS (
+  SELECT (b_us // 86400000000) * 86400 AS win_start,
+         count(*) AS n_pairs
+  FROM p GROUP BY 1
+)
+SELECT win_start, n_pairs FROM g
+WHERE (win_start + 86400) * 1000000
+      <= ((SELECT least(mv, mc) FROM mx) // 1000 - 86400000) * 1000
+         - {_CJA_IV_US}
+"""
+
+
+def stream_chained_join_agg(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """CHAINED stream-stream JOIN → windowed aggregate — the third
+    stacked-stateful composition (after dedup→agg and window→rollup):
+    a views×clicks interval join (click within 26 h of the view, same
+    user) feeding a TUMBLE(1 day) count of joined pairs in ONE
+    append-mode query (Spark 4 multi-stateful; the reference plans the
+    same Delta-join-through-Aggregate stacking,
+    rel/stream/StreamRules.java:123).
+
+    CALIBRATION DISCOVERY, decisively pinned at every SF: the
+    aggregate's eviction watermark is NOT the global watermark but the
+    JOIN'S OUTPUT watermark — the min of the two sides' STATE
+    watermarks (SPARK-40925 per-operator watermark propagation). A
+    buffered view stays matchable while a_ts + 26h clears the global
+    watermark, so the join can still emit rows that far back and the
+    propagated value is wm − 26h; a day window therefore finalizes
+    only once its end clears wm − 26h. The 26-hour interval is chosen
+    BECAUSE it exceeds the 24-hour window width: the band
+    (wm − 26h, wm] then always contains a day boundary, so the naive
+    global-wm emission rule over-emits at least one window at EVERY SF
+    — red by construction, not by luck (verified red at
+    sf0.001/0.01/0.1; the sibling join batteries' 2 h interval left
+    the two rules indistinguishable on this data).
+
+    Replay simplifications BY CONSTRUCTION (same fixture algebra as
+    stream_chained_dedup_agg): batches are whole weeks with no
+    stragglers, and b_ts ≥ a_ts makes a pair's emission batch
+    (max of the two sides' batches) equal its day-window's week batch
+    — every window's pairs are emitted by the join in exactly ONE
+    micro-batch, so no window finalizes short, and the aggregate's
+    late-input filter (which trails a further batch behind) never
+    binds. Cross-batch JOINS still occur (a week-j view matched by a
+    week-j+1 click rides the view buffer across the boundary —
+    pinned non-vacuous by test), so the join's buffering is exercised
+    even though window emission stays single-batch.
+
+    Scale shape: both stateful operators keep watermark-bounded state
+    (join buffers bounded by the interval + delay, window state by the
+    propagated delay); the chain adds no shuffle beyond the two
+    stateful exchanges (user key, then window)."""
+    import os as _os
+    import shutil
+    import uuid as _uuid
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from drill_calcite_spark.queries.sources import _fixture_dir
+
+    ev = (t(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin("view", "click")))
+    wk = F.least(F.floor(F.datediff(F.col("ts"), F.lit("2024-01-01")) / 7),
+                 F.lit(3)).cast("int")
+    pdf = (ev.select("event_id", "ts", "user_id", "event_type",
+                     wk.alias("batch")).toPandas())
+
+    base = _os.path.join(_fixture_dir(sf_dir),
+                         f"cja_batches_{_uuid.uuid4().hex[:12]}")
+    _os.makedirs(base)
+    try:
+        for bno in range(4):
+            part = (pdf[pdf.batch == bno].drop(columns=["batch"])
+                    .sort_values("event_id"))
+            path = f"{base}/batch_{bno:03d}.parquet"
+            _pq.write_table(
+                _pa.Table.from_pandas(part, preserve_index=False), path,
+                coerce_timestamps="us", allow_truncated_timestamps=True)
+            _os.utime(path, (1_700_000_000 + bno * 1000,) * 2)
+
+        schema = spark.read.parquet(base).schema
+
+        def side(tp: str, pre: str) -> DataFrame:
+            return (spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 1).parquet(base)
+                    .filter(F.col("event_type") == tp)
+                    .select(F.col("event_id").alias(f"{pre}_id"),
+                            F.col("user_id").alias(f"{pre}_user"),
+                            F.col("ts").cast("timestamp")
+                            .alias(f"{pre}_ts"))
+                    .withWatermark(f"{pre}_ts", "1 day"))
+
+        chained = (
+            side("view", "a").join(
+                side("click", "b"),
+                (F.col("a_user") == F.col("b_user"))
+                & (F.col("b_ts") >= F.col("a_ts"))
+                & (F.col("b_ts") <= F.col("a_ts")
+                   + F.expr("INTERVAL 26 HOURS")))
+            .groupBy(tumble("b_ts", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+            .select(F.unix_timestamp(F.col("w.start")).cast("bigint")
+                    .alias("win_start"), "n_pairs"))
+        out = run_available_now(chained, spark, output_mode="append")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 _SSJ_DELAY_US = 86_400_000_000   # 1 day watermark
 _SSJ_IV_US = 2 * 3_600_000_000   # 2 hour join interval
 

@@ -627,3 +627,61 @@ def test_chained_window_rollup_consistent_with_day_battery(spark):
         "no emitted day belongs to a withheld week — week-grain " \
         "finalization untested"
     assert max(orphan_weeks) > max(weeks), "newest week must be withheld"
+
+
+def test_chained_join_agg_matches_replay_and_buffers_cross_batch(spark):
+    """stream_chained_join_agg (r13 late; its @q registry entry leads
+    r14 — the r13 overflow queue is at cap): (a) the drained
+    append-mode output equals the DuckDB replay EXACTLY, including the
+    calibrated emission rule — windows finalize against the JOIN'S
+    OUTPUT watermark (global wm − 26 h, the view side's state
+    watermark under SPARK-40925 propagation), not the global
+    watermark; (b) the naive global-wm rule over-emits at least one
+    window, so the discriminator is non-vacuous at this SF (the 26 h
+    interval exceeds the 24 h window width by construction); (c) at
+    least one EMITTED window contains a cross-batch pair (the view
+    shipped a week before its click), proving the join buffer feeds
+    the aggregate across micro-batch boundaries."""
+    import duckdb
+
+    from tests.conftest import SF_DIR
+    from drill_calcite_spark.queries.streaming import (
+        STREAM_CHAINED_JOIN_AGG_ORACLE, _CJA_IV_US,
+        stream_chained_join_agg)
+
+    got = sorted((r.win_start, r.n_pairs)
+                 for r in stream_chained_join_agg(spark, SF_DIR).collect())
+    assert got, "nothing emitted"
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/events.parquet')")
+    want = sorted(map(tuple,
+                      con.execute(STREAM_CHAINED_JOIN_AGG_ORACLE)
+                      .fetchall()))
+    assert got == want, (got, want)
+
+    naive = sorted(map(tuple, con.execute(
+        STREAM_CHAINED_JOIN_AGG_ORACLE.replace(
+            f"- {_CJA_IV_US}", "- 0")).fetchall()))
+    assert set(got) < set(naive), \
+        "global-wm rule matches too — the 26h discriminator is vacuous"
+
+    cross = con.execute(f"""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us,
+                 least(CAST(floor(date_diff('day', DATE '2024-01-01', ts)
+                                  / 7) AS BIGINT), 3) AS wk
+          FROM events WHERE event_type IN ('view', 'click')
+        )
+        SELECT DISTINCT (b.us // 86400000000) * 86400
+        FROM (SELECT * FROM e WHERE event_type = 'view') a
+        JOIN (SELECT * FROM e WHERE event_type = 'click') b
+          ON a.user_id = b.user_id
+         AND b.us >= a.us AND b.us <= a.us + {_CJA_IV_US}
+        WHERE a.wk < b.wk
+    """).fetchall()
+    emitted = {w for w, _ in got}
+    assert any(w[0] in emitted for w in cross), \
+        "no emitted window carries a cross-batch pair — join " \
+        "buffering across triggers untested (vacuous)"
