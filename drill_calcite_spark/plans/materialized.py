@@ -15,6 +15,9 @@ scanning the base table. Re-aggregation algebra:
     min      → min(min_tile)        count(col) → sum(count_col_tile)
     max      → max(max_tile)
     avg(col) → sum(sum_col_tile) / sum(count_col_tile)   (derived, never stored)
+    count(distinct col) → countDistinct(col) over tile rows — served when
+                          col is a tile DIM (tile grain carries it;
+                          AggregateStarTableRule, materialize/Lattice.java:93)
 
 NULL fidelity: avg and count(col) re-aggregate from a *per-column*
 non-null count tile (count(col)), never from count(*) — so tile-served
@@ -146,9 +149,22 @@ class MaterializedViews:
         for _out, op, col in measures:
             if op == "avg":
                 need |= {("sum", col), ("count", col)}
+            elif op == "count_distinct":
+                pass  # served from tile GRAIN, not a stored op
             else:
                 need.add((op, col))
         return need
+
+    @staticmethod
+    def _distinct_dims(measures: list[tuple[str, str, str]]) -> list[str]:
+        """COUNT(DISTINCT col) measures need ``col`` AT TILE GRAIN —
+        the tile's one-row-per-dims layout then makes distinct-counting
+        the dim over a rolled group exactly the base-table distinct
+        count (AggregateStarTableRule's count-distinct serve,
+        materialize/Lattice.java:93; same rule the SQL front door
+        applies in plans/sql_substitution.py)."""
+        return [col for _out, op, col in measures
+                if op == "count_distinct"]
 
     def find_tile(
         self, table: str, dims: list[str],
@@ -190,8 +206,12 @@ class MaterializedViews:
         (list of (out_name, op, col)) over rows WHERE the atoms hold —
         served from a tile when one subsumes the query (residual atoms
         re-applied on the tile), else from the base table. Both paths
-        produce identical schemas and values."""
-        hit = self.find_tile(table, dims, measures, where)
+        produce identical schemas and values. A ``count_distinct``
+        measure is served when its column is a tile DIM (the probe adds
+        it to the dim requirement; see _distinct_dims)."""
+        probe = dims + [c for c in dict.fromkeys(self._distinct_dims(measures))
+                        if c not in dims]
+        hit = self.find_tile(table, probe, measures, where)
         if hit is None:
             aggs = [self._base_agg(op, col).alias(out)
                     for out, op, col in measures]
@@ -308,7 +328,9 @@ class MaterializedViews:
         """GROUP BY over an equi-join — served from a join-MV whose
         signature matches (tables + keys), else by executing the join."""
         sig = self.join_signature(list(tables), on)
-        hit = self.find_tile(sig, dims, measures, where)
+        probe = dims + [c for c in dict.fromkeys(self._distinct_dims(measures))
+                        if c not in dims]
+        hit = self.find_tile(sig, probe, measures, where)
         if hit is not None:
             tile, residual = hit
             tdf = self.spark.read.parquet(tile.path)
@@ -334,6 +356,8 @@ class MaterializedViews:
             return F.count(F.lit(1)) if col == "*" else F.count(col)
         if op == "avg":
             return F.avg(col)
+        if op == "count_distinct":
+            return F.countDistinct(F.col(col))
         return getattr(F, op)(col)
 
     @staticmethod
@@ -351,4 +375,10 @@ class MaterializedViews:
             # (all-NULL group → NULL/0 → NULL in Spark, matching avg()).
             return (F.sum(_tile_col("sum", col))
                     / F.sum(_tile_col("count", col)))
+        if op == "count_distinct":
+            # col is a tile DIM (probe guaranteed it): one tile row per
+            # dims combination, so distinct-counting the dim column over
+            # the rolled group IS the base distinct count (NULL groups
+            # are excluded by countDistinct on both paths)
+            return F.countDistinct(F.col(col))
         raise ValueError(f"unsupported measure op {op!r}")

@@ -35,6 +35,29 @@ def test_rollup_equals_base(spark, tmp_path):
     assert got == {"a": (3.0, 2, 1.0, 2.0, 1.5), "b": (8.0, 2, 3.0, 5.0, 4.0)}
 
 
+def test_rollup_count_distinct_from_tile_grain(spark, tmp_path):
+    """Builder-API parity with the front door's count-distinct serve:
+    summarize() with a ('count_distinct', dim) measure is served from
+    the tile when the column is a tile dim (the probe adds it to the
+    dim requirement), equals the base plan exactly, and falls back to
+    the base scan when the column is a measure (no tile grain)."""
+    mvs = _mvs(spark, tmp_path)
+    measures = [("ds", "count_distinct", "sub"), ("s", "sum", "v")]
+    out = mvs.summarize("t", _base(spark), ["k"], measures)
+    assert all("tile" in f for f in out.inputFiles()), \
+        "count-distinct rollup fell back to the base scan"
+    base = MaterializedViews(spark).summarize(
+        "t", _base(spark), ["k"], measures)
+    assert sorted(map(tuple, out.collect())) \
+        == sorted(map(tuple, base.collect()))
+    got = {r.k: (r.ds, r.s) for r in out.collect()}
+    assert got == {"a": (2, 3.0), "b": (1, 8.0)}
+    # v is a measure column — no tile carries its grain → base scan
+    fallback = mvs.summarize("t", _base(spark), ["k"],
+                             [("dv", "count_distinct", "v")])
+    assert not any("tile" in f for f in fallback.inputFiles())
+
+
 def test_no_tile_falls_back(spark, tmp_path):
     mvs = _mvs(spark, tmp_path)
     # dims not a subset of any tile → base scan
