@@ -31,6 +31,7 @@ Supported statement shape (whitespace-insensitive, case-insensitive):
            | sum|count|min|max|avg ( col | * ) AS alias
            | count ( DISTINCT col ) AS alias
     atom ::= col (= | < | <= | > | >=) literal
+           | col BETWEEN literal AND literal   (→ two closed bounds)
     literal ::= number | 'string' | DATE 'lit' | TIMESTAMP 'lit'
 
 The WHERE clause may parenthesize groups of conjuncts — OR is
@@ -128,6 +129,15 @@ _CD_ITEM = re.compile(
 _ATOM = re.compile(
     r"^([a-z_]\w*)\s*(<=|>=|=|<|>)\s*"
     r"(?:(?:date|timestamp)\s+)?('(?:[^']|'')*'|-?\d+(?:\.\d+)?)$", re.I)
+
+# col BETWEEN lit AND lit — normalized to the two closed-bound atoms
+# BEFORE the conjunction split (whose \band\b would otherwise cut the
+# BETWEEN itself in half); NOT BETWEEN disqualifies the statement
+# (its complement is a disjunction, which this prover never serves)
+_LIT_PAT = r"(?:(?:date|timestamp)\s+)?(?:'(?:[^']|'')*'|-?\d+(?:\.\d+)?)"
+_BETWEEN_ATOM = re.compile(
+    rf"\b([a-z_]\w*)\s+between\s+({_LIT_PAT})\s+and\s+({_LIT_PAT})",
+    re.I)
 
 # HAVING conjunct: a servable aggregate compared to a numeric literal —
 # Calcite applies HAVING above the rewritten aggregate, so the tile
@@ -263,6 +273,11 @@ def _parse(text: str):
     atoms: list[Atom] = []
     if m.group("where"):
         flat = _flatten_parens(m.group("where"))
+        if re.search(r"\bnot\s+between\b", flat, re.I):
+            return None
+        flat = _BETWEEN_ATOM.sub(
+            lambda b: (f"{b.group(1)} >= {b.group(2)} and "
+                       f"{b.group(1)} <= {b.group(3)}"), flat)
         for part in re.split(r"\band\b", flat, flags=re.I):
             am = _ATOM.match(part.strip())
             if not am:

@@ -144,7 +144,8 @@ _CEIL_STEP = {
 # row-group min/max skipping, and prunes date partitions. The rewrite
 # below ports the decidable core: EXTRACT(YEAR ...) (and the year()
 # shorthand) under any comparison, adjacent YEAR+MONTH / YEAR+QUARTER
-# equality conjunctions, and FLOOR(ts TO unit) compared to a
+# equality conjunctions (plus the YEAR+MONTH+DAY triple in any
+# conjunct order → one day-wide range), and FLOOR(ts TO unit) compared to a
 # unit-ALIGNED date/timestamp literal. Anything else (month-without-
 # year combos, unaligned literals, <>) is left untouched — the
 # original predicate is still correct, just not sargable, matching the
@@ -322,6 +323,45 @@ def _dr_month_range(col: str, year: int, month: int,
             f"and {col} < {lit(ny, nm)})")
 
 
+# adjacent YEAR = y AND MONTH = m AND DAY = d conjunction on the SAME
+# column, in ANY order of the three units → one DAY-wide range (the
+# finest granularity DateRangeRules composes through its floorCeil
+# context). An impossible calendar date (Feb 30) stays verbatim — the
+# original predicate is still correct (always false), matching the
+# rule's conservative posture. Must run BEFORE the YEAR+MONTH pair
+# rule, which would otherwise consume the year+month prefix and leave
+# the day conjunct as a post-scan residual.
+_DR_YMD = re.compile(
+    r"\bextract\s*\(\s*(year|month|day)\s+from\s+([\w.]+)\s*\)"
+    r"\s*=\s*(\d{1,4})"
+    r"\s+and\s+"
+    r"extract\s*\(\s*(year|month|day)\s+from\s+([\w.]+)\s*\)"
+    r"\s*=\s*(\d{1,4})"
+    r"\s+and\s+"
+    r"extract\s*\(\s*(year|month|day)\s+from\s+([\w.]+)\s*\)"
+    r"\s*=\s*(\d{1,4})"
+    r"(?![\w.])", re.I)
+
+
+def _dr_day_range(col: str, year: int, month: int, day: int,
+                  lits: "list[str]") -> "str | None":
+    import datetime as _dt
+
+    if not 1 <= year <= 9998:
+        return None
+    try:
+        start = _dt.date(year, month, day)
+    except ValueError:
+        return None  # impossible date: leave the predicate verbatim
+    nxt = start + _dt.timedelta(days=1)
+
+    def lit(d: "_dt.date") -> str:
+        lits.append(d.isoformat())
+        return f"date '{_LIT_SENTINEL}{len(lits) - 1}{_LIT_SENTINEL}'"
+
+    return f"({col} >= {lit(start)} and {col} < {lit(nxt)})"
+
+
 # adjacent YEAR = y AND QUARTER = q conjunction on the SAME column
 # (both orders) → one quarter-wide range — the same floorCeil-context
 # composition DateRangeRules applies to TimeUnitRange.QUARTER
@@ -392,6 +432,21 @@ def _rewrite_date_ranges(text: str, lits: "list[str]") -> str:
 
     text = _DR_BETWEEN.sub(between, text)
     text = _DR_IN.sub(inlist, text)
+
+    def ymd(m: "re.Match[str]") -> str:
+        cols = {m.group(2).lower(), m.group(5).lower(),
+                m.group(8).lower()}
+        units = [m.group(1).lower(), m.group(4).lower(),
+                 m.group(7).lower()]
+        if len(cols) != 1 or sorted(units) != ["day", "month", "year"]:
+            return m.group(0)
+        vals = dict(zip(units, (int(m.group(3)), int(m.group(6)),
+                                int(m.group(9)))))
+        out = _dr_day_range(m.group(2), vals["year"], vals["month"],
+                            vals["day"], lits)
+        return out if out is not None else m.group(0)
+
+    text = _DR_YMD.sub(ymd, text)
 
     def ym(m: "re.Match[str]") -> str:
         if m.group(1).lower() != m.group(3).lower():

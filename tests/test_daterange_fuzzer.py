@@ -5,8 +5,8 @@ ranges → Spark), and compared against a pure-Python evaluation of the
 ORIGINAL predicate over a boundary-heavy timestamp corpus. A text
 rewrite is regex-fragile by nature — this lane is the machine check
 that every rewritten shape (all comparison directions, both operand
-orders, BETWEEN/IN, YEAR+MONTH and YEAR+QUARTER conjunctions,
-FLOOR/CEIL to unit) stays
+orders, BETWEEN/IN, YEAR+MONTH and YEAR+QUARTER conjunctions, the
+YEAR+MONTH+DAY triple in any conjunct order, FLOOR/CEIL to unit) stays
 row-identical to the date-part semantics, including exactly at unit
 boundaries (Dec 31 23:59:59.999999 vs Jan 1 00:00:00) where an
 off-by-one in a half-open bound would flip rows."""
@@ -81,7 +81,8 @@ def _predicates(draw):
     """(calcite_sql_text, python_eval) pairs."""
     kind = draw(st.sampled_from(
         ["extract_cmp", "year_fn", "flip", "between", "inlist",
-         "year_month", "year_quarter", "floor", "ceil"]))
+         "year_month", "year_quarter", "year_month_day", "floor",
+         "ceil"]))
     if kind in ("extract_cmp", "year_fn", "flip"):
         op, y = draw(_cmp), draw(_year)
         fn = (f"extract(year from d)" if kind != "year_fn"
@@ -108,6 +109,18 @@ def _predicates(draw):
             text = (f"extract(month from d) = {m} and "
                     f"extract(year from d) = {y}")
         return text, lambda d: d.year == y and d.month == m
+    if kind == "year_month_day":
+        # any permutation of the three conjuncts; day up to 31 so
+        # impossible dates (Feb 30) exercise the verbatim fallback
+        y, m, dd = draw(_year), draw(st.integers(1, 12)), \
+            draw(st.integers(1, 31))
+        parts = [f"extract(year from d) = {y}",
+                 f"extract(month from d) = {m}",
+                 f"extract(day from d) = {dd}"]
+        order = draw(st.permutations(parts))
+        return (" and ".join(order),
+                lambda d: (d.year == y and d.month == m
+                           and d.day == dd))
     if kind == "year_quarter":
         y, qq = draw(_year), draw(st.integers(1, 4))
         if draw(st.booleans()):

@@ -344,6 +344,21 @@ def test_sql_substitution_count_distinct_and_paren_where(spark, tmp_path):
     assert try_substitute(
         spark, "SELECT k, sum(v) AS s FROM t WHERE upper(sub) = 'X' "
         "GROUP BY k", mvs) is None
+    # BETWEEN on a tile dim = two closed-bound residual atoms
+    text = ("SELECT k, sum(v) AS s FROM t WHERE sub BETWEEN 'x' AND 'y' "
+            "GROUP BY k")
+    out = try_substitute(spark, text, mvs)
+    assert out is not None and all("tile" in f for f in out.inputFiles())
+    assert {tuple(r) for r in out.collect()} \
+        == {tuple(r) for r in spark.sql(text).collect()}
+    # NOT BETWEEN is a disjunction → fall through
+    assert try_substitute(
+        spark, "SELECT k, sum(v) AS s FROM t "
+        "WHERE sub NOT BETWEEN 'x' AND 'y' GROUP BY k", mvs) is None
+    # BETWEEN against a column operand is not a literal atom → fall through
+    assert try_substitute(
+        spark, "SELECT k, sum(v) AS s FROM t "
+        "WHERE sub BETWEEN k AND 'y' GROUP BY k", mvs) is None
 
 
 def test_sql_substitution_year_slice_tile_absorption(spark, tmp_path):
