@@ -401,7 +401,26 @@ _DR_IN = re.compile(
     r"\s+in\s*\(\s*(\d{1,4}(?:\s*,\s*\d{1,4})*)\s*\)", re.I)
 
 
+# year(d)/quarter(d)/month(d)/day(d) shorthands → extract form, so the
+# pair/triple composition rules below see ONE spelling (Spark's
+# extract(UNIT FROM x) is exactly the shorthand's semantics). The
+# lookahead pins the normalization to predicate positions the rules
+# can actually consume — a comparison, BETWEEN, or IN follows — so a
+# shorthand in a plain projection keeps its spelling (and its
+# auto-generated display name). Simple-operand only ([\w.]+); word
+# boundaries keep add_months(/months_between(/today( untouched, and
+# string literals are already shielded at this point.
+_DR_SHORTHAND = re.compile(
+    r"\b(year|quarter|month|day)\s*\(\s*([\w.]+)\s*\)"
+    r"(?=\s*(?:<>|!=|<=|>=|=|<|>)|\s+(?:not\s+)?between\b|\s+in\s*\()",
+    re.I)
+
+
 def _rewrite_date_ranges(text: str, lits: "list[str]") -> str:
+    text = _DR_SHORTHAND.sub(
+        lambda m: f"extract({m.group(1).lower()} from {m.group(2)})",
+        text)
+
     def between(m: "re.Match[str]") -> str:
         col, lo, hi = m.group(1) or m.group(2), int(m.group(3)), \
             int(m.group(4))

@@ -76,6 +76,14 @@ _year = st.integers(min_value=1993, max_value=2002)
 _cmp = st.sampled_from(sorted(_OPS))
 
 
+def _part(draw, unit: str, val: int) -> str:
+    """One equality conjunct — extract spelling or the unit-function
+    shorthand (year(d)=k etc.), drawn independently per conjunct."""
+    if draw(st.booleans()):
+        return f"extract({unit} from d) = {val}"
+    return f"{unit}(d) = {val}"
+
+
 @st.composite
 def _predicates(draw):
     """(calcite_sql_text, python_eval) pairs."""
@@ -102,33 +110,25 @@ def _predicates(draw):
                 lambda d: d.year in ys)
     if kind == "year_month":
         y, m = draw(_year), draw(st.integers(1, 12))
-        if draw(st.booleans()):
-            text = (f"extract(year from d) = {y} and "
-                    f"extract(month from d) = {m}")
-        else:
-            text = (f"extract(month from d) = {m} and "
-                    f"extract(year from d) = {y}")
+        a, b = _part(draw, "year", y), _part(draw, "month", m)
+        text = f"{a} and {b}" if draw(st.booleans()) else f"{b} and {a}"
         return text, lambda d: d.year == y and d.month == m
     if kind == "year_month_day":
-        # any permutation of the three conjuncts; day up to 31 so
-        # impossible dates (Feb 30) exercise the verbatim fallback
+        # any permutation of the three conjuncts, each independently in
+        # extract or shorthand spelling; day up to 31 so impossible
+        # dates (Feb 30) exercise the verbatim fallback
         y, m, dd = draw(_year), draw(st.integers(1, 12)), \
             draw(st.integers(1, 31))
-        parts = [f"extract(year from d) = {y}",
-                 f"extract(month from d) = {m}",
-                 f"extract(day from d) = {dd}"]
+        parts = [_part(draw, "year", y), _part(draw, "month", m),
+                 _part(draw, "day", dd)]
         order = draw(st.permutations(parts))
         return (" and ".join(order),
                 lambda d: (d.year == y and d.month == m
                            and d.day == dd))
     if kind == "year_quarter":
         y, qq = draw(_year), draw(st.integers(1, 4))
-        if draw(st.booleans()):
-            text = (f"extract(year from d) = {y} and "
-                    f"extract(quarter from d) = {qq}")
-        else:
-            text = (f"extract(quarter from d) = {qq} and "
-                    f"extract(year from d) = {y}")
+        a, b = _part(draw, "year", y), _part(draw, "quarter", qq)
+        text = f"{a} and {b}" if draw(st.booleans()) else f"{b} and {a}"
         return text, lambda d: (d.year == y
                                 and (d.month - 1) // 3 + 1 == qq)
     # floor / ceil vs a literal that is ALIGNED half the time
