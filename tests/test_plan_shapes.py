@@ -1466,6 +1466,33 @@ def test_sql_date_range_rewrite_pushes_to_scan(spark):
         "range upper bound did not reach the scan"
 
 
+def test_shorthand_pair_range_pushes_to_scan(spark):
+    """The date-shorthand normalization (r13 late): a
+    ``month(d) = m AND year(d) = y`` pair — the spelling users write —
+    must fold through the same pair rule as the extract form and land
+    as one month-wide half-open range in the parquet scan's
+    PushedFilters."""
+    from drill_calcite_spark.catalog import register_tables
+    from drill_calcite_spark.sql import calcite_sql
+
+    register_tables(spark, SF_DIR)
+    df = calcite_sql(spark, """
+        SELECT count(*) AS n FROM orders
+        WHERE month(o_orderdate) = 4 AND year(o_orderdate) = 1996
+    """)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    # the explain string truncates filter listings at
+    # spark.sql.maxMetadataStringLength — the month-wide lower bound
+    # is fully visible, the upper bound's column suffices (the fuzzer
+    # lane proves the bound's VALUE; this pins that it reaches the scan)
+    pushed = plan.split("PushedFilters:")[1].split("ReadSchema", 1)[0]
+    assert "GreaterThanOrEqual(o_orderdate,1996-04-01" in pushed, \
+        "shorthand pair lower bound did not reach the scan"
+    assert "LessThan(o_orderdate" in pushed, \
+        "shorthand pair upper bound did not reach the scan"
+
+
 def test_mv_sql_join_substitution_never_reexecutes_join(spark):
     """Front-door join-MV substitution (r13): the executed plan must
     scan only the join tile — neither base table appears and no join
