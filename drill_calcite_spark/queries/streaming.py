@@ -1138,11 +1138,10 @@ def stream_chained_dedup_agg(spark: SparkSession,
 
 _CJA_IV_US = 26 * 3_600_000_000   # 26 h join interval (see docstring)
 
-# Registry-ready DuckDB replay for stream_chained_join_agg — the @q
-# entry + driver slating LEAD r14: the r13 overflow queue
-# (queries/__init__.py _NEXT_ROUND_HEAD) is at its 10-name cap, so the
-# battery ships this round with the identical comparison run by
-# tests/test_streaming.py instead.
+# DuckDB replay for stream_chained_join_agg — registered r14 (the r13
+# overflow queue was at its 10-name cap; the r13 verdict orders the @q
+# entry + a slate slot this round). The identical comparison also runs
+# in tests/test_streaming.py at 3 SFs.
 STREAM_CHAINED_JOIN_AGG_ORACLE = f"""
 WITH e AS (
   SELECT user_id, event_type, epoch_us(ts) AS us
@@ -1168,6 +1167,7 @@ WHERE (win_start + 86400) * 1000000
 """
 
 
+@q("stream_chained_join_agg", STREAM_CHAINED_JOIN_AGG_ORACLE)
 def stream_chained_join_agg(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     """CHAINED stream-stream JOIN → windowed aggregate — the third
