@@ -291,6 +291,23 @@ def _dr_floor_range(fn: str, col: str, unit: str, op: str, kw: str,
     return None
 
 
+def _dr_not_bound(m: "re.Match[str]") -> bool:
+    """True when the matched conjunction is directly preceded by an
+    unparenthesized NOT. SQL precedence binds NOT tighter than AND, so
+    in ``NOT extract(year FROM d) = 1995 AND extract(quarter FROM d) =
+    2`` the NOT negates only the FIRST comparison — folding both
+    conjuncts into one range and letting the NOT negate the fold flips
+    rows (d = 1995-01-15: false under the original, true under the
+    fold). The pair/triple rules bail here; the single-comparison
+    rules then rewrite each conjunct separately, which keeps the NOT's
+    scope intact (NOT of a parenthesized range ≡ NOT of the extract
+    comparison). A parenthesized ``NOT (... AND ...)`` is unaffected:
+    the ``(`` sits between the NOT and the match, the fold happens
+    inside the parens, and the NOT negates the whole conjunction in
+    both spellings."""
+    return re.search(r"\bnot\s+$", m.string[:m.start()], re.I) is not None
+
+
 # adjacent YEAR = y AND MONTH = m conjunction on the SAME column (both
 # orders) → one month-wide range; Calcite's DateRangeRules composes
 # these through its floorCeil context — the adjacent-conjunct subset is
@@ -404,12 +421,18 @@ _DR_IN = re.compile(
 # year(d)/quarter(d)/month(d)/day(d) shorthands → extract form, so the
 # pair/triple composition rules below see ONE spelling (Spark's
 # extract(UNIT FROM x) is exactly the shorthand's semantics). The
-# lookahead pins the normalization to predicate positions the rules
-# can actually consume — a comparison, BETWEEN, or IN follows — so a
-# shorthand in a plain projection keeps its spelling (and its
-# auto-generated display name). Simple-operand only ([\w.]+); word
-# boundaries keep add_months(/months_between(/today( untouched, and
-# string literals are already shielded at this point.
+# lookahead pins the normalization to comparison/BETWEEN/IN positions —
+# the shapes the rules can actually consume — so a COMPARISON-FREE
+# projection (`SELECT year(d) FROM t`) keeps its spelling and its
+# auto-generated display name. DOCUMENTED CAVEAT: the normalization is
+# positional, not clause-aware, so an UNALIASED boolean projection
+# (`SELECT year(d) = 1995 FROM t`) is also normalized — and the year
+# rule then folds it to the range form, so its auto-generated column
+# name becomes the range expression. Values are identical row-for-row;
+# only the display name shifts. Alias the projection to pin a name
+# (tests/test_sql_dialect.py pins both behaviors). Simple-operand only ([\w.]+); word boundaries keep
+# add_months(/months_between(/today( untouched, and string literals
+# are already shielded at this point.
 _DR_SHORTHAND = re.compile(
     r"\b(year|quarter|month|day)\s*\(\s*([\w.]+)\s*\)"
     r"(?=\s*(?:<>|!=|<=|>=|=|<|>)|\s+(?:not\s+)?between\b|\s+in\s*\()",
@@ -453,6 +476,8 @@ def _rewrite_date_ranges(text: str, lits: "list[str]") -> str:
     text = _DR_IN.sub(inlist, text)
 
     def ymd(m: "re.Match[str]") -> str:
+        if _dr_not_bound(m):
+            return m.group(0)
         cols = {m.group(2).lower(), m.group(5).lower(),
                 m.group(8).lower()}
         units = [m.group(1).lower(), m.group(4).lower(),
@@ -468,14 +493,14 @@ def _rewrite_date_ranges(text: str, lits: "list[str]") -> str:
     text = _DR_YMD.sub(ymd, text)
 
     def ym(m: "re.Match[str]") -> str:
-        if m.group(1).lower() != m.group(3).lower():
-            return m.group(0)  # different columns: not one range
+        if _dr_not_bound(m) or m.group(1).lower() != m.group(3).lower():
+            return m.group(0)  # NOT-bound first conjunct / different cols
         out = _dr_month_range(m.group(1), int(m.group(2)),
                               int(m.group(4)), lits)
         return out if out is not None else m.group(0)
 
     def my(m: "re.Match[str]") -> str:
-        if m.group(1).lower() != m.group(3).lower():
+        if _dr_not_bound(m) or m.group(1).lower() != m.group(3).lower():
             return m.group(0)
         out = _dr_month_range(m.group(1), int(m.group(4)),
                               int(m.group(2)), lits)
@@ -485,14 +510,14 @@ def _rewrite_date_ranges(text: str, lits: "list[str]") -> str:
     text = _DR_MY.sub(my, text)
 
     def yq(m: "re.Match[str]") -> str:
-        if m.group(1).lower() != m.group(3).lower():
-            return m.group(0)  # different columns: not one range
+        if _dr_not_bound(m) or m.group(1).lower() != m.group(3).lower():
+            return m.group(0)  # NOT-bound first conjunct / different cols
         out = _dr_quarter_range(m.group(1), int(m.group(2)),
                                 int(m.group(4)), lits)
         return out if out is not None else m.group(0)
 
     def qy(m: "re.Match[str]") -> str:
-        if m.group(1).lower() != m.group(3).lower():
+        if _dr_not_bound(m) or m.group(1).lower() != m.group(3).lower():
             return m.group(0)
         out = _dr_quarter_range(m.group(1), int(m.group(4)),
                                 int(m.group(2)), lits)

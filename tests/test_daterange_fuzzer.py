@@ -84,6 +84,32 @@ def _part(draw, unit: str, val: int) -> str:
     return f"{unit}(d) = {val}"
 
 
+_UNIT_GET = {"year": lambda d: d.year, "month": lambda d: d.month,
+             "day": lambda d: d.day,
+             "quarter": lambda d: (d.month - 1) // 3 + 1}
+
+
+def _conj(draw, parts):
+    """Join equality conjuncts (each a (text, unit, val) triple) with
+    AND in the drawn order, optionally prefixing an unparenthesized NOT
+    to the whole text. SQL precedence binds that NOT to the FIRST
+    comparison only — the r13 advisory's trap shape: a fold that eats
+    the conjunction under the NOT negates BOTH conjuncts and flips
+    rows. The returned eval applies the NOT to the first conjunct."""
+    order = list(draw(st.permutations(parts)))
+    neg = draw(st.booleans())
+    text = " and ".join(p[0] for p in order)
+    if neg:
+        text = f"not {text}"
+
+    def ev(d, order=order, neg=neg):
+        first = _UNIT_GET[order[0][1]](d) == order[0][2]
+        rest = all(_UNIT_GET[u](d) == v for _, u, v in order[1:])
+        return (not first if neg else first) and rest
+
+    return text, ev
+
+
 @st.composite
 def _predicates(draw):
     """(calcite_sql_text, python_eval) pairs."""
@@ -110,27 +136,21 @@ def _predicates(draw):
                 lambda d: d.year in ys)
     if kind == "year_month":
         y, m = draw(_year), draw(st.integers(1, 12))
-        a, b = _part(draw, "year", y), _part(draw, "month", m)
-        text = f"{a} and {b}" if draw(st.booleans()) else f"{b} and {a}"
-        return text, lambda d: d.year == y and d.month == m
+        return _conj(draw, [(_part(draw, "year", y), "year", y),
+                            (_part(draw, "month", m), "month", m)])
     if kind == "year_month_day":
         # any permutation of the three conjuncts, each independently in
         # extract or shorthand spelling; day up to 31 so impossible
         # dates (Feb 30) exercise the verbatim fallback
         y, m, dd = draw(_year), draw(st.integers(1, 12)), \
             draw(st.integers(1, 31))
-        parts = [_part(draw, "year", y), _part(draw, "month", m),
-                 _part(draw, "day", dd)]
-        order = draw(st.permutations(parts))
-        return (" and ".join(order),
-                lambda d: (d.year == y and d.month == m
-                           and d.day == dd))
+        return _conj(draw, [(_part(draw, "year", y), "year", y),
+                            (_part(draw, "month", m), "month", m),
+                            (_part(draw, "day", dd), "day", dd)])
     if kind == "year_quarter":
         y, qq = draw(_year), draw(st.integers(1, 4))
-        a, b = _part(draw, "year", y), _part(draw, "quarter", qq)
-        text = f"{a} and {b}" if draw(st.booleans()) else f"{b} and {a}"
-        return text, lambda d: (d.year == y
-                                and (d.month - 1) // 3 + 1 == qq)
+        return _conj(draw, [(_part(draw, "year", y), "year", y),
+                            (_part(draw, "quarter", qq), "quarter", qq)])
     # floor / ceil vs a literal that is ALIGNED half the time
     unit = draw(st.sampled_from(sorted(_UNIT_TRUNC)))
     op = draw(_cmp)
@@ -157,3 +177,30 @@ def test_date_range_rewrite_equivalence(_view, pred):
         _view, f"select rid from dr_fuzz where {text}").collect())
     want = sorted(i for i, t in enumerate(_ROWS) if pyeval(t))
     assert got == want, (text, got, want)
+
+
+def test_not_bound_first_conjunct_is_not_folded(_view):
+    """The exact r13-advisory counterexample, pinned deterministically:
+    ``NOT year=1995 AND quarter=2`` means (NOT year=1995) AND quarter=2
+    by SQL precedence. A fold that consumed both conjuncts would yield
+    NOT(1995-Q2 range) — flipping e.g. 1995-01-15 from excluded to
+    included. Both spellings (extract and shorthand), plus the
+    parenthesized NOT where folding IS correct."""
+    from drill_calcite_spark.sql import calcite_sql
+
+    for txt in ("not extract(year from d) = 1995 "
+                "and extract(quarter from d) = 2",
+                "not year(d) = 1995 and quarter(d) = 2"):
+        got = sorted(r.rid for r in calcite_sql(
+            _view, f"select rid from dr_fuzz where {txt}").collect())
+        want = sorted(i for i, t in enumerate(_ROWS)
+                      if t.year != 1995 and (t.month - 1) // 3 + 1 == 2)
+        assert got == want, txt
+        assert any(_ROWS[i].year == 1995 for i in want) is False
+
+    got = sorted(r.rid for r in calcite_sql(
+        _view, "select rid from dr_fuzz where "
+               "not (year(d) = 1995 and quarter(d) = 2)").collect())
+    want = sorted(i for i, t in enumerate(_ROWS)
+                  if not (t.year == 1995 and (t.month - 1) // 3 + 1 == 2))
+    assert got == want

@@ -706,3 +706,42 @@ def test_date_range_rewrite_between_and_in():
     assert rewrite(q) == q
     q = "select * from o where extract(year from d) not between 1996 and 1998"
     assert rewrite(q) == q
+
+
+def test_date_range_not_bound_conjunction_stays_unfolded():
+    """r13 advisory (medium): an unparenthesized NOT before the first
+    conjunct binds only that comparison (SQL precedence), so the
+    pair/triple fold must bail — each comparison is then rewritten
+    SEPARATELY, keeping the NOT's scope. The parenthesized form still
+    folds (the NOT negates the whole conjunction either way)."""
+    out = rewrite("select * from o where not extract(year from d) = 1995 "
+                  "and extract(quarter from d) = 2")
+    assert ("not (d >= date '1995-01-01' and d < date '1996-01-01') "
+            "and extract(quarter from d) = 2") in out
+    out = rewrite("select * from o where not year(d) = 1995 "
+                  "and month(d) = 3")
+    assert ("not (d >= date '1995-01-01' and d < date '1996-01-01') "
+            "and extract(month from d) = 3") in out
+    out = rewrite("select * from o where not year(d) = 1995 and "
+                  "month(d) = 3 and day(d) = 7")
+    assert "not (d >= date '1995-01-01'" in out
+    # parenthesized NOT: fold inside the parens is correct and kept
+    out = rewrite("select * from o where not (year(d) = 1995 "
+                  "and quarter(d) = 2)")
+    assert ("not ((d >= date '1995-04-01' and d < date '1995-07-01'))"
+            in out)
+
+
+def test_date_shorthand_projection_name_caveat():
+    """r13 advisory (low), documented behavior pinned: a
+    comparison-free projection keeps the year()/month() shorthand
+    spelling (and so its display name); an UNALIASED boolean
+    projection is normalized to extract form — values identical, only
+    the auto-generated name shifts (alias to pin a name)."""
+    q = "select year(d), month(d) from o"
+    assert rewrite(q) == q
+    # the comparison normalizes to extract form and then folds to the
+    # range — same boolean value row-for-row, different display name
+    out = rewrite("select year(d) = 1995 from o")
+    assert out == ("select (d >= date '1995-01-01' "
+                   "and d < date '1996-01-01') from o")
