@@ -97,11 +97,26 @@ _FROM_CHAIN = (
 _SHAPE = re.compile(
     rf"^\s*select\s+(?P<select>.+?)\s+from\s+(?P<from>{_FROM_CHAIN})"
     r"(?:\s+where\s+(?P<where>.+?))?"
-    r"\s+group\s+by\s+(?P<group>[\w\s,.]+?)"
+    r"\s+group\s+by\s+(?P<group>[\w\s,.()]+?)"
     r"(?:\s+having\s+(?P<having>.+?))?"
     r"(?:\s+order\s+by\s+(?P<order>[\w\s,]+?))?"
     r"(?:\s+limit\s+(?P<limit>\d+))?\s*;?\s*$",
     re.I | re.S)
+
+# GROUP BY ROLLUP(...) / CUBE(...) / GROUPING SETS ((..), ..) — each
+# grouping set is a rollup of tile grain, so a plain tile covering the
+# UNION of the grouped columns serves the whole multi-set aggregate
+# (Calcite's AggregateStarTableRule serves ROLLUP queries from lattice
+# tiles the same way, rel/rules/AggregateStarTableRule.java;
+# materialize/Lattice.java:93). The re-aggregation runs Spark's own
+# rollup/cube/groupingSets over the TILE rows with the rollup algebra
+# measures — grouping-set NULL markers and grouping() indicators come
+# out identical to the base-table plan because they depend only on the
+# grouping-set structure, never on which relation is underneath.
+_GB_ROLLCUBE = re.compile(
+    r"^(rollup|cube)\s*\(\s*([\w\s,.]+?)\s*\)$", re.I)
+_GB_SETS = re.compile(r"^grouping\s+sets\s*\((.*)\)\s*$", re.I | re.S)
+_GB_ONE_SET = re.compile(r"^\(\s*([\w\s,.]*?)\s*\)$", re.S)
 
 # the front door's nulls-high collation rewrite may have annotated the
 # items with explicit NULLS FIRST/LAST before substitution sees them
@@ -125,6 +140,21 @@ _DIM_ITEM = re.compile(r"^([a-z_]\w*)(?:\s+as\s+([a-z_]\w*))?$", re.I)
 _CD_ITEM = re.compile(
     r"^count\s*\(\s*distinct\s+([a-z_]\w*)\s*\)\s+as\s+([a-z_]\w*)$",
     re.I)
+
+# grouping(col) AS alias — the grouping-set indicator; computable above
+# the tile re-aggregation because it depends only on which grouping set
+# produced the row, never on the underlying relation. GROUPING_ID(...)
+# never reaches this parser in its spelled form: the front door's
+# _rewrite_grouping_funcs (sql.py) has already expanded it into the
+# weighted grouping() sum, which _GEXPR_ITEM below consumes.
+_GFN_ITEM = re.compile(
+    r"^grouping\s*\(\s*([a-z_]\w*)\s*\)\s+as\s+([a-z_]\w*)$", re.I)
+_GEXPR_TERM = r"grouping\s*\(\s*[a-z_]\w*\s*\)(?:\s*\*\s*\d+)?"
+_GEXPR_ITEM = re.compile(
+    rf"^\(\s*({_GEXPR_TERM}(?:\s*\+\s*{_GEXPR_TERM})*)\s*\)"
+    r"\s+as\s+([a-z_]\w*)$", re.I)
+_GEXPR_PART = re.compile(
+    r"grouping\s*\(\s*([a-z_]\w*)\s*\)(?:\s*\*\s*(\d+))?", re.I)
 
 _ATOM = re.compile(
     r"^([a-z_]\w*)\s*(<=|>=|=|<|>)\s*"
@@ -226,6 +256,48 @@ def _parse_from(clause: str):
     return MaterializedViews.join_signature(tables, pairs), tables
 
 
+def _parse_group(clause: str):
+    """GROUP BY clause → (mode, sets, cols). mode ∈ {"plain", "rollup",
+    "cube", "gsets"}; ``cols`` is the union of grouped columns in first
+    appearance order (the probe dims and the output grouping columns);
+    ``sets`` is the explicit set list for "gsets", None otherwise.
+    Returns None on anything outside the closed-world shape."""
+    clause = clause.strip()
+
+    def cols_of(s: str) -> "list[str] | None":
+        out = []
+        for g in _split_commas(s) if s.strip() else []:
+            if not re.match(r"^[a-z_]\w*$", g, re.I):
+                return None
+            out.append(g)
+        return out
+
+    rm = _GB_ROLLCUBE.match(clause)
+    if rm:
+        cols = cols_of(rm.group(2))
+        if not cols:
+            return None
+        return rm.group(1).lower(), None, cols
+    sm = _GB_SETS.match(clause)
+    if sm:
+        sets, union = [], []
+        for part in _split_commas(sm.group(1)):
+            pm = _GB_ONE_SET.match(part.strip())
+            members = (cols_of(pm.group(1)) if pm
+                       else cols_of(part))   # bare col ≡ ((col))
+            if members is None:
+                return None
+            sets.append(members)
+            union.extend(c for c in members if c not in union)
+        if not sets or not union:
+            return None
+        return "gsets", sets, union
+    cols = cols_of(clause)
+    if not cols:
+        return None
+    return "plain", None, cols
+
+
 def _parse(text: str):
     """Parse the supported aggregate shape; None on anything else."""
     if _DISQUALIFY.search(text):
@@ -237,19 +309,35 @@ def _parse(text: str):
     if parsed_from is None:
         return None
     table = parsed_from[0]
-    group_cols = []
-    for g in _split_commas(m.group("group")):
-        gm = re.match(r"^[a-z_]\w*$", g, re.I)
-        if not gm:
-            return None
-        group_cols.append(g)
+    gb = _parse_group(m.group("group"))
+    if gb is None:
+        return None
+    gb_mode, gb_sets, group_cols = gb
     items: list[tuple] = []       # ("dim", col, out) | ("agg", op, col, out)
     #                             # | ("cd", col, out)  [count(distinct)]
+    #                             # | ("gfn", col, out)  [grouping(col)]
+    #                             # | ("gexpr", ((col, mult), ...), out)
     measures: list[tuple[str, str, str]] = []
     for item in _split_commas(m.group("select")):
         cm = _CD_ITEM.match(item)
         if cm:
             items.append(("cd", cm.group(1), cm.group(2)))
+            continue
+        gm = _GFN_ITEM.match(item)
+        if gm:
+            if gb_mode == "plain" or gm.group(1) not in group_cols:
+                return None
+            items.append(("gfn", gm.group(1), gm.group(2)))
+            continue
+        ge = _GEXPR_ITEM.match(item)
+        if ge:
+            terms = tuple(
+                (c, int(mult) if mult else 1)
+                for c, mult in _GEXPR_PART.findall(ge.group(1)))
+            if gb_mode == "plain" or \
+                    any(c not in group_cols for c, _ in terms):
+                return None
+            items.append(("gexpr", terms, ge.group(2)))
             continue
         am = _AGG_ITEM.match(item)
         if am:
@@ -298,7 +386,7 @@ def _parse(text: str):
     # ORDER BY / LIMIT above the aggregate: sort keys must be OUTPUT
     # columns (dim aliases or measure aliases) — the sort reorders the
     # rollup result, it never reaches inside the aggregate
-    out_names = {it[3] if it[0] == "agg" else it[2] for it in items}
+    out_names = {it[-1] for it in items}
     order: list[tuple[str, bool, "str | None"]] = []
     if m.group("order"):
         for part in _split_commas(m.group("order")):
@@ -310,7 +398,7 @@ def _parse(text: str):
                           om.group(3) and om.group(3).lower()))
     limit = int(m.group("limit")) if m.group("limit") else None
     return (table, group_cols, measures, atoms, items, havings,
-            order, limit)
+            order, limit, gb_mode, gb_sets)
 
 
 def try_substitute(spark: SparkSession, text: str,
@@ -322,7 +410,7 @@ def try_substitute(spark: SparkSession, text: str,
     if parsed is None:
         return None
     (table, group_cols, measures, atoms, items, havings,
-     order, limit) = parsed
+     order, limit, gb_mode, gb_sets) = parsed
     # HAVING aggregates must also be servable from the tile — probe
     # find_tile with them included (hidden output columns)
     hidden = [(f"__h{i}", op, col)
@@ -344,12 +432,33 @@ def try_substitute(spark: SparkSession, text: str,
             for out, op, col in measures + hidden]
     aggs += [F.countDistinct(F.col(it[1])).alias(it[2])
              for it in items if it[0] == "cd"]
-    rolled = tdf.groupBy(*group_cols).agg(*aggs)
+    # grouping-set indicators live in the agg list (Spark resolves
+    # grouping()/grouping_id only inside the aggregation); the values
+    # depend only on the grouping-set structure, so computing them over
+    # the TILE rollup equals computing them over the base table
+    for it in items:
+        if it[0] == "gfn":
+            aggs.append(F.grouping(it[1]).cast("bigint").alias(it[2]))
+        elif it[0] == "gexpr":
+            e = None
+            for c, mult in it[1]:
+                term = F.grouping(c).cast("bigint") * F.lit(mult)
+                e = term if e is None else e + term
+            aggs.append(e.alias(it[2]))
+    if gb_mode == "rollup":
+        grouped = tdf.rollup(*group_cols)
+    elif gb_mode == "cube":
+        grouped = tdf.cube(*group_cols)
+    elif gb_mode == "gsets":
+        grouped = tdf.groupingSets(gb_sets, *group_cols)
+    else:
+        grouped = tdf.groupBy(*group_cols)
+    rolled = grouped.agg(*aggs)
     for (h, _op, _col), (_o, _c, cmp, val) in zip(hidden, havings):
         rolled = rolled.filter(_atom_cond((h, cmp, val)))
     final = [F.col(it[1]).alias(it[2]) if it[0] == "dim"
-             else F.col(it[2]) if it[0] == "cd"
-             else F.col(it[3]) for it in items]
+             else F.col(it[3]) if it[0] == "agg"
+             else F.col(it[2]) for it in items]
     out = rolled.select(*final)
     if order:
         def key(c: str, asc: bool, nulls: "str | None"):

@@ -52,7 +52,17 @@ _ROWS_ONLY_FIRST_EVIDENCE = [
 # because this list must become the NEXT round's slate HEAD). Empty at
 # the start of r14: all ten r13-queued names are promoted into the
 # slate below. r14-new names queue here as they land.
-_NEXT_ROUND_HEAD: list[str] = []
+_NEXT_ROUND_HEAD: list[str] = [
+    "mv_sql_rollup_substitution",  # NEW r14: GROUP BY ROLLUP served
+    # from a plain tile through the front door (AggregateStarTableRule
+    # shape) with grouping()/GROUPING_ID above the tile re-aggregation;
+    # the r14 slate is fully spoken for by the vintage debt; 3-SF
+    # parity + no-fact-scan plan pin committed
+    "mv_sql_groupingsets_substitution",  # NEW r14: explicit GROUPING
+    # SETS (incl. grand total) through groupingSets() over the tile,
+    # composed with a hidden-measure HAVING gate; same overflow
+    # reason; 3-SF parity committed
+]
 
 _DRIVER_PRIORITY = [
     # ROUND-14 ROTATION, in order (the slate math: 10 queued + 1 newly

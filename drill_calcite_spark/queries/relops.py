@@ -2037,6 +2037,135 @@ def mv_sql_daterange_substitution(spark: SparkSession,
     return out
 
 
+@q("mv_sql_rollup_substitution", """
+SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus)::BIGINT AS g_s,
+       grouping(o_orderstatus, o_orderpriority)::BIGINT AS gid,
+       count(*) AS n,
+       sum(o_custkey)::BIGINT AS ck,
+       max(o_totalprice) AS mx
+FROM orders
+WHERE o_orderpriority >= '2-HIGH'
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""")
+def mv_sql_rollup_substitution(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP served through the front-door MV substitution —
+    the AggregateStarTableRule shape (rel/rules/AggregateStarTableRule
+    .java; materialize/Lattice.java:93): every grouping set of the
+    ROLLUP is a rollup of tile grain, so ONE plain (status, priority)
+    tile serves the whole multi-set aggregate — the engine runs
+    Spark's own ``rollup()`` over the TILE rows with the rollup
+    algebra measures, and the fact table is never scanned (inputFiles
+    assertion; no-fact-scan plan pin in tests/test_plan_shapes.py).
+
+    grouping()/GROUPING_ID() ride ABOVE the tile re-aggregation: the
+    indicators depend only on which grouping set produced the row,
+    never on the relation underneath, so tile-served values are
+    base-served values by construction. GROUPING_ID(s, p) reaches the
+    substitution parser pre-expanded into the weighted grouping() sum
+    (sql.py _rewrite_grouping_funcs) — the parser consumes the
+    arithmetic form and replays it per-column; DuckDB's multi-arg
+    GROUPING has the identical bitmask convention (first column most
+    significant), so the driver hash pins the bit order too. The
+    priority atom re-applies on the tile as a residual BEFORE the
+    rollup, exactly where the WHERE sits in the original plan.
+
+    At 100 TB the subtotal rows are the expensive part of a fact-table
+    ROLLUP (every grouping set re-shuffles the fact); served from the
+    tile, all grouping sets together shuffle only tile rows —
+    aggregate-cardinality input, 10^3-10^6× smaller."""
+    import os as _os
+
+    from drill_calcite_spark.catalog import register_tables
+    from drill_calcite_spark.plans.materialized import MaterializedViews
+    from drill_calcite_spark.sql import calcite_sql
+
+    register_tables(spark, sf_dir)
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/spark_graft_fixtures/{tag}/mv_sql_rollup_tile"
+    ords = t(spark, sf_dir, "orders")
+    mvs = MaterializedViews(spark)
+    mvs.create(
+        "orders_rollup_sql", "orders", ords,
+        dims=["o_orderstatus", "o_orderpriority"],
+        measures=[("sum", "o_custkey"), ("max", "o_totalprice")],
+        path=path,
+    )
+    out = calcite_sql(spark, """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) AS g_s,
+               grouping_id(o_orderstatus, o_orderpriority) AS gid,
+               count(*) AS n,
+               sum(o_custkey) AS ck,
+               max(o_totalprice) AS mx
+        FROM orders
+        WHERE o_orderpriority >= '2-HIGH'
+        GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """, materializations=mvs)
+    assert all("mv_sql_rollup_tile" in f for f in out.inputFiles()), \
+        "front-door ROLLUP substitution fell back to the base scan"
+    return out
+
+
+@q("mv_sql_groupingsets_substitution", """
+SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus, o_orderpriority)::BIGINT AS gid,
+       count(*) AS n,
+       sum(o_custkey)::BIGINT AS ck
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderpriority), ())
+HAVING avg(o_totalprice) > 250000.13
+""")
+def mv_sql_groupingsets_substitution(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (including the () grand total) served
+    from one plain tile, composed with HAVING above the multi-set
+    rollup: the set list is arbitrary — not the ROLLUP prefix chain —
+    so the engine routes it through Spark's ``groupingSets()`` over
+    the tile (SPARK-45929 API) with the same rollup algebra; the
+    HAVING gate (not in the SELECT list) rides the probe as a hidden
+    avg measure, is derived from the tile's (sum, count) pair, and
+    filters every grouping set's rows above the re-aggregation. The
+    threshold 250000.13 sits inside the per-group average spread at
+    all three SFs (keep 11-13 / cut 8-10 of 21 grouping-set rows) with
+    a ≥36 gap to the nearest group — five orders of magnitude above
+    double-summation noise — so the gate provably bites both ways and
+    can never flip on summation order. The fact table is never
+    scanned (inputFiles assertion)."""
+    import os as _os
+
+    from drill_calcite_spark.catalog import register_tables
+    from drill_calcite_spark.plans.materialized import MaterializedViews
+    from drill_calcite_spark.sql import calcite_sql
+
+    register_tables(spark, sf_dir)
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/spark_graft_fixtures/{tag}/mv_sql_gsets_tile"
+    ords = t(spark, sf_dir, "orders")
+    mvs = MaterializedViews(spark)
+    mvs.create(
+        "orders_gsets_sql", "orders", ords,
+        dims=["o_orderstatus", "o_orderpriority"],
+        measures=[("sum", "o_custkey"), ("avg", "o_totalprice")],
+        path=path,
+    )
+    out = calcite_sql(spark, """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping_id(o_orderstatus, o_orderpriority) AS gid,
+               count(*) AS n,
+               sum(o_custkey) AS ck
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderpriority), ())
+        HAVING avg(o_totalprice) > 250000.13
+    """, materializations=mvs)
+    assert all("mv_sql_gsets_tile" in f for f in out.inputFiles()), \
+        "front-door GROUPING SETS substitution fell back to base scan"
+    return out
+
+
 @q("mv_incremental_refresh", """
 SELECT o_orderpriority,
        sum(o_totalprice::DECIMAL(18,6))::DOUBLE AS total,

@@ -1559,3 +1559,46 @@ def test_mv_sql_topn_substitution_heap_over_tile(spark):
         "fact table scanned despite substitution"
     assert "TakeOrderedAndProject" in plan, \
         "LIMIT+ORDER BY did not plan as a top-K heap"
+
+
+def test_mv_sql_rollup_substitution_expand_over_tile(spark):
+    """Front-door ROLLUP substitution (r14): the multi-set aggregate
+    runs over the TILE — the plan shows the grouping-sets Expand
+    operator feeding the aggregate with the tile scan underneath, and
+    the fact table is completely absent (AggregateStarTableRule's
+    rollup-query serve). The grouping indicators must be computed in
+    the plan (spark_grouping_id), not post-processed."""
+    df = entrymod.queries()["mv_sql_rollup_substitution"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "mv_sql_rollup_tile" in plan, "tile scan missing"
+    assert "orders.parquet" not in plan, \
+        "fact table scanned despite ROLLUP substitution"
+    assert "Expand" in plan, "no grouping-sets Expand over the tile"
+    assert "spark_grouping_id" in plan, \
+        "grouping indicators not computed in-plan"
+    # non-vacuous: subtotal AND grand-total rows exist with correct ids
+    gids = {r.gid for r in df.collect()}
+    assert {0, 1, 3} <= gids, f"rollup grouping sets incomplete: {gids}"
+
+
+def test_mv_sql_groupingsets_substitution_gate_and_sets(spark):
+    """Front-door GROUPING SETS substitution (r14): arbitrary set list
+    (not a rollup prefix chain) over the tile via groupingSets(), with
+    the hidden-measure HAVING filtering above the multi-set
+    re-aggregation. Plan: tile scan + Expand, no fact scan; data: the
+    gate keeps some grouping-set rows and cuts others, and the set
+    list is exactly {(status,priority), (priority), ()}."""
+    df = entrymod.queries()["mv_sql_groupingsets_substitution"](
+        spark, SF_DIR)
+    plan = _plan(df)
+    assert "mv_sql_gsets_tile" in plan, "tile scan missing"
+    assert "orders.parquet" not in plan, \
+        "fact table scanned despite GROUPING SETS substitution"
+    assert "Expand" in plan
+    rows = df.collect()
+    gids = {r.gid for r in rows}
+    assert gids <= {0, 2, 3} and 0 in gids, \
+        f"unexpected grouping-set ids: {gids}"
+    # the avg gate must bite both ways: 21 grouping-set rows exist
+    # pre-gate at every SF (3 statuses × 5 priorities + 5 + 1)
+    assert 0 < len(rows) < 21, f"HAVING gate vacuous: {len(rows)} rows"
