@@ -105,6 +105,11 @@ class _Tile:
     ops: frozenset  # of (op, col) pairs stored in the tile
     path: str
     where: tuple[Atom, ...] = ()
+    # join-MVs record their composition so a query over a SUBSET of
+    # the joined tables can unify when the dropped tables are
+    # FK-derivable (see find_derivable_tile)
+    join_tables: "tuple[str, ...] | None" = None
+    join_pairs: "tuple[tuple[str, str], ...] | None" = None
 
 
 @dataclass
@@ -113,6 +118,25 @@ class MaterializedViews:
 
     spark: SparkSession
     tiles: list[_Tile] = field(default_factory=list)
+    # registered referential constraints: (fk_col, dim_table, pk_col).
+    # Column names are unique across this closed world's tables, so the
+    # fact side is identified by column ownership.
+    fks: set = field(default_factory=set)
+
+    def register_fk(self, fk_col: str, dim_table: str,
+                    pk_col: str) -> None:
+        """Declare a foreign key: every base row's ``fk_col`` is
+        non-NULL and matches EXACTLY ONE ``dim_table`` row's ``pk_col``
+        (the dim key is unique). Under this constraint an INNER
+        equi-join to the dim neither drops nor duplicates fact rows —
+        Calcite models the same metadata as RelReferentialConstraint
+        on RelOptTable, and AbstractMaterializedViewRule uses it to
+        unify a query with a join-MV that joins MORE tables than the
+        query names (join derivability, SubstitutionVisitor.java:120
+        context). The constraint is declared, not checked — exactly the
+        reference's posture (constraints are catalog metadata)."""
+        self.fks.add((fk_col.lower(), dim_table.lower(),
+                      pk_col.lower()))
 
     def create(
         self, name: str, table: str, base: DataFrame,
@@ -186,16 +210,92 @@ class MaterializedViews:
         q_atoms = list(where or ())
         out: list[tuple[_Tile, list[Atom]]] = []
         for t in self.tiles:
-            if t.table != table or not set(dims) <= set(t.dims) or not need <= t.ops:
+            if t.table != table:
                 continue
-            if not all(any(_implies(qa, pa) for qa in q_atoms) for pa in t.where):
-                continue
-            enforced = set(t.where)
-            residual = [qa for qa in q_atoms if qa not in enforced]
-            if any(qa[0] not in t.dims for qa in residual):
-                continue
-            out.append((t, residual))
+            residual = self._tile_residual(t, dims, need, q_atoms)
+            if residual is not None:
+                out.append((t, residual))
         return min(out, key=lambda tr: len(tr[0].dims)) if out else None
+
+    @staticmethod
+    def _tile_residual(t: _Tile, dims: list[str], need: set,
+                       q_atoms: list) -> "list[Atom] | None":
+        """The find_tile subsumption check for ONE tile (dims ⊇ query
+        dims, measures stored, predicate implied); returns the residual
+        atoms on a match, None otherwise."""
+        if not set(dims) <= set(t.dims) or not need <= t.ops:
+            return None
+        if not all(any(_implies(qa, pa) for qa in q_atoms)
+                   for pa in t.where):
+            return None
+        enforced = set(t.where)
+        residual = [qa for qa in q_atoms if qa not in enforced]
+        if any(qa[0] not in t.dims for qa in residual):
+            return None
+        return residual
+
+    def find_derivable_tile(
+        self, table: str, dims: list[str],
+        measures: list[tuple[str, str, str]],
+        where: list[Atom] | None = None,
+    ) -> "tuple[_Tile, list[Atom]] | None":
+        """Serve a SINGLE-TABLE aggregate from a JOIN-MV that joins
+        ``table`` to MORE tables — sound when every extra table is
+        FK-derivable: peeled one at a time, an extra table must hang
+        off the remaining join by exactly ONE equi-pair whose fact
+        side column belongs to a remaining table and which is a
+        registered FK into the peeled table (register_fk contract: the
+        join neither drops nor duplicates the kept rows). The CALLER
+        must ensure the query references no column of a dropped table
+        (sql_substitution checks ownership against the base table's
+        schema). This is AbstractMaterializedViewRule's
+        join-derivability case driven by RelReferentialConstraint
+        metadata (SubstitutionVisitor.java:120)."""
+        need = self._needed_ops(measures)
+        q_atoms = list(where or ())
+        out: list[tuple[_Tile, list[Atom]]] = []
+        for t in self.tiles:
+            if t.join_tables is None or table not in t.join_tables:
+                continue
+            extra = set(t.join_tables) - {table}
+            if not extra or not self._fk_peelable(extra, t.join_pairs):
+                continue
+            residual = self._tile_residual(t, dims, need, q_atoms)
+            if residual is not None:
+                out.append((t, residual))
+        return min(out, key=lambda tr: len(tr[0].dims)) if out else None
+
+    def _fk_peelable(self, extra: set, pairs) -> bool:
+        """Can every table in ``extra`` be peeled off the join leaf-
+        first via registered FKs? Column→table ownership is resolved
+        by matching the FK registry's dim/pk declarations."""
+        # pk-side columns of each droppable table, per the registry
+        remaining = list(pairs or ())
+        extra = set(extra)
+        while extra:
+            for d in list(extra):
+                pk_cols = {pk for fk, dim, pk in self.fks if dim == d}
+                touching = [p for p in remaining
+                            if p[0].lower() in pk_cols
+                            or p[1].lower() in pk_cols]
+                if len(touching) != 1:
+                    continue
+                a, b = touching[0]
+                fk, pk = ((b, a) if a.lower() in pk_cols else (a, b))
+                if (fk.lower(), d, pk.lower()) not in self.fks:
+                    continue
+                # the fk side must not itself belong to the peeled
+                # table's pk set of ANOTHER still-extra table — i.e.
+                # it must survive in the remaining join; peeling
+                # leaf-first guarantees this because a pair whose fk
+                # side is a not-yet-peeled extra table will be handled
+                # when that table becomes the leaf
+                remaining = [p for p in remaining if p != touching[0]]
+                extra.discard(d)
+                break
+            else:
+                return False  # no peelable leaf this round
+        return True
 
     def summarize(
         self, table: str, base: DataFrame, dims: list[str],
@@ -319,6 +419,10 @@ class MaterializedViews:
             )
         self.create(name, self.join_signature(names, on), base, dims,
                     measures, path, where)
+        # record the composition for FK-derivable subset unification
+        t = self.tiles[-1]
+        t.join_tables = tuple(sorted(n.lower() for n in names))
+        t.join_pairs = tuple((a, b) for a, b in on)
 
     def summarize_join(
         self, tables: dict[str, DataFrame], on: Sequence[tuple[str, str]],

@@ -89,9 +89,17 @@ _AGG_OPS = ("sum", "count", "min", "max", "avg")
 
 # FROM clause: one table, optionally INNER-joined to more via a chain
 # of `JOIN t ON a = b [AND c = d ...]` (the join-MV signature shape;
-# outer joins, aliases and non-equi conditions fall out of the match)
+# outer joins and non-equi conditions fall out of the match). Every
+# table may carry an `[AS] alias` — qualifiers are stripped from the
+# rest of the statement before item parsing (column names are unique
+# per table in this closed world, so a qualifier adds no information;
+# self-joins, where it would, are rejected in _parse_from).
+_KW_GUARD = (r"(?!join\b|on\b|where\b|group\b|having\b|order\b|"
+             r"limit\b|as\b)")
+_ALIAS_OPT = rf"(?:\s+(?:as\s+)?{_KW_GUARD}[a-z_]\w*)?"
 _FROM_CHAIN = (
-    r"[a-z_]\w*(?:\s+join\s+[a-z_]\w*\s+on\s+[\w.]+\s*=\s*[\w.]+"
+    rf"[a-z_]\w*{_ALIAS_OPT}"
+    rf"(?:\s+join\s+[a-z_]\w*{_ALIAS_OPT}\s+on\s+[\w.]+\s*=\s*[\w.]+"
     r"(?:\s+and\s+[\w.]+\s*=\s*[\w.]+)*)*")
 
 _SHAPE = re.compile(
@@ -99,7 +107,7 @@ _SHAPE = re.compile(
     r"(?:\s+where\s+(?P<where>.+?))?"
     r"\s+group\s+by\s+(?P<group>[\w\s,.()]+?)"
     r"(?:\s+having\s+(?P<having>.+?))?"
-    r"(?:\s+order\s+by\s+(?P<order>[\w\s,]+?))?"
+    r"(?:\s+order\s+by\s+(?P<order>[\w\s,.]+?))?"
     r"(?:\s+limit\s+(?P<limit>\d+))?\s*;?\s*$",
     re.I | re.S)
 
@@ -124,8 +132,11 @@ _ORDER_ITEM = re.compile(
     r"^([a-z_]\w*)(?:\s+(asc|desc))?(?:\s+nulls\s+(first|last))?$", re.I)
 
 _JOIN_STEP = re.compile(
-    r"\s+join\s+([a-z_]\w*)\s+on\s+(.+?)(?=\s+join\s+|\s*$)",
+    rf"\s+join\s+([a-z_]\w*)((?:\s+(?:as\s+)?{_KW_GUARD}[a-z_]\w*)?)"
+    r"\s+on\s+(.+?)(?=\s+join\s+|\s*$)",
     re.I | re.S)
+_FROM_HEAD = re.compile(
+    rf"^([a-z_]\w*)((?:\s+(?:as\s+)?{_KW_GUARD}[a-z_]\w*)?)", re.I)
 _ON_PAIR = re.compile(r"^([\w.]+)\s*=\s*([\w.]+)$")
 
 _AGG_ITEM = re.compile(
@@ -236,24 +247,60 @@ def _strip_qual(col: str) -> str:
 
 
 def _parse_from(clause: str):
-    """FROM chain → (table_key, None) for a single table, or
-    (join_signature, tables) for an equi-join chain."""
-    head = re.match(r"^([a-z_]\w*)", clause, re.I)
+    """FROM chain → (table_key, tables_or_None, quals): quals is every
+    name (table or alias) that may qualify a column reference in the
+    statement; tables_or_None is None for a single table."""
+    head = _FROM_HEAD.match(clause)
     tables = [head.group(1).lower()]
+    quals = {tables[0]}
+
+    def alias_of(tok: str) -> "str | None":
+        tok = re.sub(r"^\s*(?:as\s+)?", "", tok.strip(), flags=re.I)
+        return tok.lower() or None
+
+    a = alias_of(head.group(2) or "")
+    if a:
+        quals.add(a)
     pairs: list[tuple[str, str]] = []
     for jm in _JOIN_STEP.finditer(clause):
         tables.append(jm.group(1).lower())
-        for cond in re.split(r"\band\b", jm.group(2), flags=re.I):
+        quals.add(jm.group(1).lower())
+        a = alias_of(jm.group(2) or "")
+        if a:
+            quals.add(a)
+        for cond in re.split(r"\band\b", jm.group(3), flags=re.I):
             pm = _ON_PAIR.match(cond.strip())
             if not pm:
                 return None
             pairs.append((_strip_qual(pm.group(1)),
                           _strip_qual(pm.group(2))))
     if len(tables) == 1:
-        return tables[0], None
+        return tables[0], None, quals
     if len(set(tables)) != len(tables):
-        return None  # self-join needs aliases, which we don't parse
-    return MaterializedViews.join_signature(tables, pairs), tables
+        return None  # self-join: aliases DO carry row identity — bail
+    return MaterializedViews.join_signature(tables, pairs), tables, quals
+
+
+def _strip_quals(text: str, quals: set) -> str:
+    """Remove `qual.` prefixes from column references, outside string
+    literals — after the self-join rejection a qualifier carries no
+    information (column names are unique per table here), so the
+    closed-world item grammar can stay qualifier-free."""
+    if not quals:
+        return text
+    pat = re.compile(
+        r"\b(" + "|".join(sorted(map(re.escape, quals))) + r")\s*\.\s*"
+        r"(?=[a-z_])", re.I)
+    spans = []
+    for sm in re.finditer(r"'(?:[^']|'')*'", text):
+        spans.append((sm.start(), sm.end()))
+
+    def repl(m: "re.Match[str]") -> str:
+        if any(s <= m.start() < e for s, e in spans):
+            return m.group(0)
+        return ""
+
+    return pat.sub(repl, text)
 
 
 def _parse_group(clause: str):
@@ -308,8 +355,12 @@ def _parse(text: str):
     parsed_from = _parse_from(m.group("from"))
     if parsed_from is None:
         return None
-    table = parsed_from[0]
-    gb = _parse_group(m.group("group"))
+    table, join_tables, quals = parsed_from
+
+    def unq(s: "str | None") -> "str | None":
+        return _strip_quals(s, quals) if s else s
+
+    gb = _parse_group(unq(m.group("group")))
     if gb is None:
         return None
     gb_mode, gb_sets, group_cols = gb
@@ -318,7 +369,7 @@ def _parse(text: str):
     #                             # | ("gfn", col, out)  [grouping(col)]
     #                             # | ("gexpr", ((col, mult), ...), out)
     measures: list[tuple[str, str, str]] = []
-    for item in _split_commas(m.group("select")):
+    for item in _split_commas(unq(m.group("select"))):
         cm = _CD_ITEM.match(item)
         if cm:
             items.append(("cd", cm.group(1), cm.group(2)))
@@ -360,7 +411,7 @@ def _parse(text: str):
         return None
     atoms: list[Atom] = []
     if m.group("where"):
-        flat = _flatten_parens(m.group("where"))
+        flat = _flatten_parens(unq(m.group("where")))
         if re.search(r"\bnot\s+between\b", flat, re.I):
             return None
         flat = _BETWEEN_ATOM.sub(
@@ -374,7 +425,8 @@ def _parse(text: str):
                           _parse_literal(am.group(3))))
     havings: list[tuple[str, str, str, float]] = []
     if m.group("having"):
-        for part in re.split(r"\band\b", m.group("having"), flags=re.I):
+        for part in re.split(r"\band\b", unq(m.group("having")),
+                             flags=re.I):
             hm = _HAVING_ATOM.match(part.strip())
             if not hm:
                 return None
@@ -389,7 +441,7 @@ def _parse(text: str):
     out_names = {it[-1] for it in items}
     order: list[tuple[str, bool, "str | None"]] = []
     if m.group("order"):
-        for part in _split_commas(m.group("order")):
+        for part in _split_commas(unq(m.group("order"))):
             om = _ORDER_ITEM.match(part.strip())
             if not om or om.group(1) not in out_names:
                 return None
@@ -398,7 +450,7 @@ def _parse(text: str):
                           om.group(3) and om.group(3).lower()))
     limit = int(m.group("limit")) if m.group("limit") else None
     return (table, group_cols, measures, atoms, items, havings,
-            order, limit, gb_mode, gb_sets)
+            order, limit, gb_mode, gb_sets, join_tables)
 
 
 def try_substitute(spark: SparkSession, text: str,
@@ -410,7 +462,7 @@ def try_substitute(spark: SparkSession, text: str,
     if parsed is None:
         return None
     (table, group_cols, measures, atoms, items, havings,
-     order, limit, gb_mode, gb_sets) = parsed
+     order, limit, gb_mode, gb_sets, join_tables) = parsed
     # HAVING aggregates must also be servable from the tile — probe
     # find_tile with them included (hidden output columns)
     hidden = [(f"__h{i}", op, col)
@@ -422,6 +474,25 @@ def try_substitute(spark: SparkSession, text: str,
     probe_dims = group_cols + [c for c in dict.fromkeys(cd_cols)
                                if c not in group_cols]
     hit = mvs.find_tile(table, probe_dims, measures + hidden, atoms)
+    if hit is None and join_tables is None:
+        # FK-derivable subset unification: a single-table aggregate can
+        # be served from a JOIN-MV that joins the table to more tables,
+        # when every extra table hangs off a registered FK (the join
+        # preserves the kept rows 1:1) AND the query references only
+        # the base table's own columns — checked against the table's
+        # actual schema (driver-side metadata, no job), so a dropped-
+        # table column can never be silently served.
+        refs = (set(probe_dims)
+                | {col for _o, _op, col in measures + hidden
+                   if col != "*"}
+                | {a[0] for a in atoms})
+        try:
+            owned = {c.lower() for c in spark.table(table).columns}
+        except Exception:
+            owned = None
+        if owned is not None and all(c.lower() in owned for c in refs):
+            hit = mvs.find_derivable_tile(table, probe_dims,
+                                          measures + hidden, atoms)
     if hit is None:
         return None
     tile, residual = hit

@@ -62,6 +62,12 @@ _NEXT_ROUND_HEAD: list[str] = [
     # SETS (incl. grand total) through groupingSets() over the tile,
     # composed with a hidden-measure HAVING gate; same overflow
     # reason; 3-SF parity committed
+    "mv_sql_subset_substitution",  # NEW r14: FK-derivable subset
+    # unification — an aliased single-table aggregate served from the
+    # orders⋈customer join-MV via the registered FK
+    # (RelReferentialConstraint join derivability); same overflow
+    # reason; 3-SF parity + unsound-variant fall-through tests
+    # committed
 ]
 
 _DRIVER_PRIORITY = [

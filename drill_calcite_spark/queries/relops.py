@@ -2166,6 +2166,70 @@ def mv_sql_groupingsets_substitution(spark: SparkSession,
     return out
 
 
+@q("mv_sql_subset_substitution", """
+SELECT o_orderstatus,
+       count(*) AS n,
+       sum(o_custkey)::BIGINT AS ck,
+       max(o_totalprice) AS mx
+FROM orders
+WHERE o_orderstatus >= 'O'
+GROUP BY o_orderstatus
+""")
+def mv_sql_subset_substitution(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """FK-derivable SUBSET unification through the front door (r14 —
+    Calcite's join-derivability case: AbstractMaterializedViewRule
+    unifies a query with a join-MV that joins MORE tables than the
+    query names when referential constraints prove the extra joins
+    lossless; RelReferentialConstraint metadata,
+    SubstitutionVisitor.java:120). The ONLY registered tile is the
+    orders⋈customer join-MV; the query aggregates ORDERS ALONE —
+    spelled with a table alias and qualified columns (``FROM orders o
+    ... o.o_orderstatus``), the r13 verdict's alias ask. Because
+    o_custkey → customer.c_custkey is a registered FK (every order has
+    exactly one customer), the join neither drops nor duplicates order
+    rows, so rolling the join tile up to o_orderstatus IS the orders
+    aggregate — count(*) included. The ownership check (no
+    customer column referenced) and the FK registration are both load-
+    bearing: tests/test_materialized.py pins that dropping either
+    falls through to the base plan. The residual status atom
+    re-applies on the tile; statuses split ~1/3 : 2/3 so the filter
+    bites at every SF. inputFiles proves orders.parquet is never
+    scanned even though it is the only table the SQL names."""
+    import os as _os
+
+    from drill_calcite_spark.catalog import register_tables
+    from drill_calcite_spark.plans.materialized import MaterializedViews
+    from drill_calcite_spark.sql import calcite_sql
+
+    register_tables(spark, sf_dir)
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/spark_graft_fixtures/{tag}/mv_sql_subset_tile"
+    tables = {"orders": t(spark, sf_dir, "orders"),
+              "customer": t(spark, sf_dir, "customer")}
+    mvs = MaterializedViews(spark)
+    mvs.create_join(
+        "orders_customer_subset_sql", tables,
+        [("o_custkey", "c_custkey")],
+        dims=["c_mktsegment", "o_orderstatus"],
+        measures=[("sum", "o_custkey"), ("max", "o_totalprice")],
+        path=path,
+    )
+    mvs.register_fk("o_custkey", "customer", "c_custkey")
+    out = calcite_sql(spark, """
+        SELECT o.o_orderstatus,
+               count(*) AS n,
+               sum(o.o_custkey) AS ck,
+               max(o.o_totalprice) AS mx
+        FROM orders o
+        WHERE o.o_orderstatus >= 'O'
+        GROUP BY o.o_orderstatus
+    """, materializations=mvs)
+    assert all("mv_sql_subset_tile" in f for f in out.inputFiles()), \
+        "FK-subset substitution fell back to the base scan"
+    return out
+
+
 @q("mv_incremental_refresh", """
 SELECT o_orderpriority,
        sum(o_totalprice::DECIMAL(18,6))::DOUBLE AS total,

@@ -633,3 +633,117 @@ def test_sql_substitution_orderby_limit(spark, tmp_path):
     assert out is not None
     assert [tuple(r) for r in out.collect()] \
         == [tuple(r) for r in spark.sql(text).collect()]
+
+
+def test_sql_substitution_grouping_sets_family(spark, tmp_path):
+    """ROLLUP / CUBE / GROUPING SETS through the front door (r14 —
+    AggregateStarTableRule's rollup-query serve): every grouping set is
+    a rollup of tile grain, so the plain (k, sub) tile serves each
+    multi-set aggregate; values (incl. grouping-set NULL markers and
+    grouping() indicators) equal spark.sql over the base exactly."""
+    from drill_calcite_spark.plans.sql_substitution import try_substitute
+
+    mvs = _mvs(spark, tmp_path)
+    _base(spark).createOrReplaceTempView("t")
+    for text in (
+        "SELECT k, sub, count(*) AS n, sum(v) AS s FROM t "
+        "GROUP BY ROLLUP(k, sub)",
+        "SELECT k, sub, grouping(k) AS gk, count(*) AS n FROM t "
+        "GROUP BY CUBE(k, sub)",
+        "SELECT k, sub, sum(v) AS s FROM t "
+        "GROUP BY GROUPING SETS ((k, sub), (k), ())",
+        # expanded grouping_id arithmetic (the form the grouping-func
+        # rewrite hands the parser) + WHERE residual + HAVING
+        "SELECT k, sub, (grouping(k) * 2 + grouping(sub)) AS gid, "
+        "sum(v) AS s FROM t WHERE sub = 'x' GROUP BY ROLLUP(k, sub) "
+        "HAVING sum(v) > 1",
+    ):
+        out = try_substitute(spark, text, mvs)
+        assert out is not None, text
+        assert all("tile" in f for f in out.inputFiles()), text
+        assert sorted(map(repr, map(tuple, out.collect()))) \
+            == sorted(map(repr, map(tuple, spark.sql(text).collect()))), text
+    # grouping() under a PLAIN group by is not a servable shape
+    assert try_substitute(
+        spark, "SELECT k, grouping(k) AS g, sum(v) AS s FROM t "
+               "GROUP BY k", mvs) is None
+
+
+def _join_fixture(spark, tmp_path):
+    """fact(fk, kind, v) ⋈ dim(pk, grp): every fact row matches exactly
+    one dim row (the register_fk contract holds)."""
+    fact = spark.createDataFrame(
+        [(1, "x", 1.0), (1, "y", 2.0), (2, "x", 3.0), (3, "y", 5.0)],
+        "fk int, kind string, v double")
+    dim = spark.createDataFrame(
+        [(1, "g1"), (2, "g1"), (3, "g2"), (4, "g3")], "pk int, grp string")
+    fact.createOrReplaceTempView("fact")
+    dim.createOrReplaceTempView("dim")
+    mvs = MaterializedViews(spark)
+    mvs.create_join("jt", {"fact": fact, "dim": dim}, [("fk", "pk")],
+                    dims=["grp", "kind"], measures=[("sum", "v")],
+                    path=str(tmp_path / "jtile"))
+    return mvs
+
+
+def test_sql_substitution_alias_and_fk_subset(spark, tmp_path):
+    """r14: (a) `FROM t alias` with qualified references serves like
+    the unqualified spelling; (b) a SINGLE-TABLE aggregate unifies with
+    a JOIN-MV that joins MORE tables when the dropped table hangs off a
+    registered FK and no dropped-table column is referenced (Calcite's
+    join-derivability via RelReferentialConstraint,
+    SubstitutionVisitor.java:120)."""
+    from drill_calcite_spark.plans.sql_substitution import try_substitute
+
+    mvs = _join_fixture(spark, tmp_path)
+    mvs.register_fk("fk", "dim", "pk")
+    # aliased join query unifies with the join tile
+    text = ("SELECT d.grp, count(*) AS n, sum(f.v) AS s "
+            "FROM fact f JOIN dim AS d ON f.fk = d.pk GROUP BY d.grp")
+    out = try_substitute(spark, text, mvs)
+    assert out is not None and all("jtile" in f for f in out.inputFiles())
+    assert sorted(map(tuple, out.collect())) \
+        == sorted(map(tuple, spark.sql(text).collect()))
+    # single-table subset served from the join tile: the FK join
+    # neither drops nor duplicates fact rows
+    text = ("SELECT kind, count(*) AS n, sum(v) AS s "
+            "FROM fact WHERE kind = 'x' GROUP BY kind")
+    out = try_substitute(spark, text, mvs)
+    assert out is not None and all("jtile" in f for f in out.inputFiles())
+    assert sorted(map(tuple, out.collect())) \
+        == sorted(map(tuple, spark.sql(text).collect()))
+    # aliased spelling of the subset query too
+    text2 = ("SELECT f.kind, count(*) AS n, sum(f.v) AS s "
+             "FROM fact f WHERE f.kind = 'x' GROUP BY f.kind")
+    out2 = try_substitute(spark, text2, mvs)
+    assert out2 is not None and sorted(map(tuple, out2.collect())) \
+        == sorted(map(tuple, out.collect()))
+
+
+def test_sql_substitution_fk_subset_unsound_variants_fall_through(
+        spark, tmp_path):
+    """The derivability preconditions each bite: no FK registered, a
+    dropped-table column referenced, an FK registered on the WRONG
+    column pair, and a self-join (aliases carry row identity) all fall
+    through to the base plan."""
+    from drill_calcite_spark.plans.sql_substitution import try_substitute
+
+    sub = "SELECT kind, sum(v) AS s FROM fact GROUP BY kind"
+    # (a) no FK: the join could drop/duplicate fact rows
+    mvs = _join_fixture(spark, tmp_path)
+    assert try_substitute(spark, sub, mvs) is None
+    # (b) FK on the wrong pair
+    mvs.register_fk("v", "dim", "pk")
+    assert try_substitute(spark, sub, mvs) is None
+    # (c) dropped-table column referenced — ownership check rejects
+    mvs.register_fk("fk", "dim", "pk")
+    assert try_substitute(
+        spark, "SELECT grp, sum(v) AS s FROM fact GROUP BY grp",
+        mvs) is None
+    # (d) with the right FK the same statement from (a)/(b) now serves
+    assert try_substitute(spark, sub, mvs) is not None
+    # (e) self-join: aliases DO carry identity — rejected outright
+    assert try_substitute(
+        spark, "SELECT a.kind, count(*) AS n FROM fact a "
+               "JOIN fact b ON a.fk = b.fk GROUP BY a.kind",
+        mvs) is None

@@ -1602,3 +1602,19 @@ def test_mv_sql_groupingsets_substitution_gate_and_sets(spark):
     # the avg gate must bite both ways: 21 grouping-set rows exist
     # pre-gate at every SF (3 statuses × 5 priorities + 5 + 1)
     assert 0 < len(rows) < 21, f"HAVING gate vacuous: {len(rows)} rows"
+
+
+def test_mv_sql_subset_substitution_serves_from_join_tile(spark):
+    """FK-derivable subset unification (r14): the single-table orders
+    aggregate must be served from the orders⋈customer JOIN tile — the
+    plan scans only the tile; orders.parquet (the only table the SQL
+    names) and customer.parquet are both absent, and no join operator
+    exists (the join was paid at materialization)."""
+    df = entrymod.queries()["mv_sql_subset_substitution"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "mv_sql_subset_tile" in plan, "join tile scan missing"
+    assert "orders.parquet" not in plan and \
+        "customer.parquet" not in plan, \
+        "base table scanned despite FK-subset substitution"
+    # residual status atom bites: only O and P statuses survive
+    assert {r.o_orderstatus for r in df.collect()} == {"O", "P"}
