@@ -191,12 +191,15 @@ _HAVING_ATOM = re.compile(
 # constructs that disqualify a statement outright (sub-queries, set
 # ops, post-aggregate clauses, outer joins) — probed before the shape
 # match so a HAVING/ORDER BY can never be silently swallowed into the
-# GROUP BY list
+# GROUP BY list. OR is NOT disqualified since r14: the WHERE grammar
+# parses bounded disjunctions structurally (_parse_bool) — the shape
+# DateRangeRules emits for `EXTRACT(YEAR ...) <> k` and disjoint
+# IN-lists — and an OR anywhere else fails the item regexes and falls
+# through.
 _DISQUALIFY = re.compile(
     r"\(\s*select\b|\bunion\b|\bintersect\b|\bexcept\b|"
     r"\bselect\s+distinct\b|\bover\s*\(|"
-    r"\b(?:left|right|full|cross|outer|semi|anti)\s+join\b|"
-    r"\bor\b", re.I)
+    r"\b(?:left|right|full|cross|outer|semi|anti)\s+join\b", re.I)
 
 
 def _split_commas(s: str) -> list[str]:
@@ -217,23 +220,93 @@ def _split_commas(s: str) -> list[str]:
     return [p.strip() for p in out]
 
 
-def _flatten_parens(s: str) -> str:
-    """Blank out parentheses outside string literals. Sound for the
-    supported WHERE shape: OR is disqualified before parsing, so a
-    paren can only (a) group ANDed atoms — removing it preserves the
-    conjunction — or (b) belong to a function call, whose flattened
-    text then fails the _ATOM match and the whole statement falls
-    through (conservative, never misread)."""
-    out, in_q = [], False
-    for ch in s:
+def _depth0_split(s: str, kw: str) -> list[str]:
+    """Split on the boolean keyword at paren depth 0, outside string
+    literals (word-boundary matched)."""
+    parts, depth, in_q, last = [], 0, False, 0
+    i, n, klen = 0, len(s), len(kw)
+
+    def word(j: int) -> bool:
+        return j < n and (s[j].isalnum() or s[j] == "_")
+
+    while i < n:
+        ch = s[i]
         if ch == "'":
             in_q = not in_q
-            out.append(ch)
-        elif ch in "()" and not in_q:
-            out.append(" ")
-        else:
-            out.append(ch)
-    return "".join(out)
+        elif not in_q:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif (depth == 0 and s[i:i + klen].lower() == kw
+                  and not word(i + klen) and (i == 0 or not word(i - 1))):
+                parts.append(s[last:i])
+                last = i + klen
+                i += klen
+                continue
+        i += 1
+    parts.append(s[last:])
+    return [p.strip() for p in parts]
+
+
+def _wrapped(s: str) -> bool:
+    """Does one outer paren pair enclose the whole string?"""
+    if not (s.startswith("(") and s.endswith(")")):
+        return False
+    depth, in_q = 0, False
+    for i, ch in enumerate(s):
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    return i == len(s) - 1
+    return False
+
+
+def _parse_bool(text: str):
+    """Structural parse of the WHERE grammar: a conjunction whose
+    conjuncts are simple atoms, parenthesized sub-conjunctions, or
+    BOUNDED DISJUNCTIONS — an OR of pure atom-conjunctions, the shape
+    DateRangeRules emits for `EXTRACT(YEAR d) <> k` (two half-open
+    ranges) and for disjoint IN-list years (an OR of year ranges).
+    Returns (atoms, oratoms) where the predicate is AND over all
+    atoms and oratoms; an oratom is a list of branches, each a list of
+    atoms (OR of ANDs). Disjunctions never nest inside branches — out
+    of grammar returns None (the statement falls through untouched)."""
+    atoms: list[Atom] = []
+    ors: list[list[list[Atom]]] = []
+    for conj in _depth0_split(text, "and"):
+        conj = conj.strip()
+        if _wrapped(conj):
+            sub = _parse_bool(conj[1:-1].strip())  # strictly shrinks
+            if sub is None:
+                return None
+            atoms.extend(sub[0])
+            ors.extend(sub[1])
+            continue
+        branches = _depth0_split(conj, "or")
+        if len(branches) > 1:
+            br: list[list[Atom]] = []
+            for b in branches:
+                sub = _parse_bool(b)
+                if sub is None or sub[1]:
+                    return None  # nested disjunction: out of grammar
+                br.append(sub[0])
+            ors.append(br)
+            continue
+        if "(" in conj or ")" in conj:
+            return None  # function call etc. — wrapping parens were
+            #              already stripped, so this can't be a group
+        am = _ATOM.match(conj)
+        if not am:
+            return None
+        atoms.append((am.group(1), am.group(2),
+                      _parse_literal(am.group(3))))
+    return atoms, ors
 
 
 def _parse_literal(tok: str) -> object:
@@ -410,19 +483,20 @@ def _parse(text: str):
     if not measures and not any(it[0] == "cd" for it in items):
         return None
     atoms: list[Atom] = []
+    oratoms: list[list[list[Atom]]] = []
     if m.group("where"):
-        flat = _flatten_parens(unq(m.group("where")))
-        if re.search(r"\bnot\s+between\b", flat, re.I):
+        w = unq(m.group("where"))
+        if re.search(r"\bnot\s+between\b", w, re.I):
             return None
-        flat = _BETWEEN_ATOM.sub(
-            lambda b: (f"{b.group(1)} >= {b.group(2)} and "
-                       f"{b.group(1)} <= {b.group(3)}"), flat)
-        for part in re.split(r"\band\b", flat, flags=re.I):
-            am = _ATOM.match(part.strip())
-            if not am:
-                return None
-            atoms.append((am.group(1), am.group(2),
-                          _parse_literal(am.group(3))))
+        # BETWEEN → two closed bounds, PARENTHESIZED: inside an OR
+        # branch the bare conjunction would rebind against the OR
+        w = _BETWEEN_ATOM.sub(
+            lambda b: (f"({b.group(1)} >= {b.group(2)} and "
+                       f"{b.group(1)} <= {b.group(3)})"), w)
+        parsed_w = _parse_bool(w)
+        if parsed_w is None:
+            return None
+        atoms, oratoms = parsed_w
     havings: list[tuple[str, str, str, float]] = []
     if m.group("having"):
         for part in re.split(r"\band\b", unq(m.group("having")),
@@ -450,7 +524,7 @@ def _parse(text: str):
                           om.group(3) and om.group(3).lower()))
     limit = int(m.group("limit")) if m.group("limit") else None
     return (table, group_cols, measures, atoms, items, havings,
-            order, limit, gb_mode, gb_sets, join_tables)
+            order, limit, gb_mode, gb_sets, join_tables, oratoms)
 
 
 def try_substitute(spark: SparkSession, text: str,
@@ -462,7 +536,7 @@ def try_substitute(spark: SparkSession, text: str,
     if parsed is None:
         return None
     (table, group_cols, measures, atoms, items, havings,
-     order, limit, gb_mode, gb_sets, join_tables) = parsed
+     order, limit, gb_mode, gb_sets, join_tables, oratoms) = parsed
     # HAVING aggregates must also be servable from the tile — probe
     # find_tile with them included (hidden output columns)
     hidden = [(f"__h{i}", op, col)
@@ -485,7 +559,9 @@ def try_substitute(spark: SparkSession, text: str,
         refs = (set(probe_dims)
                 | {col for _o, _op, col in measures + hidden
                    if col != "*"}
-                | {a[0] for a in atoms})
+                | {a[0] for a in atoms}
+                | {a[0] for branches in oratoms
+                   for br in branches for a in br})
         try:
             owned = {c.lower() for c in spark.table(table).columns}
         except Exception:
@@ -496,9 +572,23 @@ def try_substitute(spark: SparkSession, text: str,
     if hit is None:
         return None
     tile, residual = hit
+    # bounded disjunctions (the `<>`-year / disjoint-IN-list range
+    # shapes) are residual-only: they never help prove the tile's own
+    # predicate (the plain atoms alone must imply it — conservative),
+    # and they re-apply wholesale on the tile, so every column they
+    # touch must be a tile dim or the serve is off
+    if any(a[0] not in tile.dims
+           for branches in oratoms for br in branches for a in br):
+        return None
     tdf = spark.read.parquet(tile.path)
     if residual:
         tdf = tdf.filter(_conj(residual))
+    for branches in oratoms:
+        cond = None
+        for br in branches:
+            c = _conj(br)
+            cond = c if cond is None else cond | c
+        tdf = tdf.filter(cond)
     aggs = [MaterializedViews._rollup_agg(op, col).alias(out)
             for out, op, col in measures + hidden]
     aggs += [F.countDistinct(F.col(it[1])).alias(it[2])

@@ -68,6 +68,11 @@ _NEXT_ROUND_HEAD: list[str] = [
     # (RelReferentialConstraint join derivability); same overflow
     # reason; 3-SF parity + unsound-variant fall-through tests
     # committed
+    "mv_sql_or_daterange_substitution",  # NEW r14: the `<>`-year
+    # two-range disjunction (DateRangeRules Sarg complement) applied
+    # as ONE residual on the tile — the bounded-OR atom grammar; same
+    # overflow reason; 3-SF parity + Or-in-PushedFilters plan pin
+    # committed
 ]
 
 _DRIVER_PRIORITY = [

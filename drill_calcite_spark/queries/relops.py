@@ -2166,6 +2166,68 @@ def mv_sql_groupingsets_substitution(spark: SparkSession,
     return out
 
 
+@q("mv_sql_or_daterange_substitution", """
+SELECT o_orderpriority,
+       count(*) AS n,
+       sum(o_custkey)::BIGINT AS ck
+FROM orders
+WHERE extract(year FROM o_orderdate) <> 1995
+  AND o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""")
+def mv_sql_or_daterange_substitution(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """DateRangeRules' OR output COMPOSING with MV substitution (the
+    r13 advisory's open seam): ``EXTRACT(YEAR ...) <> 1995`` rewrites
+    to the two-range disjunction ``(d < 1995-01-01 OR d >=
+    1996-01-01)`` — Calcite's Sarg complement (DateRangeRules.java) —
+    which used to LOSE the tile because the substitution's WHERE
+    grammar disqualified OR outright. The grammar now parses bounded
+    disjunctions structurally (OR of pure atom-conjunctions) and
+    re-applies the whole group as ONE residual filter on the tile —
+    never as a union of rollups, which would double-count aggregate
+    rows. The disjunction is residual-ONLY: it never helps prove a
+    filtered tile's own predicate (the plain atoms alone must imply
+    it — conservative, same soundness posture as _implies). The
+    status atom rides alongside as an ordinary residual. The pushed
+    Or(LessThan, GreaterThanOrEqual) lands in the TILE scan's
+    PushedFilters (plan pin), and the fact table is never read.
+
+    1995 is mid-range in the data (orders span 1992-1998), so the
+    complement keeps most rows while excluding a full year — the
+    filter provably bites at every SF. The DuckDB oracle runs the
+    un-rewritten extract form over the base table."""
+    import os as _os
+
+    from drill_calcite_spark.catalog import register_tables
+    from drill_calcite_spark.plans.materialized import MaterializedViews
+    from drill_calcite_spark.sql import calcite_sql
+
+    register_tables(spark, sf_dir)
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/spark_graft_fixtures/{tag}/mv_sql_or_tile"
+    ords = t(spark, sf_dir, "orders")
+    mvs = MaterializedViews(spark)
+    mvs.create(
+        "orders_or_daterange_sql", "orders", ords,
+        dims=["o_orderpriority", "o_orderstatus", "o_orderdate"],
+        measures=[("sum", "o_custkey")],
+        path=path,
+    )
+    out = calcite_sql(spark, """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               sum(o_custkey) AS ck
+        FROM orders
+        WHERE extract(year FROM o_orderdate) <> 1995
+          AND o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+    """, materializations=mvs)
+    assert all("mv_sql_or_tile" in f for f in out.inputFiles()), \
+        "OR-range + MV substitution fell back to the base scan"
+    return out
+
+
 @q("mv_sql_subset_substitution", """
 SELECT o_orderstatus,
        count(*) AS n,

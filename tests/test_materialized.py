@@ -440,9 +440,11 @@ def test_lattice_to_front_door_loop(spark, tmp_path):
 
 
 def test_sql_substitution_falls_through_out_of_shape(spark, tmp_path):
-    """Joins, HAVING, OR predicates, expressions and unknown measures
-    must all fall through to spark.sql (base scan) — the closed-world
-    prover never guesses."""
+    """Joins, HAVING, expressions and unknown measures must all fall
+    through to spark.sql (base scan) — the closed-world prover never
+    guesses. (A dim-only OR disjunction now SUBSTITUTES since r14 —
+    the positive path is test_sql_substitution_or_disjunction; an OR
+    touching a measure column still falls through below.)"""
     from drill_calcite_spark.plans.sql_substitution import try_substitute
 
     mvs = _mvs(spark, tmp_path)
@@ -455,7 +457,14 @@ def test_sql_substitution_falls_through_out_of_shape(spark, tmp_path):
         # positive HAVING path is test_sql_substitution_having
         "SELECT k, count(*) AS n FROM t GROUP BY k "
         "HAVING count(*) > sum(v)",
-        "SELECT k, count(*) AS n FROM t WHERE sub = 'x' OR sub = 'y' GROUP BY k",
+        # OR touching the measure column: not applicable on the tile
+        "SELECT k, count(*) AS n FROM t WHERE v = 1.0 OR v = 3.0 "
+        "GROUP BY k",
+        # NOT and nested disjunctions stay out of grammar
+        "SELECT k, count(*) AS n FROM t WHERE not sub = 'x' GROUP BY k",
+        "SELECT k, count(*) AS n FROM t "
+        "WHERE ((sub = 'x' OR sub = 'y') OR k = 'a') AND k = 'a' "
+        "GROUP BY k",
         "SELECT k, sum(v + 1) AS s FROM t GROUP BY k",
         "SELECT k, stddev(v) AS s FROM t GROUP BY k",
         "SELECT upper(k) AS k2, count(*) AS n FROM t GROUP BY k2",
@@ -747,3 +756,33 @@ def test_sql_substitution_fk_subset_unsound_variants_fall_through(
         spark, "SELECT a.kind, count(*) AS n FROM fact a "
                "JOIN fact b ON a.fk = b.fk GROUP BY a.kind",
         mvs) is None
+
+
+def test_sql_substitution_or_disjunction(spark, tmp_path):
+    """r14: a bounded dim-only disjunction — the shape DateRangeRules
+    emits for `<>` years and disjoint IN-lists — is applied wholesale
+    on the tile as a residual and the substitution survives; values
+    equal spark.sql over the base exactly. Composes with plain atoms,
+    BETWEEN inside a branch, and or-of-conjunction branches."""
+    from drill_calcite_spark.plans.sql_substitution import try_substitute
+
+    mvs = _mvs(spark, tmp_path)
+    _base(spark).createOrReplaceTempView("t")
+    for text in (
+        "SELECT k, count(*) AS n FROM t WHERE sub = 'x' OR sub = 'y' "
+        "GROUP BY k",
+        "SELECT k, sum(v) AS s FROM t "
+        "WHERE (sub < 'y' OR sub >= 'y') AND k = 'a' GROUP BY k",
+        # or-of-conjunctions (the disjoint IN-list range shape)
+        "SELECT k, sum(v) AS s FROM t WHERE "
+        "((k >= 'a' AND k <= 'a') OR (k >= 'b' AND k <= 'b')) "
+        "GROUP BY k",
+        # BETWEEN inside an OR branch keeps its own grouping
+        "SELECT k, count(*) AS n FROM t "
+        "WHERE k BETWEEN 'a' AND 'a' OR sub = 'y' GROUP BY k",
+    ):
+        out = try_substitute(spark, text, mvs)
+        assert out is not None, f"dim-only OR fell through: {text}"
+        assert all("tile" in f for f in out.inputFiles()), text
+        assert sorted(map(tuple, out.collect())) \
+            == sorted(map(tuple, spark.sql(text).collect())), text

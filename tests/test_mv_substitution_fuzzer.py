@@ -80,7 +80,23 @@ def _cases(draw):
     cd_col = (draw(st.sampled_from(sorted(tile_dims)))
               if draw(st.booleans()) else None)
     wrap = draw(st.booleans())
-    return tile_dims, stored, q_dims, q_meas, atom, cd_col, wrap
+    # optional dim-only OR group (r14: the bounded-disjunction residual
+    # — the `<>`-year / disjoint-IN-list range shape); branches are
+    # single atoms or two-atom conjunctions, each on a tile dim
+    orgroup = None
+    if draw(st.booleans()):
+        branches = []
+        for _ in range(draw(st.integers(2, 3))):
+            col = draw(st.sampled_from(sorted(tile_dims)))
+            vals = ["g0", "g1", "g2"] if col == "k1" else \
+                ["s0", "s1", "s4"]
+            b = [(col, draw(st.sampled_from(["=", "<", ">="])),
+                  draw(st.sampled_from(vals)))]
+            if draw(st.booleans()):
+                b.append((col, "<=", draw(st.sampled_from(vals))))
+            branches.append(b)
+        orgroup = branches
+    return tile_dims, stored, q_dims, q_meas, atom, cd_col, wrap, orgroup
 
 
 @settings(max_examples=30, deadline=None)
@@ -89,25 +105,36 @@ def test_substitution_equivalence(_env, case):
     from drill_calcite_spark.plans.sql_substitution import try_substitute
 
     spark, _base, _root = _env
-    tile_dims, stored, q_dims, q_meas, atom, cd_col, wrap = case
+    tile_dims, stored, q_dims, q_meas, atom, cd_col, wrap, orgroup = case
     mvs = _tile_for(_env, tile_dims, stored, ())
 
     sel = list(q_dims) + [
         f"{op}({col}) as m{i}" for i, (op, col) in enumerate(q_meas)]
     if cd_col is not None:
         sel.append(f"count(distinct {cd_col}) as cd0")
-    where = ""
+    conds = []
     if atom is not None:
         col, op, val = atom
         cond = f"{col} {op} '{val}'"
-        where = f" where ({cond})" if wrap else f" where {cond}"
+        conds.append(f"({cond})" if wrap else cond)
+    if orgroup is not None:
+        branches = []
+        for b in orgroup:
+            bt = " and ".join(f"{c} {o} '{v}'" for c, o, v in b)
+            branches.append(f"({bt})" if len(b) > 1 else bt)
+        conds.append("(" + " or ".join(branches) + ")")
+    where = f" where {' and '.join(conds)}" if conds else ""
     text = (f"select {', '.join(sel)} from mvf{where} "
             f"group by {', '.join(q_dims)}")
 
     out = try_substitute(spark, text, mvs)
     assert out is not None, f"serveable query fell through: {text}"
     files = out.inputFiles()
-    assert files and all("tile" in f for f in files), \
+    # a contradictory drawn predicate (e.g. k1 < 'g0' AND k1 = 'g0')
+    # lets Catalyst fold the tile scan into an empty LocalTableScan —
+    # zero input files is NOT a base-scan fallback; the value equality
+    # below still proves the (empty) answer
+    assert all("tile" in f for f in files), \
         f"substitution paid the base scan: {text}"
     got = sorted(map(tuple, out.collect()))
     want = sorted(map(tuple, spark.sql(text).collect()))

@@ -1618,3 +1618,23 @@ def test_mv_sql_subset_substitution_serves_from_join_tile(spark):
         "base table scanned despite FK-subset substitution"
     # residual status atom bites: only O and P statuses survive
     assert {r.o_orderstatus for r in df.collect()} == {"O", "P"}
+
+
+def test_mv_sql_or_daterange_substitution_pushes_or(spark):
+    """The `<>`-year composition (r14): the two-range disjunction the
+    DateRangeRules rewrite emits must survive the substitution as a
+    residual on the TILE and land in the tile scan's PushedFilters as
+    Or(LessThan, GreaterThanOrEqual) — row-group min/max skipping on
+    the tile itself. No fact scan."""
+    df = entrymod.queries()["mv_sql_or_daterange_substitution"](
+        spark, SF_DIR)
+    plan = _plan(df)
+    assert "mv_sql_or_tile" in plan, "tile scan missing"
+    assert "orders.parquet" not in plan, \
+        "fact table scanned despite OR-range substitution"
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters:")[1].split("ReadSchema", 1)[0]
+    assert "Or(" in pushed and "o_orderdate" in pushed, \
+        "two-range disjunction did not reach the tile scan"
+    # the complement bites: the excluded 1995 year is really gone
+    assert df.count() > 0
