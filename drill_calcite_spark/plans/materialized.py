@@ -41,6 +41,7 @@ materializations.
 
 from __future__ import annotations
 
+import dataclasses
 from collections.abc import Sequence
 from dataclasses import dataclass, field
 
@@ -122,6 +123,17 @@ class MaterializedViews:
     # Column names are unique across this closed world's tables, so the
     # fact side is identified by column ownership.
     fks: set = field(default_factory=set)
+    # probe indexes (r13 advisory stretch): tile POSITIONS keyed by
+    # table/signature, and join-tile positions keyed by member table —
+    # ``calcite_sql`` probes every statement, so the per-statement cost
+    # must be a dict lookup, not a scan of every registered tile.
+    # Positions (not tile objects) stay valid across the in-place
+    # snapshot swap incremental_refresh performs.
+    _by_table: dict = field(default_factory=dict)
+    _by_member: dict = field(default_factory=dict)
+
+    def _tiles_for(self, table: str):
+        return (self.tiles[i] for i in self._by_table.get(table, ()))
 
     def register_fk(self, fk_col: str, dim_table: str,
                     pk_col: str) -> None:
@@ -167,6 +179,7 @@ class MaterializedViews:
         self.tiles.append(
             _Tile(name, table, tuple(dims), frozenset(ops), path, watoms)
         )
+        self._by_table.setdefault(table, []).append(len(self.tiles) - 1)
 
     def _needed_ops(self, measures: list[tuple[str, str, str]]) -> set:
         need = set()
@@ -209,9 +222,7 @@ class MaterializedViews:
         need = self._needed_ops(measures)
         q_atoms = list(where or ())
         out: list[tuple[_Tile, list[Atom]]] = []
-        for t in self.tiles:
-            if t.table != table:
-                continue
+        for t in self._tiles_for(table):
             residual = self._tile_residual(t, dims, need, q_atoms)
             if residual is not None:
                 out.append((t, residual))
@@ -254,9 +265,8 @@ class MaterializedViews:
         need = self._needed_ops(measures)
         q_atoms = list(where or ())
         out: list[tuple[_Tile, list[Atom]]] = []
-        for t in self.tiles:
-            if t.join_tables is None or table not in t.join_tables:
-                continue
+        for i in self._by_member.get(table, ()):
+            t = self.tiles[i]
             extra = set(t.join_tables) - {table}
             if not extra or not self._fk_peelable(extra, t.join_pairs):
                 continue
@@ -380,8 +390,11 @@ class MaterializedViews:
             if "__v" in tile.path else 1
         new_path = f"{base_path}__v{version}"
         merged.write.mode("overwrite").parquet(new_path)
-        self.tiles[self.tiles.index(tile)] = _Tile(
-            tile.name, tile.table, tile.dims, tile.ops, new_path, tile.where)
+        # in-place positional swap keeps the probe index valid; replace()
+        # carries every field (incl. join composition metadata) — only
+        # the snapshot path changes
+        self.tiles[self.tiles.index(tile)] = dataclasses.replace(
+            tile, path=new_path)
 
     # ---------------------------------------------------- join-MV unification
     @staticmethod
@@ -419,10 +432,14 @@ class MaterializedViews:
             )
         self.create(name, self.join_signature(names, on), base, dims,
                     measures, path, where)
-        # record the composition for FK-derivable subset unification
+        # record the composition for FK-derivable subset unification,
+        # and index the tile under every member table
         t = self.tiles[-1]
         t.join_tables = tuple(sorted(n.lower() for n in names))
         t.join_pairs = tuple((a, b) for a, b in on)
+        for member in t.join_tables:
+            self._by_member.setdefault(member, []).append(
+                len(self.tiles) - 1)
 
     def summarize_join(
         self, tables: dict[str, DataFrame], on: Sequence[tuple[str, str]],

@@ -786,3 +786,29 @@ def test_sql_substitution_or_disjunction(spark, tmp_path):
         assert all("tile" in f for f in out.inputFiles()), text
         assert sorted(map(tuple, out.collect())) \
             == sorted(map(tuple, spark.sql(text).collect())), text
+
+
+def test_probe_index_consistent_across_refresh(spark, tmp_path):
+    """r14 stretch: the per-table probe index stores tile POSITIONS, so
+    the in-place snapshot swap incremental_refresh performs keeps the
+    probe serving the NEW snapshot (a stale object reference would keep
+    reading the v0 path), and join-MV metadata survives the swap."""
+    base = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "k string, v double")
+    mvs = MaterializedViews(spark)
+    mvs.create("tile", "t", base, ["k"], [("sum", "v")],
+               str(tmp_path / "itile"))
+    delta = spark.createDataFrame([("a", 10.0)], "k string, v double")
+    mvs.incremental_refresh("tile", delta)
+    hit = mvs.find_tile("t", ["k"], [("s", "sum", "v")])
+    assert hit is not None and hit[0].path.endswith("__v1"), \
+        "probe index served a stale snapshot"
+    # join metadata carried through dataclasses.replace on refresh
+    fact = spark.createDataFrame([(1, 1.0)], "fk int, v double")
+    dim = spark.createDataFrame([(1, "g")], "pk int, grp string")
+    mvs.create_join("jt", {"fact": fact, "dim": dim}, [("fk", "pk")],
+                    ["grp"], [("sum", "v")], str(tmp_path / "ijt"))
+    mvs.incremental_refresh("jt", fact.join(dim, fact.fk == dim.pk))
+    jtile = next(t for t in mvs.tiles if t.name == "jt")
+    assert jtile.join_tables == ("dim", "fact") and jtile.join_pairs
+    assert jtile.path.endswith("__v1")
