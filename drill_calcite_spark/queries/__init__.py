@@ -73,6 +73,11 @@ _NEXT_ROUND_HEAD: list[str] = [
     # as ONE residual on the tile — the bounded-OR atom grammar; same
     # overflow reason; 3-SF parity + Or-in-PushedFilters plan pin
     # committed
+    "stream_enrich_dedup_window",  # NEW r14: the fourth chained
+    # composition — stream-static LEFT enrich → dedup → TUMBLE day in
+    # one append-mode query; oracle = the chained-dedup admission
+    # replay LEFT-joined to the restricted dim; same overflow reason;
+    # 3-SF parity + pad-survives-dedup non-vacuousness pin committed
 ]
 
 _DRIVER_PRIORITY = [

@@ -1136,6 +1136,135 @@ def stream_chained_dedup_agg(spark: SparkSession,
         shutil.rmtree(base, ignore_errors=True)
 
 
+@q("stream_enrich_dedup_window", f"""
+WITH b AS (
+  SELECT user_id,
+         least(CAST(floor(date_diff('day', DATE '2024-01-01', ts) / 7)
+                    AS BIGINT), 3) AS batch,
+         min(epoch_us(ts)) AS us
+  FROM events GROUP BY 1, 2
+), mx AS (SELECT batch, max(us) AS m FROM b GROUP BY 1),
+w AS (
+  SELECT b2.batch,
+         coalesce(((SELECT max(m) FROM mx WHERE mx.batch <= b2.batch - 1)
+                   // 1000 - {_DD_DELAY_US // 1000}) * 1000, 0) AS wm
+  FROM (SELECT DISTINCT batch FROM b) b2),
+a0 AS (SELECT user_id, us FROM b WHERE batch = 0),
+a1 AS (SELECT b.user_id, b.us FROM b
+       WHERE batch = 1 AND EXISTS (
+         SELECT 1 FROM a0 WHERE a0.user_id = b.user_id
+           AND a0.us + {_DD_DELAY_US}
+               <= (SELECT wm FROM w WHERE batch = 0))),
+s1 AS (SELECT user_id, us FROM a0 UNION ALL SELECT user_id, us FROM a1),
+l1 AS (SELECT user_id, max(us) AS us FROM s1 GROUP BY 1),
+a2 AS (SELECT b.user_id, b.us FROM b JOIN l1 ON l1.user_id = b.user_id
+       WHERE batch = 2 AND l1.us + {_DD_DELAY_US}
+             <= (SELECT wm FROM w WHERE batch = 1)),
+s2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM a2),
+l2 AS (SELECT user_id, max(us) AS us FROM s2 GROUP BY 1),
+a3 AS (SELECT b.user_id, b.us FROM b JOIN l2 ON l2.user_id = b.user_id
+       WHERE batch = 3 AND l2.us + {_DD_DELAY_US}
+             <= (SELECT wm FROM w WHERE batch = 2)),
+adm AS (SELECT * FROM s2 UNION ALL SELECT * FROM a3),
+fin AS (SELECT (max(us) // 1000 - {_DD_DELAY_US // 1000}) * 1000
+          AS wm_final FROM b)
+SELECT CAST((us // {_WM_DAY_US}) * 86400 AS BIGINT) AS win_start,
+       coalesce(dim.c_mktsegment, 'UNMATCHED') AS segment,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM adm
+LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer
+           WHERE c_custkey % 3 <> 0) dim
+       ON dim.c_custkey = adm.user_id, fin
+WHERE (us // {_WM_DAY_US}) * {_WM_DAY_US} + {_WM_DAY_US}
+      <= fin.wm_final
+GROUP BY 1, 2
+""")
+def stream_enrich_dedup_window(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The FOURTH chained composition — stream-static LEFT OUTER enrich
+    INTO dedup INTO window (enrich → dedup → TUMBLE day, grouped by
+    enriched segment) in ONE append-mode query: the full production
+    shape (dimension lookup, then dedup, then windowed rollup; the
+    reference plans the same Delta-Join-Delta-Aggregate stacking,
+    rel/stream/StreamRules.java:123).
+
+    Composition algebra: the enrich stays STATELESS (static side
+    broadcast in full to every micro-batch — the
+    ``stream_static_left_enrich`` proof) and neither perturbs event
+    time nor the watermark, so the dedup admission set is EXACTLY
+    ``stream_chained_dedup_agg``'s replay (same fixture: per-user
+    min(ts) per whole-week batch, 12 h delay). The dedup key
+    (user_id) determines the segment, so grouping the admitted rows by
+    (day window, segment) is the admission replay LEFT-joined to the
+    restricted dim at the end — which is the oracle verbatim: the
+    r13-green chained-dedup CTE chain with the r13-green enrich join
+    grafted onto its final SELECT.
+
+    NULL-pad non-vacuousness (pinned by test_streaming.py at 3 SFs):
+    the dim drops c_custkey % 3 = 0, so ~1/3 of users enrich to the
+    padded 'UNMATCHED' segment BEFORE the dedup — those pads must
+    survive dropDuplicatesWithinWatermark (key = user_id; pad columns
+    are not part of the key) and surface as hash-pinned UNMATCHED
+    window counts, and a padded user's later duplicate must be
+    suppressed by the same state entry as a matched user's.
+
+    Scale shape: broadcast dim per micro-batch (no stream shuffle for
+    the enrich), then the two watermark-bounded stateful exchanges the
+    chain already pays (dedup keys, then windows) — the composition
+    adds zero state and zero extra shuffle."""
+    import os as _os
+    import shutil
+    import uuid as _uuid
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from drill_calcite_spark.queries.sources import _fixture_dir
+
+    ev = t(spark, sf_dir, "events")
+    wk = F.least(F.floor(F.datediff(F.col("ts"), F.lit("2024-01-01")) / 7),
+                 F.lit(3)).cast("int")
+    pdf = (ev.withColumn("batch", wk).groupBy("user_id", "batch")
+           .agg(F.min("ts").alias("ts")).toPandas())
+
+    base = _os.path.join(_fixture_dir(sf_dir),
+                         f"edw_batches_{_uuid.uuid4().hex[:12]}")
+    _os.makedirs(base)
+    try:
+        for bno in range(4):
+            part = (pdf[pdf.batch == bno].drop(columns=["batch"])
+                    .sort_values("user_id"))
+            path = f"{base}/batch_{bno:03d}.parquet"
+            _pq.write_table(
+                _pa.Table.from_pandas(part, preserve_index=False), path,
+                coerce_timestamps="us", allow_truncated_timestamps=True)
+            _os.utime(path, (1_700_000_000 + bno * 1000,) * 2)
+
+        schema = spark.read.parquet(base).schema
+        dim = F.broadcast(
+            t(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") % 3 != 0)
+            .select("c_custkey", "c_mktsegment"))
+        chained = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(base)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "12 hours")
+            .join(dim, F.col("c_custkey") == F.col("user_id"), "left")
+            .withColumn("segment",
+                        F.coalesce("c_mktsegment", F.lit("UNMATCHED")))
+            .dropDuplicatesWithinWatermark(["user_id"])
+            .groupBy(tumble("ts", "1 day").alias("w"), "segment")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+            .select(F.unix_timestamp(F.col("w.start")).cast("bigint")
+                    .alias("win_start"), "segment", "n_users"))
+        out = run_available_now(chained, spark, output_mode="append")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 _CJA_IV_US = 26 * 3_600_000_000   # 26 h join interval (see docstring)
 
 # DuckDB replay for stream_chained_join_agg — registered r14 (the r13

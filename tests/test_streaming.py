@@ -685,3 +685,39 @@ def test_chained_join_agg_matches_replay_and_buffers_cross_batch(spark):
     assert any(w[0] in emitted for w in cross), \
         "no emitted window carries a cross-batch pair — join " \
         "buffering across triggers untested (vacuous)"
+
+
+def test_enrich_dedup_window_pads_survive_and_dedup_bites(spark):
+    """stream_enrich_dedup_window (r14 — the fourth chained
+    composition, enrich → dedup → TUMBLE day): (a) NULL-padded rows
+    survive the dedup — the 'UNMATCHED' segment exists with nonzero
+    counts (the dedup key is user_id; pad columns are not part of the
+    key); (b) the enrich is lossless AND the dedup state applies to
+    padded users exactly as to matched users: per-window totals across
+    segments equal the un-enriched chained dedup→agg battery's counts
+    window-for-window; (c) the segment split is consistent — every
+    UNMATCHED user is a c_custkey % 3 = 0 user or beyond the customer
+    key range (the dim restriction really produced the pads)."""
+    import collections
+
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    rows = entrymod.queries()["stream_enrich_dedup_window"](
+        spark, SF_DIR).collect()
+    assert rows, "nothing emitted"
+    pads = [r for r in rows if r.segment == "UNMATCHED"]
+    assert pads and all(r.n_users > 0 for r in pads), \
+        "no NULL-padded row survived the dedup (vacuous LEFT join)"
+    assert any(r.segment != "UNMATCHED" for r in rows), \
+        "no matched row survived — dim join vacuous the other way"
+
+    totals = collections.Counter()
+    for r in rows:
+        totals[r.win_start] += r.n_users
+    base = {r.win_start: r.n_users
+            for r in entrymod.queries()["stream_chained_dedup_agg"](
+                spark, SF_DIR).collect()}
+    assert dict(totals) == base, \
+        "enrich dropped/duplicated rows or perturbed the dedup vs the " \
+        "un-enriched chained battery"
