@@ -88,6 +88,14 @@ HEADLINE = [
     "ds_cross_sales_yoy",
     "ds_iceberg_cross_channel",
     "ds_county_active_profile",
+    # round 14: the transparent MV substitution gets a tracked perf
+    # row via the auto-included bench_mv_substitution (queries/
+    # relops.py): its tile builds IF-NOT-EXISTS once per SF fixture
+    # dir, so the timed body is the probe + date-range rewrite + tile
+    # rollup — the serving path whose wall-time is the feature. A
+    # probe or serving regression now shows as bench drift instead of
+    # hiding behind a still-green hash. NEW in BENCH_r14: totals
+    # compare round-over-round on the shared queries only.
 ]
 
 

@@ -154,11 +154,17 @@ class MaterializedViews:
         self, name: str, table: str, base: DataFrame,
         dims: list[str], measures: list[tuple[str, str]], path: str,
         where: list[Atom] | None = None,
+        if_not_exists: bool = False,
     ) -> None:
         """CREATE MATERIALIZED VIEW name AS SELECT dims, aggs FROM table
         [WHERE atoms] GROUP BY dims (server/.../SqlCreateMaterializedView.java).
         A ``count(*)`` tile is always added; an ``avg`` measure stores its
-        (sum, count(col)) pair so NULL-aware re-aggregation is exact."""
+        (sum, count(col)) pair so NULL-aware re-aggregation is exact.
+        ``if_not_exists`` mirrors Calcite's CREATE MATERIALIZED VIEW IF
+        NOT EXISTS (SqlCreateMaterializedView.java ifNotExists flag):
+        when the parquet snapshot is already on disk, the build is
+        skipped and the existing snapshot is registered as-is — the
+        caller owns the staleness contract, same as the reference."""
         ops: set[tuple[str, str]] = set()
         for op, col in measures:
             if op == "avg":
@@ -174,8 +180,12 @@ class MaterializedViews:
             else:
                 aggs.append(getattr(F, op)(col).alias(_tile_col(op, col)))
         watoms = tuple(where or ())
-        src = base.filter(_conj(watoms)) if watoms else base
-        src.groupBy(*dims).agg(*aggs).write.mode("overwrite").parquet(path)
+        import os as _os
+        if not (if_not_exists
+                and _os.path.exists(_os.path.join(path, "_SUCCESS"))):
+            src = base.filter(_conj(watoms)) if watoms else base
+            (src.groupBy(*dims).agg(*aggs)
+             .write.mode("overwrite").parquet(path))
         self.tiles.append(
             _Tile(name, table, tuple(dims), frozenset(ops), path, watoms)
         )

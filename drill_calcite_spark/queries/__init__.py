@@ -78,6 +78,11 @@ _NEXT_ROUND_HEAD: list[str] = [
     # one append-mode query; oracle = the chained-dedup admission
     # replay LEFT-joined to the restricted dim; same overflow reason;
     # 3-SF parity + pad-survives-dedup non-vacuousness pin committed
+    "bench_mv_substitution",  # NEW r14: the tracked perf row for the
+    # substitution serving path (bench.py auto-includes bench_*; tile
+    # builds IF NOT EXISTS so the timed body is probe + rewrite +
+    # tile rollup); same overflow reason; oracle-backed (same
+    # three-rule composition statement as the daterange row)
 ]
 
 _DRIVER_PRIORITY = [

@@ -2228,6 +2228,64 @@ def mv_sql_or_daterange_substitution(spark: SparkSession,
     return out
 
 
+@q("bench_mv_substitution", """
+SELECT o_orderpriority,
+       count(*) AS n,
+       count(distinct o_orderstatus) AS statuses,
+       sum(o_custkey)::BIGINT AS ck,
+       max(o_totalprice) AS mx
+FROM orders
+WHERE extract(year FROM o_orderdate) = 1995
+  AND extract(quarter FROM o_orderdate) = 2
+GROUP BY o_orderpriority
+""")
+def bench_mv_substitution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tracked PERF row for the front-door MV substitution (bench.py
+    auto-includes bench_* queries): the whole point of the rewrite is
+    wall-time, so a probe or serving regression must show as bench
+    drift, not hide behind a still-green hash. The tile builds IF NOT
+    EXISTS once per SF fixture dir (Calcite's CREATE MATERIALIZED VIEW
+    IF NOT EXISTS flag, SqlCreateMaterializedView.java), so the timed
+    body — under bench.py's best-of-N — is the full serving path: the
+    statement probe, the DateRangeRules YEAR+QUARTER fold, the
+    substitution parse/unify, and the tile rollup with the range in
+    the TILE scan's PushedFilters. Same statement shape as
+    mv_sql_daterange_substitution (the three-rule composition), which
+    also keeps this row oracle-pinned in the driver lane."""
+    import os as _os
+
+    from drill_calcite_spark.catalog import register_tables
+    from drill_calcite_spark.plans.materialized import MaterializedViews
+    from drill_calcite_spark.sql import calcite_sql
+
+    register_tables(spark, sf_dir)
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/spark_graft_fixtures/{tag}/bench_mv_tile"
+    ords = t(spark, sf_dir, "orders")
+    mvs = MaterializedViews(spark)
+    mvs.create(
+        "bench_orders_tile", "orders", ords,
+        dims=["o_orderpriority", "o_orderstatus", "o_orderdate"],
+        measures=[("sum", "o_custkey"), ("max", "o_totalprice")],
+        path=path,
+        if_not_exists=True,
+    )
+    out = calcite_sql(spark, """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               count(distinct o_orderstatus) AS statuses,
+               sum(o_custkey) AS ck,
+               max(o_totalprice) AS mx
+        FROM orders
+        WHERE extract(year FROM o_orderdate) = 1995
+          AND extract(quarter FROM o_orderdate) = 2
+        GROUP BY o_orderpriority
+    """, materializations=mvs)
+    assert all("bench_mv_tile" in f for f in out.inputFiles()), \
+        "bench MV substitution fell back to the base scan"
+    return out
+
+
 @q("mv_sql_subset_substitution", """
 SELECT o_orderstatus,
        count(*) AS n,
