@@ -21,26 +21,51 @@ posture as ``_implies`` (False means "cannot prove", never "wrong").
 Supported statement shape (whitespace-insensitive, case-insensitive):
 
     SELECT item [, item ...]
-    FROM table [JOIN table ON col = col [AND col = col ...] ...]
-    [WHERE atom [AND atom ...]]
+    FROM table [[AS] alias]
+         [JOIN table [[AS] alias] ON col = col [AND col = col ...] ...]
+    [WHERE bool]
     GROUP BY col [, col ...]
+           | ROLLUP(col, ...) | CUBE(col, ...)
+           | GROUPING SETS ((col, ...) | col | (), ...)
     [HAVING agg(col|*) cmp number [AND ...]]
     [ORDER BY out_col [ASC|DESC] [, ...]] [LIMIT k]
 
     item ::= col [AS alias]
            | sum|count|min|max|avg ( col | * ) AS alias
            | count ( DISTINCT col ) AS alias
+           | grouping ( col ) AS alias          (non-plain GROUP BY)
+           | ( grouping(col) [* k] [+ ...] ) AS alias   (the expanded
+             GROUPING_ID arithmetic _rewrite_grouping_funcs emits)
+    bool ::= conj [AND conj ...]
+    conj ::= atom | ( bool ) | disj
+    disj ::= branch OR branch [OR ...]     -- bounded disjunction: each
+             branch is an atom or a parenthesized atom-conjunction;
+             disjunctions never nest (out of grammar falls through)
     atom ::= col (= | < | <= | > | >=) literal
-           | col BETWEEN literal AND literal   (→ two closed bounds)
+           | col BETWEEN literal AND literal   (→ two closed bounds,
+             parenthesized so a branch-local BETWEEN binds correctly)
     literal ::= number | 'string' | DATE 'lit' | TIMESTAMP 'lit'
 
-The WHERE clause may parenthesize groups of conjuncts — OR is
-disqualified up front, so a paren can only group ANDed atoms (the
-shape the front door's DateRangeRules rewrite emits: ``EXTRACT(YEAR
-FROM d) = k`` becomes ``(d >= DATE ... AND d < DATE ...)`` BEFORE the
-substitution probe sees the text) or belong to a function call, whose
-flattened text then fails the atom match and the statement falls
-through untouched.
+Table aliases are stripped from column references before item parsing
+(column names are unique per table in this closed world; self-joins,
+where an alias carries row identity, are rejected). Disjunctions are
+residual-ONLY: they never help prove a filtered tile's own predicate,
+must touch only tile dims, and re-apply wholesale on the tile — never
+as a union of rollups, which would double-count aggregate rows. This
+is exactly the shape DateRangeRules emits for ``EXTRACT(YEAR d) <> k``
+(two half-open ranges) and disjoint IN-list years.
+
+ROLLUP / CUBE / GROUPING SETS serve from a plain tile covering the
+UNION of the grouped columns — every grouping set is a rollup of tile
+grain (AggregateStarTableRule's rollup-query serve); grouping()
+indicators compute above the tile re-aggregation because they depend
+only on the grouping-set structure, never the relation underneath.
+
+A single-table aggregate may also be served from a JOIN-MV joining
+MORE tables when every extra table hangs off a registered FK
+(MaterializedViews.register_fk — RelReferentialConstraint join
+derivability) and the query references only the base table's own
+columns (checked against its schema).
 
 COUNT(DISTINCT col) is served when ``col`` is a TILE DIM: the tile
 holds one row per (dims) combination, so distinct-counting the dim

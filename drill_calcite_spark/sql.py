@@ -308,36 +308,71 @@ def _dr_not_bound(m: "re.Match[str]") -> bool:
     return re.search(r"\bnot\s+$", m.string[:m.start()], re.I) is not None
 
 
-# adjacent YEAR = y AND MONTH = m conjunction on the SAME column (both
-# orders) → one month-wide range; Calcite's DateRangeRules composes
-# these through its floorCeil context — the adjacent-conjunct subset is
-# the decidable shape a text rewrite can prove. A non-adjacent month
+# adjacent YEAR = y AND MONTH cmp m conjunction on the SAME column
+# (both orders, ANY comparison direction on the month — r14 extends
+# the r13 equality-only fold) → one sub-year range; Calcite's
+# DateRangeRules composes these through its floorCeil context — the
+# adjacent-conjunct subset is the decidable shape a text rewrite can
+# prove. ``<>`` yields the complement WITHIN the year: two ranges,
+# exactly the Sarg form (the substitution's bounded-OR grammar and
+# parquet's Or() pushdown both consume it). A non-adjacent month
 # conjunct simply stays behind as a residual predicate on top of the
 # year range (correct, and the scan still gets the year bounds).
 _DR_YM = re.compile(
-    r"\bextract\s*\(\s*year\s+from\s+([\w.]+)\s*\)\s*=\s*(\d{1,4})"
-    r"\s+and\s+"
-    r"extract\s*\(\s*month\s+from\s+([\w.]+)\s*\)\s*=\s*(\d{1,2})"
-    r"(?![\w.])", re.I)
+    rf"\bextract\s*\(\s*year\s+from\s+([\w.]+)\s*\)\s*=\s*(\d{{1,4}})"
+    rf"\s+and\s+"
+    rf"extract\s*\(\s*month\s+from\s+([\w.]+)\s*\)\s*{_DR_CMP}\s*"
+    r"(\d{1,2})(?![\w.])", re.I)
 _DR_MY = re.compile(
-    r"\bextract\s*\(\s*month\s+from\s+([\w.]+)\s*\)\s*=\s*(\d{1,2})"
+    rf"\bextract\s*\(\s*month\s+from\s+([\w.]+)\s*\)\s*{_DR_CMP}\s*"
+    r"(\d{1,2})"
     r"\s+and\s+"
     r"extract\s*\(\s*year\s+from\s+([\w.]+)\s*\)\s*=\s*(\d{1,4})"
     r"(?![\w.])", re.I)
 
 
-def _dr_month_range(col: str, year: int, month: int,
-                    lits: "list[str]") -> "str | None":
-    if not (1 <= year <= 9998 and 1 <= month <= 12):
+def _dr_unit_in_year_range(col: str, year: int, op: str, k: int,
+                           per_year: int, width: int,
+                           lits: "list[str]") -> "str | None":
+    """YEAR = year AND <unit> op k folded to date range(s), where the
+    year splits into ``per_year`` units of ``width`` months (month:
+    12×1, quarter: 4×3). The unit comparison selects a prefix, suffix,
+    slice, or two-range complement of the year; out-of-domain k
+    (month > 12, quarter = 0) degenerates naturally to the empty or
+    whole-year range with identical 3VL (NULL column → NULL on both
+    spellings, constant-false comparisons → empty range → false)."""
+    if not 1 <= year <= 9998 or k < 0 or k > per_year + 1:
         return None
 
-    def lit(y: int, mo: int) -> str:
+    def lit(unit_idx: int) -> str:
+        # start of the unit_idx-th unit (1-based) of `year`; indexes
+        # beyond per_year roll into the next year
+        y = year + (unit_idx - 1) * width // 12
+        mo = ((unit_idx - 1) * width) % 12 + 1
         lits.append(f"{y:04d}-{mo:02d}-01")
         return f"date '{_LIT_SENTINEL}{len(lits) - 1}{_LIT_SENTINEL}'"
 
-    ny, nm = (year + 1, 1) if month == 12 else (year, month + 1)
-    return (f"({col} >= {lit(year, month)} "
-            f"and {col} < {lit(ny, nm)})")
+    lo = max(1, min(k, per_year + 1))          # unit index bounds
+    hi = max(1, min(k + 1, per_year + 1))
+    if op == "=":
+        if not 1 <= k <= per_year:
+            return None  # constant-false equality: keep it visible
+        return f"({col} >= {lit(k)} and {col} < {lit(k + 1)})"
+    if op == ">=":
+        return f"({col} >= {lit(lo)} and {col} < {lit(per_year + 1)})"
+    if op == ">":
+        return f"({col} >= {lit(hi)} and {col} < {lit(per_year + 1)})"
+    if op == "<":
+        return f"({col} >= {lit(1)} and {col} < {lit(lo)})"
+    if op == "<=":
+        return f"({col} >= {lit(1)} and {col} < {lit(hi)})"
+    if op in ("<>", "!="):
+        if not 1 <= k <= per_year:
+            return None
+        return (f"(({col} >= {lit(1)} and {col} < {lit(k)}) "
+                f"or ({col} >= {lit(k + 1)} "
+                f"and {col} < {lit(per_year + 1)}))")
+    return None
 
 
 # adjacent YEAR = y AND MONTH = m AND DAY = d conjunction on the SAME
@@ -379,35 +414,22 @@ def _dr_day_range(col: str, year: int, month: int, day: int,
     return f"({col} >= {lit(start)} and {col} < {lit(nxt)})"
 
 
-# adjacent YEAR = y AND QUARTER = q conjunction on the SAME column
-# (both orders) → one quarter-wide range — the same floorCeil-context
+# adjacent YEAR = y AND QUARTER cmp q conjunction on the SAME column
+# (both orders, any comparison direction — r14) → one sub-year range
+# (or the two-range <> complement) — the same floorCeil-context
 # composition DateRangeRules applies to TimeUnitRange.QUARTER
 # (rel/rules/DateRangeRules.java operates over YEAR/QUARTER/MONTH/…).
 _DR_YQ = re.compile(
-    r"\bextract\s*\(\s*year\s+from\s+([\w.]+)\s*\)\s*=\s*(\d{1,4})"
-    r"\s+and\s+"
-    r"extract\s*\(\s*quarter\s+from\s+([\w.]+)\s*\)\s*=\s*(\d)"
+    rf"\bextract\s*\(\s*year\s+from\s+([\w.]+)\s*\)\s*=\s*(\d{{1,4}})"
+    rf"\s+and\s+"
+    rf"extract\s*\(\s*quarter\s+from\s+([\w.]+)\s*\)\s*{_DR_CMP}\s*(\d)"
     r"(?![\w.])", re.I)
 _DR_QY = re.compile(
-    r"\bextract\s*\(\s*quarter\s+from\s+([\w.]+)\s*\)\s*=\s*(\d)"
+    rf"\bextract\s*\(\s*quarter\s+from\s+([\w.]+)\s*\)\s*{_DR_CMP}"
+    r"\s*(\d)"
     r"\s+and\s+"
     r"extract\s*\(\s*year\s+from\s+([\w.]+)\s*\)\s*=\s*(\d{1,4})"
     r"(?![\w.])", re.I)
-
-
-def _dr_quarter_range(col: str, year: int, quarter: int,
-                      lits: "list[str]") -> "str | None":
-    if not (1 <= year <= 9998 and 1 <= quarter <= 4):
-        return None
-
-    def lit(y: int, mo: int) -> str:
-        lits.append(f"{y:04d}-{mo:02d}-01")
-        return f"date '{_LIT_SENTINEL}{len(lits) - 1}{_LIT_SENTINEL}'"
-
-    start = 3 * quarter - 2
-    ny, nm = (year + 1, 1) if quarter == 4 else (year, start + 3)
-    return (f"({col} >= {lit(year, start)} "
-            f"and {col} < {lit(ny, nm)})")
 
 
 _DR_BETWEEN = re.compile(
@@ -495,15 +517,17 @@ def _rewrite_date_ranges(text: str, lits: "list[str]") -> str:
     def ym(m: "re.Match[str]") -> str:
         if _dr_not_bound(m) or m.group(1).lower() != m.group(3).lower():
             return m.group(0)  # NOT-bound first conjunct / different cols
-        out = _dr_month_range(m.group(1), int(m.group(2)),
-                              int(m.group(4)), lits)
+        out = _dr_unit_in_year_range(
+            m.group(1), int(m.group(2)), m.group(4), int(m.group(5)),
+            12, 1, lits)
         return out if out is not None else m.group(0)
 
     def my(m: "re.Match[str]") -> str:
-        if _dr_not_bound(m) or m.group(1).lower() != m.group(3).lower():
+        if _dr_not_bound(m) or m.group(1).lower() != m.group(4).lower():
             return m.group(0)
-        out = _dr_month_range(m.group(1), int(m.group(4)),
-                              int(m.group(2)), lits)
+        out = _dr_unit_in_year_range(
+            m.group(1), int(m.group(5)), m.group(2), int(m.group(3)),
+            12, 1, lits)
         return out if out is not None else m.group(0)
 
     text = _DR_YM.sub(ym, text)
@@ -512,15 +536,17 @@ def _rewrite_date_ranges(text: str, lits: "list[str]") -> str:
     def yq(m: "re.Match[str]") -> str:
         if _dr_not_bound(m) or m.group(1).lower() != m.group(3).lower():
             return m.group(0)  # NOT-bound first conjunct / different cols
-        out = _dr_quarter_range(m.group(1), int(m.group(2)),
-                                int(m.group(4)), lits)
+        out = _dr_unit_in_year_range(
+            m.group(1), int(m.group(2)), m.group(4), int(m.group(5)),
+            4, 3, lits)
         return out if out is not None else m.group(0)
 
     def qy(m: "re.Match[str]") -> str:
-        if _dr_not_bound(m) or m.group(1).lower() != m.group(3).lower():
+        if _dr_not_bound(m) or m.group(1).lower() != m.group(4).lower():
             return m.group(0)
-        out = _dr_quarter_range(m.group(1), int(m.group(4)),
-                                int(m.group(2)), lits)
+        out = _dr_unit_in_year_range(
+            m.group(1), int(m.group(5)), m.group(2), int(m.group(3)),
+            4, 3, lits)
         return out if out is not None else m.group(0)
 
     text = _DR_YQ.sub(yq, text)

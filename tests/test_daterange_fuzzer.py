@@ -90,21 +90,26 @@ _UNIT_GET = {"year": lambda d: d.year, "month": lambda d: d.month,
 
 
 def _conj(draw, parts):
-    """Join equality conjuncts (each a (text, unit, val) triple) with
-    AND in the drawn order, optionally prefixing an unparenthesized NOT
-    to the whole text. SQL precedence binds that NOT to the FIRST
-    comparison only — the r13 advisory's trap shape: a fold that eats
-    the conjunction under the NOT negates BOTH conjuncts and flips
-    rows. The returned eval applies the NOT to the first conjunct."""
+    """Join conjuncts (each a (text, unit, val) triple or a
+    (text, unit, val, op) quad) with AND in the drawn order, optionally
+    prefixing an unparenthesized NOT to the whole text. SQL precedence
+    binds that NOT to the FIRST comparison only — the r13 advisory's
+    trap shape: a fold that eats the conjunction under the NOT negates
+    BOTH conjuncts and flips rows. The returned eval applies the NOT
+    to the first conjunct."""
     order = list(draw(st.permutations(parts)))
     neg = draw(st.booleans())
     text = " and ".join(p[0] for p in order)
     if neg:
         text = f"not {text}"
 
+    def one(d, p):
+        op = p[3] if len(p) > 3 else "="
+        return _OPS[op](_UNIT_GET[p[1]](d), p[2])
+
     def ev(d, order=order, neg=neg):
-        first = _UNIT_GET[order[0][1]](d) == order[0][2]
-        rest = all(_UNIT_GET[u](d) == v for _, u, v in order[1:])
+        first = one(d, order[0])
+        rest = all(one(d, p) for p in order[1:])
         return (not first if neg else first) and rest
 
     return text, ev
@@ -135,9 +140,16 @@ def _predicates(draw):
         return (f"year(d) in ({', '.join(map(str, ys))})",
                 lambda d: d.year in ys)
     if kind == "year_month":
-        y, m = draw(_year), draw(st.integers(1, 12))
+        # r14: any comparison direction on the month conjunct,
+        # including out-of-domain months (0, 13) whose degenerate
+        # ranges must stay row-identical
+        y, m = draw(_year), draw(st.integers(0, 13))
+        mop = draw(_cmp)
+        mtext = (f"extract(month from d) {mop} {m}"
+                 if draw(st.booleans()) else f"month(d) {mop} {m}")
         return _conj(draw, [(_part(draw, "year", y), "year", y),
-                            (_part(draw, "month", m), "month", m)])
+                            (mtext, "month", m,
+                             "<>" if mop == "!=" else mop)])
     if kind == "year_month_day":
         # any permutation of the three conjuncts, each independently in
         # extract or shorthand spelling; day up to 31 so impossible
@@ -148,9 +160,13 @@ def _predicates(draw):
                             (_part(draw, "month", m), "month", m),
                             (_part(draw, "day", dd), "day", dd)])
     if kind == "year_quarter":
-        y, qq = draw(_year), draw(st.integers(1, 4))
+        y, qq = draw(_year), draw(st.integers(0, 5))
+        qop = draw(_cmp)
+        qtext = (f"extract(quarter from d) {qop} {qq}"
+                 if draw(st.booleans()) else f"quarter(d) {qop} {qq}")
         return _conj(draw, [(_part(draw, "year", y), "year", y),
-                            (_part(draw, "quarter", qq), "quarter", qq)])
+                            (qtext, "quarter", qq,
+                             "<>" if qop == "!=" else qop)])
     # floor / ceil vs a literal that is ALIGNED half the time
     unit = draw(st.sampled_from(sorted(_UNIT_TRUNC)))
     op = draw(_cmp)

@@ -745,3 +745,31 @@ def test_date_shorthand_projection_name_caveat():
     out = rewrite("select year(d) = 1995 from o")
     assert out == ("select (d >= date '1995-01-01' "
                    "and d < date '1996-01-01') from o")
+
+
+def test_date_range_pair_inequality_folds():
+    """r14: YEAR = y composed with an INEQUALITY month/quarter conjunct
+    (any direction, both orders) folds to one sub-year range; <> folds
+    to the two-range complement WITHIN the year (the Sarg form the
+    substitution's bounded-OR grammar and parquet's Or() pushdown both
+    consume); out-of-domain units degenerate to empty/whole-year
+    ranges with identical three-valued logic."""
+    out = rewrite("select * from o where extract(year from d) = 1995 "
+                  "and extract(month from d) > 6")
+    assert out.endswith("(d >= date '1995-07-01' and d < date '1996-01-01')")
+    out = rewrite("select * from o where month(d) <= 2 and year(d) = 1995")
+    assert out.endswith("(d >= date '1995-01-01' and d < date '1995-03-01')")
+    out = rewrite("select * from o where year(d) = 1995 "
+                  "and quarter(d) >= 3")
+    assert out.endswith("(d >= date '1995-07-01' and d < date '1996-01-01')")
+    out = rewrite("select * from o where year(d) = 1995 "
+                  "and month(d) <> 6")
+    assert ("((d >= date '1995-01-01' and d < date '1995-06-01') "
+            "or (d >= date '1995-07-01' and d < date '1996-01-01'))") in out
+    # out-of-domain month: > 12 degenerates to the empty range
+    out = rewrite("select * from o where year(d) = 1995 and month(d) > 12")
+    assert out.endswith("(d >= date '1996-01-01' and d < date '1996-01-01')")
+    # constant-false equality stays visible (conservative)
+    q = "select * from o where extract(month from d) = 13 " \
+        "and extract(year from d) = 1995"
+    assert "extract(month from d) = 13" in rewrite(q)
