@@ -48,8 +48,16 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# measure spec: out_name -> (op, source_col); op ∈ SUPPORTED_OPS ∪ {"avg"}
-SUPPORTED_OPS = {"sum", "count", "min", "max"}
+# measure spec: out_name -> (op, source_col); op ∈ SUPPORTED_OPS ∪
+# {"avg"} ∪ VARIANCE_OPS. avg stores its (sum, count) pair; the
+# variance family stores (sum, count, sumsq) — Calcite's
+# AggregateReduceFunctionsRule decomposition (rel/rules/
+# AggregateReduceFunctionsRule.java reduces STDDEV/VAR to SUM(x),
+# SUM(x*x), COUNT(x)), which is exactly what makes the measures
+# tile-rollable: the three sums re-aggregate, the variance formula
+# computes above the rollup.
+SUPPORTED_OPS = {"sum", "count", "min", "max", "sumsq"}
+VARIANCE_OPS = {"var_pop", "var_samp", "stddev_pop", "stddev_samp"}
 
 # predicate atom: (col, op, value)
 Atom = tuple[str, str, object]
@@ -169,6 +177,8 @@ class MaterializedViews:
         for op, col in measures:
             if op == "avg":
                 ops |= {("sum", col), ("count", col)}
+            elif op in VARIANCE_OPS:
+                ops |= {("sum", col), ("count", col), ("sumsq", col)}
             elif op in SUPPORTED_OPS:
                 ops.add((op, col))
         ops |= {("count", "*")}
@@ -176,6 +186,9 @@ class MaterializedViews:
         for op, col in sorted(ops):
             if op == "count":
                 aggs.append(F.count(F.lit(1) if col == "*" else F.col(col))
+                            .alias(_tile_col(op, col)))
+            elif op == "sumsq":
+                aggs.append(F.sum(F.col(col) * F.col(col))
                             .alias(_tile_col(op, col)))
             else:
                 aggs.append(getattr(F, op)(col).alias(_tile_col(op, col)))
@@ -196,6 +209,8 @@ class MaterializedViews:
         for _out, op, col in measures:
             if op == "avg":
                 need |= {("sum", col), ("count", col)}
+            elif op in VARIANCE_OPS:
+                need |= {("sum", col), ("count", col), ("sumsq", col)}
             elif op == "count_distinct":
                 pass  # served from tile GRAIN, not a stored op
             else:
@@ -381,6 +396,9 @@ class MaterializedViews:
             if op == "count":
                 aggs.append(F.count(F.lit(1) if col == "*" else F.col(col))
                             .alias(_tile_col(op, col)))
+            elif op == "sumsq":
+                aggs.append(F.sum(F.col(col) * F.col(col))
+                            .alias(_tile_col(op, col)))
             else:
                 aggs.append(getattr(F, op)(col).alias(_tile_col(op, col)))
         delta_tile = src.groupBy(*tile.dims).agg(*aggs)
@@ -492,6 +510,21 @@ class MaterializedViews:
         return getattr(F, op)(col)
 
     @staticmethod
+    def _variance_num(col: str):
+        """The sum-of-squares numerator S2 − S·S/n over rolled tile
+        sums, clamped at zero with an explicit CASE (never greatest():
+        its NULL handling differs between engines) — numerical
+        cancellation on a constant column can land an ulp below zero,
+        and sqrt of that would be NaN. The exact operation ORDER here
+        is the replayable contract: an oracle spelling the identical
+        IEEE expression over exact integer sums hashes bit-equal."""
+        s = F.sum(_tile_col("sum", col)).cast("double")
+        s2 = F.sum(_tile_col("sumsq", col)).cast("double")
+        n = F.sum(_tile_col("count", col))
+        num = s2 - s * s / n
+        return F.when(num < 0, F.lit(0.0)).otherwise(num), n
+
+    @staticmethod
     def _rollup_agg(op: str, col: str):
         if op == "sum":
             return F.sum(_tile_col("sum", col))
@@ -501,6 +534,14 @@ class MaterializedViews:
             return F.min(_tile_col("min", col))
         if op == "max":
             return F.max(_tile_col("max", col))
+        if op in VARIANCE_OPS:
+            # AggregateReduceFunctionsRule's reduction evaluated above
+            # the rollup: pop divides by n, samp by n−1 (NULL when
+            # n ≤ 1, Calcite/Spark/DuckDB agree); stddev is the sqrt
+            num, n = MaterializedViews._variance_num(col)
+            var = (num / n if op.endswith("_pop")
+                   else F.when(n > 1, num / (n - 1)))
+            return F.sqrt(var) if op.startswith("stddev") else var
         if op == "avg":
             # sum(col)/count(col): NULL-aware, identical to F.avg on the base
             # (all-NULL group → NULL/0 → NULL in Spark, matching avg()).

@@ -32,6 +32,10 @@ Supported statement shape (whitespace-insensitive, case-insensitive):
 
     item ::= col [AS alias]
            | sum|count|min|max|avg ( col | * ) AS alias
+           | var_pop|var_samp|stddev_pop|stddev_samp|stddev|variance
+             ( col ) AS alias     (AggregateReduceFunctionsRule: the
+             tile's (sum, sumsq, count) triple rolls up; the formula
+             computes above — STDDEV/VARIANCE canonicalize to _SAMP)
            | count ( DISTINCT col ) AS alias
            | grouping ( col ) AS alias          (non-plain GROUP BY)
            | ( grouping(col) [* k] [+ ...] ) AS alias   (the expanded
@@ -110,7 +114,12 @@ from drill_calcite_spark.plans.materialized import (
     _conj,
 )
 
-_AGG_OPS = ("sum", "count", "min", "max", "avg")
+# longest-first so the regex alternation can't truncate a suffixed op;
+# STDDEV/VARIANCE are Calcite's aliases for the _SAMP forms
+# (SqlStdOperatorTable) and canonicalize at parse time
+_AGG_OPS = ("stddev_samp", "stddev_pop", "var_samp", "var_pop",
+            "stddev", "variance", "sum", "count", "min", "max", "avg")
+_AGG_CANON = {"stddev": "stddev_samp", "variance": "var_samp"}
 
 # FROM clause: one table, optionally INNER-joined to more via a chain
 # of `JOIN t ON a = b [AND c = d ...]` (the join-MV signature shape;
@@ -492,6 +501,7 @@ def _parse(text: str):
         if am:
             op, col, out = (am.group(1).lower(), am.group(2),
                             am.group(3))
+            op = _AGG_CANON.get(op, op)
             if col == "*" and op != "count":
                 return None
             measures.append((out, op, col))
@@ -530,6 +540,7 @@ def _parse(text: str):
             if not hm:
                 return None
             op, col = hm.group(1).lower(), hm.group(2)
+            op = _AGG_CANON.get(op, op)
             if col == "*" and op != "count":
                 return None
             havings.append((op, col, hm.group(3),

@@ -83,6 +83,11 @@ _NEXT_ROUND_HEAD: list[str] = [
     # builds IF NOT EXISTS so the timed body is probe + rewrite +
     # tile rollup); same overflow reason; oracle-backed (same
     # three-rule composition statement as the daterange row)
+    "mv_sql_stddev_substitution",  # NEW r14: variance-family serve
+    # from the (sum, sumsq, count) decomposition
+    # (AggregateReduceFunctionsRule) — bit-exact oracle via identical
+    # IEEE formula over exact integer sums; same overflow reason;
+    # 3-SF parity + 1e-9 Welford-agreement unit pin committed
 ]
 
 _DRIVER_PRIORITY = [

@@ -2228,6 +2228,82 @@ def mv_sql_or_daterange_substitution(spark: SparkSession,
     return out
 
 
+@q("mv_sql_stddev_substitution", """
+WITH g AS (
+  SELECT o_orderstatus,
+         count(*) AS n,
+         count(o_custkey) AS nc,
+         sum(o_custkey)::DOUBLE AS s,
+         sum(o_custkey * o_custkey)::DOUBLE AS s2
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+  GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, n,
+       CASE WHEN nc > 1 THEN sqrt(
+         (CASE WHEN s2 - s * s / nc < 0 THEN 0
+               ELSE s2 - s * s / nc END) / (nc - 1)) END AS sd,
+       (CASE WHEN s2 - s * s / nc < 0 THEN 0
+             ELSE s2 - s * s / nc END) / nc AS vp
+FROM g
+""")
+def mv_sql_stddev_substitution(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """VARIANCE-FAMILY aggregates served from a tile — Calcite's
+    AggregateReduceFunctionsRule decomposition
+    (rel/rules/AggregateReduceFunctionsRule.java reduces STDDEV/VAR to
+    SUM(x), SUM(x·x), COUNT(x)), which is exactly what makes the
+    measures rollable: the tile stores the three sums, they
+    re-aggregate losslessly across any rollup grain, and the variance
+    formula (S2 − S·S/n over the rolled sums, clamped at zero against
+    ulp-negative cancellation, /n for _POP, /(n−1) NULL-guarded for
+    _SAMP, sqrt for STDDEV) computes ABOVE the rollup.
+
+    Exactness contract: o_custkey is an integer column, so S, S2 and n
+    are exact integers on both engines (BIGINT here, HUGEINT in the
+    oracle); the oracle spells the IDENTICAL IEEE expression over
+    those exact inputs — same casts, same operation order — so the
+    driver hash is bit-equal, not approximately equal. The formula's
+    agreement with the true (Welford) variance is pinned separately in
+    tests/test_materialized.py against Spark's native stddev_samp/
+    var_pop at 1e-9 relative tolerance. STDDEV(x) (Calcite's
+    STDDEV_SAMP alias) canonicalizes at parse time.
+
+    At 100 TB the decomposition is the whole point: a native stddev
+    over the fact re-scans it per query, while the three sums live at
+    tile grain and any rollup of them is three BIGINT sums plus
+    constant-time arithmetic."""
+    import os as _os
+
+    from drill_calcite_spark.catalog import register_tables
+    from drill_calcite_spark.plans.materialized import MaterializedViews
+    from drill_calcite_spark.sql import calcite_sql
+
+    register_tables(spark, sf_dir)
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/spark_graft_fixtures/{tag}/mv_sql_stddev_tile"
+    ords = t(spark, sf_dir, "orders")
+    mvs = MaterializedViews(spark)
+    mvs.create(
+        "orders_stddev_sql", "orders", ords,
+        dims=["o_orderstatus", "o_orderpriority"],
+        measures=[("stddev_samp", "o_custkey")],
+        path=path,
+    )
+    out = calcite_sql(spark, """
+        SELECT o_orderstatus,
+               count(*) AS n,
+               stddev(o_custkey) AS sd,
+               var_pop(o_custkey) AS vp
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_orderstatus
+    """, materializations=mvs)
+    assert all("mv_sql_stddev_tile" in f for f in out.inputFiles()), \
+        "variance-family substitution fell back to the base scan"
+    return out
+
+
 @q("bench_mv_substitution", """
 SELECT o_orderpriority,
        count(*) AS n,

@@ -812,3 +812,50 @@ def test_probe_index_consistent_across_refresh(spark, tmp_path):
     jtile = next(t for t in mvs.tiles if t.name == "jt")
     assert jtile.join_tables == ("dim", "fact") and jtile.join_pairs
     assert jtile.path.endswith("__v1")
+
+
+def test_variance_family_tile_rollup(spark, tmp_path):
+    """r14: the variance family (VAR_POP/VAR_SAMP/STDDEV_POP/
+    STDDEV_SAMP) rolls up from the (sum, sumsq, count) decomposition
+    (AggregateReduceFunctionsRule): tile-served values agree with
+    Spark's native (Welford) aggregates at 1e-9 relative tolerance
+    over NULL-bearing data, a constant column never goes NaN (the
+    ulp-negative clamp), n=1 groups give NULL for the _SAMP forms and
+    0 for the _POP forms, and a tile without the sumsq decomposition
+    falls back to the base scan."""
+    import math
+
+    base = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", None), ("a", 4.0),
+         ("b", 7.0), ("b", 7.0), ("b", 7.0),   # constant group
+         ("c", 9.0)],                           # single-value group
+        "k string, v double")
+    mvs = MaterializedViews(spark)
+    mvs.create("tile", "t", base, ["k"], [("var_samp", "v")],
+               str(tmp_path / "vtile"))
+    measures = [("vp", "var_pop", "v"), ("vs", "var_samp", "v"),
+                ("sp", "stddev_pop", "v"), ("ss", "stddev_samp", "v"),
+                ("n", "count", "v")]
+    out = mvs.summarize("t", base, ["k"], measures)
+    assert all("vtile" in f for f in out.inputFiles())
+    got = {r.k: r for r in out.collect()}
+    nat = {r.k: r for r in MaterializedViews(spark)
+           .summarize("t", base, ["k"], measures).collect()}
+
+    def close(a, b):
+        if a is None or b is None:
+            return a == b
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
+
+    for k in ("a", "b", "c"):
+        for fld in ("vp", "vs", "sp", "ss"):
+            assert close(got[k][fld], nat[k][fld]), (k, fld, got[k], nat[k])
+    assert got["b"].vp == 0.0 and got["b"].sp == 0.0, "constant → NaN?"
+    assert got["c"].vs is None and got["c"].ss is None, "n=1 _SAMP"
+    assert got["c"].vp == 0.0, "n=1 VAR_POP is 0"
+    # a sum/count-only tile cannot serve the family → base scan
+    mvs2 = MaterializedViews(spark)
+    mvs2.create("plain", "t", base, ["k"], [("avg", "v")],
+                str(tmp_path / "ptile"))
+    fb = mvs2.summarize("t", base, ["k"], [("vs", "var_samp", "v")])
+    assert not any("ptile" in f for f in fb.inputFiles())
