@@ -88,6 +88,10 @@ _NEXT_ROUND_HEAD: list[str] = [
     # (AggregateReduceFunctionsRule) — bit-exact oracle via identical
     # IEEE formula over exact integer sums; same overflow reason;
     # 3-SF parity + 1e-9 Welford-agreement unit pin committed
+    "stream_session_dynamic_gap",  # NEW r14: SESSION with an
+    # expression-valued per-event gap (SPARK-36465) — running-max
+    # sessionization replay in integer µs; same overflow reason;
+    # 3-SF parity + differs-from-every-fixed-gap pin committed
 ]
 
 _DRIVER_PRIORITY = [

@@ -132,6 +132,73 @@ def stream_session_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("stream_session_dynamic_gap", """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CASE event_type WHEN 'view' THEN 7200000000
+                         WHEN 'click' THEN 21600000000
+                         ELSE 3600000000 END AS gap
+  FROM events
+), d AS (
+  SELECT user_id, us, us + gap AS en,
+         max(us + gap) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS prev_end
+  FROM e
+), s AS (
+  SELECT user_id, us,
+         sum(CASE WHEN prev_end IS NULL OR us > prev_end
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY us
+                 ROWS UNBOUNDED PRECEDING) AS sess
+  FROM d
+)
+SELECT user_id, min(us) // 1000000 AS session_start,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sess
+""")
+def stream_session_dynamic_gap(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """SESSION window with a DYNAMIC per-event gap — Spark's
+    expression-valued ``session_window(ts, gapExpr)`` (SPARK-36465),
+    the shape the reference's SESSION(...) grouped-window function
+    generalizes to when the gap is data-dependent (a 'view' keeps the
+    session warm for 2 h, a 'click' for 6 h, everything else 1 h):
+    each event extends its session to ts + gap(event), and sessions
+    merge while an event lands at or before the running maximum of
+    previous extensions (the same INCLUSIVE boundary the fixed-gap
+    battery pinned empirically: an event exactly at the current end
+    still merges).
+
+    The oracle replays that definition directly in integer
+    microseconds: a running max of (ts + gap) over each user's history
+    (tie-ordered events can never break against each other — their
+    shared timestamp is ≤ any neighbor's end — so the window order
+    among ties cannot change the result), a break wherever an event
+    opens strictly past it, and a cumulative break-sum as the session
+    id. Non-vacuosity is pinned in tests/test_streaming.py: the
+    dynamic sessionization differs from EVERY fixed-gap run at the
+    three gap values, so the gap expression provably varies per event.
+
+    Scale shape: one shuffle on user_id into Spark's native
+    session-window merge (state bounded per key in streaming use);
+    the oracle's window-function replay is the SQL-expressible
+    equivalent, quadratic nowhere."""
+    ev = t(spark, sf_dir, "events")
+    gap = (F.when(F.col("event_type") == "view", F.lit("2 hours"))
+           .when(F.col("event_type") == "click", F.lit("6 hours"))
+           .otherwise(F.lit("1 hour")))
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 @q("stream_live_tumble", _TUMBLE_SQL)
 def stream_live_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming: readStream(events) → 1-day watermark →

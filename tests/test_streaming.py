@@ -721,3 +721,27 @@ def test_enrich_dedup_window_pads_survive_and_dedup_bites(spark):
     assert dict(totals) == base, \
         "enrich dropped/duplicated rows or perturbed the dedup vs the " \
         "un-enriched chained battery"
+
+
+def test_session_dynamic_gap_differs_from_every_fixed_gap(spark):
+    """stream_session_dynamic_gap (r14): the gap expression provably
+    VARIES per event — the dynamic sessionization's session count
+    differs from the fixed-gap run at each of the three gap values
+    (if the expression collapsed to a constant, one of them would
+    match exactly), and total event coverage is conserved."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    rows = entrymod.queries()["stream_session_dynamic_gap"](
+        spark, SF_DIR).collect()
+    n_sessions, n_events = len(rows), sum(r.n_events for r in rows)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    assert n_events == ev.count(), "sessionization lost/duplicated events"
+    for fixed in ("1 hour", "2 hours", "6 hours"):
+        n_fixed = (ev.groupBy("user_id",
+                              F.session_window("ts", fixed))
+                   .count().count())
+        assert n_fixed != n_sessions, \
+            f"dynamic sessions equal the fixed {fixed} run — gap vacuous"
