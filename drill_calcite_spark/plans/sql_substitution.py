@@ -28,7 +28,9 @@ Supported statement shape (whitespace-insensitive, case-insensitive):
            | ROLLUP(col, ...) | CUBE(col, ...)
            | GROUPING SETS ((col, ...) | col | (), ...)
     [HAVING agg(col|*) cmp number [AND ...]]
-    [ORDER BY out_col [ASC|DESC] [, ...]] [LIMIT k]
+    [ORDER BY out_col [ASC|DESC] [, ...]] [LIMIT k] [OFFSET m]
+    (OFFSET requires an ORDER BY — an un-ordered offset is
+    nondeterministic and falls through)
 
     item ::= col [AS alias]
            | sum|count|min|max|avg ( col | * ) AS alias
@@ -142,7 +144,8 @@ _SHAPE = re.compile(
     r"\s+group\s+by\s+(?P<group>[\w\s,.()]+?)"
     r"(?:\s+having\s+(?P<having>.+?))?"
     r"(?:\s+order\s+by\s+(?P<order>[\w\s,.]+?))?"
-    r"(?:\s+limit\s+(?P<limit>\d+))?\s*;?\s*$",
+    r"(?:\s+limit\s+(?P<limit>\d+))?"
+    r"(?:\s+offset\s+(?P<offset>\d+))?\s*;?\s*$",
     re.I | re.S)
 
 # GROUP BY ROLLUP(...) / CUBE(...) / GROUPING SETS ((..), ..) — each
@@ -559,8 +562,12 @@ def _parse(text: str):
                           (om.group(2) or "asc").lower() == "asc",
                           om.group(3) and om.group(3).lower()))
     limit = int(m.group("limit")) if m.group("limit") else None
+    offset = int(m.group("offset")) if m.group("offset") else None
+    if offset is not None and not order:
+        return None  # offset without a total order is nondeterministic
     return (table, group_cols, measures, atoms, items, havings,
-            order, limit, gb_mode, gb_sets, join_tables, oratoms)
+            order, (limit, offset), gb_mode, gb_sets, join_tables,
+            oratoms)
 
 
 def try_substitute(spark: SparkSession, text: str,
@@ -572,7 +579,8 @@ def try_substitute(spark: SparkSession, text: str,
     if parsed is None:
         return None
     (table, group_cols, measures, atoms, items, havings,
-     order, limit, gb_mode, gb_sets, join_tables, oratoms) = parsed
+     order, (limit, offset), gb_mode, gb_sets, join_tables,
+     oratoms) = parsed
     # HAVING aggregates must also be servable from the tile — probe
     # find_tile with them included (hidden output columns)
     hidden = [(f"__h{i}", op, col)
@@ -669,6 +677,9 @@ def try_substitute(spark: SparkSession, text: str,
                     else col.desc_nulls_last())
 
         out = out.orderBy(*[key(*o) for o in order])
+    if offset is not None:
+        # SQL applies OFFSET below LIMIT: skip m rows, then take k
+        out = out.offset(offset)
     if limit is not None:
         out = out.limit(limit)
     return out

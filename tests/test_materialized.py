@@ -859,3 +859,29 @@ def test_variance_family_tile_rollup(spark, tmp_path):
                 str(tmp_path / "ptile"))
     fb = mvs2.summarize("t", base, ["k"], [("vs", "var_samp", "v")])
     assert not any("ptile" in f for f in fb.inputFiles())
+
+
+def test_sql_substitution_limit_offset(spark, tmp_path):
+    """r14: LIMIT k OFFSET m above the tile rollup (Calcite's
+    Sort.offset); OFFSET without ORDER BY is nondeterministic and
+    falls through."""
+    from drill_calcite_spark.plans.sql_substitution import try_substitute
+
+    mvs = _mvs(spark, tmp_path)
+    _base(spark).createOrReplaceTempView("t")
+    text = ("SELECT k, sub, sum(v) AS s FROM t GROUP BY k, sub "
+            "ORDER BY s DESC, k, sub LIMIT 2 OFFSET 1")
+    out = try_substitute(spark, text, mvs)
+    assert out is not None and all("tile" in f for f in out.inputFiles())
+    assert [tuple(r) for r in out.collect()] \
+        == [tuple(r) for r in spark.sql(text).collect()]
+    # offset alone (no limit) also rides above the sort
+    text2 = ("SELECT k, sum(v) AS s FROM t GROUP BY k "
+             "ORDER BY s DESC OFFSET 1")
+    out2 = try_substitute(spark, text2, mvs)
+    assert out2 is not None
+    assert [tuple(r) for r in out2.collect()] \
+        == [tuple(r) for r in spark.sql(text2).collect()]
+    assert try_substitute(
+        spark, "SELECT k, sum(v) AS s FROM t GROUP BY k OFFSET 1",
+        mvs) is None
