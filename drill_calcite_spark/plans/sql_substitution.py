@@ -225,6 +225,13 @@ _HAVING_ATOM = re.compile(
     rf"^({'|'.join(_AGG_OPS)})\s*\(\s*(\*|[a-z_]\w*)\s*\)"
     r"\s*(<=|>=|=|<|>)\s*(-?\d+(?:\.\d+)?)$", re.I)
 
+# HAVING grouping(col) cmp k — the ROLLUP companion gate (keep or drop
+# subtotal rows); valid only under a non-plain GROUP BY, computed as a
+# hidden grouping indicator and filtered above the re-aggregation
+_HAVING_GFN = re.compile(
+    r"^grouping\s*\(\s*([a-z_]\w*)\s*\)\s*(<=|>=|=|<|>)\s*(\d+)$",
+    re.I)
+
 # constructs that disqualify a statement outright (sub-queries, set
 # ops, post-aggregate clauses, outer joins) — probed before the shape
 # match so a HAVING/ORDER BY can never be silently swallowed into the
@@ -539,7 +546,15 @@ def _parse(text: str):
     if m.group("having"):
         for part in re.split(r"\band\b", unq(m.group("having")),
                              flags=re.I):
-            hm = _HAVING_ATOM.match(part.strip())
+            part = part.strip()
+            gm = _HAVING_GFN.match(part)
+            if gm:
+                if gb_mode == "plain" or gm.group(1) not in group_cols:
+                    return None
+                havings.append(("grouping", gm.group(1), gm.group(2),
+                                int(gm.group(3))))
+                continue
+            hm = _HAVING_ATOM.match(part)
             if not hm:
                 return None
             op, col = hm.group(1).lower(), hm.group(2)
@@ -582,9 +597,15 @@ def try_substitute(spark: SparkSession, text: str,
      order, (limit, offset), gb_mode, gb_sets, join_tables,
      oratoms) = parsed
     # HAVING aggregates must also be servable from the tile — probe
-    # find_tile with them included (hidden output columns)
+    # find_tile with them included (hidden output columns); a
+    # grouping() gate needs no stored measure (the indicator computes
+    # from the grouping-set structure) so it stays out of the probe
     hidden = [(f"__h{i}", op, col)
-              for i, (op, col, _cmp, _v) in enumerate(havings)]
+              for i, (op, col, _cmp, _v) in enumerate(havings)
+              if op != "grouping"]
+    ghidden = [(f"__g{i}", col)
+               for i, (op, col, _cmp, _v) in enumerate(havings)
+               if op == "grouping"]
     # COUNT(DISTINCT col) needs the column AT TILE GRAIN: probe with it
     # as an extra dim — the tile's one-row-per-dims layout then makes
     # countDistinct over the rolled group exact (module docstring)
@@ -635,6 +656,8 @@ def try_substitute(spark: SparkSession, text: str,
         tdf = tdf.filter(cond)
     aggs = [MaterializedViews._rollup_agg(op, col).alias(out)
             for out, op, col in measures + hidden]
+    aggs += [F.grouping(col).cast("bigint").alias(g)
+             for g, col in ghidden]
     aggs += [F.countDistinct(F.col(it[1])).alias(it[2])
              for it in items if it[0] == "cd"]
     # grouping-set indicators live in the agg list (Spark resolves
@@ -659,7 +682,9 @@ def try_substitute(spark: SparkSession, text: str,
     else:
         grouped = tdf.groupBy(*group_cols)
     rolled = grouped.agg(*aggs)
-    for (h, _op, _col), (_o, _c, cmp, val) in zip(hidden, havings):
+    hiter, giter = iter(hidden), iter(ghidden)
+    for op, _col, cmp, val in havings:
+        h = next(giter)[0] if op == "grouping" else next(hiter)[0]
         rolled = rolled.filter(_atom_cond((h, cmp, val)))
     final = [F.col(it[1]).alias(it[2]) if it[0] == "dim"
              else F.col(it[3]) if it[0] == "agg"

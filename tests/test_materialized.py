@@ -885,3 +885,31 @@ def test_sql_substitution_limit_offset(spark, tmp_path):
     assert try_substitute(
         spark, "SELECT k, sum(v) AS s FROM t GROUP BY k OFFSET 1",
         mvs) is None
+
+
+def test_sql_substitution_having_grouping_gate(spark, tmp_path):
+    """r14: HAVING grouping(col) cmp k — the ROLLUP companion gate —
+    filters subtotal rows above the tile re-aggregation via a hidden
+    grouping indicator (no stored measure needed), composing with an
+    aggregate HAVING conjunct; under a plain GROUP BY it falls
+    through."""
+    from drill_calcite_spark.plans.sql_substitution import try_substitute
+
+    mvs = _mvs(spark, tmp_path)
+    _base(spark).createOrReplaceTempView("t")
+    for text in (
+        # keep only detail rows (drop all subtotals)
+        "SELECT k, sub, sum(v) AS s FROM t GROUP BY ROLLUP(k, sub) "
+        "HAVING grouping(sub) = 0",
+        # keep only the subtotal layer, composed with an agg gate
+        "SELECT k, sub, sum(v) AS s FROM t GROUP BY CUBE(k, sub) "
+        "HAVING grouping(sub) = 1 AND sum(v) > 2",
+    ):
+        out = try_substitute(spark, text, mvs)
+        assert out is not None, text
+        assert all("tile" in f for f in out.inputFiles()), text
+        assert sorted(map(repr, map(tuple, out.collect()))) \
+            == sorted(map(repr, map(tuple, spark.sql(text).collect()))), text
+    assert try_substitute(
+        spark, "SELECT k, sum(v) AS s FROM t GROUP BY k "
+               "HAVING grouping(k) = 0", mvs) is None
