@@ -92,6 +92,10 @@ _NEXT_ROUND_HEAD: list[str] = [
     # expression-valued per-event gap (SPARK-36465) — running-max
     # sessionization replay in integer µs; same overflow reason;
     # 3-SF parity + differs-from-every-fixed-gap pin committed
+    "stream_session_live",  # NEW r14: REAL readStream session-window
+    # merge (open-interval session state, not fixed buckets) drained
+    # complete-mode equal to the batch sessionization replay; same
+    # overflow reason; 3-SF parity committed
 ]
 
 _DRIVER_PRIORITY = [

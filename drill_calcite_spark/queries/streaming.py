@@ -132,6 +132,53 @@ def stream_session_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("stream_session_live", """
+WITH d AS (
+  SELECT user_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              > INTERVAL 6 HOUR
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sess
+  FROM d
+)
+SELECT user_id, epoch_us(min(ts)) // 1000000 AS session_start,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sess
+""")
+def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming SESSION windows: readStream(events) →
+    1-day watermark → per-user ``session_window`` merge → AvailableNow
+    drain in complete mode. Session state is genuinely different
+    machinery from the tumble batteries — the store holds OPEN session
+    intervals per key and MERGES them as events extend the window
+    (MergingSessionsExec / the session-window state format), not
+    fixed buckets — and the complete-mode drain equals the batch
+    answer, so the same sessionization replay oracle verifies the
+    live stateful merge end-to-end (the reference plans SESSION via
+    the same Delta machinery as TUMBLE, StreamRules.java:70-292).
+
+    Scale shape: one stateful exchange keyed on user_id; session state
+    is bounded per key by the watermark in append-mode production use
+    (complete mode here is the oracle-equality device, as in
+    stream_live_tumble)."""
+    sdf = stream_table(spark, sf_dir, "events").withWatermark("ts", "1 day")
+    agg = (
+        sdf.groupBy("user_id", session("ts", "6 hours").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            "n_events",
+        )
+    )
+    return run_available_now(agg, spark, output_mode="complete")
+
+
 @q("stream_session_dynamic_gap", """
 WITH e AS (
   SELECT user_id, epoch_us(ts) AS us,
