@@ -426,6 +426,33 @@ class MaterializedViews:
 
     # ---------------------------------------------------- join-MV unification
     @staticmethod
+    def _build_join(tables: "dict[str, DataFrame]",
+                    on: Sequence[tuple[str, str]]) -> DataFrame:
+        """Execute the equi-join chain in declaration order, applying
+        each key pair at the FIRST step where both of its columns are
+        resolvable — so a snowflake chain (fact → dim1 → dim2) builds
+        correctly instead of referencing dim2 keys at the fact⋈dim1
+        step. A pair left over at the end means the chain as declared
+        is disconnected — refuse rather than cross-join."""
+        names = list(tables)
+        base = tables[names[0]]
+        remaining = list(on)
+        for nm in names[1:]:
+            cols = set(base.columns) | set(tables[nm].columns)
+            step = [p for p in remaining
+                    if p[0] in cols and p[1] in cols]
+            if not step:
+                raise ValueError(
+                    f"join chain disconnected at {nm!r}: no declared "
+                    f"key pair is resolvable")
+            base = base.join(
+                tables[nm], [F.col(a) == F.col(b) for a, b in step])
+            remaining = [p for p in remaining if p not in step]
+        if remaining:
+            raise ValueError(f"unapplied join pairs: {remaining}")
+        return base
+
+    @staticmethod
     def join_signature(tables: Sequence[str],
                        on: Sequence[tuple[str, str]]) -> str:
         """Canonical identity of an equi-join: sorted table names ⋈ sorted
@@ -452,12 +479,8 @@ class MaterializedViews:
         at materialization; queries over the same join signature roll up
         the tile and never re-execute the join (at 100 TB the fact⋈dim
         shuffle is usually the dominant query cost)."""
+        base = self._build_join(tables, on)
         names = list(tables)
-        base = tables[names[0]]
-        for nm in names[1:]:
-            base = base.join(
-                tables[nm], [F.col(a) == F.col(b) for a, b in on]
-            )
         self.create(name, self.join_signature(names, on), base, dims,
                     measures, path, where)
         # record the composition for FK-derivable subset unification,
@@ -488,12 +511,7 @@ class MaterializedViews:
             aggs = [self._rollup_agg(op, col).alias(out)
                     for out, op, col in measures]
             return tdf.groupBy(*dims).agg(*aggs)
-        names = list(tables)
-        base = tables[names[0]]
-        for nm in names[1:]:
-            base = base.join(
-                tables[nm], [F.col(a) == F.col(b) for a, b in on]
-            )
+        base = self._build_join(tables, on)
         if where:
             base = base.filter(_conj(list(where)))
         aggs = [self._base_agg(op, col).alias(out) for out, op, col in measures]

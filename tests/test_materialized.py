@@ -913,3 +913,35 @@ def test_sql_substitution_having_grouping_gate(spark, tmp_path):
     assert try_substitute(
         spark, "SELECT k, sum(v) AS s FROM t GROUP BY k "
                "HAVING grouping(k) = 0", mvs) is None
+
+
+def test_fk_subset_snowflake_chain_peels_leaf_first(spark, tmp_path):
+    """r14: a SNOWFLAKE join-MV (fact → dim1 → dim2) serves the
+    fact-only aggregate when BOTH FKs are registered — dim2 peels
+    first (its only pair hangs off dim1), then dim1; with only the
+    outer FK registered the chain cannot fully peel and the statement
+    falls through."""
+    from drill_calcite_spark.plans.sql_substitution import try_substitute
+
+    fact = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0), (2, "x", 3.0)],
+        "fk int, kind string, v double")
+    dim1 = spark.createDataFrame([(1, 10), (2, 20)], "pk int, fk2 int")
+    dim2 = spark.createDataFrame([(10, "g"), (20, "h")], "pk2 int, g string")
+    for n, df in (("sfact", fact), ("sdim1", dim1), ("sdim2", dim2)):
+        df.createOrReplaceTempView(n)
+    mvs = MaterializedViews(spark)
+    mvs.create_join(
+        "snow", {"sfact": fact, "sdim1": dim1, "sdim2": dim2},
+        [("fk", "pk"), ("fk2", "pk2")],
+        dims=["g", "kind"], measures=[("sum", "v")],
+        path=str(tmp_path / "snowtile"))
+    sub = "SELECT kind, count(*) AS n, sum(v) AS s FROM sfact GROUP BY kind"
+    mvs.register_fk("fk2", "sdim2", "pk2")
+    assert try_substitute(spark, sub, mvs) is None, \
+        "inner FK alone must not peel the whole chain"
+    mvs.register_fk("fk", "sdim1", "pk")
+    out = try_substitute(spark, sub, mvs)
+    assert out is not None and all("snowtile" in f for f in out.inputFiles())
+    assert sorted(map(tuple, out.collect())) \
+        == sorted(map(tuple, spark.sql(sub).collect()))
