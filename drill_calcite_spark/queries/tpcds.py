@@ -3361,11 +3361,14 @@ def ds_iceberg_cross_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
                  .cast("bigint").alias("cents")))
     # the per-(item, channel) aggregate feeds BOTH the presence window
-    # and the scalar threshold — persist it (items×3 rows, aggregate-
-    # sized) so the fact is scanned exactly once, not once per consumer
+    # and the scalar threshold — localCheckpoint (items×3 rows,
+    # aggregate-sized) so the fact is scanned exactly once, not once per
+    # consumer; unlike persist(), the materialization is per-DataFrame
+    # (no CacheManager entry), so repeated bench samples recompute from
+    # parquet instead of silently reusing a prior sample's cache
     g = (f.groupBy("l_partkey", "channel")
          .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n"))
-         .persist())
+         .localCheckpoint(eager=False))
     nc = Window.partitionBy("l_partkey")
     g2 = g.withColumn("nch", F.count(F.lit(1)).over(nc))
     tot = g.agg(F.sum("s").alias("tc"), F.sum("n").alias("tn"))
@@ -3455,10 +3458,11 @@ def ds_frequent_best_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("k") >= 2)
             .select("l_partkey").distinct())
     # the customer aggregate feeds BOTH the max scalar and the filter —
-    # persist it (customer-sized) so the fact isn't scanned twice for it
+    # localCheckpoint (customer-sized) so the fact isn't scanned twice
+    # for it; per-DataFrame materialization, not a CacheManager entry
     ctot = (fact.groupBy("o_custkey")
             .agg(F.sum(cents).cast("bigint").alias("tot"))
-            .persist())
+            .localCheckpoint(eager=False))
     mx = ctot.agg(F.max("tot").alias("mx"))
     best = (ctot.crossJoin(F.broadcast(mx))
             .filter(2 * F.col("tot") >= F.col("mx"))
@@ -4016,8 +4020,9 @@ def ds_return_ratio_vs_state(spark: SparkSession,
                      .otherwise(F.lit(0))).cast("bigint")
                .alias("ret_cents")))
     # customer-grain rollup feeds BOTH consumers (stats + filter) —
-    # persist so the fact isn't scanned twice
-    cr = cr.persist()
+    # localCheckpoint so the fact isn't scanned twice (per-DataFrame, no
+    # cross-sample CacheManager reuse)
+    cr = cr.localCheckpoint(eager=False)
     # nation stats via groupBy + broadcast join back, NOT a window:
     # a window partitioned by nation puts one nation's whole customer
     # population (1e8 rows at 100 TB) in ONE task; the aggregate is
@@ -4389,7 +4394,9 @@ def ds_paid_above_global_avg(spark: SparkSession,
                 F.col("o_orderkey") == F.col("l_orderkey"))
           .groupBy("o_custkey", "l_partkey")
           .agg(F.sum(cents).cast("bigint").alias("paid_cents")))
-    ss = ss.persist()
+    # per-DataFrame localCheckpoint: single fact scan per run, no
+    # cross-sample CacheManager reuse
+    ss = ss.localCheckpoint(eager=False)
     scalar = ss.agg(F.count(F.lit(1)).cast("bigint").alias("nn"),
                     F.sum("paid_cents").cast("bigint").alias("tt"))
     return (ss.crossJoin(F.broadcast(scalar))
