@@ -38,15 +38,22 @@ def pagerank(
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
+        # joined in EVERY iteration layer of the final plan — checkpoint
+        # once (lazily; the n_nodes count below materializes it) so the
+        # union+distinct runs once, not once per iteration (r14)
+        .localCheckpoint(eager=False)
     )
     n_nodes = nodes.count()  # scalar; required by the teleport term
     if n_nodes == 0:
         return nodes.select("node", F.lit(None).cast("double").alias("rank"))
     out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
+    # same: the normalized edge list appears once per iteration in the
+    # final plan; without a checkpoint the edges⋈out_deg join would
+    # execute `iterations` times in the one job
     e = edges.join(out_deg, src).select(
         F.col(src).alias("__src"), F.col(dst).alias("__dst"),
         (F.lit(1.0) / F.col("__deg")).alias("__inv"),
-    )
+    ).localCheckpoint(eager=False)
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     teleport = (1.0 - damping) / n_nodes
     for i in range(iterations):
@@ -77,7 +84,7 @@ def pagerank(
 
 def connected_components(
     edges: DataFrame, *, src: str = "src", dst: str = "dst",
-    max_iterations: int = 25, checkpoint_every: int = 4,
+    max_iterations: int = 25, checkpoint_every: int = 1,
 ) -> DataFrame:
     """Connected components over an undirected edge list via synchronous
     min-label propagation: every node starts as its own component and
@@ -100,7 +107,15 @@ def connected_components(
     close real corpora — far below GraphX's alternating large/small-star
     constant factors for this workload. Convergence is detected with one
     count() action per round (an O(nodes) aggregate, not a collect) and
-    the loop stops early; ``localCheckpoint`` truncates loop lineage.
+    the loop stops early. ``checkpoint_every=1`` (r14): because the
+    convergence count() is an ACTION every round, any round not ending
+    in a checkpoint is executed twice — once by its own count() and
+    again by the next round's (lineage recomputes from the last
+    materialized point, so a block of k un-checkpointed rounds pays
+    k(k+1)/2 join executions instead of k). A lazy localCheckpoint
+    every round costs nothing extra — the count() that must run anyway
+    is what materializes it — and each round's edges⋈labels join then
+    executes exactly once.
     Deterministic: min() is order-independent, so the result is exact
     regardless of partitioning — a DuckDB recursive-CTE transitive
     closure replays it (the `dedup_clusters` oracle).
@@ -110,6 +125,10 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("__a"),
                             F.col(src).alias("__b")))
         .distinct()
+        # joined every round; checkpoint once (materialized by round
+        # 1's convergence count) so the symmetrize+distinct — and the
+        # whole upstream pair pipeline — doesn't re-execute per round
+        .localCheckpoint(eager=False)
     )
     labels = (
         und.select(F.col("__a").alias("node")).distinct()

@@ -54,6 +54,13 @@ def repeat_union(
         new = new.localCheckpoint(eager=True)
         if new.isEmpty():
             break
-        acc = acc.unionByName(new).localCheckpoint(eager=True)
+        # acc is a union of already-checkpointed frontiers: every leaf is
+        # a materialized RDD, so no recompute is possible and the union
+        # needs no checkpoint of its own. Re-checkpointing acc here (the
+        # pre-r14 form) copied the ENTIRE accumulated set every round —
+        # O(rounds × total) materialized bytes instead of O(total); the
+        # plan grows only linearly in rounds (bounded by
+        # iteration_limit), which Catalyst handles fine.
+        acc = acc.unionByName(new)
         frontier = new
     return acc

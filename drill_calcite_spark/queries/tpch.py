@@ -308,22 +308,33 @@ FROM ms
 
 # --------------------------------------------------------------------- Q18
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18: IN over grouped HAVING sub-query (SubQueryRemoveRule parity)."""
+    """TPC-H Q18: IN over grouped HAVING sub-query (SubQueryRemoveRule parity).
+
+    Single-pass form (r14): the HAVING aggregate IS the output measure —
+    the textbook plan computes sum(l_quantity) per order for the IN
+    sub-query, throws it away, then semi-joins lineitem back and re-sums
+    the identical detail rows. Here the per-order aggregate is computed
+    once and carried through: lineitem is scanned ONCE (was twice), the
+    semi join and the second detail-row aggregation disappear, and the
+    joins against orders/customer move aggregate-sized rows (one per
+    qualifying order), not detail rows. Equivalent because o_orderkey is
+    unique in orders and c_custkey in customer (the detail join never
+    duplicated lineitem rows) and l_quantity is integral, so both
+    summation shapes are exact in double. Oracle replays the textbook IN
+    form."""
     li = t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("q"))
         .filter(F.col("q") > 150)
-        .select("l_orderkey")
     )
     ords = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
     return (
-        li.join(big, "l_orderkey", "left_semi")
-        .join(ords, li.l_orderkey == ords.o_orderkey)
+        big.join(ords, big.l_orderkey == ords.o_orderkey)
         .join(cust, ords.o_custkey == cust.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(r2(F.sum("l_quantity")).alias("sum_qty"))
+        .agg(r2(F.sum("q")).alias("sum_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(20)
     )

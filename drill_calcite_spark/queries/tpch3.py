@@ -430,8 +430,21 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT ANTI join on l_orderkey with the l_suppkey inequality as the
     join residual (Catalyst's RewritePredicateSubquery plan). The
     supplier region filter and returnflag filter prune l1 BEFORE the
-    order-key shuffles; all three lineitem legs shuffle on the same
-    l_orderkey, so AQE coalesces them consistently."""
+    order-key shuffles.
+
+    Single-aggregate form (r14): both correlated sub-queries are
+    per-order set predicates, so one map-side-combinable aggregate over
+    lineitem answers them — EXISTS(other supplier in the order) ⟺
+    min(l_suppkey) ≠ max(l_suppkey), and NOT EXISTS(other supplier with
+    an 'R' line) ⟺ the order has exactly one distinct 'R' supplier ⟺
+    min = max over its 'R' lines (l1 itself is an 'R' line, so that one
+    supplier is necessarily l1's). This replaces the l2 semi join and l3
+    anti join — each of which shuffled a detail-row lineitem leg on
+    l_orderkey — with ONE aggregation whose partial min/max collapse to
+    a row per order per map task before the exchange (guide §2.3
+    "aggregate before you shuffle"): lineitem is scanned twice (was
+    three times) and the only detail-sized exchange left is l1's. The
+    oracle replays the textbook EXISTS/NOT-EXISTS form."""
     li = t(spark, sf_dir, "lineitem")
     ords = t(spark, sf_dir, "orders")
 
@@ -446,17 +459,17 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
     )
-    l2 = li.select(F.col("l_orderkey").alias("o2"),
-                   F.col("l_suppkey").alias("s2"))
-    l3 = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    rsupp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per_order = li.groupBy(F.col("l_orderkey").alias("o2")).agg(
+        F.min("l_suppkey").alias("__smin"),
+        F.max("l_suppkey").alias("__smax"),
+        F.min(rsupp).alias("__rmin"),
+        F.max(rsupp).alias("__rmax"),
     )
     kept = (
-        l1.join(l2, (F.col("l_orderkey") == F.col("o2"))
-                & (F.col("l_suppkey") != F.col("s2")), "left_semi")
-        .join(l3, (F.col("l_orderkey") == F.col("o3"))
-              & (F.col("l_suppkey") != F.col("s3")), "left_anti")
+        l1.join(per_order, F.col("l_orderkey") == F.col("o2"))
+        .filter((F.col("__smin") != F.col("__smax"))
+                & (F.col("__rmin") == F.col("__rmax")))
     )
     return kept.groupBy("s_name").agg(
         F.count(F.lit(1)).cast("bigint").alias("numwait")

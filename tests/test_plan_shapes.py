@@ -14,6 +14,7 @@ marker asserted here is stable across Spark 4.x plan rendering.
 
 from __future__ import annotations
 
+
 import __spark_entry__ as entrymod
 
 from tests.conftest import SF_DIR
@@ -87,8 +88,12 @@ def test_tpch3_plan_shapes(spark):
     """The six round-7 TPC-H queries keep their docstring plan claims:
     no cartesian products anywhere; q2 takes its top-100 via
     TakeOrderedAndProject; q9's part filter broadcast-semi-prunes
-    lineitem; q16/q20/q21 decorrelate to semi/anti joins (LeftSemi /
-    LeftAnti in the physical plan, never a subquery re-execution)."""
+    lineitem; q16/q20 decorrelate to semi/anti joins (LeftSemi /
+    LeftAnti in the physical plan, never a subquery re-execution); q21
+    (r14 single-aggregate form) answers both correlated sub-queries
+    from ONE per-order min/max aggregate — no semi/anti lineitem legs
+    left, and lineitem is scanned exactly twice (l1 + the aggregate),
+    not three times."""
     qs = entrymod.queries()
     plans = {n: _plan(qs[n](spark, SF_DIR)) for n in [
         "q2_min_cost_supplier", "q9_product_type_profit",
@@ -102,9 +107,15 @@ def test_tpch3_plan_shapes(spark):
     assert "LeftAnti" in plans["q16_parts_supplier_relationship"], \
         "q16 NOT IN is not an anti join"
     assert "LeftSemi" in plans["q20_potential_promotion"]
-    assert ("LeftSemi" in plans["q21_suppliers_kept_waiting"]
-            and "LeftAnti" in plans["q21_suppliers_kept_waiting"]), \
-        "q21 EXISTS/NOT EXISTS did not become semi + anti joins"
+    q21 = plans["q21_suppliers_kept_waiting"]
+    assert "LeftSemi" not in q21 and "LeftAnti" not in q21, \
+        "q21 regressed to the three-leg semi/anti form"
+    assert q21.count("lineitem.parquet") == 2, \
+        "q21 must scan lineitem exactly twice (l1 + per-order aggregate)"
+    # the per-order aggregate partial-aggregates min/max before its
+    # exchange (map-side combine of the detail leg)
+    assert "partial_min" in q21 or "min(l_suppkey" in q21, \
+        "q21 per-order min/max aggregate missing"
     # q11's global scalar enters through a broadcast, not a window
     assert "BroadcastNestedLoopJoin" in plans["q11_important_stock"] \
         or "BroadcastHashJoin" in plans["q11_important_stock"]
@@ -970,19 +981,15 @@ def test_ds_iceberg_cross_channel_one_scan_flags_broadcast(spark):
     presence count is a window over per-item aggregate rows; the
     average threshold joins back as a one-row BROADCAST; the ROLLUP
     expands aggregate-sized rows (Expand node present)."""
-    # a prior lane's .persist() of ANY equal subplan gets
-    # substituted into this plan by the cache manager and
-    # shifts the InMemoryRelation counts — start clean
-    spark.catalog.clearCache()
     plan = _plan(entrymod.queries()["ds_iceberg_cross_channel"](
         spark, SF_DIR))
-    # the per-(item, channel) aggregate is persisted and BOTH consumers
-    # (presence window + scalar threshold) read the cache — every
-    # lineitem mention in the plan sits inside an InMemoryRelation
-    # definition, none is a live re-scan
-    assert plan.count("InMemoryTableScan") == 2, "aggregate not reused"
-    assert plan.count("lineitem.parquet") == plan.count(
-        "InMemoryRelation"), "a consumer re-scans the fact"
+    # the per-(item, channel) aggregate is localCheckpoint'd (r14:
+    # per-run, no CacheManager entry) and BOTH consumers (presence
+    # window + scalar threshold) read the SAME checkpointed RDD — no
+    # live fact scan remains in the serving plan
+    assert plan.count("Scan ExistingRDD") >= 2, \
+        "aggregate not reused via the shared checkpoint"
+    assert "lineitem.parquet" not in plan, "a consumer re-scans the fact"
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "Expand" in plan, "ROLLUP lost its Expand"
     assert "EvalPython" not in plan
@@ -1000,30 +1007,25 @@ def test_ds_frequent_best_sales_broadcast_semi_joins(spark):
     shuffled join instead of OOMing at a pathological scale), so this
     test EXECUTES the query and pins the final adaptive plan — AQE
     must still choose broadcast at test SFs."""
-    # a prior lane's .persist() of ANY equal subplan gets
-    # substituted into this plan by the cache manager and
-    # shifts the InMemoryRelation counts — start clean
-    spark.catalog.clearCache()
     df = entrymod.queries()["ds_frequent_best_sales"](spark, SF_DIR)
     df.collect()  # drive AQE to its final plan
-    plan = _plan(df)
-    assert "isFinalPlan=true" in plan, "adaptive plan did not finalize"
+    full = _plan(df)
+    assert "isFinalPlan=true" in full, "adaptive plan did not finalize"
+    # the localCheckpoint'd customer aggregate (r14: per-run, no
+    # CacheManager entry) serves both its consumers (max scalar +
+    # threshold filter) as the same checkpointed RDD — materialized
+    # AQE stages print as leaf references in the final section, so the
+    # RDD scan is only visible in the initial-plan section
+    assert "Scan ExistingRDD" in full, "customer aggregate not reused"
     # the adaptive toString carries BOTH the final and the initial
-    # plan — count only the final section
-    plan = plan.split("== Initial Plan ==")[0]
+    # plan — count only the final section below
+    plan = full.split("== Initial Plan ==")[0]
     assert plan.count("BroadcastHashJoin") >= 2, "semi joins not broadcast"
     assert plan.count("LeftSemi") >= 2, "IN-subqueries not semi joins"
-    # the persisted customer aggregate serves both its consumers (max
-    # scalar + threshold filter): the final adaptive plan reads it via
-    # cache stages (materialized stages print as references, so exact
-    # occurrence counts are format-dependent — presence is the signal)
-    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, \
-        "customer aggregate not reused"
     # two live fact scans remain (frequent-item aggregation and the
-    # target-year pass); the other lineitem mentions sit inside
-    # InMemoryRelation definitions
-    assert plan.count("lineitem.parquet") - plan.count(
-        "InMemoryRelation") == 2, \
+    # target-year pass); the customer aggregate's own scan happened
+    # once, inside the checkpoint materialization
+    assert plan.count("lineitem.parquet") == 2, \
         "UNION branches did not fold (or an aggregation re-scans)"
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
@@ -1138,17 +1140,14 @@ def test_ds_return_ratio_vs_state_broadcast_not_window(spark):
     derived table per correlated subquery), and NO window partitioned
     by nation (one nation's whole customer population in a single task
     at 100 TB)."""
-    # a prior lane's .persist() of ANY equal subplan gets
-    # substituted into this plan by the cache manager and
-    # shifts the InMemoryRelation counts — start clean
-    spark.catalog.clearCache()
     plan = _plan(entrymod.queries()["ds_return_ratio_vs_state"](
         spark, SF_DIR))
-    # the persisted customer rollup serves both consumers: every
-    # lineitem mention sits inside an InMemoryRelation definition
-    assert plan.count("lineitem.parquet") == plan.count(
-        "InMemoryRelation"), "a consumer re-scans the fact"
-    assert "InMemoryTableScan" in plan, "customer rollup not reused"
+    # the localCheckpoint'd customer rollup (r14) serves both
+    # consumers as ONE shared checkpointed RDD; no live fact scan
+    # remains in the serving plan
+    assert plan.count("Scan ExistingRDD") >= 2, \
+        "customer rollup not reused via the shared checkpoint"
+    assert "lineitem.parquet" not in plan, "a consumer re-scans the fact"
     assert "BroadcastHashJoin" in plan, "nation stats not broadcast"
     assert "Window" not in plan, "nation-partitioned window leaked"
     assert "EvalPython" not in plan
@@ -1233,23 +1232,17 @@ def test_ds_weekly_dow_ratio_yoy_lag_window_one_scan(spark):
 
 def test_ds_paid_above_global_avg_broadcast_scalar(spark):
     """ds_paid_above_global_avg (q24 shape): the global (N, total)
-    threshold reduces from the persisted aggregate and attaches as a
-    one-row broadcast (BroadcastNestedLoopJoin or BroadcastExchange) —
-    the fact is scanned once; the aggregate feeds both consumers
-    through InMemoryRelation."""
-    # a prior lane's .persist() of ANY equal subplan gets
-    # substituted into this plan by the cache manager and
-    # shifts the InMemoryRelation counts — start clean
-    spark.catalog.clearCache()
+    threshold reduces from the checkpointed aggregate and attaches as
+    a one-row broadcast (BroadcastNestedLoopJoin or BroadcastExchange)
+    — the fact is scanned once; the aggregate feeds both consumers as
+    the SAME localCheckpoint'd RDD (r14)."""
     plan = _plan(entrymod.queries()["ds_paid_above_global_avg"](
         spark, SF_DIR))
-    assert "InMemoryTableScan" in plan, "aggregate not reused"
+    assert plan.count("Scan ExistingRDD") >= 2, \
+        "aggregate not reused via the shared checkpoint"
     assert ("BroadcastNestedLoopJoin" in plan
             or "BroadcastExchange" in plan)
-    # every lineitem mention must sit inside an InMemoryRelation
-    # DEFINITION (the cache both consumers read), never a live re-scan
-    assert plan.count("lineitem.parquet") == plan.count(
-        "InMemoryRelation"), "a consumer re-scans the fact"
+    assert "lineitem.parquet" not in plan, "a consumer re-scans the fact"
     assert "EvalPython" not in plan
 
 
