@@ -12,6 +12,7 @@ expected end state in plain SQL over the original tables.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -191,11 +192,25 @@ def source_jdbc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     write/read/pushdown pipeline is lossless."""
     from drill_calcite_spark.sources.jdbc import derby_url, jdbc_read, jdbc_write
 
-    # Derby writes system streams; silence + isolate per scale dir
     nation = t(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
-    db = os.path.join(_fixture_dir(sf_dir), "jdbc_derby_db")
+    # Per-run temp dir for the Derby database: a FIXED path left a stale
+    # db.lck whenever a prior session was killed mid-boot, and embedded
+    # Derby then refuses to boot (XJ040/XSDB6) for every later session —
+    # which under `pytest -x` killed the whole suite before the oracle
+    # lanes ran. The table is rewritten from parquet on every invocation
+    # anyway, so nothing is lost by not reusing the database directory.
+    # derby.log is pointed at the temp dir too (it otherwise lands in the
+    # process cwd, i.e. the repo root); the property is read at engine
+    # boot, so set it before the first JDBC touch.
+    jvm_sys = spark._jvm.System
+    if not jvm_sys.getProperty("derby.stream.error.file"):
+        jvm_sys.setProperty(
+            "derby.stream.error.file",
+            os.path.join(tempfile.gettempdir(), "spark_graft_derby.log"))
+    db = os.path.join(
+        tempfile.mkdtemp(prefix="spark_graft_derby_"), "jdbc_derby_db")
     jdbc_write(
         nation, derby_url(db, create=True), "nation_jdbc",
         column_types="n_name VARCHAR(64)",
