@@ -1002,3 +1002,77 @@ def test_cms_grouped_merge_row_epochs_non_vacuous(spark):
                          for r in sk.collect()}
         assert cells[parity], f"epoch {parity} sketch empty"
     assert cells[0] != cells[1], "document epoch sketches identical"
+
+
+# ------------------------------------------------- hot-bucket split (r15)
+def test_bucket_pairs_split_parity_and_hot_routing(spark):
+    """bucket_pairs(split_above=s): the pair set is identical to the
+    uncapped aggregation, over-cap buckets route through the streaming
+    key self-join (bounded aggregation buffer), and a planted hot bucket
+    — the mass-duplicate-corpus shape — still yields its complete i<j
+    pair set."""
+    from pyspark.sql import functions as F
+
+    from drill_calcite_spark.operators.similarity import bucket_pairs
+
+    # 3 buckets: hot (40 ids), medium (4 ids), pair (2 ids)
+    rows = ([("hot", i) for i in range(40)]
+            + [("med", i) for i in (100, 101, 102, 103)]
+            + [("two", i) for i in (200, 201)])
+    banded = spark.createDataFrame(rows, "bkt string, id long")
+    base = bucket_pairs(banded, ["bkt"], "id", "i", "j", ordered=False)
+    split = bucket_pairs(banded, ["bkt"], "id", "i", "j", ordered=False,
+                         split_above=8)
+    got_base = {(r.i, r.j) for r in base.collect()}
+    got_split = {(r.i, r.j) for r in split.collect()}
+    want = {(a, b) for a in range(40) for b in range(40) if a < b}
+    want |= {(a, b) for a in (100, 101, 102, 103)
+             for b in (100, 101, 102, 103) if a < b}
+    want |= {(200, 201)}
+    assert got_base == want and got_split == want
+    # the hot bucket must NOT enter the collect_list branch: the plan's
+    # join branch carries it (an equi SortMerge/ShuffledHash join on the
+    # bucket key — never a cartesian product)
+    plan = split._sc._jvm.PythonSQLUtils.explainString(
+        split._jdf.queryExecution(), "formatted")
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan, "hot branch self-join missing from the plan"
+    # ordered=True variant: both directions, no self-pairs
+    osplit = bucket_pairs(banded, ["bkt"], "id", "i", "j", ordered=True,
+                          split_above=8)
+    got_o = {(r.i, r.j) for r in osplit.collect()}
+    assert got_o == {(a, b) for (a, b) in want} | {(b, a)
+                                                   for (a, b) in want}
+    # NULL bucket keys pair in neither branch
+    with_null = banded.union(
+        spark.createDataFrame([(None, 300), (None, 301)],
+                              "bkt string, id long"))
+    ns = bucket_pairs(with_null, ["bkt"], "id", "i", "j", ordered=False,
+                      split_above=8)
+    assert {(r.i, r.j) for r in ns.collect()} == want
+
+
+def test_verify_jaccard_skewed_pair_fanout(spark):
+    """VERDICT r14 item 7: one document appearing in many candidate pairs
+    (the hub-document skew shape) — the melt re-widen must stay exact and
+    the per-group state bounded (2 rows per (doc_i, doc_j) group
+    regardless of how many pairs share a member)."""
+    from pyspark.sql import functions as F
+
+    from drill_calcite_spark.operators.dedup import verify_jaccard
+
+    n = 300  # doc 0 is a member of 299 pairs
+    docs = [(0, ["a b", "b c", "c d"])]
+    docs += [(i, ["a b", "b c", f"x{i} y{i}"]) for i in range(1, n)]
+    shingled = spark.createDataFrame(docs, "doc_id long, sh array<string>")
+    pairs = spark.createDataFrame([(0, i) for i in range(1, n)],
+                                  "doc_i long, doc_j long")
+    out = verify_jaccard(pairs, shingled, "doc_id", "sh", 0.4)
+    got = {(r.doc_i, r.doc_j): r.jaccard for r in out.collect()}
+    # each pair shares {a b, b c} of a 4-element union: jaccard = 0.5
+    assert got == {(0, i): 0.5 for i in range(1, n)}
+    # a pair with a member missing from the corpus drops (NULL set)
+    pairs2 = pairs.union(spark.createDataFrame([(0, 999)],
+                                               "doc_i long, doc_j long"))
+    out2 = verify_jaccard(pairs2, shingled, "doc_id", "sh", 0.4)
+    assert out2.count() == n - 1
