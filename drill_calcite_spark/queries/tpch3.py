@@ -199,7 +199,14 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     side derive from the pruned slice (exact — _partsupp groups by
     l_partkey, see its docstring), so the (partkey, suppkey) aggregate
     and join see ~10% of the fact table; both exchanges hash the same
-    key pair, so AQE can co-locate them."""
+    key pair, so AQE can co-locate them.
+
+    The pruned slice is localCheckpoint'ed (projected to the six columns
+    both consumers need) so lineitem is scanned and semi-joined once per
+    run, not once per consumer — r15 A/B at sf0.1: best-of 1.10 s vs
+    1.94 s for the two-scan form, identical output. Per-DataFrame
+    materialization, not a CacheManager entry: every bench sample
+    recomputes from parquet (the r14 tpcds-quartet precedent)."""
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
     supp = t(spark, sf_dir, "supplier")
@@ -207,8 +214,13 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = t(spark, sf_dir, "nation")
 
     red = part.filter(F.col("p_name").like("red%")).select("p_partkey")
-    li_red = li.join(F.broadcast(red), li.l_partkey == F.col("p_partkey"),
-                     "left_semi")
+    li_red = (
+        li.join(F.broadcast(red), li.l_partkey == F.col("p_partkey"),
+                "left_semi")
+        .select("l_partkey", "l_suppkey", "l_orderkey",
+                "l_extendedprice", "l_discount", "l_quantity")
+        .localCheckpoint(eager=False)
+    )
     j = (
         li_red.join(
             _partsupp(li_red),
