@@ -50,91 +50,84 @@ _ROWS_ONLY_FIRST_EVIDENCE = [
 # Names that outgrow the 50 driver slots queue here — machine-checked by
 # tests/test_registry_evidence.py (a queued name counts as covered only
 # because this list must become the NEXT round's slate HEAD). Empty at
-# the start of r14: all ten r13-queued names are promoted into the
-# slate below. r14-new names queue here as they land.
-_NEXT_ROUND_HEAD: list[str] = [
-    "mv_sql_rollup_substitution",  # NEW r14: GROUP BY ROLLUP served
-    # from a plain tile through the front door (AggregateStarTableRule
-    # shape) with grouping()/GROUPING_ID above the tile re-aggregation;
-    # the r14 slate is fully spoken for by the vintage debt; 3-SF
-    # parity + no-fact-scan plan pin committed
-    "mv_sql_groupingsets_substitution",  # NEW r14: explicit GROUPING
-    # SETS (incl. grand total) through groupingSets() over the tile,
-    # composed with a hidden-measure HAVING gate; same overflow
-    # reason; 3-SF parity committed
-    "mv_sql_subset_substitution",  # NEW r14: FK-derivable subset
-    # unification — an aliased single-table aggregate served from the
-    # orders⋈customer join-MV via the registered FK
-    # (RelReferentialConstraint join derivability); same overflow
-    # reason; 3-SF parity + unsound-variant fall-through tests
-    # committed
-    "mv_sql_or_daterange_substitution",  # NEW r14: the `<>`-year
-    # two-range disjunction (DateRangeRules Sarg complement) applied
-    # as ONE residual on the tile — the bounded-OR atom grammar; same
-    # overflow reason; 3-SF parity + Or-in-PushedFilters plan pin
-    # committed
-    "stream_enrich_dedup_window",  # NEW r14: the fourth chained
-    # composition — stream-static LEFT enrich → dedup → TUMBLE day in
-    # one append-mode query; oracle = the chained-dedup admission
-    # replay LEFT-joined to the restricted dim; same overflow reason;
-    # 3-SF parity + pad-survives-dedup non-vacuousness pin committed
-    "bench_mv_substitution",  # NEW r14: the tracked perf row for the
-    # substitution serving path (bench.py auto-includes bench_*; tile
-    # builds IF NOT EXISTS so the timed body is probe + rewrite +
-    # tile rollup); same overflow reason; oracle-backed (same
-    # three-rule composition statement as the daterange row)
-    "mv_sql_stddev_substitution",  # NEW r14: variance-family serve
-    # from the (sum, sumsq, count) decomposition
-    # (AggregateReduceFunctionsRule) — bit-exact oracle via identical
-    # IEEE formula over exact integer sums; same overflow reason;
-    # 3-SF parity + 1e-9 Welford-agreement unit pin committed
-    "stream_session_dynamic_gap",  # NEW r14: SESSION with an
-    # expression-valued per-event gap (SPARK-36465) — running-max
-    # sessionization replay in integer µs; same overflow reason;
-    # 3-SF parity + differs-from-every-fixed-gap pin committed
-    "stream_session_live",  # NEW r14: REAL readStream session-window
-    # merge (open-interval session state, not fixed buckets) drained
-    # complete-mode equal to the batch sessionization replay; same
-    # overflow reason; 3-SF parity committed
-]
+# the start of r15: all nine r14-queued names are promoted into the
+# slate below.
+_NEXT_ROUND_HEAD: list[str] = []
 
 _DRIVER_PRIORITY = [
-    # ROUND-14 ROTATION, in order (the slate math: 10 queued + 1 newly
-    # registered + 13 deferred r6-vintage = 24 slots, leaving 26 for
-    # the 39-name r7-vintage cohort; the 13 r7 names that don't fit —
-    # q2_min_cost_supplier, q7_volume_shipping, q8_market_share,
-    # recursive_nation_tree, sample_stratified_quota, scrub_pii,
-    # setop_except, snapshot_orders_scd, source_dynamic_star,
-    # source_kafka_convert, stream_stateful_counter,
-    # subquery_not_in_null, subquery_scalar_correlated — hold
-    # committed r7 green rows and MUST lead the r15 re-proof order).
+    # ROUND-15 ROTATION, in order (slate math: 9 queued never-green +
+    # 13 deferred r7-vintage + the r14-REWRITTEN paths the r15 verdict
+    # orders driver-re-proved (17 names, one of which —
+    # recursive_nation_tree — is already in the r7 cohort) + the two
+    # r15-touched queries (q9 localCheckpoint slice, source_jdbc_scan
+    # Derby fixture) = 40 slots; the 10 remaining go to the r8-vintage
+    # cohort in .claude/evidence_vintage.py's mechanical order).
     #
-    # (a) the ten promoted _NEXT_ROUND_HEAD names — the only
-    # oracle-backed queries with ZERO driver evidence (r13 overflow),
-    # exactly as the r13 verdict demands:
-    "mv_sql_substitution",           # r13: front-door MV substitution
-    "mv_sql_join_substitution",      # r13: join-MV signature unify
-    "mv_sql_having_substitution",    # r13: HAVING above the rollup
-    "mv_sql_topn_substitution",      # r13: ORDER BY+LIMIT above tile
-    "mv_sql_daterange_substitution",  # r13: range-rewrite composition
-    "sql_date_range_rewrite",        # r13: DateRangeRules port
-    "sketch_cms_grouped_merge",      # r13: CMS cellwise-sum merge
-    "stream_chained_dedup_agg",      # r13: dedup→agg multi-stateful
-    "stream_chained_window_rollup",  # r13: day→week window rollup
-    "stream_static_left_enrich",     # r13: stream-static LEFT enrich
-    # (b) registered THIS round as the r13 verdict orders (the @q
-    # entry shipped r13 unregistered because the queue was at cap):
-    "stream_chained_join_agg",       # r13 battery, r14 registration
-    # (c) the 13 r6-vintage scalar batteries deferred from r13 (their
-    # committed green rows date to r6 — the oldest evidence in the
-    # registry; the r13 verdict orders them to lead this slate):
+    # (a) the nine r14-queued names — oracle-backed with ZERO driver
+    # evidence (r14 overflow), promoted exactly as queued:
+    "mv_sql_rollup_substitution",
+    "mv_sql_groupingsets_substitution",
+    "mv_sql_subset_substitution",
+    "mv_sql_or_daterange_substitution",
+    "stream_enrich_dedup_window",
+    "bench_mv_substitution",
+    "mv_sql_stddev_substitution",
+    "stream_session_dynamic_gap",
+    "stream_session_live",
+    # (b) the 13 r7-vintage names deferred from the r14 slate — the
+    # oldest committed evidence in the registry, ordered to lead this
+    # slate by the r14 rotation note:
+    "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
+    "recursive_nation_tree", "sample_stratified_quota", "scrub_pii",
+    "setop_except", "snapshot_orders_scd", "source_dynamic_star",
+    "source_kafka_convert", "stream_stateful_counter",
+    "subquery_not_in_null", "subquery_scalar_correlated",
+    # (c) every query whose code path was rewritten in r14 (VERDICT r14
+    # item 2: "rotate every r14-rewritten query into the driver's
+    # 50-slot head" — their last green driver rows predate the
+    # rewrite) plus the two r15-touched queries:
+    "q18_large_volume_customer",     # r14: single-pass HAVING reuse
+    "ds_iceberg_cross_channel",      # r14: persist→localCheckpoint
+    "ds_frequent_best_sales",        # r14: persist→localCheckpoint
+    "ds_return_ratio_vs_state",      # r14: persist→localCheckpoint
+    "ds_paid_above_global_avg",      # r14: persist→localCheckpoint
+    "dedup_minhash_lsh",             # r14 bucket-agg + r15 verify/split
+    "dedup_clusters",                # same pipeline + graph checkpoint
+    "dedup_ngram_jaccard",           # r14 bucket-agg + r15 verify/split
+    "dedup_ngram_capped",            # same (df_max as size filter)
+    "dedup_edit_verify",             # r14 pair expansion consumer
+    "dedup_embedding_lsh",           # r14 bucket-agg + r15 split
+    "ann_lsh_topk",                  # r14 bucket-agg + r15 split
+    "ann_int8_topk",                 # r14 bucket-agg + r15 split
+    "bench_minhash_dedup",           # the tracked dedup perf row
+    "pagerank_nations",              # r14: checkpoint_every 4→1
+    "recursive_numbers",             # r14: repeat_union checkpoint fix
+    "q9_product_type_profit",        # r15: localCheckpoint'ed slice
+    "source_jdbc_scan",              # r15: per-run Derby temp dir
+    # (d) the first 10 of the r8-vintage cohort in
+    # .claude/evidence_vintage.py's mechanical (alphabetical) order
+    # (r8 names already listed above are skipped):
+    "bloom_prune_join", "chunk_sliding_windows", "dedup_passage",
+    "ds_band_counts", "ds_chained_star_join", "ds_channel_report",
+    "ds_cross_channel_band", "ds_cross_channel_items",
+    "ds_cumulative_channel_cross", "ds_group_count_band",
+]
+
+# The full ROUND-14 slate (all 50 green in CORRECTNESS_r14.json) is
+# kept below for the displacement audit trail; it is no longer
+# registered. (The r13 record it replaces lives in git history.)
+_R14_SLATE_FOR_THE_RECORD = [
+    "mv_sql_substitution", "mv_sql_join_substitution",
+    "mv_sql_having_substitution", "mv_sql_topn_substitution",
+    "mv_sql_daterange_substitution", "sql_date_range_rewrite",
+    "sketch_cms_grouped_merge", "stream_chained_dedup_agg",
+    "stream_chained_window_rollup", "stream_static_left_enrich",
+    "stream_chained_join_agg",
     "case_conditional", "func_geo_buffer", "func_geo_measures",
     "func_geo_poly", "func_geo_st", "func_like_family",
     "func_math_extended", "func_multiset_predicates", "func_similar_to",
     "func_strings_basic", "func_strings_misc", "func_strings_phonetic",
     "func_tz_convert",
-    # (d) the first 26 of the 39-name r7-vintage cohort, in
-    # .claude/evidence_vintage.py's mechanical (alphabetical) order:
     "agg_bitops", "agg_fusion", "agg_sum0_anyvalue",
     "asof_last_purchase", "correlate_lateral_topn",
     "decontaminate_ngrams", "ds_quantity_stats", "func_geo_clip",
@@ -145,32 +138,6 @@ _DRIVER_PRIORITY = [
     "q15_top_supplier", "q16_parts_supplier_relationship",
     "q17_small_quantity", "q19_discounted_revenue",
     "q20_potential_promotion", "q21_suppliers_kept_waiting",
-]
-
-# The full ROUND-13 slate (all 50 green in CORRECTNESS_r13.json) is
-# kept below for the displacement audit trail; it is no longer
-# registered. (The r12 record it replaces lives in git history.)
-_R13_SLATE_FOR_THE_RECORD = [
-    "sketch_cms_grouped", "sketch_hll_grouped_merge",
-    "stream_right_outer_join_emit", "stream_semi_join_emit",
-    "func_greatest_null", "func_json_type", "func_struct_row",
-    "func_time_arith", "func_time_emulation", "func_decimal_fidelity",
-    "func_multiset_ops", "sort_nulls_direction", "unnest_map_entries",
-    "pivot_conditional", "is_distinct_from", "islands_increasing_runs",
-    "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q6_forecast_revenue",
-    "q18_large_volume_customer",
-    "join_left_outer", "join_right_outer", "join_full_outer",
-    "join_semi", "join_anti", "join_cross", "join_band_theta",
-    "join_strategy_hints",
-    "agg_stats", "agg_regression", "agg_rollup", "agg_cube",
-    "agg_grouping_sets", "agg_distinct_filter", "agg_collect_listagg",
-    "window_rank_topk", "window_lead_lag", "window_value_funcs",
-    "window_running_frames", "window_distribution",
-    "window_distribution_scalable",
-    "setop_union_all", "distinct_projection", "subquery_single_value",
-    "ann_lsh_topk", "dedup_embedding_lsh",
-    "lattice_candidate_tiles", "profile_orders", "profile_fd_discovery",
 ]
 
 
