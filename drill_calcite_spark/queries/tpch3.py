@@ -176,6 +176,21 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- Q9
+def _q9_pruned_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'red%' broadcast-semi-pruned lineitem slice q9 materializes
+    (un-checkpointed — tests/test_plan_shapes.py pins the LeftSemi prune
+    on this subtree, which the lazy checkpoint hides from q9's plan)."""
+    li = t(spark, sf_dir, "lineitem")
+    red = (t(spark, sf_dir, "part")
+           .filter(F.col("p_name").like("red%")).select("p_partkey"))
+    return (
+        li.join(F.broadcast(red), li.l_partkey == F.col("p_partkey"),
+                "left_semi")
+        .select("l_partkey", "l_suppkey", "l_orderkey",
+                "l_extendedprice", "l_discount", "l_quantity")
+    )
+
+
 @q("q9_product_type_profit", f"""
 WITH {_PS_CTE}
 SELECT n_name AS nation, extract(year FROM o_orderdate) AS o_year,
@@ -207,20 +222,10 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.94 s for the two-scan form, identical output. Per-DataFrame
     materialization, not a CacheManager entry: every bench sample
     recomputes from parquet (the r14 tpcds-quartet precedent)."""
-    li = t(spark, sf_dir, "lineitem")
-    part = t(spark, sf_dir, "part")
     supp = t(spark, sf_dir, "supplier")
     ords = t(spark, sf_dir, "orders")
-    nation = t(spark, sf_dir, "nation")
 
-    red = part.filter(F.col("p_name").like("red%")).select("p_partkey")
-    li_red = (
-        li.join(F.broadcast(red), li.l_partkey == F.col("p_partkey"),
-                "left_semi")
-        .select("l_partkey", "l_suppkey", "l_orderkey",
-                "l_extendedprice", "l_discount", "l_quantity")
-        .localCheckpoint(eager=False)
-    )
+    li_red = _q9_pruned_slice(spark, sf_dir).localCheckpoint(eager=False)
     j = (
         li_red.join(
             _partsupp(li_red),
