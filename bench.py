@@ -14,6 +14,25 @@ output carries a per-query ``noise`` field (spread/best) so a
 contention-skewed run is self-identifying — the r4 and r7 driver benches
 were both host-noise artifacts that needed a judge re-run to diagnose.
 
+Measurement fix (r15, declared in OPTIMIZATION_r15.md): each query gets
+ONE untimed warm-up execution (the same noop-sink write) immediately
+before its timed samples. best-of-N was always meant to report
+steady-state engine time, but on this sandbox's VM class the FIRST full
+execution of a query additionally pays the hypervisor's cold-page
+backing (measured: ~10 MB/s first-touch vs ~GB/s warm — a 1 GB JVM heap
+growth step costs ~100 s of kernel time once, then never again), JIT
+warm-up, and python-worker spawn. Those are per-VM one-time costs, not
+engine throughput; with N as low as 3 a single cold sample used to leak
+into ``best`` whenever the remaining samples ALSO grew the heap (the r14
+driver bench's calib_noise 0.278 and this round's first local reading —
+q1 21.3 s best-of-5 vs 1.33 s steady-state — are that artifact). The
+warm-up run executes the identical plan from parquet (nothing is cached:
+the noop sink retains no rows, Spark registers no cache entry), so timed
+samples still recompute everything; they just stop billing the VM's
+page-fault debt to whichever query happened to run first. Old rounds'
+numbers are kept as committed (BENCH_r01..r14); round-over-round
+comparisons remain on shared queries, now at steady state.
+
 Self-calibration (r12): a fixed NON-Spark CPU reference kernel — a
 pinned-iteration sha256 loop over a constant buffer — is timed with the
 same clock before, between, and after the query loop. Its cost depends
@@ -112,6 +131,15 @@ def main() -> None:
 
     # warm-up: JVM + parquet footer caches, one light action
     qs[names[0]](spark, SF_DIR).limit(1).collect()
+    # full untimed warm-up pass (r15 measurement fix, see docstring):
+    # execute every headline query once so the JVM heap reaches its
+    # high-water mark BEFORE any timing. Without it the first timed
+    # queries pay the whole session's heap ramp through the VM's cold
+    # pages (measured: q1 first-in-session 4.9-5.9 s, same query after
+    # heavy queries elsewhere in the session 1.78 s). Nothing persists:
+    # the noop sink retains no rows and no cache entry is registered.
+    for name in names:
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     calib_samples = [calib_kernel()]
@@ -120,6 +148,11 @@ def main() -> None:
     for name in names:
         if len(timings) == len(names) // 2:
             calib_samples.append(calib_kernel())
+        # one untimed steady-state warm-up (see module docstring): same
+        # plan, same noop sink, result discarded — absorbs the VM's
+        # one-time page-fault/JIT/worker-spawn debt so the timed samples
+        # measure the engine, not the hypervisor's cold-page backing
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         samples: list[float] = []
         while True:
             start = time.perf_counter()
