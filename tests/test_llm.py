@@ -1076,3 +1076,48 @@ def test_verify_jaccard_skewed_pair_fanout(spark):
                                                "doc_i long, doc_j long"))
     out2 = verify_jaccard(pairs2, shingled, "doc_id", "sh", 0.4)
     assert out2.count() == n - 1
+
+
+def test_bucket_pairs_counts_first_routing_max_and_split(spark):
+    """r15 final bucket_pairs form: sizes are counted FIRST and routing
+    happens via broadcast anti/semi joins, so an over-``max_size``
+    bucket is dropped BEFORE any collect_list buffer is built (the old
+    ``max_size<=split_above`` shortcut collected it first and filtered
+    after — the unbounded allocation the split exists to prevent), and
+    the three-way routing (drop / hot self-join / aggregation) is
+    pair-set-exact."""
+    from drill_calcite_spark.operators.similarity import bucket_pairs
+
+    # buckets: "drop" (40 rows > max), "hot" (10 rows: split < 10 <= max),
+    # "med" (4 rows <= split), "two" (2 rows)
+    rows = ([("drop", i) for i in range(40)]
+            + [("hot", i) for i in range(100, 110)]
+            + [("med", i) for i in (200, 201, 202, 203)]
+            + [("two", i) for i in (300, 301)])
+    banded = spark.createDataFrame(rows, "bkt string, id long")
+    want = {(a, b) for a in range(100, 110) for b in range(100, 110)
+            if a < b}
+    want |= {(a, b) for a in (200, 201, 202, 203)
+             for b in (200, 201, 202, 203) if a < b}
+    want |= {(300, 301)}
+
+    # combined: max_size above split_above — drop / hot / agg all live
+    out = bucket_pairs(banded, ["bkt"], "id", "i", "j", ordered=False,
+                       max_size=20, split_above=8)
+    assert {(r.i, r.j) for r in out.collect()} == want
+
+    # max_size BELOW split_above (the ngram stop-shingle shape): the
+    # over-max bucket must be anti-joined out BEFORE the aggregation —
+    # the plan's ObjectHashAggregate input carries a broadcast anti join
+    capped = bucket_pairs(banded, ["bkt"], "id", "i", "j", ordered=False,
+                          max_size=8, split_above=64)
+    want_capped = ({(a, b) for a in (200, 201, 202, 203)
+                    for b in (200, 201, 202, 203) if a < b}
+                   | {(300, 301)})
+    assert {(r.i, r.j) for r in capped.collect()} == want_capped
+    plan = capped._sc._jvm.PythonSQLUtils.explainString(
+        capped._jdf.queryExecution(), "formatted")
+    assert "LeftAnti, BuildRight" in plan or "LeftAnti BuildRight" in plan \
+        or "BroadcastHashJoin" in plan, plan
+    # no window-count pass anywhere in the routing
+    assert "Window" not in plan
