@@ -94,7 +94,7 @@ _DRIVER_PRIORITY = [
     "dedup_minhash_lsh",             # r14 bucket-agg + r15 verify/split
     "dedup_clusters",                # same pipeline + graph checkpoint
     "dedup_ngram_jaccard",           # r14 bucket-agg + r15 verify/split
-    "dedup_ngram_capped",            # same (df_max as size filter)
+    "dedup_ngram_capped",            # same (df_max counts-first drop)
     "dedup_edit_verify",             # r14 pair expansion consumer
     "dedup_embedding_lsh",           # r14 bucket-agg + r15 split
     "ann_lsh_topk",                  # r14 bucket-agg + r15 split
