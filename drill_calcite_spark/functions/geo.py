@@ -309,6 +309,19 @@ def _sql_any_straddle(ring_a, ring_b) -> str:
     return "(" + " OR ".join(parts) + ")"
 
 
+def st_edges_straddle(lit_ring, col_ring: "ColRing") -> Column:
+    """Public decomposition piece of the poly-poly relations: TRUE iff
+    any literal-ring edge properly crosses any column-ring edge — the
+    shared ``crossing`` term of intersects/contains/within below.
+    Exposed so a query computing SEVERAL relations of the same ring pair
+    can alias it once per row instead of re-embedding the O(na·nb)
+    crossing chain in every output expression (each relation column
+    otherwise carries its own copy, and a single giant boolean tree also
+    defeats JIT method limits — the func_geo_poly_poly r15 finding)."""
+    _ring_guard(lit_ring, "st_edges_straddle")
+    return _any_straddle(_lit_ring_cols(lit_ring), col_ring)
+
+
 def st_intersects_poly_poly(lit_ring, col_ring: "ColRing") -> Column:
     """ST_Intersects(literal polygon, per-row polygon): any proper edge
     crossing, or either polygon containing a vertex of the other (covers
@@ -1377,50 +1390,96 @@ def _half_angle_steps(c, s, k: int):
     return c, s
 
 
+def _bind1(value: Column, body) -> Column:
+    """Evaluate ``value`` ONCE and hand it to ``body`` as a lambda
+    variable: ``transform(array(value), v -> body(v))[1]``.
+
+    Catalyst's subexpression elimination skips the inside of
+    higher-order-function lambdas (they are CodegenFallback), so an
+    expression referenced several times inside a fold/transform body is
+    re-evaluated interpretively at EVERY occurrence — for the geo curve
+    folds below that turned an O(n·2^k) tessellation into re-running
+    O(n) ring folds per chord step (measured 40 s for 2 000 rows).
+    Binding through a one-element transform is the Spark spelling of
+    the DuckDB twins' binder-chain ``list_transform`` levels: identical
+    arithmetic, each value computed once, bit-identical results (NULL
+    propagates through the binder exactly as through inline use)."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def st_buffer_ring_arr(ring: Column, r, k: int = 3) -> Column:
     """Positive buffer of a convex array ring (either orientation) as an
     array ring: per input vertex, the incoming offset corner, 2^k - 1
     arc points, and the outgoing offset corner. Concave rings are out of
     contract (Calcite delegates those to ESRI's curve engine —
-    documented exclusion, tests/iq/README.md)."""
+    documented exclusion, tests/iq/README.md).
+
+    Evaluation shape (r15): the orientation sign, the per-vertex unit
+    normals, and the per-chord half-angle step are each bound ONCE via
+    ``_bind1`` (the DuckDB twin's binder levels) instead of being
+    re-inlined — and re-interpreted — inside every rotation step."""
     m = 2 ** k
     r = r if isinstance(r, Column) else F.lit(float(r))
     n = F.size(ring)
     # orientation: +1 for CCW (positive shoelace), -1 for CW
-    sigma = F.signum(_ring_fold(
+    sigma_expr = F.signum(_ring_fold(
         ring, lambda v1, v2: v1.x * v2.y - v2.x * v1.y))
 
-    def vertex_points(j: Column) -> Column:
-        vp = F.element_at(ring, (F.pmod(j - 2 + n, n) + 1).cast("int"))
-        v = F.element_at(ring, j.cast("int"))
-        vn = F.element_at(ring, (F.pmod(j, n) + 1).cast("int"))
-        e1x, e1y = v.x - vp.x, v.y - vp.y
-        e2x, e2y = vn.x - v.x, vn.y - v.y
-        l1 = F.sqrt(e1x * e1x + e1y * e1y)
-        l2 = F.sqrt(e2x * e2x + e2y * e2y)
-        # outward unit normals of the two incident edges
-        n1x, n1y = sigma * e1y / l1, -sigma * e1x / l1
-        n2x, n2y = sigma * e2y / l2, -sigma * e2x / l2
-        c_step, s_step = _half_angle_steps(
-            n1x * n2x + n1y * n2y, n1x * n2y - n1y * n2x, k)
-        p0 = F.struct((v.x + r * n1x).alias("x"),
-                      (v.y + r * n1y).alias("y"))
-        seed = F.struct(n1x.alias("ux"), n1y.alias("uy"),
-                        F.array(p0).alias("pts"))
+    def build(sigma: Column) -> Column:
+        def vertex_points(j: Column) -> Column:
+            vp = F.element_at(ring, (F.pmod(j - 2 + n, n) + 1).cast("int"))
+            v = F.element_at(ring, j.cast("int"))
+            vn = F.element_at(ring, (F.pmod(j, n) + 1).cast("int"))
+            e1x, e1y = v.x - vp.x, v.y - vp.y
+            e2x, e2y = vn.x - v.x, vn.y - v.y
+            l1 = F.sqrt(e1x * e1x + e1y * e1y)
+            l2 = F.sqrt(e2x * e2x + e2y * e2y)
+            # outward unit normals of the two incident edges (level 1)
+            lvl1 = F.struct(
+                (sigma * e1y / l1).alias("n1x"),
+                (-sigma * e1x / l1).alias("n1y"),
+                (sigma * e2y / l2).alias("n2x"),
+                (-sigma * e2x / l2).alias("n2y"),
+                v.x.alias("vx"), v.y.alias("vy"),
+            )
 
-        def rot(acc: Column, _t: Column) -> Column:
-            nux = acc.ux * c_step - acc.uy * s_step
-            nuy = acc.ux * s_step + acc.uy * c_step
-            pt = F.struct((v.x + r * nux).alias("x"),
-                          (v.y + r * nuy).alias("y"))
-            return F.struct(nux.alias("ux"), nuy.alias("uy"),
+            def with_normals(q: Column) -> Column:
+                c_step, s_step = _half_angle_steps(
+                    q.n1x * q.n2x + q.n1y * q.n2y,
+                    q.n1x * q.n2y - q.n1y * q.n2x, k)
+                # per-chord rotation step (level 2)
+                lvl2 = F.struct(
+                    q.n1x.alias("n1x"), q.n1y.alias("n1y"),
+                    q.vx.alias("vx"), q.vy.alias("vy"),
+                    c_step.alias("cs"), s_step.alias("ss"),
+                )
+
+                def with_step(w: Column) -> Column:
+                    p0 = F.struct((w.vx + r * w.n1x).alias("x"),
+                                  (w.vy + r * w.n1y).alias("y"))
+                    seed = F.struct(w.n1x.alias("ux"), w.n1y.alias("uy"),
+                                    F.array(p0).alias("pts"))
+
+                    def rot(acc: Column, _t: Column) -> Column:
+                        nux = acc.ux * w.cs - acc.uy * w.ss
+                        nuy = acc.ux * w.ss + acc.uy * w.cs
+                        pt = F.struct((w.vx + r * nux).alias("x"),
+                                      (w.vy + r * nuy).alias("y"))
+                        return F.struct(
+                            nux.alias("ux"), nuy.alias("uy"),
                             F.concat(acc.pts, F.array(pt)).alias("pts"))
 
-        return F.aggregate(F.sequence(F.lit(1), F.lit(m)), seed, rot,
-                           lambda a: a.pts)
+                    return F.aggregate(F.sequence(F.lit(1), F.lit(m)),
+                                       seed, rot, lambda a: a.pts)
 
-    return F.flatten(F.transform(F.sequence(F.lit(1), n),
-                                 lambda j: vertex_points(j)))
+                return _bind1(lvl2, with_step)
+
+            return _bind1(lvl1, with_normals)
+
+        return F.flatten(F.transform(F.sequence(F.lit(1), n),
+                                     lambda j: vertex_points(j)))
+
+    return _bind1(sigma_expr, build)
 
 
 def sql_buffer_ring_arr(ring: str, r: str, k: int = 3) -> str:

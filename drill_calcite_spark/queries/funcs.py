@@ -1375,9 +1375,9 @@ def func_geo_poly_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal ring, hole_in_sq the reverse direction (ST_Within(hole, square) — the
     per-row ring as the container), sq_avoids_hole disjointness."""
     from drill_calcite_spark.functions.geo import (
-        st_contains_poly_poly,
-        st_intersects_poly_poly,
-        st_within_poly_poly,
+        st_contains_colring,
+        st_contains_poly,
+        st_edges_straddle,
     )
 
     pts = (
@@ -1398,12 +1398,53 @@ def func_geo_poly_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sq = [(F.col("bx_lo"), F.col("by_lo")), (F.col("bx_hi"), F.col("by_lo")),
           (F.col("bx_hi"), F.col("by_hi")), (F.col("bx_lo"), F.col("by_hi"))]
-    return pts.select(
+    # r15 evaluation shape: the four relation outputs decompose into
+    # SHARED per-ring-pair pieces (the edge-straddle chain, per-corner
+    # point-in-literal-ring bits, per-literal-vertex point-in-square
+    # bits). Aliasing each piece once keeps CollapseProject from
+    # re-inlining it into every consumer (multi-use non-cheap aliases
+    # stay materialized) and keeps each generated method small enough to
+    # JIT — the single-expression form ran as interpreted bytecode at
+    # ~4 ms/row (11.7 s steady-state for 3 000 rows). Recombination is
+    # the same left-associated boolean algebra as
+    # st_intersects/contains/within_poly_poly, so outputs are
+    # bit-identical and the oracle is unchanged.
+    bits = {"c_strad": st_edges_straddle(_POLY_C, sq),
+            "h_strad": st_edges_straddle(_POLY_HOLE, sq)}
+    for i, (bx, by) in enumerate(sq):
+        bits[f"c_in{i}"] = st_contains_poly(_POLY_C, bx, by)
+        bits[f"h_in{i}"] = st_contains_poly(_POLY_HOLE, bx, by)
+    for i, (ax, ay) in enumerate(_POLY_C):
+        bits[f"c_v{i}"] = st_contains_colring(
+            sq, F.lit(float(ax)), F.lit(float(ay)))
+    for i, (ax, ay) in enumerate(_POLY_HOLE):
+        bits[f"h_v{i}"] = st_contains_colring(
+            sq, F.lit(float(ax)), F.lit(float(ay)))
+    staged = pts.withColumns(bits)
+
+    def orc(names):
+        out = None
+        for nm in names:
+            out = F.col(nm) if out is None else (out | F.col(nm))
+        return out
+
+    def andc(names):
+        out = None
+        for nm in names:
+            out = F.col(nm) if out is None else (out & F.col(nm))
+        return out
+
+    c_in = [f"c_in{i}" for i in range(len(sq))]
+    h_in = [f"h_in{i}" for i in range(len(sq))]
+    c_v = [f"c_v{i}" for i in range(len(_POLY_C))]
+    h_v = [f"h_v{i}" for i in range(len(_POLY_HOLE))]
+    return staged.select(
         "event_id",
-        st_intersects_poly_poly(_POLY_C, sq).alias("sq_meets_c"),
-        st_contains_poly_poly(_POLY_C, sq).alias("sq_in_c"),
-        st_within_poly_poly(_POLY_HOLE, sq).alias("hole_in_sq"),
-        (~st_intersects_poly_poly(_POLY_HOLE, sq)).alias("sq_avoids_hole"),
+        (F.col("c_strad") | orc(c_in) | orc(c_v)).alias("sq_meets_c"),
+        (andc(c_in) & ~F.col("c_strad")).alias("sq_in_c"),
+        (andc(h_v) & ~F.col("h_strad")).alias("hole_in_sq"),
+        (~(F.col("h_strad") | orc(h_in) | orc(h_v)))
+        .alias("sq_avoids_hole"),
     )
 
 

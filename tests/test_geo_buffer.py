@@ -122,3 +122,20 @@ def test_buffer_perimeter_approaches_true_value(spark):
     # arc chords: per vertex, m chords of 2*r*sin(ang/2m) summed = full
     # turn worth of exterior angles (2*pi total for a convex polygon)
     assert perim + 2 * math.pi * _R * 0.97 < got < perim + 2 * math.pi * _R
+
+
+def test_bind1_value_and_null_semantics(spark):
+    """r15 `_bind1` (the binder-level evaluation shape of
+    st_buffer_ring_arr): transform(array(v), f)[1] must equal f(v)
+    exactly, including NULL propagation through the binder."""
+    from pyspark.sql import functions as F
+
+    from drill_calcite_spark.functions.geo import _bind1
+
+    df = spark.createDataFrame([(2.0,), (None,)], "x double")
+    out = df.select(
+        _bind1(F.col("x") * 3.0, lambda v: v + 1.0).alias("bound"),
+        (F.col("x") * 3.0 + 1.0).alias("inline"),
+    ).collect()
+    for r in out:
+        assert r.bound == r.inline

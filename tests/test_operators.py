@@ -497,6 +497,24 @@ def test_repeat_union_distinct_dedups_seed(spark):
     assert sorted(r.n for r in out.collect()) == [1, 2, 3]
 
 
+def test_repeat_union_deep_recursion_crosses_compaction(spark):
+    """r15: past ACC_COMPACT_LEAVES rounds the accumulated union is
+    compacted into one checkpointed RDD (bounded plan, O(1) driver
+    planning per round). A chain deep enough to compact twice must
+    still produce the exact closure in BOTH modes."""
+    from drill_calcite_spark.operators.repeat_union import ACC_COMPACT_LEAVES
+
+    depth = 2 * ACC_COMPACT_LEAVES + 5
+    seed = spark.createDataFrame([(1,)], "n long")
+    step = lambda f: f.filter(F.col("n") < depth).select(
+        (F.col("n") + 1).alias("n"))
+    out = repeat_union(seed, step, iteration_limit=depth + 10)
+    assert sorted(r.n for r in out.collect()) == list(range(1, depth + 1))
+    out_all = repeat_union(seed, step, distinct=False,
+                           iteration_limit=depth + 10)
+    assert sorted(r.n for r in out_all.collect()) == list(range(1, depth + 1))
+
+
 def test_repeat_union_union_all_mode(spark):
     seed = spark.createDataFrame([(1,)], "n long")
     out = repeat_union(
