@@ -104,13 +104,22 @@ _DRIVER_PRIORITY = [
     "recursive_numbers",             # r14: repeat_union checkpoint fix
     "q9_product_type_profit",        # r15: localCheckpoint'ed slice
     "source_jdbc_scan",              # r15: per-run Derby temp dir
-    # (d) the first 10 of the r8-vintage cohort in
+    # (e) the two r15-rewritten geo paths (binder-level curve folds /
+    # shared relation bits, commit 51af4f3) — rotated in mid-r15 under
+    # the same rule as (c): their last green driver rows predate the
+    # rewrite, and this is the final round, so CORRECTNESS_r15 is the
+    # only driver-level chance to re-prove them:
+    "func_geo_buffer_poly",
+    "func_geo_poly_poly",
+    # (d) the first 8 of the r8-vintage cohort in
     # .claude/evidence_vintage.py's mechanical (alphabetical) order
-    # (r8 names already listed above are skipped):
+    # (r8 names already listed above are skipped;
+    # ds_cumulative_channel_cross and ds_group_count_band were
+    # displaced by (e) — both hold green CORRECTNESS_r08 rows and stay
+    # covered by the exact oracle-parity pytest lane):
     "bloom_prune_join", "chunk_sliding_windows", "dedup_passage",
     "ds_band_counts", "ds_chained_star_join", "ds_channel_report",
     "ds_cross_channel_band", "ds_cross_channel_items",
-    "ds_cumulative_channel_cross", "ds_group_count_band",
 ]
 
 # The full ROUND-14 slate (all 50 green in CORRECTNESS_r14.json) is
